@@ -1,0 +1,472 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{AflowDsl, DbFilter, Fnmatch}
+
+/** Relational operator surface (SURVEY §2.3–2.8) expressed over the
+  * driver's TPC-H-ish tables, each with a DuckDB oracle.
+  *
+  * FP-parity discipline: money/quantity columns are clean 2-decimal
+  * values, so sums are computed in DECIMAL (exact, order-independent)
+  * and cast to DOUBLE at the end — bit-identical across engines
+  * regardless of aggregation order/parallelism. Averages divide the
+  * exact decimal sum (as double) by the count. Genuinely float-valued
+  * stats (stddev) are rounded.
+  */
+object Relational {
+
+  private val D = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  /** exact decimal sum → double */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  // ---------------------------------------------------------------- queries
+
+  /** TPC-H Q1-style pricing summary (SURVEY A1/A2-family groupBy-agg;
+    * status-count analog database/__init__.py:930–982). */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** F1 attribute projection with null-skip (atoms.py:508–528). */
+  def f1Projection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_extendedprice").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** F2 fancy indexing — row selection by key list (atoms.py:530–545). */
+  def f2FancyIndex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_orderkey").isin(1L, 7L, 32L, 69L, 134L, 577L, 1000L, 2500L))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** F3 AFLOW filter DSL compiled to Catalyst (aflux.py:84–129):
+    * (name contains "widget" AND NOT size<10) OR brand suffix "3". */
+  def f3AflowDsl(s: SparkSession, dir: String): DataFrame = {
+    import AflowDsl._
+    val pred = Or(
+      And(Cmp("p_name", "%", "widget"), Not(Cmp("p_size", "<", 10))),
+      Cmp("p_brand", "<", "3"))
+    t(s, dir, "part").where(AflowDsl.compile(pred))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** F4 dbfilter with object-reference scalar (fitting/basic.py:164–204):
+    * customers above the mean account balance — the scalar is a
+    * broadcast single-row join, not a driver collect. */
+  def f4DbfilterScalar(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    DbFilter(c, Seq(DbFilter.Filter("c_acctbal", ">",
+        DbFilter.ScalarRef(c, avg(col("c_acctbal"))))))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** F5 fnmatch catalog find (database/__init__.py:1710–1786). */
+  def f5CatalogFind(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .where(Fnmatch.matches(col("s_name"), "Supplier*1?"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+
+  /** F8 natoms-range filter analog (fitting/mtp.py:164–167). */
+  def f8RangeFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .where(col("p_size").between(10, 20))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy(col("p_brand"))
+
+  /** J1/J3-style star join with broadcast dims: revenue by region.
+    * region/nation/customer are small → explicit broadcast; the
+    * lineitem⋈orders equi-join shuffles on orderkey only. */
+  def j3RevenueByRegion(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  /** J4 semi join — orders having a max-quantity lineitem (EXISTS). */
+  def j4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val big = t(s, dir, "lineitem").where(col("l_quantity") >= 50)
+    o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J5 best-of-grid select (hessian.py:341–412): top supplier per
+    * nation by account balance, deterministic tie-break. */
+  def j5BestPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("n_name"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** U2 difference / anti join (substitution.py:235; active.py:186–189):
+    * customers with no high-value order — the "new minus already-seen"
+    * shape of the reference's dedup-append. */
+  def u2AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").where(col("o_totalprice") < 20000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** A1 hierarchical status roll-up (database/__init__.py:930–982) as
+    * rollup(region, nation) over customers. */
+  def a1Rollup(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** A4 band-error-style stats (hessian.py:319–339): per event type. */
+  def a4Stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        (dsum(col("value")) / count(lit(1))).as("avg_v"),
+        round(stddev_samp(col("value")), 6).as("std_v"))
+      .orderBy(col("event_type"))
+
+  /** A5 validation RMS (fitting/basic.py:450–488): rms of the discount
+    * delta per return flag. */
+  def a5Rms(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sqrt(avg(pow(col("l_extendedprice") * col("l_discount"), 2))), 4)
+        .as("rms_delta"))
+      .orderBy(col("l_returnflag"))
+
+  /** A7 energy-key coalesce analog (atoms.py:202–208). */
+  def a7Coalesce(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status"))
+      .orderBy(col("o_orderkey"))
+
+  /** O1 sort + top-k (atoms.py:564–582). */
+  def o1TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(10)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  /** O5 deterministic split assignment (database/utility.py:106–126) —
+    * engine-independent bucketing by key (the reference persists
+    * shuffle ids for exactly this reason: RNGs don't replay across
+    * engines; a keyed hash/modulo does). */
+  def o5SplitAssign(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("bucket",
+        when(pmod(col("o_orderkey"), lit(10)) < 8, "train")
+          .when(pmod(col("o_orderkey"), lit(10)) < 9, "holdout")
+          .otherwise("super"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+
+  /** O8 every-Nth MD-frame subsample (md.py:184–209). */
+  def o8EveryNth(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(pmod(col("event_id"), lit(5)) === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** O9 multi-range slicer (utility.py:552–570). */
+  def o9Slicer(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_orderkey").between(100, 200) ||
+             col("l_orderkey").between(1000, 1100))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** U1 union-distinct (atoms.py:626–635 extend / dbcat). */
+  def u1Union(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val a = c.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val b = c.where(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    a.unionByName(b).distinct()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** U4/K11/K13 parameter-grid cross product with suffix naming
+    * (utility.py:766–819 get_grid; prototype.py:244–248). */
+  def u4ParamGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lattices = Seq("fcc", "bcc", "hcp").toDF("lattice")
+    val sizes = Seq(1, 2, 3, 4).toDF("size")
+    lattices.crossJoin(sizes)
+      .withColumn("name", concat_ws("-", col("lattice"), col("size")))
+      .orderBy(col("lattice"), col("size"))
+  }
+
+  /** D7 canonical content hash of a relation (database/__init__.py:
+    * 461–470 hash_group, 1285–1293 hash_db): per-row md5 over
+    * canonicalized columns, sorted, re-hashed per group — fully
+    * distributed, deterministic under any partitioning. */
+  def d7ContentHash(s: SparkSession, dir: String): DataFrame = {
+    val rowH = md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag")))
+    t(s, dir, "lineitem")
+      .withColumn("row_h", rowH)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        md5(array_join(array_sort(collect_list(col("row_h"))), "")).as("table_hash"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Window functions — running aggregate per key (the Spark-native
+    * surface the reference lacks; SURVEY §7 "honest handling"). */
+  def w1RunningWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_qty", sum(col("l_quantity")).over(w))
+      .where(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** S10-style time-bucketed scan over the events stream table
+    * (md.py:149–228 trajectory frames → here hourly buckets; the same
+    * aggregation runs under Structured Streaming in graft.streaming). */
+  def s10HourlyEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      // ts arrives as epoch nanos (LongType, see Tables); truncate to
+      // micros — exact for the driver's ms-precision data.
+      .withColumn("hour", date_format(date_trunc("hour",
+        timestamp_micros(expr("ts div 1000"))),  // integer div: exact
+        "yyyy-MM-dd HH:mm"))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "f1_projection" -> (f1Projection _),
+    "f2_fancy_index" -> (f2FancyIndex _),
+    "f3_aflow_dsl" -> (f3AflowDsl _),
+    "f4_dbfilter_scalar" -> (f4DbfilterScalar _),
+    "f5_catalog_find" -> (f5CatalogFind _),
+    "f8_range_filter" -> (f8RangeFilter _),
+    "j3_revenue_by_region" -> (j3RevenueByRegion _),
+    "j4_semi_join" -> (j4SemiJoin _),
+    "j5_best_per_group" -> (j5BestPerGroup _),
+    "u2_anti_join" -> (u2AntiJoin _),
+    "a1_rollup_status" -> (a1Rollup _),
+    "a4_stats_by_type" -> (a4Stats _),
+    "a5_rms_error" -> (a5Rms _),
+    "a7_coalesce" -> (a7Coalesce _),
+    "o1_topk" -> (o1TopK _),
+    "o5_split_assign" -> (o5SplitAssign _),
+    "o8_every_nth" -> (o8EveryNth _),
+    "o9_slicer" -> (o9Slicer _),
+    "u1_union_distinct" -> (u1Union _),
+    "u4_param_grid" -> (u4ParamGrid _),
+    "d7_content_hash" -> (d7ContentHash _),
+    "w1_running_window" -> (w1RunningWindow _),
+    "s10_hourly_events" -> (s10HourlyEvents _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "f1_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_extendedprice IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f2_fancy_index" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey IN (1,7,32,69,134,577,1000,2500)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f3_aflow_dsl" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |WHERE (p_name LIKE '%widget%' AND NOT (p_size < 10))
+        |   OR p_brand LIKE '%3'
+        |ORDER BY p_partkey""".stripMargin,
+    "f4_dbfilter_scalar" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "f5_catalog_find" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_name LIKE 'Supplier%1_'
+        |ORDER BY s_suppkey""".stripMargin,
+    "f8_range_filter" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part WHERE p_size BETWEEN 10 AND 20
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "j3_revenue_by_region" ->
+      """SELECT r_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "j4_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 50)
+        |ORDER BY o_orderkey""".stripMargin,
+    "j5_best_per_group" ->
+      """SELECT n_name, s_name, s_acctbal FROM (
+        | SELECT n_name, s_name, s_acctbal,
+        |   ROW_NUMBER() OVER (PARTITION BY n_name
+        |     ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |) WHERE rn = 1 ORDER BY n_name""".stripMargin,
+    "u2_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice < 20000)
+        |ORDER BY c_custkey""".stripMargin,
+    "a1_rollup_status" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "a4_stats_by_type" ->
+      """SELECT event_type, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v,
+        | ROUND(STDDEV_SAMP(value), 6) AS std_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a5_rms_error" ->
+      """SELECT l_returnflag,
+        | ROUND(SQRT(AVG(POW(l_extendedprice * l_discount, 2))), 4) AS rms_delta
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a7_coalesce" ->
+      """SELECT o_orderkey,
+        | COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "o1_topk" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "o5_split_assign" ->
+      """SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'train'
+        |            WHEN o_orderkey % 10 < 9 THEN 'holdout'
+        |            ELSE 'super' END AS bucket,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "o8_every_nth" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events WHERE event_id % 5 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "o9_slicer" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 200
+        |   OR l_orderkey BETWEEN 1000 AND 1100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "u1_union_distinct" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM (
+        | SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION
+        | SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000
+        |) GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "u4_param_grid" ->
+      """SELECT lattice, size, lattice || '-' || CAST(size AS VARCHAR) AS name
+        |FROM (VALUES ('fcc'),('bcc'),('hcp')) AS l(lattice)
+        |CROSS JOIN (VALUES (1),(2),(3),(4)) AS s(size)
+        |ORDER BY lattice, size""".stripMargin,
+    "d7_content_hash" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | MD5(STRING_AGG(rh, '' ORDER BY rh)) AS table_hash
+        |FROM (
+        | SELECT l_returnflag,
+        |  MD5(CONCAT_WS('|', l_orderkey, l_linenumber, l_returnflag)) AS rh
+        | FROM lineitem
+        |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "w1_running_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_quantity, running_qty
+        |FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+        |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS running_qty
+        | FROM lineitem
+        |) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "s10_hourly_events" ->
+      """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        | event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+  )
+}
