@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines, generalizing
+  * the reference's content-hash dedup (SURVEY §2.5 D1–D7; reference
+  * database/active.py:181–198) to text corpora:
+  *
+  *  - exact dedup: hash-groupBy (one shuffle on the hash)
+  *  - MinHash + LSH: shingle → k minhashes → banded keys →
+  *    equi-join on band key. This is the 100 TB shape: candidate
+  *    generation is a shuffle join on short keys, never an n² block
+  *    compare; the n² work happens only inside band buckets.
+  *  - SimHash: nibble-majority signature over the token set
+  *  - n-gram Jaccard: exact verify within small blocks
+  *
+  * All pure `functions._` column expressions — codegen'd, no UDFs.
+  */
+object DedupOps {
+
+  private val K = 16 // minhash signature length
+  private def toks: Column = split(col("text"), " ")
+
+  /** Word 3-shingles of the token array. */
+  private def shingles(t: Column): Column =
+    transform(sequence(lit(0), size(t) - 3), i =>
+      concat_ws(" ",
+        element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
+
+  /** Minhash signatures via explode → codegen'd md5 → groupBy(min):
+    * md5 inside a higher-order `transform` lambda is interpreted
+    * (no whole-stage codegen) and the array expression gets inlined
+    * into every derived column — an order of magnitude slower. The
+    * exploded shape keeps every md5 in codegen and the signature is
+    * a map-side partial min aggregate (tiny shuffle: K hashes/doc).
+    * Lexicographic min over lowercase hex = engine-independent. */
+  private def sigDf(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .where(size(toks) >= 3)
+      // the documents file is one small parquet split — without an
+      // explicit repartition the hash work runs on a single core; at
+      // real scale the scan itself provides the partitions
+      .repartition(col("doc_id"))
+    val sh = base.select(col("doc_id"), explode(shingles(toks)).as("sh"))
+    val aggs = (0 until K).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      // cache the K-hashes-per-doc table: downstream sorts sample the
+      // plan and self-joins read it twice — without this the whole
+      // shingle+md5 pass re-runs per consumer
+      .persist()
+      .withColumn("sig", array((0 until K).map(i => col(s"mh$i")): _*))
+      .withColumn("band0",
+        md5(concat_ws("", (0 until K / 2).map(i => col(s"mh$i")): _*)))
+      .withColumn("band1",
+        md5(concat_ws("", (K / 2 until K).map(i => col(s"mh$i")): _*)))
+  }
+
+  /** D1 exact dedup: keeper (min id) per content hash. */
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper"))
+
+  /** D2a MinHash signatures + LSH band keys per document. */
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    sigDf(s, dir)
+      .select(col("doc_id"), col("band0"), col("band1"),
+        element_at(col("sig"), 1).as("mh0"),
+        element_at(col("sig"), K).as(s"mh${K - 1}"))
+      .orderBy(col("doc_id"))
+
+  /** D2b LSH candidate pairs: signatures are materialized ONCE (at
+    * 100 TB this is a persisted signature table — recomputing the
+    * md5-per-shingle work on both sides of both band joins is the
+    * difference between seconds and minutes even at sf0.1), bands are
+    * exploded to (band_idx, band_key) rows, and ONE equi-join on the
+    * band key produces candidates; estimated Jaccard (fraction of
+    * agreeing minhashes) verifies them before the distinct. */
+  def d2MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = sigDf(s, dir)
+      .select(col("doc_id"), col("sig"),
+        posexplode(array(col("band0"), col("band1"))).as(Seq("band_idx", "band_key")))
+    val a = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band_idx"), col("band_key"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band_idx"), col("band_key"))
+    val estJ = size(filter(sequence(lit(1), lit(K)),
+      i => element_at(col("sig_a"), i) === element_at(col("sig_b"), i)))
+      .cast("double") / K
+    a.join(b, Seq("band_idx", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), estJ.as("est_jaccard"))
+      .where(col("est_jaccard") >= 0.75) // verify BEFORE the distinct
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** D3 SimHash: 16-bit signature, bit j = majority of md5 nibble j
+    * across the distinct-token set. */
+  def d3Simhash(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables(s, dir, "documents")
+      .repartition(col("doc_id")) // spread md5 work (single-split file)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until 16).map(j =>
+      sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(0)).as(s"b$j"))
+    val agg = tk.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), bitSums: _*)
+    val bits = concat((0 until 16).map(j =>
+      when(col(s"b$j") * 2 > col("n_tok"), "1").otherwise("0")): _*)
+    agg.select(col("doc_id"), col("n_tok"), bits.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D4 exact n-gram (token-set) Jaccard near-dup pairs, blocked by
+    * source — the verify stage run after LSH candidate generation.
+    *
+    * Inverted-index formulation: explode distinct tokens, equi-join on
+    * (source, token), count matches per pair, then
+    * |A∪B| = |A|+|B|−|A∩B|. Identical result to a per-pair
+    * array_intersect but stays in whole-stage codegen and shuffles on
+    * short keys instead of evaluating interpreted set ops over an n²
+    * blocked cross join. */
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"), array_distinct(toks).as("tset"))
+      .withColumn("nt", size(col("tset")))
+    val tok = d.select(col("doc_id"), col("source"), col("nt"),
+      explode(col("tset")).as("tok"))
+    val a = tok.select(col("source"), col("tok"),
+      col("doc_id").as("doc_a"), col("nt").as("na"))
+    val b = tok.select(col("source"), col("tok"),
+      col("doc_id").as("doc_b"), col("nt").as("nb"))
+    val j = col("c").cast("double") / (col("na") + col("nb") - col("c"))
+    a.join(b, Seq("source", "tok"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .where(col("jaccard") >= 0.9)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** D5 embedding near-dup: cosine ≥ threshold within label blocks
+    * (blocked exact compare; the LSH/ANN scale path lives in
+    * graft.operators.Similarity). */
+  def d5EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
+    // norms are per-vector, so compute them BEFORE the pair join —
+    // 3× fewer interpreted dot products than a per-pair formulation
+    val e = Tables(s, dir, "embeddings")
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val cos = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    a.join(b, "label")
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cos.as("cos_sim"))
+      .where(col("cos_sim") >= 0.3)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d2_minhash_lsh" -> (d2MinhashLsh _),
+    "d2_minhash_pairs" -> (d2MinhashPairs _),
+    "d3_simhash" -> (d3Simhash _),
+    "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d5_embedding_dedup" -> (d5EmbeddingDedup _),
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val sigSql: String =
+    (0 until K).map(i => s"list_min([md5('$i:' || s) for s in sh])")
+      .mkString("[", ", ", "]")
+
+  private val sigCte: String =
+    s"""WITH tok AS (
+       | SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       | WHERE len(string_split(text, ' ')) >= 3),
+       |shing AS (
+       | SELECT doc_id, list_transform(range(1, len(t)-1),
+       |   i -> array_to_string(t[i:i+2], ' ')) AS sh FROM tok),
+       |sig AS (SELECT doc_id, $sigSql AS sig FROM shing),
+       |band AS (
+       | SELECT doc_id, sig,
+       |  md5(array_to_string(sig[1:${K / 2}], '')) AS band0,
+       |  md5(array_to_string(sig[${K / 2 + 1}:$K], '')) AS band1
+       | FROM sig)""".stripMargin
+
+  private val simhashBitSums: String = (0 until 16)
+    .map(j => s"SUM(CASE WHEN substr(h, ${j + 1}, 1) >= '8' THEN 1 ELSE 0 END) AS b$j")
+    .mkString(", ")
+  private val simhashBits: String = (0 until 16)
+    .map(j => s"CASE WHEN b$j * 2 > n_tok THEN '1' ELSE '0' END")
+    .mkString("concat(", ", ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
+        | COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "d2_minhash_lsh" ->
+      s"""$sigCte
+         |SELECT doc_id, band0, band1, sig[1] AS mh0, sig[$K] AS mh${K - 1}
+         |FROM band ORDER BY doc_id""".stripMargin,
+    "d2_minhash_pairs" ->
+      s"""$sigCte,
+         |cand AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+         | FROM band a JOIN band b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         | UNION ALL
+         | SELECT a.doc_id, b.doc_id, a.sig, b.sig
+         | FROM band a JOIN band b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)
+         |SELECT DISTINCT doc_a, doc_b,
+         | len([i for i in range(1, ${K + 1}) if sig_a[i] = sig_b[i]])::DOUBLE / $K AS est_jaccard
+         |FROM cand
+         |WHERE len([i for i in range(1, ${K + 1}) if sig_a[i] = sig_b[i]])::DOUBLE / $K >= 0.75
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d3_simhash" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         | FROM documents),
+         |hh AS (SELECT doc_id, md5(tok) AS h FROM tk),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_tok, $simhashBitSums
+         |        FROM hh GROUP BY doc_id)
+         |SELECT doc_id, n_tok, $simhashBits AS simhash
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  list_distinct(string_split(text, ' ')) AS tset
+        | FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | len(list_intersect(a.tset, b.tset))::DOUBLE
+        |   / len(list_distinct(a.tset || b.tset)) AS jaccard
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.tset, b.tset))::DOUBLE
+        |   / len(list_distinct(a.tset || b.tset)) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d5_embedding_dedup" ->
+      """WITH e AS (
+        | SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | ROUND(list_sum([a.v[i]*b.v[i] for i in range(1,65)]) /
+        |  (sqrt(list_sum([a.v[i]*a.v[i] for i in range(1,65)])) *
+        |   sqrt(list_sum([b.v[i]*b.v[i] for i in range(1,65)]))), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_sum([a.v[i]*b.v[i] for i in range(1,65)]) /
+        |  (sqrt(list_sum([a.v[i]*a.v[i] for i in range(1,65)])) *
+        |   sqrt(list_sum([b.v[i]*b.v[i] for i in range(1,65)]))), 6) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token stats, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure column expressions (whole-stage codegen,
+  * no UDFs) — at 100 TB these run as a single scan with no shuffle
+  * except the final order (which exists only for oracle determinism).
+  */
+object TextOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Per-doc token statistics (token counting via whitespace split). */
+  def t1TokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("n_nospace", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .select(col("doc_id"), col("n_tok"), col("n_nospace"),
+        (col("n_nospace") / col("n_tok")).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality scoring: stopword ratio + length saturation, binned. */
+  def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks,
+      t => stopwords.map(w => t === lit(w)).reduce(_ || _))).cast("double")
+    val stopRatio = stopHits / nTok
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val score = round(stopRatio * lit(0.5) + lenScore * lit(0.5), 6)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), round(stopRatio, 6).as("stop_ratio"),
+        score.as("quality"),
+        when(score >= 0.4, "good").when(score >= 0.25, "fair")
+          .otherwise("low").as("quality_bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "que", "y"))
+
+  /** Language-ID n-gram/stopword heuristic, reported as a confusion
+    * matrix against the labelled `lang` column. */
+  def t3LangId(s: SparkSession, dir: String): DataFrame = {
+    val hits = langMarkers.map { case (l, ws) =>
+      l -> size(filter(toks, t => ws.map(w => t === lit(w)).reduce(_ || _)))
+    }
+    val Seq(en, de, fr, es) = hits.map(_._2)
+    val pred = when(en > 0 && en >= de && en >= fr && en >= es, "en")
+      .when(de > 0 && de >= fr && de >= es, "de")
+      .when(fr > 0 && fr >= es, "fr")
+      .when(es > 0, "es")
+      .otherwise("unknown")
+    Tables(s, dir, "documents")
+      .withColumn("pred_lang", pred)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** Document fingerprints: raw, normalized, and order-invariant
+    * bag-of-words (the D1 content-hash generalized to text;
+    * ref: database/active.py:181–184). */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .repartition(col("doc_id")) // single-split file → spread hash work
+      .select(col("doc_id"),
+        md5(col("text")).as("fp_raw"),
+        md5(lower(regexp_replace(col("text"), "[^a-zA-Z ]", ""))).as("fp_norm"),
+        md5(array_join(array_sort(array_distinct(toks)), " ")).as("fp_bag"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_stats" -> (t1TokenStats _),
+    "t2_quality_score" -> (t2QualityScore _),
+    "t3_langid" -> (t3LangId _),
+    "t4_fingerprint" -> (t4Fingerprint _),
+  )
+
+  private val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+  private def markerPred(ws: Seq[String]) = ws.map(w => s"t = '$w'").mkString(" OR ")
+
+  val oracle: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' '))::BIGINT AS n_tok,
+        | length(replace(text, ' ', ''))::BIGINT AS n_nospace,
+        | length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality_score" ->
+      s"""WITH q AS (
+        | SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), t -> $stopPred))::DOUBLE
+        |    / len(string_split(text,' ')) AS stop_ratio,
+        |  LEAST(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) AS len_score
+        | FROM documents)
+        |SELECT doc_id, ROUND(stop_ratio, 6) AS stop_ratio,
+        | ROUND(stop_ratio*0.5 + len_score*0.5, 6) AS quality,
+        | CASE WHEN ROUND(stop_ratio*0.5 + len_score*0.5, 6) >= 0.4 THEN 'good'
+        |      WHEN ROUND(stop_ratio*0.5 + len_score*0.5, 6) >= 0.25 THEN 'fair'
+        |      ELSE 'low' END AS quality_bin
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "t3_langid" ->
+      s"""WITH h AS (
+        | SELECT lang,
+        |  len(list_filter(string_split(text,' '), t -> ${markerPred(langMarkers(0)._2)})) AS en,
+        |  len(list_filter(string_split(text,' '), t -> ${markerPred(langMarkers(1)._2)})) AS de,
+        |  len(list_filter(string_split(text,' '), t -> ${markerPred(langMarkers(2)._2)})) AS fr,
+        |  len(list_filter(string_split(text,' '), t -> ${markerPred(langMarkers(3)._2)})) AS es
+        | FROM documents)
+        |SELECT lang,
+        | CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+        |      WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+        |      WHEN fr > 0 AND fr >= es THEN 'fr'
+        |      WHEN es > 0 THEN 'es'
+        |      ELSE 'unknown' END AS pred_lang,
+        | COUNT(*) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        | md5(text) AS fp_raw,
+        | md5(lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))) AS fp_norm,
+        | md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp_bag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
