@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.DedupOps.queries ++
-      graft.queries.SimilarityOps.queries
+      graft.queries.SimilarityOps.queries ++
+      graft.queries.MaterialsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.TextOps.oracle ++
       graft.queries.DedupOps.oracle ++
-      graft.queries.SimilarityOps.oracle
+      graft.queries.SimilarityOps.oracle ++
+      graft.queries.MaterialsOps.oracle
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Config, Formula}
+import graft.sources.{Cfg, ExtXyz, Poscar}
+
+class SourcesSpec extends AnyFunSuite {
+
+  private val a = 4.05
+  private def cfg: Config = Config.of(
+    Seq("Ag", "Ag", "Pd"),
+    Seq(Seq(a, 0.0, 0.0), Seq(0.1, a, 0.0), Seq(0.0, 0.0, a)),
+    Seq(Seq(0.0, 0.0, 0.0), Seq(0.0, a / 2, a / 2), Seq(a / 2, 0.0, a / 2)))
+    .copy(energy = Some(-3.25),
+      force = Some(Seq(Seq(0.1, 0.0, -0.1), Seq(0.2, 0.1, 0.0),
+        Seq(-0.3, -0.1, 0.1))),
+      virial = Some(Seq(1.0, 0.1, 0.2, 0.1, 2.0, 0.3, 0.2, 0.3, 3.0)))
+
+  test("POSCAR round-trip (S3)") {
+    val r = Poscar.read(Poscar.write(cfg))
+    assert(r.species === cfg.species)
+    assert(r.n === cfg.n)
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(math.abs(r.cell(i)(j) - cfg.cell(i)(j)) < 1e-10)
+    for (i <- 0 until cfg.n; j <- 0 until 3)
+      assert(math.abs(r.positions(i)(j) - cfg.positions(i)(j)) < 1e-10)
+  }
+
+  test("POSCAR direct-coordinate read (S3)") {
+    val text =
+      """Si2
+        |1.0
+        |  5.43 0.0 0.0
+        |  0.0 5.43 0.0
+        |  0.0 0.0 5.43
+        |Si
+        |2
+        |Direct
+        |  0.0 0.0 0.0
+        |  0.25 0.25 0.25
+        |""".stripMargin
+    val r = Poscar.read(text)
+    assert(r.n === 2)
+    assert(math.abs(r.positions(1)(0) - 0.25 * 5.43) < 1e-10)
+  }
+
+  test("extxyz round-trip with energy and forces (S3)") {
+    val frames = ExtXyz.read(ExtXyz.write(cfg) + ExtXyz.write(cfg))
+    assert(frames.length === 2)
+    val r = frames.head
+    assert(r.species === cfg.species)
+    assert(math.abs(r.energy.get - cfg.energy.get) < 1e-9)
+    for (i <- 0 until cfg.n; j <- 0 until 3) {
+      assert(math.abs(r.positions(i)(j) - cfg.positions(i)(j)) < 1e-9)
+      assert(math.abs(r.force.get(i)(j) - cfg.force.get(i)(j)) < 1e-9)
+    }
+  }
+
+  test("MTP CFG round-trip (S4/S5)") {
+    val tm = Formula.typeMap(cfg.species)
+    val inv = Formula.inverseTypeMap(cfg.species)
+    val r = Cfg.read(Cfg.write(cfg, tm), inv)
+    assert(r.length === 1)
+    val c = r.head
+    assert(c.species === cfg.species)
+    assert(math.abs(c.energy.get - cfg.energy.get) < 1e-8)
+    for (i <- 0 until cfg.n; j <- 0 until 3)
+      assert(math.abs(c.force.get(i)(j) - cfg.force.get(i)(j)) < 1e-8)
+    // symmetric virial survives the 6-component stress round-trip
+    val v = c.virial.get
+    for (i <- Seq(0, 1, 2, 4, 5, 8))
+      assert(math.abs(v(i) - cfg.virial.get(i)) < 1e-8)
+  }
+}
