@@ -151,10 +151,11 @@ object DedupOps {
     * (blocked exact compare; the LSH/ANN scale path lives in
     * graft.operators.Similarity). */
   def d5EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    // codegen'd dot product (org.apache.spark.sql.graftx.DotProduct) — bit-identical
+    // to the interpreted formulation, ~order-of-magnitude faster
     def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
-    // norms are per-vector, so compute them BEFORE the pair join —
-    // 3× fewer interpreted dot products than a per-pair formulation
+      org.apache.spark.sql.graftx.VectorExpressions.dotProduct(x, y)
+    // norms are per-vector, so compute them BEFORE the pair join
     val e = Tables(s, dir, "embeddings")
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("label"),

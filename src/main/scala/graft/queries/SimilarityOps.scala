@@ -19,7 +19,7 @@ import graft.Tables
 object SimilarityOps {
 
   private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
+    org.apache.spark.sql.graftx.VectorExpressions.dotProduct(x, y) // codegen'd inner loop
 
   def s1KnnBruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.graftx.VectorExpressions
+
+class VectorExprSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("DotProduct matches the interpreted aggregate/zip_with bit-for-bit") {
+    import spark.implicits._
+    val df = (1 to 200).map { i =>
+      val a = (0 until 64).map(j => math.sin(i * 64 + j))
+      val b = (0 until 64).map(j => math.cos(i * 64 + j))
+      (i, a, b)
+    }.toDF("id", "a", "b")
+    val both = df.select(
+      VectorExpressions.dotProduct(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (p, q) => p * q),
+        lit(0.0), (acc, z) => acc + z).as("interp"))
+    assert(both.where(col("native") =!= col("interp")).count() === 0)
+  }
+
+  test("DotProduct widens float arrays exactly") {
+    import spark.implicits._
+    val df = Seq((Seq(1.5f, 2.5f), Seq(2.0f, 4.0f))).toDF("a", "b")
+    val v = df.select(VectorExpressions.dotProduct(col("a"), col("b")))
+      .collect()(0).getDouble(0)
+    assert(v === 13.0)
+  }
+
+  test("DotProduct participates in whole-stage codegen") {
+    // LocalTableScan plans skip codegen entirely — use a range scan so
+    // the projection actually enters a WholeStageCodegen stage.
+    // (arrays built with array() — a higher-order transform() in the
+    // same projection would itself knock the stage out of codegen)
+    val df = spark.range(100)
+      .select(
+        array((0 to 9).map(i => (col("id") + i).cast("double")): _*).as("a"),
+        array((0 to 9).map(i => (col("id") * i).cast("double")): _*).as("b"))
+    val q = df.select(VectorExpressions.dotProduct(col("a"), col("b")).as("d"))
+    val codegenStages = q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.nonEmpty)
+    assert(q.agg(sum(col("d"))).collect()(0).getDouble(0) > 0)
+  }
+}
