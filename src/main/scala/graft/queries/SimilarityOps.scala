@@ -41,6 +41,10 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_bruteforce" -> (s1KnnBruteforce _),
+    // approximate → no SQL oracle (rows-only check); recall is
+    // asserted against s1 in OperatorsSpec
+    "s2_ann_lsh" -> (graft.operators.Similarity.s2AnnLsh _),
+    "mm1_multimodal_features" -> (graft.operators.Multimodal.featureSummary _),
   )
 
   val oracle: Map[String, String] = Map(

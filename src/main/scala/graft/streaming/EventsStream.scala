@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.10). The reference has no
+  * watermark/window streaming — its streams are MD trajectories (S10)
+  * and the DFT-results ingestion loop; both map onto file-source
+  * streams here. Windowed aggregation + watermark handles the
+  * trajectory/event shape; `foreachBatch` reconciliation handles
+  * completed-calculation ingestion (database/__init__.py:623–664
+  * recovery maps to re-running the batch on failed rows).
+  */
+object EventsStream {
+
+  /** events.parquet schema (ts = epoch-nanos int64, read as long —
+    * see graft.Tables). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+
+  /** Hourly windowed aggregation with watermark — the streaming twin
+    * of the batch `s10_hourly_events` query (results must agree when
+    * the stream is drained; the spec asserts exactly that). */
+  def hourlyAgg(spark: SparkSession, srcDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(eventsSchema).parquet(srcDir)
+    withEventTime(src)
+      .withWatermark("ets", "2 hours")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(count: Long, sum: Double, lastTsMicros: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, total: Double)
+
+  /** Stateful per-user sessionization via mapGroupsWithState
+    * (KeyValueGroupedDataset custom state — the §2.10 "custom state"
+    * surface; the reference's closest analog is the per-iteration
+    * active-set growth, active.py:158–205). */
+  def sessionCounts(spark: SparkSession, srcDir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(eventsSchema).parquet(srcDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+    src.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.NoTimeout) { (uid, events, state) =>
+        val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+        var count = prev.count
+        var total = prev.sum
+        var last = prev.lastTsMicros
+        events.foreach { e =>
+          count += 1; total += e.value
+          val m = e.ts / 1000
+          if (m > last) last = m
+        }
+        state.update(SessionState(count, total, last))
+        SessionOut(uid, count, math.round(total * 10000).toDouble / 10000)
+      }
+  }
+
+  /** foreachBatch ingestion pattern: drain a stream into a parquet
+    * "rset" with idempotent per-batch dedup — the calculator-results
+    * connector loop (SURVEY §2.10 Spark mapping). */
+  def ingestLoop(stream: DataFrame, outPath: String, keyCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.dropDuplicates(keyCol).write.mode("append").parquet(outPath)
+      }
+      .start()
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventsStream
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def stageEvents(): String = {
+    val dir = Files.createTempDirectory("events_stream").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(dir, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("streaming hourly agg drains to the batch result (S10 twin)") {
+    val dir = stageEvents()
+    val q = EventsStream.hourlyAgg(spark, dir).writeStream
+      .outputMode("complete").format("memory").queryName("hourly").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+      "SELECT hour, event_type, n, sum_value FROM hourly")
+      .collect().map(_.toString).sorted
+    val batch = graft.queries.Relational.s10HourlyEvents(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("stateful per-user session counts accumulate (mapGroupsWithState)") {
+    val dir = stageEvents()
+    val q = EventsStream.sessionCounts(spark, dir).writeStream
+      .outputMode("update").format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT * FROM sessions")
+    // last update per user must match the batch per-user counts
+    val latest = got.groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+    val batch = Tables(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val joined = latest.join(batch, "user_id")
+      .where(col("n_events") =!= col("n"))
+    assert(joined.count() === 0)
+  }
+
+  test("foreachBatch ingest loop lands deduped parquet (connector shape)") {
+    val dir = stageEvents()
+    val out = Files.createTempDirectory("ingest_out").toString + "/rset"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(EventsStream.eventsSchema)
+      .parquet(dir)
+    val q = EventsStream.ingestLoop(stream, out, "event_id")
+    q.processAllAvailable(); q.stop()
+    val n = spark.read.parquet(out).count()
+    val expected = Tables(spark, "/root/testdata/sf0.001", "events").count()
+    assert(n === expected)
+  }
+}
