@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.DedupOps.queries ++
       graft.queries.SimilarityOps.queries ++
-      graft.queries.MaterialsOps.queries
+      graft.queries.MaterialsOps.queries ++
+      graft.queries.Extras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.TextOps.oracle ++
       graft.queries.DedupOps.oracle ++
       graft.queries.SimilarityOps.oracle ++
-      graft.queries.MaterialsOps.oracle
+      graft.queries.MaterialsOps.oracle ++
+      graft.queries.Extras.oracle
 }

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.WeightedMean
+
+/** Second wave of oracle-checked operators: custom typed aggregation
+  * (A6), small-dim broadcast lookups (K1 vegard), semi-structured
+  * JSON extraction, and window lag analytics.
+  */
+object Extras {
+
+  /** A6 `quantities` with a registry aggregator: weighted mean price
+    * by quantity per return flag via a custom typed Aggregator
+    * (map-side partial agg — one shuffle of (sum, weight) pairs). */
+  def a6WeightedMean(s: SparkSession, dir: String): DataFrame = {
+    val wm = udaf(WeightedMean)
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(wm(col("l_extendedprice"), col("l_quantity")), 4)
+        .as("wavg_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** K1 vegard: concentration-weighted lattice parameter from a
+    * broadcast `latpars` dimension (reference: matdb/data.py:19–40).
+    * The lookup table is a broadcast literal — at 100 TB the alloy
+    * table is the big side and never shuffles. */
+  def k1Vegard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val latpars = Seq(("Ag", 4.09), ("Pd", 3.89), ("Cu", 3.615))
+      .toDF("el", "latpar")
+    val alloys = Seq(
+      ("AgPd50", "Ag", 0.5), ("AgPd50", "Pd", 0.5),
+      ("AgCu25", "Ag", 0.75), ("AgCu25", "Cu", 0.25),
+      ("PdCu50", "Pd", 0.5), ("PdCu50", "Cu", 0.5))
+      .toDF("alloy", "el", "conc")
+    alloys.join(broadcast(latpars), "el")
+      .groupBy(col("alloy"))
+      .agg(round(sum(col("conc") * col("latpar")), 6).as("a0"))
+      .orderBy(col("alloy"))
+  }
+
+  /** Semi-structured extraction: events.props is a JSON string —
+    * pull `$.k` and aggregate (the open-schema params spill surface
+    * of §1.2 exercised relationally). */
+  def x1JsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** Window lag: average per-user inter-event value delta by type
+    * (the Spark-native analytics surface; deterministic ordering by
+    * (user_id, ts, event_id)). */
+  def w2LagDelta(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("delta", col("value") - col("prev"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("delta")), 6).as("avg_delta"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a6_weighted_mean" -> (a6WeightedMean _),
+    "k1_vegard" -> (k1Vegard _),
+    "x1_json_props" -> (x1JsonProps _),
+    "w2_lag_delta" -> (w2LagDelta _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a6_weighted_mean" ->
+      """SELECT l_returnflag,
+        | ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+        |   AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "k1_vegard" ->
+      """SELECT alloy, ROUND(SUM(conc * latpar), 6) AS a0
+        |FROM (VALUES ('AgPd50','Ag',0.5),('AgPd50','Pd',0.5),
+        |             ('AgCu25','Ag',0.75),('AgCu25','Cu',0.25),
+        |             ('PdCu50','Pd',0.5),('PdCu50','Cu',0.5))
+        |  AS a(alloy, el, conc)
+        |JOIN (VALUES ('Ag',4.09),('Pd',3.89),('Cu',3.615))
+        |  AS l(el, latpar) USING (el)
+        |GROUP BY alloy ORDER BY alloy""".stripMargin,
+    "x1_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
+        |   / COUNT(CAST(props->>'$.k' AS BIGINT)) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "w2_lag_delta" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(AVG(delta), 6) AS avg_delta
+        |FROM (
+        | SELECT event_type,
+        |  value - LAG(value, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS delta
+        | FROM events
+        |) WHERE delta IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the SCALING.md claims: pushdown,
+  * pruning, broadcast joins. These are the properties that decide
+  * 100 TB behavior — a regression here is a performance bug even if
+  * results stay correct. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted") match {
+      case m => qe.explainString(m)
+    }
+  }
+
+  test("projection query prunes columns and pushes the IsNotNull filter") {
+    val plan = formatted(queries.Relational.f1Projection(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_extendedprice)]"))
+    // ReadSchema must carry only the 3 projected columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_linenumber") &&
+      readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_quantity"))
+  }
+
+  test("range filter pushes the BETWEEN bounds to the scan") {
+    val plan = formatted(queries.Relational.f8RangeFilter(spark, sf))
+    assert(plan.contains("GreaterThanOrEqual(p_size,10)"))
+    assert(plan.contains("LessThanOrEqual(p_size,20)"))
+  }
+
+  test("star join broadcasts every dimension (no fact-side extra shuffle)") {
+    val plan = formatted(queries.Relational.j3RevenueByRegion(spark, sf))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3) // customer, nation, region at minimum
+  }
+
+  test("semi and anti joins plan as join strategies, not subquery loops") {
+    assert(formatted(queries.Relational.j4SemiJoin(spark, sf)).contains("LeftSemi"))
+    assert(formatted(queries.Relational.u2AntiJoin(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("dbfilter scalar reference stays a broadcast join (no collect in plan)") {
+    val plan = formatted(queries.Relational.f4DbfilterScalar(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+}
