@@ -55,6 +55,40 @@ object MaterialsOps {
       .orderBy(col("uuid"))
   }
 
+  /** G1 enumeration, distributed over the (size × HNF) grid: the
+    * grid is the Dataset axis; each task enumerates labelings for its
+    * own sublattice (the Spark shape — at scale the grid is huge and
+    * labelings never leave their task). */
+  def g1Enumerated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = for {
+      n <- 2 to 3
+      (hnf, idx) <- graft.core.Crystal.hnfsOfDeterminant(n).zipWithIndex
+    } yield (n, idx, hnf.map(_.toSeq).toSeq)
+    s.createDataset(grid).repartition(col("_2"))
+      .flatMap { case (n, idx, hnfRows) =>
+        val hnf: graft.core.Crystal.IMat = hnfRows.map(_.toArray).toArray
+        graft.generators.Enumerated
+          .labelingsFor("fcc", 4.05, Seq("Ag", "Pd"), hnf, idx)
+          .map(e => (e.size, e.hnfIndex, e.labeling, e.config.uuid,
+            e.config.symbols))
+      }
+      .toDF("size", "hnf_index", "labeling", "uuid", "symbols")
+      .orderBy(col("size"), col("hnf_index"), col("labeling"))
+  }
+
+  /** G9 prototype decoration: library × species permutations. */
+  def g9Prototypes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val protos = graft.generators.Prototypes.generate(
+      Seq("all"), Seq("Ag", "Pd"), Map("Ag" -> 4.09, "Pd" -> 3.89))
+    s.createDataset(protos).toDF()
+      .select(col("uuid"), col("symbols"), col("n"),
+        col("params").getItem("prototype").as("prototype"),
+        col("params").getItem("perm").as("perm"))
+      .orderBy(col("prototype"), col("perm"))
+  }
+
   def m6EndToEnd(s: SparkSession, dir: String): DataFrame =
     MaterialsPipeline.endToEnd(s)
 
@@ -62,6 +96,8 @@ object MaterialsOps {
     MaterialsPipeline.hessianSlice(s)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_enumerated" -> (g1Enumerated _),
+    "g9_prototypes" -> (g9Prototypes _),
     "g2_substitution" -> (g2Substitution _),
     "g3_vacancy" -> (g3Vacancy _),
     "g4_distortion" -> (g4Distortion _),

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Config, Crystal, Lattice}
+import graft.generators.{Enumerated, Generators, Prototypes}
+
+class CrystalSpec extends AnyFunSuite {
+
+  test("HNF: triangular, det-preserving, unimodular transform (K4)") {
+    val a: Crystal.IMat = Array(
+      Array(2L, 4L, 4L), Array(-6L, 6L, 12L), Array(10L, -4L, -16L))
+    val (h, u) = Crystal.hermiteNormalForm(a)
+    assert(math.abs(Crystal.idet(u)) === 1L)          // unimodular
+    assert(math.abs(Crystal.idet(h)) === math.abs(Crystal.idet(a)))
+    assert(h(0)(1) === 0L && h(0)(2) === 0L && h(1)(2) === 0L) // lower-tri
+    assert(h(0)(0) > 0 && h(1)(1) > 0 && h(2)(2) > 0)
+    // invariant checks from database/utility.py:441–460: H = A·U
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val v = (0 until 3).map(k => a(i)(k) * u(k)(j)).sum
+      assert(v === h(i)(j))
+    }
+  }
+
+  test("HNF enumeration: sublattice counts match number theory") {
+    // #sublattices of index n in Z^3 = sum over d1*d2*d3=n of d2*d3^2
+    assert(Crystal.hnfsOfDeterminant(1).length === 1)
+    assert(Crystal.hnfsOfDeterminant(2).length === 7)
+    assert(Crystal.hnfsOfDeterminant(3).length === 13)
+    assert(Crystal.hnfsOfDeterminant(4).length === 35)
+    Crystal.hnfsOfDeterminant(4).foreach(h => assert(Crystal.idet(h) === 4L))
+  }
+
+  test("make_primitive reduces a conventional fcc cell to 1 atom (K3)") {
+    val a = 4.05
+    val conv = Config.of(Seq("Ag", "Ag", "Ag", "Ag"),
+      Seq(Seq(a, 0, 0), Seq(0, a, 0), Seq(0, 0, a)),
+      Seq(Seq(0.0, 0.0, 0.0), Seq(0.0, a / 2, a / 2),
+        Seq(a / 2, 0.0, a / 2), Seq(a / 2, a / 2, 0.0)))
+    val prim = Crystal.makePrimitive(conv)
+    assert(prim.n === 1)
+    // volume per atom preserved
+    val vConv = math.abs(Lattice.det(conv.cell)) / conv.n
+    val vPrim = math.abs(Lattice.det(prim.cell)) / prim.n
+    assert(math.abs(vConv - vPrim) < 1e-8)
+  }
+
+  test("make_primitive is identity on an already-primitive cell") {
+    val a = 4.05
+    val b2 = Config.of(Seq("Cs", "Cl"),
+      Seq(Seq(a, 0, 0), Seq(0, a, 0), Seq(0, 0, a)),
+      Seq(Seq(0.0, 0.0, 0.0), Seq(a / 2, a / 2, a / 2)))
+    assert(Crystal.makePrimitive(b2).n === 2)
+  }
+
+  test("decompress rebuilds the supercell from compressed form (K5)") {
+    val a = 4.05
+    val hnf: Crystal.IMat = Array(
+      Array(2L, 0L, 0L), Array(0L, 1L, 0L), Array(0L, 0L, 1L))
+    val rebuilt = Crystal.decompress(
+      Seq(Seq(a, 0, 0), Seq(0, a, 0), Seq(0, 0, a)),
+      Seq(Seq(0.0, 0.0, 0.0), Seq(0.5, 0.5, 0.5)),
+      Seq(0, 1), Map(0 -> "Cs", 1 -> "Cl"), hnf)
+    assert(rebuilt.n === 4)
+    assert(rebuilt.symbols === "Cl2Cs2")
+  }
+
+  test("enumeration: size-2 binary fcc derivative structures (G1)") {
+    val out = Enumerated.enumerate("fcc", 4.05, Seq("Ag", "Pd"), 2, 2)
+    assert(out.nonEmpty)
+    // every labeling uses both species; n = 2 sites
+    out.foreach { e =>
+      assert(e.config.n === 2)
+      assert(e.config.species.toSet === Set("Ag", "Pd"))
+    }
+    // canonical labelings are unique per HNF
+    val byHnf = out.groupBy(_.hnfIndex)
+    byHnf.values.foreach { es =>
+      assert(es.map(_.labeling).distinct.length === es.length)
+    }
+    // deterministic replay
+    val again = Enumerated.enumerate("fcc", 4.05, Seq("Ag", "Pd"), 2, 2)
+    assert(out.map(_.config.uuid) === again.map(_.config.uuid))
+  }
+
+  test("enumeration dedups translated labelings (euid analog)") {
+    // for any single HNF, a 2-site cell has 2 labelings AB/BA that are
+    // translations of each other → exactly 1 survives
+    val hnf = Crystal.hnfsOfDeterminant(2).head
+    val labs = Enumerated.labelingsFor("sc", 1.0, Seq("A", "B"), hnf, 0)
+    assert(labs.length === 1)
+  }
+
+  test("prototypes: selection × permutations with vegard a0 (G9)") {
+    val lat = Map("Ag" -> 4.09, "Pd" -> 3.89)
+    val out = Prototypes.generate(Seq("B2_cscl", "L1_0"), Seq("Ag", "Pd"), lat)
+    assert(out.nonEmpty)
+    val b2 = out.filter(_.params("prototype") == "B2_cscl")
+    assert(b2.length === 2) // AgPd and PdAg are distinct site decorations
+    b2.foreach { c =>
+      assert(c.n === 2)
+      val a0 = c.cell(0)(0)
+      assert(math.abs(a0 - (0.5 * 4.09 + 0.5 * 3.89)) < 1e-9)
+    }
+    val all = Prototypes.generate(Seq("all"), Seq("Ag", "Pd"), lat)
+    assert(all.map(_.uuid).distinct.length === all.length)
+  }
+}
