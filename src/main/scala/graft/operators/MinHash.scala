@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable MinHash+LSH operator API (the library surface behind the
+  * `d2_*` query entries; SURVEY north-star dedup).
+  *
+  * Pipeline: tokenize → shingle → K minhashes (explode → codegen'd
+  * md5 → groupBy(min): the shuffle carries K hashes per doc, never
+  * shingles) → `bands` banded keys → candidate pairs by band
+  * equi-join → estimated-Jaccard verify.
+  *
+  * At 100 TB: `signatures` is a table you persist once per corpus
+  * snapshot; `candidatePairs` is one shuffle join on short band keys.
+  */
+object MinHash {
+
+  /** Word n-shingles of a text column. */
+  def shingleCol(textCol: Column, n: Int): Column = {
+    val t = split(textCol, " ")
+    transform(sequence(lit(0), size(t) - n), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
+  }
+
+  /** Signature table: (idCol, mh0..mh{k-1}, band_0..band_{bands-1}).
+    * Requires ≥ n tokens per row (shorter rows are dropped). */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rowsPerBand = k / bands
+    val base = df
+      .where(size(split(col(textCol), " ")) >= shingleN)
+      .repartition(col(idCol))
+      .select(col(idCol), explode(shingleCol(col(textCol), shingleN)).as("__sh"))
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("__sh")))).as(s"mh$i"))
+    val sig = base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    (0 until bands).foldLeft(sig) { (d, b) =>
+      d.withColumn(s"band_$b", md5(concat_ws("",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)))
+    }.persist()
+  }
+
+  /** Candidate near-dup pairs with estimated Jaccard ≥ threshold. */
+  def candidatePairs(sig: DataFrame, idCol: String, k: Int = 16,
+      bands: Int = 2, threshold: Double = 0.75): DataFrame = {
+    val sigArr = array((0 until k).map(i => col(s"mh$i")): _*)
+    val exploded = sig
+      .select(col(idCol), sigArr.as("__sig"),
+        posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
+          .as(Seq("band_idx", "band_key")))
+    val a = exploded.select(col(idCol).as("id_a"), col("__sig").as("sig_a"),
+      col("band_idx"), col("band_key"))
+    val b = exploded.select(col(idCol).as("id_b"), col("__sig").as("sig_b"),
+      col("band_idx"), col("band_key"))
+    val estJ = size(filter(sequence(lit(1), lit(k)),
+      i => element_at(col("sig_a"), i) === element_at(col("sig_b"), i)))
+      .cast("double") / k
+    a.join(b, Seq("band_idx", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), estJ.as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** Keeper selection: connected pairs collapse to min-id keepers
+    * (1 round of label propagation per call — iterate to a fixpoint
+    * for deep duplicate chains). */
+  def keepers(pairs: DataFrame, allIds: DataFrame, idCol: String): DataFrame = {
+    val mins = pairs.groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("keeper"))
+    allIds.select(col(idCol))
+      .join(mins, Seq(idCol), "left")
+      .withColumn("keeper", coalesce(col("keeper"), col(idCol)))
+  }
+}

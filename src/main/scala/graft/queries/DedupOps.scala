@@ -29,35 +29,14 @@ object DedupOps {
       concat_ws(" ",
         element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
 
-  /** Minhash signatures via explode → codegen'd md5 → groupBy(min):
-    * md5 inside a higher-order `transform` lambda is interpreted
-    * (no whole-stage codegen) and the array expression gets inlined
-    * into every derived column — an order of magnitude slower. The
-    * exploded shape keeps every md5 in codegen and the signature is
-    * a map-side partial min aggregate (tiny shuffle: K hashes/doc).
-    * Lexicographic min over lowercase hex = engine-independent. */
-  private def sigDf(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables(s, dir, "documents")
-      .where(size(toks) >= 3)
-      // the documents file is one small parquet split — without an
-      // explicit repartition the hash work runs on a single core; at
-      // real scale the scan itself provides the partitions
-      .repartition(col("doc_id"))
-    val sh = base.select(col("doc_id"), explode(shingles(toks)).as("sh"))
-    val aggs = (0 until K).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
-    sh.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      // cache the K-hashes-per-doc table: downstream sorts sample the
-      // plan and self-joins read it twice — without this the whole
-      // shingle+md5 pass re-runs per consumer
-      .persist()
-      .withColumn("sig", array((0 until K).map(i => col(s"mh$i")): _*))
-      .withColumn("band0",
-        md5(concat_ws("", (0 until K / 2).map(i => col(s"mh$i")): _*)))
-      .withColumn("band1",
-        md5(concat_ws("", (K / 2 until K).map(i => col(s"mh$i")): _*)))
-  }
+  /** Signature table via the reusable operator API
+    * (graft.operators.MinHash — explode → codegen'd md5 →
+    * groupBy(min), persisted so downstream sorts/self-joins don't
+    * recompute the hash pass). */
+  private def sigDf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.MinHash.signatures(
+      Tables(s, dir, "documents"), "doc_id", "text",
+      k = K, bands = 2, shingleN = 3)
 
   /** D1 exact dedup: keeper (min id) per content hash. */
   def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
@@ -69,9 +48,8 @@ object DedupOps {
   /** D2a MinHash signatures + LSH band keys per document. */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     sigDf(s, dir)
-      .select(col("doc_id"), col("band0"), col("band1"),
-        element_at(col("sig"), 1).as("mh0"),
-        element_at(col("sig"), K).as(s"mh${K - 1}"))
+      .select(col("doc_id"), col("band_0").as("band0"),
+        col("band_1").as("band1"), col("mh0"), col(s"mh${K - 1}"))
       .orderBy(col("doc_id"))
 
   /** D2b LSH candidate pairs: signatures are materialized ONCE (at
@@ -81,24 +59,12 @@ object DedupOps {
     * exploded to (band_idx, band_key) rows, and ONE equi-join on the
     * band key produces candidates; estimated Jaccard (fraction of
     * agreeing minhashes) verifies them before the distinct. */
-  def d2MinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = sigDf(s, dir)
-      .select(col("doc_id"), col("sig"),
-        posexplode(array(col("band0"), col("band1"))).as(Seq("band_idx", "band_key")))
-    val a = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("band_idx"), col("band_key"))
-    val b = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("band_idx"), col("band_key"))
-    val estJ = size(filter(sequence(lit(1), lit(K)),
-      i => element_at(col("sig_a"), i) === element_at(col("sig_b"), i)))
-      .cast("double") / K
-    a.join(b, Seq("band_idx", "band_key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), estJ.as("est_jaccard"))
-      .where(col("est_jaccard") >= 0.75) // verify BEFORE the distinct
-      .distinct()
+  def d2MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.MinHash.candidatePairs(sigDf(s, dir), "doc_id",
+        k = K, bands = 2, threshold = 0.75)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** D3 SimHash: 16-bit signature, bit j = majority of md5 nibble j
     * across the distinct-token set. */

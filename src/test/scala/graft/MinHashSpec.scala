@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MinHash
+
+class MinHashSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("near-identical docs collide on a band; distinct docs don't") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i")
+      .mkString(" ")
+    val different = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, different))
+      .toDF("id", "text")
+    val sig = MinHash.signatures(df, "id", "text")
+    val pairs = MinHash.candidatePairs(sig, "id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("keepers collapse duplicate groups to min ids") {
+    import spark.implicits._
+    val all = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.9), (4L, 5L, 0.8))
+      .toDF("id_a", "id_b", "est_jaccard")
+    val k = MinHash.keepers(pairs, all, "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(k(1L) === 1L && k(2L) === 1L && k(3L) === 1L)
+    assert(k(4L) === 4L && k(5L) === 4L)
+    assert(k(6L) === 6L)
+  }
+
+  test("dot_product is callable from SQL after registration") {
+    // getOrCreate on the suite-shared session ignores withExtensions,
+    // so exercise the imperative registration path
+    org.apache.spark.sql.graftx.GraftExtensions.register(spark)
+    val v = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(v === 11.0)
+  }
+}
