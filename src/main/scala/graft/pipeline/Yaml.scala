@@ -1,0 +1,129 @@
+package graft.pipeline
+
+/** Minimal YAML-subset parser for pipeline specs (SURVEY §2.1 S11;
+  * reference: io.py:345–440 reads the matdb.yml hierarchy — here a
+  * dependency-free subset parser: nested maps by 2-space indentation,
+  * `- ` list items, inline `[a, b]` lists and `{k: v}` maps, scalar
+  * typing for int/double/bool. Enough for the §3.1 spec shape; not a
+  * general YAML implementation (no anchors/multiline/flow nesting).
+  */
+object Yaml {
+
+  sealed trait Node
+  final case class YMap(items: Vector[(String, Node)]) extends Node {
+    def apply(k: String): Node = items.find(_._1 == k).map(_._2)
+      .getOrElse(throw new NoSuchElementException(s"key $k"))
+    def get(k: String): Option[Node] = items.find(_._1 == k).map(_._2)
+    def keys: Seq[String] = items.map(_._1)
+  }
+  final case class YList(items: Vector[Node]) extends Node
+  final case class YStr(v: String) extends Node
+  final case class YNum(v: Double) extends Node
+  final case class YBool(v: Boolean) extends Node
+
+  def str(n: Node): String = n match {
+    case YStr(s) => s
+    case YNum(d) => if (d == d.toLong) d.toLong.toString else d.toString
+    case YBool(b) => b.toString
+    case other => throw new IllegalArgumentException(s"not a scalar: $other")
+  }
+  def num(n: Node): Double = n match {
+    case YNum(d) => d
+    case YStr(s) => s.toDouble
+    case other => throw new IllegalArgumentException(s"not a number: $other")
+  }
+
+  private def scalar(s: String): Node = {
+    val t = s.trim
+    if (t == "true" || t == "false") YBool(t.toBoolean)
+    else if (t.matches("-?\\d+(\\.\\d+)?([eE][-+]?\\d+)?"))
+      YNum(t.toDouble)
+    else YStr(t.stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("'").stripSuffix("'"))
+  }
+
+  /** Split a flow-style payload on top-level commas. */
+  private def splitFlow(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case c @ ('[' | '{') => depth += 1; cur.append(c)
+      case c @ (']' | '}') => depth -= 1; cur.append(c)
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def value(s: String): Node = {
+    val t = s.trim
+    if (t.startsWith("[") && t.endsWith("]"))
+      YList(splitFlow(t.drop(1).dropRight(1)).map(value).toVector)
+    else if (t.startsWith("{") && t.endsWith("}"))
+      YMap(splitFlow(t.drop(1).dropRight(1)).map { kv =>
+        val i = kv.indexOf(':')
+        kv.take(i).trim -> value(kv.drop(i + 1))
+      }.toVector)
+    else scalar(t)
+  }
+
+  private final case class Line(indent: Int, text: String)
+
+  def parse(yaml: String): YMap = {
+    val lines = yaml.linesIterator
+      .map(l => l.takeWhile(_ != '#') /* strip comments */)
+      .filter(_.trim.nonEmpty)
+      .map(l => Line(l.takeWhile(_ == ' ').length, l.trim))
+      .toVector
+    val (node, rest) = parseMap(lines, 0)
+    require(rest.isEmpty, s"unparsed trailing lines: ${rest.take(2)}")
+    node
+  }
+
+  private def parseMap(lines: Vector[Line], indent: Int): (YMap, Vector[Line]) = {
+    var rest = lines
+    val items = Vector.newBuilder[(String, Node)]
+    while (rest.nonEmpty && rest.head.indent == indent &&
+        !rest.head.text.startsWith("- ")) {
+      val Line(_, text) = rest.head
+      val i = text.indexOf(':')
+      require(i > 0, s"expected key: value, got '$text'")
+      val key = text.take(i).trim
+      val payload = text.drop(i + 1).trim
+      rest = rest.tail
+      if (payload.nonEmpty) items += key -> value(payload)
+      else if (rest.nonEmpty && rest.head.indent > indent &&
+          rest.head.text.startsWith("- ")) {
+        val (l, r) = parseList(rest, rest.head.indent)
+        items += key -> l; rest = r
+      } else if (rest.nonEmpty && rest.head.indent > indent) {
+        val (m, r) = parseMap(rest, rest.head.indent)
+        items += key -> m; rest = r
+      } else items += key -> YStr("")
+    }
+    (YMap(items.result()), rest)
+  }
+
+  private def parseList(lines: Vector[Line], indent: Int): (YList, Vector[Line]) = {
+    var rest = lines
+    val items = Vector.newBuilder[Node]
+    while (rest.nonEmpty && rest.head.indent == indent &&
+        rest.head.text.startsWith("- ")) {
+      val inner = rest.head.text.drop(2).trim
+      rest = rest.tail
+      val isMapItem = inner.contains(":") &&
+        !inner.startsWith("[") && !inner.startsWith("{")
+      if (isMapItem) {
+        // map item: the inline pair + every deeper-indented line
+        val cont = rest.takeWhile(_.indent > indent)
+        rest = rest.drop(cont.length)
+        val (m, leftover) = parseMap(Line(indent + 2, inner) +: cont, indent + 2)
+        require(leftover.isEmpty, s"bad list-item map near '$inner'")
+        items += m
+      } else items += value(inner)
+    }
+    (YList(items.result()), rest)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{SpecPipeline, Yaml}
+
+class SpecPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val specYaml =
+    """title: AgPd test pipeline   # mirrors tests/AgPd/matdb.yml shape
+      |species: [Ag, Pd]
+      |ran_seed: 42
+      |splits:
+      |  train: 0.8
+      |databases:
+      |  - name: main
+      |    steps:
+      |      - type: substitution
+      |        stoich: {Ag: 0.5, Pd: 0.5}
+      |        nconfigs: 6
+      |      - type: distortion
+      |        nconfigs: 2
+      |        volume_factor: 1.0
+      |  - name: defects
+      |    steps:
+      |      - type: substitution
+      |        stoich: {Ag: 0.5, Pd: 0.5}
+      |        nconfigs: 4
+      |      - type: vacancy
+      |        vac_per_atom: 0.25
+      |        nconfigs: 2
+      |""".stripMargin
+
+  test("yaml subset parser handles nesting, lists, inline maps") {
+    val root = Yaml.parse(specYaml)
+    assert(Yaml.str(root("title")) === "AgPd test pipeline")
+    val dbs = root("databases").asInstanceOf[Yaml.YList]
+    assert(dbs.items.length === 2)
+    val main = dbs.items(0).asInstanceOf[Yaml.YMap]
+    assert(Yaml.str(main("name")) === "main")
+    val steps = main("steps").asInstanceOf[Yaml.YList]
+    assert(steps.items.length === 2)
+    val sub = steps.items(0).asInstanceOf[Yaml.YMap]
+    assert(Yaml.str(sub("type")) === "substitution")
+    val stoich = sub("stoich").asInstanceOf[Yaml.YMap]
+    assert(Yaml.num(stoich("Ag")) === 0.5)
+    assert(Yaml.num(sub("nconfigs")) === 6.0)
+  }
+
+  test("spec lifecycle: parse → staged generators → calc → split (§3.1)") {
+    val result = SpecPipeline.run(spark, specYaml)
+    val rows = result.collect()
+    assert(rows.nonEmpty)
+    val dbs = rows.map(_.getString(0)).toSet
+    assert(dbs === Set("main", "defects"))
+    // step chaining: main ends in distortion, defects in vacancy
+    val typesByDb = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(typesByDb("main") === Set("dist"))
+    assert(typesByDb("defects") === Set("vac"))
+    // deterministic replay of the whole lifecycle
+    val again = SpecPipeline.run(spark, specYaml).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("unknown step type fails loudly") {
+    val bad = specYaml.replace("type: vacancy", "type: nonsense")
+    assertThrows[IllegalArgumentException] {
+      SpecPipeline.run(spark, bad).collect()
+    }
+  }
+}
