@@ -43,6 +43,41 @@ object DbFilter {
       }
     }
 
+  /** Parse the reference's string filter form: `attr op value` where
+    * value is a literal or an `|db|agg(attr)|` object-reference chain
+    * (basic.py:164–204 `_invert_filters`). The db name is resolved
+    * against `tables`; supported aggs: avg/min/max/sum. */
+  def parse(expr: String, tables: Map[String, DataFrame]): Filter = {
+    val m = raw"^(\S+)\s*(<=|>=|==|!=|<|>|=)\s*(.+)$$".r
+    expr.trim match {
+      case m(attr, op, rhs) =>
+        val value = rhs.trim match {
+          case r if r.startsWith("|") && r.endsWith("|") =>
+            val parts = r.stripPrefix("|").stripSuffix("|").split("\\|")
+            require(parts.length == 2, s"bad object reference: $r")
+            val df = tables.getOrElse(parts(0),
+              throw new IllegalArgumentException(s"unknown db ${parts(0)}"))
+            val aggR = raw"^(avg|min|max|sum)\((\S+)\)$$".r
+            parts(1) match {
+              case aggR(fn, col0) =>
+                val c = col(col0)
+                ScalarRef(df, fn match {
+                  case "avg" => avg(c); case "min" => min(c)
+                  case "max" => max(c); case "sum" => sum(c)
+                })
+              case other =>
+                throw new IllegalArgumentException(s"bad agg ref: $other")
+            }
+          case r if r.matches("-?\\d+(\\.\\d+)?") =>
+            Lit(if (r.contains('.')) r.toDouble else r.toLong)
+          case r => Lit(r.stripPrefix("'").stripSuffix("'"))
+        }
+        Filter(attr, op, value)
+      case other =>
+        throw new IllegalArgumentException(s"bad dbfilter expr: $other")
+    }
+  }
+
   private def cmp(c: Column, op: String, v: Column): Column = op match {
     case "<"  => c < v
     case ">"  => c > v

@@ -90,5 +90,11 @@ class CatalogSpec extends AnyFunSuite {
     val f = DbFilter(df, Seq(DbFilter.Filter("sz", ">",
       DbFilter.ScalarRef(df, avg(col("sz"))))))
     assert(f.select("name").as[String].collect().toSeq === Seq("widget large"))
+    // string form with |db|agg(attr)| object reference (basic.py:164–204)
+    val parsed = DbFilter.parse("sz > |parts|avg(sz)|", Map("parts" -> df))
+    val f2 = DbFilter(df, Seq(parsed))
+    assert(f2.select("name").as[String].collect().toSeq === Seq("widget large"))
+    val lit = DbFilter.parse("sz <= 5", Map.empty)
+    assert(DbFilter(df, Seq(lit)).count() === 1)
   }
 }
