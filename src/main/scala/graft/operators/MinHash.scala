@@ -42,6 +42,29 @@ object MinHash {
     }.persist()
   }
 
+  /** Production-speed signature variant: xxhash64(seed, shingle)
+    * instead of md5 — stays in whole-stage codegen with no digest
+    * allocation, ~an order of magnitude cheaper per shingle. Same
+    * LSH semantics (min over 64-bit hashes), but engine-specific
+    * hash values → used when no cross-engine oracle parity is
+    * required (the md5 path exists exactly for that parity). */
+  def signaturesFast(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rowsPerBand = k / bands
+    val base = df
+      .where(size(split(col(textCol), " ")) >= shingleN)
+      .repartition(col(idCol))
+      .select(col(idCol), explode(shingleCol(col(textCol), shingleN)).as("__sh"))
+    val aggs = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("__sh"))).as(s"mh$i"))
+    val sig = base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    (0 until bands).foldLeft(sig) { (d, b) =>
+      d.withColumn(s"band_$b", xxhash64(
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*))
+    }.persist()
+  }
+
   /** Candidate near-dup pairs with estimated Jaccard ≥ threshold. */
   def candidatePairs(sig: DataFrame, idCol: String, k: Int = 16,
       bands: Int = 2, threshold: Double = 0.75): DataFrame = {

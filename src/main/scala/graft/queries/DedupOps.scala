@@ -139,7 +139,30 @@ object DedupOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** D3b: exact-duplicate groups by simhash collision (hamming-0
+    * pairing; the graded hamming-distance join is the ANN-style
+    * extension). */
+  def d3SimhashDups(s: SparkSession, dir: String): DataFrame =
+    d3Simhash(s, dir)
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .where(col("n_docs") > 1)
+      .orderBy(col("keeper"))
+
+  /** Sketch-based distinct counting (HLL / approx_count_distinct —
+    * the "novel sketch" surface; no oracle: sketch implementations
+    * differ across engines, spec asserts the error bound instead). */
+  def sk1ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d3_simhash_dups" -> (d3SimhashDups _),
+    "sk1_approx_distinct" -> (sk1ApproxDistinct _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d2_minhash_pairs" -> (d2MinhashPairs _),
@@ -175,6 +198,16 @@ object DedupOps {
     .map(j => s"CASE WHEN b$j * 2 > n_tok THEN '1' ELSE '0' END")
     .mkString("concat(", ", ", ")")
 
+  private val simhashBaseSql: String =
+    s"""WITH tk AS (
+       | SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       | FROM documents),
+       |hh AS (SELECT doc_id, md5(tok) AS h FROM tk),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_tok, $simhashBitSums
+       |        FROM hh GROUP BY doc_id)
+       |SELECT doc_id, n_tok, $simhashBits AS simhash
+       |FROM agg""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
@@ -197,15 +230,12 @@ object DedupOps {
          |FROM cand
          |WHERE len([i for i in range(1, ${K + 1}) if sig_a[i] = sig_b[i]])::DOUBLE / $K >= 0.75
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "d3_simhash" ->
-      s"""WITH tk AS (
-         | SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-         | FROM documents),
-         |hh AS (SELECT doc_id, md5(tok) AS h FROM tk),
-         |agg AS (SELECT doc_id, COUNT(*) AS n_tok, $simhashBitSums
-         |        FROM hh GROUP BY doc_id)
-         |SELECT doc_id, n_tok, $simhashBits AS simhash
-         |FROM agg ORDER BY doc_id""".stripMargin,
+    "d3_simhash" -> s"$simhashBaseSql ORDER BY doc_id",
+    "d3_simhash_dups" ->
+      s"""WITH base AS ($simhashBaseSql)
+         |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+         |FROM base GROUP BY simhash HAVING COUNT(*) > 1
+         |ORDER BY keeper""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH t AS (
         | SELECT doc_id, source,

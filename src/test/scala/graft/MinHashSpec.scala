@@ -27,6 +27,34 @@ class MinHashSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("fast xxhash64 signatures find the same near-dup (no oracle path)") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i")
+      .mkString(" ")
+    val different = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, different))
+      .toDF("id", "text")
+    val sig = MinHash.signaturesFast(df, "id", "text")
+    val pairs = MinHash.candidatePairs(sig, "id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("approx distinct sketch stays within its error bound") {
+    val sf = "/root/testdata/sf0.001"
+    val approx = graft.queries.DedupOps.sk1ApproxDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val rel = math.abs(approx(k).toDouble - ex) / ex
+      assert(rel < 0.1, s"flag $k: approx=${approx(k)} exact=$ex")
+    }
+  }
+
   test("keepers collapse duplicate groups to min ids") {
     import spark.implicits._
     val all = (1L to 6L).toDF("id")
