@@ -70,7 +70,39 @@ object Extras {
       .orderBy(col("event_type"))
   }
 
+  /** O6/O7 deterministic "random" sample: rank by a keyed digest —
+    * engine-independent, unlike rand(seed) (the reference persists
+    * shuffle ids for exactly this reason; a content-keyed rank IS the
+    * persisted id). */
+  def o6Sample(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .withColumn("rk", md5(concat_ws(":", lit(42), col("p_partkey"))))
+      .orderBy(col("rk"))
+      .limit(20)
+      .select(col("p_partkey"), col("p_name"), col("rk"))
+      .orderBy(col("rk"))
+
+  /** Gap-based sessionization (30-min inactivity), fully relational —
+    * the batch twin of the streaming stateful session surface
+    * (§2.10): new-session flags via lag, session ids via running sum,
+    * then per-session rollup. */
+  def w3Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    Tables(s, dir, "events")
+      .withColumn("new_s",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1)
+          .when(lag(col("ts"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o6_sample" -> (o6Sample _),
+    "w3_sessionize" -> (w3Sessionize _),
     "a6_weighted_mean" -> (a6WeightedMean _),
     "k1_vegard" -> (k1Vegard _),
     "x1_json_props" -> (x1JsonProps _),
@@ -78,6 +110,25 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "o6_sample" ->
+      """SELECT p_partkey, p_name, md5('42:' || p_partkey) AS rk
+        |FROM part ORDER BY rk LIMIT 20""".stripMargin,
+    "w3_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id, value,
+        |  CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+        |       WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+        |       ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, value,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS session_id
+        | FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | ROUND(SUM(value), 4) AS total
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "a6_weighted_mean" ->
       """SELECT l_returnflag,
         | ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
