@@ -16,12 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
-  /** Word n-shingles of a text column. */
-  def shingleCol(textCol: Column, n: Int): Column = {
-    val t = split(textCol, " ")
-    transform(sequence(lit(0), size(t) - n), i =>
-      concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
+  /** Word n-shingles of a text column.
+    *
+    * Implemented as a per-DOCUMENT Scala UDF rather than a
+    * transform/sequence/element_at lambda chain: higher-order
+    * lambdas evaluate interpreted per ELEMENT, and profiling showed
+    * the shingle construction costing more than all 16 md5 passes
+    * combined. One UDF call per document amortizes to noise, and the
+    * split uses limit -1 so trailing empties match Spark's own
+    * `split` and DuckDB's `string_split` exactly (oracle parity). */
+  private val shingleUdf = udf { (text: String, n: Int) =>
+    val t = text.split(" ", -1)
+    if (t.length < n) Array.empty[String]
+    else Array.tabulate(t.length - n + 1)(i => t.slice(i, i + n).mkString(" "))
   }
+
+  def shingleCol(textCol: Column, n: Int): Column =
+    shingleUdf(textCol, lit(n))
 
   /** Signature table: (idCol, mh0..mh{k-1}, band_0..band_{bands-1}).
     * Requires ≥ n tokens per row (shorter rows are dropped). */
