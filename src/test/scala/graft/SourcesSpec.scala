@@ -56,6 +56,24 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy ingest conforms keys and limit-samples deterministically") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val frames = (1 to 5).map { i =>
+      graft.sources.ExtXyz.write(cfg.copy(
+        positions = cfg.positions.map(_.map(_ + i * 0.1))))
+    }.mkString
+    val all = graft.sources.Legacy.ingest(spark, Seq(frames))
+    assert(all.count() === 5)
+    all.collect().foreach(c => assert(c.configType === Some("legacy")))
+    val lim = graft.sources.Legacy.ingest(spark, Seq(frames), limit = Some(3))
+    val ids1 = lim.collect().map(_.uuid).toSeq
+    val ids2 = graft.sources.Legacy.ingest(spark, Seq(frames), limit = Some(3))
+      .collect().map(_.uuid).toSeq
+    assert(ids1.length === 3)
+    assert(ids1 === ids2) // deterministic replay
+  }
+
   test("MTP CFG round-trip (S4/S5)") {
     val tm = Formula.typeMap(cfg.species)
     val inv = Formula.inverseTypeMap(cfg.species)
