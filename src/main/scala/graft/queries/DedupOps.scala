@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Deduplication operators for training-data pipelines, generalizing
@@ -86,30 +87,44 @@ object DedupOps {
   /** D4 exact n-gram (token-set) Jaccard near-dup pairs, blocked by
     * source — the verify stage run after LSH candidate generation.
     *
-    * Inverted-index formulation: explode distinct tokens, equi-join on
-    * (source, token), count matches per pair, then
-    * |A∪B| = |A|+|B|−|A∩B|. Identical result to a per-pair
-    * array_intersect but stays in whole-stage codegen and shuffles on
-    * short keys instead of evaluating interpreted set ops over an n²
-    * blocked cross join. */
+    * Prefix-filtered inverted-index join (PPJoin-style): tokens get a
+    * global order (ascending document frequency, token tiebreak); a
+    * pair with J ≥ t MUST share a token within each side's first
+    * nt − ceil(t·nt) + 1 tokens of that order, so the index join runs
+    * over prefixes only (~10% of tokens at t=0.9, and the rarest
+    * ones — small, skew-free postings: no stopword blow-up).
+    * Candidates are then verified EXACTLY against the full token
+    * sets, so results are identical to the unfiltered join (and the
+    * DuckDB oracle). */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.9
     val d = Tables(s, dir, "documents")
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("source"), array_distinct(toks).as("tset"))
       .withColumn("nt", size(col("tset")))
+      .persist() // read by the prefix index and the verify re-join
     val tok = d.select(col("doc_id"), col("source"), col("nt"),
       explode(col("tset")).as("tok"))
-    val a = tok.select(col("source"), col("tok"),
-      col("doc_id").as("doc_a"), col("nt").as("na"))
-    val b = tok.select(col("source"), col("tok"),
-      col("doc_id").as("doc_b"), col("nt").as("nb"))
-    val j = col("c").cast("double") / (col("na") + col("nb") - col("c"))
-    a.join(b, Seq("source", "tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefix = tok.join(dfreq, "tok")
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= col("nt") - ceil(col("nt") * threshold) + 1)
+    val a = prefix.select(col("source"), col("tok"), col("doc_id").as("doc_a"))
+    val b = prefix.select(col("source"), col("tok"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("source", "tok"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val ta = d.select(col("doc_id").as("doc_a"), col("tset").as("ta"),
+      col("nt").as("na"))
+    val tb = d.select(col("doc_id").as("doc_b"), col("tset").as("tb"),
+      col("nt").as("nb"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    val j = inter.cast("double") / (col("na") + col("nb") - inter)
+    cand.join(ta, "doc_a").join(tb, "doc_b")
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
-      .where(col("jaccard") >= 0.9)
+      .where(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -100,7 +100,22 @@ object Extras {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Exact interpolated quantiles (A-family; Spark `percentile` and
+    * DuckDB `quantile_cont` both linear-interpolate over the sorted
+    * values → identical on identical inputs, rounded for the last-bit
+    * interpolation arithmetic). */
+  def a9Quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("q25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("q50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("q90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a9_quantiles" -> (a9Quantiles _),
     "o6_sample" -> (o6Sample _),
     "w3_sessionize" -> (w3Sessionize _),
     "a6_weighted_mean" -> (a6WeightedMean _),
@@ -110,6 +125,13 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "a9_quantiles" ->
+      """SELECT o_orderpriority,
+        | ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS q25,
+        | ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS q50,
+        | ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS q90,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "o6_sample" ->
       """SELECT p_partkey, p_name, md5('42:' || p_partkey) AS rk
         |FROM part ORDER BY rk LIMIT 20""".stripMargin,
