@@ -154,6 +154,32 @@ object DedupOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** D3c: graded near-dup pairs by simhash hamming distance ≤ 1,
+    * via pigeonhole banding — the signature splits into 4 bands of 4
+    * bits; distance ≤ 1 flips at most 1 band, so at least one band
+    * matches exactly. Candidates come from a band equi-join (never an
+    * n² compare), then the exact distance filters them. */
+  def d3HammingPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = d3Simhash(s, dir).select(col("doc_id"), col("simhash")).persist()
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("simhash"), 1 + 4 * b, 4)): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      col("band_idx"), col("band_val"))
+    val hamming = (1 to 16).map(i =>
+      when(substring(col("sig_a"), i, 1) =!= substring(col("sig_b"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
+      .where(col("hamming") <= 1)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** D3b: exact-duplicate groups by simhash collision (hamming-0
     * pairing; the graded hamming-distance join is the ANN-style
     * extension). */
@@ -176,6 +202,7 @@ object DedupOps {
       .orderBy(col("l_returnflag"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d3_hamming_pairs" -> (d3HammingPairs _),
     "d3_simhash_dups" -> (d3SimhashDups _),
     "sk1_approx_distinct" -> (sk1ApproxDistinct _),
     "d1_exact_dedup" -> (d1ExactDedup _),
@@ -246,6 +273,21 @@ object DedupOps {
          |WHERE len([i for i in range(1, ${K + 1}) if sig_a[i] = sig_b[i]])::DOUBLE / $K >= 0.75
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d3_simhash" -> s"$simhashBaseSql ORDER BY doc_id",
+    "d3_hamming_pairs" ->
+      s"""WITH base AS ($simhashBaseSql),
+         |banded AS (
+         | SELECT doc_id, simhash, b AS band_idx,
+         |  substr(simhash, 1 + 4*b, 4) AS band_val
+         | FROM base CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(b))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | len([i for i in range(1,17)
+         |      if substr(a.simhash,i,1) != substr(b.simhash,i,1)]) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |     AND a.doc_id < b.doc_id
+         |WHERE len([i for i in range(1,17)
+         |      if substr(a.simhash,i,1) != substr(b.simhash,i,1)]) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d3_simhash_dups" ->
       s"""WITH base AS ($simhashBaseSql)
          |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
