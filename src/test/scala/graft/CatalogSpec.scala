@@ -96,5 +96,11 @@ class CatalogSpec extends AnyFunSuite {
     assert(f2.select("name").as[String].collect().toSeq === Seq("widget large"))
     val lit = DbFilter.parse("sz <= 5", Map.empty)
     assert(DbFilter(df, Seq(lit)).count() === 1)
+    // nested-list DSL text form parses to the same predicate
+    val parsedDsl = AflowDsl.parse(
+      """[["name","%","widget"],"&",["!",["sz","<",10]]]""")
+    val got2 = df.where(AflowDsl.compile(parsedDsl)).select("name")
+      .as[String].collect().sorted
+    assert(got2.toSeq === Seq("widget large"))
   }
 }
