@@ -155,15 +155,17 @@ object DedupOps {
   }
 
   /** D3c: graded near-dup pairs by simhash hamming distance ≤ 1,
-    * via pigeonhole banding — the signature splits into 4 bands of 4
-    * bits; distance ≤ 1 flips at most 1 band, so at least one band
-    * matches exactly. Candidates come from a band equi-join (never an
-    * n² compare), then the exact distance filters them. */
+    * via pigeonhole banding — the signature splits into 2 bands of 8
+    * bits; distance ≤ 1 flips at most one band, so the other matches
+    * exactly. 8-bit bands give 256 bucket values (4-bit bands had only
+    * 16 → quadratic bucket blow-up on a self-similar corpus).
+    * Candidates come from the band equi-join, then the exact distance
+    * filters them. */
   def d3HammingPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = d3Simhash(s, dir).select(col("doc_id"), col("simhash")).persist()
     val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        substring(col("simhash"), 1 + 4 * b, 4)): _*))
+      posexplode(array((0 until 2).map(b =>
+        substring(col("simhash"), 1 + 8 * b, 8)): _*))
         .as(Seq("band_idx", "band_val")))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
       col("band_idx"), col("band_val"))
@@ -277,8 +279,8 @@ object DedupOps {
       s"""WITH base AS ($simhashBaseSql),
          |banded AS (
          | SELECT doc_id, simhash, b AS band_idx,
-         |  substr(simhash, 1 + 4*b, 4) AS band_val
-         | FROM base CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(b))
+         |  substr(simhash, 1 + 8*b, 8) AS band_val
+         | FROM base CROSS JOIN (VALUES (0),(1)) AS bb(b))
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          | len([i for i in range(1,17)
          |      if substr(a.simhash,i,1) != substr(b.simhash,i,1)]) AS hamming
