@@ -18,23 +18,53 @@ import org.apache.spark.sql.functions._
 object Splits {
 
   /** Compute bucket assignment for `df` keyed by `idCol`.
+    *
+    * Scale-safe global rank: rows are range-partitioned on
+    * `(__h, id)` — a total order, so partition i's rows all rank
+    * before partition i+1's — then the global rank of a row is
+    * (prefix-sum of earlier partitions' counts) + (rank local to its
+    * partition). Only the O(partitions) count vector crosses the
+    * driver; no single-partition sort of row data (the naive
+    * `Window.orderBy` with no partitionBy funnels the whole table
+    * through one task).
+    *
     * @param trainFrac e.g. 0.8 → Ntrain=ceil(0.8N), Nhold=ceil(0.8(N−Ntrain)).
     */
   def assign(df: DataFrame, idCol: String, splitName: String,
       trainFrac: Double, seed: Long): DataFrame = {
-    val n = df.count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // Range boundaries are sampled per-execution, so pin the
+    // partitioning with persist(): the counts job and the rank job
+    // must see identical partition ids.
+    val ranged = df.select(col(idCol))
+      .withColumn("__h", xxhash64(col(idCol), lit(s"$splitName:$seed")))
+      .repartitionByRange(parts, col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val counts = ranged.groupBy("__pid").count()
+      .as[(Int, Long)].collect().toMap
+    val n = counts.valuesIterator.sum
     val nTrain = math.ceil(n * trainFrac).toLong
     val nHold = math.ceil((n - nTrain) * trainFrac).toLong
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__h"), col(idCol))
-    df.select(col(idCol))
-      .withColumn("__h", xxhash64(col(idCol), lit(s"$splitName:$seed")))
-      .withColumn("__rk", row_number().over(w).cast("long"))
+    val offsets = (0 until parts)
+      .scanLeft((0, 0L)) { case ((_, acc), pid) =>
+        (pid, acc + counts.getOrElse(pid - 1, 0L))
+      }.tail
+    val offsetsDf = offsets.toDF("__pid", "__off")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__h"), col(idCol))
+    val out = ranged
+      .withColumn("__lrk", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn("__rk", col("__off") + col("__lrk"))
       .withColumn("bucket",
         when(col("__rk") <= nTrain, "train")
           .when(col("__rk") <= nTrain + nHold, "holdout")
           .otherwise("super"))
       .select(col(idCol), lit(splitName).as("split_name"), col("bucket"))
+    out
   }
 
   /** Persist an assignment (the reference's ids pickle → a table). */

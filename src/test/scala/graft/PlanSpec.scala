@@ -53,6 +53,16 @@ class PlanSpec extends AnyFunSuite {
     assert(formatted(queries.Relational.u2AntiJoin(spark, sf)).contains("LeftAnti"))
   }
 
+  test("split assignment plans with no single-partition exchange (scale-safe rank)") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+    val plan = formatted(
+      operators.Splits.assign(df, "o_orderkey", "plancheck", 0.8, 7L))
+    assert(!plan.contains("SinglePartition"),
+      "global-window rank would funnel all rows through one task")
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      "rank must ride a distributed range partitioning")
+  }
+
   test("dbfilter scalar reference stays a broadcast join (no collect in plan)") {
     val plan = formatted(queries.Relational.f4DbfilterScalar(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
