@@ -67,22 +67,46 @@ object DedupOps {
         col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** D3 SimHash: 16-bit signature, bit j = majority of md5 nibble j
-    * across the distinct-token set. */
-  def d3Simhash(s: SparkSession, dir: String): DataFrame = {
+  /** D3 SimHash core: 64-bit signature — bit j = majority, across the
+    * distinct-token set, of bit j of the first 64 bits of md5(token).
+    * 64 bits replaces the r1 16-bit scheme, whose 2^16 signature space
+    * could not separate a self-similar corpus (28k hamming≤1 pairs
+    * from 500 docs) and whose 8-bit band keys drove the band self-join
+    * toward N²/256. Here band keys are 16-bit (65,536 values) and the
+    * signature discriminates. All codegen'd column expressions: the
+    * two `conv` calls per token parse md5 hex to two 32-bit chunks,
+    * bits fall out with shifts. Returns doc_id, n_tok, the 64-char
+    * bit-string signature, and the 4×16-bit pigeonhole band keys. */
+  private def simhash64(s: SparkSession, dir: String): DataFrame = {
     val tk = Tables(s, dir, "documents")
       .repartition(col("doc_id")) // spread md5 work (single-split file)
       .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bitSums = (0 until 16).map(j =>
-      sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(0)).as(s"b$j"))
+      .withColumn("c0", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("c1", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 64).map { j =>
+      val c = if (j < 32) col("c0") else col("c1")
+      sum(shiftright(c, 31 - (j % 32)).bitwiseAND(lit(1L))).as(s"s$j")
+    }
     val agg = tk.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), bitSums: _*)
-    val bits = concat((0 until 16).map(j =>
-      when(col(s"b$j") * 2 > col("n_tok"), "1").otherwise("0")): _*)
-    agg.select(col("doc_id"), col("n_tok"), bits.as("simhash"))
-      .orderBy(col("doc_id"))
+    def bit(j: Int): Column = col(s"s$j") * 2 > col("n_tok")
+    val bits = concat((0 until 64).map(j =>
+      when(bit(j), "1").otherwise("0")): _*)
+    val bands = (0 until 4).map { k =>
+      (0 until 16).map(i =>
+        when(bit(16 * k + i), lit(1 << (15 - i))).otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as(s"band$k")
+    }
+    agg.select(
+      Seq(col("doc_id"), col("n_tok"), bits.as("simhash")) ++ bands: _*)
   }
+
+  /** D3 SimHash signature table (public shape). */
+  def d3Simhash(s: SparkSession, dir: String): DataFrame =
+    simhash64(s, dir)
+      .select(col("doc_id"), col("n_tok"), col("simhash"))
+      .orderBy(col("doc_id"))
 
   /** D4 exact n-gram (token-set) Jaccard near-dup pairs, blocked by
     * source — the verify stage run after LSH candidate generation.
@@ -154,30 +178,32 @@ object DedupOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** D3c: graded near-dup pairs by simhash hamming distance ≤ 1,
-    * via pigeonhole banding — the signature splits into 2 bands of 8
-    * bits; distance ≤ 1 flips at most one band, so the other matches
-    * exactly. 8-bit bands give 256 bucket values (4-bit bands had only
-    * 16 → quadratic bucket blow-up on a self-similar corpus).
-    * Candidates come from the band equi-join, then the exact distance
-    * filters them. */
+  /** D3c: graded near-dup pairs by simhash hamming distance ≤ 3, via
+    * pigeonhole banding — the 64-bit signature splits into 4 bands of
+    * 16 bits; distance ≤ 3 flips at most 3 bands, so at least one
+    * matches exactly. Band keys are 16-bit ints (65,536 bucket
+    * values), so the band self-join stays ~N²/65536 per band in the
+    * worst case and, with a discriminating 64-bit signature, far
+    * lower in practice. Candidates come from the band equi-join; the
+    * exact distance (popcount of XOR over the 4 band ints — codegen'd
+    * `bit_count`, no per-bit string compare) filters them. */
   def d3HammingPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = d3Simhash(s, dir).select(col("doc_id"), col("simhash")).persist()
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 2).map(b =>
-        substring(col("simhash"), 1 + 8 * b, 8)): _*))
-        .as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
-      col("band_idx"), col("band_val"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
-      col("band_idx"), col("band_val"))
-    val hamming = (1 to 16).map(i =>
-      when(substring(col("sig_a"), i, 1) =!= substring(col("sig_b"), i, 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    a.join(b, Seq("band_idx", "band_val"))
+    val sig = simhash64(s, dir)
+      .select(col("doc_id"), col("band0"), col("band1"),
+        col("band2"), col("band3"))
+      .persist()
+    def sides(p: String) = sig.select(
+      col("doc_id").as(s"doc_$p") +: (0 until 4).map(k =>
+        col(s"band$k").as(s"$p$k")) :+
+        posexplode(array((0 until 4).map(k => col(s"band$k")): _*))
+          .as(Seq("band_idx", "band_val")): _*)
+    val hamming = (0 until 4).map(k =>
+      bit_count(col(s"a$k").bitwiseXOR(col(s"b$k"))).cast("long"))
+      .reduce(_ + _)
+    sides("a").join(sides("b"), Seq("band_idx", "band_val"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
-      .where(col("hamming") <= 1)
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .where(col("hamming") <= 3)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -235,21 +261,31 @@ object DedupOps {
        |  md5(array_to_string(sig[${K / 2 + 1}:$K], '')) AS band1
        | FROM sig)""".stripMargin
 
-  private val simhashBitSums: String = (0 until 16)
-    .map(j => s"SUM(CASE WHEN substr(h, ${j + 1}, 1) >= '8' THEN 1 ELSE 0 END) AS b$j")
+  // 64-bit mirror of simhash64: nibble j of md5 → 4 bits; bit j of the
+  // signature comes from nibble j/4, shift 3 - j%4.
+  private val simhashBitSums: String = (0 until 64)
+    .map(j => s"SUM((nb[${j / 4 + 1}] >> ${3 - j % 4}) & 1) AS s$j")
     .mkString(", ")
-  private val simhashBits: String = (0 until 16)
-    .map(j => s"CASE WHEN b$j * 2 > n_tok THEN '1' ELSE '0' END")
+  private val simhashBits: String = (0 until 64)
+    .map(j => s"CASE WHEN s$j * 2 > n_tok THEN '1' ELSE '0' END")
     .mkString("concat(", ", ", ")")
+  private val simhashBands: String = (0 until 4).map { k =>
+    (0 until 16).map(i =>
+      s"CASE WHEN s${16 * k + i} * 2 > n_tok THEN ${1 << (15 - i)} ELSE 0 END")
+      .mkString("(", " + ", s")::INT AS band$k")
+  }.mkString(", ")
 
   private val simhashBaseSql: String =
     s"""WITH tk AS (
        | SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
        | FROM documents),
        |hh AS (SELECT doc_id, md5(tok) AS h FROM tk),
+       |nib AS (SELECT doc_id,
+       |  [strpos('0123456789abcdef', substr(h, i, 1)) - 1
+       |   for i in range(1, 17)] AS nb FROM hh),
        |agg AS (SELECT doc_id, COUNT(*) AS n_tok, $simhashBitSums
-       |        FROM hh GROUP BY doc_id)
-       |SELECT doc_id, n_tok, $simhashBits AS simhash
+       |        FROM nib GROUP BY doc_id)
+       |SELECT doc_id, n_tok, $simhashBits AS simhash, $simhashBands
        |FROM agg""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -274,21 +310,25 @@ object DedupOps {
          |FROM cand
          |WHERE len([i for i in range(1, ${K + 1}) if sig_a[i] = sig_b[i]])::DOUBLE / $K >= 0.75
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "d3_simhash" -> s"$simhashBaseSql ORDER BY doc_id",
+    "d3_simhash" ->
+      s"""WITH base AS ($simhashBaseSql)
+         |SELECT doc_id, n_tok, simhash FROM base ORDER BY doc_id""".stripMargin,
     "d3_hamming_pairs" ->
       s"""WITH base AS ($simhashBaseSql),
          |banded AS (
-         | SELECT doc_id, simhash, b AS band_idx,
-         |  substr(simhash, 1 + 8*b, 8) AS band_val
-         | FROM base CROSS JOIN (VALUES (0),(1)) AS bb(b))
+         | SELECT doc_id, band0, band1, band2, band3, b AS band_idx,
+         |  CASE b WHEN 0 THEN band0 WHEN 1 THEN band1
+         |         WHEN 2 THEN band2 ELSE band3 END AS band_val
+         | FROM base CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(b))
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         | len([i for i in range(1,17)
-         |      if substr(a.simhash,i,1) != substr(b.simhash,i,1)]) AS hamming
+         | (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+         |  + bit_count(xor(a.band2, b.band2))
+         |  + bit_count(xor(a.band3, b.band3)))::BIGINT AS hamming
          |FROM banded a JOIN banded b
          |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |     AND a.doc_id < b.doc_id
-         |WHERE len([i for i in range(1,17)
-         |      if substr(a.simhash,i,1) != substr(b.simhash,i,1)]) <= 1
+         |WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+         |  + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d3_simhash_dups" ->
       s"""WITH base AS ($simhashBaseSql)
