@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.DedupOps.queries ++
       graft.queries.SimilarityOps.queries ++
       graft.queries.MaterialsOps.queries ++
-      graft.queries.Extras.queries
+      graft.queries.Extras.queries ++
+      graft.sources.Aflux.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.DedupOps.oracle ++
       graft.queries.SimilarityOps.oracle ++
       graft.queries.MaterialsOps.oracle ++
-      graft.queries.Extras.oracle
+      graft.queries.Extras.oracle ++
+      graft.sources.Aflux.oracle
 }
