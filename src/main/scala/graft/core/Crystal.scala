@@ -63,18 +63,23 @@ object Crystal {
     (h, u)
   }
 
-  /** All lower-triangular HNF matrices with determinant n (the
-    * sublattice enumeration underlying G1; reference delegates to
-    * phenum). */
+  /** All lower-triangular HNF matrices with determinant n — one per
+    * index-n sublattice of Z³ (the sublattice enumeration underlying
+    * G1; reference delegates to phenum). Rows are the basis vectors;
+    * uniqueness of the row span requires each subdiagonal entry to be
+    * reduced modulo the diagonal entry of its COLUMN (row ops change
+    * d by multiples of a, e by a, f by b), so d,e ∈ [0,a), f ∈ [0,b).
+    * Count per diagonal (a,b,c) is a²·b; Σ over abc=n matches the
+    * number-theoretic sublattice count. */
   def hnfsOfDeterminant(n: Long): Seq[IMat] =
     for {
       a <- 1L to n if n % a == 0
       rem = n / a
       b <- 1L to rem if rem % b == 0
       c = rem / b
-      d <- 0L until b
-      e <- 0L until c
-      f <- 0L until c
+      d <- 0L until a
+      e <- 0L until a
+      f <- 0L until b
     } yield Array(Array(a, 0L, 0L), Array(d, b, 0L), Array(e, f, c))
 
   private val tol = 1e-6

@@ -55,15 +55,19 @@ object MaterialsOps {
       .orderBy(col("uuid"))
   }
 
-  /** G1 enumeration, distributed over the (size × HNF) grid: the
-    * grid is the Dataset axis; each task enumerates labelings for its
-    * own sublattice (the Spark shape — at scale the grid is huge and
-    * labelings never leave their task). */
+  /** G1 enumeration, distributed over the (size × HNF-class) grid:
+    * the point-group-reduced sublattice classes are the Dataset axis;
+    * each task enumerates symmetry-unique labelings for its own
+    * sublattice (the Spark shape — at scale the grid is huge and
+    * labelings never leave their task). Class reduction is O(HNF²·48)
+    * integer checks on the driver — cheap next to the labeling walk. */
   def g1Enumerated(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val pcell = graft.generators.Enumerated.primitiveCell("fcc", 4.05)._1
     val grid = for {
-      n <- 2 to 3
-      (hnf, idx) <- graft.core.Crystal.hnfsOfDeterminant(n).zipWithIndex
+      n <- 2 to 4
+      (hnf, idx) <- graft.generators.Enumerated.hnfClasses(pcell, n.toLong)
+        .zipWithIndex
     } yield (n, idx, hnf.map(_.toSeq).toSeq)
     s.createDataset(grid).repartition(col("_2"))
       .flatMap { case (n, idx, hnfRows) =>

@@ -82,6 +82,51 @@ class CrystalSpec extends AnyFunSuite {
     assert(out.map(_.config.uuid) === again.map(_.config.uuid))
   }
 
+  test("enumeration counts match the reference's enum.x tables (G1)") {
+    // Ground truth: the reference's own phenum/enum.x output shipped at
+    // templates/struct_enum.out_2_{fcc,bcc,sc} (consumed by
+    // fitting/mtp.py:108–136) — structures per cell size, binary,
+    // full concentration list, superperiodic removed:
+    //   fcc/bcc: n=1..4 → 2, 2, 6, 19      sc: n=1..4 → 2, 3, 6, 24
+    def counts(lat: String, n: Int): Int =
+      Enumerated.enumerate(lat, 1.0, Seq("A", "B"), n, n).length
+    assert((1 to 4).map(counts("fcc", _)) === Seq(2, 2, 6, 19))
+    assert((1 to 4).map(counts("bcc", _)) === Seq(2, 2, 6, 19))
+    assert((1 to 4).map(counts("sc", _)) === Seq(2, 3, 6, 24))
+  }
+
+  test("enumeration honors concentration restrictions (G1 concs)") {
+    // binary fcc n=4 with each species required in [1/4, 3/4]:
+    // endpoints and 1:3 splits outside the window are gone
+    val within = Enumerated.enumerate("fcc", 1.0, Seq("A", "B"), 4, 4,
+      concs = Some(Seq((1, 3, 4), (1, 3, 4))))
+    assert(within.nonEmpty)
+    within.foreach { e =>
+      val na = e.config.species.count(_ == "A")
+      assert(na >= 1 && na <= 3)
+    }
+    // [1/4,3/4] excludes nothing extra at n=4 (superperiodic removal
+    // already drops the endpoints) — the full set is recovered
+    val full = Enumerated.enumerate("fcc", 1.0, Seq("A", "B"), 4, 4)
+    assert(within.length === full.length)
+    // 50/50 only: exactly the equiatomic decorations survive, a
+    // strict nonempty subset
+    val even = Enumerated.enumerate("fcc", 1.0, Seq("A", "B"), 4, 4,
+      concs = Some(Seq((1, 1, 2), (1, 1, 2))))
+    assert(even.nonEmpty && even.length < full.length)
+    even.foreach(e => assert(e.config.species.count(_ == "A") === 2))
+    assert(even.map(_.config.uuid).toSet.subsetOf(
+      full.map(_.config.uuid).toSet))
+  }
+
+  test("keep_supers retains superperiodic labelings (G1)") {
+    val dropped = Enumerated.enumerate("fcc", 1.0, Seq("A", "B"), 2, 2)
+    val kept = Enumerated.enumerate("fcc", 1.0, Seq("A", "B"), 2, 2,
+      keepSupers = true)
+    // keeping supers adds the pure-A / pure-B 2-site cells
+    assert(kept.length > dropped.length)
+  }
+
   test("enumeration dedups translated labelings (euid analog)") {
     // for any single HNF, a 2-site cell has 2 labelings AB/BA that are
     // translations of each other → exactly 1 survives
