@@ -135,6 +135,59 @@ class CrystalSpec extends AnyFunSuite {
     assert(labs.length === 1)
   }
 
+  test("prototype library: 50 structures, all geometrically sound (G9)") {
+    val lib = Prototypes.library
+    assert(lib.length === 50)
+    assert(lib.count(_.system == "unary") === 11)
+    assert(lib.count(_.system == "binary") === 32)
+    assert(lib.count(_.system == "ternary") === 7)
+    assert(lib.map(_.name).distinct.length === lib.length)
+    // every prototype: sites inside the cell, no two sites coincide
+    // (minimum-image pairwise separation > 0.1·a)
+    lib.foreach { p =>
+      val n = p.basis.length
+      p.basis.foreach { case (_, f) =>
+        f.foreach(x => assert(x >= -1e-9 && x < 1.0, s"${p.name}: frac $x"))
+      }
+      for (i <- 0 until n; j <- (i + 1) until n) {
+        val fi = p.basis(i)._2; val fj = p.basis(j)._2
+        // minimum-image fractional delta → cartesian distance
+        val df = (0 until 3).map { k =>
+          val d = fi(k) - fj(k); d - math.rint(d)
+        }
+        val cart = graft.core.Lattice.rowMat(df, p.cell)
+        val dist = math.sqrt(cart.map(x => x * x).sum)
+        assert(dist > 0.1, s"${p.name}: sites $i,$j overlap (d=$dist)")
+      }
+    }
+  }
+
+  test("prototype selection: names / all / seeded random-k (G9)") {
+    import graft.generators.Prototypes._
+    // glob-style substring match, per-arity pools
+    assert(select("binary", Names(Seq("L1_"))).map(_.name).toSet ===
+      Set("L1_0", "L1_2"))
+    assert(select("unary", All).length === 11)
+    // seeded shuffle is deterministic and a strict subset
+    val r1 = select("binary", RandomK(5, seed = 42))
+    val r2 = select("binary", RandomK(5, seed = 42))
+    assert(r1.map(_.name) === r2.map(_.name))
+    assert(r1.length === 5)
+    // permutations restriction: only A:B, not B:A
+    val out = generateBy(
+      Map("binary" -> Names(Seq("B2_cscl"))), Seq("Ag", "Pd"),
+      Map("Ag" -> 4.09, "Pd" -> 3.89),
+      restrict = Map("binary" -> Seq(Seq("Ag", "Pd"))))
+    assert(out.length === 1)
+    assert(out.head.params("perm") === "Ag-Pd")
+    // ternary protos need 3 species: full generate over a ternary set
+    val tern = generateBy(Map("ternary" -> All),
+      Seq("Cu", "Mn", "Al"),
+      Map("Cu" -> 3.61, "Mn" -> 3.5, "Al" -> 4.05))
+    assert(tern.nonEmpty)
+    assert(tern.map(_.params("prototype")).distinct.length === 7)
+  }
+
   test("prototypes: selection × permutations with vegard a0 (G9)") {
     val lat = Map("Ag" -> 4.09, "Pd" -> 3.89)
     val out = Prototypes.generate(Seq("B2_cscl", "L1_0"), Seq("Ag", "Pd"), lat)
