@@ -44,9 +44,21 @@ object DbFilter {
     }
 
   /** Parse the reference's string filter form: `attr op value` where
-    * value is a literal or an `|db|agg(attr)|` object-reference chain
-    * (basic.py:164–204 `_invert_filters`). The db name is resolved
-    * against `tables`; supported aggs: avg/min/max/sum. */
+    * value is a literal or an object-reference chain
+    * (basic.py:164–204 `_invert_filters`):
+    *
+    *  - `|db|name|chain|` — the general form: `name` resolves against
+    *    `tables` (fnmatch semantics in the reference; exact name
+    *    here), `chain` is a dotted attribute path navigated into the
+    *    table's (possibly nested-struct) columns. A bare chain takes
+    *    the value via `first` — the reference reads one object's
+    *    attribute, so the target is a single-row/uniform table; an
+    *    `agg(chain)` terminal (avg/min/max/sum/count) reduces a
+    *    multi-row table to the scalar explicitly.
+    *  - `|ip|self|chain|` — trainer self-reference: resolved against
+    *    `tables("self")` the same way (basic.py:186–191).
+    *  - `|name|agg(attr)|` — legacy 2-part agg form.
+    */
   def parse(expr: String, tables: Map[String, DataFrame]): Filter = {
     val m = raw"^(\S+)\s*(<=|>=|==|!=|<|>|=)\s*(.+)$$".r
     expr.trim match {
@@ -54,19 +66,18 @@ object DbFilter {
         val value = rhs.trim match {
           case r if r.startsWith("|") && r.endsWith("|") =>
             val parts = r.stripPrefix("|").stripSuffix("|").split("\\|")
-            require(parts.length == 2, s"bad object reference: $r")
-            val df = tables.getOrElse(parts(0),
-              throw new IllegalArgumentException(s"unknown db ${parts(0)}"))
-            val aggR = raw"^(avg|min|max|sum)\((\S+)\)$$".r
-            parts(1) match {
-              case aggR(fn, col0) =>
-                val c = col(col0)
-                ScalarRef(df, fn match {
-                  case "avg" => avg(c); case "min" => min(c)
-                  case "max" => max(c); case "sum" => sum(c)
-                })
-              case other =>
-                throw new IllegalArgumentException(s"bad agg ref: $other")
+            parts match {
+              case Array(otype @ ("db" | "ip"), oname, chain) =>
+                val key = if (otype == "ip" && oname == "self") "self" else oname
+                val df = tables.getOrElse(key,
+                  throw new IllegalArgumentException(s"unknown $otype $key"))
+                ScalarRef(df, chainAgg(chain))
+              case Array(name, chain) =>
+                val df = tables.getOrElse(name,
+                  throw new IllegalArgumentException(s"unknown db $name"))
+                ScalarRef(df, chainAgg(chain))
+              case _ =>
+                throw new IllegalArgumentException(s"bad object reference: $r")
             }
           case r if r.matches("-?\\d+(\\.\\d+)?") =>
             Lit(if (r.contains('.')) r.toDouble else r.toLong)
@@ -75,6 +86,22 @@ object DbFilter {
         Filter(attr, op, value)
       case other =>
         throw new IllegalArgumentException(s"bad dbfilter expr: $other")
+    }
+  }
+
+  /** Compile an attribute chain (`a.b.c` or `agg(a.b.c)`) to the
+    * scalar-producing aggregate column. */
+  private def chainAgg(chain: String): Column = {
+    val aggR = raw"^(avg|min|max|sum|count)\((\S+)\)$$".r
+    chain match {
+      case aggR(fn, path) =>
+        val c = col(path)
+        fn match {
+          case "avg" => avg(c); case "min" => min(c)
+          case "max" => max(c); case "sum" => sum(c)
+          case "count" => count(c)
+        }
+      case path => first(col(path), ignoreNulls = true)
     }
   }
 

@@ -101,12 +101,34 @@ object SpecPipeline {
     out.dropDuplicates("uuid") // D1–D6 guard after every generator
   }
 
+  /** K11/K13 grid fan-out: a database whose steps carry starred
+    * parameters (`rattle*: "linspace(0, 0.2, 5)"`) expands into one
+    * database variant per grid point, named `dbname-suffix` — the
+    * reference's get_grid group expansion (utility.py:766–819 driving
+    * e.g. the Hessian grids). */
+  def expandGrids(plan: Plan): Plan = {
+    val dbs = plan.databases.flatMap { db =>
+      val perStep: Seq[Seq[(String, Step)]] = db.steps.map { st =>
+        graft.functions.SpecialValues.getGrid(st.params, plan.ranSeed)
+          .map { case (suffix, m) => (suffix, Step(st.stepType, m)) }
+      }
+      perStep.foldLeft(Seq(("", Seq.empty[Step]))) { (acc, g) =>
+        for ((s0, steps) <- acc; (s1, st) <- g)
+          yield (Seq(s0, s1).filter(_.nonEmpty).mkString("-"), steps :+ st)
+      }.map { case (suffix, steps) =>
+        DatabasePlan(
+          if (suffix.isEmpty) db.name else s"${db.name}-$suffix", steps)
+      }
+    }
+    plan.copy(databases = dbs)
+  }
+
   /** Run the full lifecycle; returns the split-tagged summary per
     * (database, configType, bucket). */
   def run(spark: SparkSession, yaml: String,
       seeds: Seq[Config] = MaterialsPipeline.seeds): DataFrame = {
     import spark.implicits._
-    val plan = parsePlan(yaml)
+    val plan = expandGrids(parsePlan(yaml))
     val calc = StubCalculator(ranSeed = plan.ranSeed)
     val perDb = plan.databases.map { db =>
       var rset = spark.createDataset(seeds)

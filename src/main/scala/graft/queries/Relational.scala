@@ -83,6 +83,20 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** F4b dbfilter general object-reference chain, string form
+    * (`|db|name|chain|`, basic.py:175–195): nations in the region
+    * picked by another table's attribute — parse → broadcast
+    * single-row join, no driver collect. */
+  def f4DbfilterChain(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    val euro = t(s, dir, "region").where(col("r_name") === "EUROPE")
+    val f = DbFilter.parse("n_regionkey == |db|euro|r_regionkey|",
+      Map("euro" -> euro))
+    DbFilter(nation, Seq(f))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** F5 fnmatch catalog find (database/__init__.py:1710–1786). */
   def f5CatalogFind(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "supplier")
@@ -307,6 +321,7 @@ object Relational {
     "f2_fancy_index" -> (f2FancyIndex _),
     "f3_aflow_dsl" -> (f3AflowDsl _),
     "f4_dbfilter_scalar" -> (f4DbfilterScalar _),
+    "f4_dbfilter_chain" -> (f4DbfilterChain _),
     "f5_catalog_find" -> (f5CatalogFind _),
     "f8_range_filter" -> (f8RangeFilter _),
     "j3_revenue_by_region" -> (j3RevenueByRegion _),
@@ -358,6 +373,11 @@ object Relational {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
         |ORDER BY c_custkey""".stripMargin,
+    "f4_dbfilter_chain" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey =
+        |  (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
+        |ORDER BY n_nationkey""".stripMargin,
     "f5_catalog_find" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE s_name LIKE 'Supplier%1_'

@@ -69,6 +69,35 @@ class SpecPipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("starred linspace params fan a database into a grid (K11/K13)") {
+    val gridYaml =
+      """title: grid test
+        |species: [Ag, Pd]
+        |ran_seed: 42
+        |databases:
+        |  - name: hess
+        |    steps:
+        |      - type: substitution
+        |        stoich: {Ag: 0.5, Pd: 0.5}
+        |        nconfigs: 2
+        |      - type: distortion
+        |        nconfigs: 1
+        |        rattle*: "linspace(0, 0.2, 3)"
+        |""".stripMargin
+    val plan = SpecPipeline.expandGrids(SpecPipeline.parsePlan(gridYaml))
+    // one database variant per grid point, suffix-named
+    assert(plan.databases.map(_.name) ===
+      Seq("hess-rat-1", "hess-rat-2", "hess-rat-3"))
+    // the starred key is replaced by its scalar in each variant
+    val rattles = plan.databases.map(
+      _.steps.last.params("rattle")).map(Yaml.num)
+    assert(rattles === Seq(0.0, 0.1, 0.2))
+    // the lifecycle runs each variant end-to-end
+    val rows = SpecPipeline.run(spark, gridYaml).collect()
+    assert(rows.map(_.getString(0)).toSet ===
+      Set("hess-rat-1", "hess-rat-2", "hess-rat-3"))
+  }
+
   test("unknown step type fails loudly") {
     val bad = specYaml.replace("type: vacancy", "type: nonsense")
     assertThrows[IllegalArgumentException] {
