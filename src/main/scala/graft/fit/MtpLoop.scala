@@ -1,6 +1,7 @@
 package graft.fit
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.calculators.Calculator
 import graft.core.{Config, Formula}
@@ -30,9 +31,18 @@ final class MtpLoop(spark: SparkSession, calc: Calculator,
     * than the rendered-through marker (mtp.py:476–517 — bulk load
     * once, then append only the last iteration). The marker makes the
     * render idempotent: re-running after a crash appends nothing
-    * twice. */
+    * twice.
+    *
+    * Distributed render: each increment is written as a sorted chunk
+    * of part files (`repartitionByRange` + `sortWithinPartitions` on
+    * the block text — disjoint sorted ranges, so parts concatenated
+    * in partition order ARE the globally sorted chunk), then
+    * byte-streamed onto train.cfg at the `mlp` hand-off. No row data
+    * ever crosses the driver — only file bytes at the single-file
+    * boundary the external trainer requires. */
   def writeTrainCfg(): java.nio.file.Path = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val iter = active.currentIteration
     val out = Paths.get(s"$workDir/train.cfg")
     val marker = Paths.get(s"$workDir/.rendered_iter")
@@ -43,10 +53,26 @@ final class MtpLoop(spark: SparkSession, calc: Calculator,
     if (rendered >= iter) return out
     val ds = active.current.where(s"iteration > $rendered")
       .as[graft.pipeline.ConfigRow].map(_.toConfig)
-    val cfgs = TrainTable.toCfgLines(ds, species)
-      .collect().sorted // deterministic file layout
-    if (rendered < 0) Files.writeString(out, cfgs.mkString)
-    else Files.writeString(out, Files.readString(out) + cfgs.mkString)
+    val chunkDir = Paths.get(s"$workDir/chunks/upto_$iter")
+    TrainTable.toCfgLines(ds, species)
+      .map(_.stripSuffix("\n")) // text writer restores the final newline
+      .toDF("cfg")
+      .repartitionByRange(col("cfg"))
+      .sortWithinPartitions(col("cfg"))
+      .write.mode("overwrite").text(chunkDir.toString)
+    if (rendered < 0) Files.deleteIfExists(out)
+    val partFiles = {
+      val s = Files.list(chunkDir)
+      try s.iterator().asScala.toVector.filter(
+        _.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    val os = Files.newOutputStream(out,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    try partFiles.foreach(p => Files.copy(p, os))
+    finally os.close()
     Files.writeString(marker, iter.toString)
     out
   }
@@ -72,4 +98,10 @@ final class MtpLoop(spark: SparkSession, calc: Calculator,
 
   def currentIteration: Int = active.currentIteration
   def setSize: Long = active.current.count()
+
+  /** The active set as typed configs (test/inspection surface). */
+  def activeConfigs: Dataset[Config] = {
+    import spark.implicits._
+    active.current.as[graft.pipeline.ConfigRow].map(_.toConfig)
+  }
 }

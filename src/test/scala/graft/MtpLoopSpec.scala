@@ -29,6 +29,19 @@ class MtpLoopSpec extends AnyFunSuite {
     loop.writeTrainCfg()
     val cfg2 = Files.readString(Paths.get(s"$dir/train.cfg"))
     assert(cfg2 === cfg)
+    // the distributed chunk render is byte-identical to the driver-side
+    // reference layout (sorted blocks per incremental chunk): re-render
+    // from scratch in one chunk and compare against a collect().sorted
+    // rendering of the full table
+    import spark.implicits._
+    val dir2 = Files.createTempDirectory("mtp2").toString
+    val loop2 = new MtpLoop(spark, StubCalculator(), dir2, Seq("Ag", "Pd"))
+    loop2.bootstrap(MaterialsPipeline.seeds)
+    loop2.writeTrainCfg()
+    val distributed = Files.readString(Paths.get(s"$dir2/train.cfg"))
+    val reference = graft.fit.TrainTable.toCfgLines(
+      loop2.activeConfigs, Seq("Ag", "Pd")).collect().sorted.mkString
+    assert(distributed === reference)
   }
 
   test("ConfigsIO: group-partitioned parquet round-trip with pruning (S2)") {

@@ -49,6 +49,21 @@ class OutcarSpec extends AnyFunSuite {
     assert(r.virial(1) === 0.0)
   }
 
+  test("parses the reference's real 4-atom OUTCAR fixture (S6)") {
+    // /root/reference/tests/files/outcars/4_atom: a full VASP run the
+    // reference's own tests extract from — final ionic step TOTEN
+    // -20.85055258 eV, NIONS = 4.
+    val path = java.nio.file.Paths.get("/root/reference/tests/files/outcars/4_atom")
+    assume(java.nio.file.Files.exists(path), "reference fixture not present")
+    val text = java.nio.file.Files.readString(path)
+    val r = Outcar.parse(text).get
+    assert(math.abs(r.energy - (-20.85055258)) < 1e-9)
+    assert(r.forces.length === 4)
+    assert(r.positions.length === 4)
+    assert(r.volume > 0)
+    assert(Outcar.isConverged(text))
+  }
+
   test("completion probe rejects truncated runs (S7)") {
     assert(Outcar.isConverged(golden))
     assert(!Outcar.isConverged(golden.take(20))) // cut before any TOTEN line
