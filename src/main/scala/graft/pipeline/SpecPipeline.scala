@@ -26,8 +26,18 @@ object SpecPipeline {
   final case class Plan(title: String, species: Seq[String], ranSeed: Long,
       trainFrac: Double, databases: Seq[DatabasePlan])
 
-  def parsePlan(yaml: String): Plan = {
-    val root = Yaml.parse(yaml)
+  def parsePlan(yaml: String): Plan = parsePlan(Yaml.parse(yaml))
+
+  /** S11 hierarchical form: root spec file with `:link` includes
+    * (io.py:345–440), e.g. `databases: ":agpd_dbs"`. */
+  def parsePlanFile(context: String, yfile: String): Plan =
+    Yaml.readSpec(context, yfile) match {
+      case m: Yaml.YMap => parsePlan(m)
+      case other =>
+        throw new IllegalArgumentException(s"spec root must be a map: $other")
+    }
+
+  def parsePlan(root: YMap): Plan = {
     val species = root("species") match {
       case YList(xs) => xs.map(str)
       case other => Seq(str(other))

@@ -72,14 +72,80 @@ object Yaml {
   private final case class Line(indent: Int, text: String)
 
   def parse(yaml: String): YMap = {
-    val lines = yaml.linesIterator
+    val lines = toLines(yaml)
+    val (node, rest) = parseMap(lines, 0)
+    require(rest.isEmpty, s"unparsed trailing lines: ${rest.take(2)}")
+    node
+  }
+
+  /** Parse a document whose root may be a map OR a list (included
+    * sub-spec files are often bare lists). */
+  def parseAny(yaml: String): Node = {
+    val lines = toLines(yaml)
+    if (lines.nonEmpty && lines.head.text.startsWith("- ")) {
+      val (node, rest) = parseList(lines, lines.head.indent)
+      require(rest.isEmpty, s"unparsed trailing lines: ${rest.take(2)}")
+      node
+    } else parse(yaml)
+  }
+
+  private def toLines(yaml: String): Vector[Line] =
+    yaml.linesIterator
       .map(l => l.takeWhile(_ != '#') /* strip comments */)
       .filter(_.trim.nonEmpty)
       .map(l => Line(l.takeWhile(_ == ' ').length, l.trim))
       .toVector
-    val (node, rest) = parseMap(lines, 0)
-    require(rest.isEmpty, s"unparsed trailing lines: ${rest.take(2)}")
-    node
+
+  /** S11 hierarchical spec assembly (reference: io.py:345–440): a
+    * string value `":name"` links to `name.yml` resolved against the
+    * current context directory; links expand recursively, list items
+    * included. A root-level `context:` map gives per-key relative
+    * context directories for reads within that item (io.py:430–437).
+    *
+    * @param context directory the file name resolves against.
+    * @param yfile file name relative to context, WITHOUT the `.yml`
+    *   extension (the reference requires `.yml`, not `.yaml`).
+    */
+  def readSpec(context: String, yfile: String): Node = {
+    val name = if (yfile.startsWith(":")) yfile.drop(1) else yfile
+    val target = java.nio.file.Paths.get(context).resolve(name + ".yml")
+    require(java.nio.file.Files.isRegularFile(target),
+      s"template file '$yfile.yml' not found relative to '$context'")
+    val root = parseAny(java.nio.file.Files.readString(target))
+    val ncontext = target.toAbsolutePath.getParent.toString
+    root match {
+      case m: YMap =>
+        // local context: {key: relative-dir} for reads within that item
+        val lcontext = m.get("context") match {
+          case Some(cm: YMap) =>
+            cm.items.map { case (k, v) => k -> str(v) }.toMap
+          case _ => Map.empty[String, String]
+        }
+        unpack(ncontext,
+          YMap(m.items.filterNot(_._1 == "context")), lcontext)
+      case other => unpack(ncontext, other, Map.empty)
+    }
+  }
+
+  private def isLink(n: Node): Boolean = n match {
+    case YStr(s) => s.startsWith(":")
+    case _ => false
+  }
+
+  private def unpack(context: String, node: Node,
+      lcontext: Map[String, String]): Node = node match {
+    case m: YMap => YMap(m.items.map { case (k, v) =>
+      val nctx = lcontext.get(k).map(rel =>
+        java.nio.file.Paths.get(context).resolve(rel)
+          .normalize().toString).getOrElse(context)
+      if (isLink(v)) k -> readSpec(nctx, str(v))
+      else k -> unpack(nctx, v, Map.empty)
+    })
+    case YList(xs) => YList(xs.map { o =>
+      if (isLink(o)) readSpec(context, str(o))
+      else unpack(context, o, Map.empty)
+    })
+    case other => other
   }
 
   private def parseMap(lines: Vector[Line], indent: Int): (YMap, Vector[Line]) = {

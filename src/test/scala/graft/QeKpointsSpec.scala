@@ -82,4 +82,63 @@ class QeKpointsSpec extends AnyFunSuite {
     val file = Kpoints.kpointsFile(Seq(2, 2, 2))
     assert(file.contains("Gamma") && file.contains("2 2 2"))
   }
+
+  test("fcc band path: Γ–X–W–K–Γ–L–U–W–L–K|U–X (K9)") {
+    import graft.core.BandPath
+    val (labels, band) = BandPath.parsedKpath("fcc")
+    assert(labels === Seq("\\Gamma", "X", "W", "K", "\\Gamma",
+      "L", "U", "W", "L", "K|U", "X"))
+    // coordinates come from the published table
+    assert(band(0) === Seq(0.0, 0.0, 0.0))
+    assert(band(1) === Seq(0.5, 0.0, 0.5))          // X
+    assert(band(2) === Seq(0.5, 0.25, 0.75))        // W
+    // junction takes the first point's coordinates (K, not U)
+    assert(band(9) === Seq(0.375, 0.375, 0.75))
+    // all five lattices have consistent tables
+    Seq("sc", "fcc", "bcc", "hcp", "tet").foreach { lat =>
+      val (ls, b) = BandPath.parsedKpath(lat)
+      assert(ls.length === b.length)
+      assert(ls.head === "\\Gamma")
+      b.foreach(p => assert(p.length === 3))
+    }
+    // bcc: Γ-H-N-Γ-P-H|P-N
+    assert(BandPath.parsedKpath("bcc")._1 ===
+      Seq("\\Gamma", "H", "N", "\\Gamma", "P", "H|P", "N"))
+  }
+
+  test("band.yaml round-trip parse into (q, w, path, Q) (K10)") {
+    import graft.core.BandPath
+    val canned =
+      """nqpoint: 3
+        |npath: 1
+        |phonon:
+        |  - q-position: [0.0, 0.0, 0.0]
+        |    distance: 0.0
+        |    label: "\Gamma"
+        |    band:
+        |      - frequency: 0.0
+        |      - frequency: 0.1
+        |      - frequency: 0.2
+        |  - q-position: [0.25, 0.0, 0.25]
+        |    distance: 0.35
+        |    band:
+        |      - frequency: 1.2
+        |      - frequency: 2.3
+        |      - frequency: 2.9
+        |  - q-position: [0.5, 0.0, 0.5]
+        |    distance: 0.7
+        |    label: "X"
+        |    band:
+        |      - frequency: 3.1
+        |      - frequency: 4.2
+        |      - frequency: 5.0
+        |""".stripMargin
+    val b = BandPath.fromYaml(canned)
+    assert(b.q === Seq(0.0, 0.35, 0.7))
+    assert(b.w === Seq(Seq(0.0, 0.1, 0.2), Seq(1.2, 2.3, 2.9),
+      Seq(3.1, 4.2, 5.0)))
+    assert(b.path === Seq(Seq(0.0, 0.0, 0.0), Seq(0.25, 0.0, 0.25),
+      Seq(0.5, 0.0, 0.5)))
+    assert(b.Q === Seq(0.0, 0.7)) // only labeled special points
+  }
 }

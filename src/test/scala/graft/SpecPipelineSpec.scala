@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.{SpecPipeline, Yaml}
@@ -96,6 +97,39 @@ class SpecPipelineSpec extends AnyFunSuite {
     val rows = SpecPipeline.run(spark, gridYaml).collect()
     assert(rows.map(_.getString(0)).toSet ===
       Set("hess-rat-1", "hess-rat-2", "hess-rat-3"))
+  }
+
+  test("yaml :link includes assemble a hierarchical spec (S11)") {
+    val dir = Files.createTempDirectory("spec").toString
+    val sub = Files.createDirectory(java.nio.file.Paths.get(dir, "dbs"))
+    Files.writeString(java.nio.file.Paths.get(dir, "main.yml"),
+      """title: linked spec
+        |context:
+        |  databases: dbs
+        |species: [Ag, Pd]
+        |ran_seed: 42
+        |databases: ":alloy"
+        |""".stripMargin)
+    Files.writeString(sub.resolve("alloy.yml"),
+      """- name: main
+        |  steps: ":steps_main"
+        |""".stripMargin)
+    Files.writeString(sub.resolve("steps_main.yml"),
+      """- type: substitution
+        |  stoich: {Ag: 0.5, Pd: 0.5}
+        |  nconfigs: 4
+        |""".stripMargin)
+    val plan = SpecPipeline.parsePlanFile(dir, "main")
+    assert(plan.title === "linked spec")
+    assert(plan.databases.map(_.name) === Seq("main"))
+    assert(plan.databases.head.steps.map(_.stepType) === Seq("substitution"))
+    // missing link fails loudly with the reference's .yml-only rule
+    Files.writeString(java.nio.file.Paths.get(dir, "broken.yml"),
+      "databases: \":nope\"\nspecies: [Ag]\n")
+    val e = intercept[IllegalArgumentException] {
+      SpecPipeline.parsePlanFile(dir, "broken")
+    }
+    assert(e.getMessage.contains("nope"))
   }
 
   test("unknown step type fails loudly") {
