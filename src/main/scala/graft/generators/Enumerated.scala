@@ -30,13 +30,27 @@ import graft.core.{Config, Crystal, Hashing, Lattice}
   * (templates/struct_enum.out_2_{fcc,bcc,sc}, consumed by
   * fitting/mtp.py:108–136): binary fcc sizes 1–4 → 2, 2, 6, 19.
   *
+  * hcp (2-atom basis) is supported through the same kernel: site
+  * groups are built as {R|τ} with τ swept over site differences, so
+  * nonsymmorphic operations (the hcp 6₃ screw, the z→−z mirror with
+  * its fractional translation) participate. Size-1 counts match the
+  * reference's struct_enum.out_2_hcp (3: pure A, pure B, alternating);
+  * at size ≥ 2 this kernel counts FEWER structures than that table
+  * (10 vs 12 at two cells) because the full space group merges
+  * labelings the table lists separately — e.g. AABB vs ABBA c-axis
+  * stackings, which the 6₃ screw maps onto each other (verifiable by
+  * hand: the screw advances every close-packed layer by one position).
+  * The stricter canon means no two emitted hcp structures are
+  * isometric, which is the property downstream dedup relies on.
+  *
   * Spark shape: the (size × HNF-class) grid is the distributed axis —
   * a `flatMap` over a grid DataFrame; labelings never leave the task
   * that owns their HNF class.
   */
 object Enumerated {
 
-  /** 1-atom primitive cells (enumerated.py:155–167). */
+  /** Primitive cells (enumerated.py:155–167): 1-atom sc/fcc/bcc and
+    * the 2-atom hcp basis (ideal c/a). */
   def primitiveCell(lattice: String, a: Double): (Lattice.Mat3, Seq[Seq[Double]]) =
     lattice match {
       case "sc" => (Seq(Seq(a, 0, 0), Seq(0, a, 0), Seq(0, 0, a)),
@@ -45,6 +59,12 @@ object Enumerated {
         Seq(a / 2, a / 2, 0)), Seq(Seq(0.0, 0.0, 0.0)))
       case "bcc" => (Seq(Seq(-a / 2, a / 2, a / 2), Seq(a / 2, -a / 2, a / 2),
         Seq(a / 2, a / 2, -a / 2)), Seq(Seq(0.0, 0.0, 0.0)))
+      case "hcp" =>
+        val c = a * math.sqrt(8.0 / 3)
+        val cell = Seq(Seq(a, 0, 0),
+          Seq(-a / 2, a * math.sqrt(3) / 2, 0), Seq(0, 0, c))
+        val frac2 = Seq(1.0 / 3, 2.0 / 3, 0.5)
+        (cell, Seq(Seq(0.0, 0.0, 0.0), Lattice.rowMat(frac2, cell)))
       case other => throw new IllegalArgumentException(s"lattice $other")
     }
 
@@ -65,13 +85,25 @@ object Enumerated {
   private def isIntegerMat(m: Lattice.Mat3): Boolean =
     m.forall(_.forall(x => math.abs(x - math.rint(x)) < tol))
 
+  /** The 24 D6h operations (rotations about z by 60° steps × y-mirror
+    * × z-mirror) — candidates for hexagonal parents. */
+  val hexOps: Seq[Lattice.Mat3] = for {
+    k <- 0 until 6
+    my <- Seq(1.0, -1.0); mz <- Seq(1.0, -1.0)
+  } yield {
+    val (c, s) = (math.cos(k * math.Pi / 3), math.sin(k * math.Pi / 3))
+    // Rz(θ) · diag(1, my, mz)
+    Seq(Seq(c, -s * my, 0.0), Seq(s, c * my, 0.0), Seq(0.0, 0.0, mz))
+  }
+
   /** Rotations preserving the parent lattice: `A·Rᵀ·A⁻¹` integer
-    * (A rows = lattice vectors; all 48 for sc/fcc/bcc). */
+    * (A rows = lattice vectors; 48 cubic + 24 hexagonal candidates —
+    * the survivors are the lattice's point group). */
   def latticeOps(cell: Lattice.Mat3): Seq[Lattice.Mat3] = {
     val inv = Lattice.inverse(cell)
-    cubicOps.filter { r =>
+    (cubicOps ++ hexOps).filter { r =>
       isIntegerMat(Lattice.matmul(Lattice.matmul(cell, transpose(r)), inv))
-    }
+    }.distinctBy(_.map(_.map(x => math.rint(x * 1e9) / 1e9)))
   }
 
   private def transpose(m: Lattice.Mat3): Lattice.Mat3 =
@@ -113,45 +145,55 @@ object Enumerated {
       concs: Option[Seq[(Int, Int, Int)]] = None,
       keepSupers: Boolean = false): Seq[Enumerated] = {
     val (pcell, pbasis) = primitiveCell(lattice, a)
-    val prim = Config.of(Seq("X"), pcell, pbasis)
-    val sup = Generators.supercell(prim, hnf.flatten.map(_.toInt).toSeq)
+    val prim = Config.of(Seq.fill(pbasis.length)("X"), pcell, pbasis)
+    val spec = hnf.flatten.map(_.toInt).toSeq
+    val sup = Generators.supercell(prim, spec)
     val n = sup.n
     val frac = Crystal.fractional(sup.cell, sup.positions)
-    def findSite(x: Seq[Double]): Int = {
+    val supInv = Lattice.inverse(sup.cell)
+    def findSiteOpt(x: Seq[Double]): Option[Int] = {
       val w = x.map(v => { val f = v - math.floor(v); if (f > 1 - tol) 0.0 else f })
       frac.indices.find { j =>
         (0 until 3).forall { k =>
           val d = math.abs(w(k) - frac(j)(k))
           math.min(d, 1.0 - d) < tol
         }
-      }.getOrElse(throw new IllegalStateException("site map not closed"))
-    }
-    // pure internal translations as site permutations
-    val trans: Seq[Seq[Int]] = frac.indices.map { t =>
-      val shift = frac(t)
-      frac.indices.map(i => findSite((0 until 3).map(k => frac(i)(k) + shift(k))))
-    }
-    // superlattice-preserving parent rotations as site permutations:
-    // R qualifies if S·Rᵀ·S⁻¹ is integer (superlattice maps to itself);
-    // each maps site i's cartesian position to another site mod S.
-    val parentOps = latticeOps(pcell)
-    val supInv = Lattice.inverse(sup.cell)
-    val rotPerms: Seq[Seq[Int]] = parentOps.flatMap { r =>
-      val u = Lattice.matmul(Lattice.matmul(sup.cell, transpose(r)), supInv)
-      if (!isIntegerMat(u)) None
-      else {
-        val rt = transpose(r)
-        val perm = sup.positions.map { p =>
-          val rp = Lattice.rowMat(p, rt)
-          findSite(Lattice.rowMat(rp, supInv))
-        }
-        Some(perm)
       }
     }
-    // full group = {t ∘ r}: distinct compositions
+    def fracOf(cart: Seq[Double]): Seq[Double] = Lattice.rowMat(cart, supInv)
+    // pure parent-LATTICE translations (NOT arbitrary site shifts —
+    // with a multi-atom basis the inter-sublattice offset is not a
+    // translation of the lattice): the |det hnf| lattice points of the
+    // supercell, obtained from a 1-atom twin of the same cell.
+    val latticePoints = Generators.supercell(
+      Config.of(Seq("X"), pcell, Seq(Seq(0.0, 0.0, 0.0))), spec).positions
+    val trans: Seq[Seq[Int]] = latticePoints.map { tvec =>
+      frac.indices.map { i =>
+        findSiteOpt(fracOf((0 until 3).map(k => sup.positions(i)(k) + tvec(k))))
+          .getOrElse(throw new IllegalStateException("translation not closed"))
+      }
+    }
+    // space-group operations {R|τ} of the EMPTY decorated lattice:
+    // R must preserve the superlattice (S·Rᵀ·S⁻¹ integer); τ
+    // candidates are p_j − R·p_0 for every site j (this sweeps the
+    // fractional translations of nonsymmorphic groups — hcp's 6₃
+    // screw — together with all lattice translations); an (R, τ) is
+    // kept when it permutes the site set bijectively.
+    val parentOps = latticeOps(pcell)
     val group: Seq[Array[Int]] = (for {
-      t <- trans; r <- rotPerms
-    } yield r.map(t).toArray).distinctBy(_.toSeq)
+      r <- parentOps
+      u = Lattice.matmul(Lattice.matmul(sup.cell, transpose(r)), supInv)
+      if isIntegerMat(u)
+      rt = transpose(r)
+      rotated = sup.positions.map(p => Lattice.rowMat(p, rt))
+      j <- frac.indices
+      tau = (0 until 3).map(k => sup.positions(j)(k) - rotated(0)(k))
+      perm = rotated.map(rp =>
+        findSiteOpt(fracOf((0 until 3).map(k => rp(k) + tau(k)))))
+      if perm.forall(_.isDefined)
+      p = perm.map(_.get)
+      if p.distinct.length == n
+    } yield p.toArray).distinctBy(_.toSeq)
     val superTrans = trans.filter(p => p != p.indices.toSeq)
 
     val k = species.length

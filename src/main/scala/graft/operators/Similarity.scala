@@ -71,6 +71,18 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Plane count scaled to the corpus: enough sign bits that the
+    * expected bucket occupancy is ~8·k candidates — nPlanes =
+    * ⌈log₂(N / 8k)⌉ clamped to [4, 24]. At N = 2·10³ that is 5
+    * planes; at N = 10⁹ it is 24 (16M buckets). Only the O(1) count
+    * crosses the driver. */
+  def adaptivePlanes(n: Long, k: Int): Int = {
+    val target = math.max(1L, 8L * k)
+    val bits = math.ceil(math.log(math.max(1.0, n.toDouble / target))
+      / math.log(2)).toInt
+    math.min(24, math.max(4, bits))
+  }
+
   /** Query-surface entry over the embeddings table (rows-only check —
     * approximate results have no SQL oracle). */
   def s2AnnLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -79,6 +91,8 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
     val q = e.where(col("vec_id") < 5)
-    annTopK(e, q, "v", "vec_id", k = 10, nPlanes = 4, seed = 42L, dim = 64)
+    val k = 10
+    annTopK(e, q, "v", "vec_id", k = k,
+      nPlanes = adaptivePlanes(e.count(), k), seed = 42L, dim = 64)
   }
 }
