@@ -218,6 +218,48 @@ object DedupOps {
       .where(col("n_docs") > 1)
       .orderBy(col("keeper"))
 
+  /** D6: duplicate CLUSTERS — connected components over the simhash
+    * near-dup pair graph (the step every dedup pipeline needs after
+    * pair generation: pick one keeper per component, not per pair —
+    * pairs alone under-delete transitive duplicate chains).
+    *
+    * Iterative min-label propagation: labels = min(own, neighbors')
+    * to fixpoint. Each iteration is one equi-join + groupBy(min) —
+    * the standard distributed CC shape; iterations = O(graph
+    * diameter), and near-dup graphs are unions of small cliques, so
+    * convergence is 2–3 rounds in practice. Only the O(1) changed
+    * count crosses the driver per round. Singleton docs keep their
+    * own id as cluster_id. */
+  def d6DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d3HammingPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist()
+    // localCheckpoint per round: iterative DataFrames otherwise nest
+    // every prior round's plan inside the next (plan-size blowup, not
+    // data). On a cluster this would be checkpoint() to durable
+    // storage for fault tolerance; the iteration structure is the same.
+    var labels = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      changed = labels.as("a")
+        .join(next.as("b"), "doc_id")
+        .where(col("a.cluster_id") =!= col("b.cluster_id")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.orderBy(col("doc_id"))
+  }
+
   /** Sketch-based distinct counting (HLL / approx_count_distinct —
     * the "novel sketch" surface; no oracle: sketch implementations
     * differ across engines, spec asserts the error bound instead). */
@@ -232,6 +274,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d3_hamming_pairs" -> (d3HammingPairs _),
     "d3_simhash_dups" -> (d3SimhashDups _),
+    "d6_dup_clusters" -> (d6DupClusters _),
     "sk1_approx_distinct" -> (sk1ApproxDistinct _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
@@ -335,6 +378,34 @@ object DedupOps {
          |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
          |FROM base GROUP BY simhash HAVING COUNT(*) > 1
          |ORDER BY keeper""".stripMargin,
+    // connected components as a recursive CTE: a label l spreads along
+    // any edge to a larger-id node; the component minimum reaches every
+    // member (all other members have larger ids), so MIN(comp) per node
+    // is exactly the min-id-in-component cluster label.
+    "d6_dup_clusters" ->
+      s"""WITH RECURSIVE base AS ($simhashBaseSql),
+         |banded AS (
+         | SELECT doc_id, band0, band1, band2, band3, b AS band_idx,
+         |  CASE b WHEN 0 THEN band0 WHEN 1 THEN band1
+         |         WHEN 2 THEN band2 ELSE band3 END AS band_val
+         | FROM base CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(b)),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM banded a JOIN banded b
+         |   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |      AND a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+         |   + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3),
+         |edges AS (
+         | SELECT doc_a AS src, doc_b AS dst FROM pairs
+         | UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |cc(doc_id, comp) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.doc_id = e.src
+         | WHERE cc.comp < e.dst)
+         |SELECT doc_id, MIN(comp) AS cluster_id FROM cc
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH t AS (
         | SELECT doc_id, source,

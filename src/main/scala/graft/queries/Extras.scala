@@ -82,6 +82,26 @@ object Extras {
       .select(col("p_partkey"), col("p_name"), col("rk"))
       .orderBy(col("rk"))
 
+  /** O7 stratified deterministic sample: a fixed rate PER STRATUM
+    * (language), ranked by a seeded content digest so the sample is
+    * engine-independent and replayable — the curation pattern for
+    * balancing a training mix across languages/sources. Strata counts
+    * come from a window aggregate, so one shuffle on the stratum key;
+    * stratum cardinality (languages) is bounded, so the window
+    * partitions stay healthy at any corpus size. */
+  def o7StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("rk"), col("doc_id"))
+    Tables(s, dir, "documents")
+      .withColumn("rk", md5(concat_ws(":", lit(42), col("doc_id"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_stratum",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .where(col("rn") <= ceil(col("n_stratum") * 0.2))
+      .select(col("lang"), col("doc_id"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Gap-based sessionization (30-min inactivity), fully relational —
     * the batch twin of the streaming stateful session surface
     * (§2.10): new-session flags via lag, session ids via running sum,
@@ -117,6 +137,7 @@ object Extras {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a9_quantiles" -> (a9Quantiles _),
     "o6_sample" -> (o6Sample _),
+    "o7_stratified_sample" -> (o7StratifiedSample _),
     "w3_sessionize" -> (w3Sessionize _),
     "a6_weighted_mean" -> (a6WeightedMean _),
     "k1_vegard" -> (k1Vegard _),
@@ -135,6 +156,15 @@ object Extras {
     "o6_sample" ->
       """SELECT p_partkey, p_name, md5('42:' || p_partkey) AS rk
         |FROM part ORDER BY rk LIMIT 20""".stripMargin,
+    "o7_stratified_sample" ->
+      """WITH r AS (
+        | SELECT lang, doc_id, md5('42:' || doc_id) AS rk,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5('42:' || doc_id), doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+        | FROM documents)
+        |SELECT lang, doc_id, rn FROM r
+        |WHERE rn <= CEIL(n_stratum * 0.2)
+        |ORDER BY lang, rn""".stripMargin,
     "w3_sessionize" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id, value,

@@ -78,11 +78,37 @@ object TextOps {
         md5(array_join(array_sort(array_distinct(toks)), " ")).as("fp_bag"))
       .orderBy(col("doc_id"))
 
+  /** T5 repetition / boilerplate signal (the Gopher/C4-style quality
+    * gate): duplicate word-3-gram fraction and duplicate-token
+    * fraction per document. High values = templated or repetitive
+    * text a curation pipeline drops. Single scan, per-row column
+    * expressions only. */
+  def t5Repetition(s: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val grams = when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ",
+          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    Tables(s, dir, "documents")
+      .repartition(col("doc_id")) // single-split file → spread work
+      .withColumn("g", grams)
+      .select(col("doc_id"),
+        size(col("g")).cast("bigint").as("n_grams"),
+        when(size(col("g")) > 0,
+          round(lit(1.0) - size(array_distinct(col("g"))).cast("double")
+            / size(col("g")), 6)).otherwise(0.0).as("dup_gram_frac"),
+        round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 6)
+          .as("dup_tok_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_repetition" -> (t5Repetition _),
   )
 
   private val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
@@ -130,5 +156,20 @@ object TextOps {
         | md5(lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))) AS fp_norm,
         | md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp_bag
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_repetition" ->
+      """WITH tg AS (
+        | SELECT doc_id, string_split(text, ' ') AS t,
+        |  CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |   [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        |    for i in range(1, len(string_split(text, ' ')) - 1)]
+        |  ELSE [] END AS g
+        | FROM documents)
+        |SELECT doc_id,
+        | len(g)::BIGINT AS n_grams,
+        | CASE WHEN len(g) > 0 THEN
+        |  round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6)
+        | ELSE 0.0 END AS dup_gram_frac,
+        | round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 6) AS dup_tok_frac
+        |FROM tg ORDER BY doc_id""".stripMargin,
   )
 }
