@@ -84,23 +84,31 @@ object TextOps {
     * text a curation pipeline drops. Single scan, per-row column
     * expressions only. */
   def t5Repetition(s: SparkSession, dir: String): DataFrame = {
-    val t = toks
-    val grams = when(size(t) >= 3,
-      transform(sequence(lit(0), size(t) - 3), i =>
-        concat_ws(" ",
-          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
-      .otherwise(array().cast("array<string>"))
     Tables(s, dir, "documents")
       .repartition(col("doc_id")) // single-split file → spread work
-      .withColumn("g", grams)
+      .withColumn("r", repUdf(col("text")))
       .select(col("doc_id"),
-        size(col("g")).cast("bigint").as("n_grams"),
-        when(size(col("g")) > 0,
-          round(lit(1.0) - size(array_distinct(col("g"))).cast("double")
-            / size(col("g")), 6)).otherwise(0.0).as("dup_gram_frac"),
-        round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 6)
-          .as("dup_tok_frac"))
+        col("r._1").as("n_grams"),
+        round(col("r._2"), 6).as("dup_gram_frac"),
+        round(col("r._3"), 6).as("dup_tok_frac"))
       .orderBy(col("doc_id"))
+  }
+
+  /** One deterministic per-ROW UDF instead of a per-ELEMENT
+    * interpreted `transform(sequence(...))` lambda chain — the same
+    * measured trade as MinHash.shingleUdf (interpreted HOF lambdas
+    * cost more than the real work; a single JVM call per document
+    * does not). */
+  private val repUdf = udf { (text: String) =>
+    val t = text.split(" ")
+    val n = t.length
+    val grams =
+      if (n >= 3) Array.tabulate(n - 2)(i => t(i) + " " + t(i + 1) + " " + t(i + 2))
+      else Array.empty[String]
+    val ng = grams.length
+    val dupG = if (ng > 0) 1.0 - grams.distinct.length.toDouble / ng else 0.0
+    val dupT = if (n > 0) 1.0 - t.distinct.length.toDouble / n else 0.0
+    (ng.toLong, dupG, dupT)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
