@@ -48,6 +48,26 @@ object Kpoints {
     seen.toSeq
   }
 
+  /** Monkhorst–Pack fractional k-points with inversion-deduped
+    * weights (the classic shifted grid, Monkhorst & Pack, PRB 13,
+    * 5188 (1976): kᵣ = (2r − q − 1)/2q — Γ is excluded for even
+    * divisions, which is the point of the scheme). */
+  def monkhorstPack(n: Seq[Int]): Seq[(Seq[Double], Double)] = {
+    def frac(r: Int, q: Int): Double = (2.0 * (r + 1) - q - 1) / (2.0 * q)
+    val raw = for {
+      i <- 0 until n(0); j <- 0 until n(1); k <- 0 until n(2)
+    } yield Seq(frac(i, n(0)), frac(j, n(1)), frac(k, n(2)))
+    val total = raw.length.toDouble
+    val seen = scala.collection.mutable.LinkedHashMap[Seq[Double], Double]()
+    raw.foreach { kp =>
+      val neg = kp.map(x => if (x == 0.0) 0.0 else -x)
+      if (seen.contains(kp)) seen(kp) += 1.0 / total
+      else if (seen.contains(neg)) seen(neg) += 1.0 / total
+      else seen(kp) = 1.0 / total
+    }
+    seen.toSeq
+  }
+
   /** Render a VASP-style KPOINTS file (kpoints.py rendering analog). */
   def kpointsFile(n: Seq[Int], gamma: Boolean = true): String =
     s"""Automatic mesh

@@ -71,6 +71,120 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF (inverted-file) ANN — the second scale path beside the
+    * hyperplane LSH: partition the corpus into `nlist` Voronoi cells
+    * around learned centroids; a query probes only its `nprobe`
+    * nearest cells. Candidates come from an equi-join on the short
+    * cell id — the same 100 TB shape as the LSH bucket join, but with
+    * data-adaptive cells (better recall on clustered corpora).
+    *
+    * Training is Lloyd iterations expressed as DataFrame aggregation:
+    * assign (per-row argmin over the broadcast centroid array) →
+    * groupBy(cell).avg. Only the k×dim centroid matrix crosses the
+    * driver per round — never row data. Deterministic: seeded
+    * hash-ranked init, fixed iteration count. */
+  object Ivf {
+
+    /** Seeded deterministic init + `iters` Lloyd rounds. */
+    def centroids(corpus: DataFrame, vCol: String, idCol: String,
+        nlist: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+      import org.apache.spark.sql.Row
+      var cents: Array[Array[Double]] = corpus
+        .withColumn("__h", xxhash64(col(idCol), lit(seed)))
+        .orderBy(col("__h")).limit(nlist)
+        .select(col(vCol)).collect()
+        .map(_.getSeq[Double](0).toArray)
+      (0 until iters).foreach { _ =>
+        val assignU = assignUdf(cents)
+        val next = corpus
+          .withColumn("__cell", assignU(col(vCol)))
+          .select(col("__cell"), posexplode(col(vCol)).as(Seq("__i", "__x")))
+          .groupBy(col("__cell"), col("__i"))
+          .agg(avg(col("__x")).as("__m"))
+          .collect() // O(nlist × dim) — centroid matrix only
+        val byCell = next.groupBy(_.getAs[Int]("__cell"))
+        cents = cents.indices.map { c =>
+          byCell.get(c) match {
+            case Some(rows) =>
+              val dim = rows.map(_.getAs[Int]("__i")).max + 1
+              val m = new Array[Double](dim)
+              rows.foreach(r => m(r.getAs[Int]("__i")) = r.getAs[Double]("__m"))
+              m
+            case None => cents(c) // empty cell keeps its centroid
+          }
+        }.toArray
+      }
+      cents
+    }
+
+    /** Per-row argmin over the broadcast centroid matrix — one JVM
+      * call per vector (the measured per-row-UDF trade; an
+      * interpreted per-element lambda chain over k×dim would cost
+      * more than the arithmetic). */
+    private def assignUdf(cents: Array[Array[Double]]) =
+      udf { (v: Seq[Double]) =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          val cent = cents(c)
+          while (i < v.length) { val t = v(i) - cent(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+
+    private def probeUdf(cents: Array[Array[Double]], nprobe: Int) =
+      udf { (v: Seq[Double]) =>
+        cents.indices.map { c =>
+          var d = 0.0; var i = 0
+          val cent = cents(c)
+          while (i < v.length) { val t = v(i) - cent(i); d += t * t; i += 1 }
+          (d, c)
+        }.sorted.take(nprobe).map(_._2)
+      }
+
+    /** Top-k ANN: cell equi-join candidates + exact cosine rerank. */
+    def topK(corpus: DataFrame, queries: DataFrame, vCol: String,
+        idCol: String, k: Int, nlist: Int, nprobe: Int, iters: Int,
+        seed: Long): DataFrame = {
+      val cents = centroids(corpus, vCol, idCol, nlist, iters, seed)
+      val assignU = assignUdf(cents)
+      val c = corpus
+        .select(col(idCol).as("vec_id"), col(vCol).as("v"))
+        .withColumn("cell", assignU(col("v")))
+        .withColumn("nrm", sqrt(VectorExpressions.dotProduct(col("v"), col("v"))))
+      val q = queries
+        .select(col(idCol).as("query_id"), col(vCol).as("qv"))
+        .withColumn("cell", explode(probeUdf(cents, nprobe)(col("qv"))))
+        .withColumn("qn", sqrt(VectorExpressions.dotProduct(col("qv"), col("qv"))))
+      val cos = round(VectorExpressions.cosine(col("qv"), col("v"),
+        col("qn"), col("nrm")), 6)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      q.join(c, "cell")
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cos.as("cos_sim"))
+        .dropDuplicates("query_id", "vec_id")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= k)
+        .orderBy(col("query_id"), col("rk"))
+    }
+  }
+
+  /** Query-surface entry: IVF ANN over the embeddings table
+    * (rows-only — approximate results have no SQL oracle; recall vs
+    * the exact baseline is asserted in OperatorsSpec). */
+  def s3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.where(col("vec_id") < 5)
+    Ivf.topK(e, q, "v", "vec_id", k = 10, nlist = 16, nprobe = 4,
+      iters = 2, seed = 42L)
+  }
+
   /** Plane count scaled to the corpus: enough sign bits that the
     * expected bucket occupancy is ~8·k candidates — nPlanes =
     * ⌈log₂(N / 8k)⌉ clamped to [4, 24]. At N = 2·10³ that is 5

@@ -44,6 +44,7 @@ object SimilarityOps {
     // approximate → no SQL oracle (rows-only check); recall is
     // asserted against s1 in OperatorsSpec
     "s2_ann_lsh" -> (graft.operators.Similarity.s2AnnLsh _),
+    "s3_ann_ivf" -> (graft.operators.Similarity.s3AnnIvf _),
     "mm1_multimodal_features" -> (graft.operators.Multimodal.featureSummary _),
   )
 

@@ -83,6 +83,22 @@ class QeKpointsSpec extends AnyFunSuite {
     assert(file.contains("Gamma") && file.contains("2 2 2"))
   }
 
+  test("Monkhorst–Pack grid: shifted, Γ-free for even divisions (K8)") {
+    val pts = Kpoints.monkhorstPack(Seq(2, 2, 2))
+    // 2×2×2 MP = (±1/4, ±1/4, ±1/4): inversion pairs merge → 4 points
+    assert(pts.length === 4)
+    assert(math.abs(pts.map(_._2).sum - 1.0) < 1e-12)
+    pts.foreach { case (k, w) =>
+      k.foreach(x => assert(math.abs(math.abs(x) - 0.25) < 1e-12))
+      assert(math.abs(w - 0.25) < 1e-12)
+    }
+    // no Γ in an even grid; odd grids include Γ (equivalent to
+    // Γ-centered for odd divisions)
+    assert(!pts.exists(_._1.forall(_ == 0.0)))
+    assert(Kpoints.monkhorstPack(Seq(3, 3, 3))
+      .exists(_._1.forall(_ == 0.0)))
+  }
+
   test("fcc band path: Γ–X–W–K–Γ–L–U–W–L–K|U–X (K9)") {
     import graft.core.BandPath
     val (labels, band) = BandPath.parsedKpath("fcc")
