@@ -97,6 +97,40 @@ object Relational {
       .orderBy(col("n_nationkey"))
   }
 
+  /** A3 DOS-convergence compare (database/hessian.py:341–380): each
+    * candidate has a size and a distribution curve; the reference
+    * curve is the LARGEST candidate's; metric = Σ|curve − curve_ref|;
+    * the answer is the SMALLEST candidate within tolerance. Expressed
+    * over lineitem: candidate = linenumber (its value doubles as the
+    * size), curve = normalized quantity histogram over 10 part
+    * buckets. Scalars (largest candidate, smallest passing) are
+    * broadcast single-row joins — no unpartitioned window, no driver
+    * collect. */
+  def a3DosConvergence(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "lineitem")
+      .groupBy(col("l_linenumber").as("cand"),
+        pmod(col("l_partkey"), lit(10)).as("bucket"))
+      .agg(sum(dec(col("l_quantity"))).as("q"))
+    val norm = hist
+      .join(hist.groupBy(col("cand")).agg(sum(col("q")).as("tot")), "cand")
+      .select(col("cand"), col("bucket"),
+        (col("q").cast("double") / col("tot").cast("double")).as("qn"))
+      .persist()
+    val refCand = norm.agg(max(col("cand")).as("__ref"))
+    val ref = norm.join(broadcast(refCand), col("cand") === col("__ref"))
+      .select(col("bucket"), col("qn").as("qn_ref"))
+    val metric = norm.join(ref, "bucket")
+      .groupBy(col("cand"))
+      .agg(round(sum(abs(col("qn") - col("qn_ref"))), 6).as("metric"))
+      .withColumn("passes", col("metric") <= 0.02)
+    val best = metric.where(col("passes"))
+      .agg(min(col("cand")).as("__best"))
+    metric.join(broadcast(best))
+      .withColumn("best", coalesce(col("cand") === col("__best"), lit(false)))
+      .select(col("cand"), col("metric"), col("passes"), col("best"))
+      .orderBy(col("cand"))
+  }
+
   /** F5 fnmatch catalog find (database/__init__.py:1710–1786). */
   def f5CatalogFind(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "supplier")
@@ -322,6 +356,7 @@ object Relational {
     "f3_aflow_dsl" -> (f3AflowDsl _),
     "f4_dbfilter_scalar" -> (f4DbfilterScalar _),
     "f4_dbfilter_chain" -> (f4DbfilterChain _),
+    "a3_dos_convergence" -> (a3DosConvergence _),
     "f5_catalog_find" -> (f5CatalogFind _),
     "f8_range_filter" -> (f8RangeFilter _),
     "j3_revenue_by_region" -> (j3RevenueByRegion _),
@@ -378,6 +413,26 @@ object Relational {
         |WHERE n_regionkey =
         |  (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
         |ORDER BY n_nationkey""".stripMargin,
+    "a3_dos_convergence" ->
+      """WITH hist AS (
+        | SELECT l_linenumber AS cand, l_partkey % 10 AS bucket,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        | FROM lineitem GROUP BY 1, 2),
+        |norm AS (
+        | SELECT h.cand, h.bucket,
+        |  CAST(h.q AS DOUBLE) / CAST(t.tot AS DOUBLE) AS qn
+        | FROM hist h JOIN (SELECT cand, SUM(q) AS tot FROM hist GROUP BY 1) t
+        |   ON h.cand = t.cand),
+        |metric AS (
+        | SELECT n.cand, ROUND(SUM(ABS(n.qn - r.qn)), 6) AS metric
+        | FROM norm n JOIN norm r
+        |   ON n.bucket = r.bucket
+        |  AND r.cand = (SELECT MAX(cand) FROM norm)
+        | GROUP BY n.cand)
+        |SELECT cand, metric, metric <= 0.02 AS passes,
+        | COALESCE(cand = (SELECT MIN(cand) FROM metric WHERE metric <= 0.02),
+        |          FALSE) AS best
+        |FROM metric ORDER BY cand""".stripMargin,
     "f5_catalog_find" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE s_name LIKE 'Supplier%1_'
