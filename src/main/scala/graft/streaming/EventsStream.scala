@@ -42,6 +42,24 @@ object EventsStream {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Streaming exact dedup with bounded state — the ingest-time twin
+    * of the batch D1 content-hash dedup: `dropDuplicates` on the
+    * dedup key with a watermark, so Spark evicts seen-keys state
+    * older than the horizon (without the watermark, dedup state grows
+    * without bound — the difference between a demo and a pipeline
+    * that survives a week of ingest). Late duplicates beyond the
+    * horizon are the accepted trade, exactly as in batch backfill
+    * dedup windows. */
+  def dedupStream(spark: SparkSession, srcDir: String,
+      horizon: String = "2 hours"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(eventsSchema).parquet(srcDir)
+    withEventTime(src)
+      .withWatermark("ets", horizon)
+      .dropDuplicates("user_id", "event_type", "ets")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ets"))
+  }
+
   final case class Event(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(count: Long, sum: Double, lastTsMicros: Long)

@@ -67,4 +67,28 @@ class PlanSpec extends AnyFunSuite {
     val plan = formatted(queries.Relational.f4DbfilterScalar(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
   }
+
+  test("stratified sample windows are partitioned by the stratum key") {
+    val plan = formatted(queries.Extras.o7StratifiedSample(spark, sf))
+    assert(!plan.contains("SinglePartition"),
+      "an unpartitioned window would funnel the corpus through one task")
+    assert(plan.contains("Window"))
+  }
+
+  test("DOS-convergence scalars are broadcast joins, not collects") {
+    val plan = formatted(queries.Relational.a3DosConvergence(spark, sf))
+    val nBroadcast = "BroadcastNestedLoopJoin".r.findAllIn(plan).length +
+      "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 2, "ref-candidate and best-candidate scalars " +
+      "must ride broadcast single-row joins")
+    assert(!plan.contains("CollectLimit"))
+  }
+
+  test("IVF/LSH candidate joins are equi-joins on the short key") {
+    val lsh = formatted(operators.Similarity.s2AnnLsh(spark, sf))
+    assert(lsh.contains("SortMergeJoin") || lsh.contains("ShuffledHashJoin") ||
+      lsh.contains("BroadcastHashJoin"), "bucket join must be an equi-join")
+    assert(!lsh.contains("CartesianProduct"),
+      "ANN must never plan an all-pairs cartesian")
+  }
 }

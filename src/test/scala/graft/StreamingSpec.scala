@@ -53,6 +53,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("watermarked streaming dedup matches batch distinct (D1 twin)") {
+    val dir = stageEvents()
+    val q = EventsStream.dedupStream(spark, dir).writeStream
+      .outputMode("append").format("memory").queryName("deduped").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT user_id, event_type, ets FROM deduped")
+    // drained-stream dedup = batch dropDuplicates on the same key
+    val batch = Tables(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .dropDuplicates("user_id", "event_type", "ets")
+    assert(streamed.count() === batch.count())
+    // no key appears twice downstream
+    val dups = streamed.groupBy("user_id", "event_type", "ets")
+      .count().where(col("count") > 1)
+    assert(dups.count() === 0)
+  }
+
   test("foreachBatch ingest loop lands deduped parquet (connector shape)") {
     val dir = stageEvents()
     val out = Files.createTempDirectory("ingest_out").toString + "/rset"
