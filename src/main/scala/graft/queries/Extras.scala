@@ -82,6 +82,20 @@ object Extras {
       .select(col("p_partkey"), col("p_name"), col("rk"))
       .orderBy(col("rk"))
 
+  /** A9 ingest progress / readiness roll-up (utility.py:257–270
+    * linecount, md.py:121–140 — file-based progress probes become
+    * ingest-status columns in a table-native engine): per-source
+    * record and byte tallies with a readiness gate. */
+  def a9IngestProgress(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"))
+      .withColumn("ready", col("n_docs") >= 100)
+      .orderBy(col("source"))
+
   /** O7 stratified deterministic sample: a fixed rate PER STRATUM
     * (language), ranked by a seeded content digest so the sample is
     * engine-independent and replayable — the curation pattern for
@@ -138,6 +152,7 @@ object Extras {
     "a9_quantiles" -> (a9Quantiles _),
     "o6_sample" -> (o6Sample _),
     "o7_stratified_sample" -> (o7StratifiedSample _),
+    "a9_ingest_progress" -> (a9IngestProgress _),
     "w3_sessionize" -> (w3Sessionize _),
     "a6_weighted_mean" -> (a6WeightedMean _),
     "k1_vegard" -> (k1Vegard _),
@@ -156,6 +171,11 @@ object Extras {
     "o6_sample" ->
       """SELECT p_partkey, p_name, md5('42:' || p_partkey) AS rk
         |FROM part ORDER BY rk LIMIT 20""".stripMargin,
+    "a9_ingest_progress" ->
+      """SELECT source, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS n_chars,
+        | MIN(doc_id) AS first_id, MAX(doc_id) AS last_id,
+        | COUNT(*) >= 100 AS ready
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "o7_stratified_sample" ->
       """WITH r AS (
         | SELECT lang, doc_id, md5('42:' || doc_id) AS rk,
