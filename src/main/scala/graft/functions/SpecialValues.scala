@@ -158,9 +158,17 @@ object SpecialValues {
     val keyval: Any = params.get(sKey) match {
       case Some(YStr(sf)) if sf.contains(':') =>
         functions(sf, Seq(num(value)))
-      case Some(other) => str(other)
+      case Some(other) =>
+        // format-template semantics (utility.py:752 `.format(values)`):
+        // `{}` is replaced by the grid value so suffixes stay unique
+        val tpl = str(other)
+        if (tpl.contains("{}")) tpl.replace("{}", str(value))
+        else s"$tpl${index + 1}" // no placeholder: index keeps names unique
       case None => params.get(sKey + "*") match {
-        case Some(YList(xs)) => str(xs(index))
+        case Some(YList(xs)) =>
+          require(index < xs.length,
+            s"$sKey* has ${xs.length} entries but $starKey expands to more values")
+          str(xs(index))
         case _ => index + 1
       }
     }

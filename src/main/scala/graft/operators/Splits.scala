@@ -31,18 +31,29 @@ object Splits {
     * @param trainFrac e.g. 0.8 → Ntrain=ceil(0.8N), Nhold=ceil(0.8(N−Ntrain)).
     */
   def assign(df: DataFrame, idCol: String, splitName: String,
-      trainFrac: Double, seed: Long): DataFrame = {
+      trainFrac: Double, seed: Long): DataFrame =
+    assignImpl(df, idCol, splitName, trainFrac, seed, materialize = true)
+
+  /** `materialize = false` builds the lazy plan without pinning —
+    * for plan audits (PlanSpec) only: executing it would let the
+    * range boundaries resample between the counts job and the rank
+    * job. The real path pins the shuffle, materializes the result,
+    * and releases the pinned blocks before returning (no cached
+    * leftovers per call). */
+  private[graft] def assignImpl(df: DataFrame, idCol: String,
+      splitName: String, trainFrac: Double, seed: Long,
+      materialize: Boolean): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // Range boundaries are sampled per-execution, so pin the
     // partitioning with persist(): the counts job and the rank job
     // must see identical partition ids.
-    val ranged = df.select(col(idCol))
+    val ranged0 = df.select(col(idCol))
       .withColumn("__h", xxhash64(col(idCol), lit(s"$splitName:$seed")))
       .repartitionByRange(parts, col("__h"), col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .persist()
+    val ranged = if (materialize) ranged0.persist() else ranged0
     val counts = ranged.groupBy("__pid").count()
       .as[(Int, Long)].collect().toMap
     val n = counts.valuesIterator.sum
@@ -64,7 +75,14 @@ object Splits {
           .when(col("__rk") <= nTrain + nHold, "holdout")
           .otherwise("super"))
       .select(col(idCol), lit(splitName).as("split_name"), col("bucket"))
-    out
+    if (!materialize) out
+    else {
+      // run the rank job while the pinned shuffle is alive, then free
+      // it — assign() leaves no cached blocks behind
+      val result = out.localCheckpoint(true)
+      ranged.unpersist()
+      result
+    }
   }
 
   /** Persist an assignment (the reference's ids pickle → a table). */

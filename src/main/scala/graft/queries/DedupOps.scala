@@ -188,10 +188,13 @@ object DedupOps {
     * exact distance (popcount of XOR over the 4 band ints — codegen'd
     * `bit_count`, no per-bit string compare) filters them. */
   def d3HammingPairs(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint, not persist: materialized once for both sides
+    // of the self-join, and the blocks are GC-released with the
+    // DataFrame — repeated calls leave no cached leftovers
     val sig = simhash64(s, dir)
       .select(col("doc_id"), col("band0"), col("band1"),
         col("band2"), col("band3"))
-      .persist()
+      .localCheckpoint(true)
     def sides(p: String) = sig.select(
       col("doc_id").as(s"doc_$p") +: (0 until 4).map(k =>
         col(s"band$k").as(s"$p$k")) :+
@@ -244,7 +247,8 @@ object DedupOps {
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    val maxIters = 64
+    while (changed > 0 && iter < maxIters) {
       val prop = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
       val next = labels.unionByName(prop)
@@ -257,6 +261,11 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    // fail loudly rather than return split components: a silent
+    // partial result under-deletes duplicates downstream
+    require(changed == 0,
+      s"connected components did not converge in $maxIters rounds " +
+        "(pathological chain-shaped dup graph?)")
     labels.orderBy(col("doc_id"))
   }
 

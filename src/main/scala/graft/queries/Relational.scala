@@ -115,7 +115,7 @@ object Relational {
       .join(hist.groupBy(col("cand")).agg(sum(col("q")).as("tot")), "cand")
       .select(col("cand"), col("bucket"),
         (col("q").cast("double") / col("tot").cast("double")).as("qn"))
-      .persist()
+      .localCheckpoint(true) // shared by ref + metric; GC-released
     val refCand = norm.agg(max(col("cand")).as("__ref"))
     val ref = norm.join(broadcast(refCand), col("cand") === col("__ref"))
       .select(col("bucket"), col("qn").as("qn_ref"))

@@ -100,7 +100,10 @@ object TextOps {
     * cost more than the real work; a single JVM call per document
     * does not). */
   private val repUdf = udf { (text: String) =>
-    val t = text.split(" ")
+    // limit -1: keep trailing empty tokens — matches Spark's
+    // split(col, " ") and DuckDB's string_split (Java's default split
+    // drops trailing empties and would diverge on trailing spaces)
+    val t = text.split(" ", -1)
     val n = t.length
     val grams =
       if (n >= 3) Array.tabulate(n - 2)(i => t(i) + " " + t(i + 1) + " " + t(i + 2))

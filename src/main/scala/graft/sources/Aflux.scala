@@ -83,12 +83,22 @@ object Aflux {
     }
   }
 
-  /** One `keyword(condition)` fragment per keyword touched by `p`.
-    * Top-level AND across different keywords splits into separate
-    * matchbook items (comma = AND at matchbook level); OR across
-    * different keywords is not expressible in one AFLUX request. */
+  /** One `keyword(condition)` fragment per keyword touched by `p` —
+    * EXACTLY one: a cross-keyword AND regroups its children per
+    * keyword and merges each keyword's conditions with `,` (AND
+    * inside the parens), since a property may appear only once in an
+    * AFLUX matchbook. OR across different keywords is not expressible
+    * in one AFLUX request. */
   def matchbookItems(p: Pred): Seq[(String, String)] = p match {
-    case And(ps @ _*) if keysOf(p).size > 1 => ps.flatMap(matchbookItems)
+    case And(ps @ _*) if keysOf(p).size > 1 =>
+      require(ps.forall(c => keysOf(c).size == 1),
+        s"AFLUX cannot nest a cross-keyword clause inside AND: $p")
+      ps.groupBy(c => keysOf(c).head).toSeq.sortBy {
+        case (k, _) => ps.indexWhere(c => keysOf(c).head == k)
+      }.map { case (k, same) =>
+        k -> (if (same.length == 1) condition(same.head)
+              else condition(And(same: _*)))
+      }
     case _ =>
       val ks = keysOf(p)
       require(ks.size == 1,

@@ -55,6 +55,12 @@ class AfluxSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Aflux.matchbookItems(Or(Cmp("Egap", ">", 6), Cmp("nspecies", "==", 2)))
     }
+    // a keyword may appear only ONCE in a matchbook: same-keyword
+    // conditions inside a cross-keyword AND merge into one block
+    val window = And(Cmp("Egap", ">", 0), Cmp("Egap", "<", 2),
+      Cmp("nspecies", "==", 2))
+    assert(Aflux.matchbookItems(window) ===
+      Seq("Egap" -> "0*,*2", "nspecies" -> "2"))
     // String quoting: specials get single quotes, `%` maps to *v*.
     assert(Aflux.matchbookItems(Cmp("author", "%", "curtarolo")) ===
       Seq("author" -> "*curtarolo*"))

@@ -55,8 +55,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("split assignment plans with no single-partition exchange (scale-safe rank)") {
     val df = spark.read.parquet(s"$sf/orders.parquet")
-    val plan = formatted(
-      operators.Splits.assign(df, "o_orderkey", "plancheck", 0.8, 7L))
+    // audit the lazy plan: the production assign() checkpoints its
+    // result (the returned plan would just be an RDD scan)
+    val plan = formatted(operators.Splits.assignImpl(
+      df, "o_orderkey", "plancheck", 0.8, 7L, materialize = false))
     assert(!plan.contains("SinglePartition"),
       "global-window rank would funnel all rows through one task")
     assert(plan.toLowerCase.contains("rangepartitioning"),

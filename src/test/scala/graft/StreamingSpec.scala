@@ -53,21 +53,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
-  test("watermarked streaming dedup matches batch distinct (D1 twin)") {
-    val dir = stageEvents()
+  test("watermarked streaming dedup drops replayed events (D1 twin)") {
+    // stage the SAME file twice: an at-least-once replay — every
+    // event arrives twice and must survive exactly once
+    val dir = Files.createTempDirectory("events_dup").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(dir, "events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(dir, "events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val q = EventsStream.dedupStream(spark, dir).writeStream
       .outputMode("append").format("memory").queryName("deduped").start()
     q.processAllAvailable(); q.stop()
-    val streamed = spark.sql("SELECT user_id, event_type, ets FROM deduped")
-    // drained-stream dedup = batch dropDuplicates on the same key
-    val batch = Tables(spark, "/root/testdata/sf0.001", "events")
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-      .dropDuplicates("user_id", "event_type", "ets")
-    assert(streamed.count() === batch.count())
-    // no key appears twice downstream
-    val dups = streamed.groupBy("user_id", "event_type", "ets")
-      .count().where(col("count") > 1)
-    assert(dups.count() === 0)
+    val streamed = spark.sql("SELECT event_id FROM deduped")
+    val batchDistinct = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id").distinct().count()
+    assert(streamed.count() === batchDistinct)
+    // no identity key appears twice downstream
+    assert(streamed.groupBy("event_id").count()
+      .where(col("count") > 1).count() === 0)
   }
 
   test("foreachBatch ingest loop lands deduped parquet (connector shape)") {
