@@ -116,6 +116,48 @@ object Extras {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** J7 as-of join — the classic time-series operator Spark has no
+    * native form for (DuckDB/kdb/pandas merge_asof do): each left
+    * event picks the most recent right event at-or-before its
+    * timestamp, per key. Composed from existing operators, no custom
+    * plan needed: tag both sides, union, and take
+    * `last(right-payload, ignoreNulls)` over a window PARTITIONED BY
+    * KEY ordered by (ts, side) — right sorts before left at equal ts,
+    * so ties match (l.ts >= r.ts semantics). One shuffle on the key,
+    * no range join, no cartesian; the window never degenerates to a
+    * single partition. Right side is pre-aggregated to unique
+    * (key, ts) so the survivor is deterministic. */
+  def j7AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    // µs resolution on both engines: DuckDB's TIMESTAMP is µs-precision,
+    // so the raw nano longs truncate identically on both sides
+    val ev = Tables(s, dir, "events")
+      .withColumn("ts", expr("ts div 1000"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("p_value"))
+    val l = clicks
+      .withColumn("side", lit(1))
+      .withColumn("p_value", lit(null).cast("double"))
+    val r = purchases
+      .withColumn("side", lit(0))
+      .withColumn("event_id", lit(null).cast("long"))
+    val cols = Seq("user_id", "ts", "side", "event_id", "p_value")
+    val u = l.select(cols.map(col): _*).unionByName(r.select(cols.map(col): _*))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("prior_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("prior_value",
+        last(when(col("side") === 0, col("p_value")), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("prior_ts"), col("prior_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Gap-based sessionization (30-min inactivity), fully relational —
     * the batch twin of the streaming stateful session surface
     * (§2.10): new-session flags via lag, session ids via running sum,
@@ -153,6 +195,7 @@ object Extras {
     "o6_sample" -> (o6Sample _),
     "o7_stratified_sample" -> (o7StratifiedSample _),
     "a9_ingest_progress" -> (a9IngestProgress _),
+    "j7_asof_join" -> (j7AsofJoin _),
     "w3_sessionize" -> (w3Sessionize _),
     "a6_weighted_mean" -> (a6WeightedMean _),
     "k1_vegard" -> (k1Vegard _),
@@ -171,6 +214,20 @@ object Extras {
     "o6_sample" ->
       """SELECT p_partkey, p_name, md5('42:' || p_partkey) AS rk
         |FROM part ORDER BY rk LIMIT 20""".stripMargin,
+    // the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    // implementation of the same semantics (ts compared as raw nanos)
+    "j7_asof_join" ->
+      """WITH l AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS ts
+        | FROM events WHERE event_type = 'click'),
+        |r AS (
+        | SELECT user_id, epoch_us(ts) AS ts, MAX(value) AS p_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts,
+        | r.ts AS prior_ts, r.p_value AS prior_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
     "a9_ingest_progress" ->
       """SELECT source, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS n_chars,
         | MIN(doc_id) AS first_id, MAX(doc_id) AS last_id,
