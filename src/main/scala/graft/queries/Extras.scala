@@ -158,6 +158,33 @@ object Extras {
       .orderBy(col("event_id"))
   }
 
+  /** J8 range join — interval predicates (|ts_a − ts_b| ≤ W) that a
+    * naive planner turns into a cartesian + filter. The scale shape:
+    * BIN both sides to W-wide buckets and equi-join each left bucket
+    * to its right bucket and the two neighbors (any pair within W
+    * spans at most adjacent buckets), then apply the exact interval
+    * filter. The shuffle key is the bucket id, candidate volume is
+    * O(pairs-within-2W) — never N². Here: error events paired with
+    * purchase events within 60 s (cross-user incident correlation). */
+  def j8RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 60L * 1000 * 1000 // 60 s in µs (µs parity with DuckDB)
+    val ev = Tables(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val b = expr(s"err_ts div $winUs")
+    val l = errors.withColumn("bucket",
+      explode(array(b - 1, b, b + 1)))
+    val r = purchases.withColumn("bucket", expr(s"p_ts div $winUs"))
+    l.join(r, "bucket")
+      .where(abs(col("err_ts") - col("p_ts")) <= winUs)
+      .select(col("err_id"), col("p_id"),
+        (col("p_ts") - col("err_ts")).as("delta_us"))
+      .distinct()
+      .orderBy(col("err_id"), col("p_id"))
+  }
+
   /** Gap-based sessionization (30-min inactivity), fully relational —
     * the batch twin of the streaming stateful session surface
     * (§2.10): new-session flags via lag, session ids via running sum,
@@ -196,6 +223,7 @@ object Extras {
     "o7_stratified_sample" -> (o7StratifiedSample _),
     "a9_ingest_progress" -> (a9IngestProgress _),
     "j7_asof_join" -> (j7AsofJoin _),
+    "j8_range_join" -> (j8RangeJoin _),
     "w3_sessionize" -> (w3Sessionize _),
     "a6_weighted_mean" -> (a6WeightedMean _),
     "k1_vegard" -> (k1Vegard _),
@@ -228,6 +256,18 @@ object Extras {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    // oracle: plain inequality join — DuckDB plans it as IEJoin; the
+    // Spark side's bucketed equi-join must produce the identical pairs
+    "j8_range_join" ->
+      """WITH e AS (
+        | SELECT event_id AS err_id, epoch_us(ts) AS err_ts
+        | FROM events WHERE event_type = 'error'),
+        |p AS (
+        | SELECT event_id AS p_id, epoch_us(ts) AS p_ts
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT e.err_id, p.p_id, p.p_ts - e.err_ts AS delta_us
+        |FROM e JOIN p ON ABS(e.err_ts - p.p_ts) <= 60000000
+        |ORDER BY err_id, p_id""".stripMargin,
     "a9_ingest_progress" ->
       """SELECT source, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS n_chars,
         | MIN(doc_id) AS first_id, MAX(doc_id) AS last_id,
