@@ -114,12 +114,32 @@ object TextOps {
     (ng.toLong, dupG, dupT)
   }
 
+  /** T6 text normalization/cleaning (the C4-style canonicalization
+    * pass run before dedup and tokenization): lowercase, strip
+    * non-printable/control characters, collapse whitespace runs, trim.
+    * Pure codegen'd column expressions; the cleaned text feeds the
+    * same fingerprint as t4, so normalization-equivalent docs collide. */
+  def t6Normalize(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(regexp_replace(
+      lower(col("text")),
+      "[\\p{Cntrl}]", ""), // control chars out
+      " {2,}", " ")) // collapse space runs
+    Tables(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        cleaned.as("clean_text"),
+        (cleaned =!= col("text")).as("changed"),
+        md5(cleaned).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_repetition" -> (t5Repetition _),
+    "t6_normalize" -> (t6Normalize _),
   )
 
   private val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
@@ -182,5 +202,14 @@ object TextOps {
         | ELSE 0.0 END AS dup_gram_frac,
         | round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 6) AS dup_tok_frac
         |FROM tg ORDER BY doc_id""".stripMargin,
+    "t6_normalize" ->
+      """WITH c AS (
+        | SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:cntrl:]]', '', 'g'), ' {2,}', ' ', 'g')) AS clean_text
+        | FROM documents)
+        |SELECT doc_id, clean_text, clean_text != text AS changed,
+        | md5(clean_text) AS clean_fp
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -90,7 +90,7 @@ class CrystalSpec extends AnyFunSuite {
     //   fcc/bcc: n=1..4 → 2, 2, 6, 19      sc: n=1..4 → 2, 3, 6, 24
     def counts(lat: String, n: Int): Int =
       Enumerated.enumerate(lat, 1.0, Seq("A", "B"), n, n).length
-    assert((1 to 4).map(counts("fcc", _)) === Seq(2, 2, 6, 19))
+    assert((1 to 6).map(counts("fcc", _)) === Seq(2, 2, 6, 19, 28, 80))
     assert((1 to 4).map(counts("bcc", _)) === Seq(2, 2, 6, 19))
     assert((1 to 4).map(counts("sc", _)) === Seq(2, 3, 6, 24))
     // hcp (2-atom basis): n=1 matches the fixture exactly — {00, 11,
