@@ -101,4 +101,59 @@ class PropertySpec extends AnyFunSuite {
       assert(moved.uuid !== same.uuid)
     }
   }
+
+  test("linspace/logspace: length, endpoints, monotonicity (K11)") {
+    import graft.functions.SpecialValues
+    val g = for {
+      a <- Gen.choose(-100.0, 100.0)
+      span <- Gen.choose(0.001, 200.0)
+      n <- Gen.choose(2, 40)
+    } yield (a, a + span, n)
+    samples(g).foreach { case (a, b, n) =>
+      val xs = SpecialValues.values(s"linspace($a, $b, $n)").get
+      assert(xs.length === n)
+      assert(math.abs(xs.head - a) < 1e-9 && math.abs(xs.last - b) < 1e-9)
+      xs.zip(xs.tail).foreach { case (p, q) => assert(p < q) }
+      // range(a, b, step) never includes the stop
+      val r = SpecialValues.values(s"range(0, $n, 1)").get
+      assert(r.length === n && r.last === (n - 1).toDouble)
+    }
+  }
+
+  test("AFLUX matchbook: each keyword appears exactly once (S9)") {
+    import graft.functions.AflowDsl.{And, Cmp}
+    import graft.sources.Aflux
+    val kwGen = Gen.oneOf("Egap", "nspecies", "natoms", "spacegroup_relax")
+    val cmpGen = for {
+      k <- kwGen
+      op <- Gen.oneOf("==", "<", ">")
+      v <- Gen.choose(1, 500)
+    } yield Cmp(k, op, v)
+    val andGen = Gen.nonEmptyListOf(cmpGen).map(cs => And(cs.take(6): _*))
+    samples(andGen).foreach { p =>
+      val items = Aflux.matchbookItems(p)
+      val keys = items.map(_._1)
+      assert(keys.distinct.length === keys.length,
+        s"duplicate keyword block in $items")
+      // every distinct keyword of the predicate is covered
+      assert(keys.toSet ===
+        p.ps.map { case Cmp(k, _, _) => k; case _ => "" }.toSet)
+    }
+  }
+
+  test("prototype decoration: vegard a0 inside the latpar hull (G9)") {
+    import graft.generators.Prototypes
+    val latGen = for {
+      a <- Gen.choose(3.0, 5.0)
+      b <- Gen.choose(3.0, 5.0)
+    } yield Map("Ag" -> a, "Pd" -> b)
+    samples(latGen, 30).foreach { lp =>
+      val out = Prototypes.generate(Seq("L1_2", "B2_cscl"), Seq("Ag", "Pd"), lp)
+      out.foreach { c =>
+        val a0 = c.cell(0)(0) / Prototypes.library
+          .find(_.name == c.params("prototype")).get.cell(0)(0)
+        assert(a0 >= lp.values.min - 1e-9 && a0 <= lp.values.max + 1e-9)
+      }
+    }
+  }
 }
