@@ -269,6 +269,35 @@ object DedupOps {
     labels.orderBy(col("doc_id"))
   }
 
+  /** D8 decontamination — benchmark n-gram overlap removal (the
+    * GPT-3/Pile-style eval-set hygiene pass): any training document
+    * sharing an 8-gram with the benchmark set is flagged. The
+    * benchmark gram set is SMALL by construction (test sets are tiny
+    * next to a 100 TB corpus), so the scale shape is a broadcast
+    * semi-ish join against the corpus gram stream — the corpus never
+    * shuffles on the gram key. Here the benchmark stand-in is the
+    * deterministic doc_id % 97 slice of the same table. */
+  def d8Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val docs = Tables(s, dir, "documents")
+    val isBench = pmod(col("doc_id"), lit(97)) === 0
+    val benchGrams = docs.where(isBench)
+      .select(explode(array_distinct(
+        graft.operators.MinHash.shingleCol(col("text"), n))).as("gram"))
+      .distinct()
+    val corpus = docs.where(!isBench)
+    val corpusGrams = corpus.select(col("doc_id"),
+      explode(array_distinct(
+        graft.operators.MinHash.shingleCol(col("text"), n))).as("gram"))
+    val hits = corpusGrams.join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Sketch-based distinct counting (HLL / approx_count_distinct —
     * the "novel sketch" surface; no oracle: sketch implementations
     * differ across engines, spec asserts the error bound instead). */
@@ -284,6 +313,7 @@ object DedupOps {
     "d3_hamming_pairs" -> (d3HammingPairs _),
     "d3_simhash_dups" -> (d3SimhashDups _),
     "d6_dup_clusters" -> (d6DupClusters _),
+    "d8_decontaminate" -> (d8Decontaminate _),
     "sk1_approx_distinct" -> (sk1ApproxDistinct _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
@@ -387,6 +417,24 @@ object DedupOps {
          |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
          |FROM base GROUP BY simhash HAVING COUNT(*) > 1
          |ORDER BY keeper""".stripMargin,
+    "d8_decontaminate" ->
+      """WITH g AS (
+        | SELECT doc_id, doc_id % 97 = 0 AS is_bench,
+        |  CASE WHEN len(string_split(text, ' ')) >= 8 THEN
+        |   list_distinct([array_to_string(string_split(text, ' ')[i:i+7], ' ')
+        |    for i in range(1, len(string_split(text, ' ')) - 6)])
+        |  ELSE [] END AS grams
+        | FROM documents),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_bench),
+        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_bench),
+        |hits AS (
+        | SELECT cg.doc_id, COUNT(*) AS n_hits
+        | FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id)
+        |SELECT g.doc_id, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+        | COALESCE(h.n_hits, 0) > 0 AS contaminated
+        |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+        |WHERE NOT g.is_bench
+        |ORDER BY g.doc_id""".stripMargin,
     // connected components as a recursive CTE: a label l spreads along
     // any edge to a larger-id node; the component minimum reaches every
     // member (all other members have larger ids), so MIN(comp) per node

@@ -76,4 +76,24 @@ class MinHashSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(v === 11.0)
   }
+
+  test("decontamination flags docs sharing an 8-gram with the benchmark (D8)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("decon").toString
+    // doc 0 is the benchmark slice (0 % 97 == 0); doc 1 embeds doc 0's
+    // 8-gram verbatim; doc 2 shares nothing
+    val gram8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    Seq(
+      (0L, gram8 + " india juliet", "en", "bench", 40L),
+      (1L, "leading words then " + gram8 + " trailing", "en", "web", 50L),
+      (2L, "one two three four five six seven eight nine ten", "en", "web", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.DedupOps.d8Decontaminate(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet === Set(1L, 2L)) // benchmark doc excluded
+    assert(out(1L)._2 === true && out(1L)._1 >= 1L)
+    assert(out(2L) === ((0L, false)))
+  }
 }
