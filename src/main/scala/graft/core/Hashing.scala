@@ -49,7 +49,7 @@ object Hashing {
   /** Distributed whole-relation hash (D7): md5 per row, sorted, then
     * hashed — deterministic under any partitioning. Returns a 1-row DF. */
   def tableHash(df: org.apache.spark.sql.DataFrame): String = {
-    val cols = df.columns.sorted.map(col)
+    val cols = df.columns.sorted.toSeq.map(col)
     val h = df.select(md5(to_json(struct(cols: _*))).as("h"))
       .agg(md5(array_join(array_sort(collect_list(col("h"))), "")).as("th"))
     h.collect()(0).getString(0)
