@@ -192,8 +192,11 @@ object SpecialValues {
       }
       case other => Seq(other)
     }
+    // Must mirror walk's collectFirst exclusion exactly: a map whose
+    // only starred keys are `*_suffix*` helpers has nothing walk can
+    // consume, and treating it as "nested" would recurse forever.
     def isNested(m: YMap): Boolean = m.items.exists {
-      case (k, _) if k.endsWith("*") => true
+      case (k, _) if k.endsWith("*") && !k.stripSuffix("*").endsWith("_suffix") => true
       case (_, sub: YMap) => isNested(sub)
       case _ => false
     }
@@ -230,11 +233,15 @@ object SpecialValues {
           }
       }
     }
-    // drop consumed *_suffix helper keys from the emitted params
-    walk(params).map { case (s, m) =>
-      (s.getOrElse(""), YMap(m.items.filterNot { case (k, _) =>
-        k.stripSuffix("*").endsWith("_suffix")
-      }))
-    }
+    // drop consumed *_suffix helper keys from the emitted params, at
+    // every nesting level (nested axes carry their own helpers)
+    def stripSuffixKeys(m: YMap): YMap =
+      YMap(m.items
+        .filterNot { case (k, _) => k.stripSuffix("*").endsWith("_suffix") }
+        .map {
+          case (k, sub: YMap) => k -> stripSuffixKeys(sub)
+          case other => other
+        })
+    walk(params).map { case (s, m) => (s.getOrElse(""), stripSuffixKeys(m)) }
   }
 }

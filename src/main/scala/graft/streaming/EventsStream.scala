@@ -43,23 +43,25 @@ object EventsStream {
   }
 
   /** Streaming exact dedup with bounded state — the ingest-time twin
-    * of the batch D1 dedup: `dropDuplicates` on the record's identity
-    * key (event_id — the idempotency key for at-least-once replays,
-    * the analog of D1's content hash) with a watermark, so Spark
-    * evicts seen-keys state older than the horizon (without the
-    * watermark, dedup state grows without bound — the difference
-    * between a demo and a pipeline that survives a week of ingest).
-    * Late duplicates beyond the horizon are the accepted trade,
-    * exactly as in batch backfill dedup windows. Keying on identity
-    * keeps the survivor deterministic: two DIFFERENT events are never
-    * conflated. */
+    * of the batch D1 dedup: `dropDuplicatesWithinWatermark` on the
+    * record's identity key (event_id — the idempotency key for
+    * at-least-once replays, the analog of D1's content hash). Plain
+    * `dropDuplicates("event_id")` would NEVER evict its seen-keys
+    * state (the watermark only bounds state when the event-time
+    * column is part of the key set); the WithinWatermark variant
+    * keys state on event_id alone but expires entries once the
+    * watermark passes their event time — bounded state with identity
+    * keying. Late duplicates beyond the horizon are the accepted
+    * trade, exactly as in batch backfill dedup windows. Keying on
+    * identity keeps the survivor deterministic: two DIFFERENT events
+    * are never conflated. */
   def dedupStream(spark: SparkSession, srcDir: String,
       horizon: String = "2 hours"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.readStream.schema(eventsSchema).parquet(srcDir)
     withEventTime(src)
       .withWatermark("ets", horizon)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ets"))
   }

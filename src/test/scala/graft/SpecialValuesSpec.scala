@@ -93,6 +93,26 @@ class SpecialValuesSpec extends AnyFunSuite {
     }
   }
 
+  test("get_grid: nested map with explicit suffix list terminates (K13)") {
+    // Regression: isNested used to count `*_suffix*` helper keys as
+    // starred, so a NESTED map whose only star was consumed (leaving
+    // just the suffix helper) recursed forever.
+    val nested = Yaml.parse(
+      """outer: 1
+        |sub:
+        |  depth*: [1, 2]
+        |  depth_suffix*: [lo, hi]
+        |""".stripMargin)
+    val grid = SpecialValues.getGrid(nested)
+    assert(grid.length === 2)
+    assert(grid.map(_._1).toSet === Set("dep-lo", "dep-hi"))
+    grid.foreach { case (_, m) =>
+      val sub = m("sub").asInstanceOf[YMap]
+      assert(sub.get("depth").exists(_.isInstanceOf[YNum]))
+      assert(sub.keys.forall(k => !k.endsWith("*")))
+    }
+  }
+
   test("get_grid without stars is the identity") {
     val params = Yaml.parse("type: vacancy\nnconfigs: 2\n")
     val grid = SpecialValues.getGrid(params)
