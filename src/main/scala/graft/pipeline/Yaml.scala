@@ -106,13 +106,26 @@ object Yaml {
     * @param yfile file name relative to context, WITHOUT the `.yml`
     *   extension (the reference requires `.yml`, not `.yaml`).
     */
-  def readSpec(context: String, yfile: String): Node = {
+  def readSpec(context: String, yfile: String): Node =
+    readSpec(context, yfile, Vector.empty)
+
+  /** `visiting` is the chain of include targets currently being
+    * expanded; a repeat means the spec files include each other and
+    * expansion would never terminate, so fail with the chain instead
+    * of a StackOverflowError. */
+  private def readSpec(context: String, yfile: String,
+      visiting: Vector[java.nio.file.Path]): Node = {
     val name = if (yfile.startsWith(":")) yfile.drop(1) else yfile
     val target = java.nio.file.Paths.get(context).resolve(name + ".yml")
     require(java.nio.file.Files.isRegularFile(target),
       s"template file '$yfile.yml' not found relative to '$context'")
+    val canon = target.toAbsolutePath.normalize()
+    if (visiting.contains(canon))
+      throw new IllegalArgumentException(
+        s"cyclic :link include: ${(visiting :+ canon).mkString(" -> ")}")
+    val chain = visiting :+ canon
     val root = parseAny(java.nio.file.Files.readString(target))
-    val ncontext = target.toAbsolutePath.getParent.toString
+    val ncontext = canon.getParent.toString
     root match {
       case m: YMap =>
         // local context: {key: relative-dir} for reads within that item
@@ -122,8 +135,8 @@ object Yaml {
           case _ => Map.empty[String, String]
         }
         unpack(ncontext,
-          YMap(m.items.filterNot(_._1 == "context")), lcontext)
-      case other => unpack(ncontext, other, Map.empty)
+          YMap(m.items.filterNot(_._1 == "context")), lcontext, chain)
+      case other => unpack(ncontext, other, Map.empty, chain)
     }
   }
 
@@ -133,17 +146,18 @@ object Yaml {
   }
 
   private def unpack(context: String, node: Node,
-      lcontext: Map[String, String]): Node = node match {
+      lcontext: Map[String, String],
+      visiting: Vector[java.nio.file.Path]): Node = node match {
     case m: YMap => YMap(m.items.map { case (k, v) =>
       val nctx = lcontext.get(k).map(rel =>
         java.nio.file.Paths.get(context).resolve(rel)
           .normalize().toString).getOrElse(context)
-      if (isLink(v)) k -> readSpec(nctx, str(v))
-      else k -> unpack(nctx, v, Map.empty)
+      if (isLink(v)) k -> readSpec(nctx, str(v), visiting)
+      else k -> unpack(nctx, v, Map.empty, visiting)
     })
     case YList(xs) => YList(xs.map { o =>
-      if (isLink(o)) readSpec(context, str(o))
-      else unpack(context, o, Map.empty)
+      if (isLink(o)) readSpec(context, str(o), visiting)
+      else unpack(context, o, Map.empty, visiting)
     })
     case other => other
   }

@@ -148,13 +148,18 @@ object Extras {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("prior_ts",
-        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
-      .withColumn("prior_value",
-        last(when(col("side") === 0, col("p_value")), ignoreNulls = true).over(w))
+    // ONE last() over a struct, not two independent windows: with two,
+    // a matched purchase row whose p_value is null would split the
+    // answer (prior_ts from the latest row, prior_value from an older
+    // non-null one) — ASOF semantics take both fields from the same
+    // matched row, nulls included.
+    u.withColumn("prior",
+        last(when(col("side") === 0, struct(col("ts").as("ts"),
+          col("p_value").as("p_value"))), ignoreNulls = true).over(w))
       .where(col("side") === 1)
       .select(col("event_id"), col("user_id"), col("ts"),
-        col("prior_ts"), col("prior_value"))
+        col("prior")("ts").as("prior_ts"),
+        col("prior")("p_value").as("prior_value"))
       .orderBy(col("event_id"))
   }
 

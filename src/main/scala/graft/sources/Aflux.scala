@@ -142,12 +142,16 @@ object Aflux {
   }
 
   /** Matchbook: orderby keyword first (`$` = descending), then filter
-    * fragments, then bare select keywords, then `$`-excluded ones. */
+    * fragments, then bare select keywords, then `$`-excluded ones.
+    * Each keyword appears at most once: a filtered (or orderby'd)
+    * keyword is already returned by AFLUX, so bare select duplicates
+    * of it are dropped. */
   def matchbook(q: Query): String = {
     val order = q.orderby.map(k => (if (q.reverse) "$" else "") + k).toSeq
-    val filt = q.filters.flatMap(matchbookItems)
-      .map { case (k, cond) => s"$k($cond)" }
-    val sel = q.select.filterNot(q.orderby.contains)
+    val filtItems = q.filters.flatMap(matchbookItems)
+    val filt = filtItems.map { case (k, cond) => s"$k($cond)" }
+    val sel = q.select.filterNot(k =>
+      q.orderby.contains(k) || filtItems.exists(_._1 == k))
     val excl = q.exclude.map("$" + _)
     (order ++ filt ++ sel ++ excl).mkString(",")
   }

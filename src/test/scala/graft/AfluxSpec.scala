@@ -22,10 +22,10 @@ class AfluxSpec extends AnyFunSuite {
     // orderby first ($ = descending), filter fragment, remaining select,
     // then directives.
     assert(q.matchbook ===
-      "$agl_thermal_conductivity_300K,Egap(6*),Egap")
+      "$agl_thermal_conductivity_300K,Egap(6*)")
     assert(q.requestUrl(1) ===
       "http://aflowlib.duke.edu/search/API/" +
-        "?$agl_thermal_conductivity_300K,Egap(6*),Egap,$paging(1,20)")
+        "?$agl_thermal_conductivity_300K,Egap(6*),$paging(1,20)")
     assert(q.pageUrls().length === 1)
   }
 

@@ -130,6 +130,17 @@ class SpecPipelineSpec extends AnyFunSuite {
       SpecPipeline.parsePlanFile(dir, "broken")
     }
     assert(e.getMessage.contains("nope"))
+    // mutually-including specs fail with the include chain, not a
+    // StackOverflowError
+    Files.writeString(java.nio.file.Paths.get(dir, "a.yml"),
+      "other: \":b\"\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "b.yml"),
+      "other: \":a\"\n")
+    val cyc = intercept[IllegalArgumentException] {
+      graft.pipeline.Yaml.readSpec(dir, "a")
+    }
+    assert(cyc.getMessage.contains("cyclic"))
+    assert(cyc.getMessage.contains("a.yml") && cyc.getMessage.contains("b.yml"))
   }
 
   test("unknown step type fails loudly") {
