@@ -37,7 +37,8 @@ object MinHash {
   /** Signature table: (idCol, mh0..mh{k-1}, band_0..band_{bands-1}).
     * Requires ≥ n tokens per row (shorter rows are dropped). */
   def signatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+      k: Int = 16, bands: Int = 2, shingleN: Int = 3,
+      materialize: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
     val base = df
@@ -47,10 +48,11 @@ object MinHash {
     val aggs = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("__sh")))).as(s"mh$i"))
     val sig = base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    (0 until bands).foldLeft(sig) { (d, b) =>
+    val out = (0 until bands).foldLeft(sig) { (d, b) =>
       d.withColumn(s"band_$b", md5(concat_ws("",
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)))
-    }.persist()
+    }
+    if (materialize) out.persist() else out
   }
 
   /** Production-speed signature variant: xxhash64(seed, shingle)
@@ -60,7 +62,8 @@ object MinHash {
     * hash values → used when no cross-engine oracle parity is
     * required (the md5 path exists exactly for that parity). */
   def signaturesFast(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+      k: Int = 16, bands: Int = 2, shingleN: Int = 3,
+      materialize: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
     val base = df
@@ -70,10 +73,11 @@ object MinHash {
     val aggs = (0 until k).map(i =>
       min(xxhash64(lit(i), col("__sh"))).as(s"mh$i"))
     val sig = base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    (0 until bands).foldLeft(sig) { (d, b) =>
+    val out = (0 until bands).foldLeft(sig) { (d, b) =>
       d.withColumn(s"band_$b", xxhash64(
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*))
-    }.persist()
+    }
+    if (materialize) out.persist() else out
   }
 
   /** Candidate near-dup pairs with estimated Jaccard ≥ threshold. */

@@ -32,12 +32,15 @@ object DedupOps {
 
   /** Signature table via the reusable operator API
     * (graft.operators.MinHash — explode → codegen'd md5 →
-    * groupBy(min), persisted so downstream sorts/self-joins don't
-    * recompute the hash pass). */
-  private def sigDf(s: SparkSession, dir: String): DataFrame =
+    * groupBy(min)). `materialize=true` persists it so downstream
+    * sorts/self-joins don't recompute the hash pass; the CALLER then
+    * owns the unpersist (no cached blocks may survive a query call —
+    * CacheHygieneSpec enforces this). */
+  private def sigDf(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame =
     graft.operators.MinHash.signatures(
       Tables(s, dir, "documents"), "doc_id", "text",
-      k = K, bands = 2, shingleN = 3)
+      k = K, bands = 2, shingleN = 3, materialize = materialize)
 
   /** D1 exact dedup: keeper (min id) per content hash. */
   def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
@@ -46,9 +49,10 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy(col("keeper"))
 
-  /** D2a MinHash signatures + LSH band keys per document. */
+  /** D2a MinHash signatures + LSH band keys per document. Single
+    * pass over the table — nothing to reuse, so no persist. */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    sigDf(s, dir)
+    sigDf(s, dir, materialize = false)
       .select(col("doc_id"), col("band_0").as("band0"),
         col("band_1").as("band1"), col("mh0"), col(s"mh${K - 1}"))
       .orderBy(col("doc_id"))
@@ -59,13 +63,20 @@ object DedupOps {
     * difference between seconds and minutes even at sf0.1), bands are
     * exploded to (band_idx, band_key) rows, and ONE equi-join on the
     * band key produces candidates; estimated Jaccard (fraction of
-    * agreeing minhashes) verifies them before the distinct. */
-  def d2MinhashPairs(s: SparkSession, dir: String): DataFrame =
-    graft.operators.MinHash.candidatePairs(sigDf(s, dir), "doc_id",
+    * agreeing minhashes) verifies them before the distinct. The small
+    * pair result is checkpointed eagerly so the signature cache
+    * releases before returning. */
+  def d2MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = sigDf(s, dir, materialize = true)
+    val out = graft.operators.MinHash.candidatePairs(sig, "doc_id",
         k = K, bands = 2, threshold = 0.75)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    sig.unpersist()
+    out
+  }
 
   /** D3 SimHash core: 64-bit signature — bit j = majority, across the
     * distinct-token set, of bit j of the first 64 bits of md5(token).
@@ -146,10 +157,16 @@ object DedupOps {
       col("nt").as("nb"))
     val inter = size(array_intersect(col("ta"), col("tb")))
     val j = inter.cast("double") / (col("na") + col("nb") - inter)
-    cand.join(ta, "doc_a").join(tb, "doc_b")
+    // materialize the (small) pair result eagerly so d's cache can be
+    // released before returning — a long-lived session must not
+    // accumulate cached blocks per call
+    val out = cand.join(ta, "doc_a").join(tb, "doc_b")
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    d.unpersist()
+    out
   }
 
   /** D5 embedding near-dup: cosine ≥ threshold within label blocks

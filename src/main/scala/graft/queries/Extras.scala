@@ -211,7 +211,12 @@ object Extras {
   /** Exact interpolated quantiles (A-family; Spark `percentile` and
     * DuckDB `quantile_cont` both linear-interpolate over the sorted
     * values → identical on identical inputs, rounded for the last-bit
-    * interpolation arithmetic). */
+    * interpolation arithmetic).
+    *
+    * SMALL-SF ORACLE TWIN ONLY: exact `percentile` buffers EVERY value
+    * of the group in the aggregation buffer, so a hot group at 100 TB
+    * holds billions of doubles and OOMs the executor. Production code
+    * must use [[a9QuantilesApprox]]. */
   def a9Quantiles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
@@ -222,8 +227,33 @@ object Extras {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** Production-scale quantiles: `approx_percentile` keeps a
+    * FIXED-SIZE mergeable sketch (Greenwald–Khanna, one per group and
+    * partition, merged map-side) instead of buffering the group's
+    * values, so per-group memory is O(accuracy · log n) no matter how
+    * many rows the group holds — the plan that survives a hot
+    * o_orderpriority group with billions of rows. accuracy=10000
+    * bounds the rank error at n/10000 (≤0.01 % of the group);
+    * ExtrasSpec asserts the observed relative error vs the exact
+    * result, sk1-style. */
+  def a9QuantilesApprox(s: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr(s"approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), $accuracy)")
+          .as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        round(col("qs")(0), 4).as("q25"),
+        round(col("qs")(1), 4).as("q50"),
+        round(col("qs")(2), 4).as("q90"),
+        col("n"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a9_quantiles" -> (a9Quantiles _),
+    "a9_quantiles_approx" -> ((s: SparkSession, d: String) => a9QuantilesApprox(s, d)),
     "o6_sample" -> (o6Sample _),
     "o7_stratified_sample" -> (o7StratifiedSample _),
     "a9_ingest_progress" -> (a9IngestProgress _),

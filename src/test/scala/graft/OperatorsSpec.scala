@@ -30,6 +30,26 @@ class OperatorsSpec extends AnyFunSuite {
       again.map(f => (f.media_id, f.feature)).sortBy(_._1).toSeq)
   }
 
+  test("approx quantiles stay within the sketch error bound of exact") {
+    // sk1-style: the production approx_percentile path must track the
+    // exact (oracle-twin) result; GK accuracy 10000 over sf0.01's
+    // ~3000-row groups pins the rank error under one rank, so the
+    // residual is interpolation only.
+    val dir = "/root/testdata/sf0.01"
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = keyed(queries.Extras.a9Quantiles(spark, dir))
+    val approx = keyed(queries.Extras.a9QuantilesApprox(spark, dir))
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, exQs) =>
+      exQs.zip(approx(k)).zipWithIndex.foreach { case ((ex, ap), i) =>
+        val rel = math.abs(ap - ex) / math.abs(ex)
+        assert(rel < 0.01, s"group $k quantile #$i: exact=$ex approx=$ap")
+      }
+    }
+  }
+
   test("multimodal frame sampling emits every Nth frame of videos") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val frames = Multimodal.sampleFrames(media, rate = 2).collect()
