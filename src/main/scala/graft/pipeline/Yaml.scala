@@ -119,7 +119,10 @@ object Yaml {
     val target = java.nio.file.Paths.get(context).resolve(name + ".yml")
     require(java.nio.file.Files.isRegularFile(target),
       s"template file '$yfile.yml' not found relative to '$context'")
-    val canon = target.toAbsolutePath.normalize()
+    // toRealPath resolves symlinks (the file exists — checked above), so
+    // a cycle routed through a symlinked path or directory still keys to
+    // the same real file and is caught instead of overflowing the stack.
+    val canon = target.toRealPath()
     if (visiting.contains(canon))
       throw new IllegalArgumentException(
         s"cyclic :link include: ${(visiting :+ canon).mkString(" -> ")}")

@@ -31,16 +31,17 @@ object DedupOps {
         element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
 
   /** Signature table via the reusable operator API
-    * (graft.operators.MinHash — explode → codegen'd md5 →
-    * groupBy(min)). `materialize=true` persists it so downstream
-    * sorts/self-joins don't recompute the hash pass; the CALLER then
-    * owns the unpersist (no cached blocks may survive a query call —
-    * CacheHygieneSpec enforces this). */
-  private def sigDf(s: SparkSession, dir: String,
-      materialize: Boolean): DataFrame =
+    * (graft.operators.MinHash — explode → codegen'd hash →
+    * groupBy(min)). Query builders never persist it: reuse across the
+    * two sides of a self-join relies on exchange reuse (identical
+    * canonicalized subtrees → one shuffle), so building a query runs
+    * no Spark jobs and leaves no `Dataset.persist` entries behind
+    * (CacheHygieneSpec runs every registered query and asserts the
+    * cache manager stays empty). */
+  private def sigDf(s: SparkSession, dir: String): DataFrame =
     graft.operators.MinHash.signatures(
       Tables(s, dir, "documents"), "doc_id", "text",
-      k = K, bands = 2, shingleN = 3, materialize = materialize)
+      k = K, bands = 2, shingleN = 3, materialize = false)
 
   /** D1 exact dedup: keeper (min id) per content hash. */
   def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
@@ -52,30 +53,29 @@ object DedupOps {
   /** D2a MinHash signatures + LSH band keys per document. Single
     * pass over the table — nothing to reuse, so no persist. */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    sigDf(s, dir, materialize = false)
+    sigDf(s, dir)
       .select(col("doc_id"), col("band_0").as("band0"),
         col("band_1").as("band1"), col("mh0"), col(s"mh${K - 1}"))
       .orderBy(col("doc_id"))
 
-  /** D2b LSH candidate pairs: signatures are materialized ONCE (at
-    * 100 TB this is a persisted signature table — recomputing the
-    * md5-per-shingle work on both sides of both band joins is the
-    * difference between seconds and minutes even at sf0.1), bands are
-    * exploded to (band_idx, band_key) rows, and ONE equi-join on the
-    * band key produces candidates; estimated Jaccard (fraction of
-    * agreeing minhashes) verifies them before the distinct. The small
-    * pair result is checkpointed eagerly so the signature cache
-    * releases before returning. */
+  /** D2b LSH candidate pairs. Both band-join sides derive from the
+    * SAME signature subtree, so the signature shuffle (the expensive
+    * shingle→hash→agg pass) canonicalizes identically and physical
+    * planning dedupes it (ReuseExchange / AQE stage reuse: the
+    * per-shingle hash work runs ONCE, both sides re-read the shuffle
+    * files). No persist, no checkpoint: building the query runs zero
+    * jobs, leaves zero cache entries, and a throwing caller leaks
+    * nothing (CacheHygieneSpec asserts all three). At 100 TB the
+    * signature table would instead be persisted once per corpus
+    * snapshot as its own table — `MinHash.signatures(materialize=
+    * true)` is that surface. */
   def d2MinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = sigDf(s, dir, materialize = true)
-    val out = graft.operators.MinHash.candidatePairs(sig, "doc_id",
+    val sig = sigDf(s, dir)
+    graft.operators.MinHash.candidatePairs(sig, "doc_id",
         k = K, bands = 2, threshold = 0.75)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
-    sig.unpersist()
-    out
   }
 
   /** D3 SimHash core: 64-bit signature — bit j = majority, across the
@@ -137,7 +137,11 @@ object DedupOps {
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("source"), array_distinct(toks).as("tset"))
       .withColumn("nt", size(col("tset")))
-      .persist() // read by the prefix index and the verify re-join
+    // d is read by the prefix index and the verify re-join; the three
+    // consumers share the repartition(doc_id) exchange below the
+    // tokenize/select, so the scan+shuffle dedupes at physical
+    // planning (ReuseExchange) — no persist, no checkpoint, no
+    // build-time jobs (see d2MinhashPairs)
     val tok = d.select(col("doc_id"), col("source"), col("nt"),
       explode(col("tset")).as("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -157,16 +161,10 @@ object DedupOps {
       col("nt").as("nb"))
     val inter = size(array_intersect(col("ta"), col("tb")))
     val j = inter.cast("double") / (col("na") + col("nb") - inter)
-    // materialize the (small) pair result eagerly so d's cache can be
-    // released before returning — a long-lived session must not
-    // accumulate cached blocks per call
-    val out = cand.join(ta, "doc_a").join(tb, "doc_b")
+    cand.join(ta, "doc_a").join(tb, "doc_b")
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
-    d.unpersist()
-    out
   }
 
   /** D5 embedding near-dup: cosine ≥ threshold within label blocks
@@ -205,13 +203,12 @@ object DedupOps {
     * exact distance (popcount of XOR over the 4 band ints — codegen'd
     * `bit_count`, no per-bit string compare) filters them. */
   def d3HammingPairs(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint, not persist: materialized once for both sides
-    // of the self-join, and the blocks are GC-released with the
-    // DataFrame — repeated calls leave no cached leftovers
+    // both self-join sides share the simhash agg subtree — the
+    // md5-per-token pass and its shuffle dedupe at physical planning
+    // (ReuseExchange); no persist/checkpoint, no build-time jobs
     val sig = simhash64(s, dir)
       .select(col("doc_id"), col("band0"), col("band1"),
         col("band2"), col("band3"))
-      .localCheckpoint(true)
     def sides(p: String) = sig.select(
       col("doc_id").as(s"doc_$p") +: (0 until 4).map(k =>
         col(s"band$k").as(s"$p$k")) :+
@@ -259,31 +256,34 @@ object DedupOps {
     // every prior round's plan inside the next (plan-size blowup, not
     // data). On a cluster this would be checkpoint() to durable
     // storage for fault tolerance; the iteration structure is the same.
-    var labels = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    val maxIters = 64
-    while (changed > 0 && iter < maxIters) {
-      val prop = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+    // try/finally: a failed round must not leave the edge table cached
+    // in a long-lived session.
+    try {
+      var labels = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
         .localCheckpoint(true)
-      changed = labels.as("a")
-        .join(next.as("b"), "doc_id")
-        .where(col("a.cluster_id") =!= col("b.cluster_id")).count()
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
-    // fail loudly rather than return split components: a silent
-    // partial result under-deletes duplicates downstream
-    require(changed == 0,
-      s"connected components did not converge in $maxIters rounds " +
-        "(pathological chain-shaped dup graph?)")
-    labels.orderBy(col("doc_id"))
+      var changed = 1L
+      var iter = 0
+      val maxIters = 64
+      while (changed > 0 && iter < maxIters) {
+        val prop = edges.join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("cluster_id"))
+        val next = labels.unionByName(prop)
+          .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+          .localCheckpoint(true)
+        changed = labels.as("a")
+          .join(next.as("b"), "doc_id")
+          .where(col("a.cluster_id") =!= col("b.cluster_id")).count()
+        labels = next
+        iter += 1
+      }
+      // fail loudly rather than return split components: a silent
+      // partial result under-deletes duplicates downstream
+      require(changed == 0,
+        s"connected components did not converge in $maxIters rounds " +
+          "(pathological chain-shaped dup graph?)")
+      labels.orderBy(col("doc_id"))
+    } finally edges.unpersist()
   }
 
   /** D8 decontamination — benchmark n-gram overlap removal (the

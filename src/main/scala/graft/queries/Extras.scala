@@ -234,8 +234,9 @@ object Extras {
     * many rows the group holds — the plan that survives a hot
     * o_orderpriority group with billions of rows. accuracy=10000
     * bounds the rank error at n/10000 (≤0.01 % of the group);
-    * ExtrasSpec asserts the observed relative error vs the exact
-    * result, sk1-style. */
+    * OperatorsSpec ("approx quantiles stay within the sketch error
+    * bound of exact") asserts the observed relative error vs the
+    * exact result, sk1-style. */
   def a9QuantilesApprox(s: SparkSession, dir: String,
       accuracy: Int = 10000): DataFrame =
     Tables(s, dir, "orders")

@@ -115,7 +115,11 @@ object Relational {
       .join(hist.groupBy(col("cand")).agg(sum(col("q")).as("tot")), "cand")
       .select(col("cand"), col("bucket"),
         (col("q").cast("double") / col("tot").cast("double")).as("qn"))
-      .localCheckpoint(true) // shared by ref + metric; GC-released
+    // norm is shared by ref + metric and deterministic: no checkpoint —
+    // the identical agg subtrees dedupe at physical planning
+    // (ReuseExchange), and building the query stays job-free
+    // (a lazy localCheckpoint here would force .rdd construction,
+    // which eagerly fires the broadcast-exchange jobs)
     val refCand = norm.agg(max(col("cand")).as("__ref"))
     val ref = norm.join(broadcast(refCand), col("cand") === col("__ref"))
       .select(col("bucket"), col("qn").as("qn_ref"))

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cache hygiene over the WHOLE registered query surface:
+  *
+  *  1. no query leaves `Dataset.persist` entries in the cache manager —
+  *     neither at build time nor after materialization (a long-lived
+  *     session running queries in a loop must not accumulate cached
+  *     plans; operators that pin a shuffle internally, e.g.
+  *     `Splits.assign`, must release it before returning);
+  *  2. the dedup family's query BUILDERS are side-effect free — they
+  *     run zero Spark jobs before the caller's first action (their
+  *     shared intermediates are lazy `localCheckpoint(false)`, not
+  *     eager); iterative/driver-control operators (d6 connected
+  *     components, o5 prefix-sum split, s3 Lloyd rounds) are exempt by
+  *     nature and listed explicitly;
+  *  3. localCheckpoint blocks are GC-managed: once results are
+  *     unreachable, a GC cycle lets the ContextCleaner drain
+  *     `getPersistentRDDs` back to empty.
+  */
+class CacheHygieneSpec extends AnyFunSuite {
+
+  // getOrCreate shares the suite JVM's session: other suites may have
+  // left cache entries / persisted RDDs behind. This spec's claim is
+  // about the QUERY SURFACE, so it starts from a clean cache and
+  // asserts relative to a persistent-RDD baseline snapshot.
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sharedState.cacheManager.clearCache()
+    s
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Builders allowed to run jobs at build time: genuinely iterative
+    * or driver-coordinated control flow (converged loops / prefix
+    * sums), where laziness is impossible by construction. */
+  private val eagerByNature = Set(
+    "d6_dup_clusters",  // min-label propagation to fixpoint
+    "o5_split_assign",  // partition-count collect + prefix sum
+    "s2_ann_lsh",       // adaptivePlanes sizes nPlanes from a count()
+    "s3_ann_ivf",       // Lloyd iterations for the IVF centroids
+    "m6_materials_e2e", // full pipeline incl. split assignment
+    "s9_aflux"          // canned multi-page ingest assembles a local fixture
+  )
+
+  test("no registered query leaves cache-manager entries behind") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left a Dataset.persist entry behind at BUILD time")
+      df.write.format("noop").mode("overwrite").save()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left a Dataset.persist entry behind after running")
+    }
+  }
+
+  test("query builders run no Spark jobs before the first action") {
+    // Parquet footer/schema reads at plan-build time (`spark.read
+    // .parquet`, callSite "parquet at Tables.scala") are inherent to
+    // DataFrame construction and metadata-sized — they don't count as
+    // "running the query early". Everything else does.
+    @volatile var jobs = List.empty[String]
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
+        if (!site.startsWith("parquet at")) jobs ::= site
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!eagerByNature(name)) {
+          Thread.sleep(50) // let the async listener bus settle
+          jobs = Nil
+          fn(spark, sf) // build only — no action
+          Thread.sleep(50)
+          assert(jobs.isEmpty,
+            s"$name ran ${jobs.size} Spark job(s) during BUILD: $jobs")
+        }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("localCheckpoint blocks drain via the ContextCleaner after GC") {
+    // Other suites in this JVM may hold persisted RDDs via live
+    // references; this test asserts only that NOTHING NEW survives —
+    // materialize the checkpoint-heaviest queries, drop every
+    // reference, then GC until the cleaner has unpersisted the blocks.
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    Seq("d2_minhash_pairs", "d4_ngram_jaccard", "d3_hamming_pairs")
+      .foreach(n =>
+        SparkEntry.queries(n)(spark, sf)
+          .write.format("noop").mode("overwrite").save())
+    def leftover = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var drained = leftover.isEmpty
+    while (!drained && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(200)
+      drained = leftover.isEmpty
+    }
+    assert(drained,
+      "localCheckpoint blocks still pinned 30s after results became " +
+        s"unreachable: ${leftover.toSeq.sorted}")
+  }
+}
