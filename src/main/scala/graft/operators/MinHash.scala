@@ -34,22 +34,47 @@ object MinHash {
   def shingleCol(textCol: Column, n: Int): Column =
     shingleUdf(textCol, lit(n))
 
+  /** 2^31−1 — modulus of the affine minhash family. */
+  val Mod: Long = 2147483647L
+
+  /** Deterministic coefficients (a_i, b_i) of the minhash family
+    * h_i(x) = (a_i·x + b_i) mod [[Mod]]. The SAME constants are
+    * interpolated into the DuckDB oracle SQL (DedupOps.sigCte) — do
+    * not reseed without regenerating both sides. */
+  def affineCoeffs(k: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(2026L)
+    Seq.fill(k)((1L + rng.nextInt((Mod - 1).toInt).toLong,
+      rng.nextInt(Mod.toInt).toLong))
+  }
+
   /** Signature table: (idCol, mh0..mh{k-1}, band_0..band_{bands-1}).
-    * Requires ≥ n tokens per row (shorter rows are dropped). */
+    * Requires ≥ n tokens per row (shorter rows are dropped).
+    *
+    * ONE md5 per shingle: 60 bits of the digest parse to a bigint x,
+    * and the k minhash functions are affine maps (a_i·x + b_i) mod
+    * 2^31−1 — overflow-free in signed 64-bit on both engines, and the
+    * DuckDB oracle replicates the arithmetic bit-exactly. Versus k
+    * independent digests this removes ~15/16 of the hash cost, which
+    * dominates the signature pass. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 2, shingleN: Int = 3,
       materialize: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
+    val co = affineCoeffs(k)
     val base = df
       .where(size(split(col(textCol), " ")) >= shingleN)
       .repartition(col(idCol))
       .select(col(idCol), explode(shingleCol(col(textCol), shingleN)).as("__sh"))
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("__sh")))).as(s"mh$i"))
+      .withColumn("__x",
+        conv(substring(md5(col("__sh")), 1, 15), 16, 10).cast("long") % Mod)
+    val aggs = (0 until k).map { i =>
+      val (a, b) = co(i)
+      min((col("__x") * a + b) % Mod).as(s"mh$i")
+    }
     val sig = base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val out = (0 until bands).foldLeft(sig) { (d, b) =>
-      d.withColumn(s"band_$b", md5(concat_ws("",
+      d.withColumn(s"band_$b", md5(concat_ws(",",
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)))
     }
     if (materialize) out.persist() else out

@@ -167,6 +167,61 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** D4-prod: the d2→d4 COMPOSITION — minhash-band candidate
+    * generation (xxhash64 codegen path, `MinHash.signaturesFast`)
+    * feeding d4's EXACT token-set-Jaccard verify. This is the dedup
+    * discipline the reference applies (active.py:181–198 generalized:
+    * cheap candidate generation, exact verification), and the scale
+    * path that replaces d4's prefix-filtered inverted index for large
+    * corpora: the index join touches every (token, doc) posting, while
+    * the bands touch k integers per doc.
+    *
+    * Minhash items are the DISTINCT TOKENS (shingleN = 1) — the same
+    * universe d4's exact Jaccard measures — so band recall maps
+    * directly onto the verify threshold: with r = 4 rows/band and
+    * b = 12 bands, P(candidate | J ≥ 0.9) = 1 − (1 − J⁴)¹² ≥
+    * 0.999997, and weak pairs (J ≤ 0.3) surface at < 10 % and are
+    * discarded by the exact verify. Results are therefore identical
+    * to d4NgramJaccard in practice (MinHashSpec asserts set equality
+    * at sf0.01); no oracle (engine-specific hash), the exact twin IS
+    * the oracle-checked d4 entry. Band keys include `source` — d4's
+    * blocking — so candidates never cross blocks. */
+  def nearDupPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val k = 48
+    val bands = 12
+    val docs = Tables(s, dir, "documents")
+    val sig = graft.operators.MinHash.signaturesFast(
+      docs, "doc_id", "text", k = k, bands = bands, shingleN = 1,
+      materialize = false)
+    val exploded = sig
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"),
+        posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
+          .as(Seq("band_idx", "band_key")))
+    val a = exploded.select(col("source"), col("band_idx"),
+      col("band_key"), col("doc_id").as("doc_a"))
+    val b = exploded.select(col("source"), col("band_idx"),
+      col("band_key"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("source", "band_idx", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val d = docs
+      .select(col("doc_id"), array_distinct(toks).as("tset"))
+      .withColumn("nt", size(col("tset")))
+    val ta = d.select(col("doc_id").as("doc_a"), col("tset").as("ta"),
+      col("nt").as("na"))
+    val tb = d.select(col("doc_id").as("doc_b"), col("tset").as("tb"),
+      col("nt").as("nb"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    val j = inter.cast("double") / (col("na") + col("nb") - inter)
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** D5 embedding near-dup: cosine ≥ threshold within label blocks
     * (blocked exact compare; the LSH/ANN scale path lives in
     * graft.operators.Similarity). */
@@ -337,14 +392,20 @@ object DedupOps {
     "d2_minhash_pairs" -> (d2MinhashPairs _),
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d4_neardup_pairs" -> ((s: SparkSession, dir: String) => nearDupPairs(s, dir)),
     "d5_embedding_dedup" -> (d5EmbeddingDedup _),
   )
 
   // ------------------------------------------------------------- oracle SQL
 
+  // Mirrors MinHash.signatures exactly: one md5 per shingle, 60 bits
+  // of the digest parsed to a bigint (nibble arithmetic — DuckDB has
+  // no hex→int cast), then the k affine maps with the SAME (a_i, b_i)
+  // constants interpolated from MinHash.affineCoeffs.
   private val sigSql: String =
-    (0 until K).map(i => s"list_min([md5('$i:' || s) for s in sh])")
-      .mkString("[", ", ", "]")
+    graft.operators.MinHash.affineCoeffs(K).map { case (a, b) =>
+      s"list_min([($a * x + $b) % ${graft.operators.MinHash.Mod} for x in xs])"
+    }.mkString("[", ", ", "]")
 
   private val sigCte: String =
     s"""WITH tok AS (
@@ -353,11 +414,17 @@ object DedupOps {
        |shing AS (
        | SELECT doc_id, list_transform(range(1, len(t)-1),
        |   i -> array_to_string(t[i:i+2], ' ')) AS sh FROM tok),
-       |sig AS (SELECT doc_id, $sigSql AS sig FROM shing),
+       |xs AS (
+       | SELECT doc_id,
+       |  [list_sum([(strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)::BIGINT
+       |     * (1::BIGINT << (4 * (15 - j))) for j in range(1, 16)])::BIGINT
+       |   % ${graft.operators.MinHash.Mod} for s in sh] AS xs
+       | FROM shing),
+       |sig AS (SELECT doc_id, $sigSql AS sig FROM xs),
        |band AS (
        | SELECT doc_id, sig,
-       |  md5(array_to_string(sig[1:${K / 2}], '')) AS band0,
-       |  md5(array_to_string(sig[${K / 2 + 1}:$K], '')) AS band1
+       |  md5(array_to_string(sig[1:${K / 2}], ',')) AS band0,
+       |  md5(array_to_string(sig[${K / 2 + 1}:$K], ',')) AS band1
        | FROM sig)""".stripMargin
 
   // 64-bit mirror of simhash64: nibble j of md5 → 4 bits; bit j of the

@@ -309,17 +309,20 @@ object Relational {
 
   /** D7 canonical content hash of a relation (database/__init__.py:
     * 461–470 hash_group, 1285–1293 hash_db): per-row md5 over
-    * canonicalized columns, sorted, re-hashed per group — fully
-    * distributed, deterministic under any partitioning. */
+    * canonicalized columns, combined with the hash-prefix-bucketed
+    * hierarchical scheme (Hashing.chunkedHashAgg) — deterministic
+    * under any partitioning, agg buffers bounded for ANY group size
+    * (the flat collect_list form held every row hash of a hot group
+    * in one buffer: it spilled at sf0.1 and is a 100 TB killer). The
+    * DuckDB oracle replicates the chunked definition exactly. */
   def d7ContentHash(s: SparkSession, dir: String): DataFrame = {
     val rowH = md5(concat_ws("|",
       col("l_orderkey"), col("l_linenumber"), col("l_returnflag")))
-    t(s, dir, "lineitem")
-      .withColumn("row_h", rowH)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        count(lit(1)).as("n"),
-        md5(array_join(array_sort(collect_list(col("row_h"))), "")).as("table_hash"))
+    graft.core.Hashing.chunkedHashAgg(
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), rowH.as("row_h")),
+      Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"), col("table_hash"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -525,14 +528,25 @@ object Relational {
         |FROM (VALUES ('fcc'),('bcc'),('hcp')) AS l(lattice)
         |CROSS JOIN (VALUES (1),(2),(3),(4)) AS s(size)
         |ORDER BY lattice, size""".stripMargin,
+    // chunked hierarchical hash — mirrors Hashing.chunkedHashAgg:
+    // rows bucket by their own hash prefix (5 hex chars → chunk,
+    // 3 → super), md5 per level with value-ordered concatenation
     "d7_content_hash" ->
-      """SELECT l_returnflag, COUNT(*) AS n,
-        | MD5(STRING_AGG(rh, '' ORDER BY rh)) AS table_hash
-        |FROM (
+      """WITH rh AS (
         | SELECT l_returnflag,
-        |  MD5(CONCAT_WS('|', l_orderkey, l_linenumber, l_returnflag)) AS rh
-        | FROM lineitem
-        |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |  MD5(CONCAT_WS('|', l_orderkey, l_linenumber, l_returnflag)) AS h
+        | FROM lineitem),
+        |l1 AS (
+        | SELECT l_returnflag, substr(h, 1, 5) AS chunk, COUNT(*) AS n1,
+        |  MD5(STRING_AGG(h, '' ORDER BY h)) AS ch
+        | FROM rh GROUP BY 1, 2),
+        |l2 AS (
+        | SELECT l_returnflag, substr(chunk, 1, 3) AS sup, SUM(n1) AS n2,
+        |  MD5(STRING_AGG(ch, '' ORDER BY chunk)) AS sh
+        | FROM l1 GROUP BY 1, 2)
+        |SELECT l_returnflag, SUM(n2)::BIGINT AS n,
+        | MD5(STRING_AGG(sh, '' ORDER BY sup)) AS table_hash
+        |FROM l2 GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "w1_running_window" ->
       """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_quantity, running_qty
         |FROM (

@@ -41,6 +41,23 @@ class MinHashSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("nearDupPairs (d2 candidates → d4 exact verify) equals the exact d4 join at sf0.01") {
+    // The composition must lose NOTHING against the exhaustive
+    // prefix-filtered join: candidate recall at J ≥ 0.9 is
+    // 1 − (1 − J⁴)¹² ≈ 1, and the verify stage is the identical
+    // exact-Jaccard expression — so the pair sets are equal, not just
+    // similar. Deterministic (seeded hashes), so this is a hard
+    // equality, not a flaky-recall assertion.
+    val dir = "/root/testdata/sf0.01"
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val composed = keyed(graft.queries.DedupOps.nearDupPairs(spark, dir))
+    val exact = keyed(graft.queries.DedupOps.d4NgramJaccard(spark, dir))
+    assert(composed === exact)
+    assert(composed.nonEmpty)
+  }
+
   test("approx distinct sketch stays within its error bound") {
     val sf = "/root/testdata/sf0.001"
     val approx = graft.queries.DedupOps.sk1ApproxDistinct(spark, sf)

@@ -50,6 +50,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked table hash: partition-invariant, order-independent, content-sensitive (D7)") {
+    import spark.implicits._
+    // enough rows that many hash-prefix chunks are populated and the
+    // 3-level combine actually exercises ordered concatenation
+    val base = (1L to 5000L).map(i => (i, s"payload_$i")).toDF("id", "v")
+    def h(df: org.apache.spark.sql.DataFrame) = core.Hashing.tableHash(df)
+    val one = h(base.repartition(1))
+    val many = h(base.repartition(16).sortWithinPartitions(desc("v")))
+    assert(one === many) // same multiset ⇒ same hash, any partitioning/order
+    val perturbed = base.withColumn("v",
+      when(col("id") === 42L, lit("mutated")).otherwise(col("v")))
+    assert(h(perturbed) !== one) // single-row change flips the hash
+    val dropped = base.where(col("id") =!= 4999L)
+    assert(h(dropped) !== one)
+  }
+
   test("multimodal frame sampling emits every Nth frame of videos") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val frames = Multimodal.sampleFrames(media, rate = 2).collect()
