@@ -132,6 +132,26 @@ object Enumerated {
   final case class Enumerated(size: Int, hnfIndex: Int, labeling: String,
       config: Config)
 
+  /** Arrow displacement directions for a lattice: the orbit closure
+    * of the +x and +z axes under the parent point group — closed
+    * under every group operation by construction (cubic parents → the
+    * 6 signed axes; hexagonal parents → 6 in-plane directions at 60°
+    * steps plus ±z). phenum attaches these as displacement
+    * decorations (enumerated.py:46–77 arrows/displace; the
+    * `incl_arrows` lattice.in flag at :336–341). */
+  def arrowDirections(lattice: String): Seq[Seq[Double]] = {
+    val (pcell, _) = primitiveCell(lattice, 1.0)
+    val ops = latticeOps(pcell)
+    val seeds = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0))
+    val out = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+    for (s <- seeds; r <- ops) {
+      val d = Lattice.rowMat(s, transpose(r))
+      if (!out.exists(e => (0 until 3).forall(t => math.abs(e(t) - d(t)) < tol)))
+        out += d
+    }
+    out.toSeq
+  }
+
   /** Enumerate symmetry-unique labelings for ONE (lattice, size,
     * hnf-class) cell — the per-task kernel.
     *
@@ -139,11 +159,25 @@ object Enumerated {
     *   concentration restrictions (enumerated.py concs).
     * @param keepSupers keep superperiodic labelings (enumerated.py
     *   keep_supers; default false, as the reference).
+    * @param arrows optional per-species arrow fractions ≤ 1
+    *   (enumerated.py:225–247 _get_arrows): ⌊fraction·count_s⌋ atoms
+    *   of species s carry a displacement arrow pointing along one of
+    *   [[arrowDirections]]. Decorated structures are deduplicated
+    *   under the labeling's STABILIZER subgroup with each operation
+    *   acting jointly on sites (permutation) and directions
+    *   (rotation) — orbit-stabilizer gives exactly one representative
+    *   per symmetry class of (labeling, arrow) pairs.
+    * @param displace Cartesian displacement magnitude applied along
+    *   each arrow (enumerated.py displace; default 0.0 as the
+    *   reference — decorations stay distinct via the euid-style
+    *   uuid even at zero displacement).
     */
   def labelingsFor(lattice: String, a: Double, species: Seq[String],
       hnf: Crystal.IMat, hnfIndex: Int,
       concs: Option[Seq[(Int, Int, Int)]] = None,
-      keepSupers: Boolean = false): Seq[Enumerated] = {
+      keepSupers: Boolean = false,
+      arrows: Option[Seq[Double]] = None,
+      displace: Double = 0.0): Seq[Enumerated] = {
     val (pcell, pbasis) = primitiveCell(lattice, a)
     val prim = Config.of(Seq.fill(pbasis.length)("X"), pcell, pbasis)
     val spec = hnf.flatten.map(_.toInt).toSeq
@@ -180,7 +214,9 @@ object Enumerated {
     // screw — together with all lattice translations); an (R, τ) is
     // kept when it permutes the site set bijectively.
     val parentOps = latticeOps(pcell)
-    val group: Seq[Array[Int]] = (for {
+    // (site permutation, rotation) pairs — the rotation part acts on
+    // arrow directions when arrow decorations are enumerated
+    val groupOps: Seq[(Array[Int], Lattice.Mat3)] = (for {
       r <- parentOps
       u = Lattice.matmul(Lattice.matmul(sup.cell, transpose(r)), supInv)
       if isIntegerMat(u)
@@ -193,7 +229,10 @@ object Enumerated {
       if perm.forall(_.isDefined)
       p = perm.map(_.get)
       if p.distinct.length == n
-    } yield p.toArray).distinctBy(_.toSeq)
+    } yield (p.toArray, r)).distinctBy { case (p, r) =>
+      (p.toSeq, r.map(_.map(x => math.rint(x * 1e6))))
+    }
+    val group: Seq[Array[Int]] = groupOps.map(_._1).distinctBy(_.toSeq)
     val superTrans = trans.filter(p => p != p.indices.toSeq)
 
     val k = species.length
@@ -210,20 +249,98 @@ object Enumerated {
           lo * n <= c * denom && c * denom <= hi * n
         }
     }
+    // arrow machinery (built only when requested): direction list +
+    // per-op direction permutation (rotation part acting on arrows)
+    val dirs: Seq[Seq[Double]] =
+      if (arrows.isDefined) arrowDirections(lattice) else Nil
+    val opsWithDirPerm: Seq[(Array[Int], Array[Int])] =
+      if (arrows.isEmpty) Nil
+      else groupOps.map { case (p, r) =>
+        val rt = transpose(r)
+        val dp = dirs.map { d =>
+          val rd = Lattice.rowMat(d, rt)
+          val idx = dirs.indexWhere(e =>
+            (0 until 3).forall(t => math.abs(e(t) - rd(t)) < tol))
+          require(idx >= 0, "direction set not closed under the group")
+          idx
+        }.toArray
+        // the site perm acts as g⁻¹ (L'(j) = L(σ(j)), matching the
+        // labeling canon), so the direction part must be R⁻¹ too —
+        // invert dp so the pair (p, dpInv) is one group action
+        val dpInv = new Array[Int](dp.length)
+        dp.indices.foreach(x => dpInv(dp(x)) = x)
+        (p, dpInv)
+      }
+
+    /** All decorated variants of one surviving labeling: choose
+      * ⌊fraction·count_s⌋ arrowed sites per species × a direction
+      * each, deduplicated under the labeling's stabilizer acting
+      * jointly on sites and directions. */
+    def arrowVariants(lab: Array[Int], canonical: String,
+        base: Config): Seq[Enumerated] = {
+      val fr = arrows.get
+      require(fr.length == k, "one arrow fraction per species")
+      require(fr.forall(f => f >= 0 && f <= 1), "arrow fractions must be ≤ 1")
+      val stab = opsWithDirPerm.filter { case (p, _) =>
+        p.indices.forall(i => lab(p(i)) == lab(i))
+      }
+      val perSpecies: Seq[Seq[Map[Int, Int]]] = (0 until k).map { s =>
+        val sites = lab.indices.filter(lab(_) == s)
+        val m = math.floor(fr(s) * sites.length).toInt
+        if (m == 0) Seq(Map.empty[Int, Int])
+        else sites.combinations(m).toSeq.flatMap { subset =>
+          def rec(i: Int): Seq[List[(Int, Int)]] =
+            if (i == m) Seq(Nil)
+            else for { d <- dirs.indices.toList; rest <- rec(i + 1) }
+              yield (subset(i), d) :: rest
+          rec(0).map(_.toMap)
+        }
+      }
+      val nChoices = perSpecies.map(_.size.toLong).product
+      require(nChoices <= 500000L,
+        s"arrow decoration space $nChoices too large for exhaustive walk")
+      val assignments: Seq[Array[Int]] = perSpecies
+        .foldLeft(Seq(Map.empty[Int, Int]))((acc, ch) =>
+          for (m0 <- acc; m1 <- ch) yield m0 ++ m1)
+        .map(m => Array.tabulate(n)(i => m.getOrElse(i, -1)))
+      val seenA = scala.collection.mutable.Set[String]()
+      assignments.flatMap { av =>
+        val canonA = stab.map { case (p, dp) =>
+          p.indices.map { j =>
+            val x = av(p(j)); if (x < 0) -1 else dp(x)
+          }.mkString(",")
+        }.min
+        if (seenA.add(canonA)) {
+          val pos = base.positions.zipWithIndex.map { case (p0, i) =>
+            if (av(i) < 0 || displace == 0.0) p0
+            else (0 until 3).map(t => p0(t) + displace * dirs(av(i))(t))
+          }
+          val c = base.copy(positions = pos)
+          // euid analog: the arrow decoration enters the uuid even at
+          // displace = 0 (the reference's euids stay distinct because
+          // they hash the enum record, not the coordinates)
+          Some(Enumerated(n, hnfIndex, s"$canonical|a:$canonA",
+            c.copy(uuid = Hashing.sha1Hex(Hashing.contentHash(c) + "|a:" + canonA))))
+        } else None
+      }
+    }
+
     val seen = scala.collection.mutable.Set[String]()
     (0L until total).flatMap { code =>
       val lab = Array.tabulate(n)(i => ((code / powers(i)) % k).toInt)
-      if (!concOk(lab)) None
+      if (!concOk(lab)) Nil
       else if (!keepSupers && superTrans.exists(p => p.indices.forall(i =>
-        lab(p(i)) == lab(i)))) None // duplicate of a smaller cell
+        lab(p(i)) == lab(i)))) Nil // duplicate of a smaller cell
       else {
         val canonical = group.map(p => p.map(lab).mkString(",")).min
         if (seen.add(canonical)) {
           val c = sup.withSpecies(lab.map(species).toSeq)
             .copy(uuid = "", groupUuid = "", configType = Some("enum"))
-          Some(Enumerated(n, hnfIndex, canonical,
-            c.copy(uuid = Hashing.contentHash(c))))
-        } else None
+          if (arrows.isEmpty)
+            Seq(Enumerated(n, hnfIndex, canonical,
+              c.copy(uuid = Hashing.contentHash(c))))
+          else arrowVariants(lab, canonical, c)
+        } else Nil
       }
     }
   }
@@ -233,12 +350,34 @@ object Enumerated {
   def enumerate(lattice: String, a: Double, species: Seq[String],
       minSize: Int, maxSize: Int,
       concs: Option[Seq[(Int, Int, Int)]] = None,
-      keepSupers: Boolean = false): Seq[Enumerated] = {
+      keepSupers: Boolean = false,
+      arrows: Option[Seq[Double]] = None,
+      displace: Double = 0.0): Seq[Enumerated] = {
     val (pcell, _) = primitiveCell(lattice, a)
     for {
       n <- minSize to maxSize
       (hnf, idx) <- hnfClasses(pcell, n).zipWithIndex
-      e <- labelingsFor(lattice, a, species, hnf, idx, concs, keepSupers)
+      e <- labelingsFor(lattice, a, species, hnf, idx, concs, keepSupers,
+        arrows, displace)
     } yield e
   }
+
+  /** `nconfigs` random-sample semantics (enumerated.py:354–448): the
+    * reference loops phenum with re-seeded attempts until `nconfigs`
+    * UNIQUE euids accumulate (euid-dedup at :406–427). The
+    * deterministic distributed equivalent needs no retry loop —
+    * enumerated structures are already unique, so a keyed-digest rank
+    * (sha1 of seed:uuid) selects a pinned-seed pseudo-random sample
+    * of exactly `nconfigs`; on a cluster this is the orderBy(digest)
+    * + limit TakeOrdered shape (MaterialsOps.g1EnumSampled). */
+  def enumerateSample(lattice: String, a: Double, species: Seq[String],
+      minSize: Int, maxSize: Int, nconfigs: Int, ranSeed: Long,
+      concs: Option[Seq[(Int, Int, Int)]] = None,
+      keepSupers: Boolean = false,
+      arrows: Option[Seq[Double]] = None,
+      displace: Double = 0.0): Seq[Enumerated] =
+    enumerate(lattice, a, species, minSize, maxSize, concs, keepSupers,
+      arrows, displace)
+      .sortBy(e => Hashing.sha1Hex(s"$ranSeed:${e.config.uuid}"))
+      .take(nconfigs)
 }

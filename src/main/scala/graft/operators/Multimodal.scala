@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * video as opaque binary columns with typed metadata, decode/
   * feature-extract as partition-batched kernels.
   *
-  * The decode step itself is a STUB — no image/audio libraries exist
-  * in this environment — but everything Spark-side is real: schema,
-  * partitioning, batch shape (kernels consume a partition in fixed-
-  * size batches exactly like an Arrow/pandas-UDF boundary would),
-  * and deterministic outputs so the pipeline is testable. Swapping
-  * `stubDecode` for a real JNI/Arrow decoder changes no plan shape.
+  * IMAGE rows carry REAL encoded payloads (24-bit uncompressed BMP,
+  * graft.sources.Bmp) and the decode kernel genuinely parses the
+  * header and pixel array — no image library exists in this
+  * environment, so the codec is pure JVM. Audio/video payloads remain
+  * deterministic byte streams with a byte-histogram kernel (an honest
+  * stand-in: there is no pure-JVM mp3/h264). Everything Spark-side is
+  * real either way: schema, partitioning, batch shape (kernels
+  * consume a partition in fixed-size batches exactly like an
+  * Arrow/pandas-UDF boundary), deterministic outputs. Swapping in a
+  * JNI/Arrow decoder for the remaining kinds changes no plan shape.
   */
 object Multimodal {
 
@@ -22,8 +26,10 @@ object Multimodal {
       feature: Seq[Double], decoded_bytes: Int)
   final case class Frame(media_id: Long, frame_idx: Int, payload: Array[Byte])
 
-  /** Deterministic fake media table derived from the documents text
-    * (payload = utf-8 bytes): stands in for a real binary column. */
+  /** Deterministic media table derived from the documents text:
+    * image rows get a REAL 24-bit BMP payload (pixels synthesized
+    * from the text bytes), audio/video rows get raw byte streams —
+    * stands in for a real binary column with typed metadata. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables(spark, dir, "documents")
@@ -34,26 +40,52 @@ object Multimodal {
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        MediaRow(id, kind, text.getBytes("UTF-8"),
-          width = (nChars % 64).toInt + 32, height = 32,
-          n_frames = (nChars % 7).toInt + 1)
+        if (kind == "image") {
+          val w = (nChars % 24).toInt + 8
+          val h = 8
+          val tb = text.getBytes("UTF-8")
+          def tbAt(i: Int): Int = if (tb.isEmpty) 0 else tb(i % tb.length) & 0xFF
+          val rgb = Array.tabulate(w * h)(i =>
+            (tbAt(3 * i) << 16) | (tbAt(3 * i + 1) << 8) | tbAt(3 * i + 2))
+          MediaRow(id, kind, graft.sources.Bmp.encode(
+            graft.sources.Bmp.Image(w, h, rgb)),
+            width = w, height = h, n_frames = 1)
+        } else
+          MediaRow(id, kind, text.getBytes("UTF-8"),
+            width = (nChars % 64).toInt + 32, height = 32,
+            n_frames = (nChars % 7).toInt + 1)
       }
   }
 
-  /** STUB decode: byte-histogram 8-bin feature in partition batches.
-    * A real decoder would do the same loop with the image lib inside
-    * — the batching, schema and determinism are the contract. */
+  /** Decode + feature-extract in partition batches. Images: REAL BMP
+    * decode (header parse + pixel extraction, graft.sources.Bmp) →
+    * 8-bin normalized LUMINANCE histogram over the decoded pixels,
+    * decoded_bytes = 3·pixels. Audio/video: 8-bin byte histogram (the
+    * honest stand-in — no pure-JVM codecs for those). Batching,
+    * schema and determinism are the contract either way. */
   def decodeFeatures(media: Dataset[MediaRow],
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch => // Arrow-batch-shaped boundary
         batch.map { m =>
-          val hist = new Array[Double](8)
-          m.payload.foreach(b => hist((b & 0xFF) / 32) += 1.0)
-          val n = math.max(m.payload.length, 1)
-          MediaFeatures(m.media_id, m.kind, hist.map(_ / n).toSeq,
-            m.payload.length)
+          if (m.kind == "image") {
+            val img = graft.sources.Bmp.decode(m.payload)
+            val hist = new Array[Double](8)
+            img.rgb.foreach { px =>
+              val lum = (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)) / 3
+              hist(lum / 32) += 1.0
+            }
+            val n = math.max(img.rgb.length, 1)
+            MediaFeatures(m.media_id, m.kind, hist.map(_ / n).toSeq,
+              3 * img.rgb.length)
+          } else {
+            val hist = new Array[Double](8)
+            m.payload.foreach(b => hist((b & 0xFF) / 32) += 1.0)
+            val n = math.max(m.payload.length, 1)
+            MediaFeatures(m.media_id, m.kind, hist.map(_ / n).toSeq,
+              m.payload.length)
+          }
         }
       }
     }

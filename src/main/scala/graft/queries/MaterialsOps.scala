@@ -81,6 +81,23 @@ object MaterialsOps {
       .orderBy(col("size"), col("hnf_index"), col("labeling"))
   }
 
+  /** G1 nconfigs sampling (enumerated.py:354–448): keyed-digest rank
+    * over the distributed enumeration stream — md5(seed:uuid) orders
+    * the structures pseudo-randomly but deterministically, and
+    * orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    * top-n, no global sort materialization). Same grid-distributed
+    * kernel as g1Enumerated. */
+  def g1EnumSampled(s: SparkSession, dir: String): DataFrame = {
+    val nconfigs = 12
+    val seed = 42
+    g1Enumerated(s, dir)
+      .withColumn("__r", md5(concat_ws(":", lit(seed), col("uuid"))))
+      .orderBy(col("__r"))
+      .limit(nconfigs)
+      .drop("__r")
+      .orderBy(col("size"), col("hnf_index"), col("labeling"))
+  }
+
   /** G9 prototype decoration: library × species permutations. */
   def g9Prototypes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -101,6 +118,7 @@ object MaterialsOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_enumerated" -> (g1Enumerated _),
+    "g1_enum_sampled" -> (g1EnumSampled _),
     "g9_prototypes" -> (g9Prototypes _),
     "g2_substitution" -> (g2Substitution _),
     "g3_vacancy" -> (g3Vacancy _),

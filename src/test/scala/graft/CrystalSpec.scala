@@ -199,6 +199,61 @@ class CrystalSpec extends AnyFunSuite {
     assert(tern.map(_.params("prototype")).distinct.length === 7)
   }
 
+  test("G1 arrows: hand-derivable arrow-restricted counts") {
+    import graft.generators.Enumerated
+    // sc single species, 1-site cell, the one atom arrowed: the 6
+    // signed axes form ONE orbit of the cubic group → exactly 1
+    // decorated structure (6 raw assignments collapse)
+    val e1 = Enumerated.enumerate("sc", 1.0, Seq("Al"), 1, 1,
+      arrows = Some(Seq(1.0)), displace = 0.05)
+    assert(e1.length === 1)
+    // binary sc doubled along z (explicit HNF — det-2 sc has THREE
+    // sublattice classes, so the hand derivation pins one), concs pin
+    // the labeling to AB, only A arrowed. The AB stabilizer is the
+    // D4h column group (z→−z fixes both sites: −½ ≡ ½), whose
+    // direction orbits are {±z} and {±x, ±y} → exactly 2 decorated
+    // structures
+    val hnfZ: graft.core.Crystal.IMat =
+      Array(Array(1L, 0L, 0L), Array(0L, 1L, 0L), Array(0L, 0L, 2L))
+    val e2 = Enumerated.labelingsFor("sc", 1.0, Seq("Al", "Ti"), hnfZ, 0,
+      concs = Some(Seq((1, 1, 2), (1, 1, 2))),
+      arrows = Some(Seq(1.0, 0.0)), displace = 0.05)
+    assert(e2.length === 2)
+    // full det-2 sweep: the axis / face-diagonal / body-diagonal
+    // sublattice classes contribute 2 + 2 + 1 direction orbits
+    val eAll = Enumerated.enumerate("sc", 1.0, Seq("Al", "Ti"), 2, 2,
+      concs = Some(Seq((1, 1, 2), (1, 1, 2))),
+      arrows = Some(Seq(1.0, 0.0)), displace = 0.05)
+    assert(eAll.length === 5)
+    // same sweep without arrows: one AB labeling per sublattice class
+    val e0 = Enumerated.enumerate("sc", 1.0, Seq("Al", "Ti"), 2, 2,
+      concs = Some(Seq((1, 1, 2), (1, 1, 2))))
+    assert(e0.length === 3)
+    // arrowed uuids are distinct even at displace = 0 (euid analog)
+    val z = Enumerated.enumerate("sc", 1.0, Seq("Al", "Ti"), 2, 2,
+      concs = Some(Seq((1, 1, 2), (1, 1, 2))),
+      arrows = Some(Seq(1.0, 0.0)), displace = 0.0)
+    assert(z.map(_.config.uuid).distinct.length === z.length)
+    assert(z.length === eAll.length)
+  }
+
+  test("G1 nconfigs sampling: pinned-seed determinism, unique euids") {
+    import graft.generators.Enumerated
+    val all = Enumerated.enumerate("fcc", 4.05, Seq("Ag", "Pd"), 2, 4)
+    val s1 = Enumerated.enumerateSample("fcc", 4.05, Seq("Ag", "Pd"),
+      2, 4, nconfigs = 10, ranSeed = 42L)
+    val s2 = Enumerated.enumerateSample("fcc", 4.05, Seq("Ag", "Pd"),
+      2, 4, nconfigs = 10, ranSeed = 42L)
+    assert(s1.map(_.config.uuid) === s2.map(_.config.uuid)) // pinned seed
+    assert(s1.length === 10)
+    assert(s1.map(_.config.uuid).distinct.length === 10) // unique euids
+    assert(s1.map(_.config.uuid).toSet.subsetOf(all.map(_.config.uuid).toSet))
+    // a different seed draws a different sample (overwhelmingly)
+    val s3 = Enumerated.enumerateSample("fcc", 4.05, Seq("Ag", "Pd"),
+      2, 4, nconfigs = 10, ranSeed = 7L)
+    assert(s3.map(_.config.uuid) !== s1.map(_.config.uuid))
+  }
+
   test("prototypes: selection × permutations with vegard a0 (G9)") {
     val lat = Map("Ag" -> 4.09, "Pd" -> 3.89)
     val out = Prototypes.generate(Seq("B2_cscl", "L1_0"), Seq("Ag", "Pd"), lat)

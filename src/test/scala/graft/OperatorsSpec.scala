@@ -30,6 +30,43 @@ class OperatorsSpec extends AnyFunSuite {
       again.map(f => (f.media_id, f.feature)).sortBy(_._1).toSeq)
   }
 
+  test("BMP codec: known pixel stats for a canned fixture (mm decode)") {
+    import graft.sources.Bmp
+    // 2×2: red, green / blue, white — encode → decode round-trips
+    val img = Bmp.Image(2, 2, Array(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF))
+    val rt = Bmp.decode(Bmp.encode(img))
+    assert(rt.width === 2 && rt.height === 2)
+    assert(rt.rgb.toSeq === img.rgb.toSeq)
+    // hand-assembled golden bytes: 1×1 pure red, bottom-up BI_RGB.
+    // row stride pads 3 bytes to 4; pixel stored B,G,R.
+    val golden = new Array[Byte](54 + 4)
+    golden(0) = 'B'; golden(1) = 'M'
+    golden(2) = 58 // file size (LE32, low byte)
+    golden(10) = 54 // data offset
+    golden(14) = 40 // info header size
+    golden(18) = 1 // width
+    golden(22) = 1 // height
+    golden(26) = 1 // planes
+    golden(28) = 24 // bpp
+    golden(54) = 0 // B
+    golden(55) = 0 // G
+    golden(56) = 0xFF.toByte // R
+    val g = Bmp.decode(golden)
+    assert(g.width === 1 && g.height === 1 && g.rgb.toSeq === Seq(0xFF0000))
+    // odd width exercises row padding (3×1 → 9 data bytes padded to 12)
+    val odd = Bmp.Image(3, 1, Array(0x010203, 0x040506, 0x070809))
+    assert(Bmp.decode(Bmp.encode(odd)).rgb.toSeq === odd.rgb.toSeq)
+    // image feature = normalized luminance histogram of DECODED pixels:
+    // red(lum 85→bin 2), green(85→2), blue(85→2), white(255→7)
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(0L, "image", Bmp.encode(img),
+      2, 2, 1)).toDS()
+    val f = Multimodal.decodeFeatures(media).collect().head
+    assert(f.decoded_bytes === 12)
+    assert(f.feature(2) === 0.75 && f.feature(7) === 0.25)
+    assert(f.feature.sum === 1.0)
+  }
+
   test("approx quantiles stay within the sketch error bound of exact") {
     // sk1-style: the production approx_percentile path must track the
     // exact (oracle-twin) result; GK accuracy 10000 over sf0.01's
