@@ -1,0 +1,59 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Builds a scaled copy of the text/embedding tables for the second
+  * bench scale point (the driver ships sf ≤ 0.1; scaling exponents
+  * need a larger corpus).
+  *
+  * Each copy is re-keyed and every token gets a per-copy suffix, so
+  * WITHIN-copy duplicate structure is preserved exactly while copies
+  * share no tokens/shingles — pair counts and dedup work scale
+  * linearly with the copy count, which is what makes the measured
+  * exponent interpretable (cross-copy near-dups would add an O(c²)
+  * term that says nothing about the operators). Embedding labels are
+  * offset per copy for the same reason (d5 blocks by label).
+  *
+  * Usage: runMain graft.MakeScale <srcSfDir> <dstDir> <copies>
+  */
+object MakeScale {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val copies = args(2).toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val idOff = 100000000L
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until copies).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * idOff)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$i"))), " ").as("text"),
+        col("lang"),
+        concat(col("source"), lit(s"_$i")).as("source"),
+        col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until copies).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i * idOff)).as("vec_id"),
+        (col("label") + lit(i * 1000)).as("label"),
+        col("embedding"))
+    }.reduce(_ unionByName _)
+      .repartition(32, col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    println(s"[makescale] wrote $dst at ${copies}x of $src")
+    spark.stop()
+  }
+}

@@ -91,10 +91,15 @@ object MinHash {
       materialize: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
+    // n = 1 shingles are the raw tokens: plain split stays in
+    // whole-stage codegen (the UDF exists only because n-gram
+    // assembly is interpreted-lambda-hostile; see shingleUdf)
+    val sh = if (shingleN == 1) split(col(textCol), " ", -1)
+             else shingleCol(col(textCol), shingleN)
     val base = df
       .where(size(split(col(textCol), " ")) >= shingleN)
       .repartition(col(idCol))
-      .select(col(idCol), explode(shingleCol(col(textCol), shingleN)).as("__sh"))
+      .select(col(idCol), explode(sh).as("__sh"))
     val aggs = (0 until k).map(i =>
       min(xxhash64(lit(i), col("__sh"))).as(s"mh$i"))
     val sig = base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)

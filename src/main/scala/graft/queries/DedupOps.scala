@@ -88,8 +88,13 @@ object DedupOps {
     * two `conv` calls per token parse md5 hex to two 32-bit chunks,
     * bits fall out with shifts. Returns doc_id, n_tok, the 64-char
     * bit-string signature, and the 4×16-bit pigeonhole band keys. */
-  private def simhash64(s: SparkSession, dir: String): DataFrame = {
-    val tk = Tables(s, dir, "documents")
+  private def simhash64(s: SparkSession, dir: String): DataFrame =
+    simhash64Of(Tables(s, dir, "documents"))
+
+  /** Simhash kernel over an arbitrary documents relation (doc_id,
+    * text) — reused by the TextPipeline curation stages (M7). */
+  def simhash64Of(docs: DataFrame): DataFrame = {
+    val tk = docs
       .repartition(col("doc_id")) // spread md5 work (single-split file)
       .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
       .withColumn("h", md5(col("tok")))
@@ -178,45 +183,58 @@ object DedupOps {
     *
     * Minhash items are the DISTINCT TOKENS (shingleN = 1) — the same
     * universe d4's exact Jaccard measures — so band recall maps
-    * directly onto the verify threshold: with r = 4 rows/band and
-    * b = 12 bands, P(candidate | J ≥ 0.9) = 1 − (1 − J⁴)¹² ≥
-    * 0.999997, and weak pairs (J ≤ 0.3) surface at < 10 % and are
-    * discarded by the exact verify. Results are therefore identical
-    * to d4NgramJaccard in practice (MinHashSpec asserts set equality
-    * at sf0.01); no oracle (engine-specific hash), the exact twin IS
-    * the oracle-checked d4 entry. Band keys include `source` — d4's
-    * blocking — so candidates never cross blocks. */
+    * directly onto the verify threshold: with r = 6 rows/band and
+    * b = 12 bands, P(candidate | J ≥ 0.9) = 1 − (1 − J⁶)¹² ≈ 0.9999,
+    * while J ≤ 0.4 pairs surface at < 5 % (r = 6 keeps the
+    * shared-vocabulary baseline of a same-generator corpus out of the
+    * candidate set — r = 4 let J ≈ 0.4 pairs flood the join).
+    * Candidates go STRAIGHT to the exact token-set verify: the
+    * per-candidate exact check intersects two |tset|-element arrays,
+    * so it beats a k-term minhash estimate whenever |tset| < k — on
+    * this corpus decisively (≤ 31-token vocabulary vs k = 72; the
+    * estJ gate measured 2× the whole verify stage, since it re-joins
+    * two 72-long signature arrays per candidate). `estGate = true`
+    * restores the gate for corpora whose token sets dwarf k (web-scale
+    * docs with 10³–10⁴ tokens), where a 72-int estimate per pair is
+    * far cheaper than intersecting the full sets. Results are
+    * identical to d4NgramJaccard either way (MinHashSpec asserts set
+    * equality at sf0.01); no oracle (engine-specific hash), the exact
+    * twin IS the oracle-checked d4 entry. Band keys include `source`
+    * — d4's blocking — so candidates never cross blocks. */
   def nearDupPairs(s: SparkSession, dir: String,
-      threshold: Double = 0.9): DataFrame = {
-    val k = 48
+      threshold: Double = 0.9, estGate: Boolean = false): DataFrame = {
+    val k = 72
     val bands = 12
     val docs = Tables(s, dir, "documents")
     val sig = graft.operators.MinHash.signaturesFast(
       docs, "doc_id", "text", k = k, bands = bands, shingleN = 1,
       materialize = false)
-    val sigArr = array((0 until k).map(i => col(s"mh$i")): _*)
     val exploded = sig
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("doc_id"), col("source"), sigArr.as("__sig"),
+      .select(col("doc_id"), col("source"),
         posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
           .as(Seq("band_idx", "band_key")))
     val a = exploded.select(col("source"), col("band_idx"),
-      col("band_key"), col("doc_id").as("doc_a"), col("__sig").as("sig_a"))
+      col("band_key"), col("doc_id").as("doc_a"))
     val b = exploded.select(col("source"), col("band_idx"),
-      col("band_key"), col("doc_id").as("doc_b"), col("__sig").as("sig_b"))
-    // estimated Jaccard gate BEFORE the exact verify: a static sum of
-    // k codegen'd equality terms (no interpreted lambda); the margin
-    // (threshold − 0.15 ≈ 3.5σ of the k=48 estimator at J=0.9) keeps
-    // recall ~1 while discarding the weak-similarity candidates whose
-    // token sets would otherwise dominate verify-join volume.
-    val estJ = (0 until k).map(i =>
-      when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1),
-        1).otherwise(0)).reduce(_ + _).cast("double") / k
-    val cand = a.join(b, Seq("source", "band_idx", "band_key"))
+      col("band_key"), col("doc_id").as("doc_b"))
+    val cand0 = a.join(b, Seq("source", "band_idx", "band_key"))
       .where(col("doc_a") < col("doc_b"))
-      .where(estJ >= threshold - 0.15)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+    val cand = if (!estGate) cand0 else {
+      val sigArr = array((0 until k).map(i => col(s"mh$i")): _*)
+      val estJ = (0 until k).map(i =>
+        when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1),
+          1).otherwise(0)).reduce(_ + _).cast("double") / k
+      // margin: threshold − 0.15 ≈ 3.5σ of the k=72 estimator at
+      // J = 0.9 — recall stays ~1 while sub-threshold pairs drop
+      cand0
+        .join(sig.select(col("doc_id").as("doc_a"), sigArr.as("sig_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), sigArr.as("sig_b")), "doc_b")
+        .where(estJ >= threshold - 0.15)
+        .select(col("doc_a"), col("doc_b"))
+    }
     val d = docs
       .select(col("doc_id"), array_distinct(toks).as("tset"))
       .withColumn("nt", size(col("tset")))

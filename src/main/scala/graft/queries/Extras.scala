@@ -265,6 +265,8 @@ object Extras {
     "k1_vegard" -> (k1Vegard _),
     "x1_json_props" -> (x1JsonProps _),
     "w2_lag_delta" -> (w2LagDelta _),
+    "m7_curation" ->
+      ((s: SparkSession, d: String) => graft.pipeline.TextPipeline.run(s, d)),
   )
 
   val oracle: Map[String, String] = Map(

@@ -48,6 +48,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "s2_ann_lsh",       // adaptivePlanes sizes nPlanes from a count()
     "s3_ann_ivf",       // Lloyd iterations for the IVF centroids
     "m6_materials_e2e", // full pipeline incl. split assignment
+    "m7_curation",      // staged curation runner (per-stage counts)
     "s9_aflux"          // canned multi-page ingest assembles a local fixture
   )
 

@@ -6,6 +6,13 @@ import graft.sources.{Cfg, ExtXyz, Poscar}
 
 class SourcesSpec extends AnyFunSuite {
 
+  lazy val spark: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
   private val a = 4.05
   private def cfg: Config = Config.of(
     Seq("Ag", "Ag", "Pd"),
@@ -88,5 +95,51 @@ class SourcesSpec extends AnyFunSuite {
     val v = c.virial.get
     for (i <- Seq(0, 1, 2, 4, 5, 8))
       assert(math.abs(v(i) - cfg.virial.get(i)) < 1e-8)
+  }
+
+  test("HDF5 reader parses the reference's REAL atoms.h5 fixtures (S-h5)") {
+    // tests/files/test.h5 — written by h5py via Atoms.write; the
+    // pure-JVM reader must extract the same dict Atoms.read sees
+    val c = graft.sources.Hdf5.readAtoms("/root/reference/tests/files/test.h5")
+    assert(c.n === 8)
+    assert(c.symbols === "Si8")
+    assert(c.positions.length === 8 && c.positions.forall(_.length === 3))
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(math.abs(c.cell(i)(j) - (if (i == j) 5.43 else 0.0)) < 1e-12)
+    assert(c.uuid.nonEmpty)
+    assert(c.params.contains("vasp_energy"))
+    // tests/database/files/p-50-2.h5 — an AtomsList file: 50 atom_* groups
+    val list = graft.sources.Hdf5.readAtomsList(
+      "/root/reference/tests/database/files/p-50-2.h5")
+    assert(list.length === 50)
+    assert(list.forall(a => a.n > 0 && a.positions.length == a.n))
+    assert(list.map(_.uuid).distinct.length === 50)
+  }
+
+  test("HDF5 round-trip: Config → atoms.h5 → ingest → parquet, uuid/params preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("h5rt").toString
+    val cfg = graft.core.Config.of(
+      Seq("Ag", "Pd", "Ag"),
+      Seq(Seq(4.05, 0.0, 0.0), Seq(0.0, 4.05, 0.0), Seq(0.0, 0.0, 4.05)),
+      Seq(Seq(0.0, 0.0, 0.0), Seq(2.0, 2.0, 0.0), Seq(2.0, 0.0, 2.0)))
+      .copy(params = Map("rattle" -> "0.02", "seed" -> "42"),
+        energy = Some(-3.25))
+    graft.sources.Hdf5.writeAtoms(s"$dir/atoms.h5", cfg)
+    val back = graft.sources.Hdf5.readAtoms(s"$dir/atoms.h5")
+    assert(back.uuid === cfg.uuid)
+    assert(back.params === cfg.params)
+    assert(back.symbols === cfg.symbols)
+    assert(back.species === cfg.species)
+    for (i <- cfg.positions.indices; j <- 0 until 3)
+      assert(math.abs(back.positions(i)(j) - cfg.positions(i)(j)) < 1e-12)
+    assert(math.abs(back.energy.get - cfg.energy.get) < 1e-12)
+    // distributed one-shot ingest → parquet
+    import spark.implicits._
+    val ds = graft.sources.Hdf5.ingest(spark, s"$dir/atoms.h5")
+    ds.write.mode("overwrite").parquet(s"$dir/configs.parquet")
+    val re = spark.read.parquet(s"$dir/configs.parquet")
+      .as[graft.core.Config].collect()
+    assert(re.length === 1)
+    assert(re.head.uuid === cfg.uuid && re.head.params === cfg.params)
   }
 }

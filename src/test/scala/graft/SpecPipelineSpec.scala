@@ -149,4 +149,35 @@ class SpecPipelineSpec extends AnyFunSuite {
       SpecPipeline.run(spark, bad).collect()
     }
   }
+
+  test("M7 text curation: YAML-driven stages, per-stage counts, split partition") {
+    val dir = "/root/testdata/sf0.001"
+    def runOnce() = graft.pipeline.TextPipeline.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val out = runOnce()
+    assert(out.map(_._2).startsWith(Seq("ingest", "normalize",
+      "dedup_exact", "dedup_simhash", "decontaminate", "stratified_sample")))
+    assert(out.head._3 === 500) // sf0.001 documents
+    val pipelineCounts = out.filterNot(_._2.startsWith("split:")).map(_._3)
+    assert(pipelineCounts.forall(_ > 0))
+    // counts never increase stage-over-stage
+    assert(pipelineCounts.zip(pipelineCounts.tail).forall { case (a, b) => b <= a })
+    // decontaminate drops at least the 6 bench docs (0, 97, …, 485)
+    val decon = out.find(_._2 == "decontaminate").get._3
+    val before = out(out.indexWhere(_._2 == "decontaminate") - 1)._3
+    assert(decon <= before - 6)
+    // split buckets partition the surviving corpus exactly
+    val finalN = pipelineCounts.last
+    assert(out.filter(_._2.startsWith("split:")).map(_._3).sum === finalN)
+    // pinned seed ⇒ bit-identical audit table on re-run
+    assert(runOnce() === out)
+  }
+
+  test("M7 curation spec: unknown stage fails loudly") {
+    val bad = graft.pipeline.TextPipeline.defaultYaml
+      .replace("type: normalize", "type: frobnicate")
+    assertThrows[IllegalArgumentException] {
+      graft.pipeline.TextPipeline.run(spark, "/root/testdata/sf0.001", bad).collect()
+    }
+  }
 }
