@@ -8,15 +8,16 @@ import org.apache.spark.sql.functions._
   * feature-extract as partition-batched kernels.
   *
   * IMAGE rows carry REAL encoded payloads (24-bit uncompressed BMP,
-  * graft.sources.Bmp) and the decode kernel genuinely parses the
-  * header and pixel array — no image library exists in this
-  * environment, so the codec is pure JVM. Audio/video payloads remain
-  * deterministic byte streams with a byte-histogram kernel (an honest
-  * stand-in: there is no pure-JVM mp3/h264). Everything Spark-side is
-  * real either way: schema, partitioning, batch shape (kernels
-  * consume a partition in fixed-size batches exactly like an
+  * graft.sources.Bmp) and AUDIO rows carry REAL encoded payloads
+  * (RIFF/PCM WAV, graft.sources.Wav); both decode kernels genuinely
+  * parse headers and payload arrays — no media libraries exist in
+  * this environment, so the codecs are pure JVM. Video payloads
+  * remain deterministic byte streams with a byte-histogram kernel
+  * (the one honest stand-in: there is no pure-JVM h264). Everything
+  * Spark-side is real either way: schema, partitioning, batch shape
+  * (kernels consume a partition in fixed-size batches exactly like an
   * Arrow/pandas-UDF boundary), deterministic outputs. Swapping in a
-  * JNI/Arrow decoder for the remaining kinds changes no plan shape.
+  * JNI/Arrow decoder for video changes no plan shape.
   */
 object Multimodal {
 
@@ -28,8 +29,10 @@ object Multimodal {
 
   /** Deterministic media table derived from the documents text:
     * image rows get a REAL 24-bit BMP payload (pixels synthesized
-    * from the text bytes), audio/video rows get raw byte streams —
-    * stands in for a real binary column with typed metadata. */
+    * from the text bytes), audio rows a REAL 16-bit PCM WAV payload
+    * (samples synthesized from the text bytes), video rows raw byte
+    * streams — stands in for a real binary column with typed
+    * metadata. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables(spark, dir, "documents")
@@ -50,6 +53,15 @@ object Multimodal {
           MediaRow(id, kind, graft.sources.Bmp.encode(
             graft.sources.Bmp.Image(w, h, rgb)),
             width = w, height = h, n_frames = 1)
+        } else if (kind == "audio") {
+          val tb = text.getBytes("UTF-8")
+          def tbAt(i: Int): Int = if (tb.isEmpty) 0 else tb(i % tb.length) & 0xFF
+          val n = (nChars % 256).toInt + 64
+          val samples = Array.tabulate[Short](n)(i =>
+            ((tbAt(i) - 128) * 256).toShort)
+          MediaRow(id, kind, graft.sources.Wav.encode(
+            graft.sources.Wav.Audio(8000, 1, samples)),
+            width = n, height = 1, n_frames = 1)
         } else
           MediaRow(id, kind, text.getBytes("UTF-8"),
             width = (nChars % 64).toInt + 32, height = 32,
@@ -60,9 +72,12 @@ object Multimodal {
   /** Decode + feature-extract in partition batches. Images: REAL BMP
     * decode (header parse + pixel extraction, graft.sources.Bmp) →
     * 8-bin normalized LUMINANCE histogram over the decoded pixels,
-    * decoded_bytes = 3·pixels. Audio/video: 8-bin byte histogram (the
-    * honest stand-in — no pure-JVM codecs for those). Batching,
-    * schema and determinism are the contract either way. */
+    * decoded_bytes = 3·pixels. Audio: REAL WAV decode (RIFF chunk
+    * walk + 16-bit PCM extraction, graft.sources.Wav) → 8-bin
+    * normalized AMPLITUDE histogram over the decoded samples,
+    * decoded_bytes = 2·samples. Video: 8-bin byte histogram (the
+    * honest stand-in — no pure-JVM h264). Batching, schema and
+    * determinism are the contract either way. */
   def decodeFeatures(media: Dataset[MediaRow],
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -79,6 +94,13 @@ object Multimodal {
             val n = math.max(img.rgb.length, 1)
             MediaFeatures(m.media_id, m.kind, hist.map(_ / n).toSeq,
               3 * img.rgb.length)
+          } else if (m.kind == "audio") {
+            val a = graft.sources.Wav.decode(m.payload)
+            val hist = new Array[Double](8)
+            a.samples.foreach(s => hist(((s & 0xFFFF) >> 13) & 7) += 1.0)
+            val n = math.max(a.samples.length, 1)
+            MediaFeatures(m.media_id, m.kind, hist.map(_ / n).toSeq,
+              2 * a.samples.length)
           } else {
             val hist = new Array[Double](8)
             m.payload.foreach(b => hist((b & 0xFF) / 32) += 1.0)

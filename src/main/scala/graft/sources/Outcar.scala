@@ -32,6 +32,29 @@ object Outcar {
     }
   }
 
+  /** K16 version probe (vasp.py:52–90 vasp_version): the version is
+    * the first whitespace token of the first non-blank line VASP
+    * prints — identical to an OUTCAR's first line (` vasp.5.3.3
+    * 18Dez12 (build ...)` → `vasp.5.3.3`). The reference execs the
+    * binary in a temp dir and memoizes per path; executing an external
+    * binary is outside the data plane here, so the probe takes the
+    * output TEXT (an OUTCAR or the binary's captured stdout) and the
+    * memo cache keys on the caller's path, matching `_versions`. */
+  def vaspVersion(text: String): String =
+    text.linesIterator
+      .map(_.trim)
+      .find(_.nonEmpty)
+      .flatMap(_.split("\\s+").headOption)
+      .getOrElse("")
+
+  private val versionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized per-path variant (vasp.py:47–50 `_versions`); `read`
+    * supplies the text only on a cache miss. */
+  def vaspVersionOf(path: String, read: String => String): String =
+    versionCache.computeIfAbsent(path, p => vaspVersion(read(p)))
+
   /** S7 completion probe (vasp.py:405–435): tail contains
     * `free  energy` and that line mentions TOTEN. */
   def isConverged(text: String): Boolean = {

@@ -67,6 +67,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f.feature.sum === 1.0)
   }
 
+  test("WAV codec: known sample stats for a canned fixture (mm decode)") {
+    import graft.sources.Wav
+    // encode → decode round-trips samples, rate, channels
+    val a = Wav.Audio(8000, 1, Array[Short](0, 1000, -1000, 32767, -32768))
+    val rt = Wav.decode(Wav.encode(a))
+    assert(rt.sampleRate === 8000 && rt.channels === 1)
+    assert(rt.samples.toSeq === a.samples.toSeq)
+    // unknown chunks between fmt and data are skipped (word-aligned)
+    val enc = Wav.encode(a)
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 3, 0, 0, 0, 1, 2, 3, 0)
+    val withJunk = enc.take(36) ++ junk ++ enc.drop(36)
+    assert(Wav.decode(withJunk).samples.toSeq === a.samples.toSeq)
+    // audio feature = amplitude histogram of DECODED samples (top 3
+    // bits of the unsigned-16 representation): 0→bin0, 1000→0,
+    // -1000→7, 32767→3, -32768→4
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "audio", enc,
+      a.samples.length, 1, 1)).toDS()
+    val f = Multimodal.decodeFeatures(media).collect().head
+    assert(f.decoded_bytes === 10)
+    assert(f.feature(0) === 0.4 && f.feature(3) === 0.2 &&
+      f.feature(4) === 0.2 && f.feature(7) === 0.2)
+    // malformed payloads fail loudly, not silently
+    assertThrows[IllegalArgumentException](Wav.decode(Array[Byte](1, 2, 3)))
+  }
+
   test("approx quantiles stay within the sketch error bound of exact") {
     // sk1-style: the production approx_percentile path must track the
     // exact (oracle-twin) result; GK accuracy 10000 over sf0.01's

@@ -64,6 +64,23 @@ class OutcarSpec extends AnyFunSuite {
     assert(Outcar.isConverged(text))
   }
 
+  test("version probe extracts the first token of the first line (K16)") {
+    // the reference's real fixture starts ` vasp.5.3.3 18Dez12 (build …)`
+    val path = java.nio.file.Paths.get("/root/reference/tests/files/outcars/4_atom")
+    assume(java.nio.file.Files.exists(path), "reference fixture not present")
+    assert(Outcar.vaspVersion(java.nio.file.Files.readString(path))
+      === "vasp.5.3.3")
+    assert(Outcar.vaspVersion("") === "")           // vasp.py:61–66 empty path
+    assert(Outcar.vaspVersion("\n  vasp.6.4.2 x\n") === "vasp.6.4.2")
+    // memoized per path: `read` runs once (vasp.py:47–50 _versions)
+    var reads = 0
+    def read(p: String): String = { reads += 1; " vasp.5.4.4 rest" }
+    val key = s"/fake/bin/vasp-${System.nanoTime()}"
+    assert(Outcar.vaspVersionOf(key, read) === "vasp.5.4.4")
+    assert(Outcar.vaspVersionOf(key, read) === "vasp.5.4.4")
+    assert(reads === 1)
+  }
+
   test("completion probe rejects truncated runs (S7)") {
     assert(Outcar.isConverged(golden))
     assert(!Outcar.isConverged(golden.take(20))) // cut before any TOTEN line
