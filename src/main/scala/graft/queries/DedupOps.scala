@@ -482,6 +482,23 @@ object DedupOps {
        |SELECT doc_id, n_tok, $simhashBits AS simhash, $simhashBands
        |FROM agg""".stripMargin
 
+  /** Subquery: min-doc_id keeper per 64-bit simhash over `src`
+    * (doc_id, text) — the m7 oracle's dedup_simhash stage. Mirrors
+    * `simhash64Of` exactly as simhashBaseSql mirrors simhash64, but
+    * parameterized on the source relation so it can run mid-pipeline
+    * over the normalized, exact-deduped corpus. */
+  private[graft] def simhashKeepersSql(src: String): String =
+    s"""(WITH tk2 AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM $src),
+       | hh2 AS (SELECT doc_id, md5(tok) AS h FROM tk2),
+       | nib2 AS (SELECT doc_id,
+       |   [strpos('0123456789abcdef', substr(h, i, 1)) - 1
+       |    for i in range(1, 17)] AS nb FROM hh2),
+       | agg2 AS (SELECT doc_id, COUNT(*) AS n_tok, $simhashBitSums
+       |         FROM nib2 GROUP BY doc_id)
+       | SELECT MIN(doc_id) AS doc_id FROM agg2 GROUP BY $simhashBits)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,

@@ -270,6 +270,64 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    // M7 audit-table oracle: each curation stage re-expressed in SQL
+    // over the PREVIOUS stage's survivors (normalize = t6's transform,
+    // dedup keepers = min doc_id per hash, decontaminate = d8's gram
+    // overlap, sample = o7's keyed-digest rank); the split rows are
+    // pure arithmetic in the surviving count (Splits.assign bucket
+    // sizes depend only on N), guarded to drop empty buckets exactly
+    // like the Spark groupBy does.
+    "m7_curation" ->
+      s"""WITH norm AS (
+         | SELECT doc_id, lang,
+         |  trim(regexp_replace(regexp_replace(lower(text),
+         |    '[[:cntrl:]]', '', 'g'), ' {2,}', ' ', 'g')) AS text
+         | FROM documents),
+         |dx AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(text)),
+         |d1c AS (SELECT n.* FROM norm n JOIN dx USING (doc_id)),
+         |ds AS ${DedupOps.simhashKeepersSql("d1c")},
+         |d3c AS (SELECT c.* FROM d1c c JOIN ds USING (doc_id)),
+         |g AS (
+         | SELECT doc_id, lang, doc_id % 97 = 0 AS is_bench,
+         |  CASE WHEN len(string_split(text, ' ')) >= 8 THEN
+         |   list_distinct([array_to_string(string_split(text, ' ')[i:i+7], ' ')
+         |    for i in range(1, len(string_split(text, ' ')) - 6)])
+         |  ELSE [] END AS grams
+         | FROM d3c),
+         |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_bench),
+         |cont AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_bench) cg
+         |  JOIN bg USING (gram)),
+         |dec AS (SELECT doc_id, lang FROM g
+         |  WHERE NOT is_bench AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |r AS (
+         | SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY md5('42:' || doc_id), doc_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY lang) AS ns
+         | FROM dec),
+         |samp AS (SELECT doc_id FROM r WHERE rn <= CEIL(ns * 0.5)),
+         |n5 AS (SELECT COUNT(*)::BIGINT AS n FROM samp),
+         |sp AS (
+         | SELECT bucket, n FROM (
+         |  SELECT 'train' AS bucket, CEIL(0.8 * n)::BIGINT AS n FROM n5
+         |  UNION ALL
+         |  SELECT 'holdout', CEIL(0.8 * (n - CEIL(0.8 * n)))::BIGINT FROM n5
+         |  UNION ALL
+         |  SELECT 'super',
+         |   (n - CEIL(0.8 * n) - CEIL(0.8 * (n - CEIL(0.8 * n))))::BIGINT FROM n5)
+         | WHERE n > 0),
+         |stages AS (
+         | SELECT 0::BIGINT AS stage_idx, 'ingest' AS stage,
+         |   (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs
+         | UNION ALL SELECT 1, 'normalize', (SELECT COUNT(*) FROM norm)
+         | UNION ALL SELECT 2, 'dedup_exact', (SELECT COUNT(*) FROM d1c)
+         | UNION ALL SELECT 3, 'dedup_simhash', (SELECT COUNT(*) FROM d3c)
+         | UNION ALL SELECT 4, 'decontaminate', (SELECT COUNT(*) FROM dec)
+         | UNION ALL SELECT 5, 'stratified_sample', (SELECT COUNT(*) FROM samp)
+         | UNION ALL
+         | SELECT (5 + ROW_NUMBER() OVER (ORDER BY bucket))::BIGINT,
+         |   'split:' || bucket, n FROM sp)
+         |SELECT stage_idx, stage, n_docs FROM stages ORDER BY stage_idx""".stripMargin,
     "a9_quantiles" ->
       """SELECT o_orderpriority,
         | ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS q25,
