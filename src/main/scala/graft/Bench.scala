@@ -70,10 +70,18 @@ object Bench {
       s"""    "$n": {"cold": ${r3(cold.toMap.apply(n))}, "warm": ${r3(warmMap(n))}}""")
       .mkString(",\n")
     full ++= "\n  }\n}\n"
-    val outDir = java.nio.file.Paths.get("bench")
-    java.nio.file.Files.createDirectories(outDir)
-    java.nio.file.Files.write(outDir.resolve(s"bench_$sfName.json"),
-      full.toString.getBytes("UTF-8"))
+    // a SPARK_GRAFT_ONLY-subset run must not clobber the committed
+    // full-surface artifact unless the caller names an output
+    // explicitly (the sf0.5x artifact IS a named subset: its dir
+    // carries only the documents/embeddings tables)
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some(s"bench/bench_$sfName.json") else None)
+    benchOut.foreach { p =>
+      val path = java.nio.file.Paths.get(p)
+      Option(path.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(path, full.toString.getBytes("UTF-8"))
+    }
 
     // one-line driver contract: warm-pass per-query values (the
     // stable measurement), cold total recorded alongside.

@@ -332,9 +332,14 @@ object DedupOps {
     * own id as cluster_id. */
   def d6DupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = d3HammingPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    // pre-partition the (static) edge table on the join key: the
+    // cached partitioning satisfies each round's join requirement, so
+    // only the (much smaller) label side shuffles per round
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst")
+      .repartition(col("src"))
+      .persist()
     // localCheckpoint per round: iterative DataFrames otherwise nest
     // every prior round's plan inside the next (plan-size blowup, not
     // data). On a cluster this would be checkpoint() to durable
@@ -342,30 +347,42 @@ object DedupOps {
     // try/finally: a failed round must not leave the edge table cached
     // in a long-lived session.
     try {
-      var labels = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      // iterate ONLY over the pair graph's vertices — singletons (the
+      // overwhelming majority of a deduped corpus) can never change
+      // label and are attached once at the end
+      val sumCol = sum(col("cluster_id").cast("decimal(38,0)"))
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
         .localCheckpoint(true)
-      var changed = 1L
+      // labels are min-monotone, so the decimal label sum strictly
+      // decreases iff any label changed — an O(1) agg replaces the
+      // old per-round full label join
+      var prevSum = labels.agg(sumCol).collect()(0).getDecimal(0)
+      var changed = true
       var iter = 0
       val maxIters = 64
-      while (changed > 0 && iter < maxIters) {
+      while (changed && iter < maxIters) {
         val prop = edges.join(labels, edges("src") === labels("doc_id"))
           .select(col("dst").as("doc_id"), col("cluster_id"))
         val next = labels.unionByName(prop)
           .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
           .localCheckpoint(true)
-        changed = labels.as("a")
-          .join(next.as("b"), "doc_id")
-          .where(col("a.cluster_id") =!= col("b.cluster_id")).count()
+        val nextSum = next.agg(sumCol).collect()(0).getDecimal(0)
+        changed = nextSum.compareTo(prevSum) != 0
+        prevSum = nextSum
         labels = next
         iter += 1
       }
       // fail loudly rather than return split components: a silent
       // partial result under-deletes duplicates downstream
-      require(changed == 0,
+      require(!changed,
         s"connected components did not converge in $maxIters rounds " +
           "(pathological chain-shaped dup graph?)")
-      labels.orderBy(col("doc_id"))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
     } finally edges.unpersist()
   }
 

@@ -23,6 +23,27 @@ object TextOps {
         (col("n_nospace") / col("n_tok")).as("avg_tok_len"))
       .orderBy(col("doc_id"))
 
+  /** BPE-style pre-tokenizer regex (the GPT-2 pattern's RE2-safe
+    * core: a token is an optionally-space-prefixed letter run, digit
+    * run, or punctuation run, else a space run). Kept to constructs
+    * Java regex and RE2 treat identically (no lookaround, no
+    * contraction alternates) so the DuckDB oracle is byte-equivalent. */
+  private val bpeRe = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  /** T7: token counting under the BPE-ish regex vs the whitespace
+    * split — subword-adjacent counts are what an LLM data pipeline
+    * budgets by (whitespace counts under-estimate punctuation-heavy
+    * and digit-heavy documents). Pure codegen expressions. */
+  def t7BpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("n_tok_ws", size(toks).cast("long"))
+      .withColumn("n_tok_bpe",
+        size(regexp_extract_all(col("text"), lit(bpeRe), lit(0))).cast("long"))
+      .select(col("doc_id"), col("n_tok_ws"), col("n_tok_bpe"),
+        round(col("n_tok_bpe").cast("double") / col("n_tok_ws"), 6)
+          .as("bpe_per_ws"))
+      .orderBy(col("doc_id"))
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Quality scoring: stopword ratio + length saturation, binned. */
@@ -140,12 +161,20 @@ object TextOps {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_repetition" -> (t5Repetition _),
     "t6_normalize" -> (t6Normalize _),
+    "t7_bpe_tokens" -> (t7BpeTokens _),
   )
 
   private val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
   private def markerPred(ws: Seq[String]) = ws.map(w => s"t = '$w'").mkString(" OR ")
 
   val oracle: Map[String, String] = Map(
+    "t7_bpe_tokens" ->
+      s"""SELECT doc_id,
+         | len(string_split(text, ' '))::BIGINT AS n_tok_ws,
+         | len(regexp_extract_all(text, '$bpeRe'))::BIGINT AS n_tok_bpe,
+         | ROUND(len(regexp_extract_all(text, '$bpeRe'))::DOUBLE
+         |   / len(string_split(text, ' ')), 6) AS bpe_per_ws
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         | len(string_split(text, ' '))::BIGINT AS n_tok,

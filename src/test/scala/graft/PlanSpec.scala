@@ -93,4 +93,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!lsh.contains("CartesianProduct"),
       "ANN must never plan an all-pairs cartesian")
   }
+
+  test("minhash near-dup candidates come from a band equi-join, never a cartesian") {
+    val plan = formatted(queries.DedupOps.nearDupPairs(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay an equi-join on (source, band_idx, band_key)")
+    // the verify stage joins candidates to per-doc token sets by key
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"))
+  }
+
+  test("decontamination broadcasts the benchmark gram set (corpus never shuffles on gram)") {
+    val plan = formatted(queries.DedupOps.d8Decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the small benchmark gram set must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

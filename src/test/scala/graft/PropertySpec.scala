@@ -156,4 +156,67 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("WAV codec round-trips arbitrary 16-bit PCM payloads (mm decode)") {
+    import graft.sources.Wav
+    val audioGen = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      ch <- Gen.choose(1, 4)
+      n <- Gen.choose(0, 400)
+      xs <- Gen.listOfN(n * ch,
+        Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield Wav.Audio(rate, ch, xs.map(_.toShort).toArray)
+    samples(audioGen, 60).foreach { a =>
+      val rt = Wav.decode(Wav.encode(a))
+      assert(rt.sampleRate === a.sampleRate)
+      assert(rt.channels === a.channels)
+      assert(rt.samples.toSeq === a.samples.toSeq)
+    }
+  }
+
+  test("BMP codec round-trips arbitrary images incl. padded odd widths") {
+    import graft.sources.Bmp
+    val imgGen = for {
+      w <- Gen.choose(1, 23)
+      h <- Gen.choose(1, 11)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 0xFFFFFF))
+    } yield Bmp.Image(w, h, px.toArray)
+    samples(imgGen, 60).foreach { img =>
+      val rt = Bmp.decode(Bmp.encode(img))
+      assert(rt.width === img.width && rt.height === img.height)
+      assert(rt.rgb.toSeq === img.rgb.toSeq)
+    }
+  }
+
+  test("HDF5 codec round-trips arbitrary configs (uuid/params/geometry)") {
+    import graft.sources.Hdf5
+    val cfgGen = for {
+      sp <- speciesGen
+      cellDiag <- Gen.listOfN(3, Gen.choose(2.0, 8.0))
+      pos <- Gen.listOfN(sp.length,
+        Gen.listOfN(3, Gen.choose(0.0, 2.0)))
+      nParams <- Gen.choose(0, 4)
+      params <- Gen.mapOfN(nParams, Gen.zip(
+        Gen.identifier.map(_.take(8)), Gen.identifier.map(_.take(12))))
+      energy <- Gen.option(Gen.choose(-50.0, 0.0))
+    } yield Config.of(sp,
+      Seq(Seq(cellDiag(0), 0.0, 0.0), Seq(0.0, cellDiag(1), 0.0),
+        Seq(0.0, 0.0, cellDiag(2))),
+      pos.map(_.toSeq))
+      .copy(params = params, energy = energy)
+    val dir = java.nio.file.Files.createTempDirectory("h5prop").toString
+    samples(cfgGen, 40).zipWithIndex.foreach { case (cfg, i) =>
+      val p = s"$dir/rt_$i.h5"
+      Hdf5.writeAtoms(p, cfg)
+      val back = Hdf5.readAtoms(p)
+      assert(back.uuid === cfg.uuid)
+      assert(back.species === cfg.species)
+      assert(back.params === cfg.params)
+      assert(back.energy === cfg.energy)
+      for (r <- cfg.positions.indices; c <- 0 until 3)
+        assert(math.abs(back.positions(r)(c) - cfg.positions(r)(c)) < 1e-12)
+      for (r <- 0 until 3; c <- 0 until 3)
+        assert(math.abs(back.cell(r)(c) - cfg.cell(r)(c)) < 1e-12)
+    }
+  }
 }

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.EventsStream
+import graft.streaming.{CurationStream, EventsStream}
 
 class StreamingSpec extends AnyFunSuite {
 
@@ -84,5 +84,56 @@ class StreamingSpec extends AnyFunSuite {
     val n = spark.read.parquet(out).count()
     val expected = Tables(spark, "/root/testdata/sf0.001", "events").count()
     assert(n === expected)
+  }
+
+  test("streaming curation ingest: normalize + dedup against the sink (m7 twin)") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("cur_src").toString
+    val sink = Files.createTempDirectory("cur_sink").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("cur_ckpt").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(src, "batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = CurationStream.ingestLoop(spark, src, sink, ckpt)
+    q.processAllAvailable()
+    // batch twin of stages 0–2: distinct md5(normalized text)
+    val norm = trim(regexp_replace(regexp_replace(
+      lower(col("text")), "[\\p{Cntrl}]", ""), " {2,}", " "))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expected1 = docs.select(md5(norm)).distinct().count()
+    assert(spark.read.parquet(sink).count() === expected1)
+
+    // batch 2: re-deliveries of existing docs (new ids, same text)
+    // plus genuinely new docs
+    val dupes = docs.limit(5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val newDocs = Seq(
+      (2000001L, "a genuinely new streaming document", "en", "stream", 34L),
+      (2000002L, "another fresh document from the stream", "en", "stream", 38L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the flat file-source glob wants FILES in src, not nested dirs:
+    // write to a scratch dir, then move the part file in
+    def deliver(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("cur_batch").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(src, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    deliver(dupes.unionByName(newDocs), "batch2.parquet")
+    q.processAllAvailable()
+    val afterBatch2 = spark.read.parquet(sink)
+    assert(afterBatch2.count() === expected1 + 2,
+      "re-delivered texts must dedup against the sink; new docs append")
+    // survivors are unique by content hash
+    assert(afterBatch2.groupBy("content_hash").count()
+      .where(col("count") > 1).count() === 0)
+
+    // replay: the same content under a new file name appends nothing
+    deliver(dupes.unionByName(newDocs), "batch2_replay.parquet")
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(sink).count() === expected1 + 2)
   }
 }
