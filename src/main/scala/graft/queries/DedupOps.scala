@@ -516,6 +516,22 @@ object DedupOps {
        |         FROM nib2 GROUP BY doc_id)
        | SELECT MIN(doc_id) AS doc_id FROM agg2 GROUP BY $simhashBits)""".stripMargin
 
+  /** Exhaustive blocked exact-Jaccard pairs — shared by the d4
+    * prefix-index path and the d2→d4 composed path (identical output,
+    * see nearDupPairs scaladoc). */
+  private val d4OracleSql: String =
+    """WITH t AS (
+      | SELECT doc_id, source,
+      |  list_distinct(string_split(text, ' ')) AS tset
+      | FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | len(list_intersect(a.tset, b.tset))::DOUBLE
+      |   / len(list_distinct(a.tset || b.tset)) AS jaccard
+      |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.tset, b.tset))::DOUBLE
+      |   / len(list_distinct(a.tset || b.tset)) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
@@ -609,18 +625,15 @@ object DedupOps {
          | WHERE cc.comp < e.dst)
          |SELECT doc_id, MIN(comp) AS cluster_id FROM cc
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "d4_ngram_jaccard" ->
-      """WITH t AS (
-        | SELECT doc_id, source,
-        |  list_distinct(string_split(text, ' ')) AS tset
-        | FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | len(list_intersect(a.tset, b.tset))::DOUBLE
-        |   / len(list_distinct(a.tset || b.tset)) AS jaccard
-        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.tset, b.tset))::DOUBLE
-        |   / len(list_distinct(a.tset || b.tset)) >= 0.9
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d4_ngram_jaccard" -> d4OracleSql,
+    // the composed path returns the same exact-Jaccard pair set as
+    // d4 (MinHashSpec asserts set equality at the gate scale), so the
+    // same exhaustive SQL oracles it. The minhash candidate tier is
+    // probabilistic — P(miss | J = 0.9) = (1 − 0.9⁶)¹² ≈ 1.1e-4 per
+    // pair — so at corpus sizes far beyond the gate a marginal pair
+    // could slip the bands; the oracle then reports the slip instead
+    // of hiding it, which is the point of the check.
+    "d4_neardup_pairs" -> d4OracleSql,
     "d5_embedding_dedup" ->
       """WITH e AS (
         | SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
