@@ -2,6 +2,7 @@ package graft.generators
 
 import scala.util.Random
 import graft.core.{Config, Formula, Hashing, Lattice, Rng}
+import graft.sources.Xdatcar
 
 /** Row-producing generators (SURVEY §2.2). Each is a pure function
   * `Config => Seq[Config]` keyed by (globalSeed, seed-config uuid) —
@@ -183,6 +184,31 @@ object Generators {
         params = seedCfg.params + ("strain" -> s.toString))
       c.copy(uuid = Hashing.contentHash(c))
     }
+
+  // ------------------------------------------------------------ G6 (liquid)
+
+  /** G6 liquid group: DFT configs from a subsampled liquid-temperature
+    * MD trajectory (reference database/liquid.py:24–117 — a
+    * downstream map over the G5/MD output). Semantics preserved:
+    * the stage is GATED on the MD base being ready (liquid.py:58–63
+    * `ready()`/`setup()` both bail when `mdbase.ready()` is false —
+    * here: empty frame list fails loudly instead of silently emitting
+    * nothing), every `rate`-th frame becomes a calculation seed
+    * (md.py subsample handoff), configs are tagged `config_type=liq`
+    * (liquid.py:83 `xyz(config_type="liq")`) and content-hash
+    * deduped like every other generator. */
+  def liquid(frames: Seq[Xdatcar.Frame], rate: Int = 1): Seq[Config] = {
+    require(frames.nonEmpty,
+      "MD base not ready: no trajectory frames (liquid.py ready() gate)")
+    require(rate >= 1, s"subsample rate must be >= 1, got $rate")
+    Xdatcar.subsample(frames, rate).map { f =>
+      val seed = f.config
+      val c = seed.copy(uuid = "", groupUuid = seed.uuid,
+        energy = None, force = None, configType = Some("liq"),
+        params = seed.params + ("md_step" -> f.step.toString))
+      c.copy(uuid = Hashing.contentHash(c))
+    }.distinctBy(_.uuid)
+  }
 
   private implicit class Pipe[A](private val a: A) extends AnyVal {
     def pipe[B](f: A => B): B = f(a)

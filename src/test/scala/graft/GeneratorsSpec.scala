@@ -76,6 +76,31 @@ class GeneratorsSpec extends AnyFunSuite {
     assert(math.abs(vols(2) - 1.02) < 1e-9)
   }
 
+  test("liquid subsamples MD frames into liq-typed configs (G6)") {
+    import graft.sources.Xdatcar
+    // a fake 10-frame trajectory: each frame rattles the seed slightly
+    val frames = (0 until 10).map { i =>
+      val c = fcc4.copy(
+        positions = fcc4.positions.map(_.map(_ + i * 0.01)))
+      Xdatcar.Frame(i + 1, c.copy(uuid = s"md-run-$i"))
+    }
+    val out = Generators.liquid(frames, rate = 3)
+    assert(out.length === 3) // steps 3, 6, 9 (step % samplerate == 0)
+    out.foreach { c =>
+      assert(c.configType === Some("liq")) // liquid.py:83 config_type
+      assert(c.energy.isEmpty && c.force.isEmpty) // fresh DFT seeds
+      assert(c.params.contains("md_step"))
+      assert(c.uuid.nonEmpty && c.groupUuid.nonEmpty)
+    }
+    assert(out.map(_.params("md_step")) === Seq("3", "6", "9"))
+    // content-hash ids: identical frames dedup
+    val dupFrames = frames ++ frames.map(f => f.copy(step = f.step + 100))
+    val deduped = Generators.liquid(dupFrames, rate = 1)
+    assert(deduped.length === 10)
+    // the mdbase.ready() gate: an unfinished MD base fails loudly
+    assertThrows[IllegalArgumentException](Generators.liquid(Nil, 2))
+  }
+
   test("hessian kernel recovers the harmonic spring constant (G7/G8)") {
     val seed2 = Config.of(Seq("Ag", "Pd"),
       Seq(Seq(a, 0.0, 0.0), Seq(0.0, a, 0.0), Seq(0.0, 0.0, a)),

@@ -97,6 +97,56 @@ class SourcesSpec extends AnyFunSuite {
       assert(math.abs(v(i) - cfg.virial.get(i)) < 1e-8)
   }
 
+  test("tarball sink: ustar round-trip, system-tar interop, sharded output (S15)") {
+    import graft.sources.Tar
+    val entries = Seq(
+      Tar.Entry("cfg-1/POSCAR", "Ag fcc\n1.0\n".getBytes("UTF-8")),
+      Tar.Entry("cfg-2/POSCAR", ("x" * 700).getBytes("UTF-8")), // >1 block
+      Tar.Entry("cfg-2/OUTCAR", Array[Byte]())) // empty file
+    // codec round-trip
+    val rt = Tar.decode(Tar.encode(entries))
+    assert(rt.map(_.name) === entries.map(_.name))
+    rt.zip(entries).foreach { case (a, b) =>
+      assert(a.bytes.toSeq === b.bytes.toSeq)
+    }
+    // gzip round-trip
+    assert(Tar.gunzip(Tar.gzip(Tar.encode(entries))).toSeq ===
+      Tar.encode(entries).toSeq)
+    // determinism: identical input → byte-identical archive
+    assert(Tar.encode(entries).toSeq === Tar.encode(entries).toSeq)
+    // interop: the system tar must list and extract our archive
+    val tarBin = new java.io.File("/bin/tar")
+    val tarBin2 = new java.io.File("/usr/bin/tar")
+    assume(tarBin.exists() || tarBin2.exists(), "no system tar")
+    val dir = java.nio.file.Files.createTempDirectory("tarspec")
+    val f = dir.resolve("out.tar")
+    java.nio.file.Files.write(f, Tar.encode(entries))
+    val list = new ProcessBuilder("tar", "-tf", f.toString)
+      .redirectErrorStream(true).start()
+    val names = new String(list.getInputStream.readAllBytes(), "UTF-8")
+    assert(list.waitFor() === 0, s"system tar rejected the archive: $names")
+    assert(names.trim.split("\n").toSeq === entries.map(_.name))
+    val ex = new ProcessBuilder("tar", "-xf", f.toString, "-C", dir.toString)
+      .redirectErrorStream(true).start()
+    assert(ex.waitFor() === 0)
+    assert(java.nio.file.Files.readAllBytes(dir.resolve("cfg-2/POSCAR")).length === 700)
+    // sharded sink over a Dataset: one tar.gz per non-empty partition
+    import spark.implicits._
+    val ds = Seq(cfg, cfg.copy(uuid = "u2"), cfg.copy(uuid = "u3"))
+      .toDS().repartition(2)
+    val outDir = dir.resolve("shards").toString
+    val shards = graft.sources.Tar.tarballSink[Config](ds, outDir,
+      c => Seq(Tar.Entry(s"${c.uuid.take(12)}/POSCAR",
+        Poscar.write(c).getBytes("UTF-8"))))
+    assert(shards.nonEmpty && shards.forall(_.endsWith(".tar.gz")))
+    val back = shards.flatMap(p =>
+      Tar.decode(Tar.gunzip(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)))))
+    assert(back.map(_.name).toSet ===
+      Set(cfg.uuid.take(12), "u2", "u3").map(_ + "/POSCAR"))
+    assert(back.forall(_.bytes.nonEmpty))
+  }
+
   test("HDF5 reader parses the reference's REAL atoms.h5 fixtures (S-h5)") {
     // tests/files/test.h5 — written by h5py via Atoms.write; the
     // pure-JVM reader must extract the same dict Atoms.read sees
