@@ -113,6 +113,57 @@ object Multimodal {
     }
   }
 
+  /** Image resize in partition batches: REAL BMP decode → box-average
+    * downsample (each target pixel averages its source box per
+    * channel) → BMP re-encode. Non-image rows pass through untouched.
+    * Same batched kernel boundary as decodeFeatures; swapping in a
+    * JNI/Arrow resampler changes no plan shape. */
+  def resizeImages(media: Dataset[MediaRow], outW: Int,
+      outH: Int, batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(outW > 0 && outH > 0, "target dims must be positive")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          if (m.kind != "image") m
+          else {
+            val img = graft.sources.Bmp.decode(m.payload)
+            val out = new Array[Int](outW * outH)
+            var y = 0
+            while (y < outH) {
+              val sy0 = y * img.height / outH
+              val sy1 = math.max((y + 1) * img.height / outH, sy0 + 1)
+              var x = 0
+              while (x < outW) {
+                val sx0 = x * img.width / outW
+                val sx1 = math.max((x + 1) * img.width / outW, sx0 + 1)
+                var r = 0L; var g = 0L; var b = 0L
+                var sy = sy0
+                while (sy < sy1) {
+                  var sx = sx0
+                  while (sx < sx1) {
+                    val px = img.rgb(sy * img.width + sx)
+                    r += (px >> 16) & 0xFF; g += (px >> 8) & 0xFF; b += px & 0xFF
+                    sx += 1
+                  }
+                  sy += 1
+                }
+                val nPx = (sy1 - sy0).toLong * (sx1 - sx0)
+                out(y * outW + x) = (((r / nPx).toInt << 16) |
+                  ((g / nPx).toInt << 8) | (b / nPx).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            m.copy(payload = graft.sources.Bmp.encode(
+              graft.sources.Bmp.Image(outW, outH, out)),
+              width = outW, height = outH)
+          }
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video rows: every `rate`-th frame (the MD
     * subsample O8 generalized to media). */
   def sampleFrames(media: Dataset[MediaRow], rate: Int): Dataset[Frame] = {

@@ -67,6 +67,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f.feature.sum === 1.0)
   }
 
+  test("image resize: box-average downsample with known pixel math (mm resize)") {
+    import graft.sources.Bmp
+    import spark.implicits._
+    // 4×2 image: left half pure red, right half pure blue →
+    // 2×1 resize: each output pixel averages a uniform 2×2 box
+    val rgb = Array(0xFF0000, 0xFF0000, 0x0000FF, 0x0000FF,
+                    0xFF0000, 0xFF0000, 0x0000FF, 0x0000FF)
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image", Bmp.encode(Bmp.Image(4, 2, rgb)), 4, 2, 1),
+      Multimodal.MediaRow(1L, "audio", Array[Byte](1, 2, 3), 3, 1, 1)).toDS()
+    val out = Multimodal.resizeImages(media, 2, 1).collect().sortBy(_.media_id)
+    val img = Bmp.decode(out(0).payload)
+    assert(img.width === 2 && img.height === 1)
+    assert(img.rgb.toSeq === Seq(0xFF0000, 0x0000FF))
+    assert(out(0).width === 2 && out(0).height === 1)
+    // non-image rows pass through untouched
+    assert(out(1).payload.toSeq === Seq[Byte](1, 2, 3))
+    // mixed box: 2×2 half red half blue → 1×1 averages to 0x7F007F
+    val mixed = Seq(Multimodal.MediaRow(2L, "image",
+      Bmp.encode(Bmp.Image(2, 2, Array(0xFF0000, 0x0000FF, 0xFF0000, 0x0000FF))),
+      2, 2, 1)).toDS()
+    val m1 = Bmp.decode(Multimodal.resizeImages(mixed, 1, 1)
+      .collect().head.payload)
+    assert(m1.rgb.toSeq === Seq(0x7F007F))
+    // upscale-ish odd ratios stay in bounds and deterministic
+    val odd = Multimodal.resizeImages(mixed, 3, 3).collect().head
+    assert(Bmp.decode(odd.payload).rgb.length === 9)
+  }
+
   test("WAV codec: known sample stats for a canned fixture (mm decode)") {
     import graft.sources.Wav
     // encode → decode round-trips samples, rate, channels
