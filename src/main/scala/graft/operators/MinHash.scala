@@ -18,21 +18,16 @@ object MinHash {
 
   /** Word n-shingles of a text column.
     *
-    * Implemented as a per-DOCUMENT Scala UDF rather than a
-    * transform/sequence/element_at lambda chain: higher-order
-    * lambdas evaluate interpreted per ELEMENT, and profiling showed
-    * the shingle construction costing more than all 16 md5 passes
-    * combined. One UDF call per document amortizes to noise, and the
-    * split uses limit -1 so trailing empties match Spark's own
-    * `split` and DuckDB's `string_split` exactly (oracle parity). */
-  private val shingleUdf = udf { (text: String, n: Int) =>
-    val t = text.split(" ", -1)
-    if (t.length < n) Array.empty[String]
-    else Array.tabulate(t.length - n + 1)(i => t.slice(i, i + n).mkString(" "))
-  }
-
+    * Historically a per-document Scala UDF (a transform/sequence/
+    * element_at lambda chain evaluates interpreted per ELEMENT and
+    * profiled slower than all 16 md5 passes combined); now a native
+    * Catalyst expression (graftx.Shingles) with identical semantics —
+    * no UTF8String↔String conversion round-trip, and the surrounding
+    * split/explode/md5 pipeline stays in whole-stage codegen. Oracle
+    * parity unchanged: Spark `split` keeps trailing empties exactly
+    * like DuckDB `string_split`. */
   def shingleCol(textCol: Column, n: Int): Column =
-    shingleUdf(textCol, lit(n))
+    org.apache.spark.sql.graftx.Shingles.shingles(split(textCol, " "), n)
 
   /** 2^31−1 — modulus of the affine minhash family. */
   val Mod: Long = 2147483647L
