@@ -102,37 +102,27 @@ object TextOps {
   /** T5 repetition / boilerplate signal (the Gopher/C4-style quality
     * gate): duplicate word-3-gram fraction and duplicate-token
     * fraction per document. High values = templated or repetitive
-    * text a curation pipeline drops. Single scan, per-row column
-    * expressions only. */
+    * text a curation pipeline drops. Pure codegen expressions —
+    * historically a per-row UDF (the interpreted-lambda trade); the
+    * native graftx.Shingles kernel made the whole thing
+    * built-ins-only, identical outputs (oracle hash-matches). */
   def t5Repetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = org.apache.spark.sql.graftx.Shingles.shingles(toks, 3)
+    val ng = size(grams)
+    val dupG = when(ng > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / ng)
+      .otherwise(0.0)
+    val nt = size(toks)
+    val dupT = when(nt > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / nt)
+      .otherwise(0.0)
     Tables(s, dir, "documents")
       .repartition(col("doc_id")) // single-split file → spread work
-      .withColumn("r", repUdf(col("text")))
       .select(col("doc_id"),
-        col("r._1").as("n_grams"),
-        round(col("r._2"), 6).as("dup_gram_frac"),
-        round(col("r._3"), 6).as("dup_tok_frac"))
+        ng.cast("long").as("n_grams"),
+        round(dupG, 6).as("dup_gram_frac"),
+        round(dupT, 6).as("dup_tok_frac"))
       .orderBy(col("doc_id"))
-  }
-
-  /** One deterministic per-ROW UDF instead of a per-ELEMENT
-    * interpreted `transform(sequence(...))` lambda chain — the same
-    * measured trade as MinHash.shingleUdf (interpreted HOF lambdas
-    * cost more than the real work; a single JVM call per document
-    * does not). */
-  private val repUdf = udf { (text: String) =>
-    // limit -1: keep trailing empty tokens — matches Spark's
-    // split(col, " ") and DuckDB's string_split (Java's default split
-    // drops trailing empties and would diverge on trailing spaces)
-    val t = text.split(" ", -1)
-    val n = t.length
-    val grams =
-      if (n >= 3) Array.tabulate(n - 2)(i => t(i) + " " + t(i + 1) + " " + t(i + 2))
-      else Array.empty[String]
-    val ng = grams.length
-    val dupG = if (ng > 0) 1.0 - grams.distinct.length.toDouble / ng else 0.0
-    val dupT = if (n > 0) 1.0 - t.distinct.length.toDouble / n else 0.0
-    (ng.toLong, dupG, dupT)
   }
 
   /** T6 text normalization/cleaning (the C4-style canonicalization
