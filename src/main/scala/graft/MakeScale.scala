@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * term that says nothing about the operators). Embedding labels are
   * offset per copy for the same reason (d5 blocks by label).
   *
+  * Suffixes are ALPHABETIC (`qa`, `qb`, …) so the scaled corpus keeps
+  * the base corpus's character-class statistics: an earlier `_0`
+  * suffix put a non-alpha char in every token, which made
+  * `[^a-zA-Z ]`-style normalization regexes do real replacement work
+  * only at scale and distorted the regex-heavy operators' measured
+  * exponents (t4 looked super-linear purely from the corpus
+  * transform).
+  *
   * Usage: runMain graft.MakeScale <srcSfDir> <dstDir> <copies>
   */
 object MakeScale {
@@ -30,12 +38,14 @@ object MakeScale {
     spark.sparkContext.setLogLevel("WARN")
     val idOff = 100000000L
 
+    def alphaSuffix(i: Int): String =
+      "q" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until copies).map { i =>
       docs.select(
         (col("doc_id") + lit(i * idOff)).as("doc_id"),
         array_join(transform(split(col("text"), " "),
-          t => concat(t, lit(s"_$i"))), " ").as("text"),
+          t => concat(t, lit(alphaSuffix(i)))), " ").as("text"),
         col("lang"),
         concat(col("source"), lit(s"_$i")).as("source"),
         col("n_chars"))

@@ -14,14 +14,24 @@ object TextOps {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Sort FIRST, project AFTER: a trailing `.orderBy` above an
+    * expensive projection makes the range-partition SAMPLING job
+    * evaluate the whole projection a second time (measured 2× on the
+    * regex/hash queries at the 25× scale point). Sorting the narrow
+    * (doc_id, …) scan and projecting on top evaluates each expression
+    * exactly once; Project is order-preserving, so output order and
+    * values — and every oracle hash — are unchanged. */
+  private def sortedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .orderBy(col("doc_id")) // the range exchange also spreads the single-split file
+
   /** Per-doc token statistics (token counting via whitespace split). */
   def t1TokenStats(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    sortedDocs(s, dir)
       .withColumn("n_tok", size(toks).cast("long"))
       .withColumn("n_nospace", length(regexp_replace(col("text"), " ", "")).cast("long"))
       .select(col("doc_id"), col("n_tok"), col("n_nospace"),
         (col("n_nospace") / col("n_tok")).as("avg_tok_len"))
-      .orderBy(col("doc_id"))
 
   /** BPE-style pre-tokenizer regex (the GPT-2 pattern's RE2-safe
     * core: a token is an optionally-space-prefixed letter run, digit
@@ -35,14 +45,13 @@ object TextOps {
     * budgets by (whitespace counts under-estimate punctuation-heavy
     * and digit-heavy documents). Pure codegen expressions. */
   def t7BpeTokens(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    sortedDocs(s, dir)
       .withColumn("n_tok_ws", size(toks).cast("long"))
       .withColumn("n_tok_bpe",
         size(regexp_extract_all(col("text"), lit(bpeRe), lit(0))).cast("long"))
       .select(col("doc_id"), col("n_tok_ws"), col("n_tok_bpe"),
         round(col("n_tok_bpe").cast("double") / col("n_tok_ws"), 6)
           .as("bpe_per_ws"))
-      .orderBy(col("doc_id"))
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
@@ -54,12 +63,11 @@ object TextOps {
     val stopRatio = stopHits / nTok
     val lenScore = least(nTok / lit(100.0), lit(1.0))
     val score = round(stopRatio * lit(0.5) + lenScore * lit(0.5), 6)
-    Tables(s, dir, "documents")
+    sortedDocs(s, dir)
       .select(col("doc_id"), round(stopRatio, 6).as("stop_ratio"),
         score.as("quality"),
         when(score >= 0.4, "good").when(score >= 0.25, "fair")
           .otherwise("low").as("quality_bin"))
-      .orderBy(col("doc_id"))
   }
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -91,13 +99,15 @@ object TextOps {
     * bag-of-words (the D1 content-hash generalized to text;
     * ref: database/active.py:181–184). */
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .repartition(col("doc_id")) // single-split file → spread hash work
+    sortedDocs(s, dir)
       .select(col("doc_id"),
         md5(col("text")).as("fp_raw"),
-        md5(lower(regexp_replace(col("text"), "[^a-zA-Z ]", ""))).as("fp_norm"),
+        // native byte-filter ≡ regexp_replace(text, "[^a-zA-Z ]", "")
+        // (graftx.KeepAlphaSpace scaladoc has the equivalence proof;
+        // the DuckDB oracle keeps the regex form and hash-matches)
+        md5(lower(org.apache.spark.sql.graftx.KeepAlphaSpace
+          .keepAlphaSpace(col("text")))).as("fp_norm"),
         md5(array_join(array_sort(array_distinct(toks)), " ")).as("fp_bag"))
-      .orderBy(col("doc_id"))
 
   /** T5 repetition / boilerplate signal (the Gopher/C4-style quality
     * gate): duplicate word-3-gram fraction and duplicate-token
@@ -116,13 +126,11 @@ object TextOps {
     val dupT = when(nt > 0,
       lit(1.0) - size(array_distinct(toks)).cast("double") / nt)
       .otherwise(0.0)
-    Tables(s, dir, "documents")
-      .repartition(col("doc_id")) // single-split file → spread work
+    sortedDocs(s, dir)
       .select(col("doc_id"),
         ng.cast("long").as("n_grams"),
         round(dupG, 6).as("dup_gram_frac"),
         round(dupT, 6).as("dup_tok_frac"))
-      .orderBy(col("doc_id"))
   }
 
   /** T6 text normalization/cleaning (the C4-style canonicalization
@@ -135,13 +143,11 @@ object TextOps {
       lower(col("text")),
       "[\\p{Cntrl}]", ""), // control chars out
       " {2,}", " ")) // collapse space runs
-    Tables(s, dir, "documents")
-      .repartition(col("doc_id"))
+    sortedDocs(s, dir)
       .select(col("doc_id"),
         cleaned.as("clean_text"),
         (cleaned =!= col("text")).as("changed"),
         md5(cleaned).as("clean_fp"))
-      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -188,6 +188,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tar codec round-trips arbitrary entry sets (S15)") {
+    import graft.sources.Tar
+    val entryGen = for {
+      n <- Gen.choose(0, 8)
+      entries <- Gen.listOfN(n, for {
+        name <- Gen.identifier.map(_.take(40))
+        size <- Gen.choose(0, 1500) // crosses 512-byte block boundaries
+        bytes <- Gen.listOfN(size, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      } yield Tar.Entry(name, bytes.toArray))
+    } yield entries.zipWithIndex.map { case (e, i) =>
+      e.copy(name = s"$i/${e.name}") // unique paths
+    }
+    samples(entryGen, 40).foreach { entries =>
+      val rt = Tar.decode(Tar.encode(entries))
+      assert(rt.map(_.name) === entries.map(_.name))
+      rt.zip(entries).foreach { case (a, b) =>
+        assert(a.bytes.toSeq === b.bytes.toSeq)
+      }
+      assert(Tar.gunzip(Tar.gzip(Tar.encode(entries))).toSeq ===
+        Tar.encode(entries).toSeq)
+    }
+  }
+
   test("HDF5 codec round-trips arbitrary configs (uuid/params/geometry)") {
     import graft.sources.Hdf5
     val cfgGen = for {
