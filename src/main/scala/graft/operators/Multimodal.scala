@@ -7,17 +7,18 @@ import org.apache.spark.sql.functions._
   * video as opaque binary columns with typed metadata, decode/
   * feature-extract as partition-batched kernels.
   *
-  * IMAGE rows carry REAL encoded payloads (24-bit uncompressed BMP,
-  * graft.sources.Bmp) and AUDIO rows carry REAL encoded payloads
-  * (RIFF/PCM WAV, graft.sources.Wav); both decode kernels genuinely
-  * parse headers and payload arrays — no media libraries exist in
-  * this environment, so the codecs are pure JVM. Video payloads
-  * remain deterministic byte streams with a byte-histogram kernel
-  * (the one honest stand-in: there is no pure-JVM h264). Everything
-  * Spark-side is real either way: schema, partitioning, batch shape
-  * (kernels consume a partition in fixed-size batches exactly like an
-  * Arrow/pandas-UDF boundary), deterministic outputs. Swapping in a
-  * JNI/Arrow decoder for video changes no plan shape.
+  * ALL THREE modalities carry REAL encoded payloads with REAL pure-JVM
+  * decoders (no media libraries exist in this environment): images are
+  * 24-bit uncompressed BMP (graft.sources.Bmp), audio is RIFF/PCM WAV
+  * (graft.sources.Wav), video is YUV4MPEG2 (graft.sources.Y4m — the
+  * standard uncompressed container; a compressed-codec decode would
+  * need JNI, but the container/frame/plane layer is the part that
+  * shapes the Spark plan). Every decode kernel genuinely parses
+  * headers and payload arrays. Everything Spark-side is real: schema,
+  * partitioning, batch shape (kernels consume a partition in
+  * fixed-size batches exactly like an Arrow/pandas-UDF boundary),
+  * deterministic outputs. Swapping in a JNI/Arrow h264 decoder
+  * changes no plan shape.
   */
 object Multimodal {
 
@@ -30,9 +31,9 @@ object Multimodal {
   /** Deterministic media table derived from the documents text:
     * image rows get a REAL 24-bit BMP payload (pixels synthesized
     * from the text bytes), audio rows a REAL 16-bit PCM WAV payload
-    * (samples synthesized from the text bytes), video rows raw byte
-    * streams — stands in for a real binary column with typed
-    * metadata. */
+    * (samples synthesized from the text bytes), video rows a REAL
+    * multi-frame 4:2:0 Y4M payload (planes synthesized from the text
+    * bytes) — a binary column with typed metadata. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables(spark, dir, "documents")
@@ -62,10 +63,24 @@ object Multimodal {
           MediaRow(id, kind, graft.sources.Wav.encode(
             graft.sources.Wav.Audio(8000, 1, samples)),
             width = n, height = 1, n_frames = 1)
-        } else
-          MediaRow(id, kind, text.getBytes("UTF-8"),
-            width = (nChars % 64).toInt + 32, height = 32,
-            n_frames = (nChars % 7).toInt + 1)
+        } else {
+          val tb = text.getBytes("UTF-8")
+          def tbAt(i: Int): Int = if (tb.isEmpty) 0 else tb(i % tb.length) & 0xFF
+          val w = (nChars % 16).toInt * 2 + 16 // even dims for 4:2:0
+          val h = 16
+          val nFrames = (nChars % 7).toInt + 1
+          val cw = w / 2; val ch = h / 2
+          val frames = Vector.tabulate(nFrames) { f =>
+            val base = f * (w * h)
+            graft.sources.Y4m.Frame(
+              Array.tabulate(w * h)(i => tbAt(base + i).toByte),
+              Array.tabulate(cw * ch)(i => tbAt(base + 2 * i).toByte),
+              Array.tabulate(cw * ch)(i => tbAt(base + 2 * i + 1).toByte))
+          }
+          MediaRow(id, kind, graft.sources.Y4m.encode(
+            graft.sources.Y4m.Video(w, h, 30, 1, "420", frames)),
+            width = w, height = h, n_frames = nFrames)
+        }
       }
   }
 
@@ -75,8 +90,10 @@ object Multimodal {
     * decoded_bytes = 3·pixels. Audio: REAL WAV decode (RIFF chunk
     * walk + 16-bit PCM extraction, graft.sources.Wav) → 8-bin
     * normalized AMPLITUDE histogram over the decoded samples,
-    * decoded_bytes = 2·samples. Video: 8-bin byte histogram (the
-    * honest stand-in — no pure-JVM h264). Batching, schema and
+    * decoded_bytes = 2·samples. Video: REAL Y4M decode (header parse
+    * + frame walk + plane extraction, graft.sources.Y4m) → 8-bin
+    * normalized LUMA histogram over every decoded frame's Y plane,
+    * decoded_bytes = total decoded plane bytes. Batching, schema and
     * determinism are the contract either way. */
   def decodeFeatures(media: Dataset[MediaRow],
       batchSize: Int = 64): Dataset[MediaFeatures] = {
@@ -102,11 +119,15 @@ object Multimodal {
             MediaFeatures(m.media_id, m.kind, hist.map(_ / n).toSeq,
               2 * a.samples.length)
           } else {
+            val v = graft.sources.Y4m.decode(m.payload)
             val hist = new Array[Double](8)
-            m.payload.foreach(b => hist((b & 0xFF) / 32) += 1.0)
-            val n = math.max(m.payload.length, 1)
-            MediaFeatures(m.media_id, m.kind, hist.map(_ / n).toSeq,
-              m.payload.length)
+            var decoded = 0
+            v.frames.foreach { f =>
+              f.y.foreach(b => hist((b & 0xFF) / 32) += 1.0)
+              decoded += f.y.length + f.u.length + f.v.length
+            }
+            val n = math.max(v.frames.map(_.y.length).sum, 1)
+            MediaFeatures(m.media_id, m.kind, hist.map(_ / n).toSeq, decoded)
           }
         }
       }
@@ -164,16 +185,17 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: every `rate`-th frame (the MD
-    * subsample O8 generalized to media). */
+  /** Frame sampling for video rows: REAL Y4M decode, keep every
+    * `rate`-th frame, re-encode each kept frame as a single-frame Y4M
+    * payload (so sampled frames remain valid video payloads for any
+    * downstream kernel) — the MD subsample O8 generalized to media. */
   def sampleFrames(media: Dataset[MediaRow], rate: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      (0 until m.n_frames).filter(_ % rate == 0).map { i =>
-        val chunk = math.max(m.payload.length / math.max(m.n_frames, 1), 1)
-        val from = math.min(i * chunk, m.payload.length)
-        val until = math.min(from + chunk, m.payload.length)
-        Frame(m.media_id, i, m.payload.slice(from, until))
+      val v = graft.sources.Y4m.decode(m.payload)
+      v.frames.zipWithIndex.collect { case (f, i) if i % rate == 0 =>
+        Frame(m.media_id, i, graft.sources.Y4m.encode(
+          v.copy(frames = Vector(f))))
       }
     }
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Multimodal, Similarity}
+import graft.sources.Y4m
 
 class OperatorsSpec extends AnyFunSuite {
 
@@ -165,6 +166,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.forall(_.frame_idx % 2 == 0))
     val nVideos = media.filter(_.kind == "video").count()
     assert(frames.map(_.media_id).distinct.length === nVideos)
+    // every sampled frame is itself a valid single-frame Y4M payload
+    frames.take(10).foreach { f =>
+      val v = Y4m.decode(f.payload)
+      assert(v.frames.length === 1)
+      assert(v.frames.head.y.length === v.width * v.height)
+    }
+  }
+
+  test("Y4M video codec: round trip, header tolerance, real luma feature (known math)") {
+    // 4x2 C420 two-frame round trip with distinct planes
+    val f0 = Y4m.Frame(Array.tabulate(8)(_.toByte),
+      Array[Byte](1, 2), Array[Byte](3, 4))
+    val f1 = Y4m.Frame(Array.tabulate(8)(i => (100 + i).toByte),
+      Array[Byte](5, 6), Array[Byte](7, 8))
+    val v = Y4m.Video(4, 2, 30, 1, "420", Vector(f0, f1))
+    val rt = Y4m.decode(Y4m.encode(v))
+    assert(rt.width === 4 && rt.height === 2 && rt.colorspace === "420")
+    assert(rt.frames.length === 2)
+    assert(rt.frames(0).y.toSeq === f0.y.toSeq && rt.frames(0).u.toSeq === f0.u.toSeq)
+    assert(rt.frames(1).y.toSeq === f1.y.toSeq && rt.frames(1).v.toSeq === f1.v.toSeq)
+    assert(Y4m.frameCount(Y4m.encode(v)) === 2)
+    // header tolerance: C420jpeg variant, X comment params, FRAME params
+    val hdr = "YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg XYSCSS=420JPEG\n"
+    val body = "FRAME Xtag\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60) // 4 luma + 1 u + 1 v
+    val tol = Y4m.decode(hdr.getBytes("US-ASCII") ++ body)
+    assert(tol.colorspace === "420" && tol.fpsNum === 25)
+    assert(tol.frames.head.y.toSeq === Seq[Byte](10, 20, 30, 40))
+    assert(tol.frames.head.u.toSeq === Seq[Byte](50))
+    // mono: no chroma planes
+    val mono = Y4m.Video(2, 2, 30, 1, "mono",
+      Vector(Y4m.Frame(Array[Byte](64, 64, (192 & 0xFF).toByte,
+        (192 & 0xFF).toByte), Array.empty, Array.empty)))
+    assert(Y4m.decode(Y4m.encode(mono)).frames.head.y.length === 4)
+    // video feature = luma histogram of DECODED frames: Y=64→bin2,
+    // Y=192→bin6, half each; decoded_bytes counts all planes
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(7L, "video",
+      Y4m.encode(mono), 2, 2, 1)).toDS()
+    val feat = Multimodal.decodeFeatures(media).collect().head
+    assert(feat.feature(2) === 0.5 && feat.feature(6) === 0.5)
+    assert(feat.decoded_bytes === 4)
+    // malformed payloads fail loudly, not silently
+    assertThrows[IllegalArgumentException](Y4m.decode("JUNK\n".getBytes))
+    assertThrows[IllegalArgumentException](
+      Y4m.decode("YUV4MPEG2 W2 H2 C444\nFRAME\n".getBytes("US-ASCII")))
   }
 
   test("ANN LSH finds a meaningful fraction of true neighbors, cheaply") {
