@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.SimilarityOps.queries ++
       graft.queries.MaterialsOps.queries ++
       graft.queries.Extras.queries ++
+      graft.queries.PackOps.queries ++
       graft.sources.Aflux.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.SimilarityOps.oracle ++
       graft.queries.MaterialsOps.oracle ++
       graft.queries.Extras.oracle ++
+      graft.queries.PackOps.oracle ++
       graft.sources.Aflux.oracle
 }

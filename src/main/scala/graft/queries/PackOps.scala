@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-batch assembly: sequence packing for LLM pretraining.
+  *
+  * P1 concat-and-chunk packing: documents are laid end-to-end in
+  * doc_id order and cut into fixed-capacity token chunks (the
+  * standard pretraining batch layout — every chunk is exactly `cap`
+  * tokens except the last, and a document crossing a boundary
+  * continues in the next chunk). The interesting part at scale is the
+  * GLOBAL token offset: a naive `Window.orderBy` with no partitionBy
+  * funnels the whole corpus through one task. Here offsets come from
+  * the same scale-safe shape as `operators.Splits` (O5): a
+  * DETERMINISTIC order-preserving bucketing on `doc_id DIV blockSz`
+  * (no range-boundary sampling, so nothing needs pinning), per-bucket
+  * sums prefix-summed on the driver — O(buckets) control rows — and a
+  * bucket-local cumulative window on top. Two O(1)-output control
+  * jobs run at build time (max id + bucket sums); the result plan is
+  * one local window + one chunk aggregation.
+  */
+object PackOps {
+
+  /** Tokens-per-chunk capacity: small enough that sf0.001's ~600-doc
+    * corpus still spans many chunks, context-window-sized in spirit. */
+  val ChunkCap = 256L
+
+  /** Per-chunk packing summary: how many documents intersect the
+    * chunk, how many tokens it holds (== cap except the tail), and
+    * how many of its documents carried in across the left boundary. */
+  def p1PackSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // control job 1: max id sizes the deterministic buckets
+    val maxId = base.agg(max(col("doc_id"))).as[Option[Long]]
+      .collect().head.getOrElse(0L)
+    val blockSz = maxId / parts + 1
+    val bucketed = base.withColumn("__b", expr(s"doc_id DIV $blockSz"))
+    // control job 2: per-bucket token sums → driver prefix sum
+    val sums = bucketed.groupBy(col("__b"))
+      .agg(sum(col("n_tok")).as("__s"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // bucket id → exclusive prefix sum of every earlier bucket's tokens
+    val offsets = sums.map(_._1)
+      .zip(sums.scanLeft(0L)(_ + _._2).init)
+    val offsetsDf = offsets.toSeq.toDF("__b", "__off")
+    val wLocal = Window.partitionBy(col("__b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = bucketed
+      .join(broadcast(offsetsDf), Seq("__b"))
+      .withColumn("off",
+        col("__off") + coalesce(sum(col("n_tok")).over(wLocal), lit(0L)))
+      .withColumn("fin", col("off") + col("n_tok"))
+    spans
+      .select(col("off"), col("fin"),
+        explode(sequence(expr(s"off DIV $ChunkCap"),
+          expr(s"(fin - 1) DIV $ChunkCap"))).as("chunk_id"))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("fin"), (col("chunk_id") + 1) * ChunkCap) -
+          greatest(col("off"), col("chunk_id") * ChunkCap)).as("n_tokens"),
+        sum(when(col("off") < col("chunk_id") * ChunkCap, 1L)
+          .otherwise(0L)).as("n_carry_in"))
+      .orderBy(col("chunk_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_pack_sequences" -> (p1PackSequences _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p1_pack_sequences" ->
+      s"""WITH t AS (
+         | SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+         | FROM documents),
+         |o AS (
+         | SELECT doc_id, n_tok,
+         |  COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+         | FROM t),
+         |e AS (
+         | SELECT off, off + n_tok AS fin,
+         |  UNNEST(range(off // $ChunkCap, (off + n_tok - 1) // $ChunkCap + 1)) AS chunk_id
+         | FROM o)
+         |SELECT chunk_id, COUNT(*)::BIGINT AS n_docs,
+         | SUM(LEAST(fin, (chunk_id + 1) * $ChunkCap)
+         |   - GREATEST(off, chunk_id * $ChunkCap))::BIGINT AS n_tokens,
+         | SUM(CASE WHEN off < chunk_id * $ChunkCap THEN 1 ELSE 0 END)::BIGINT AS n_carry_in
+         |FROM e GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+  )
+}

@@ -150,6 +150,75 @@ object TextOps {
         md5(cleaned).as("clean_fp"))
   }
 
+  /** T8 PII redaction (the scrub pass a curation pipeline runs before
+    * anything leaves the raw zone): emails, IPv4s, and phone-shaped
+    * number runs replaced by typed placeholder tags, plus a per-doc
+    * redaction count for audit. Patterns are kept to constructs Java
+    * regex and RE2 treat identically ([0-9] classes, no lookaround,
+    * ASCII \\b) so the DuckDB oracle is byte-equivalent. Pure codegen
+    * expressions — single scan, no shuffle. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  private val ipRe = "\\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\\b"
+  private val phoneRe = "\\+[0-9]{7,15}|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** The redaction projection over any text column (spec-testable on
+    * synthetic fixtures; t8 applies it to the documents table). */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      text, emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
+
+  def redactCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(emailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(ipRe), lit(0))) +
+      size(regexp_extract_all(text, lit(phoneRe), lit(0)))).cast("long")
+
+  def t8PiiRedact(s: SparkSession, dir: String): DataFrame =
+    sortedDocs(s, dir)
+      .select(col("doc_id"), redact(col("text")).as("redacted_text"),
+        redactCount(col("text")).as("n_redactions"))
+
+  /** T9 vocabulary construction: token → document frequency (docs
+    * containing it) and collection frequency (total occurrences), top
+    * 50 by df with a deterministic token tie-break. Two partial-agg
+    * shuffles (doc×token, then token) — the classic distributed
+    * wordcount shape; the result is vocab-sized however big the
+    * corpus is. */
+  def t9VocabDf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(50)
+
+  /** T10 per-document tf-idf weight (the quality/importance score a
+    * training-mix sampler keys on). Determinism across engines: idf is
+    * quantized to integer micro-units — idf_q = round(1e6·ln(N/df)) —
+    * so the per-doc score Σ tf·idf_q is pure integer arithmetic and
+    * immune to float summation order; a 1-ulp libm ln() difference
+    * could only matter exactly on a .5 boundary. N arrives as a
+    * broadcast single-row aggregate (lazy — no driver count at build
+    * time). */
+  def t10TfIdf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token") // token side is vocab-sized; AQE broadcasts it
+      .crossJoin(broadcast(n))
+      .withColumn("idf_q",
+        round(log(col("n_docs").cast("double") / col("df")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("idf_q")).as("score_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2QualityScore _),
@@ -158,6 +227,9 @@ object TextOps {
     "t5_repetition" -> (t5Repetition _),
     "t6_normalize" -> (t6Normalize _),
     "t7_bpe_tokens" -> (t7BpeTokens _),
+    "t8_pii_redact" -> (t8PiiRedact _),
+    "t9_vocab_df" -> (t9VocabDf _),
+    "t10_tfidf" -> (t10TfIdf _),
   )
 
   private val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
@@ -227,6 +299,40 @@ object TextOps {
         | ELSE 0.0 END AS dup_gram_frac,
         | round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 6) AS dup_tok_frac
         |FROM tg ORDER BY doc_id""".stripMargin,
+    "t8_pii_redact" ->
+      s"""SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$emailRe', '<EMAIL>', 'g'),
+         |   '$ipRe', '<IP>', 'g'),
+         |   '$phoneRe', '<PHONE>', 'g') AS redacted_text,
+         | (len(regexp_extract_all(text, '$emailRe'))
+         |  + len(regexp_extract_all(text, '$ipRe'))
+         |  + len(regexp_extract_all(text, '$phoneRe')))::BIGINT AS n_redactions
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t9_vocab_df" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, token, COUNT(*) AS tf
+        | FROM tok GROUP BY doc_id, token)
+        |SELECT token, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS cf
+        |FROM tf GROUP BY token
+        |ORDER BY df DESC, token LIMIT 50""".stripMargin,
+    "t10_tfidf" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, token, COUNT(*) AS tf
+        | FROM tok GROUP BY doc_id, token),
+        |dfreq AS (
+        | SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+        |SELECT tf.doc_id,
+        | SUM(tf.tf * ROUND(LN((SELECT COUNT(*) FROM documents)::DOUBLE
+        |   / dfreq.df) * 1e6)::BIGINT)::BIGINT AS score_micro
+        |FROM tf JOIN dfreq USING (token)
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
     "t6_normalize" ->
       """WITH c AS (
         | SELECT doc_id, text,

@@ -274,4 +274,43 @@ class OperatorsSpec extends AnyFunSuite {
     val maxBucket = buckets.agg(max(col("n"))).collect()(0).getLong(0)
     assert(maxBucket < 100) // 500 vectors spread over 256 buckets
   }
+
+  test("PII redaction scrubs emails/IPs/phones with typed tags and hit counts (t8)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact alice.smith+x@example.org or 10.0.0.1 now"),
+      (2L, "call 555-123-4567 or +14155550123 today"),
+      (3L, "no pii here at all"),
+      (4L, "version 1.2.3.4 is an ip-shaped string")).toDF("id", "text")
+    val out = rows.select(col("id"),
+      queries.TextOps.redact(col("text")).as("r"),
+      queries.TextOps.redactCount(col("text")).as("n"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getString(1) === "contact <EMAIL> or <IP> now")
+    assert(out(0).getLong(2) === 2L)
+    assert(out(1).getString(1) === "call <PHONE> or <PHONE> today")
+    assert(out(1).getLong(2) === 2L)
+    assert(out(2).getString(1) === "no pii here at all")
+    assert(out(2).getLong(2) === 0L)
+    assert(out(3).getString(1) === "version <IP> is an ip-shaped string")
+  }
+
+  test("sequence packing: contiguous full chunks, token conservation, single carry-in (p1)") {
+    val out = queries.PackOps.p1PackSequences(spark, sf).collect()
+    assert(out.nonEmpty)
+    // chunk ids are contiguous from 0
+    assert(out.map(_.getLong(0)).toSeq === (0L until out.length).toSeq)
+    // every chunk except the tail holds exactly ChunkCap tokens
+    out.dropRight(1).foreach(r =>
+      assert(r.getLong(2) === queries.PackOps.ChunkCap))
+    assert(out.last.getLong(2) <= queries.PackOps.ChunkCap)
+    // packing conserves the corpus token count exactly
+    val total = Tables(spark, sf, "documents")
+      .select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(out.map(_.getLong(2)).sum === total)
+    // concat layout: at most ONE document can carry across each boundary
+    out.foreach(r => assert(r.getLong(3) <= 1L))
+    assert(out.forall(_.getLong(1) >= 1L))
+  }
 }
