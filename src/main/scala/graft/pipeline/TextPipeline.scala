@@ -9,9 +9,9 @@ import graft.pipeline.Yaml._
 
 /** M7: the end-to-end TEXT curation pipeline, driven by the same YAML
   * spec surface as the materials lifecycle (SpecPipeline / reference
-  * §3.1 matdb.yml): ingest → normalize (t6) → exact dedup (d1) →
-  * simhash dedup (d3) → decontaminate (d8) → stratified sample (o7)
-  * → reproducible split (o5).
+  * §3.1 matdb.yml): ingest → normalize (t6) → PII redact (t8) →
+  * exact dedup (d1) → simhash dedup (d3) → decontaminate (d8) →
+  * stratified sample (o7) → reproducible split (o5).
   *
   * Each stage is one declarative DataFrame transform over the
   * previous stage's output (the reference's rset chaining,
@@ -39,6 +39,7 @@ object TextPipeline {
       |  train: 0.8
       |curation:
       |  - type: normalize
+      |  - type: redact
       |  - type: dedup_exact
       |  - type: dedup_simhash
       |  - type: decontaminate
@@ -75,6 +76,8 @@ object TextPipeline {
       case "normalize" => // t6: lowercase, strip control chars, collapse runs
         docs.withColumn("text", trim(regexp_replace(regexp_replace(
           lower(col("text")), "[\\p{Cntrl}]", ""), " {2,}", " ")))
+      case "redact" => // t8: scrub emails/IPs/phones before anything leaves
+        docs.withColumn("text", graft.queries.TextOps.redact(col("text")))
       case "dedup_exact" => // d1: keeper = min doc_id per content hash
         val keep = docs
           .groupBy(md5(col("text")).as("__h"))

@@ -283,8 +283,15 @@ object Extras {
          |  trim(regexp_replace(regexp_replace(lower(text),
          |    '[[:cntrl:]]', '', 'g'), ' {2,}', ' ', 'g')) AS text
          | FROM documents),
-         |dx AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(text)),
-         |d1c AS (SELECT n.* FROM norm n JOIN dx USING (doc_id)),
+         |red AS (
+         | SELECT doc_id, lang,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |   '${TextOps.emailRe}', '<EMAIL>', 'g'),
+         |   '${TextOps.ipRe}', '<IP>', 'g'),
+         |   '${TextOps.phoneRe}', '<PHONE>', 'g') AS text
+         | FROM norm),
+         |dx AS (SELECT MIN(doc_id) AS doc_id FROM red GROUP BY md5(text)),
+         |d1c AS (SELECT n.* FROM red n JOIN dx USING (doc_id)),
          |ds AS ${DedupOps.simhashKeepersSql("d1c")},
          |d3c AS (SELECT c.* FROM d1c c JOIN ds USING (doc_id)),
          |g AS (
@@ -320,12 +327,13 @@ object Extras {
          | SELECT 0::BIGINT AS stage_idx, 'ingest' AS stage,
          |   (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs
          | UNION ALL SELECT 1, 'normalize', (SELECT COUNT(*) FROM norm)
-         | UNION ALL SELECT 2, 'dedup_exact', (SELECT COUNT(*) FROM d1c)
-         | UNION ALL SELECT 3, 'dedup_simhash', (SELECT COUNT(*) FROM d3c)
-         | UNION ALL SELECT 4, 'decontaminate', (SELECT COUNT(*) FROM dec)
-         | UNION ALL SELECT 5, 'stratified_sample', (SELECT COUNT(*) FROM samp)
+         | UNION ALL SELECT 2, 'redact', (SELECT COUNT(*) FROM red)
+         | UNION ALL SELECT 3, 'dedup_exact', (SELECT COUNT(*) FROM d1c)
+         | UNION ALL SELECT 4, 'dedup_simhash', (SELECT COUNT(*) FROM d3c)
+         | UNION ALL SELECT 5, 'decontaminate', (SELECT COUNT(*) FROM dec)
+         | UNION ALL SELECT 6, 'stratified_sample', (SELECT COUNT(*) FROM samp)
          | UNION ALL
-         | SELECT (5 + ROW_NUMBER() OVER (ORDER BY bucket))::BIGINT,
+         | SELECT (6 + ROW_NUMBER() OVER (ORDER BY bucket))::BIGINT,
          |   'split:' || bucket, n FROM sp)
          |SELECT stage_idx, stage, n_docs FROM stages ORDER BY stage_idx""".stripMargin,
     "a9_quantiles" ->

@@ -157,9 +157,9 @@ object TextOps {
     * regex and RE2 treat identically ([0-9] classes, no lookaround,
     * ASCII \\b) so the DuckDB oracle is byte-equivalent. Pure codegen
     * expressions — single scan, no shuffle. */
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
-  private val ipRe = "\\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\\b"
-  private val phoneRe = "\\+[0-9]{7,15}|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private[queries] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  private[queries] val ipRe = "\\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\\b"
+  private[queries] val phoneRe = "\\+[0-9]{7,15}|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
   /** The redaction projection over any text column (spec-testable on
     * synthetic fixtures; t8 applies it to the documents table). */

@@ -110,4 +110,22 @@ class PlanSpec extends AnyFunSuite {
       "the small benchmark gram set must broadcast")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("tf-idf: N rides a broadcast single-row join, wordcount aggs are partial") {
+    val plan = formatted(queries.TextOps.t10TfIdf(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the corpus-count scalar must broadcast, not collect")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "token counts must map-side combine before the shuffle")
+  }
+
+  test("sequence packing windows are bucket-partitioned (no single-partition cumsum)") {
+    val plan = formatted(queries.PackOps.p1PackSequences(spark, sf))
+    assert(plan.contains("Window"))
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!plan.contains("SinglePartition"),
+      "a global-order cumulative sum would funnel the corpus through one task:\n" + windowLines)
+  }
 }

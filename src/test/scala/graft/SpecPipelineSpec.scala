@@ -155,7 +155,7 @@ class SpecPipelineSpec extends AnyFunSuite {
     def runOnce() = graft.pipeline.TextPipeline.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     val out = runOnce()
-    assert(out.map(_._2).startsWith(Seq("ingest", "normalize",
+    assert(out.map(_._2).startsWith(Seq("ingest", "normalize", "redact",
       "dedup_exact", "dedup_simhash", "decontaminate", "stratified_sample")))
     assert(out.head._3 === 500) // sf0.001 documents
     val pipelineCounts = out.filterNot(_._2.startsWith("split:")).map(_._3)
