@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * exponents (t4 looked super-linear purely from the corpus
   * transform).
   *
-  * Usage: runMain graft.MakeScale <srcSfDir> <dstDir> <copies>
+  * Usage: runMain graft.MakeScale <srcSfDir> <dstDir> <copies> [full]
+  * — "full" additionally scales the relational/event tables (re-keyed,
+  * events time-shifted per copy) and copies the dims through.
   */
 object MakeScale {
   def main(args: Array[String]): Unit = {
@@ -62,6 +64,49 @@ object MakeScale {
     }.reduce(_ unionByName _)
       .repartition(32, col("vec_id"))
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    // Relational/event tables (opt-in via 4th arg "full"): fact tables
+    // are re-keyed per copy; events are additionally TIME-SHIFTED one
+    // year per copy and re-keyed on user_id, so sessions / as-of
+    // matches / range-join pairs never cross copies — the workload
+    // scales linearly by construction, which is what makes the
+    // measured exponent about the operator, not the corpus transform.
+    // Dimension tables (region…part) copy through unscaled: at any
+    // scale the dims stay broadcast-sized, exactly like production.
+    if (args.length > 3 && args(3) == "full") {
+      val yearNanos = 31557600L * 1000000000L // 365.25 d — ts is epoch-nanos
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+      val orders = spark.read.parquet(s"$src/orders.parquet")
+      (0 until copies).map { i =>
+        orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * idOff))
+      }.reduce(_ unionByName _)
+        .repartition(32, col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
+      val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+      (0 until copies).map { i =>
+        lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(i * idOff))
+      }.reduce(_ unionByName _)
+        .repartition(32, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+      val events = spark.read.parquet(s"$src/events.parquet")
+      (0 until copies).map { i =>
+        events.select(
+          (col("event_id") + lit(i * idOff)).as("event_id"),
+          (col("ts") + lit(i * yearNanos)).as("ts"),
+          (col("user_id") + lit(i * idOff)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .repartition(32, col("event_id"))
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+    }
 
     println(s"[makescale] wrote $dst at ${copies}x of $src")
     spark.stop()

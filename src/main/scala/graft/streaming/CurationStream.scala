@@ -6,10 +6,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 /** Streaming twin of the m7 curation pipeline's ingest → normalize →
-  * exact-dedup front (pipeline/TextPipeline stages 0–2) — the shape a
-  * live corpus feed runs: documents arrive as files, each micro-batch
-  * is normalized (t6), deduped within itself, then anti-joined
-  * against the SINK's already-ingested content hashes and appended.
+  * redact → exact-dedup front (pipeline/TextPipeline stages 0–3) —
+  * the shape a live corpus feed runs: documents arrive as files, each
+  * micro-batch is normalized (t6), PII-redacted (t8), deduped within
+  * itself, then anti-joined against the SINK's already-ingested
+  * content hashes and appended.
   *
   * Dedup state is the sink table, not stream memory: at 100 TB the
   * seen-hash set cannot live in executor state (and
@@ -36,14 +37,14 @@ object CurationStream {
     trim(regexp_replace(regexp_replace(
       lower(col("text")), "[\\p{Cntrl}]", ""), " {2,}", " "))
 
-  /** One micro-batch of curation: normalize, in-batch dedup (min
-    * doc_id per content hash — deterministic survivor), sink-side
-    * anti-join, append. Package-visible so the spec can drive it
-    * directly against canned batches. */
+  /** One micro-batch of curation: normalize, redact, in-batch dedup
+    * (min doc_id per content hash — deterministic survivor),
+    * sink-side anti-join, append. Package-visible so the spec can
+    * drive it directly against canned batches. */
   private[graft] def curateBatch(batch: DataFrame, sinkDir: String): Unit = {
     val spark = batch.sparkSession
     val normalized = batch
-      .withColumn("text", cleaned)
+      .withColumn("text", graft.queries.TextOps.redact(cleaned))
       .withColumn("content_hash", md5(col("text")))
     val inBatchKeep = normalized
       .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))

@@ -96,9 +96,9 @@ class StreamingSpec extends AnyFunSuite {
 
     val q = CurationStream.ingestLoop(spark, src, sink, ckpt)
     q.processAllAvailable()
-    // batch twin of stages 0–2: distinct md5(normalized text)
-    val norm = trim(regexp_replace(regexp_replace(
-      lower(col("text")), "[\\p{Cntrl}]", ""), " {2,}", " "))
+    // batch twin of stages 0–3: distinct md5(redacted normalized text)
+    val norm = graft.queries.TextOps.redact(trim(regexp_replace(regexp_replace(
+      lower(col("text")), "[\\p{Cntrl}]", ""), " {2,}", " ")))
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val expected1 = docs.select(md5(norm)).distinct().count()
     assert(spark.read.parquet(sink).count() === expected1)
