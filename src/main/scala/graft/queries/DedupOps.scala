@@ -415,6 +415,41 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** D9 FUZZY decontamination — the paraphrase-robust cousin of d8's
+    * exact 8-gram overlap (near-verbatim benchmark rewrites share few
+    * exact 8-grams but most of their shingle set): corpus docs whose
+    * minhash LSH bands collide with a benchmark doc and whose
+    * estimated Jaccard clears the threshold are flagged. Both band
+    * sides derive from the SAME signature subtree (one shingle→hash→
+    * agg pass, ReuseExchange dedupes it — the d2 discipline), the
+    * benchmark side is tiny by construction, and est_jaccard = m/16
+    * is binary-exact so the oracle compares without rounding slop.
+    * Production twin: `MinHash.signaturesFast` per the d2 note. */
+  def d9FuzzyDecontaminate(s: SparkSession, dir: String): DataFrame =
+    fuzzyContaminated(sigDf(s, dir), pmod(col("doc_id"), lit(97)) === 0)
+
+  /** The d9 kernel over an arbitrary signature table and benchmark
+    * predicate (spec-testable with planted paraphrases). */
+  def fuzzyContaminated(sig: DataFrame, isBench: Column): DataFrame = {
+    val bandCols = array(col("band_0"), col("band_1"))
+    val sigArr = array((0 until K).map(i => col(s"mh$i")): _*)
+    def side(benchSide: Boolean, prefix: String) =
+      sig.where(if (benchSide) isBench else !isBench)
+        .select(col("doc_id").as(s"${prefix}_id"), sigArr.as(s"sig_$prefix"),
+          posexplode(bandCols).as(Seq("band_idx", "band_key")))
+    val estJ = size(filter(sequence(lit(1), lit(K)),
+      i => element_at(col("sig_c"), i) === element_at(col("sig_b"), i)))
+      .cast("double") / K
+    side(benchSide = false, "c")
+      .join(side(benchSide = true, "b"), Seq("band_idx", "band_key"))
+      .select(col("c_id").as("doc_id"), col("b_id"), estJ.as("est_j"))
+      .where(col("est_j") >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("b_id")).as("n_bench_hits"),
+        max(col("est_j")).as("max_est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sketch-based distinct counting (HLL / approx_count_distinct —
     * the "novel sketch" surface; no oracle: sketch implementations
     * differ across engines, spec asserts the error bound instead). */
@@ -431,6 +466,7 @@ object DedupOps {
     "d3_simhash_dups" -> (d3SimhashDups _),
     "d6_dup_clusters" -> (d6DupClusters _),
     "d8_decontaminate" -> (d8Decontaminate _),
+    "d9_fuzzy_decontaminate" -> (d9FuzzyDecontaminate _),
     "sk1_approx_distinct" -> (sk1ApproxDistinct _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
@@ -597,6 +633,24 @@ object DedupOps {
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |WHERE NOT g.is_bench
         |ORDER BY g.doc_id""".stripMargin,
+    // d9: same signature CTE as d2, split into corpus/benchmark sides;
+    // est_jaccard = m/16 is binary-exact, so no rounding slop
+    "d9_fuzzy_decontaminate" ->
+      s"""$sigCte,
+         |c AS (SELECT doc_id, sig, band0, band1 FROM band WHERE doc_id % 97 != 0),
+         |bn AS (SELECT doc_id, sig, band0, band1 FROM band WHERE doc_id % 97 = 0),
+         |hits AS (
+         | SELECT c.doc_id, bn.doc_id AS b_id,
+         |  len([i for i in range(1, ${K + 1}) if c.sig[i] = bn.sig[i]])::DOUBLE / $K AS est_j
+         | FROM c JOIN bn ON c.band0 = bn.band0
+         | UNION ALL
+         | SELECT c.doc_id, bn.doc_id,
+         |  len([i for i in range(1, ${K + 1}) if c.sig[i] = bn.sig[i]])::DOUBLE / $K
+         | FROM c JOIN bn ON c.band1 = bn.band1)
+         |SELECT doc_id, COUNT(DISTINCT b_id)::BIGINT AS n_bench_hits,
+         | MAX(est_j) AS max_est_jaccard
+         |FROM hits WHERE est_j >= 0.5
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // connected components as a recursive CTE: a label l spreads along
     // any edge to a larger-id node; the component minimum reaches every
     // member (all other members have larger ids), so MIN(comp) per node

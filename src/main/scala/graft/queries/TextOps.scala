@@ -219,6 +219,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T11 bigram-LM quality score — the CCNet-style perplexity filter
+    * with the LM estimated from the corpus itself (no external model
+    * exists in this environment, and ESTIMATE-then-SCORE is the real
+    * pipeline's shape anyway: counts are one aggregation pass over
+    * the corpus, scoring is a join against the vocab²-sized model
+    * table): per-doc cross-entropy under the MLE bigram model,
+    * −avg ln(c(w1,w2)/c(w1·)). High xent = improbable token
+    * transitions = the docs a perplexity gate drops. Determinism
+    * across engines: per-bigram log-probs quantize to integer
+    * micro-nats (the t10 discipline) so the per-doc sum is integer
+    * arithmetic; the final divide is one correctly-rounded double op
+    * mirrored operation-for-operation in the oracle. */
+  def t11LmXent(s: SparkSession, dir: String): DataFrame =
+    lmXentOf(Tables(s, dir, "documents"))
+
+  /** The t11 kernel over an arbitrary (doc_id, text) relation —
+    * spec-testable with a hand-computable corpus. */
+  def lmXentOf(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graftx.Shingles.shingles(toks, 2))
+          .as("bigram"))
+    val cb = bi.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    val c1 = cb
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("c1"))
+    val lp = cb
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(c1, "w1") // vocab²-sized model table; AQE broadcasts it
+      .select(col("bigram"),
+        round(log(col("cb").cast("double") / col("c1")) * 1e6, 0)
+          .cast("long").as("lp_q"))
+    bi.join(lp, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("lp_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("lp_sum").cast("double") / col("n_bigrams") / 1e6, 6)
+          .as("xent_nats"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2QualityScore _),
@@ -230,6 +271,7 @@ object TextOps {
     "t8_pii_redact" -> (t8PiiRedact _),
     "t9_vocab_df" -> (t9VocabDf _),
     "t10_tfidf" -> (t10TfIdf _),
+    "t11_lm_xent" -> (t11LmXent _),
   )
 
   private val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
@@ -333,6 +375,22 @@ object TextOps {
         |   / dfreq.df) * 1e6)::BIGINT)::BIGINT AS score_micro
         |FROM tf JOIN dfreq USING (token)
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "t11_lm_xent" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |   i -> array_to_string(t[i:i+1], ' '))) AS bigram
+        | FROM tok),
+        |cb AS (SELECT bigram, COUNT(*) AS cb FROM bi GROUP BY bigram),
+        |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(cb) AS c1
+        |       FROM cb GROUP BY 1),
+        |lp AS (SELECT bigram, ROUND(LN(cb::DOUBLE / c1) * 1e6)::BIGINT AS lp_q
+        |       FROM cb JOIN c1 ON split_part(cb.bigram, ' ', 1) = c1.w1)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+        | ROUND(-(SUM(lp_q)::DOUBLE) / COUNT(*) / 1e6, 6) AS xent_nats
+        |FROM bi JOIN lp USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t6_normalize" ->
       """WITH c AS (
         | SELECT doc_id, text,

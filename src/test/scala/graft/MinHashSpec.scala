@@ -41,6 +41,30 @@ class MinHashSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("fuzzy decontamination flags a planted benchmark paraphrase (d9)") {
+    import spark.implicits._
+    // bench doc 0; doc 1 is a one-token paraphrase of it; docs 2-3 are
+    // unrelated corpus docs; doc 97 is a second bench doc nothing matches
+    // same planted pair as the band-collision test above: a one-token
+    // tail rewrite alters exactly one 3-shingle (J = 37/39), which
+    // these seeded hashes reliably band-collide on
+    val bench = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val paraphrase = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i")
+      .mkString(" ")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = Seq((0L, bench), (1L, paraphrase), (2L, other),
+      (3L, (1 to 40).map(i => s"els$i").mkString(" ")),
+      (97L, (1 to 40).map(i => s"bn$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sig = MinHash.signatures(df, "doc_id", "text", materialize = false)
+    val out = graft.queries.DedupOps.fuzzyContaminated(
+      sig, pmod(col("doc_id"), lit(97)) === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq === Seq(1L)) // only the paraphrase flags
+    assert(out.head._2 === 1L) // against exactly one bench doc
+    assert(out.head._3 >= 0.5) // with a high estimated Jaccard
+  }
+
   test("nearDupPairs (d2 candidates → d4 exact verify) equals the exact d4 join at sf0.01") {
     // The composition must lose NOTHING against the exhaustive
     // prefix-filtered join: candidate recall at J ≥ 0.9 is

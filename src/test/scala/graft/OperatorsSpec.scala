@@ -295,6 +295,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3).getString(1) === "version <IP> is an ip-shaped string")
   }
 
+  test("bigram-LM cross-entropy matches hand math on a tiny corpus (t11)") {
+    import spark.implicits._
+    // bigrams: "a b"×2, "a c"×1 ⇒ c(a·)=3; p(b|a)=2/3, p(c|a)=1/3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = queries.TextOps.lmXentOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def q(p: Double) = math.rint(math.log(p) * 1e6) / 1e6 // micro-nat quantized
+    assert(out === Seq(
+      (1L, 1L, math.rint(-q(2.0 / 3) * 1e6) / 1e6),
+      (2L, 1L, math.rint(-q(2.0 / 3) * 1e6) / 1e6),
+      (3L, 1L, math.rint(-q(1.0 / 3) * 1e6) / 1e6)))
+    // the common transition scores lower xent than the rare one
+    assert(out.head._3 < out.last._3)
+  }
+
   test("sequence packing: contiguous full chunks, token conservation, single carry-in (p1)") {
     val out = queries.PackOps.p1PackSequences(spark, sf).collect()
     assert(out.nonEmpty)

@@ -188,6 +188,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Y4M codec round-trips arbitrary videos across colorspaces (mm decode)") {
+    import graft.sources.Y4m
+    val videoGen = for {
+      cs <- Gen.oneOf("444", "420", "mono")
+      // 4:2:0 chroma planes use ceil(w/2)*ceil(h/2) — odd dims included
+      w <- Gen.choose(1, 12)
+      h <- Gen.choose(1, 8)
+      nF <- Gen.choose(0, 5)
+      fps <- Gen.choose(1, 60)
+    } yield {
+      val cSize = cs match {
+        case "444" => w * h
+        case "420" => ((w + 1) / 2) * ((h + 1) / 2)
+        case _ => 0
+      }
+      Y4m.Video(w, h, fps, 1, cs, Vector.tabulate(nF)(f =>
+        Y4m.Frame(
+          Array.tabulate(w * h)(i => (f * 31 + i).toByte),
+          Array.tabulate(cSize)(i => (f * 17 + i).toByte),
+          Array.tabulate(cSize)(i => (f * 7 + i).toByte))))
+    }
+    samples(videoGen, 60).foreach { v =>
+      val enc = Y4m.encode(v)
+      val rt = Y4m.decode(enc)
+      assert(rt.width === v.width && rt.height === v.height)
+      assert(rt.fpsNum === v.fpsNum && rt.colorspace === v.colorspace)
+      assert(rt.frames.length === v.frames.length)
+      rt.frames.zip(v.frames).foreach { case (a, b) =>
+        assert(a.y.toSeq === b.y.toSeq)
+        assert(a.u.toSeq === b.u.toSeq)
+        assert(a.v.toSeq === b.v.toSeq)
+      }
+      assert(Y4m.frameCount(enc) === v.frames.length)
+    }
+  }
+
   test("tar codec round-trips arbitrary entry sets (S15)") {
     import graft.sources.Tar
     val entryGen = for {
