@@ -138,9 +138,14 @@ object DedupOps {
     * DuckDB oracle). */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val threshold = 0.9
+    // tset is SORTED once per document (array_sort's StringType order
+    // is UTF8String binary order) so the pair-verify below is a
+    // merge walk instead of a per-pair hash set — the sort cost
+    // amortizes over every candidate pair the doc appears in
     val d = Tables(s, dir, "documents")
       .repartition(col("doc_id"))
-      .select(col("doc_id"), col("source"), array_distinct(toks).as("tset"))
+      .select(col("doc_id"), col("source"),
+        array_sort(array_distinct(toks)).as("tset"))
       .withColumn("nt", size(col("tset")))
     // d is read by the prefix index and the verify re-join; the three
     // consumers share the repartition(doc_id) exchange below the
@@ -164,7 +169,8 @@ object DedupOps {
       col("nt").as("na"))
     val tb = d.select(col("doc_id").as("doc_b"), col("tset").as("tb"),
       col("nt").as("nb"))
-    val inter = size(array_intersect(col("ta"), col("tb")))
+    val inter = org.apache.spark.sql.graftx.SortedIntersect
+      .sortedIntersectSize(col("ta"), col("tb"))
     val j = inter.cast("double") / (col("na") + col("nb") - inter)
     cand.join(ta, "doc_a").join(tb, "doc_b")
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
@@ -236,13 +242,14 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"))
     }
     val d = docs
-      .select(col("doc_id"), array_distinct(toks).as("tset"))
+      .select(col("doc_id"), array_sort(array_distinct(toks)).as("tset"))
       .withColumn("nt", size(col("tset")))
     val ta = d.select(col("doc_id").as("doc_a"), col("tset").as("ta"),
       col("nt").as("na"))
     val tb = d.select(col("doc_id").as("doc_b"), col("tset").as("tb"),
       col("nt").as("nb"))
-    val inter = size(array_intersect(col("ta"), col("tb")))
+    val inter = org.apache.spark.sql.graftx.SortedIntersect
+      .sortedIntersectSize(col("ta"), col("tb"))
     val j = inter.cast("double") / (col("na") + col("nb") - inter)
     cand.join(ta, "doc_a").join(tb, "doc_b")
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))

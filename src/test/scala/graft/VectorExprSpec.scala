@@ -35,6 +35,33 @@ class VectorExprSpec extends AnyFunSuite {
     assert(v === 13.0)
   }
 
+  test("SortedIntersectSize equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftx.SortedIntersect.sortedIntersectSize
+    // deterministic pseudo-random token sets, sorted+distinct as the
+    // d4 verify path prepares them
+    val rng = new scala.util.Random(7L)
+    val rows = (1 to 200).map { _ =>
+      def set() = (1 to rng.nextInt(40))
+        .map(_ => s"tok${rng.nextInt(60)}").distinct.sorted
+      (set(), set())
+    }
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      sortedIntersectSize(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin"))
+    assert(both.where(col("native") =!= col("builtin")).count() === 0)
+    // edges: empty sides, disjoint, identical
+    val edges = Seq(
+      (Seq.empty[String], Seq("a", "b")),
+      (Seq("a", "b"), Seq.empty[String]),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c"))).toDF("a", "b")
+    val vals = edges.select(sortedIntersectSize(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(vals === Seq(0, 0, 0, 3))
+  }
+
   test("DotProduct participates in whole-stage codegen") {
     // LocalTableScan plans skip codegen entirely — use a range scan so
     // the projection actually enters a WholeStageCodegen stage.
