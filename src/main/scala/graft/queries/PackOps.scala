@@ -70,8 +70,43 @@ object PackOps {
       .orderBy(col("chunk_id"))
   }
 
+  /** M9 training-mix planner — the source-weighting step a pretraining
+    * data pipeline runs before sampling (DoReMi/Pile-style mixture
+    * weights, applied as a plan rather than learned): given per-source
+    * token inventories and a target weight per source (here a literal
+    * policy: sources 0–9 weigh 2×, the rest 1×), allocate a token
+    * budget proportionally, cap at availability, and emit the
+    * per-source deterministic sampling rate that o6/o7 would execute
+    * with. One source-level aggregation; the weight-sum scalar rides a
+    * broadcast single-row join. Everything downstream of the agg is
+    * source-cardinality-sized regardless of corpus size. */
+  val MixBudget = 10000L
+
+  def m9MixPlan(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        when(substring(col("source"), 4, 10).cast("int") < 10, 2L)
+          .otherwise(1L))
+    val tot = agg.agg(sum(col("weight")).as("sum_w"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        floor(lit(MixBudget) * col("weight") / col("sum_w")).cast("long"))
+      .withColumn("sample_rate",
+        round(least(lit(1.0),
+          col("target_tokens").cast("double") / col("n_tokens")), 6))
+      .withColumn("expected_tokens",
+        least(col("n_tokens"), col("target_tokens")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("sample_rate"), col("expected_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_pack_sequences" -> (p1PackSequences _),
+    "m9_mix_plan" -> (m9MixPlan _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -93,5 +128,18 @@ object PackOps {
          |   - GREATEST(off, chunk_id * $ChunkCap))::BIGINT AS n_tokens,
          | SUM(CASE WHEN off < chunk_id * $ChunkCap THEN 1 ELSE 0 END)::BIGINT AS n_carry_in
          |FROM e GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+    "m9_mix_plan" ->
+      s"""WITH agg AS (
+         | SELECT source, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+         |  CASE WHEN substr(source, 4)::INT < 10 THEN 2 ELSE 1 END::BIGINT AS weight
+         | FROM documents GROUP BY source),
+         |tot AS (SELECT SUM(weight)::BIGINT AS sum_w FROM agg)
+         |SELECT source, n_docs, n_tokens, weight,
+         | FLOOR($MixBudget * weight / sum_w)::BIGINT AS target_tokens,
+         | ROUND(LEAST(1.0,
+         |   FLOOR($MixBudget * weight / sum_w) / n_tokens), 6) AS sample_rate,
+         | LEAST(n_tokens, FLOOR($MixBudget * weight / sum_w)::BIGINT) AS expected_tokens
+         |FROM agg CROSS JOIN tot ORDER BY source""".stripMargin,
   )
 }

@@ -12,25 +12,44 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      GraftExtensions.dotProductBuilder))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, cls, b) =>
+      e.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls, name), b))
+    }
 }
 
 object GraftExtensions {
-  private[graftx] val dotProductBuilder: Seq[Expression] => Expression =
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
     children => {
-      require(children.length == 2, "dot_product(a, b) takes 2 arguments")
-      DotProduct(children(0), children(1))
+      require(children.length == n, s"$name takes $n argument(s)")
+      f(children)
     }
+
+  private[graftx] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("dot_product", classOf[DotProduct].getName,
+      arity("dot_product", 2)(c => DotProduct(c(0), c(1)))),
+    ("sorted_intersect_size", classOf[SortedIntersectSize].getName,
+      arity("sorted_intersect_size", 2)(c => SortedIntersectSize(c(0), c(1)))),
+    ("keep_alpha_space", classOf[KeepAlphaSpace].getName,
+      arity("keep_alpha_space", 1)(c => KeepAlphaSpace(c(0)))),
+    ("shingles", classOf[Shingles].getName,
+      arity("shingles", 2) { c =>
+        val n = c(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingles(tokens, n): n must be an integer literal, got $other")
+        }
+        Shingles(c(0), n)
+      }))
 
   /** Imperative registration for an already-built session (extensions
     * only apply at build time — `getOrCreate` on an existing session
     * ignores `withExtensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", dotProductBuilder, "built-in")
+    builders.foreach { case (name, _, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
 }

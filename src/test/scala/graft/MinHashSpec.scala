@@ -108,7 +108,7 @@ class MinHashSpec extends AnyFunSuite {
     assert(k(6L) === 6L)
   }
 
-  test("dot_product is callable from SQL after registration") {
+  test("every native graftx expression is callable from SQL after registration") {
     // getOrCreate on the suite-shared session ignores withExtensions,
     // so exercise the imperative registration path
     org.apache.spark.sql.graftx.GraftExtensions.register(spark)
@@ -116,6 +116,19 @@ class MinHashSpec extends AnyFunSuite {
       "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect()(0).getDouble(0)
     assert(v === 11.0)
+    val inter = spark.sql(
+      "SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS i")
+      .collect()(0).getInt(0)
+    assert(inter === 2)
+    val kept = spark.sql("SELECT keep_alpha_space('a1b 2c!') AS k")
+      .collect()(0).getString(0)
+    assert(kept === "ab c")
+    val sh = spark.sql("SELECT shingles(array('a','b','c'), 2) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh === Seq("a b", "b c"))
+    // non-literal n fails loudly at plan time, not silently
+    assertThrows[Exception](
+      spark.sql("SELECT shingles(array('a','b'), 1 + 1)").collect())
   }
 
   test("decontamination flags docs sharing an 8-gram with the benchmark (D8)") {
