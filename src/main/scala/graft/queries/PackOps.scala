@@ -107,6 +107,9 @@ object PackOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_pack_sequences" -> (p1PackSequences _),
     "m9_mix_plan" -> (m9MixPlan _),
+    // rows-only: L-BFGS float reductions aren't cross-engine
+    // reproducible; the spec gates held-out accuracy instead
+    "m10_quality_classifier" -> (graft.fit.QualityModel.m10QualityClassifier _),
   )
 
   val oracle: Map[String, String] = Map(

@@ -49,6 +49,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "s3_ann_ivf",       // Lloyd iterations for the IVF centroids
     "m6_materials_e2e", // full pipeline incl. split assignment
     "m7_curation",      // staged curation runner (per-stage counts)
+    "m10_quality_classifier", // L-BFGS training iterations at fit time
     "p1_pack_sequences", // global-offset prefix sum (max id + bucket sums)
     "s9_aflux"          // canned multi-page ingest assembles a local fixture
   )

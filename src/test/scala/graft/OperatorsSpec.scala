@@ -311,6 +311,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.head._3 < out.last._3)
   }
 
+  test("quality classifier learns the weak label on held-out docs (m10)") {
+    val scored = graft.fit.QualityModel.m10QualityClassifier(spark, sf)
+    val rows = scored.collect()
+    assert(rows.length === 500)
+    // weak labels are balanced (265/500 positive at sf0.001), so a
+    // majority-class predictor sits at 0.53 — the 0.8 gate means the
+    // model actually learned the feature→label mapping
+    val labels = rows.map(_.getLong(1))
+    assert(labels.sum > 100 && labels.sum < 400)
+    val acc = graft.fit.QualityModel.holdoutAccuracy(scored)
+    assert(acc >= 0.8, s"held-out accuracy $acc")
+    // labels and features are deterministic column expressions —
+    // re-featurizing reproduces identical labels
+    val again = graft.fit.QualityModel.m10QualityClassifier(spark, sf)
+      .collect().map(_.getLong(1))
+    assert(again.toSeq === labels.toSeq)
+  }
+
   test("sequence packing: contiguous full chunks, token conservation, single carry-in (p1)") {
     val out = queries.PackOps.p1PackSequences(spark, sf).collect()
     assert(out.nonEmpty)
