@@ -85,36 +85,50 @@ object Similarity {
     * hash-ranked init, fixed iteration count. */
   object Ivf {
 
-    /** Seeded deterministic init + `iters` Lloyd rounds. */
+    /** Seeded deterministic init + `iters` Lloyd rounds.
+      *
+      * Training runs on a deterministic keyed-digest SAMPLE capped at
+      * `trainSample` vectors (the standard IVF discipline — FAISS
+      * trains quantizers on ~nlist·256 points): Lloyd cost stops
+      * scaling with the corpus, while assignment (the one full pass)
+      * still covers every vector. Below the cap the sample IS the
+      * corpus, so small-scale results are unchanged. */
     def centroids(corpus: DataFrame, vCol: String, idCol: String,
-        nlist: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+        nlist: Int, iters: Int, seed: Long,
+        trainSample: Int = 8192): Array[Array[Double]] = {
       import org.apache.spark.sql.Row
-      var cents: Array[Array[Double]] = corpus
+      val train = corpus
         .withColumn("__h", xxhash64(col(idCol), lit(seed)))
-        .orderBy(col("__h")).limit(nlist)
-        .select(col(vCol)).collect()
-        .map(_.getSeq[Double](0).toArray)
-      (0 until iters).foreach { _ =>
-        val assignU = assignUdf(cents)
-        val next = corpus
-          .withColumn("__cell", assignU(col(vCol)))
-          .select(col("__cell"), posexplode(col(vCol)).as(Seq("__i", "__x")))
-          .groupBy(col("__cell"), col("__i"))
-          .agg(avg(col("__x")).as("__m"))
-          .collect() // O(nlist × dim) — centroid matrix only
-        val byCell = next.groupBy(_.getAs[Int]("__cell"))
-        cents = cents.indices.map { c =>
-          byCell.get(c) match {
-            case Some(rows) =>
-              val dim = rows.map(_.getAs[Int]("__i")).max + 1
-              val m = new Array[Double](dim)
-              rows.foreach(r => m(r.getAs[Int]("__i")) = r.getAs[Double]("__m"))
-              m
-            case None => cents(c) // empty cell keeps its centroid
-          }
-        }.toArray
-      }
-      cents
+        .orderBy(col("__h")).limit(trainSample)
+        .select(col(idCol), col(vCol))
+        .localCheckpoint(true) // materialize ONCE; iterated below
+      try {
+        var cents: Array[Array[Double]] = train
+          .orderBy(xxhash64(col(idCol), lit(seed))).limit(nlist)
+          .select(col(vCol)).collect()
+          .map(_.getSeq[Double](0).toArray)
+        (0 until iters).foreach { _ =>
+          val assignU = assignUdf(cents)
+          val next = train
+            .withColumn("__cell", assignU(col(vCol)))
+            .select(col("__cell"), posexplode(col(vCol)).as(Seq("__i", "__x")))
+            .groupBy(col("__cell"), col("__i"))
+            .agg(avg(col("__x")).as("__m"))
+            .collect() // O(nlist × dim) — centroid matrix only
+          val byCell = next.groupBy(_.getAs[Int]("__cell"))
+          cents = cents.indices.map { c =>
+            byCell.get(c) match {
+              case Some(rows) =>
+                val dim = rows.map(_.getAs[Int]("__i")).max + 1
+                val m = new Array[Double](dim)
+                rows.foreach(r => m(r.getAs[Int]("__i")) = r.getAs[Double]("__m"))
+                m
+              case None => cents(c) // empty cell keeps its centroid
+            }
+          }.toArray
+        }
+        cents
+      } finally train.unpersist()
     }
 
     /** Per-row argmin over the broadcast centroid matrix — one JVM
