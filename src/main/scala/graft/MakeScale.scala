@@ -75,6 +75,13 @@ object MakeScale {
     // scale the dims stay broadcast-sized, exactly like production.
     if (args.length > 3 && args(3) == "full") {
       val yearNanos = 31557600L * 1000000000L // 365.25 d — ts is epoch-nanos
+      // NOTE the physical schema asymmetry this creates: the base
+      // events.parquet stores ts as TIMESTAMP(NANOS); reading it under
+      // nanosAsLong and writing the shifted value emits plain BIGINT
+      // epoch-nanos. Spark queries see the identical LongType either
+      // way (Tables sets the same conf), but scaled dirs are
+      // BENCH-ONLY inputs — the DuckDB oracle (epoch_us/date_trunc on
+      // a real timestamp) runs exclusively against the base sf dirs.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
       val orders = spark.read.parquet(s"$src/orders.parquet")

@@ -30,19 +30,16 @@ object QualityModel {
   private def toks = split(col("text"), " ")
 
   /** Weak supervision + features, all codegen column expressions.
-    * Label: the t2 quality heuristic ≥ 0.3 (a pipeline would use
-    * human/LLM ratings on a sample; the PLUMBING is identical). The
+    * Label: the t2 quality heuristic ≥ 0.3, taken from the SAME
+    * expression t2 computes (`TextOps.qualityParts` — not a copy, so
+    * the documented correspondence can't drift). A pipeline would use
+    * human/LLM ratings on a sample; the PLUMBING is identical. The
     * feature set deliberately overlaps the label's inputs only
     * partially, so the model has signal to learn and the spec's
     * accuracy bound is meaningful but not tautological. */
   private[graft] def featurize(docs: DataFrame): DataFrame = {
     val nTok = size(toks).cast("double")
-    val stopwords = Seq("the", "a", "of", "and", "to", "in")
-    val stopHits = size(filter(toks,
-      t => stopwords.map(w => t === lit(w)).reduce(_ || _))).cast("double")
-    val stopRatio = stopHits / nTok
-    val lenScore = least(nTok / lit(100.0), lit(1.0))
-    val quality = stopRatio * lit(0.5) + lenScore * lit(0.5)
+    val (stopRatio, quality) = graft.queries.TextOps.qualityParts
     docs.select(
       col("doc_id"),
       (quality >= 0.3).cast("double").as("label"),

@@ -100,11 +100,13 @@ object Similarity {
       val train = corpus
         .withColumn("__h", xxhash64(col(idCol), lit(seed)))
         .orderBy(col("__h")).limit(trainSample)
-        .select(col(idCol), col(vCol))
+        .select(col("__h"), col(vCol))
         .localCheckpoint(true) // materialize ONCE; iterated below
       try {
+        // init = the sample's own first nlist rows under the SAME __h
+        // order that selected it — carried through, not recomputed
         var cents: Array[Array[Double]] = train
-          .orderBy(xxhash64(col(idCol), lit(seed))).limit(nlist)
+          .orderBy(col("__h")).limit(nlist)
           .select(col(vCol)).collect()
           .map(_.getSeq[Double](0).toArray)
         (0 until iters).foreach { _ =>

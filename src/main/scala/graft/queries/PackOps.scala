@@ -87,9 +87,13 @@ object PackOps {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      // digit extraction (not a positional substring) so the policy
+      // survives re-keyed source names like `src3_1` in the
+      // MakeScale-scaled corpora — a silent cast-to-null here would
+      // degenerate the whole plan to uniform weights
       .withColumn("weight",
-        when(substring(col("source"), 4, 10).cast("int") < 10, 2L)
-          .otherwise(1L))
+        when(regexp_extract(col("source"), "^src([0-9]+)", 1)
+          .cast("int") < 10, 2L).otherwise(1L))
     val tot = agg.agg(sum(col("weight")).as("sum_w"))
     agg.crossJoin(broadcast(tot))
       .withColumn("target_tokens",
@@ -135,7 +139,8 @@ object PackOps {
       s"""WITH agg AS (
          | SELECT source, COUNT(*)::BIGINT AS n_docs,
          |  SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens,
-         |  CASE WHEN substr(source, 4)::INT < 10 THEN 2 ELSE 1 END::BIGINT AS weight
+         |  CASE WHEN regexp_extract(source, '^src([0-9]+)', 1)::INT < 10
+         |       THEN 2 ELSE 1 END::BIGINT AS weight
          | FROM documents GROUP BY source),
          |tot AS (SELECT SUM(weight)::BIGINT AS sum_w FROM agg)
          |SELECT source, n_docs, n_tokens, weight,

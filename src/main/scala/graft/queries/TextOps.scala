@@ -55,14 +55,24 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
-  /** Quality scoring: stopword ratio + length saturation, binned. */
-  def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** The t2 quality heuristic over a `text` column — (stop_ratio,
+    * quality) as unrounded expressions. Single source of truth:
+    * `fit.QualityModel`'s weak labels are DOCUMENTED as "the t2
+    * heuristic ≥ 0.3", so they must share this definition rather than
+    * copy it. */
+  private[graft] def qualityParts: (Column, Column) = {
     val nTok = size(toks).cast("double")
     val stopHits = size(filter(toks,
       t => stopwords.map(w => t === lit(w)).reduce(_ || _))).cast("double")
     val stopRatio = stopHits / nTok
     val lenScore = least(nTok / lit(100.0), lit(1.0))
-    val score = round(stopRatio * lit(0.5) + lenScore * lit(0.5), 6)
+    (stopRatio, stopRatio * lit(0.5) + lenScore * lit(0.5))
+  }
+
+  /** Quality scoring: stopword ratio + length saturation, binned. */
+  def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val (stopRatio, quality) = qualityParts
+    val score = round(quality, 6)
     sortedDocs(s, dir)
       .select(col("doc_id"), round(stopRatio, 6).as("stop_ratio"),
         score.as("quality"),

@@ -97,13 +97,14 @@ object Y4m {
   }
 
   /** Frame count without materializing planes — header parse + stride
-    * walk only (cheap probe for metadata columns). */
+    * walk only (cheap probe for metadata columns). Enforces the same
+    * structural requires as `decode` — a malformed payload fails
+    * loudly here too, never returns a garbage count. */
   def frameCount(bytes: Array[Byte]): Int = {
-    val v0 = {
-      var nl = 0
-      while (nl < bytes.length && bytes(nl) != '\n') nl += 1
-      new String(bytes, 0, nl, "US-ASCII")
-    }
+    var nl = 0
+    while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+    require(nl < bytes.length, "missing Y4M header terminator")
+    val v0 = new String(bytes, 0, nl, "US-ASCII")
     val parts = v0.split(' ')
     require(parts.headOption.contains("YUV4MPEG2"), "not a Y4M payload")
     var w = -1; var h = -1; var cs = "420"
@@ -115,13 +116,20 @@ object Y4m {
         case _ =>
       }
     }
+    require(w > 0 && h > 0, "Y4M header missing W/H")
     val stride = w * h + 2 * chromaSize(w, h, cs)
-    var off = v0.length + 1
+    var off = nl + 1
     var n = 0
     while (off < bytes.length) {
+      require(off + 5 <= bytes.length &&
+        new String(bytes, off, 5, "US-ASCII") == "FRAME",
+        s"expected FRAME marker at offset $off")
       off += 5
       while (off < bytes.length && bytes(off) != '\n') off += 1
-      off += 1 + stride
+      require(off < bytes.length, "missing FRAME terminator")
+      off += 1
+      require(off + stride <= bytes.length, "truncated frame data")
+      off += stride
       n += 1
     }
     n

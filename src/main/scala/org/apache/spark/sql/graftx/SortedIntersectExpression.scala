@@ -45,6 +45,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val nb = y.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
+      if (x.isNullAt(i) || y.isNullAt(j))
+        throw new IllegalArgumentException(
+          "sorted_intersect_size: null array elements are not supported")
       val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
@@ -66,6 +69,10 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |int $nb = $y.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $na && $j < $nb) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($j)) {
+         |    throw new IllegalArgumentException(
+         |      "sorted_intersect_size: null array elements are not supported");
+         |  }
          |  int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }

@@ -208,10 +208,17 @@ class OperatorsSpec extends AnyFunSuite {
     val feat = Multimodal.decodeFeatures(media).collect().head
     assert(feat.feature(2) === 0.5 && feat.feature(6) === 0.5)
     assert(feat.decoded_bytes === 4)
-    // malformed payloads fail loudly, not silently
+    // malformed payloads fail loudly, not silently — decode AND the
+    // metadata-probe frameCount enforce the same structure
     assertThrows[IllegalArgumentException](Y4m.decode("JUNK\n".getBytes))
     assertThrows[IllegalArgumentException](
       Y4m.decode("YUV4MPEG2 W2 H2 C444\nFRAME\n".getBytes("US-ASCII")))
+    assertThrows[IllegalArgumentException](
+      Y4m.frameCount("YUV4MPEG2 C420\nFRAME\n".getBytes("US-ASCII"))) // no W/H
+    assertThrows[IllegalArgumentException](
+      Y4m.frameCount("YUV4MPEG2 W2 H2 C444\nFRAME\n".getBytes("US-ASCII"))) // truncated
+    assertThrows[IllegalArgumentException](
+      Y4m.frameCount((Y4m.encode(mono) ++ "JUNK".getBytes).toArray)) // trailing bytes
   }
 
   test("ANN LSH finds a meaningful fraction of true neighbors, cheaply") {

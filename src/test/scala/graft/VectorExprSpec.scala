@@ -60,6 +60,14 @@ class VectorExprSpec extends AnyFunSuite {
     val vals = edges.select(sortedIntersectSize(col("a"), col("b")))
       .collect().map(_.getInt(0)).toSeq
     assert(vals === Seq(0, 0, 0, 3))
+    // null ELEMENTS violate the sorted-no-nulls precondition: fail
+    // loudly with a typed message, not an NPE from generated code
+    val withNull = Seq((Seq(null, "x"), Seq("a", "x"))).toDF("a", "b")
+    val e = intercept[Exception](
+      withNull.select(sortedIntersectSize(col("a"), col("b"))).collect())
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("null array elements")), msgs.mkString(" | "))
   }
 
   test("DotProduct participates in whole-stage codegen") {
