@@ -43,6 +43,22 @@ import graft.core.{Config, Crystal, Hashing, Lattice}
   * The stricter canon means no two emitted hcp structures are
   * isometric, which is the property downstream dedup relies on.
   *
+  * The fixture's surplus rows are provably NOT a coarser symmetry
+  * convention that could be reproduced by weakening this kernel's
+  * group. Two facts, both checkable against the fixture by hand:
+  * (1) its own header says it came from enum.x's "Random structure
+  * enumeration" mode with the "Equivalency list … Not used"; (2) at
+  * size 3 it lists 10 labelings for the √3×√3·R30 in-plane class but
+  * 13 for the c-sheared R30 class, even though {C3|0} is a symmetry
+  * of BOTH superlattices that acts nontrivially on both — no orbit
+  * partition under ANY affine-operation group can produce that
+  * asymmetry (we verified: translations+inversion gives 13/13 → sizes
+  * 1–4 = 3/12/65/381; adding any consistent C3 gives 7/7 → 53 total;
+  * the fixture's 3/12/62/356 sits strictly between and matches
+  * neither). The surplus rows are duplicate crystals produced by
+  * enum.x's g-space member-ordering dedup quirks, so we keep the
+  * full-space-group canon rather than chase bit-parity with them.
+  *
   * Spark shape: the (size × HNF-class) grid is the distributed axis —
   * a `flatMap` over a grid DataFrame; labelings never leave the task
   * that owns their HNF class.

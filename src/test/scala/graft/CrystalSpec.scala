@@ -100,9 +100,12 @@ class CrystalSpec extends AnyFunSuite {
     // than struct_enum.out_2_hcp (10 vs 12 at n=2): the fixture lists
     // e.g. both AABB and ABBA c-axis stackings, which the hcp 6₃
     // screw (60° about the inter-column axis + c/2) maps onto each
-    // other — one crystal, two labelings. The stricter counts are
-    // asserted for determinism; the discrepancy is documented in
-    // Enumerated's scaladoc.
+    // other — one crystal, two labelings. The fixture's surplus is
+    // provably not a coarser symmetry convention (its R30 vs
+    // R30-with-c-shear size-3 counts, 10 vs 13, cannot both come from
+    // one affine-op group — {C3|0} acts on both superlattices; see
+    // Enumerated's scaladoc for the full argument), so the
+    // full-group counts are asserted here for determinism.
     assert((1 to 3).map(counts("hcp", _)) === Seq(3, 10, 50))
   }
 
