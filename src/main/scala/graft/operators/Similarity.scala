@@ -133,6 +133,11 @@ object Similarity {
       } finally train.unpersist()
     }
 
+    /** Public handle on the cluster assigner (semDedup reuses it). */
+    def assigner(cents: Array[Array[Double]]):
+        org.apache.spark.sql.expressions.UserDefinedFunction =
+      assignUdf(cents)
+
     /** Per-row argmin over the broadcast centroid matrix — one JVM
       * call per vector (the measured per-row-UDF trade; an
       * interpreted per-element lambda chain over k×dim would cost
@@ -211,6 +216,57 @@ object Similarity {
     val bits = math.ceil(math.log(math.max(1.0, n.toDouble / target))
       / math.log(2)).toInt
     math.min(24, math.max(4, bits))
+  }
+
+  /** D10 SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-duplicate removal by clustering embeddings and
+    * pruning within clusters. Each vector joins its IVF cell; inside
+    * a cell, a vector whose cosine to any EARLIER-id cell member is
+    * ≥ `tau` is flagged a duplicate — "keep one representative per
+    * ε-ball", made deterministic by keeping the lowest id. Scale
+    * shape: the quantizer trains on a capped sample (Ivf.centroids),
+    * assignment is the one full corpus pass, and the verify join is
+    * blocked per cell — nlist grows with N to bound cell size, so the
+    * pair volume stays O(N · cell) and never goes all-pairs. Output
+    * is one verdict row per vector (row count is corpus-sized and
+    * insensitive to float drift; the cosine itself is rounded). */
+  def semDedup(emb: DataFrame, vCol: String, idCol: String, nlist: Int,
+      tau: Double, iters: Int, seed: Long): DataFrame = {
+    val cents = Ivf.centroids(emb, vCol, idCol, nlist, iters, seed)
+    val assignU = Ivf.assigner(cents)
+    val c = emb.select(col(idCol).as("vec_id"), col(vCol).as("v"))
+      .withColumn("cluster", assignU(col("v")).cast("long"))
+      .withColumn("nrm",
+        sqrt(VectorExpressions.dotProduct(col("v"), col("v"))))
+    val prev = c.select(col("cluster"), col("vec_id").as("prev_id"),
+      col("v").as("pv"), col("nrm").as("pn"))
+    val sims = c.join(prev, "cluster")
+      .where(col("prev_id") < col("vec_id"))
+      .select(col("vec_id"),
+        (VectorExpressions.dotProduct(col("v"), col("pv"))
+          / (col("nrm") * col("pn"))).as("cs"))
+      .groupBy(col("vec_id")).agg(max(col("cs")).as("mx"))
+    c.select(col("vec_id"), col("cluster"))
+      .join(sims, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        round(coalesce(col("mx"), lit(-1.0)), 6).as("max_sim_prev"),
+        (coalesce(col("mx"), lit(-1.0)) >= tau).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Query-surface entry: SemDeDup over the embeddings table
+    * (rows-only — cluster assignment rides float Lloyd means, so the
+    * verdict columns have no cross-engine oracle; behavior is
+    * asserted on a constructed corpus in OperatorsSpec). τ matches
+    * d5's near-dup notion for this synthetic embedding table. */
+  def d10SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    semDedup(e, "v", "vec_id", nlist = 16, tau = 0.3, iters = 2,
+      seed = 42L)
   }
 
   /** Query-surface entry over the embeddings table (rows-only check —

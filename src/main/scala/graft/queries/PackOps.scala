@@ -108,8 +108,39 @@ object PackOps {
       .orderBy(col("source"))
   }
 
+  /** P2 retrieval chunking: overlapping token windows (the RAG
+    * ingestion layout — window `Win` tokens, stride `Stride`, tail
+    * window shorter, every document yields ≥ 1 window). Pure per-row
+    * explode: no shuffle except the oracle-determinism sort, and the
+    * window count per doc is arithmetic on the token count, so the
+    * operator is a single codegen'd scan at any corpus size. Windows
+    * are emitted as (index, token count, md5 of the window text) —
+    * the id + fingerprint a vector-index ingest keys on. */
+  val Win = 64
+  val Stride = 48
+
+  def p2ChunkWindows(s: SparkSession, dir: String): DataFrame =
+    chunkWindowsOf(Tables(s, dir, "documents"), Win, Stride)
+
+  /** The p2 kernel over an arbitrary (doc_id, text) relation with
+    * explicit window/stride — spec-testable on boundary cases. */
+  def chunkWindowsOf(docs: DataFrame, win: Int, stride: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        when(col("n") <= win, lit(0L))
+          .otherwise(expr(s"(n - $win + ${stride - 1}) DIV $stride")))))
+      .withColumn("w", slice(col("t"),
+        (col("chunk_idx") * stride + 1L).cast("int"), lit(win)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("w")).cast("long").as("n_tokens"),
+        md5(array_join(col("w"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_pack_sequences" -> (p1PackSequences _),
+    "p2_chunk_windows" -> (p2ChunkWindows _),
     "m9_mix_plan" -> (m9MixPlan _),
     // rows-only: L-BFGS float reductions aren't cross-engine
     // reproducible; the spec gates held-out accuracy instead
@@ -149,5 +180,20 @@ object PackOps {
          |   FLOOR($MixBudget * weight / sum_w) / n_tokens), 6) AS sample_rate,
          | LEAST(n_tokens, FLOOR($MixBudget * weight / sum_w)::BIGINT) AS expected_tokens
          |FROM agg CROSS JOIN tot ORDER BY source""".stripMargin,
+    "p2_chunk_windows" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |ch AS (
+         | SELECT doc_id, t, UNNEST(range(0,
+         |   CASE WHEN len(t) <= $Win THEN 1
+         |        ELSE (len(t) - $Win + ${Stride - 1}) // $Stride + 1 END))
+         |   AS chunk_idx
+         | FROM tok)
+         |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+         | len(t[chunk_idx*$Stride+1 : chunk_idx*$Stride+$Win])::BIGINT
+         |   AS n_tokens,
+         | md5(array_to_string(t[chunk_idx*$Stride+1 : chunk_idx*$Stride+$Win],
+         |   ' ')) AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

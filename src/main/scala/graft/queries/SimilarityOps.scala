@@ -45,6 +45,7 @@ object SimilarityOps {
     // asserted against s1 in OperatorsSpec
     "s2_ann_lsh" -> (graft.operators.Similarity.s2AnnLsh _),
     "s3_ann_ivf" -> (graft.operators.Similarity.s3AnnIvf _),
+    "d10_semdedup" -> (graft.operators.Similarity.d10SemDedup _),
     "mm1_multimodal_features" -> (graft.operators.Multimodal.featureSummary _),
   )
 

@@ -270,7 +270,45 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T12 collocation mining: top-50 bigrams by pointwise mutual
+    * information, PMI = ln(c(w1,w2)·N / (c(w1,·)·c(·,w2))), with a
+    * min-count floor of 5 (the classic Church–Hanks collocation
+    * measure a tokenizer/vocab pipeline uses to pick merge
+    * candidates). Scale shape: one bigram aggregation pass over the
+    * corpus; everything after it (marginals, the PMI join, top-k) is
+    * model-table-sized, N rides a broadcast single-row aggregate, and
+    * top-50 is a TakeOrdered — no global sort shuffle. Determinism:
+    * PMI quantizes to integer micro-nats (the t10/t11 discipline)
+    * with the bigram as tie-break. */
+  def t12Collocations(s: SparkSession, dir: String): DataFrame =
+    collocationsOf(Tables(s, dir, "documents"))
+
+  /** The t12 kernel over an arbitrary (text) relation — spec-testable
+    * with a hand-computable corpus. */
+  def collocationsOf(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select(explode(
+        org.apache.spark.sql.graftx.Shingles.shingles(toks, 2)).as("bigram"))
+    val cb = bi.groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+    val nb = cb.agg(sum(col("n_pair")).as("nb"))
+    val c1 = cb.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("n_pair")).as("c1"))
+    val c2 = cb.groupBy(substring_index(col("bigram"), " ", -1).as("w2"))
+      .agg(sum(col("n_pair")).as("c2"))
+    cb.filter(col("n_pair") >= 5)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(c1, "w1").join(c2, "w2") // marginals are vocab-sized; AQE broadcasts
+      .crossJoin(broadcast(nb))
+      .select(col("bigram"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * col("nb")
+          / (col("c1") * col("c2"))) * 1e6, 0).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_collocations" -> (t12Collocations _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_langid" -> (t3LangId _),
@@ -410,5 +448,27 @@ object TextOps {
         |SELECT doc_id, clean_text, clean_text != text AS changed,
         | md5(clean_text) AS clean_fp
         |FROM c ORDER BY doc_id""".stripMargin,
+    "t12_collocations" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        | SELECT unnest(list_transform(range(1, len(t)),
+        |   i -> array_to_string(t[i:i+1], ' '))) AS bigram
+        | FROM tok),
+        |cb AS (SELECT bigram, COUNT(*) AS n_pair FROM bi GROUP BY bigram),
+        |n AS (SELECT SUM(n_pair) AS nb FROM cb),
+        |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(n_pair) AS c1
+        |       FROM cb GROUP BY 1),
+        |c2 AS (SELECT split_part(bigram, ' ', 2) AS w2, SUM(n_pair) AS c2
+        |       FROM cb GROUP BY 1)
+        |SELECT cb.bigram, cb.n_pair::BIGINT AS n_pair,
+        | ROUND(LN(cb.n_pair::DOUBLE * n.nb / (c1.c1 * c2.c2)) * 1e6)::BIGINT
+        |   AS pmi_micro
+        |FROM cb
+        |JOIN c1 ON split_part(cb.bigram, ' ', 1) = c1.w1
+        |JOIN c2 ON split_part(cb.bigram, ' ', 2) = c2.w2
+        |CROSS JOIN n
+        |WHERE cb.n_pair >= 5
+        |ORDER BY pmi_micro DESC, cb.bigram LIMIT 50""".stripMargin,
   )
 }

@@ -47,6 +47,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "o5_split_assign",  // partition-count collect + prefix sum
     "s2_ann_lsh",       // adaptivePlanes sizes nPlanes from a count()
     "s3_ann_ivf",       // Lloyd iterations for the IVF centroids
+    "d10_semdedup",     // Lloyd iterations for the SemDeDup quantizer
     "m6_materials_e2e", // full pipeline incl. split assignment
     "m7_curation",      // staged curation runner (per-stage counts)
     "m10_quality_classifier", // L-BFGS training iterations at fit time

@@ -354,4 +354,67 @@ class OperatorsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(3) <= 1L))
     assert(out.forall(_.getLong(1) >= 1L))
   }
+
+  test("t12 collocations: PMI micro-nats on a hand-computed corpus") {
+    import spark.implicits._
+    // bigram counts: "a b" 15, "b a" 10, "c d" 5 (N = 30); the
+    // min-count floor of 5 keeps all three. By hand:
+    //   PMI(c d) = ln(5·30 / (5·5))   = ln 6
+    //   PMI(b a) = ln(10·30 / (10·10)) = ln 3
+    //   PMI(a b) = ln(15·30 / (15·15)) = ln 2
+    val docs = ((1 to 5).map(i => (i.toLong, "a b a b a b")) ++
+      (6 to 10).map(i => (i.toLong, "c d"))).toDF("doc_id", "text")
+    val got = queries.TextOps.collocationsOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("c d", 5L, math.round(math.log(6) * 1e6)),
+      ("b a", 10L, math.round(math.log(3) * 1e6)),
+      ("a b", 15L, math.round(math.log(2) * 1e6))))
+  }
+
+  test("p2 chunk windows: counts, tail sizes, and hash at the boundaries") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"w$i").mkString(" ")), // 3 windows
+      (2L, (1 to 64).map(i => s"x$i").mkString(" ")), // exactly one
+      (3L, (1 to 65).map(i => s"y$i").mkString(" ")) // 64 + tail of 17
+    ).toDF("doc_id", "text")
+    val rows = queries.PackOps.chunkWindowsOf(docs, 64, 48).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.filter(_._1 == 1L).map(x => (x._2, x._3)).toSeq ===
+      Seq((0L, 64L), (1L, 64L), (2L, 54L)))
+    assert(rows.filter(_._1 == 2L).map(x => (x._2, x._3)).toSeq ===
+      Seq((0L, 64L)))
+    assert(rows.filter(_._1 == 3L).map(x => (x._2, x._3)).toSeq ===
+      Seq((0L, 64L), (1L, 17L)))
+    // stride arithmetic: doc1's tail window is tokens 97..150 exactly
+    val tail = (97 to 150).map(i => s"w$i").mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(tail.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.find(x => x._1 == 1L && x._2 == 2L).get._4 === md)
+  }
+
+  test("d10 semdedup: copies flagged, first of each kept, uniques survive") {
+    import spark.implicits._
+    // 4 groups of 3 identical one-hot vectors (ids g, g+4, g+8) plus
+    // 4 unique vectors one-hot on the remaining dims (ids 12..15,
+    // orthogonal to everything → never near-dups)
+    val rows = (0 until 12).map { id =>
+      (id.toLong, Seq.tabulate(8)(d => if (d == id % 4) 1.0 else 0.0))
+    } ++ (12 until 16).map { id =>
+      (id.toLong, Seq.tabulate(8)(d => if (d == id - 8) 1.0 else 0.0))
+    }
+    val emb = rows.toDF("vec_id", "v")
+    def run() = Similarity.semDedup(emb, "v", "vec_id", nlist = 4,
+      tau = 0.95, iters = 2, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    val out = run()
+    assert(out.length === 16)
+    assert(out.map(_._1).toSeq === (0L until 16L)) // one verdict per vector
+    // exactly the later copies are duplicates, at cosine exactly 1
+    assert(out.filter(_._3).map(_._1).toSet ===
+      Set(4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L))
+    out.filter(x => x._1 >= 4 && x._1 < 12).foreach(x => assert(x._2 === 1.0))
+    assert(out.toSeq === run().toSeq) // pinned seed → deterministic
+  }
 }

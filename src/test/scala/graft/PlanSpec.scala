@@ -128,4 +128,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"),
       "a global-order cumulative sum would funnel the corpus through one task:\n" + windowLines)
   }
+
+  test("collocations: top-k is a TakeOrdered, N broadcasts, no cartesian") {
+    val plan = formatted(queries.TextOps.t12Collocations(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-50 must plan as TakeOrdered, not a global sort + limit")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the bigram-total scalar must broadcast, not collect")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("chunk windows: single scan, no shuffle except the determinism sort") {
+    val plan = formatted(queries.PackOps.p2ChunkWindows(spark, sf))
+    assert(plan.contains("Generate"), "the window explode must be a Generate")
+    // exactly one exchange: the final range partitioning for the
+    // oracle-determinism orderBy — no join/aggregate shuffle exists
+    val exchanges = plan.linesIterator
+      .count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges === 1, s"expected only the sort exchange, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"))
+  }
 }
