@@ -92,68 +92,107 @@ object Similarity {
       * trains quantizers on ~nlist·256 points): Lloyd cost stops
       * scaling with the corpus, while assignment (the one full pass)
       * still covers every vector. Below the cap the sample IS the
-      * corpus, so small-scale results are unchanged. */
+      * corpus, so small-scale results are unchanged.
+      *
+      * The sample is collected and Lloyd runs DRIVER-LOCAL as dense
+      * matrix products (the FAISS shape: quantizers train in memory).
+      * Driver traffic is bounded by the CAP — trainSample×dim doubles
+      * (4 MB at 8192×64) — independent of corpus size, the same
+      * control-plane discipline as collecting the centroid matrix;
+      * running Lloyd as per-round Spark jobs paid ~0.5 s scheduling
+      * overhead per round to aggregate the same ≤4 MB. */
     def centroids(corpus: DataFrame, vCol: String, idCol: String,
         nlist: Int, iters: Int, seed: Long,
         trainSample: Int = 8192): Array[Array[Double]] = {
-      import org.apache.spark.sql.Row
-      val train = corpus
+      val train: Array[Array[Double]] = corpus
         .withColumn("__h", xxhash64(col(idCol), lit(seed)))
         .orderBy(col("__h")).limit(trainSample)
-        .select(col("__h"), col(vCol))
-        .localCheckpoint(true) // materialize ONCE; iterated below
-      try {
-        // init = the sample's own first nlist rows under the SAME __h
-        // order that selected it — carried through, not recomputed
-        var cents: Array[Array[Double]] = train
-          .orderBy(col("__h")).limit(nlist)
-          .select(col(vCol)).collect()
-          .map(_.getSeq[Double](0).toArray)
-        (0 until iters).foreach { _ =>
-          val assignU = assignUdf(cents)
-          val next = train
-            .withColumn("__cell", assignU(col(vCol)))
-            .select(col("__cell"), posexplode(col(vCol)).as(Seq("__i", "__x")))
-            .groupBy(col("__cell"), col("__i"))
-            .agg(avg(col("__x")).as("__m"))
-            .collect() // O(nlist × dim) — centroid matrix only
-          val byCell = next.groupBy(_.getAs[Int]("__cell"))
-          cents = cents.indices.map { c =>
-            byCell.get(c) match {
-              case Some(rows) =>
-                val dim = rows.map(_.getAs[Int]("__i")).max + 1
-                val m = new Array[Double](dim)
-                rows.foreach(r => m(r.getAs[Int]("__i")) = r.getAs[Double]("__m"))
-                m
-              case None => cents(c) // empty cell keeps its centroid
-            }
-          }.toArray
+        .select(col(vCol)).collect()
+        .map(_.getSeq[Double](0).toArray)
+      if (train.isEmpty) return Array.empty
+      // init = the sample's own first nlist rows under the __h order
+      // that selected it
+      var cents = train.take(nlist)
+      val n = train.length
+      val dim = train(0).length
+      val X = new breeze.linalg.DenseMatrix(n, dim,
+        Array.tabulate(n * dim)(j => train(j % n)(j / n))) // column-major
+      (0 until iters).foreach { _ =>
+        val assign = argminCells(X, cents)
+        val sums = Array.fill(cents.length)(new Array[Double](dim))
+        val counts = new Array[Long](cents.length)
+        var r = 0
+        while (r < n) {
+          val c = assign(r); counts(c) += 1
+          val s = sums(c); val v = train(r)
+          var i = 0; while (i < dim) { s(i) += v(i); i += 1 }
+          r += 1
         }
-        cents
-      } finally train.unpersist()
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents
     }
 
-    /** Public handle on the cluster assigner (semDedup reuses it). */
-    def assigner(cents: Array[Array[Double]]):
-        org.apache.spark.sql.expressions.UserDefinedFunction =
-      assignUdf(cents)
-
-    /** Per-row argmin over the broadcast centroid matrix — one JVM
-      * call per vector (the measured per-row-UDF trade; an
-      * interpreted per-element lambda chain over k×dim would cost
-      * more than the arithmetic). */
-    private def assignUdf(cents: Array[Array[Double]]) =
-      udf { (v: Seq[Double]) =>
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < cents.length) {
-          var d = 0.0; var i = 0
-          val cent = cents(c)
-          while (i < v.length) { val t = v(i) - cent(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
+    /** Argmin cell per row of X (n×dim) against the centroid rows —
+      * one GEMM (scores = X·Cᵀ) plus the ‖c‖²/2 correction:
+      * argmin‖v−c‖² = argmax(v·c − ‖c‖²/2). Strict > keeps the
+      * lowest cell index on ties, matching the old per-row loop. */
+    private def argminCells(X: breeze.linalg.DenseMatrix[Double],
+        cents: Array[Array[Double]]): Array[Int] = {
+      val k = cents.length
+      val dim = cents(0).length
+      val C = new breeze.linalg.DenseMatrix(k, dim,
+        Array.tabulate(k * dim)(j => cents(j % k)(j / k)))
+      val s = X * C.t // n×k — netlib dgemm
+      val half = Array.tabulate(k) { c =>
+        var h = 0.0; var i = 0
+        while (i < dim) { h += cents(c)(i) * cents(c)(i); i += 1 }
+        h / 2
+      }
+      Array.tabulate(X.rows) { r =>
+        var best = 0; var bestS = s(r, 0) - half(0); var c = 1
+        while (c < k) {
+          val sc = s(r, c) - half(c)
+          if (sc > bestS) { bestS = sc; best = c }
           c += 1
         }
         best
       }
+    }
+
+    /** Distributed cell assignment — the ONE full-corpus pass. Runs
+      * as per-partition batched GEMM (1024-row blocks against the
+      * broadcast centroid matrix) instead of a per-row UDF loop: the
+      * boxed Seq[Double] argmin at nlist ≈ √N cost O(N·nlist·dim) in
+      * scalar ops and was the measured scale-killer (s3 at the 25×
+      * point: 40 s of assignment; the GEMM form is ~100× denser).
+      * Batch size only groups work — results are row-independent. */
+    def assignCells(df: DataFrame, idCol: String, vCol: String,
+        cents: Array[Array[Double]]): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(cents)
+      df.select(col(idCol).cast("long"), col(vCol).cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          val dim = if (cs.isEmpty) 0 else cs(0).length
+          it.grouped(1024).flatMap { g =>
+            val batch = g.toArray
+            val n = batch.length
+            val X = new breeze.linalg.DenseMatrix(n, dim,
+              Array.tabulate(n * dim)(j => batch(j % n)._2(j / n)))
+            val assign = argminCells(X, cs)
+            batch.iterator.zipWithIndex.map { case ((id, v), r) =>
+              (id, v, assign(r))
+            }
+          }
+        }
+        .toDF(idCol, vCol, "cell")
+    }
 
     private def probeUdf(cents: Array[Array[Double]], nprobe: Int) =
       udf { (v: Seq[Double]) =>
@@ -170,10 +209,9 @@ object Similarity {
         idCol: String, k: Int, nlist: Int, nprobe: Int, iters: Int,
         seed: Long): DataFrame = {
       val cents = centroids(corpus, vCol, idCol, nlist, iters, seed)
-      val assignU = assignUdf(cents)
-      val c = corpus
-        .select(col(idCol).as("vec_id"), col(vCol).as("v"))
-        .withColumn("cell", assignU(col("v")))
+      val c = assignCells(
+        corpus.select(col(idCol).as("vec_id"), col(vCol).as("v")),
+        "vec_id", "v", cents)
         .withColumn("nrm", sqrt(VectorExpressions.dotProduct(col("v"), col("v"))))
       val q = queries
         .select(col(idCol).as("query_id"), col(vCol).as("qv"))
@@ -202,8 +240,14 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
     val q = e.where(col("vec_id") < 5)
-    Ivf.topK(e, q, "v", "vec_id", k = 10, nlist = 16, nprobe = 4,
-      iters = 2, seed = 42L)
+    // adaptive cell count (≈4√N, see adaptiveNlist): a FIXED nlist
+    // makes the per-query candidate set nprobe·N/nlist — linear in
+    // the corpus, defeating the point of IVF. nprobe rides along at
+    // ~6% of the cells (the FAISS-ish recall/latency point), so
+    // per-query work is ~N/16 dot products against a probed subset.
+    val nlist = adaptiveNlist(e.count())
+    Ivf.topK(e, q, "v", "vec_id", k = 10, nlist = nlist,
+      nprobe = math.max(4, nlist / 16), iters = 2, seed = 42L)
   }
 
   /** Plane count scaled to the corpus: enough sign bits that the
@@ -234,9 +278,10 @@ object Similarity {
   def semDedup(emb: DataFrame, vCol: String, idCol: String, nlist: Int,
       tau: Double, iters: Int, seed: Long): DataFrame = {
     val cents = Ivf.centroids(emb, vCol, idCol, nlist, iters, seed)
-    val assignU = Ivf.assigner(cents)
-    val c = emb.select(col(idCol).as("vec_id"), col(vCol).as("v"))
-      .withColumn("cluster", assignU(col("v")).cast("long"))
+    val c = Ivf.assignCells(
+      emb.select(col(idCol).as("vec_id"), col(vCol).as("v")),
+      "vec_id", "v", cents)
+      .withColumn("cluster", col("cell").cast("long")).drop("cell")
       .withColumn("nrm",
         sqrt(VectorExpressions.dotProduct(col("v"), col("v"))))
     val prev = c.select(col("cluster"), col("vec_id").as("prev_id"),
@@ -255,6 +300,18 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Cell count scaled to the corpus: nlist ≈ 4·√N clamped to
+    * [16, 65536] — the classic IVF balance (FAISS's guideline is
+    * 4√N…16√N). The two costs that nlist trades off are assignment,
+    * O(N·nlist·dim), and within-cell verify volume, O(N²·dim/nlist);
+    * they meet at nlist ∝ √N, where both grow as N^1.5 (an earlier
+    * ⌈N/512⌉ rule bounded the verify side but made assignment
+    * quadratic — measured as a 40 s s3 at the 25× bench point).
+    * Only the O(1) count crosses the driver. */
+  def adaptiveNlist(n: Long): Int =
+    math.min(65536L, math.max(16L,
+      4L * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
   /** Query-surface entry: SemDeDup over the embeddings table
     * (rows-only — cluster assignment rides float Lloyd means, so the
     * verdict columns have no cross-engine oracle; behavior is
@@ -265,8 +322,8 @@ object Similarity {
       .repartition(col("vec_id"))
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    semDedup(e, "v", "vec_id", nlist = 16, tau = 0.3, iters = 2,
-      seed = 42L)
+    semDedup(e, "v", "vec_id", nlist = adaptiveNlist(e.count()),
+      tau = 0.3, iters = 2, seed = 42L)
   }
 
   /** Query-surface entry over the embeddings table (rows-only check —

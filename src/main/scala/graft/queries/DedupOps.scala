@@ -457,6 +457,44 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** D11 exact-substring window dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * their ExactSubstr at fixed window granularity: any 50-token
+    * substring shared between two docs marks verbatim reuse; 20
+    * tokens here, proportionate to this corpus's ~54-token docs):
+    * every doc's distinct k-token sliding windows hash into a global
+    * window table; a doc sharing any window with an EARLIER doc is
+    * flagged, with per-doc shared-window counts for span-level
+    * removal downstream. Scale shape: window stream is one explode
+    * (corpus-token-count-sized, the t9 wordcount volume), one
+    * shuffle on the window hash for first-owner minima, and the
+    * windows→firsts join reuses that exchange (same key) before the
+    * per-doc roll-up — never doc×doc. Docs shorter than k tokens
+    * have no windows and survive via the left join. */
+  def d11WindowDedup(s: SparkSession, dir: String): DataFrame =
+    windowDedupOf(Tables(s, dir, "documents"), 20)
+
+  /** The d11 kernel over an arbitrary (doc_id, text) relation —
+    * spec-testable with constructed overlap/disjoint/short docs. */
+  def windowDedupOf(docs: DataFrame, k: Int): DataFrame = {
+    val wins = docs.select(col("doc_id"), explode(array_distinct(
+        graft.operators.MinHash.shingleCol(col("text"), k))).as("win"))
+      .select(col("doc_id"), md5(col("win")).as("h"))
+    val firsts = wins.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = wins.join(firsts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_shared"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sketch-based distinct counting (HLL / approx_count_distinct —
     * the "novel sketch" surface; no oracle: sketch implementations
     * differ across engines, spec asserts the error bound instead). */
@@ -482,6 +520,7 @@ object DedupOps {
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d4_neardup_pairs" -> ((s: SparkSession, dir: String) => nearDupPairs(s, dir)),
     "d5_embedding_dedup" -> (d5EmbeddingDedup _),
+    "d11_window_dedup" -> (d11WindowDedup _),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -686,6 +725,26 @@ object DedupOps {
          | WHERE cc.comp < e.dst)
          |SELECT doc_id, MIN(comp) AS cluster_id FROM cc
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d11_window_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |wins AS (
+        | SELECT DISTINCT doc_id,
+        |  md5(array_to_string(t[i:i+19], ' ')) AS h
+        | FROM toks, LATERAL (SELECT unnest(range(1, len(t)-20+2)) AS i)
+        | WHERE len(t) >= 20),
+        |firsts AS (SELECT h, min(doc_id) AS first_doc FROM wins GROUP BY h),
+        |per AS (
+        | SELECT w.doc_id, COUNT(*)::BIGINT AS n_windows,
+        |  SUM(CASE WHEN f.first_doc < w.doc_id THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_shared
+        | FROM wins w JOIN firsts f USING (h) GROUP BY w.doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(per.n_windows, 0)::BIGINT AS n_windows,
+        | COALESCE(per.n_shared, 0)::BIGINT AS n_shared,
+        | COALESCE(per.n_shared, 0) > 0 AS is_dup
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "d4_ngram_jaccard" -> d4OracleSql,
     // the composed path returns the same exact-Jaccard pair set as
     // d4 (MinHashSpec asserts set equality at the gate scale), so the

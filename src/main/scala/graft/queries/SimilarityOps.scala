@@ -39,8 +39,66 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** S5 BM25 top-k retrieval — the lexical side of similarity search
+    * (Robertson–Spärck Jones; the scoring function every sparse
+    * retrieval/RAG stack runs beside the dense ANN path). Query set =
+    * the deterministic `doc_id % 101` slice (the d8 bench-slice
+    * discipline), query docs scored against the non-query corpus with
+    * k1 = 1.2, b = 0.75, query-term weight 1 (short-query convention).
+    *
+    * Scale shape: term-at-a-time scoring — the corpus postings table
+    * (doc,term,tf — the t9 wordcount volume) joins the BROADCAST
+    * query-term table and the vocab-sized df table (AQE broadcasts),
+    * then one partial-agg shuffle on (query,doc) and a per-query
+    * window top-k over the scored candidates. The corpus never
+    * shuffles on anything wider than its own postings; nothing is
+    * doc×doc. (This synthetic corpus's ~31-token vocabulary makes
+    * every query term hit every doc — the worst case for term-at-a-
+    * time — and the shape still holds; a realistic vocabulary only
+    * shrinks the candidate fan-out.)
+    *
+    * Determinism across engines: per-(term,doc) score quantizes to
+    * integer micro-units (the t10/t11 discipline) so the per-doc sum
+    * is order-free integer arithmetic; float constants are written as
+    * identical literals (2.2, 1.2, 0.25, 0.75) in both engines rather
+    * than derived (1.2+1 ≠ parsed 2.2 at the ulp). */
+  def s5Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    val isQ = pmod(col("doc_id"), lit(101)) === 0
+    val tf = docs.select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dlen = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val corpusIds = docs.where(!isQ).select(col("doc_id"))
+    val stats = docs.where(!isQ)
+      .agg(count(lit(1)).as("n_docs"), avg(size(toks)).as("avgdl"))
+    val dfreq = tf.join(corpusIds, "doc_id")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qterms = tf.where(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("query_id"), col("token"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val sat = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    tf.join(corpusIds, "doc_id")
+      .join(broadcast(qterms), "token")
+      .join(dfreq, "token") // vocab-sized; AQE broadcasts
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * sat * lit(1e6), 0).cast("long").as("ts"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ts")).as("score_micro"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 10)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_bruteforce" -> (s1KnnBruteforce _),
+    "s5_bm25" -> (s5Bm25 _),
     // approximate → no SQL oracle (rows-only check); recall is
     // asserted against s1 in OperatorsSpec
     "s2_ann_lsh" -> (graft.operators.Similarity.s2AnnLsh _),
@@ -50,6 +108,45 @@ object SimilarityOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "s5_bm25" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, token, COUNT(*) AS tf
+        | FROM tok GROUP BY doc_id, token),
+        |dlen AS (
+        | SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+        | FROM documents),
+        |stats AS (
+        | SELECT COUNT(*) AS n_docs, AVG(len(string_split(text, ' '))) AS avgdl
+        | FROM documents WHERE doc_id % 101 <> 0),
+        |dfreq AS (
+        | SELECT token, COUNT(*) AS df FROM tf
+        | WHERE doc_id % 101 <> 0 GROUP BY token),
+        |qterms AS (
+        | SELECT doc_id AS query_id, token FROM tf WHERE doc_id % 101 = 0),
+        |scored AS (
+        | SELECT q.query_id, t.doc_id,
+        |  ROUND(LN(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |    * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+        |    * 1e6)::BIGINT AS ts
+        | FROM tf t
+        | JOIN qterms q USING (token)
+        | JOIN dfreq f USING (token)
+        | JOIN dlen d ON t.doc_id = d.doc_id
+        | CROSS JOIN stats s
+        | WHERE t.doc_id % 101 <> 0),
+        |summed AS (
+        | SELECT query_id, doc_id, SUM(ts)::BIGINT AS score_micro
+        | FROM scored GROUP BY query_id, doc_id),
+        |ranked AS (
+        | SELECT query_id, doc_id, score_micro,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score_micro DESC, doc_id ASC) AS rk
+        | FROM summed)
+        |SELECT query_id, doc_id, score_micro, rk
+        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     "s1_knn_bruteforce" ->
       """WITH e AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -307,8 +307,39 @@ object TextOps {
       .limit(50)
   }
 
+  /** T13 Gopher-style rule filter (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446 §A1.1 — the rule family every big-corpus
+    * curation pipeline runs before model-based filtering): per-doc
+    * boolean gates on word count, mean word length, and stopword
+    * presence, plus the conjunction. Only the rules this corpus can
+    * exercise are kept (the symbol-ratio/bullet/alpha-fraction gates
+    * are vacuous on an all-alpha synthetic corpus and would assert
+    * nothing). Pure codegen expressions — single scan, no shuffle
+    * but the determinism sort. */
+  def t13GopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(sortedDocs(s, dir))
+
+  /** The t13 kernel over an arbitrary (doc_id, text) relation —
+    * spec-testable with docs constructed at each rule boundary. */
+  def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val nWords = size(toks).cast("long")
+    val meanLen = length(regexp_replace(col("text"), " ", ""))
+      .cast("double") / nWords
+    val stopHits = size(filter(toks,
+      t => stopwords.map(w => t === lit(w)).reduce(_ || _))).cast("long")
+    val rWords = nWords.between(50, 100000)
+    val rLen = meanLen.between(3.0, 10.0)
+    val rStop = stopHits >= 2
+    docs.select(col("doc_id"), nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"), stopHits.as("stop_hits"),
+      rWords.as("r_words"), rLen.as("r_word_len"), rStop.as("r_stop"),
+      (rWords && rLen && rStop).as("pass"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_collocations" -> (t12Collocations _),
+    "t13_gopher_rules" -> (t13GopherRules _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_langid" -> (t3LangId _),
@@ -448,6 +479,23 @@ object TextOps {
         |SELECT doc_id, clean_text, clean_text != text AS changed,
         | md5(clean_text) AS clean_fp
         |FROM c ORDER BY doc_id""".stripMargin,
+    "t13_gopher_rules" ->
+      s"""WITH m AS (
+        | SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_words,
+        |  length(replace(text, ' ', ''))::DOUBLE
+        |    / len(string_split(text, ' ')) AS mean_len,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> $stopPred))::BIGINT AS stop_hits
+        | FROM documents)
+        |SELECT doc_id, n_words, ROUND(mean_len, 6) AS mean_word_len,
+        | stop_hits,
+        | n_words BETWEEN 50 AND 100000 AS r_words,
+        | mean_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+        | stop_hits >= 2 AS r_stop,
+        | (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+        |   AND stop_hits >= 2 AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "t12_collocations" ->
       """WITH tok AS (
         | SELECT doc_id, string_split(text, ' ') AS t FROM documents),

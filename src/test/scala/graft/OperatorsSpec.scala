@@ -417,4 +417,75 @@ class OperatorsSpec extends AnyFunSuite {
     out.filter(x => x._1 >= 4 && x._1 < 12).foreach(x => assert(x._2 === 1.0))
     assert(out.toSeq === run().toSeq) // pinned seed → deterministic
   }
+
+  test("t13 gopher rules: each gate flips at its boundary") {
+    import spark.implicits._
+    val w = (n: Int, word: String) => Seq.fill(n)(word).mkString(" ")
+    val docs = Seq(
+      (1L, w(49, "word")),                          // 49 words → r_words false
+      (2L, w(48, "word") + " the a"),               // 50 words, 2 stops → pass
+      (3L, w(50, "ab")),                            // mean len 2 → r_word_len false
+      (4L, w(50, "abcdefghijk")),                   // mean len 11 → r_word_len false
+      (5L, w(49, "word") + " the"),                 // 1 stop → r_stop false
+      (6L, w(48, "abc") + " the and")               // mean len exactly 3.0 → pass
+    ).toDF("doc_id", "text")
+    val out = queries.TextOps.gopherRulesOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(out(1L) === ((49L, false, true, false, false)))
+    assert(out(2L) === ((50L, true, true, true, true)))
+    assert(out(3L)._3 === false); assert(out(3L)._5 === false)
+    assert(out(4L)._3 === false)
+    assert(out(5L) === ((50L, true, true, false, false)))
+    assert(out(6L) === ((50L, true, true, true, true))) // inclusive bound
+    // mean_word_len math: doc 6 = (48·3 + 3 + 3)/50 = 3.0 exactly
+    val m6 = queries.TextOps.gopherRulesOf(docs).collect()
+      .find(_.getLong(0) == 6L).get.getDouble(2)
+    assert(m6 === 3.0)
+  }
+
+  test("d11 window dedup: shared windows flag later docs, short docs survive") {
+    import spark.implicits._
+    val t = (r: Range, p: String) => r.map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, t(1 to 10, "a")),                 // 6 five-token windows
+      (2L, t(3 to 7, "a") + " " + t(1 to 5, "b")), // first window = doc1's pos-3
+      (3L, t(1 to 10, "c")),                 // disjoint
+      (4L, "d1 d2 d3"),                      // < k tokens → no windows
+      (5L, t(1 to 10, "a")),                 // exact copy of doc 1
+      (6L, Seq.fill(7)("x").mkString(" "))   // 3 identical windows → 1 distinct
+    ).toDF("doc_id", "text")
+    val out = queries.DedupOps.windowDedupOf(docs, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L) === ((6L, 0L, false)))   // first owner, never dup
+    assert(out(2L) === ((6L, 1L, true)))    // one borrowed window
+    assert(out(3L) === ((6L, 0L, false)))
+    assert(out(4L) === ((0L, 0L, false)))   // short doc: zero windows, kept
+    assert(out(5L) === ((6L, 6L, true)))    // verbatim copy: all windows shared
+    assert(out(6L) === ((1L, 0L, false)))   // within-doc repeats are NOT sharing
+  }
+
+  test("s5 bm25: rare query term outranks common, hand-checked micro score") {
+    import spark.implicits._
+    // doc 0 is the query (0 % 101 == 0); corpus docs 1–3, all dl = 3
+    val docs = Seq(
+      (0L, "rare common zzz"),
+      (1L, "rare common common"),
+      (2L, "common common common"),
+      (3L, "other other other")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("s5spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.SimilarityOps.s5Bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 3 shares no query term → absent; doc 1 (rare+common) outranks 2
+    assert(out.map(x => (x._2, x._4)).toSeq === Seq((1L, 1L), (2L, 2L)))
+    // hand math, mirroring the expression tree: dl = avgdl = 3 → the
+    // length norm is 1, sat = tf·2.2/(tf+1.2); idf = ln(1+(N−df+.5)/(df+.5))
+    def idf(df: Int) = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+    def sat(tf: Int) = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * 3.0 / 3.0))
+    def ts(df: Int, tf: Int) = math.round(idf(df) * sat(tf) * 1e6)
+    assert(out.find(_._2 == 1L).get._3 === ts(1, 1) + ts(2, 2))
+    assert(out.find(_._2 == 2L).get._3 === ts(2, 3))
+  }
 }
