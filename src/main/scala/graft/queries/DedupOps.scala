@@ -495,6 +495,73 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** D12 Bloom-gated INCREMENTAL dedup — the shape dedup takes once a
+    * corpus is in production and new data arrives in batches: the
+    * HISTORICAL corpus's 20-token window hashes are summarized ONCE
+    * into a Bloom filter (a fixed-size mergeable bitset — ~1.2 GB per
+    * 10⁹ windows at 1 % fp — aggregated to the driver and broadcast;
+    * at 100 TB the filter would be built once and persisted beside
+    * the corpus, not rebuilt per batch), and each incoming batch
+    * probes it WITHOUT shuffling against history. Only bloom-flagged
+    * windows reach the exact verify pass, and there the corpus side
+    * stays shuffle-free too: history scans once against the BROADCAST
+    * flagged-window set (a semi join), so the only shuffled data all
+    * session is flagged-slice-sized. Bloom filters have no false
+    * negatives, so the verify stage sees every true duplicate —
+    * false positives only cost verify volume, never correctness —
+    * which is why the output is exactly the exhaustive window
+    * intersection and the DuckDB oracle can check it in full.
+    * Incoming batch = the deterministic `doc_id % 89` slice (the d8
+    * bench-slice discipline). */
+  def d12BloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val isNew = pmod(col("doc_id"), lit(89)) === 0
+    bloomDedupOf(docs.where(!isNew), docs.where(isNew), k = 20, fpp = 0.01)
+  }
+
+  /** The d12 kernel over arbitrary (doc_id, text) corpus/incoming
+    * relations — spec-testable with planted window copies. Build-time
+    * note: the filter construction is necessarily eager (two jobs:
+    * the window count sizing the filter — an overcount of duplicate
+    * windows, which only widens it — and the bitset aggregation);
+    * d12 is in CacheHygieneSpec's eagerByNature set. */
+  def bloomDedupOf(corpus: DataFrame, incoming: DataFrame, k: Int,
+      fpp: Double): DataFrame = {
+    val winCol = explode(array_distinct(
+      graft.operators.MinHash.shingleCol(col("text"), k)))
+    val corWins = corpus.select(winCol.as("win"))
+      .select(md5(col("win")).as("h"))
+    val nWins = corWins.count()
+    val incWins = incoming
+      .select(col("doc_id"), winCol.as("win"))
+      .select(col("doc_id"), md5(col("win")).as("h"))
+    // stat.bloomFilter NPEs on an empty relation (null agg buffer in
+    // 4.x); an empty history flags nothing by definition
+    val flagged = if (nWins == 0) incWins.where(lit(false)) else {
+      val bloom = corWins.stat.bloomFilter("h", nWins, fpp)
+      val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+      val mightContain = udf((h: String) => bc.value.mightContainString(h))
+      incWins.where(mightContain(col("h")))
+    }
+    // exact verify: history scans once against the broadcast flagged
+    // set; both distincts shuffle only flagged-slice-sized data
+    val matchedH = corWins
+      .join(broadcast(flagged.select(col("h")).distinct()), Seq("h"), "left_semi")
+      .distinct()
+    val hits = flagged.join(broadcast(matchedH), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_windows"))
+    val perDoc = incWins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    incoming.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_hit_windows"), lit(0L)).as("n_hit_windows"),
+        (coalesce(col("n_hit_windows"), lit(0L)) > 0).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sketch-based distinct counting (HLL / approx_count_distinct —
     * the "novel sketch" surface; no oracle: sketch implementations
     * differ across engines, spec asserts the error bound instead). */
@@ -521,6 +588,7 @@ object DedupOps {
     "d4_neardup_pairs" -> ((s: SparkSession, dir: String) => nearDupPairs(s, dir)),
     "d5_embedding_dedup" -> (d5EmbeddingDedup _),
     "d11_window_dedup" -> (d11WindowDedup _),
+    "d12_bloom_dedup" -> (d12BloomDedup _),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -745,6 +813,28 @@ object DedupOps {
         | COALESCE(per.n_shared, 0) > 0 AS is_dup
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "d12_bloom_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |wins AS (
+        | SELECT DISTINCT doc_id,
+        |  md5(array_to_string(t[i:i+19], ' ')) AS h
+        | FROM toks, LATERAL (SELECT unnest(range(1, len(t)-20+2)) AS i)
+        | WHERE len(t) >= 20),
+        |inc AS (SELECT * FROM wins WHERE doc_id % 89 = 0),
+        |cor AS (SELECT DISTINCT h FROM wins WHERE doc_id % 89 <> 0),
+        |hits AS (
+        | SELECT i.doc_id, COUNT(*)::BIGINT AS n_hit
+        | FROM inc i JOIN cor USING (h) GROUP BY i.doc_id),
+        |per AS (
+        | SELECT doc_id, COUNT(*)::BIGINT AS n FROM inc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(per.n, 0)::BIGINT AS n_windows,
+        | COALESCE(hits.n_hit, 0)::BIGINT AS n_hit_windows,
+        | COALESCE(hits.n_hit, 0) > 0 AS is_dup
+        |FROM documents d
+        |LEFT JOIN per USING (doc_id) LEFT JOIN hits USING (doc_id)
+        |WHERE d.doc_id % 89 = 0 ORDER BY doc_id""".stripMargin,
     "d4_ngram_jaccard" -> d4OracleSql,
     // the composed path returns the same exact-Jaccard pair set as
     // d4 (MinHashSpec asserts set equality at the gate scale), so the

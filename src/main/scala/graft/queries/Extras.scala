@@ -208,6 +208,40 @@ object Extras {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** W4 funnel analysis — ordered-sequence conversion over the event
+    * stream (view → click within 7 days → purchase within 7 days of
+    * the click; the product-analytics twin of w3's sessionization):
+    * per-user first qualifying timestamp per stage, each stage
+    * anchored strictly after the previous one. Three aggregations
+    * all keyed on user_id — the same shuffle key throughout, so on a
+    * cluster the exchanges co-locate; each stage's anchor table is
+    * user-cardinality-sized (AQE broadcasts it here). Output is the
+    * stage-count funnel. */
+  def w4Funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables(s, dir, "events"))
+
+  /** The w4 kernel over an arbitrary (user_id, ts, event_type)
+    * relation — spec-testable with constructed stage sequences. */
+  def funnelOf(ev: DataFrame): DataFrame = {
+    val winNs = 7L * 24 * 3600 * 1000 * 1000 * 1000
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id")
+      .where(col("ts") > col("tv") && col("ts") <= col("tv") + winNs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .where(col("ts") > col("tc") && col("ts") <= col("tc") + winNs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    def n(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(stage))
+    n(v, "1_view").unionByName(n(c, "2_click"))
+      .unionByName(n(p, "3_purchase"))
+      .select(col("stage"), col("n_users"))
+      .orderBy(col("stage"))
+  }
+
   /** Exact interpolated quantiles (A-family; Spark `percentile` and
     * DuckDB `quantile_cont` both linear-interpolate over the sorted
     * values → identical on identical inputs, rounded for the last-bit
@@ -261,6 +295,7 @@ object Extras {
     "j7_asof_join" -> (j7AsofJoin _),
     "j8_range_join" -> (j8RangeJoin _),
     "w3_sessionize" -> (w3Sessionize _),
+    "w4_funnel" -> (w4Funnel _),
     "a6_weighted_mean" -> (a6WeightedMean _),
     "k1_vegard" -> (k1Vegard _),
     "x1_json_props" -> (x1JsonProps _),
@@ -386,6 +421,26 @@ object Extras {
         |SELECT lang, doc_id, rn FROM r
         |WHERE rn <= CEIL(n_stratum * 0.2)
         |ORDER BY lang, rn""".stripMargin,
+    "w4_funnel" ->
+      """WITH v AS (
+        | SELECT user_id, MIN(ts) AS tv FROM events
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        | SELECT e.user_id, MIN(e.ts) AS tc
+        | FROM events e JOIN v USING (user_id)
+        | WHERE e.event_type = 'click' AND e.ts > v.tv
+        |   AND e.ts <= v.tv + INTERVAL 7 DAY
+        | GROUP BY e.user_id),
+        |p AS (
+        | SELECT e.user_id, MIN(e.ts) AS tp
+        | FROM events e JOIN c USING (user_id)
+        | WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        |   AND e.ts <= c.tc + INTERVAL 7 DAY
+        | GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, COUNT(*)::BIGINT AS n_users FROM v
+        |UNION ALL SELECT '2_click', COUNT(*)::BIGINT FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*)::BIGINT FROM p
+        |ORDER BY stage""".stripMargin,
     "w3_sessionize" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id, value,

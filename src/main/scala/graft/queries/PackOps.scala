@@ -82,8 +82,12 @@ object PackOps {
     * source-cardinality-sized regardless of corpus size. */
   val MixBudget = 10000L
 
-  def m9MixPlan(s: SparkSession, dir: String): DataFrame = {
-    val agg = Tables(s, dir, "documents")
+  def m9MixPlan(s: SparkSession, dir: String): DataFrame =
+    mixPlanOf(Tables(s, dir, "documents"))
+
+  /** The m9 kernel over an arbitrary (source, text) relation. */
+  def mixPlanOf(docs: DataFrame): DataFrame = {
+    val agg = docs
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
@@ -105,6 +109,41 @@ object PackOps {
         least(col("n_tokens"), col("target_tokens")))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
         col("target_tokens"), col("sample_rate"), col("expected_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** M11 training-mix EXECUTION — the sampling pass that applies the
+    * m9 plan (planning a mixture and never materializing it is the
+    * half-finished version of this pipeline): every document joins
+    * its source's planned `sample_rate` (the plan table is
+    * source-cardinality-sized → broadcast) and keeps iff its seeded
+    * affine digest clears the rate threshold — the MinHash-family
+    * arithmetic, engine-reproducible in integer math, so the SAME
+    * docs are kept under Spark and the oracle. One broadcast join +
+    * one source-level aggregation over the corpus scan; per-source
+    * audit counts out (the sampled corpus itself is the same relation
+    * minus the agg — a caller keeps `keep=true` rows). */
+  def m11MixExecute(s: SparkSession, dir: String): DataFrame =
+    mixExecuteOf(Tables(s, dir, "documents"))
+
+  /** The m11 kernel over an arbitrary (source, doc_id, text) relation
+    * — spec-testable against a Scala-side replay of the keep rule. */
+  def mixExecuteOf(allDocs: DataFrame): DataFrame = {
+    val plan = mixPlanOf(allDocs).select(col("source"), col("sample_rate"))
+    val docs = allDocs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // (a·id + b) mod p mod 10⁶ < ⌊rate·10⁶⌉ — pure integer keep test
+    val h = pmod(pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+      lit(2147483647L)), lit(1000000L))
+    docs.join(broadcast(plan), "source")
+      .withColumn("keep",
+        h < floor(col("sample_rate") * lit(1e6) + lit(0.5)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L))
+          .as("n_tokens_sampled"))
       .orderBy(col("source"))
   }
 
@@ -142,6 +181,7 @@ object PackOps {
     "p1_pack_sequences" -> (p1PackSequences _),
     "p2_chunk_windows" -> (p2ChunkWindows _),
     "m9_mix_plan" -> (m9MixPlan _),
+    "m11_mix_execute" -> (m11MixExecute _),
     // rows-only: L-BFGS float reductions aren't cross-engine
     // reproducible; the spec gates held-out accuracy instead
     "m10_quality_classifier" -> (graft.fit.QualityModel.m10QualityClassifier _),
@@ -180,6 +220,30 @@ object PackOps {
          |   FLOOR($MixBudget * weight / sum_w) / n_tokens), 6) AS sample_rate,
          | LEAST(n_tokens, FLOOR($MixBudget * weight / sum_w)::BIGINT) AS expected_tokens
          |FROM agg CROSS JOIN tot ORDER BY source""".stripMargin,
+    "m11_mix_execute" ->
+      s"""WITH agg AS (
+         | SELECT source, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+         |  CASE WHEN regexp_extract(source, '^src([0-9]+)', 1)::INT < 10
+         |       THEN 2 ELSE 1 END::BIGINT AS weight
+         | FROM documents GROUP BY source),
+         |tot AS (SELECT SUM(weight)::BIGINT AS sum_w FROM agg),
+         |plan AS (
+         | SELECT source, ROUND(LEAST(1.0,
+         |   FLOOR($MixBudget * weight / sum_w) / n_tokens), 6) AS sample_rate
+         | FROM agg CROSS JOIN tot),
+         |docs AS (
+         | SELECT source, doc_id,
+         |  len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+         |k AS (
+         | SELECT d.source, d.n_tok,
+         |  ((d.doc_id * 1103515245 + 12345) % 2147483647) % 1000000
+         |    < FLOOR(p.sample_rate * 1e6 + 0.5) AS keep
+         | FROM docs d JOIN plan p USING (source))
+         |SELECT source, COUNT(*)::BIGINT AS n_docs,
+         | SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+         | SUM(CASE WHEN keep THEN n_tok ELSE 0 END)::BIGINT AS n_tokens_sampled
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "p2_chunk_windows" ->
       s"""WITH tok AS (
          | SELECT doc_id, string_split(text, ' ') AS t FROM documents),

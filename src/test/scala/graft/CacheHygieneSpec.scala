@@ -48,6 +48,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "s2_ann_lsh",       // adaptivePlanes sizes nPlanes from a count()
     "s3_ann_ivf",       // Lloyd iterations for the IVF centroids
     "d10_semdedup",     // Lloyd iterations for the SemDeDup quantizer
+    "d12_bloom_dedup",  // Bloom filter build over the corpus windows
     "m6_materials_e2e", // full pipeline incl. split assignment
     "m7_curation",      // staged curation runner (per-stage counts)
     "m10_quality_classifier", // L-BFGS training iterations at fit time

@@ -466,6 +466,75 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(6L) === ((1L, 0L, false)))   // within-doc repeats are NOT sharing
   }
 
+  test("d12 bloom incremental dedup: planted window copies confirmed, fp never surfaces") {
+    import spark.implicits._
+    val t = (r: Range, p: String) => r.map(i => s"$p$i").mkString(" ")
+    val corpus = Seq(
+      (10L, t(1 to 12, "a")),
+      (11L, t(1 to 12, "b")),
+      (12L, t(1 to 12, "c"))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, t(3 to 9, "a")),        // 7 tokens inside corpus doc 10 → 3 shared 5-windows
+      (2L, t(1 to 12, "z")),       // disjoint → even a bloom fp must verify to false
+      (3L, "q1 q2 q3"),            // < k tokens → no windows
+      (4L, t(1 to 12, "b"))        // verbatim corpus copy → all 8 windows shared
+    ).toDF("doc_id", "text")
+    val out = queries.DedupOps.bloomDedupOf(corpus, incoming, k = 5, fpp = 0.01)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L) === ((3L, 3L, true)))
+    assert(out(2L) === ((8L, 0L, false))) // exact verify kills any fp
+    assert(out(3L) === ((0L, 0L, false)))
+    assert(out(4L) === ((8L, 8L, true)))
+    // no false negatives by construction: every true shared window is hit
+  }
+
+  test("w4 funnel: stage windows anchor strictly after the prior stage") {
+    import spark.implicits._
+    val d = 24L * 3600 * 1000 * 1000 * 1000 // one day in ns
+    val t0 = 1000L * d
+    val ev = Seq(
+      (1L, t0, "view"), (1L, t0 + d, "click"), (1L, t0 + 2 * d, "purchase"),
+      (2L, t0, "view"), (2L, t0 + 8 * d, "click"),      // click outside 7d
+      (3L, t0, "click"),                                 // no view → nothing
+      (4L, t0, "view"), (4L, t0 + d, "click"), (4L, t0 + 10 * d, "purchase"),
+      (5L, t0 - d, "click"), (5L, t0, "view"), (5L, t0 + d, "purchase")
+      // u5: click precedes the first view → stage 2 never anchors
+    ).toDF("user_id", "ts", "event_type")
+    val out = queries.Extras.funnelOf(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("1_view" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L))
+  }
+
+  test("m11 mix execute: keep rule replays exactly, weighted sources sample more") {
+    import spark.implicits._
+    // two sources under the m9 policy: src1 weighs 2, src20 weighs 1;
+    // 40 docs × 100 tokens each per source
+    val docs = (0 until 40).flatMap { i =>
+      Seq((s"src1", i.toLong, Seq.fill(100)("w").mkString(" ")),
+        (s"src20", (100 + i).toLong, Seq.fill(100)("w").mkString(" ")))
+    }.toDF("source", "doc_id", "text")
+    val out = queries.PackOps.mixExecuteOf(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // Scala-side replay of the plan arithmetic + affine keep rule
+    def rate(weight: Long) = {
+      val target = math.floor(10000.0 * weight / 3).toLong
+      math.rint(math.min(1.0, target.toDouble / 4000) * 1e6) / 1e6
+    }
+    def kept(ids: Seq[Long], r: Double) = ids.count { id =>
+      ((id * 1103515245L + 12345L) % 2147483647L) % 1000000L <
+        math.floor(r * 1e6 + 0.5).toLong
+    }
+    val k1 = kept((0L until 40L), rate(2))
+    val k20 = kept((100L until 140L), rate(1))
+    assert(out("src1") === ((40L, k1.toLong, k1 * 100L)))
+    assert(out("src20") === ((40L, k20.toLong, k20 * 100L)))
+    // the 2× source must genuinely sample more of its corpus
+    assert(k1 > k20)
+  }
+
   test("s5 bm25: rare query term outranks common, hand-checked micro score") {
     import spark.implicits._
     // doc 0 is the query (0 % 101 == 0); corpus docs 1–3, all dl = 3

@@ -136,4 +136,44 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     assert(spark.read.parquet(sink).count() === expected1 + 2)
   }
+
+  test("bloom-gated curation: fresh admits, replays block, crash order is safe") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("bloom_sink").toString + "/corpus"
+    val bloom = Files.createTempDirectory("bloom_state").toString + "/seen.bloom"
+    def batchDf(rows: Seq[(Long, String)]) = rows.map { case (id, t) =>
+      (id, t, "en", "stream", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // batch 1 bootstraps sink and filter
+    CurationStream.curateBatch(
+      batchDf(Seq(1L -> "alpha doc", 2L -> "beta doc")), sink, Some(bloom))
+    assert(spark.read.parquet(sink).count() === 2)
+    assert(Files.isRegularFile(Paths.get(bloom)))
+
+    // batch 2: one replayed text under a new id + one fresh doc
+    CurationStream.curateBatch(
+      batchDf(Seq(3L -> "alpha doc", 4L -> "gamma doc")), sink, Some(bloom))
+    val after2 = spark.read.parquet(sink)
+    assert(after2.count() === 3)
+    assert(after2.groupBy("content_hash").count()
+      .where(col("count") > 1).count() === 0)
+
+    // full replay of batch 2 appends nothing
+    CurationStream.curateBatch(
+      batchDf(Seq(3L -> "alpha doc", 4L -> "gamma doc")), sink, Some(bloom))
+    assert(spark.read.parquet(sink).count() === 3)
+
+    // crash order: put a hash in the BLOOM that is not in the sink
+    // (a batch ran against another sink sharing the filter — same
+    // state as dying between the filter write and the append). The
+    // resulting false positive must be verified away, not drop the row.
+    val scratch = Files.createTempDirectory("bloom_scratch").toString + "/corpus"
+    CurationStream.curateBatch(
+      batchDf(Seq(9L -> "delta doc")), scratch, Some(bloom))
+    CurationStream.curateBatch(
+      batchDf(Seq(10L -> "delta doc")), sink, Some(bloom))
+    assert(spark.read.parquet(sink).count() === 4,
+      "a bloom hit without a sink row is a false positive and must still append")
+  }
 }
