@@ -103,6 +103,16 @@ object TextPipeline {
           .select(col("doc_id")).distinct()
         docs.where(!isBench)
           .join(contaminated, Seq("doc_id"), "left_anti")
+      case "quality_filter" => // t13: Gopher rule gates — keep passing docs
+        val keep = graft.queries.TextOps.gopherRulesOf(docs)
+          .where(col("pass")).select(col("doc_id"))
+        docs.join(keep, Seq("doc_id"))
+      case "dedup_window" => // d11: drop docs sharing a k-token window
+        // with an earlier doc (exact-substring dedup at window grain)
+        val k = p.get("window").map(num(_).toInt).getOrElse(20)
+        val keep = graft.queries.DedupOps.windowDedupOf(docs, k)
+          .where(!col("is_dup")).select(col("doc_id"))
+        docs.join(keep, Seq("doc_id"))
       case "stratified_sample" => // o7: keyed-digest rank within stratum
         val by = p.get("by").map(str).getOrElse("lang")
         val frac = p.get("frac").map(num).getOrElse(0.2)

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.{SpecPipeline, Yaml}
 
@@ -171,6 +172,34 @@ class SpecPipelineSpec extends AnyFunSuite {
     assert(out.filter(_._2.startsWith("split:")).map(_._3).sum === finalN)
     // pinned seed ⇒ bit-identical audit table on re-run
     assert(runOnce() === out)
+  }
+
+  test("M7 curation: optional quality_filter and dedup_window stages match their kernels") {
+    val dir = "/root/testdata/sf0.001"
+    val yaml =
+      """title: gated curation
+        |ran_seed: 42
+        |splits:
+        |  train: 0.8
+        |curation:
+        |  - type: quality_filter
+        |  - type: dedup_window
+        |    window: 20
+        |""".stripMargin
+    val out = graft.pipeline.TextPipeline.run(spark, dir, yaml).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    val docs = Tables(spark, dir, "documents")
+    val passN = graft.queries.TextOps.gopherRulesOf(docs)
+      .where(col("pass")).count()
+    assert(out("quality_filter") === passN)
+    // window dedup runs on the FILTERED survivors, so recompute on them
+    val survivors = docs.join(
+      graft.queries.TextOps.gopherRulesOf(docs)
+        .where(col("pass")).select(col("doc_id")), Seq("doc_id"))
+    val dedupN = graft.queries.DedupOps.windowDedupOf(survivors, 20)
+      .where(!col("is_dup")).count()
+    assert(out("dedup_window") === dedupN)
+    assert(dedupN > 0 && dedupN < out("ingest"))
   }
 
   test("M7 curation spec: unknown stage fails loudly") {
