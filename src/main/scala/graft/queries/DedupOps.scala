@@ -393,6 +393,37 @@ object DedupOps {
     } finally edges.unpersist()
   }
 
+  /** D13 duplicate-cluster survivorship — the curation step AFTER
+    * clustering: each near-dup cluster keeps its highest-quality
+    * member and drops the rest. A real dedup pass keeps the best
+    * representative, not an arbitrary one (the reference keeps
+    * first-seen, database/active.py:181–198; generalized here to the
+    * t2 quality argmax with ties breaking to the smallest doc_id, so
+    * the choice is total and deterministic). Scale shape: the d6
+    * cluster labels join the t2 quality table on doc_id (both
+    * corpus-cardinality), then ONE shuffle on cluster_id for the
+    * per-cluster window — nothing pairwise, and cluster sizes are
+    * clique-sized (bounded by the dup multiplicity), so the window
+    * partitions cannot be hot. */
+  def d13KeepBest(s: SparkSession, dir: String): DataFrame =
+    keepBestOf(
+      d6DupClusters(s, dir),
+      graft.queries.TextOps.t2QualityScore(s, dir)
+        .select(col("doc_id"), col("quality")))
+
+  /** The d13 kernel over arbitrary (doc_id, cluster_id) labels and
+    * (doc_id, quality) scores — spec-testable with planted clusters. */
+  def keepBestOf(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val ranked = byCluster.orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("keep", row_number().over(ranked) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("n_members"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D8 decontamination — benchmark n-gram overlap removal (the
     * GPT-3/Pile-style eval-set hygiene pass): any training document
     * sharing an 8-gram with the benchmark set is flagged. The
@@ -577,6 +608,7 @@ object DedupOps {
     "d3_hamming_pairs" -> (d3HammingPairs _),
     "d3_simhash_dups" -> (d3SimhashDups _),
     "d6_dup_clusters" -> (d6DupClusters _),
+    "d13_keep_best" -> (d13KeepBest _),
     "d8_decontaminate" -> (d8Decontaminate _),
     "d9_fuzzy_decontaminate" -> (d9FuzzyDecontaminate _),
     "sk1_approx_distinct" -> (sk1ApproxDistinct _),
@@ -648,6 +680,33 @@ object DedupOps {
        |        FROM nib GROUP BY doc_id)
        |SELECT doc_id, n_tok, $simhashBits AS simhash, $simhashBands
        |FROM agg""".stripMargin
+
+  /** The d6 connected-components CTE chain (through `cc`), shared by
+    * the d6 and d13 oracles so the cluster definition cannot diverge
+    * between them. Ends inside the WITH list: append either d6's
+    * final aggregate or d13's `, cl AS ... SELECT`. */
+  private val ccClustersSql: String =
+    s"""WITH RECURSIVE base AS ($simhashBaseSql),
+       |banded AS (
+       | SELECT doc_id, band0, band1, band2, band3, b AS band_idx,
+       |  CASE b WHEN 0 THEN band0 WHEN 1 THEN band1
+       |         WHEN 2 THEN band2 ELSE band3 END AS band_val
+       | FROM base CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(b)),
+       |pairs AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM banded a JOIN banded b
+       |   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |      AND a.doc_id < b.doc_id
+       | WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+       |   + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3),
+       |edges AS (
+       | SELECT doc_a AS src, doc_b AS dst FROM pairs
+       | UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |cc(doc_id, comp) AS (
+       | SELECT doc_id, doc_id FROM documents
+       | UNION
+       | SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.doc_id = e.src
+       | WHERE cc.comp < e.dst)""".stripMargin
 
   /** Subquery: min-doc_id keeper per 64-bit simhash over `src`
     * (doc_id, text) — the m7 oracle's dedup_simhash stage. Mirrors
@@ -770,29 +829,34 @@ object DedupOps {
     // member (all other members have larger ids), so MIN(comp) per node
     // is exactly the min-id-in-component cluster label.
     "d6_dup_clusters" ->
-      s"""WITH RECURSIVE base AS ($simhashBaseSql),
-         |banded AS (
-         | SELECT doc_id, band0, band1, band2, band3, b AS band_idx,
-         |  CASE b WHEN 0 THEN band0 WHEN 1 THEN band1
-         |         WHEN 2 THEN band2 ELSE band3 END AS band_val
-         | FROM base CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(b)),
-         |pairs AS (
-         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM banded a JOIN banded b
-         |   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |      AND a.doc_id < b.doc_id
-         | WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
-         |   + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3),
-         |edges AS (
-         | SELECT doc_a AS src, doc_b AS dst FROM pairs
-         | UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |cc(doc_id, comp) AS (
-         | SELECT doc_id, doc_id FROM documents
-         | UNION
-         | SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.doc_id = e.src
-         | WHERE cc.comp < e.dst)
+      s"""$ccClustersSql
          |SELECT doc_id, MIN(comp) AS cluster_id FROM cc
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // d13 = d6's clusters + t2's quality, survivor per cluster: the
+    // three sub-oracles (CC prefix, quality expression, window argmax)
+    // must agree bit-for-bit with their standalone twins, so the first
+    // two are shared strings, not copies.
+    "d13_keep_best" ->
+      s"""$ccClustersSql,
+         |cl AS (
+         | SELECT doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY doc_id),
+         |q AS (
+         | SELECT doc_id,
+         |  ROUND(len(list_filter(string_split(text,' '),
+         |     t -> ${graft.queries.TextOps.stopPred}))::DOUBLE
+         |    / len(string_split(text,' ')) * 0.5
+         |   + LEAST(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) * 0.5,
+         |   6) AS quality
+         | FROM documents),
+         |r AS (
+         | SELECT cl.doc_id, cl.cluster_id, q.quality,
+         |  COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+         |  ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |    ORDER BY q.quality DESC, cl.doc_id) AS rn
+         | FROM cl JOIN q USING (doc_id))
+         |SELECT doc_id, cluster_id, quality, n_members::BIGINT AS n_members,
+         | rn = 1 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "d11_window_dedup" ->
       """WITH toks AS (
         | SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -242,6 +242,40 @@ object Extras {
       .orderBy(col("stage"))
   }
 
+  /** W5 cohort retention — the growth-analytics rollup beside w4's
+    * funnel: cohort = the calendar day of a user's first event; the
+    * cohort's offset-k row counts members active k days later, with
+    * the retained fraction against the cohort's own day-0 size. Two
+    * shuffles on real keys — a user_id window for the cohort day and
+    * a (cohort_day, day_offset) aggregate; the first-value window
+    * runs over the tiny cohort×offset aggregate. countDistinct
+    * absorbs duplicate user-days, so no pre-distinct pass (and its
+    * extra shuffle) is needed. */
+  def w5Retention(s: SparkSession, dir: String): DataFrame =
+    retentionOf(Tables(s, dir, "events"))
+
+  /** The w5 kernel over an arbitrary (user_id, ts-in-nanos) relation
+    * — spec-testable with constructed activity patterns. */
+  def retentionOf(ev: DataFrame): DataFrame = {
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val byUser = Window.partitionBy(col("user_id"))
+    val counts = ev
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+      .withColumn("cohort_day", min(col("day")).over(byUser))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    // offset 0 always exists (each member's first day), so first()
+    // over the ordered window is the cohort's day-0 size
+    val byCohort = Window.partitionBy(col("cohort_day"))
+      .orderBy(col("day_offset"))
+    counts
+      .withColumn("retention", round(
+        col("n_users").cast("double") / first(col("n_users")).over(byCohort),
+        6))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Exact interpolated quantiles (A-family; Spark `percentile` and
     * DuckDB `quantile_cont` both linear-interpolate over the sorted
     * values → identical on identical inputs, rounded for the last-bit
@@ -296,6 +330,7 @@ object Extras {
     "j8_range_join" -> (j8RangeJoin _),
     "w3_sessionize" -> (w3Sessionize _),
     "w4_funnel" -> (w4Funnel _),
+    "w5_retention" -> (w5Retention _),
     "a6_weighted_mean" -> (a6WeightedMean _),
     "k1_vegard" -> (k1Vegard _),
     "x1_json_props" -> (x1JsonProps _),
@@ -441,6 +476,22 @@ object Extras {
         |UNION ALL SELECT '2_click', COUNT(*)::BIGINT FROM c
         |UNION ALL SELECT '3_purchase', COUNT(*)::BIGINT FROM p
         |ORDER BY stage""".stripMargin,
+    // days computed by integer-dividing the raw epoch clock (nanos on
+    // the Spark side, micros here) — identical floors for positive ts
+    "w5_retention" ->
+      """WITH ud AS (
+        | SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (
+        | SELECT user_id, day,
+        |  MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud),
+        |r AS (
+        | SELECT cohort_day, day - cohort_day AS day_offset,
+        |  COUNT(DISTINCT user_id)::BIGINT AS n_users
+        | FROM f GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_users,
+        | ROUND(n_users::DOUBLE / FIRST_VALUE(n_users) OVER (
+        |   PARTITION BY cohort_day ORDER BY day_offset), 6) AS retention
+        |FROM r ORDER BY cohort_day, day_offset""".stripMargin,
     "w3_sessionize" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id, value,

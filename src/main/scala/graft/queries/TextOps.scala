@@ -353,7 +353,8 @@ object TextOps {
     "t11_lm_xent" -> (t11LmXent _),
   )
 
-  private val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+  // shared with the d13 oracle (its quality CTE must match t2's)
+  private[graft] val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
   private def markerPred(ws: Seq[String]) = ws.map(w => s"t = '$w'").mkString(" OR ")
 
   val oracle: Map[String, String] = Map(

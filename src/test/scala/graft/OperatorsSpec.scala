@@ -507,6 +507,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Map("1_view" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L))
   }
 
+  test("d13 keep-best: highest-quality member survives, ties break to smallest id") {
+    import spark.implicits._
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // one 3-clique labeled by its min id
+      (4L, 4L)                      // singleton keeps itself
+    ).toDF("doc_id", "cluster_id")
+    val quality = Seq(
+      (1L, 0.1), (2L, 0.9), (3L, 0.9), // 2 and 3 tie → smaller id wins
+      (4L, 0.2)
+    ).toDF("doc_id", "quality")
+    val out = queries.DedupOps.keepBestOf(clusters, quality).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out === Map(
+      1L -> ((3L, false)), 2L -> ((3L, true)), 3L -> ((3L, false)),
+      4L -> ((1L, true))))
+  }
+
+  test("w5 retention: cohorts anchor on first day, offsets count distinct users") {
+    import spark.implicits._
+    val d = 24L * 3600 * 1000 * 1000 * 1000 // one day in ns
+    val t0 = 1000L * d
+    val ev = Seq(
+      (1L, t0), (1L, t0 + d), (1L, t0 + d + 1), (1L, t0 + 3 * d),
+      // u1: day0 cohort, active offsets 0/1/3 (two day-1 events → one)
+      (2L, t0 + d / 2),          // u2: day0 cohort, day 0 only
+      (3L, t0 + d), (3L, t0 + 2 * d) // u3: day1 cohort, offsets 0/1
+    ).toDF("user_id", "ts")
+    val out = queries.Extras.retentionOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      (1000L, 0L) -> ((2L, 1.0)), (1000L, 1L) -> ((1L, 0.5)),
+      (1000L, 3L) -> ((1L, 0.5)),
+      (1001L, 0L) -> ((1L, 1.0)), (1001L, 1L) -> ((1L, 1.0))))
+  }
+
   test("m11 mix execute: keep rule replays exactly, weighted sources sample more") {
     import spark.implicits._
     // two sources under the m9 policy: src1 weighs 2, src20 weighs 1;
