@@ -110,13 +110,29 @@ object Similarity {
         .select(col(vCol)).collect()
         .map(_.getSeq[Double](0).toArray)
       if (train.isEmpty) return Array.empty
-      // init = the sample's own first nlist rows under the __h order
-      // that selected it
-      var cents = train.take(nlist)
+      lloydLocal(train, nlist, iters)
+    }
+
+    /** Column-major Breeze matrix over row-major training vectors. */
+    private def toMatrix(rows: Array[Array[Double]]) = {
+      val n = rows.length
+      val dim = rows(0).length
+      new breeze.linalg.DenseMatrix(n, dim,
+        Array.tabulate(n * dim)(j => rows(j % n)(j / n)))
+    }
+
+    /** Driver-local Lloyd: init = the training set's own first k rows
+      * (deterministic under the keyed-digest order that selected the
+      * sample), `iters` GEMM-argmin + mean-update rounds, empty cells
+      * keep their centroid. Shared by the IVF coarse quantizer and
+      * the PQ sub-codebooks — both train on bounded samples, so this
+      * never sees corpus-sized input. */
+    private[operators] def lloydLocal(train: Array[Array[Double]], k: Int,
+        iters: Int): Array[Array[Double]] = {
+      var cents = train.take(k)
       val n = train.length
       val dim = train(0).length
-      val X = new breeze.linalg.DenseMatrix(n, dim,
-        Array.tabulate(n * dim)(j => train(j % n)(j / n))) // column-major
+      val X = toMatrix(train)
       (0 until iters).foreach { _ =>
         val assign = argminCells(X, cents)
         val sums = Array.fill(cents.length)(new Array[Double](dim))
@@ -229,6 +245,170 @@ object Similarity {
         .where(col("rk") <= k)
         .orderBy(col("query_id"), col("rk"))
     }
+
+    /** IVF-PQ (Jégou–Douze–Schmid, "Product Quantization for Nearest
+      * Neighbor Search", TPAMI 2011) — the memory-bound 100 TB tier
+      * beside IVF-Flat: each vector stores its coarse cell plus M
+      * sub-codebook indices (M bytes at ksub ≤ 256) instead of
+      * dim × 8 bytes, a 64× compression at dim = 64 / M = 8. Queries
+      * score candidates by asymmetric distance (ADC): one M×ksub
+      * lookup table per (query, probed cell), then each candidate
+      * costs M table adds — no float vector is touched until the
+      * short exact-rerank list.
+      *
+      * coarse cell c + per-subspace codes over the RESIDUAL v − c
+      * (residual PQ — tighter cells than raw-vector PQ). */
+    case class PqModel(cents: Array[Array[Double]],
+        books: Array[Array[Array[Double]]]) { // m × ksub × dsub
+      def m: Int = books.length
+      def ksub: Int = books(0).length
+      def dsub: Int = books(0)(0).length
+    }
+
+    /** Train coarse + sub-codebooks driver-local on the capped
+      * keyed-digest sample (the `centroids` discipline: bounded
+      * driver traffic, deterministic under the seed). */
+    def trainPq(corpus: DataFrame, vCol: String, idCol: String,
+        nlist: Int, m: Int, ksub: Int, iters: Int, seed: Long,
+        trainSample: Int = 8192): PqModel = {
+      val train: Array[Array[Double]] = corpus
+        .withColumn("__h", xxhash64(col(idCol), lit(seed)))
+        .orderBy(col("__h")).limit(trainSample)
+        .select(col(vCol)).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(train.nonEmpty, "trainPq: empty corpus")
+      val dim = train(0).length
+      require(dim % m == 0, s"trainPq: dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      val cents = lloydLocal(train, nlist, iters)
+      val assign = argminCells(toMatrix(train), cents)
+      val resid = Array.tabulate(train.length) { r =>
+        val c = cents(assign(r)); val v = train(r)
+        Array.tabulate(dim)(i => v(i) - c(i))
+      }
+      val books = Array.tabulate(m) { s =>
+        lloydLocal(resid.map(_.slice(s * dsub, (s + 1) * dsub)), ksub, iters)
+      }
+      PqModel(cents, books)
+    }
+
+    /** Distributed encode — the one full-corpus pass: batched GEMM
+      * coarse assignment (the `assignCells` kernel), then per-row
+      * sub-codebook argmin over the residual (m·ksub·dsub ≈ 1k flops
+      * per row; ties keep the lowest code index). The full vector is
+      * carried alongside here because the local bench reranks from
+      * the same table; a 100 TB deployment stores codes in the hot
+      * index and fetches vectors only for the rerank list. */
+    def encodePq(df: DataFrame, idCol: String, vCol: String,
+        model: PqModel): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(model)
+      df.select(col(idCol).cast("long"), col(vCol).cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val mdl = bc.value
+          val (m, ksub, dsub) = (mdl.m, mdl.ksub, mdl.dsub)
+          it.grouped(1024).flatMap { g =>
+            val batch = g.toArray
+            val cell = argminCells(toMatrix(batch.map(_._2)), mdl.cents)
+            batch.iterator.zipWithIndex.map { case ((id, v), r) =>
+              val c = mdl.cents(cell(r))
+              val code = Array.tabulate(m) { s =>
+                var best = 0; var bestD = Double.MaxValue; var j = 0
+                while (j < ksub) {
+                  val bw = mdl.books(s)(j)
+                  var d = 0.0; var i = 0
+                  while (i < dsub) {
+                    val t = v(s * dsub + i) - c(s * dsub + i) - bw(i)
+                    d += t * t; i += 1
+                  }
+                  if (d < bestD) { bestD = d; best = j }
+                  j += 1
+                }
+                best
+              }
+              (id, v, cell(r), code)
+            }
+          }
+        }
+        .toDF(idCol, vCol, "cell", "code")
+    }
+
+    /** Top-k: ADC scoring over the probed cells' codes, exact cosine
+      * rerank of the `rerankMult`·k best ADC candidates per query.
+      * Both windows partition on query_id; candidates reach the join
+      * via the short cell key — the IVF shape with M-byte payloads. */
+    def topKPq(corpus: DataFrame, queries: DataFrame, vCol: String,
+        idCol: String, k: Int, nlist: Int, m: Int, ksub: Int,
+        nprobe: Int, iters: Int, seed: Long,
+        rerankMult: Int = 4): DataFrame = {
+      val model = trainPq(corpus, vCol, idCol, nlist, m, ksub, iters, seed)
+      val spark = corpus.sparkSession
+      val bc = spark.sparkContext.broadcast(model)
+      val enc = encodePq(
+        corpus.select(col(idCol).as("vec_id"), col(vCol).as("v")),
+        "vec_id", "v", model)
+        .withColumn("nrm",
+          sqrt(VectorExpressions.dotProduct(col("v"), col("v"))))
+      // per (query, probed cell): the M×ksub ADC table of squared
+      // residual-to-codeword distances — computed once per probe,
+      // m table adds per candidate afterwards
+      val probeTabs = udf { (qv: Seq[Double]) =>
+        val mdl = bc.value
+        val (mm, kk, dd) = (mdl.m, mdl.ksub, mdl.dsub)
+        mdl.cents.indices.map { c =>
+          val cent = mdl.cents(c)
+          var d = 0.0; var i = 0
+          while (i < qv.length) { val t = qv(i) - cent(i); d += t * t; i += 1 }
+          (d, c)
+        }.sorted.take(math.min(nprobe, mdl.cents.length)).map { case (_, c) =>
+          val cent = mdl.cents(c)
+          val tab = Array.tabulate(mm * kk) { idx =>
+            val s = idx / kk; val j = idx % kk
+            val bw = mdl.books(s)(j)
+            var d = 0.0; var i = 0
+            while (i < dd) {
+              val t = qv(s * dd + i) - cent(s * dd + i) - bw(i)
+              d += t * t; i += 1
+            }
+            d
+          }
+          (c, tab.toSeq)
+        }
+      }
+      val adcScore = udf { (tab: Seq[Double], code: Seq[Int]) =>
+        var s = 0; var d = 0.0
+        val kk = bc.value.ksub
+        while (s < code.length) { d += tab(s * kk + code(s)); s += 1 }
+        d
+      }
+      val q = queries
+        .select(col(idCol).as("query_id"), col(vCol).as("qv"))
+        .withColumn("p", explode(probeTabs(col("qv"))))
+        .select(col("query_id"), col("qv"),
+          col("p._1").as("cell"), col("p._2").as("tab"))
+        .withColumn("qn",
+          sqrt(VectorExpressions.dotProduct(col("qv"), col("qv"))))
+      val byAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("vec_id").asc)
+      val cos = round(VectorExpressions.cosine(col("qv"), col("v"),
+        col("qn"), col("nrm")), 6)
+      val byCos = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      q.join(enc, "cell")
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("adc", adcScore(col("tab"), col("code")))
+        .select(col("query_id"), col("vec_id"), col("adc"),
+          col("qv"), col("qn"), col("v"), col("nrm"))
+        .dropDuplicates("query_id", "vec_id")
+        .withColumn("ark", row_number().over(byAdc))
+        .where(col("ark") <= rerankMult * k)
+        .select(col("query_id"), col("vec_id"), cos.as("cos_sim"))
+        .withColumn("rk", row_number().over(byCos).cast("long"))
+        .where(col("rk") <= k)
+        .orderBy(col("query_id"), col("rk"))
+    }
   }
 
   /** Query-surface entry: IVF ANN over the embeddings table
@@ -248,6 +428,24 @@ object Similarity {
     val nlist = adaptiveNlist(e.count())
     Ivf.topK(e, q, "v", "vec_id", k = 10, nlist = nlist,
       nprobe = math.max(4, nlist / 16), iters = 2, seed = 42L)
+  }
+
+  /** Query-surface entry: IVF-PQ ANN over the embeddings table
+    * (rows-only — approximate results have no SQL oracle; recall vs
+    * the exact baseline and planted-duplicate behavior are asserted
+    * in OperatorsSpec). m=8 subspaces × ksub=16 codewords over the
+    * 64-dim embeddings → 8 nibble codes per vector where IVF-Flat
+    * keeps 512 bytes. */
+  def s4AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.where(col("vec_id") < 5)
+    val nlist = adaptiveNlist(e.count())
+    Ivf.topKPq(e, q, "v", "vec_id", k = 10, nlist = nlist,
+      m = 8, ksub = 16, nprobe = math.max(4, nlist / 16),
+      iters = 2, seed = 42L)
   }
 
   /** Plane count scaled to the corpus: enough sign bits that the

@@ -48,6 +48,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "o5_split_assign",  // partition-count collect + prefix sum
     "s2_ann_lsh",       // adaptivePlanes sizes nPlanes from a count()
     "s3_ann_ivf",       // Lloyd iterations for the IVF centroids
+    "s4_ann_ivfpq",     // PQ codebook training at build
     "d10_semdedup",     // Lloyd iterations for the SemDeDup quantizer
     "d12_bloom_dedup",  // Bloom filter build over the corpus windows
     "m6_materials_e2e", // full pipeline incl. split assignment
@@ -101,12 +102,13 @@ class CacheHygieneSpec extends AnyFunSuite {
     // references; this test asserts only that NOTHING NEW survives —
     // materialize the checkpoint-heaviest queries, drop every
     // reference, then GC until the cleaner has unpersisted the blocks.
-    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
     Seq("d2_minhash_pairs", "d4_ngram_jaccard", "d3_hamming_pairs")
       .foreach(n =>
         SparkEntry.queries(n)(spark, sf)
           .write.format("noop").mode("overwrite").save())
-    def leftover = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    def leftover =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     var drained = leftover.isEmpty
     while (!drained && System.nanoTime() < deadline) {

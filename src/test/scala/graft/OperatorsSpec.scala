@@ -271,6 +271,50 @@ class OperatorsSpec extends AnyFunSuite {
       .forall(_.getLong(1) <= 10))
   }
 
+  test("IVF-PQ: nibble codes, ADC + rerank recall, planted duplicate at rank 1") {
+    val e = Tables(spark, sf, "embeddings")
+      .repartition(col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.where(col("vec_id") < 5)
+    val pq = Similarity.Ivf.topKPq(e, q, "v", "vec_id",
+      k = 10, nlist = 16, m = 8, ksub = 16, nprobe = 4, iters = 2,
+      seed = 42L)
+    val got = pq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.queries.SimilarityOps.s1KnnBruteforce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // quantization loses precision vs IVF-Flat's 0.5 floor, but the
+    // exact rerank of 4k ADC candidates must still beat the
+    // probed-fraction (1/4) baseline
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall $recall too low")
+    // deterministic replay (seeded sample, init, Lloyd, tie-breaks)
+    val again = Similarity.Ivf.topKPq(e, q, "v", "vec_id",
+      k = 10, nlist = 16, m = 8, ksub = 16, nprobe = 4, iters = 2,
+      seed = 42L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === got)
+    // the code column really is m nibble-range indices
+    val model = Similarity.Ivf.trainPq(e, "v", "vec_id",
+      nlist = 16, m = 8, ksub = 16, iters = 2, seed = 42L)
+    val codes = Similarity.Ivf.encodePq(
+      e.select(col("vec_id"), col("v")), "vec_id", "v", model)
+      .select(col("code")).limit(64).collect()
+      .map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+    // a corpus clone of the query vector (planted under a fresh id)
+    // must come back at rank 1 with cosine 1: its cell matches the
+    // query's nearest cell and its ADC score is the table minimum
+    import spark.implicits._
+    val clone = e.where(col("vec_id") === 0)
+      .select(lit(900000L).as("vec_id"), col("v"))
+    val planted = Similarity.Ivf.topKPq(e.unionByName(clone),
+      e.where(col("vec_id") === 0), "v", "vec_id",
+      k = 3, nlist = 16, m = 8, ksub = 16, nprobe = 4, iters = 2,
+      seed = 42L).collect()
+    assert(planted.head.getLong(1) === 900000L &&
+      planted.head.getDouble(2) === 1.0)
+  }
+
   test("ANN candidate generation is sub-linear (bucketed, not full scan)") {
     val e = Tables(spark, sf, "embeddings")
       .select(col("vec_id"),
