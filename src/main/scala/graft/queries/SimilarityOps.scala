@@ -108,6 +108,7 @@ object SimilarityOps {
     "s2_ann_lsh" -> (graft.operators.Similarity.s2AnnLsh _),
     "s3_ann_ivf" -> (graft.operators.Similarity.s3AnnIvf _),
     "s4_ann_ivfpq" -> (graft.operators.Similarity.s4AnnIvfPq _),
+    "s6_pca_project" -> (graft.operators.Pca.s6PcaProject _),
     "d10_semdedup" -> (graft.operators.Similarity.d10SemDedup _),
     "mm1_multimodal_features" -> (graft.operators.Multimodal.featureSummary _),
   )

@@ -49,6 +49,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "s2_ann_lsh",       // adaptivePlanes sizes nPlanes from a count()
     "s3_ann_ivf",       // Lloyd iterations for the IVF centroids
     "s4_ann_ivfpq",     // PQ codebook training at build
+    "s6_pca_project",   // covariance treeReduce at fit time
     "d10_semdedup",     // Lloyd iterations for the SemDeDup quantizer
     "d12_bloom_dedup",  // Bloom filter build over the corpus windows
     "m6_materials_e2e", // full pipeline incl. split assignment

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{Multimodal, Pca, Similarity}
 import graft.sources.Y4m
 
 class OperatorsSpec extends AnyFunSuite {
@@ -313,6 +313,47 @@ class OperatorsSpec extends AnyFunSuite {
       seed = 42L).collect()
     assert(planted.head.getLong(1) === 900000L &&
       planted.head.getDouble(2) === 1.0)
+  }
+
+  test("PCA: orthonormal components, descending variance, planted axis found") {
+    import spark.implicits._
+    // planted dominant direction: x = a·e0·10 + small noise on e1..e3
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 400L).map { i =>
+      val v = new Array[Double](8)
+      v(0) = rng.nextGaussian() * 10.0
+      (1 until 4).foreach(j => v(j) = rng.nextGaussian())
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "v")
+    val m = Pca.fit(df, "v", r = 3)
+    // components orthonormal
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val dot = m.components(a).zip(m.components(b)).map(t => t._1 * t._2).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9,
+        s"U($a)·U($b) = $dot")
+    }
+    // eigenvalues descending, top one ≈ planted 10² variance
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(m.eigenvalues(0) > 50.0 && m.eigenvalues(0) < 200.0)
+    // first component aligns with the planted axis
+    assert(math.abs(m.components(0)(0)) > 0.99,
+      s"pc1 not on e0: ${m.components(0).toSeq}")
+    // sign convention: largest-|coordinate| positive
+    assert(m.components.forall { c =>
+      c(c.indices.maxBy(i => math.abs(c(i)))) > 0 })
+    // projection of a vector equals the driver-side arithmetic
+    val proj = Pca.project(df, "vec_id", "v", m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val (id0, v0) = rows.head
+    val expect = m.components.map(c =>
+      c.indices.map(i => c(i) * (v0(i) - m.mean(i))).sum)
+    assert(proj(id0).zip(expect).forall(t => math.abs(t._1 - t._2) < 1e-9))
+    // variance along pc1 in the projected data ≈ eigenvalue 0
+    val p1 = proj.values.map(_.head).toSeq
+    val mu = p1.sum / p1.size
+    val varp = p1.map(x => (x - mu) * (x - mu)).sum / p1.size
+    assert(math.abs(varp - m.eigenvalues(0)) / m.eigenvalues(0) < 1e-6)
   }
 
   test("ANN candidate generation is sub-linear (bucketed, not full scan)") {
