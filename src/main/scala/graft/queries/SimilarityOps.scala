@@ -109,11 +109,33 @@ object SimilarityOps {
     "s3_ann_ivf" -> (graft.operators.Similarity.s3AnnIvf _),
     "s4_ann_ivfpq" -> (graft.operators.Similarity.s4AnnIvfPq _),
     "s6_pca_project" -> (graft.operators.Pca.s6PcaProject _),
+    "s7_scalar_quantize" -> (graft.operators.Quantize.s7ScalarQuantize _),
     "d10_semdedup" -> (graft.operators.Similarity.d10SemDedup _),
     "mm1_multimodal_features" -> (graft.operators.Multimodal.featureSummary _),
   )
 
   val oracle: Map[String, String] = Map(
+    "s7_scalar_quantize" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        | SELECT vec_id, v,
+        |  CASE WHEN list_max([abs(x) for x in v]) = 0 THEN 0.0
+        |       ELSE list_max([abs(x) for x in v]) / 127.0 END AS scale
+        | FROM e),
+        |c AS (
+        | SELECT vec_id, v, scale,
+        |  CASE WHEN scale = 0 THEN [0 for x in v]
+        |       ELSE [ROUND(x / scale)::INT for x in v] END AS codes
+        | FROM s)
+        |SELECT vec_id,
+        | ROUND(scale * 1e9)::BIGINT AS scale_nano,
+        | len([x for x in codes if abs(x) = 127])::BIGINT AS n_sat,
+        | list_sum([abs(x)::BIGINT for x in codes])::BIGINT AS code_l1,
+        | list_sum([codes[i]::BIGINT * i for i in range(1, len(codes) + 1)])::BIGINT AS code_dot,
+        | list_sum([ROUND((v[i] - codes[i] * scale) * (v[i] - codes[i] * scale) * 1e12)::BIGINT
+        |           for i in range(1, len(codes) + 1)])::BIGINT AS err_pico
+        |FROM c ORDER BY vec_id""".stripMargin,
     "s5_bm25" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS token

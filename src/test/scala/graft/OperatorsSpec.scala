@@ -678,4 +678,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.find(_._2 == 1L).get._3 === ts(1, 1) + ts(2, 2))
     assert(out.find(_._2 == 2L).get._3 === ts(2, 3))
   }
+
+  test("scalar quantization: hand-computed codes, zero vector, error bound (s7)") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    // absmax = 127 → scale = 1 exactly; round-half-away: −63.5 → −64
+    val rows = Seq(
+      (0L, Array(127.0f, -63.5f, 0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Quantize.quantize(rows, "embedding")
+      .select(col("vec_id"), col("scale"), col("codes"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    assert(q(0L)._1 === 1.0 && q(0L)._2 === Seq(127, -64, 0, 0))
+    assert(q(1L)._1 === 0.0 && q(1L)._2 === Seq(0, 0, 0, 0))
+    val dir = java.nio.file.Files.createTempDirectory("s7spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val s7 = Quantize.s7ScalarQuantize(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // scale_nano = 1e9; n_sat = 1; l1 = 127+64 = 191;
+    // dot = 127·1 − 64·2 = −1; err = (0.5² + 0.25²)·1e12
+    assert(s7(0L) === ((1000000000L, 1L, 191L, -1L, 312500000000L)))
+    assert(s7(1L) === ((0L, 0L, 0L, 0L, 0L)))
+    // real table: every row within the per-element error bound
+    // err ≤ d·(scale/2)²·1e12 (+1 pico/element rounding slop)
+    val real = Quantize.s7ScalarQuantize(spark, sf)
+    val d = lit(64.0)
+    val bound = d * pow(
+      col("scale_nano").cast("double") * lit(1e-9) / lit(2.0), 2) * lit(1e12) + d
+    assert(real.where(col("err_pico").cast("double") > bound).count() === 0L)
+    assert(real.count() ===
+      Tables(spark, sf, "embeddings").count())
+  }
 }
