@@ -100,6 +100,55 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** S8 hybrid retrieval — reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009) of the lexical and dense rankers every
+    * RAG stack combines: RRF(d) = Σ_r 1/(k + rank_r(d)) with k = 60
+    * over the s5 BM25 top-10 and the dense cosine top-10, same pinned
+    * query set (`doc_id % 101 = 0 AND doc_id < 5050`; embeddings and
+    * documents share the id space).
+    *
+    * Scale shape: the lexical side is s5's (broadcast query terms,
+    * one (query,doc) agg shuffle); the dense side is the s1 shape
+    * (broadcast query vectors × one corpus scan, per-query top-k
+    * window). The fusion itself joins two ≤10·|Q|-row rank lists —
+    * AQE broadcasts them — and the final top-k windows on query_id.
+    * Nothing is doc×doc; the corpus is scanned twice (postings +
+    * vectors), never shuffled wider than its own postings.
+    *
+    * Determinism: ranks are integers, 1/(60+rk) is a single double
+    * division written identically in both engines, the two-term sum
+    * has a fixed order (lex + dense), and the fused score quantizes
+    * to micro-units before ranking; ties break on doc_id. */
+  def s8HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = s5Bm25(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val isQ = pmod(col("vec_id"), lit(101)) === 0 && col("vec_id") < 5050
+    val q = e.where(isQ)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cos = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    val dense = e.where(!isQ).crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("doc_id"), cos.as("cos_sim"))
+      .withColumn("rk_dense", row_number().over(wd).cast("long"))
+      .where(col("rk_dense") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rk_dense"))
+    val rrf = round((
+      coalesce(lit(1.0) / (lit(60.0) + col("rk_lex").cast("double")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60.0) + col("rk_dense").cast("double")), lit(0.0))
+    ) * lit(1e6), 0).cast("long")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), rrf.as("rrf_micro"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 10)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_bruteforce" -> (s1KnnBruteforce _),
     "s5_bm25" -> (s5Bm25 _),
@@ -110,11 +159,95 @@ object SimilarityOps {
     "s4_ann_ivfpq" -> (graft.operators.Similarity.s4AnnIvfPq _),
     "s6_pca_project" -> (graft.operators.Pca.s6PcaProject _),
     "s7_scalar_quantize" -> (graft.operators.Quantize.s7ScalarQuantize _),
+    "s8_hybrid_rrf" -> (s8HybridRrf _),
     "d10_semdedup" -> (graft.operators.Similarity.d10SemDedup _),
     "mm1_multimodal_features" -> (graft.operators.Multimodal.featureSummary _),
   )
 
+  /** The s5 oracle, shared verbatim with s8's lexical CTE (the d13
+    * discipline: reused sub-definitions cannot diverge). */
+  private val s5Sql: String =
+    """WITH tok AS (
+      | SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      | FROM documents),
+      |tf AS (
+      | SELECT doc_id, token, COUNT(*) AS tf
+      | FROM tok GROUP BY doc_id, token),
+      |dlen AS (
+      | SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+      | FROM documents),
+      |stats AS (
+      | SELECT COUNT(*) AS n_docs, AVG(len(string_split(text, ' '))) AS avgdl
+      | FROM documents WHERE NOT (doc_id % 101 = 0 AND doc_id < 5050)),
+      |dfreq AS (
+      | SELECT token, COUNT(*) AS df FROM tf
+      | WHERE NOT (doc_id % 101 = 0 AND doc_id < 5050) GROUP BY token),
+      |qterms AS (
+      | SELECT doc_id AS query_id, token FROM tf
+      | WHERE doc_id % 101 = 0 AND doc_id < 5050),
+      |scored AS (
+      | SELECT q.query_id, t.doc_id,
+      |  ROUND(LN(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+      |    * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+      |    * 1e6)::BIGINT AS ts
+      | FROM tf t
+      | JOIN qterms q USING (token)
+      | JOIN dfreq f USING (token)
+      | JOIN dlen d ON t.doc_id = d.doc_id
+      | CROSS JOIN stats s
+      | WHERE NOT (t.doc_id % 101 = 0 AND t.doc_id < 5050)),
+      |summed AS (
+      | SELECT query_id, doc_id, SUM(ts)::BIGINT AS score_micro
+      | FROM scored GROUP BY query_id, doc_id),
+      |ranked AS (
+      | SELECT query_id, doc_id, score_micro,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score_micro DESC, doc_id ASC) AS rk
+      | FROM summed)
+      |SELECT query_id, doc_id, score_micro, rk
+      |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  private val s8Sql: String =
+    s"""WITH lex AS (
+      | SELECT query_id, doc_id, rk AS rk_lex FROM ($s5Sql)),
+      |e AS (
+      | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (
+      | SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+      |q AS (
+      | SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+      | WHERE vec_id % 101 = 0 AND vec_id < 5050),
+      |cosed AS (
+      | SELECT q.query_id, n.vec_id AS doc_id,
+      |  ROUND(list_sum([q.qv[i] * n.v[i] for i in range(1, len(n.v) + 1)]) /
+      |    (q.qn * n.nrm), 6) AS cos_sim
+      | FROM n CROSS JOIN q
+      | WHERE NOT (n.vec_id % 101 = 0 AND n.vec_id < 5050)),
+      |dense AS (
+      | SELECT query_id, doc_id, rk_dense FROM (
+      |  SELECT query_id, doc_id,
+      |   ROW_NUMBER() OVER (PARTITION BY query_id
+      |     ORDER BY cos_sim DESC, doc_id ASC) AS rk_dense
+      |  FROM cosed) WHERE rk_dense <= 10),
+      |fused AS (
+      | SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+      |  COALESCE(l.doc_id, d.doc_id) AS doc_id,
+      |  ROUND((COALESCE(1.0 / (60.0 + l.rk_lex), 0.0) +
+      |         COALESCE(1.0 / (60.0 + d.rk_dense), 0.0)) * 1e6)::BIGINT
+      |    AS rrf_micro
+      | FROM lex l FULL OUTER JOIN dense d
+      |  ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+      |reranked AS (
+      | SELECT query_id, doc_id, rrf_micro,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY rrf_micro DESC, doc_id ASC) AS rk
+      | FROM fused)
+      |SELECT query_id, doc_id, rrf_micro, rk
+      |FROM reranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "s5_bm25" -> s5Sql,
+    "s8_hybrid_rrf" -> s8Sql,
     "s7_scalar_quantize" ->
       """WITH e AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -136,46 +269,6 @@ object SimilarityOps {
         | list_sum([ROUND((v[i] - codes[i] * scale) * (v[i] - codes[i] * scale) * 1e12)::BIGINT
         |           for i in range(1, len(codes) + 1)])::BIGINT AS err_pico
         |FROM c ORDER BY vec_id""".stripMargin,
-    "s5_bm25" ->
-      """WITH tok AS (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        | FROM documents),
-        |tf AS (
-        | SELECT doc_id, token, COUNT(*) AS tf
-        | FROM tok GROUP BY doc_id, token),
-        |dlen AS (
-        | SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
-        | FROM documents),
-        |stats AS (
-        | SELECT COUNT(*) AS n_docs, AVG(len(string_split(text, ' '))) AS avgdl
-        | FROM documents WHERE NOT (doc_id % 101 = 0 AND doc_id < 5050)),
-        |dfreq AS (
-        | SELECT token, COUNT(*) AS df FROM tf
-        | WHERE NOT (doc_id % 101 = 0 AND doc_id < 5050) GROUP BY token),
-        |qterms AS (
-        | SELECT doc_id AS query_id, token FROM tf
-        | WHERE doc_id % 101 = 0 AND doc_id < 5050),
-        |scored AS (
-        | SELECT q.query_id, t.doc_id,
-        |  ROUND(LN(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-        |    * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
-        |    * 1e6)::BIGINT AS ts
-        | FROM tf t
-        | JOIN qterms q USING (token)
-        | JOIN dfreq f USING (token)
-        | JOIN dlen d ON t.doc_id = d.doc_id
-        | CROSS JOIN stats s
-        | WHERE NOT (t.doc_id % 101 = 0 AND t.doc_id < 5050)),
-        |summed AS (
-        | SELECT query_id, doc_id, SUM(ts)::BIGINT AS score_micro
-        | FROM scored GROUP BY query_id, doc_id),
-        |ranked AS (
-        | SELECT query_id, doc_id, score_micro,
-        |  ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY score_micro DESC, doc_id ASC) AS rk
-        | FROM summed)
-        |SELECT query_id, doc_id, score_micro, rk
-        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     "s1_knn_bruteforce" ->
       """WITH e AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

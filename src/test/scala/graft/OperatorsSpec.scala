@@ -679,6 +679,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.find(_._2 == 2L).get._3 === ts(2, 3))
   }
 
+  test("hybrid RRF fuses the lexical and dense top-k with hand-computed scores (s8)") {
+    import spark.implicits._
+    // the s5 fixture (query doc 0: lex ranks doc1=1, doc2=2; doc3 no
+    // shared term) + embeddings making dense rank doc3=1, doc1=2, doc2=3
+    val docs = Seq(
+      (0L, "rare common zzz"),
+      (1L, "rare common common"),
+      (2L, "common common common"),
+      (3L, "other other other")).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("s8spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    embs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = queries.SimilarityOps.s8HybridRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1: 1/61+1/62; doc2: 1/62+1/63; doc3 dense-only: 1/61
+    assert(out.toSeq === Seq(
+      (0L, 1L, 32522L, 1L),
+      (0L, 2L, 32002L, 2L),
+      (0L, 3L, 16393L, 3L)))
+  }
+
   test("scalar quantization: hand-computed codes, zero vector, error bound (s7)") {
     import spark.implicits._
     import graft.operators.Quantize
