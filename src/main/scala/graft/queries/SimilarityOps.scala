@@ -162,6 +162,7 @@ object SimilarityOps {
     "s8_hybrid_rrf" -> (s8HybridRrf _),
     "d10_semdedup" -> (graft.operators.Similarity.d10SemDedup _),
     "mm1_multimodal_features" -> (graft.operators.Multimodal.featureSummary _),
+    "m12_embedding_filter" -> (graft.operators.EmbedFilter.m12EmbeddingFilter _),
   )
 
   /** The s5 oracle, shared verbatim with s8's lexical CTE (the d13
@@ -269,6 +270,39 @@ object SimilarityOps {
         | list_sum([ROUND((v[i] - codes[i] * scale) * (v[i] - codes[i] * scale) * 1e12)::BIGINT
         |           for i in range(1, len(codes) + 1)])::BIGINT AS err_pico
         |FROM c ORDER BY vec_id""".stripMargin,
+    // m12: the quantize-before-reassociable-sum discipline — the
+    // centroid is the elementwise integer SUM of tenth-milli-quantized
+    // label-0 seed vectors (cosine is scale-invariant, so sum = mean
+    // up to the norm), dot/norms are exact integer arithmetic, and
+    // only the final cosine touches doubles via the same
+    // non-reassociable shape as the Spark side
+    "m12_embedding_filter" ->
+      """WITH e AS (
+        | SELECT vec_id, label,
+        |  [ROUND(x::DOUBLE * 1e4)::BIGINT FOR x IN embedding] AS qv
+        | FROM embeddings),
+        |cent AS (
+        | SELECT i, SUM(qv[i])::BIGINT AS c
+        | FROM e, range(1, 65) AS t(i)
+        | WHERE label = 0
+        | GROUP BY i),
+        |cl AS (
+        | SELECT list(c ORDER BY i) AS cv, SUM(c * c)::BIGINT AS nb
+        | FROM cent),
+        |scored AS (
+        | SELECT e.vec_id,
+        |  list_sum([e.qv[i] * cl.cv[i] FOR i IN range(1, 65)])::BIGINT AS dot_q,
+        |  list_sum([e.qv[i] * e.qv[i] FOR i IN range(1, 65)])::BIGINT AS na,
+        |  cl.nb AS nb
+        | FROM e CROSS JOIN cl),
+        |sel AS (
+        | SELECT vec_id, dot_q,
+        |  CASE WHEN na = 0 THEN 0.0
+        |       ELSE ROUND(dot_q::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 6)
+        |  END AS cos_sim
+        | FROM scored)
+        |SELECT vec_id, dot_q, cos_sim, cos_sim >= 0.7 AS keep
+        |FROM sel ORDER BY vec_id""".stripMargin,
     "s1_knn_bruteforce" ->
       """WITH e AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

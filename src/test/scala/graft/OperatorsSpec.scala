@@ -736,4 +736,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(real.count() ===
       Tables(spark, sf, "embeddings").count())
   }
+
+  test("m12 centroid filter: hand-computed cosines, zero vector, scale invariance") {
+    import spark.implicits._
+    import graft.operators.EmbedFilter
+    // seeds [1,0] and [1,0] → centroid direction [1,0]
+    // candidates: [1,0] cos 1 keep; [0,1] cos 0 drop; [0.8,0.6] cos 0.8
+    // keep; [-1,0] cos −1 drop; zero vector cos 0 (guarded) drop
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), true),
+      (1L, Array(1.0f, 0.0f), true),
+      (10L, Array(1.0f, 0.0f), false),
+      (11L, Array(0.0f, 1.0f), false),
+      (12L, Array(0.8f, 0.6f), false),
+      (13L, Array(-1.0f, 0.0f), false),
+      (14L, Array(0.0f, 0.0f), false)).toDF("id", "v", "seed")
+    val out = EmbedFilter.filterByCentroid(rows, "id", "v", col("seed"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(10L) === ((1.0, true)))
+    assert(out(11L) === ((0.0, false)))
+    assert(out(12L) === ((0.8, true)))
+    assert(out(13L) === ((-1.0, false)))
+    assert(out(14L) === ((0.0, false)))
+    // cosine is scale-invariant in the seed mass: doubling the seed
+    // set (centroid sum 2×) must not move any score
+    val doubled = rows.unionByName(
+      Seq((2L, Array(1.0f, 0.0f), true)).toDF("id", "v", "seed"))
+    val out2 = EmbedFilter.filterByCentroid(doubled, "id", "v", col("seed"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(Seq(10L, 11L, 12L, 13L, 14L).forall(k => out2(k) === out(k)._1))
+    // real table: scores bounded, seed slice itself scores high on
+    // average (the anchor is self-consistent)
+    val real = EmbedFilter.m12EmbeddingFilter(spark, sf)
+    assert(real.where(abs(col("cos_sim")) > 1.000001).count() === 0L)
+    val emb = Tables(spark, sf, "embeddings").select(col("vec_id"), col("label"))
+    val withLab = real.join(emb, "vec_id")
+    val seedMean = withLab.where(col("label") === 0)
+      .agg(avg(col("cos_sim"))).collect()(0).getDouble(0)
+    val restMean = withLab.where(col("label") =!= 0)
+      .agg(avg(col("cos_sim"))).collect()(0).getDouble(0)
+    assert(seedMean > restMean,
+      s"seed slice should score above the rest: $seedMean vs $restMean")
+  }
 }
