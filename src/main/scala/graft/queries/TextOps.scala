@@ -351,6 +351,9 @@ object TextOps {
     "t9_vocab_df" -> (t9VocabDf _),
     "t10_tfidf" -> (t10TfIdf _),
     "t11_lm_xent" -> (t11LmXent _),
+    // rows-only: iterative merge learning isn't SQL-expressible;
+    // BpeSpec asserts hand-derived merges + encode/train consistency
+    "t14_bpe_train" -> (graft.fit.Bpe.t14BpeTrain _),
   )
 
   // shared with the d13 oracle (its quality CTE must match t2's)

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fit.Bpe
+
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("train learns hand-derivable merges in frequency order") {
+    // la×3, lo×1 → pair (l,a):3 beats (l,o):1; after merging "la"
+    // only (l,o) remains
+    val merges = Bpe.train(Map("la" -> 3L, "lo" -> 1L), 10)
+    assert(merges === Seq(("l", "a"), ("l", "o")))
+    // stops early once no adjacent pair remains (single-char words)
+    assert(Bpe.train(Map("a" -> 5L, "b" -> 3L), 10) === Seq.empty)
+  }
+
+  test("pair-count ties break to the lexicographically smallest pair") {
+    // (a,b):2 and (c,d):2 tie → (a,b) must merge first
+    val merges = Bpe.train(Map("ab" -> 2L, "cd" -> 2L), 2)
+    assert(merges === Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("encode replays merges consistently with training") {
+    val wf = Map("lower" -> 2L, "low" -> 5L, "lowest" -> 1L)
+    val merges = Bpe.train(wf, 20)
+    val rank = merges.zipWithIndex.toMap
+    // every training word must round-trip: encoding it yields the
+    // exact symbol sequence training converged to (train applies the
+    // same mergePair), and concatenating tokens restores the word
+    wf.keys.foreach { w =>
+      val toks = Bpe.encode(w, rank)
+      assert(toks.mkString === w, s"encode must preserve $w")
+    }
+    // "low" is the most frequent word → its full merge chain is
+    // learned → it encodes to a single token
+    assert(Bpe.encode("low", rank) === Vector("low"))
+    // unseen word: falls back to learned subwords + raw chars, never throws
+    val unseen = Bpe.encode("lowx", rank)
+    assert(unseen.mkString === "lowx")
+    assert(unseen.head === "low")
+  }
+
+  test("t14 vocab over a constructed corpus: counts weighted by word frequency") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "la la la lo"),
+      (1L, "la lo")).toDF("doc_id", "text")
+    // sample covers the whole corpus → merges [(l,a),(l,o)];
+    // every word encodes to one token: la×4, lo×2
+    val out = Bpe.bpeVocabOf(docs, sampleDocs = 10, nMerges = 10).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ===
+      Seq(("la", 4L, 0), ("lo", 2L, 1)))
+  }
+
+  test("t14 on the real table: deterministic, tokens rebuild the corpus mass") {
+    val a = Bpe.t14BpeTrain(spark, sf).collect()
+    val b = Bpe.t14BpeTrain(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "two runs must be bit-identical")
+    assert(a.nonEmpty)
+    // conservation: total encoded characters = total non-space
+    // characters of all words (BPE re-segments, never drops)
+    val tokChars = a.map(r => r.getString(0).length * r.getLong(1)).sum
+    val corpusChars = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    assert(tokChars === corpusChars)
+    // vocabulary stays bounded by alphabet + merge count
+    assert(a.length <= Bpe.NMerges + 128)
+  }
+}

@@ -57,7 +57,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "m10_quality_classifier", // L-BFGS training iterations at fit time
     "p1_pack_sequences", // global-offset prefix sum (max id + bucket sums)
     "s9_aflux",         // canned multi-page ingest assembles a local fixture
-    "m12_embedding_filter" // seed-centroid aggregation at build
+    "m12_embedding_filter", // seed-centroid aggregation at build
+    "t14_bpe_train"     // capped-sample merge learning at build
   )
 
   test("no registered query leaves cache-manager entries behind") {
