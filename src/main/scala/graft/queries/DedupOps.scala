@@ -604,8 +604,42 @@ object DedupOps {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** SK2: mergeable-sketch set operations — the pattern that makes
+    * sketches matter at 100 TB: per-source (per-day, per-shard) HLL
+    * sketches of the distinct-token space are built in ONE corpus
+    * pass and then COMBINED without ever rescanning the data
+    * (Datasketches HLL union is lossless at equal lgK, so the union
+    * of sketches is the sketch of the union). A real pipeline stores
+    * these per-partition sketches and answers "how many new tokens
+    * does source X add to the union of the rest?" from kilobytes.
+    * Output: one row per source (estimate + exact for the spec's
+    * error bound) plus the `__union__` row whose estimate comes only
+    * from merging the per-source sketches. Rows-only: sketch
+    * internals have no cross-engine oracle; the spec bounds every
+    * estimate against exact and asserts the merge identity. */
+  def sk2SketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val perSource = toks.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("token"), 14).as("sk"),
+        count_distinct(col("token")).as("exact_distinct"))
+    val per = perSource.select(col("source"),
+      hll_sketch_estimate(col("sk")).cast("long").as("est_distinct"),
+      col("exact_distinct"))
+    // union WITHOUT rescanning: merge the source-cardinality-sized
+    // sketch rows only
+    val union = perSource
+      .agg(hll_union_agg(col("sk")).as("u"))
+      .select(lit("__union__").as("source"),
+        hll_sketch_estimate(col("u")).cast("long").as("est_distinct"),
+        lit(null).cast("long").as("exact_distinct"))
+    per.unionByName(union).orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d3_hamming_pairs" -> (d3HammingPairs _),
+    "sk2_sketch_union" -> (sk2SketchUnion _),
     "d3_simhash_dups" -> (d3SimhashDups _),
     "d6_dup_clusters" -> (d6DupClusters _),
     "d13_keep_best" -> (d13KeepBest _),

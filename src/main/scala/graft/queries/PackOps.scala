@@ -177,8 +177,63 @@ object PackOps {
         md5(array_join(col("w"), " ")).as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** P3 curriculum ordering — the data-ordering step before batch
+    * assembly: lay the corpus out easy→hard (curriculum learning,
+    * Bengio et al. 2009) with a DETERMINISTIC shuffle inside each
+    * difficulty tier so batches aren't length-sorted within a tier.
+    * Difficulty = whitespace token count against FIXED thresholds
+    * (data-independent, so tiers mean the same thing at any corpus
+    * size); the within-tier shuffle key is m11's seeded affine
+    * digest — engine-reproducible integer math, so the oracle orders
+    * identically. The GLOBAL position uses the o5/p1 shape, not a
+    * single-partition window: the digest domain is fixed ([0, 1e6)),
+    * so (tier, digest-block) buckets are deterministic with NO
+    * sizing job — one O(buckets) count pass prefix-summed on the
+    * driver, then a bucket-local row_number. */
+  val TierBounds: Seq[Long] = Seq(32L, 56L, 76L)
+
+  def p3Curriculum(s: SparkSession, dir: String): DataFrame =
+    curriculumOf(Tables(s, dir, "documents"))
+
+  /** The p3 kernel over an arbitrary (doc_id, text) relation. */
+  def curriculumOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val tier = TierBounds.zipWithIndex
+      .foldRight(lit(TierBounds.length.toLong)) { case ((b, i), e) =>
+        when(col("n_tok") <= b, i.toLong).otherwise(e)
+      }
+    val base = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("tier", tier)
+      .withColumn("__h", pmod(pmod(
+        col("doc_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L)), lit(1000000L)))
+    val hBlock = 1000000L / parts + 1
+    // bucket id ascends with (tier, digest) — order-preserving
+    val bucketed = base.withColumn("__b",
+      col("tier") * lit(parts + 1L) + expr(s"__h DIV $hBlock"))
+    val counts = bucketed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init)
+    val offsetsDf = offsets.toSeq.toDF("__b", "__off")
+    val wLocal = Window.partitionBy(col("__b"))
+      .orderBy(col("__h"), col("doc_id"))
+    bucketed
+      .join(broadcast(offsetsDf), Seq("__b"))
+      .withColumn("pos",
+        col("__off") + row_number().over(wLocal).cast("long") - 1L)
+      .select(col("doc_id"), col("n_tok"), col("tier"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_pack_sequences" -> (p1PackSequences _),
+    "p3_curriculum" -> (p3Curriculum _),
     "p2_chunk_windows" -> (p2ChunkWindows _),
     "m9_mix_plan" -> (m9MixPlan _),
     "m11_mix_execute" -> (m11MixExecute _),
@@ -188,6 +243,22 @@ object PackOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p3: the oracle's single global ROW_NUMBER is the semantic spec;
+    // the Spark side reaches the same permutation through the
+    // bucket-offset shape (no single-partition window)
+    "p3_curriculum" ->
+      """WITH t AS (
+        | SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id, n_tok,
+        |  CASE WHEN n_tok <= 32 THEN 0 WHEN n_tok <= 56 THEN 1
+        |       WHEN n_tok <= 76 THEN 2 ELSE 3 END::BIGINT AS tier,
+        |  ((doc_id * 1103515245 + 12345) % 2147483647) % 1000000 AS h
+        | FROM t)
+        |SELECT doc_id, n_tok, tier,
+        | (ROW_NUMBER() OVER (ORDER BY tier, h, doc_id) - 1)::BIGINT AS pos
+        |FROM d ORDER BY doc_id""".stripMargin,
     "p1_pack_sequences" ->
       s"""WITH t AS (
          | SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok

@@ -58,7 +58,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "p1_pack_sequences", // global-offset prefix sum (max id + bucket sums)
     "s9_aflux",         // canned multi-page ingest assembles a local fixture
     "m12_embedding_filter", // seed-centroid aggregation at build
-    "t14_bpe_train"     // capped-sample merge learning at build
+    "t14_bpe_train",    // capped-sample merge learning at build
+    "p3_curriculum"     // bucket-count prefix sum at build (the o5/p1 shape)
   )
 
   test("no registered query leaves cache-manager entries behind") {

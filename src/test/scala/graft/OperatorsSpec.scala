@@ -779,4 +779,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(seedMean > restMean,
       s"seed slice should score above the rest: $seedMean vs $restMean")
   }
+
+  test("p3 curriculum: global positions equal the (tier, digest, id) sort") {
+    import spark.implicits._
+    import graft.queries.PackOps
+    def text(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // token counts straddle every tier bound (32/56/76)
+    val sizes = Seq(2, 32, 33, 56, 57, 76, 77, 200, 10, 40, 60, 90)
+    val docs = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong * 7L + 3L, text(n)) }
+      .toDF("doc_id", "text")
+    val out = PackOps.curriculumOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // positions are a permutation of 0..n-1
+    assert(out.map(_._4).sorted.toSeq === sizes.indices.map(_.toLong))
+    // the permutation is exactly the naive (tier, digest, doc_id) sort
+    def tierOf(n: Long) = if (n <= 32) 0L else if (n <= 56) 1L else if (n <= 76) 2L else 3L
+    def digest(id: Long) = ((id * 1103515245L + 12345L) % 2147483647L) % 1000000L
+    val expected = out.map { case (id, n, _, _) => (id, n) }
+      .sortBy { case (id, n) => (tierOf(n), digest(id), id) }
+      .map(_._1).toSeq
+    assert(out.sortBy(_._4).map(_._1).toSeq === expected)
+    // tiers are non-decreasing along the curriculum
+    val tiersInOrder = out.sortBy(_._4).map(_._3).toSeq
+    assert(tiersInOrder === tiersInOrder.sorted)
+  }
+
+  test("sk2 sketch union: estimates within HLL error, merge equals direct sketch") {
+    import graft.queries.DedupOps
+    val out = DedupOps.sk2SketchUnion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toList
+    val (unionRows, perSource) = out.partition(_._1 == "__union__")
+    assert(unionRows.length === 1 && perSource.nonEmpty)
+    // per-source estimates within HLL lgK=14 error (<1%; allow 3%)
+    perSource.foreach { case (src, est, exact) =>
+      assert(exact > 0 && math.abs(est - exact) <= math.max(1L, exact * 3 / 100),
+        s"$src estimate $est too far from exact $exact")
+    }
+    // the merged estimate must match a direct sketch over the whole
+    // corpus (Datasketches HLL union is lossless at equal lgK)
+    val direct = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("token"), 14))
+        .cast("long")).collect()(0).getLong(0)
+    assert(unionRows.head._2 === direct,
+      s"merged estimate ${unionRows.head._2} != direct sketch $direct")
+    // and the union estimate must cover every single source
+    assert(unionRows.head._2 >= perSource.map(_._2).max)
+  }
 }
