@@ -604,6 +604,75 @@ object DedupOps {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** D15: exact-substring REMOVAL — the deletion step of Lee-et-al
+    * ExactSubstr dedup (d11 flags documents; real pipelines cut the
+    * duplicated spans and keep the rest). Every k-token window keyed
+    * by content hash keeps its FIRST occurrence (min (doc_id, start))
+    * corpus-wide — self-repetition included; every other occurrence
+    * becomes a removal span, overlapping/touching spans merge per
+    * document, and the cleaned text drops the covered tokens.
+    *
+    * Scale shape: window extraction is a per-row explode; the only
+    * corpus-wide shuffle is the first-owner groupBy on the window
+    * hash (wordcount volume, the d11 key); span merging runs in
+    * doc_id-keyed windows (never SinglePartition) and the span list
+    * per document is bounded by the document's own length, so the
+    * reconstruction join is row-local. Output carries md5(cleaned)
+    * rather than the text so the result stays narrow; a caller doing
+    * the real rewrite keeps the `kept` array instead of hashing it. */
+  def d15SubstringStrip(s: SparkSession, dir: String): DataFrame =
+    substringStripOf(Tables(s, dir, "documents"), 20)
+
+  /** The d15 kernel over an arbitrary (doc_id, text) relation —
+    * spec-testable with planted copies, partial overlaps, and
+    * self-repetition. `k` = window length in tokens. Position keys
+    * assume documents shorter than 1e6 tokens (fails loudly). */
+  def substringStripOf(docs: DataFrame, k: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val wins = base.where(size(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (k - 1)), i =>
+          struct(i.as("i"),
+            md5(array_join(slice(col("t"), i, lit(k)), " ")).as("h")))).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
+    val posKey = col("doc_id") * lit(1000000L) + col("i")
+    val firsts = wins.groupBy(col("h")).agg(min(posKey).as("first_key"))
+    val dups = wins.join(firsts, "h")
+      .where(posKey =!= col("first_key"))
+      .select(col("doc_id"), col("i").as("lo"), (col("i") + k).as("hi"))
+    // merge overlapping/touching spans: classic running-max interval
+    // union, all inside doc_id-keyed windows
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("lo"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("lo"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = dups
+      .withColumn("prev_hi", max(col("hi")).over(wPrev))
+      .withColumn("is_new",
+        when(col("prev_hi").isNull || col("lo") > col("prev_hi"), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("is_new")).over(wCum))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+    val spanArr = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("hi") - col("lo")).cast("long").as("n_removed"))
+    val indexed = transform(col("t"), (tk, ix) =>
+      struct(tk.as("tk"), (ix + 1).as("ix")))
+    val kept = when(col("spans").isNull, col("t")).otherwise(
+      transform(filter(indexed, x =>
+        !exists(col("spans"), sp =>
+          x("ix") >= sp("lo") && x("ix") < sp("hi"))),
+        x => x("tk")))
+    base.join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        md5(array_join(kept, " ")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SK2: mergeable-sketch set operations — the pattern that makes
     * sketches matter at 100 TB: per-source (per-day, per-shard) HLL
     * sketches of the distinct-token space are built in ONE corpus
@@ -640,6 +709,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d3_hamming_pairs" -> (d3HammingPairs _),
     "sk2_sketch_union" -> (sk2SketchUnion _),
+    "d15_substring_strip" -> (d15SubstringStrip _),
     "d3_simhash_dups" -> (d3SimhashDups _),
     "d6_dup_clusters" -> (d6DupClusters _),
     "d13_keep_best" -> (d13KeepBest _),
@@ -891,6 +961,60 @@ object DedupOps {
          |SELECT doc_id, cluster_id, quality, n_members::BIGINT AS n_members,
          | rn = 1 AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+    // d15: the single global ROW-free mirror of substringStripOf —
+    // first occurrence per window hash by (doc_id, start) key, span
+    // merge via the same running-max window arithmetic, cleaned text
+    // rebuilt by NOT EXISTS against the merged spans
+    "d15_substring_strip" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |wins AS (
+        | SELECT doc_id, i, md5(array_to_string(t[i:i+19], ' ')) AS h
+        | FROM toks, LATERAL (SELECT unnest(range(1, len(t)-20+2)) AS i)
+        | WHERE len(t) >= 20),
+        |firsts AS (
+        | SELECT h, min(doc_id * 1000000 + i) AS first_key FROM wins GROUP BY h),
+        |dups AS (
+        | SELECT w.doc_id, w.i AS lo, w.i + 20 AS hi
+        | FROM wins w JOIN firsts f USING (h)
+        | WHERE w.doc_id * 1000000 + w.i <> f.first_key),
+        |marked AS (
+        | SELECT doc_id, lo, hi,
+        |  CASE WHEN max(hi) OVER (PARTITION BY doc_id ORDER BY lo
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |   OR lo > max(hi) OVER (PARTITION BY doc_id ORDER BY lo
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  THEN 1 ELSE 0 END AS is_new
+        | FROM dups),
+        |grouped AS (
+        | SELECT doc_id, lo, hi,
+        |  SUM(is_new) OVER (PARTITION BY doc_id ORDER BY lo
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        | FROM marked),
+        |spans AS (
+        | SELECT doc_id, span_id, min(lo) AS lo, max(hi) AS hi
+        | FROM grouped GROUP BY doc_id, span_id),
+        |tokidx AS (
+        | SELECT doc_id, i, t[i] AS tok
+        | FROM toks, LATERAL (SELECT unnest(range(1, len(t)+1)) AS i)),
+        |kept AS (
+        | SELECT ti.doc_id, ti.i, ti.tok FROM tokidx ti
+        | WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |   WHERE s.doc_id = ti.doc_id AND ti.i >= s.lo AND ti.i < s.hi)),
+        |cleaned AS (
+        | SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS cleaned_md5
+        | FROM kept GROUP BY doc_id),
+        |stats AS (
+        | SELECT doc_id, COUNT(*)::BIGINT AS n_spans,
+        |  SUM(hi - lo)::BIGINT AS n_removed
+        | FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tok,
+        | COALESCE(st.n_spans, 0)::BIGINT AS n_spans,
+        | COALESCE(st.n_removed, 0)::BIGINT AS n_removed,
+        | COALESCE(c.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM documents d
+        |LEFT JOIN stats st USING (doc_id) LEFT JOIN cleaned c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "d11_window_dedup" ->
       """WITH toks AS (
         | SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -829,4 +829,41 @@ class OperatorsSpec extends AnyFunSuite {
     // and the union estimate must cover every single source
     assert(unionRows.head._2 >= perSource.map(_._2).max)
   }
+
+  test("d15 substring strip: full copy emptied, overlap trimmed, self-repeat cut once") {
+    import spark.implicits._
+    import graft.queries.DedupOps
+    def toks(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val a = toks("a", 30)                         // original, kept intact
+    val b = a                                     // exact copy → fully removed
+    val c = toks("a", 25) + " " + toks("c", 15)   // 25-token prefix shared
+    val d = toks("x", 20) + " " + toks("x", 20) + " " + toks("y", 5)
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d), (5L, toks("z", 10)))
+      .toDF("doc_id", "text")
+    val out = DedupOps.substringStripOf(docs, 20).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def md5Of(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1 owns every window → untouched
+    assert(out(1L) === ((30L, 0L, 0L, md5Of(a))))
+    // doc 2: every window already owned by doc 1 → one span covers all
+    assert(out(2L) === ((30L, 1L, 30L, md5Of(""))))
+    // doc 3: windows 1..6 (inside the 25-token shared prefix) are doc-1
+    // owned → span [1, 26) removes 25 tokens, c-tail survives
+    assert(out(3L) === ((40L, 1L, 25L, md5Of(toks("c", 15)))))
+    // doc 4: the second x-block repeats the first WITHIN the doc →
+    // span [21, 41), first block + y-tail survive
+    assert(out(4L) === ((45L, 1L, 20L,
+      md5Of(toks("x", 20) + " " + toks("y", 5)))))
+    // short doc: no windows, survives
+    assert(out(5L) === ((10L, 0L, 0L, md5Of(toks("z", 10)))))
+    // conservation on the real table: removed ≤ n_tok, and flagged
+    // docs (d11 is_dup) are exactly the docs d15 trims or that share
+    // only first-owned windows
+    val real = DedupOps.d15SubstringStrip(spark, sf)
+    assert(real.where(col("n_removed") > col("n_tok")).count() === 0L)
+    assert(real.count() === Tables(spark, sf, "documents").count())
+  }
 }
