@@ -706,9 +706,73 @@ object DedupOps {
     per.unionByName(union).orderBy(col("source"))
   }
 
+  /** SK3: heavy hitters (frequent tokens) via Count-Min sketch — the
+    * other half of the mergeable-sketch discipline sk2 establishes
+    * for cardinality: per-source CMS sketches of the token stream are
+    * built in ONE corpus pass (`count_min_sketch` partial-aggregates
+    * inside each task, so only sketch blobs cross the shuffle), the
+    * per-source blobs merge ADDITIVELY on the driver (CMS merge is
+    * cell-wise sum — the merged sketch is bit-identical to a sketch
+    * of the concatenated stream at equal seed, which the spec
+    * asserts), and the candidate set comes from per-source exact
+    * local top-m (any global heavy hitter is a local heavy hitter in
+    * at least one source — the SpaceSaving merge argument). Only
+    * O(sources × sketch_bytes + sources × m) rows ever leave the
+    * executors; the corpus is scanned exactly twice (candidates +
+    * sketches) and never collected.
+    *
+    * Rows-only: sketch cell layouts have no cross-engine oracle
+    * (sk1/sk2 precedent); OperatorsSpec asserts the CMS upper-bound
+    * guarantee (est ≥ exact for every candidate) and the merge
+    * identity (per-source merge ≡ single global sketch). */
+  def sk3HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOf(Tables(s, dir, "documents"), 20, 10)
+
+  /** The sk3 kernel over an arbitrary (source, text) relation.
+    * `topK` = rows out; `localM` = per-source exact candidate depth. */
+  def heavyHittersOf(docs: DataFrame, topK: Int, localM: Int): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val toks = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    // candidate tier: exact within each source, top-m per source
+    val wr = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("token"))
+    val candidates = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(wr))
+      .where(col("r") <= localM)
+      .select(col("token")).distinct()
+    // sketch tier: one pass → per-source CMS blobs; merge is cell-wise
+    // sum, so driver traffic is O(sources × sketch_bytes), kilobytes
+    val blobs = toks.groupBy(col("source"))
+      .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("cms"))
+      .select(col("cms")).collect()
+      .map(_.getAs[Array[Byte]](0))
+    val mergedBytes: Array[Byte] =
+      if (blobs.isEmpty) Array.emptyByteArray
+      else {
+        val m = blobs.map(CountMinSketch.readFrom)
+          .reduce { (a, b) => a.mergeInPlace(b); a }
+        val bos = new java.io.ByteArrayOutputStream()
+        m.writeTo(bos)
+        bos.toByteArray
+      }
+    val bc = docs.sparkSession.sparkContext.broadcast(mergedBytes)
+    // probe runs over the candidate relation only (≤ sources × m rows)
+    val est = udf { (t: String) =>
+      Sk3Probe.sketchFor(bc.value).estimateCount(t)
+    }
+    candidates
+      .withColumn("est_count", est(col("token")))
+      .orderBy(col("est_count").desc, col("token"))
+      .limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d3_hamming_pairs" -> (d3HammingPairs _),
     "sk2_sketch_union" -> (sk2SketchUnion _),
+    "sk3_heavy_hitters" -> (sk3HeavyHitters _),
     "d15_substring_strip" -> (d15SubstringStrip _),
     "d3_simhash_dups" -> (d3SimhashDups _),
     "d6_dup_clusters" -> (d6DupClusters _),
@@ -1079,4 +1143,23 @@ object DedupOps {
         |   sqrt(list_sum([b.v[i]*b.v[i] for i in range(1,65)]))), 6) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
   )
+}
+
+/** Per-executor lazy cache for the sk3 broadcast CMS blob: the UDF
+  * closure carries only the broadcast handle; each executor
+  * deserializes the sketch once and probes it read-only. */
+object Sk3Probe {
+  @transient @volatile private var cached
+    : (Array[Byte], org.apache.spark.util.sketch.CountMinSketch) = null
+
+  def sketchFor(bytes: Array[Byte])
+    : org.apache.spark.util.sketch.CountMinSketch = {
+    val c = cached
+    if (c != null && (c._1 eq bytes)) c._2
+    else {
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+      cached = (bytes, sk)
+      sk
+    }
+  }
 }

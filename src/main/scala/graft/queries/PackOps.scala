@@ -231,9 +231,44 @@ object PackOps {
       .orderBy(col("doc_id"))
   }
 
+  /** P4 shard manifest — the write-side bookkeeping step after
+    * ordering (p3) and before the actual shard write: every document
+    * lands in the shard holding its curriculum position
+    * (`pos DIV ShardDocs`), and each shard gets the manifest row a
+    * training loader checks before reading — doc count, token count,
+    * position range, and an order-sensitive content fingerprint
+    * (md5 of the doc_id list in position order). Real WebDataset /
+    * Arrow-shard writers emit exactly this sidecar; a wrong or
+    * missing manifest is how silent shard truncation ships.
+    *
+    * Scale shape: positions come from p3's bucket-offset shape (no
+    * single-partition window), shard assignment is arithmetic, and
+    * the manifest aggregation shuffles once on shard_id; the
+    * per-shard collect_list is bounded by ShardDocs (64), never by
+    * corpus size. */
+  val ShardDocs = 64L
+
+  def p4ShardManifest(s: SparkSession, dir: String): DataFrame =
+    shardManifestOf(Tables(s, dir, "documents"))
+
+  /** The p4 kernel over an arbitrary (doc_id, text) relation. */
+  def shardManifestOf(docs: DataFrame): DataFrame =
+    curriculumOf(docs)
+      .withColumn("shard_id", expr(s"pos DIV $ShardDocs"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+          x => x("doc_id").cast("string")), ",")).as("manifest_md5"))
+      .orderBy(col("shard_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_pack_sequences" -> (p1PackSequences _),
     "p3_curriculum" -> (p3Curriculum _),
+    "p4_shard_manifest" -> (p4ShardManifest _),
     "p2_chunk_windows" -> (p2ChunkWindows _),
     "m9_mix_plan" -> (m9MixPlan _),
     "m11_mix_execute" -> (m11MixExecute _),
@@ -242,23 +277,42 @@ object PackOps {
     "m10_quality_classifier" -> (graft.fit.QualityModel.m10QualityClassifier _),
   )
 
+  // The p3 position computation, shared VERBATIM by the p3 and p4
+  // oracles (the driver hashes values, so a drifted re-statement of
+  // the position rule would silently diverge — shared string or bust)
+  private val posCte: String =
+    """WITH t AS (
+      | SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+      | FROM documents),
+      |d AS (
+      | SELECT doc_id, n_tok,
+      |  CASE WHEN n_tok <= 32 THEN 0 WHEN n_tok <= 56 THEN 1
+      |       WHEN n_tok <= 76 THEN 2 ELSE 3 END::BIGINT AS tier,
+      |  ((doc_id * 1103515245 + 12345) % 2147483647) % 1000000 AS h
+      | FROM t),
+      |p AS (
+      | SELECT doc_id, n_tok, tier,
+      |  (ROW_NUMBER() OVER (ORDER BY tier, h, doc_id) - 1)::BIGINT AS pos
+      | FROM d)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // p3: the oracle's single global ROW_NUMBER is the semantic spec;
     // the Spark side reaches the same permutation through the
     // bucket-offset shape (no single-partition window)
     "p3_curriculum" ->
-      """WITH t AS (
-        | SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
-        | FROM documents),
-        |d AS (
-        | SELECT doc_id, n_tok,
-        |  CASE WHEN n_tok <= 32 THEN 0 WHEN n_tok <= 56 THEN 1
-        |       WHEN n_tok <= 76 THEN 2 ELSE 3 END::BIGINT AS tier,
-        |  ((doc_id * 1103515245 + 12345) % 2147483647) % 1000000 AS h
-        | FROM t)
-        |SELECT doc_id, n_tok, tier,
-        | (ROW_NUMBER() OVER (ORDER BY tier, h, doc_id) - 1)::BIGINT AS pos
-        |FROM d ORDER BY doc_id""".stripMargin,
+      s"""$posCte
+         |SELECT doc_id, n_tok, tier, pos FROM p ORDER BY doc_id""".stripMargin,
+    // p4: shard grouping + order-sensitive manifest over the SAME
+    // position CTE; md5(doc_id list ORDER BY pos) is the fingerprint
+    "p4_shard_manifest" ->
+      s"""$posCte
+         |SELECT (pos // $ShardDocs)::BIGINT AS shard_id,
+         | COUNT(*)::BIGINT AS n_docs,
+         | SUM(n_tok)::BIGINT AS n_tokens,
+         | MIN(pos)::BIGINT AS first_pos,
+         | MAX(pos)::BIGINT AS last_pos,
+         | md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos)) AS manifest_md5
+         |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "p1_pack_sequences" ->
       s"""WITH t AS (
          | SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok

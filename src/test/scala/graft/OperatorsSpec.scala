@@ -866,4 +866,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(real.where(col("n_removed") > col("n_tok")).count() === 0L)
     assert(real.count() === Tables(spark, sf, "documents").count())
   }
+
+  test("p4 shard manifest: matches a Scala replay of p3 positions; shards full and contiguous") {
+    import graft.queries.PackOps
+    // replay: group the (oracle-verified) p3 output by pos DIV ShardDocs
+    val p3 = PackOps.p3Curriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) // doc_id, n_tok, pos
+    def md5Of(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = p3.groupBy(_._3 / PackOps.ShardDocs).map { case (sid, rows) =>
+      val byPos = rows.sortBy(_._3)
+      sid -> ((byPos.length.toLong, byPos.map(_._2).sum,
+        byPos.head._3, byPos.last._3,
+        md5Of(byPos.map(_._1).mkString(","))))
+    }
+    val got = PackOps.p4ShardManifest(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got === expected)
+    // every shard except the last holds exactly ShardDocs docs, and
+    // positions inside a shard are contiguous
+    val lastSid = got.keys.max
+    got.foreach { case (sid, (n, _, first, last, _)) =>
+      assert(last - first + 1 === n, s"shard $sid positions not contiguous")
+      if (sid != lastSid) assert(n === PackOps.ShardDocs, s"shard $sid short")
+    }
+    assert(got.values.map(_._1).sum === p3.length.toLong)
+  }
+
+  test("sk3 heavy hitters: CMS upper bound, exact top-k recovery, merge identity") {
+    import spark.implicits._
+    import graft.queries.DedupOps
+    // token w_i appears i× in src_a and 2i× in src_b → exact count 3i
+    val docs = (1 to 15).flatMap { i =>
+      Seq(("src_a", Seq.fill(i)(s"w$i").mkString(" ")),
+        ("src_b", Seq.fill(2 * i)(s"w$i").mkString(" ")))
+    }.zipWithIndex.map { case ((s, t), id) => (id.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val out = DedupOps.heavyHittersOf(docs, 10, 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // CMS never underestimates: est ≥ exact for every returned token
+    out.foreach { case (tok, est) =>
+      val exact = 3L * tok.drop(1).toLong
+      assert(est >= exact, s"$tok: est $est < exact $exact")
+    }
+    // vocab (15) ≪ sketch width ⇒ no collisions here: exact recovery
+    assert(out.toSeq === (15 to 6 by -1).map(i => s"w$i" -> 3L * i))
+    // merge identity: per-source sketches merged ≡ one global sketch
+    // (localM ≥ vocab makes the candidate sets identical)
+    val single = DedupOps.heavyHittersOf(
+      docs.withColumn("source", lit("all")), 10, 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(single.toSeq === out.toSeq)
+    // the real table: output is exactly topK rows, est ≥ exact
+    val real = DedupOps.heavyHittersOf(
+      Tables(spark, sf, "documents"), 20, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(real.size === 20)
+    val exactReal = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    real.foreach { case (tok, est) =>
+      assert(est >= exactReal(tok), s"real $tok: est below exact")
+    }
+  }
 }
