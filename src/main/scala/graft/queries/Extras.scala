@@ -276,6 +276,46 @@ object Extras {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** W6 rate-spike anomaly detection — the ops-analytics layer above
+    * s10's hourly rollup: per (event_type, hour) counts, each hour
+    * z-scored against its TRAILING 24 elapsed hours (a RANGE window
+    * on the integer hour id, so calendar gaps shrink the baseline
+    * instead of silently stretching it; the current hour is excluded)
+    * and flagged at z ≥ 3.
+    *
+    * Scale shape: the corpus-sized scan collapses in the first hourly
+    * aggregation; every window after that runs on the TIME-bounded
+    * (event_type × hours) relation — cardinality set by the clock,
+    * not the corpus — partitioned by event_type, so there is no
+    * corpus-sized window and no SinglePartition exchange at any
+    * scale. Mean/std/z round to 6 decimals for cross-engine float
+    * parity (the repo's standard discipline). */
+  def w6Anomaly(s: SparkSession, dir: String): DataFrame =
+    anomalyOf(Tables(s, dir, "events"))
+
+  /** The w6 kernel over an arbitrary (event_type, ts-in-nanos)
+    * relation — spec-testable with a planted spike. */
+  def anomalyOf(ev: DataFrame): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val hourly = ev
+      .select(col("event_type"), expr(s"ts div $hourNs").as("hour_id"))
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_id"))
+      .rangeBetween(-24, -1)
+    val z = (col("n") - col("mean_24")) /
+      when(col("std_24") =!= 0, col("std_24"))
+    hourly
+      .withColumn("mean_24", avg(col("n")).over(w))
+      .withColumn("std_24", stddev_samp(col("n")).over(w))
+      .select(col("event_type"), col("hour_id"), col("n"),
+        round(col("mean_24"), 6).as("mean_24"),
+        round(col("std_24"), 6).as("std_24"),
+        round(z, 6).as("z"),
+        coalesce(z >= 3, lit(false)).as("is_spike"))
+      .orderBy(col("event_type"), col("hour_id"))
+  }
+
   /** Exact interpolated quantiles (A-family; Spark `percentile` and
     * DuckDB `quantile_cont` both linear-interpolate over the sorted
     * values → identical on identical inputs, rounded for the last-bit
@@ -331,6 +371,7 @@ object Extras {
     "w3_sessionize" -> (w3Sessionize _),
     "w4_funnel" -> (w4Funnel _),
     "w5_retention" -> (w5Retention _),
+    "w6_anomaly" -> (w6Anomaly _),
     "a6_weighted_mean" -> (a6WeightedMean _),
     "k1_vegard" -> (k1Vegard _),
     "x1_json_props" -> (x1JsonProps _),
@@ -508,6 +549,26 @@ object Extras {
         | ROUND(SUM(value), 4) AS total
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // w6: same trailing-24h RANGE window over the integer hour id;
+    // DuckDB reads ts as TIMESTAMP_NS, so the id comes from epoch_ns
+    "w6_anomaly" ->
+      """WITH h AS (
+        | SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,
+        |  COUNT(*)::BIGINT AS n
+        | FROM events GROUP BY 1, 2),
+        |zz AS (
+        | SELECT event_type, hour_id, n,
+        |  AVG(n) OVER w AS mean_24,
+        |  STDDEV_SAMP(n) OVER w AS std_24
+        | FROM h
+        | WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+        |   RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_id, n,
+        | ROUND(mean_24, 6) AS mean_24,
+        | ROUND(std_24, 6) AS std_24,
+        | ROUND((n - mean_24) / NULLIF(std_24, 0), 6) AS z,
+        | COALESCE((n - mean_24) / NULLIF(std_24, 0) >= 3, FALSE) AS is_spike
+        |FROM zz ORDER BY event_type, hour_id""".stripMargin,
     "a6_weighted_mean" ->
       """SELECT l_returnflag,
         | ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)

@@ -895,6 +895,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum === p3.length.toLong)
   }
 
+  test("w6 anomaly: planted spike flagged, varied baseline, empty leading window null") {
+    import spark.implicits._
+    import graft.queries.Extras
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    // hours 0..29 carry 10+(h%3) events; hour 30 carries 100
+    val ev = ((0 to 29).flatMap { h =>
+      (0 until 10 + h % 3).map(i => ("err", h * hourNs + i * 1000L))
+    } ++ (0 until 100).map(i => ("err", 30 * hourNs + i * 1000L)))
+      .toDF("event_type", "ts")
+    val out = Extras.anomalyOf(ev).collect()
+    assert(out.length === 31)
+    val byHour = out.map(r => r.getLong(1) ->
+      ((r.getLong(2), Option(r.get(4)), Option(r.get(5)), r.getBoolean(6)))).toMap
+    // the first hour has no trailing window at all → null std, null z
+    assert(byHour(0L) === ((10L, None, None, false)))
+    // exactly one spike, and it is the planted hour
+    val spikes = out.filter(_.getBoolean(6)).map(_.getLong(1)).toSeq
+    assert(spikes === Seq(30L))
+    // its z is enormous (baseline std ≈ 0.83 around mean 11)
+    assert(out.find(_.getLong(1) == 30L).get.getDouble(5) > 50.0)
+    // real table: one row per (event_type, hour), counts positive
+    val real = Extras.w6Anomaly(spark, sf)
+    val hourly = Tables(spark, sf, "events")
+      .select(col("event_type"), expr(s"ts div $hourNs").as("h")).distinct()
+    assert(real.count() === hourly.count())
+    assert(real.where(col("n") <= 0).count() === 0L)
+  }
+
   test("sk3 heavy hitters: CMS upper bound, exact top-k recovery, merge identity") {
     import spark.implicits._
     import graft.queries.DedupOps
