@@ -80,6 +80,59 @@ object TextOps {
           .otherwise("low").as("quality_bin"))
   }
 
+  /** O10 quality-weighted Bernoulli sampling — the curation move
+    * between hard gates (t13 keep/drop) and uniform sampling (o6):
+    * every document is kept with probability equal to its t2 quality
+    * score, so low-quality mass is down-weighted without a cliff (the
+    * soft-filtering discipline of DCLM/FineWeb ablations). The keep
+    * test is PURE INTEGER: the rounded quality becomes micro-units
+    * (⌊round(q,6)·10⁶+0.5⌋) and compares against an engine-exact
+    * affine digest of doc_id (Numerical-Recipes LCG constants,
+    * distinct from m11's pair so mix sampling and quality sampling
+    * stay independent) — the m11 discipline, so Spark and the oracle
+    * keep the SAME documents bit-for-bit. One codegen scan; the only
+    * shuffle is the determinism sort. */
+  def o10WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val (_, quality) = qualityParts
+    val pMicro = floor(round(quality, 6) * lit(1000000L) + lit(0.5))
+      .cast("long")
+    val digest = pmod(pmod(col("doc_id") * lit(1664525L) + lit(1013904223L),
+      lit(2147483647L)), lit(1000000L))
+    sortedDocs(s, dir)
+      .select(col("doc_id"), col("source"), pMicro.as("p_micro"),
+        digest.as("digest"), (digest < pMicro).as("keep"))
+  }
+
+  /** T15 corpus-health report — the Zipf/vocabulary dashboard a data
+    * pipeline checks before training (Heaps/Zipf diagnostics catch
+    * boilerplate floods and tokenizer mismatches long before loss
+    * curves do): per source — token mass, vocabulary size, type-token
+    * ratio, top-1 token share, and the Zipf slope (least-squares of
+    * ln freq on ln rank; a healthy natural-language corpus sits near
+    * −1). The corpus collapses in the (source, token) count; ranking
+    * and the regression run on the VOCABULARY-bounded relation
+    * (Heaps' law: vocab grows ≪ corpus), windows keyed by source. */
+  def t15Zipf(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("source"), explode(toks).as("token"))
+      .where(length(col("token")) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n").desc, col("token"))
+    tok.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        round(count(lit(1)).cast("double") / sum(col("n")), 6)
+          .as("type_token_ratio"),
+        round(max(when(col("rank") === 1, col("n"))).cast("double")
+          / sum(col("n")), 6).as("top1_share"),
+        round(expr("regr_slope(ln(n), ln(rank))"), 6).as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and"),
     "de" -> Seq("der", "die", "und", "nicht"),
@@ -354,10 +407,23 @@ object TextOps {
     // rows-only: iterative merge learning isn't SQL-expressible;
     // BpeSpec asserts hand-derived merges + encode/train consistency
     "t14_bpe_train" -> (graft.fit.Bpe.t14BpeTrain _),
+    "t15_zipf" -> (t15Zipf _),
+    "o10_weighted_sample" -> (o10WeightedSample _),
   )
 
   // shared with the d13 oracle (its quality CTE must match t2's)
   private[graft] val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+
+  // The t2 quality ingredients as ONE shared CTE string — t2 and o10
+  // both build on it, so the definition cannot drift between them
+  // (the d13 shared-string discipline).
+  private val qualityCteSql: String =
+    s"""WITH q AS (
+      | SELECT doc_id, source,
+      |  len(list_filter(string_split(text,' '), t -> $stopPred))::DOUBLE
+      |    / len(string_split(text,' ')) AS stop_ratio,
+      |  LEAST(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) AS len_score
+      | FROM documents)""".stripMargin
   private def markerPred(ws: Seq[String]) = ws.map(w => s"t = '$w'").mkString(" OR ")
 
   val oracle: Map[String, String] = Map(
@@ -375,18 +441,41 @@ object TextOps {
         | length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')) AS avg_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t2_quality_score" ->
-      s"""WITH q AS (
-        | SELECT doc_id,
-        |  len(list_filter(string_split(text,' '), t -> $stopPred))::DOUBLE
-        |    / len(string_split(text,' ')) AS stop_ratio,
-        |  LEAST(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) AS len_score
-        | FROM documents)
+      s"""$qualityCteSql
         |SELECT doc_id, ROUND(stop_ratio, 6) AS stop_ratio,
         | ROUND(stop_ratio*0.5 + len_score*0.5, 6) AS quality,
         | CASE WHEN ROUND(stop_ratio*0.5 + len_score*0.5, 6) >= 0.4 THEN 'good'
         |      WHEN ROUND(stop_ratio*0.5 + len_score*0.5, 6) >= 0.25 THEN 'fair'
         |      ELSE 'low' END AS quality_bin
         |FROM q ORDER BY doc_id""".stripMargin,
+    // o10: the SAME quality CTE (shared string — the d13 discipline),
+    // integer micro-unit keep test against the o10 LCG digest
+    "o10_weighted_sample" ->
+      s"""$qualityCteSql
+        |SELECT doc_id, source,
+        | CAST(FLOOR(ROUND(stop_ratio*0.5 + len_score*0.5, 6) * 1000000
+        |   + 0.5) AS BIGINT) AS p_micro,
+        | ((doc_id * 1664525 + 1013904223) % 2147483647) % 1000000 AS digest,
+        | ((doc_id * 1664525 + 1013904223) % 2147483647) % 1000000
+        |   < CAST(FLOOR(ROUND(stop_ratio*0.5 + len_score*0.5, 6) * 1000000
+        |     + 0.5) AS BIGINT) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "t15_zipf" ->
+      """WITH c AS (
+        | SELECT source, t.t AS token, COUNT(*)::BIGINT AS n
+        | FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(t)
+        | WHERE len(t.t) > 0 GROUP BY 1, 2),
+        |r AS (
+        | SELECT source, n,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY n DESC, token) AS rank
+        | FROM c)
+        |SELECT source, SUM(n)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS vocab,
+        | ROUND(COUNT(*)::DOUBLE / SUM(n), 6) AS type_token_ratio,
+        | ROUND(MAX(CASE WHEN rank = 1 THEN n END)::DOUBLE / SUM(n), 6)
+        |   AS top1_share,
+        | ROUND(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "t3_langid" ->
       s"""WITH h AS (
         | SELECT lang,

@@ -923,6 +923,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(real.where(col("n") <= 0).count() === 0L)
   }
 
+  test("o10 weighted sample: integer keep test consistent with t2 quality and the LCG digest") {
+    import graft.queries.TextOps
+    val out = TextOps.o10WeightedSample(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, p, dg, keep) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      // digest replay: Numerical-Recipes LCG constants, m11 shape
+      assert(dg === ((id * 1664525L + 1013904223L) % 2147483647L) % 1000000L)
+      assert(p >= 0L && p <= 1000000L)
+      assert(keep === (dg < p))
+    }
+    // p_micro is EXACTLY the rounded t2 quality in micro-units
+    val q = TextOps.t2QualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      assert(r.getLong(2) ===
+        math.floor(q(r.getLong(0)) * 1e6 + 0.5).toLong)
+    }
+  }
+
+  test("t15 zipf: hand-derived slope, ttr and top-1 share on a constructed corpus") {
+    import spark.implicits._
+    import graft.queries.TextOps.t15Zipf
+    import graft.queries.TextOps
+    val text = List.fill(8)("a") ++ List.fill(4)("b") ++
+      List.fill(2)("c") ++ List("d")
+    val docs = Seq((1L, "s1", text.mkString(" "))).toDF("doc_id", "source", "text")
+    // expected slope from first principles: least squares of ln freq
+    // on ln rank over ranks 1..4 with counts 8,4,2,1
+    val counts = Seq(8L, 4L, 2L, 1L)
+    val xs = counts.indices.map(i => math.log(i + 1.0))
+    val ys = counts.map(n => math.log(n.toDouble))
+    val xm = xs.sum / xs.size; val ym = ys.sum / ys.size
+    val slope = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+      xs.map(x => (x - xm) * (x - xm)).sum
+    val tmp = java.nio.file.Files.createTempDirectory("zipf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val row = t15Zipf(spark, tmp).collect().head
+    assert(row.getString(0) === "s1")
+    assert(row.getLong(1) === 15L)
+    assert(row.getLong(2) === 4L)
+    assert(math.abs(row.getDouble(3) - 4.0 / 15.0) < 1e-6)
+    assert(math.abs(row.getDouble(4) - 8.0 / 15.0) < 1e-6)
+    assert(math.abs(row.getDouble(5) - slope) < 1e-5)
+    // real table: one row per source, slope negative (Zipf-ish), vocab ≤ tokens
+    val real = TextOps.t15Zipf(spark, sf).collect()
+    assert(real.length === Tables(spark, sf, "documents")
+      .select(col("source")).distinct().count().toInt)
+    real.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(5) < 0.0)
+    }
+  }
+
   test("sk3 heavy hitters: CMS upper bound, exact top-k recovery, merge identity") {
     import spark.implicits._
     import graft.queries.DedupOps
