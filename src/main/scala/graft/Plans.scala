@@ -60,7 +60,9 @@ object Plans {
       "sk3_heavy_hitters" -> "two corpus scans (candidates + per-source CMS partial-agg); probe runs on the sources×m candidate relation only",
       "w6_anomaly" -> "corpus collapses in the hourly agg; trailing-24h RANGE window on the time-bounded relation, keyed by event_type",
       "o10_weighted_sample" -> "one codegen scan — integer micro-unit keep test, no shuffle but the determinism sort",
-      "t15_zipf" -> "corpus collapses in the (source, token) count; ranking + regression on the vocabulary-bounded relation")
+      "t15_zipf" -> "corpus collapses in the (source, token) count; ranking + regression on the vocabulary-bounded relation",
+      "j9_nearest_join" -> "tolerance-bucketed equi-join candidates, per-probe argmin window on err_id — no cross join, no global sort",
+      "sk4_theta_intersect" -> "one distinct shuffle + per-source fixed-size sketch build; pairwise set algebra on driver-side kilobytes")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")

@@ -769,10 +769,67 @@ object DedupOps {
       .limit(topK)
   }
 
+  /** SK4: theta-sketch set INTERSECTIONS — the operation HLL (sk2)
+    * cannot do: pairwise distinct-token overlap between sources,
+    * estimated from per-source sketches without ever joining token
+    * sets. Theta sketches keep the k smallest hashes (order- and
+    * partition-independent ⇒ bit-deterministic), union/intersect in
+    * sketch space, and degrade gracefully: below k retained entries
+    * they are EXACT (the driver-gate regime, which is why the DuckDB
+    * oracle can assert equality with true pairwise counts); above k
+    * they estimate with ~1/√k error (the 100 TB regime, covered by
+    * the spec's forced-estimation-mode bound).
+    *
+    * Scale shape: one distinct (source, token) shuffle (vocab-
+    * bounded, Heaps' law), one per-source stream builds a fixed-size
+    * sketch (`mapGroups` — the group NEVER materializes, the sketch
+    * is O(k)), and only sources × ~32 KB of compact sketches reach
+    * the driver, where the pairwise set algebra runs on kilobytes. */
+  def sk4ThetaIntersect(s: SparkSession, dir: String): DataFrame =
+    thetaIntersectOf(Tables(s, dir, "documents"))
+
+  /** The sk4 kernel over an arbitrary (source, text) relation. */
+  def thetaIntersectOf(docs: DataFrame): DataFrame = {
+    import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
+    import org.apache.datasketches.memory.Memory
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val sketches = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .distinct()
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (src, it) =>
+        val sk = UpdateSketch.builder().build()
+        it.foreach(t => sk.update(t._2))
+        (src, sk.compact().toByteArray)
+      }
+      .collect().sortBy(_._1)
+    def wrap(b: Array[Byte]) = Sketches.wrapSketch(Memory.wrap(b))
+    val rows = for {
+      (sa, ba) <- sketches.toSeq
+      (sb, bb) <- sketches.toSeq if sa < sb
+    } yield {
+      val inter = SetOperation.builder().buildIntersection()
+      inter.intersect(wrap(ba)); inter.intersect(wrap(bb))
+      val union = SetOperation.builder().buildUnion()
+      union.union(wrap(ba)); union.union(wrap(bb))
+      (sa, sb, math.rint(wrap(ba).getEstimate).toLong,
+        math.rint(wrap(bb).getEstimate).toLong,
+        math.rint(inter.getResult.getEstimate).toLong,
+        math.rint(union.getResult.getEstimate).toLong)
+    }
+    rows.toDF("source_a", "source_b", "est_a", "est_b",
+        "est_intersect", "est_union")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d3_hamming_pairs" -> (d3HammingPairs _),
     "sk2_sketch_union" -> (sk2SketchUnion _),
     "sk3_heavy_hitters" -> (sk3HeavyHitters _),
+    "sk4_theta_intersect" -> (sk4ThetaIntersect _),
     "d15_substring_strip" -> (d15SubstringStrip _),
     "d3_simhash_dups" -> (d3SimhashDups _),
     "d6_dup_clusters" -> (d6DupClusters _),
@@ -910,6 +967,29 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // sk4: TRUE pairwise vocabulary counts. Valid as an equality
+    // oracle because the gate corpus (sf0.01) keeps every per-source
+    // vocab far below theta's k=4096 — exact mode, where estimates
+    // ARE the counts (documented in sk4ThetaIntersect's scaladoc);
+    // estimation mode is spec-bounded, not oracle-checked.
+    "sk4_theta_intersect" ->
+      """WITH v AS (
+        | SELECT DISTINCT source, t.t AS token
+        | FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(t)
+        | WHERE len(t.t) > 0),
+        |c AS (SELECT source, COUNT(*)::BIGINT AS n FROM v GROUP BY 1),
+        |i AS (
+        | SELECT v1.source AS sa, v2.source AS sb, COUNT(*)::BIGINT AS n_i
+        | FROM v v1 JOIN v v2 ON v1.token = v2.token
+        |   AND v1.source < v2.source
+        | GROUP BY 1, 2)
+        |SELECT ca.source AS source_a, cb.source AS source_b,
+        | ca.n AS est_a, cb.n AS est_b,
+        | COALESCE(i.n_i, 0)::BIGINT AS est_intersect,
+        | (ca.n + cb.n - COALESCE(i.n_i, 0))::BIGINT AS est_union
+        |FROM c ca JOIN c cb ON ca.source < cb.source
+        |LEFT JOIN i ON i.sa = ca.source AND i.sb = cb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
         | COUNT(*) AS n_copies

@@ -190,6 +190,49 @@ object Extras {
       .orderBy(col("err_id"), col("p_id"))
   }
 
+  /** J9 nearest-event join — `merge_asof(direction='nearest')`, the
+    * third member of the time-join family (j7 = backward as-of, j8 =
+    * all pairs in range): each error event joins the SINGLE nearest
+    * purchase by the same user within ±5 min, ties broken toward the
+    * earlier purchase then the smaller id (total order ⇒ one
+    * deterministic winner). Spark has no native nearest-join; the
+    * shape is j8's tolerance-bucketed equi-join (each probe explodes
+    * into its bucket ±1 — never a cross join, never a global sort)
+    * feeding a per-probe argmin window keyed by err_id. At any scale
+    * the shuffle keys are (user_id, bucket) and err_id — both real
+    * keys, no SinglePartition anywhere. */
+  def j9NearestJoin(s: SparkSession, dir: String): DataFrame =
+    nearestJoinOf(Tables(s, dir, "events"), 300L * 1000 * 1000)
+
+  /** The j9 kernel over an arbitrary (user_id, event_id, ts-in-nanos,
+    * event_type) relation; `tolUs` = ± tolerance in µs. Errors with
+    * no purchase inside the tolerance are dropped (inner nearest
+    * join, merge_asof's default). */
+  def nearestJoinOf(events: DataFrame, tolUs: Long): DataFrame = {
+    val ev = events.withColumn("ts", expr("ts div 1000"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val b = expr(s"err_ts div $tolUs")
+    val l = errors.withColumn("bucket", explode(array(b - 1, b, b + 1)))
+    val r = purchases.withColumn("bucket", expr(s"p_ts div $tolUs"))
+    val cand = l.join(r, Seq("user_id", "bucket"))
+      .where(abs(col("err_ts") - col("p_ts")) <= tolUs)
+      .select(col("user_id"), col("err_id"), col("err_ts"),
+        col("p_id"), col("p_ts"))
+      .distinct() // a pair can surface from two adjacent buckets
+    val w = Window.partitionBy(col("err_id"))
+      .orderBy(abs(col("p_ts") - col("err_ts")), col("p_ts"), col("p_id"))
+    cand.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("err_id"), col("user_id"), col("p_id"),
+        (col("p_ts") - col("err_ts")).as("delta_us"))
+      .orderBy(col("err_id"))
+  }
+
   /** Gap-based sessionization (30-min inactivity), fully relational —
     * the batch twin of the streaming stateful session surface
     * (§2.10): new-session flags via lag, session ids via running sum,
@@ -368,6 +411,7 @@ object Extras {
     "a9_ingest_progress" -> (a9IngestProgress _),
     "j7_asof_join" -> (j7AsofJoin _),
     "j8_range_join" -> (j8RangeJoin _),
+    "j9_nearest_join" -> (j9NearestJoin _),
     "w3_sessionize" -> (w3Sessionize _),
     "w4_funnel" -> (w4Funnel _),
     "w5_retention" -> (w5Retention _),
@@ -471,6 +515,25 @@ object Extras {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    // j9: plain tolerance join + per-probe argmin — the Spark side's
+    // bucketed candidates and window must pick the identical winner
+    "j9_nearest_join" ->
+      """WITH e AS (
+        | SELECT user_id, event_id AS err_id, epoch_us(ts) AS err_ts
+        | FROM events WHERE event_type = 'error'),
+        |p AS (
+        | SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts
+        | FROM events WHERE event_type = 'purchase'),
+        |cand AS (
+        | SELECT e.user_id, e.err_id, e.err_ts, p.p_id, p.p_ts
+        | FROM e JOIN p USING (user_id)
+        | WHERE ABS(e.err_ts - p.p_ts) <= 300000000),
+        |r AS (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY err_id
+        |   ORDER BY ABS(p_ts - err_ts), p_ts, p_id) AS rn
+        | FROM cand)
+        |SELECT err_id, user_id, p_id, (p_ts - err_ts) AS delta_us
+        |FROM r WHERE rn = 1 ORDER BY err_id""".stripMargin,
     // oracle: plain inequality join — DuckDB plans it as IEJoin; the
     // Spark side's bucketed equi-join must produce the identical pairs
     "j8_range_join" ->

@@ -61,7 +61,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "t14_bpe_train",    // capped-sample merge learning at build
     "p3_curriculum",    // bucket-count prefix sum at build (the o5/p1 shape)
     "p4_shard_manifest", // composes p3's bucket-count prefix sum
-    "sk3_heavy_hitters" // per-source CMS blobs collected + merged at build
+    "sk3_heavy_hitters", // per-source CMS blobs collected + merged at build
+    "sk4_theta_intersect" // per-source theta sketches collected at build
   )
 
   test("no registered query leaves cache-manager entries behind") {

@@ -978,6 +978,75 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("j9 nearest join: direction-free winner, earlier-on-tie, per-user, tolerance-bounded") {
+    import spark.implicits._
+    import graft.queries.Extras
+    val us = 1000L // ns per µs
+    def ns(sec: Long) = sec * 1000L * 1000 * 1000
+    val ev = Seq(
+      // user 1, error at t=1000s: purchases at 800s and 1100s → +100s wins
+      (1L, 10L, ns(1000), "error"),
+      (1L, 20L, ns(800), "purchase"),
+      (1L, 21L, ns(1100), "purchase"),
+      // user 2, error at t=1000s: purchases at 900s and 1100s tie on
+      // |delta| → earlier (900s) wins
+      (2L, 11L, ns(1000), "error"),
+      (2L, 22L, ns(900), "purchase"),
+      (2L, 23L, ns(1100), "purchase"),
+      // user 3, error with nearest purchase OUTSIDE ±300s → dropped
+      (3L, 12L, ns(1000), "error"),
+      (3L, 24L, ns(1400), "purchase"),
+      // user 4 purchase near user 3's error time must not cross users
+      (4L, 25L, ns(1001), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Extras.nearestJoinOf(ev, 300L * 1000 * 1000).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet === Set(10L, 11L))
+    assert(out(10L) === ((1L, 21L, 100L * 1000 * 1000)))
+    assert(out(11L) === ((2L, 22L, -100L * 1000 * 1000)))
+    // real table: at most one row per error, |delta| within tolerance
+    val real = Extras.j9NearestJoin(spark, sf).collect()
+    assert(real.map(_.getLong(0)).distinct.length === real.length)
+    assert(real.forall(r => math.abs(r.getLong(3)) <= 300L * 1000 * 1000))
+  }
+
+  test("sk4 theta intersect: exact below k, bounded error above k, all pairs present") {
+    import spark.implicits._
+    import graft.queries.DedupOps
+    // exact mode: hand-countable overlaps (vocab ≪ k = 4096)
+    val docs = Seq(
+      ("sa", (1 to 30).map("w" + _).mkString(" ")),   // w1..w30
+      ("sb", (21 to 50).map("w" + _).mkString(" ")),  // w21..w50 → ∩ = 10
+      ("sc", (1 to 5).map("x" + _).mkString(" ")))    // disjoint
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val out = DedupOps.thetaIntersectOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.keySet === Set(("sa", "sb"), ("sa", "sc"), ("sb", "sc")))
+    assert(out(("sa", "sb")) === ((30L, 30L, 10L, 50L)))
+    assert(out(("sa", "sc")) === ((30L, 5L, 0L, 35L)))
+    assert(out(("sb", "sc")) === ((30L, 5L, 0L, 35L)))
+    // estimation mode: 20k-token vocabularies overlap in 10k — both
+    // sketches retain > k entries, so these are genuine estimates;
+    // theta RSE at k=4096 is ~1.6%, assert a loose 10% band
+    val big = Seq(
+      ("ba", (1 to 20000).map("t" + _)),
+      ("bb", (10001 to 30000).map("t" + _)))
+      .flatMap { case (s, toks) =>
+        toks.grouped(2000).zipWithIndex.map { case (g, i) =>
+          (s, i, g.mkString(" "))
+        }
+      }.zipWithIndex
+      .map { case ((s, _, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val est = DedupOps.thetaIntersectOf(big).collect().head
+    assert(est.getString(0) === "ba" && est.getString(1) === "bb")
+    assert(math.abs(est.getLong(4) - 10000.0) / 10000.0 < 0.10)
+    assert(math.abs(est.getLong(5) - 30000.0) / 30000.0 < 0.10)
+  }
+
   test("sk3 heavy hitters: CMS upper bound, exact top-k recovery, merge identity") {
     import spark.implicits._
     import graft.queries.DedupOps
