@@ -626,8 +626,12 @@ object DedupOps {
   /** The d15 kernel over an arbitrary (doc_id, text) relation —
     * spec-testable with planted copies, partial overlaps, and
     * self-repetition. `k` = window length in tokens. Position keys
-    * assume documents shorter than 1e6 tokens (fails loudly). */
-  def substringStripOf(docs: DataFrame, k: Int): DataFrame = {
+    * pack (doc_id, start) into one long with stride `maxTok`, so a
+    * document of ≥ maxTok tokens would silently collide keys across
+    * documents — the guard turns that into a loud `raise_error`
+    * instead (spec-exercised with a small maxTok). */
+  def substringStripOf(docs: DataFrame, k: Int,
+      maxTok: Long = 1000000L): DataFrame = {
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     val wins = base.where(size(col("t")) >= k)
       .select(col("doc_id"),
@@ -635,7 +639,11 @@ object DedupOps {
           struct(i.as("i"),
             md5(array_join(slice(col("t"), i, lit(k)), " ")).as("h")))).as("w"))
       .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
-    val posKey = col("doc_id") * lit(1000000L) + col("i")
+    val guardedI = when(col("i") < maxTok, col("i")).otherwise(raise_error(
+      concat(lit(s"d15: document of >= $maxTok tokens — position key "
+        + "would collide; raise maxTok (doc_id "),
+        col("doc_id").cast("string"), lit(")"))))
+    val posKey = col("doc_id") * lit(maxTok) + guardedI
     val firsts = wins.groupBy(col("h")).agg(min(posKey).as("first_key"))
     val dups = wins.join(firsts, "h")
       .where(posKey =!= col("first_key"))

@@ -865,6 +865,17 @@ class OperatorsSpec extends AnyFunSuite {
     val real = DedupOps.d15SubstringStrip(spark, sf)
     assert(real.where(col("n_removed") > col("n_tok")).count() === 0L)
     assert(real.count() === Tables(spark, sf, "documents").count())
+    // the position-key overflow guard fails LOUDLY, not by silent
+    // collision: a 40-token doc has window starts up to 21, so
+    // maxTok=16 must raise
+    val long = Seq((1L, toks("p", 40)), (2L, toks("p", 40)))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      DedupOps.substringStripOf(long, 20, maxTok = 16).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("position key")))
   }
 
   test("p4 shard manifest: matches a Scala replay of p3 positions; shards full and contiguous") {
