@@ -57,7 +57,7 @@ object Plans {
       "sk2_sketch_union" -> "one corpus pass builds per-source sketches; the union merges sketch rows only",
       "d15_substring_strip" -> "one wordcount-volume shuffle on the window hash; span merge + rebuild in doc-keyed windows",
       "p4_shard_manifest" -> "p3 bucket-offset positions, arithmetic shard assignment, one shard_id shuffle with ShardDocs-bounded buffers",
-      "sk3_heavy_hitters" -> "two corpus scans (candidates + per-source CMS partial-agg); probe runs on the sources×m candidate relation only",
+      "sk3_heavy_hitters" -> "two corpus scans (per-source CMS partial-agg + support-filtered candidates); probe runs on the candidate relation only",
       "w6_anomaly" -> "corpus collapses in the hourly agg; trailing-24h RANGE window on the time-bounded relation, keyed by event_type",
       "o10_weighted_sample" -> "one codegen scan — integer micro-unit keep test, no shuffle but the determinism sort",
       "t15_zipf" -> "corpus collapses in the (source, token) count; ranking + regression on the vocabulary-bounded relation",

@@ -715,48 +715,50 @@ object DedupOps {
   }
 
   /** SK3: heavy hitters (frequent tokens) via Count-Min sketch — the
-    * other half of the mergeable-sketch discipline sk2 establishes
-    * for cardinality: per-source CMS sketches of the token stream are
-    * built in ONE corpus pass (`count_min_sketch` partial-aggregates
-    * inside each task, so only sketch blobs cross the shuffle), the
-    * per-source blobs merge ADDITIVELY on the driver (CMS merge is
-    * cell-wise sum — the merged sketch is bit-identical to a sketch
-    * of the concatenated stream at equal seed, which the spec
-    * asserts), and the candidate set comes from per-source exact
-    * local top-m (any global heavy hitter is a local heavy hitter in
-    * at least one source — the SpaceSaving merge argument). Only
-    * O(sources × sketch_bytes + sources × m) rows ever leave the
-    * executors; the corpus is scanned exactly twice (candidates +
-    * sketches) and never collected.
+    * counting half of the mergeable-sketch discipline sk2 establishes
+    * for cardinality. Heavy hitter = token holding ≥ φ of the
+    * corpus's token mass (the Cormode–Muthukrishnan support
+    * semantic — NOT top-k, which no local candidate tier can
+    * guarantee). Per-source CMS sketches are built in ONE pass
+    * (`count_min_sketch` partial-aggregates inside each task, so only
+    * sketch blobs cross the shuffle) and merge ADDITIVELY on the
+    * driver (CMS merge is cell-wise sum — the merged sketch is
+    * bit-identical to a sketch of the concatenated stream at equal
+    * seed, which the spec asserts). The candidate tier has a REAL
+    * pigeonhole guarantee: a token with global count ≥ φ·N has
+    * per-source count ≥ φ·N/S in at least one of the S sources, so
+    * the support filter n·S·10⁶ ≥ φµ·N recalls EVERY true heavy
+    * hitter — the spec plants a token below every per-source top-10
+    * that is still the global #1 and asserts it survives. The final
+    * est ≥ φ·N gate cannot drop a true hitter (CMS only ever
+    * OVER-counts); near-threshold false positives are the standard
+    * CMS trade. Only O(sources × sketch_bytes) plus the candidate
+    * relation ever leave the executors.
     *
     * Rows-only: sketch cell layouts have no cross-engine oracle
-    * (sk1/sk2 precedent); OperatorsSpec asserts the CMS upper-bound
-    * guarantee (est ≥ exact for every candidate) and the merge
-    * identity (per-source merge ≡ single global sketch). */
+    * (sk1/sk2 precedent); OperatorsSpec asserts no-false-negative
+    * recall on the REAL corpus, the upper-bound guarantee, and the
+    * merge identity (per-source merge ≡ single global sketch). */
   def sk3HeavyHitters(s: SparkSession, dir: String): DataFrame =
-    heavyHittersOf(Tables(s, dir, "documents"), 20, 10)
+    heavyHittersOf(Tables(s, dir, "documents"), 10000L) // φ = 1%
 
   /** The sk3 kernel over an arbitrary (source, text) relation.
-    * `topK` = rows out; `localM` = per-source exact candidate depth. */
-  def heavyHittersOf(docs: DataFrame, topK: Int, localM: Int): DataFrame = {
+    * `phiMicro` = support threshold φ in millionths of the corpus
+    * token mass. All comparisons are exact integer arithmetic. */
+  def heavyHittersOf(docs: DataFrame, phiMicro: Long): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch
     val toks = docs
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
-    // candidate tier: exact within each source, top-m per source
-    val wr = Window.partitionBy(col("source"))
-      .orderBy(col("n").desc, col("token"))
-    val candidates = toks.groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("r", row_number().over(wr))
-      .where(col("r") <= localM)
-      .select(col("token")).distinct()
-    // sketch tier: one pass → per-source CMS blobs; merge is cell-wise
-    // sum, so driver traffic is O(sources × sketch_bytes), kilobytes
-    val blobs = toks.groupBy(col("source"))
-      .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("cms"))
-      .select(col("cms")).collect()
-      .map(_.getAs[Array[Byte]](0))
+    // sketch tier: one pass → per-source CMS blob + token mass; the
+    // driver sees O(sources × sketch_bytes) and two scalars
+    val perSrc = toks.groupBy(col("source"))
+      .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("m"))
+      .collect()
+    val blobs = perSrc.map(_.getAs[Array[Byte]]("cms"))
+    val nMass = perSrc.map(_.getAs[Long]("m")).sum
+    val nSrc = perSrc.length.toLong
     val mergedBytes: Array[Byte] =
       if (blobs.isEmpty) Array.emptyByteArray
       else {
@@ -767,14 +769,18 @@ object DedupOps {
         bos.toByteArray
       }
     val bc = docs.sparkSession.sparkContext.broadcast(mergedBytes)
-    // probe runs over the candidate relation only (≤ sources × m rows)
+    // candidate tier: per-source support filter — pigeonhole-complete
+    val candidates = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") * lit(nSrc) * lit(1000000L) >= lit(phiMicro * nMass))
+      .select(col("token")).distinct()
     val est = udf { (t: String) =>
       Sk3Probe.sketchFor(bc.value).estimateCount(t)
     }
     candidates
       .withColumn("est_count", est(col("token")))
+      .where(col("est_count") * lit(1000000L) >= lit(phiMicro * nMass))
       .orderBy(col("est_count").desc, col("token"))
-      .limit(topK)
   }
 
   /** SK4: theta-sketch set INTERSECTIONS — the operation HLL (sk2)

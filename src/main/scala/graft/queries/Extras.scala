@@ -219,11 +219,13 @@ object Extras {
     val b = expr(s"err_ts div $tolUs")
     val l = errors.withColumn("bucket", explode(array(b - 1, b, b + 1)))
     val r = purchases.withColumn("bucket", expr(s"p_ts div $tolUs"))
+    // no distinct: only the probe side explodes (3 buckets) and each
+    // purchase occupies exactly ONE bucket, so a given (error,
+    // purchase) pair matches exactly once — in the purchase's bucket
     val cand = l.join(r, Seq("user_id", "bucket"))
       .where(abs(col("err_ts") - col("p_ts")) <= tolUs)
       .select(col("user_id"), col("err_id"), col("err_ts"),
         col("p_id"), col("p_ts"))
-      .distinct() // a pair can surface from two adjacent buckets
     val w = Window.partitionBy(col("err_id"))
       .orderBy(abs(col("p_ts") - col("err_ts")), col("p_ts"), col("p_id"))
     cand.withColumn("rn", row_number().over(w))
@@ -340,8 +342,15 @@ object Extras {
     * relation — spec-testable with a planted spike. */
   def anomalyOf(ev: DataFrame): DataFrame = {
     val hourNs = 3600L * 1000 * 1000 * 1000
+    // FLOOR division in exact integer arithmetic: Spark's `div`
+    // truncates toward zero while DuckDB's `//` floors, so a plain
+    // `div` would bucket pre-1970 timestamps differently on each
+    // engine. pmod is non-negative, so (ts − pmod) is an exact
+    // multiple of hourNs and `div` on it equals floor for any sign —
+    // no float round-trip (nanos exceed 2^53).
+    val hourId = expr(s"(ts - pmod(ts, $hourNs)) div $hourNs")
     val hourly = ev
-      .select(col("event_type"), expr(s"ts div $hourNs").as("hour_id"))
+      .select(col("event_type"), hourId.as("hour_id"))
       .groupBy(col("event_type"), col("hour_id"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour_id"))

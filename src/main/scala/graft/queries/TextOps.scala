@@ -85,17 +85,21 @@ object TextOps {
     * every document is kept with probability equal to its t2 quality
     * score, so low-quality mass is down-weighted without a cliff (the
     * soft-filtering discipline of DCLM/FineWeb ablations). The keep
-    * test is PURE INTEGER: the rounded quality becomes micro-units
-    * (⌊round(q,6)·10⁶+0.5⌋) and compares against an engine-exact
-    * affine digest of doc_id (Numerical-Recipes LCG constants,
-    * distinct from m11's pair so mix sampling and quality sampling
-    * stay independent) — the m11 discipline, so Spark and the oracle
-    * keep the SAME documents bit-for-bit. One codegen scan; the only
-    * shuffle is the determinism sort. */
+    * test is PURE INTEGER: quality becomes micro-units
+    * (⌊q·10⁶+0.5⌋) and compares against an engine-exact affine
+    * digest of doc_id (Numerical-Recipes LCG constants, distinct
+    * from m11's pair so mix sampling and quality sampling stay
+    * independent) — the m11 discipline, so Spark and the oracle keep
+    * the SAME documents bit-for-bit. Deliberately NO round(q, 6)
+    * before scaling: round is the one step the engines implement
+    * differently (BigDecimal HALF_UP vs double arithmetic); every
+    * remaining op (÷, ×, +, LEAST, floor) is correctly-rounded IEEE
+    * on identical inputs, so p_micro is bit-identical by
+    * construction. One codegen scan; the only shuffle is the
+    * determinism sort. */
   def o10WeightedSample(s: SparkSession, dir: String): DataFrame = {
     val (_, quality) = qualityParts
-    val pMicro = floor(round(quality, 6) * lit(1000000L) + lit(0.5))
-      .cast("long")
+    val pMicro = floor(quality * lit(1000000L) + lit(0.5)).cast("long")
     val digest = pmod(pmod(col("doc_id") * lit(1664525L) + lit(1013904223L),
       lit(2147483647L)), lit(1000000L))
     sortedDocs(s, dir)
@@ -449,15 +453,16 @@ object TextOps {
         |      ELSE 'low' END AS quality_bin
         |FROM q ORDER BY doc_id""".stripMargin,
     // o10: the SAME quality CTE (shared string — the d13 discipline),
-    // integer micro-unit keep test against the o10 LCG digest
+    // integer micro-unit keep test against the o10 LCG digest; no
+    // ROUND on either side — see o10WeightedSample's scaladoc
     "o10_weighted_sample" ->
       s"""$qualityCteSql
         |SELECT doc_id, source,
-        | CAST(FLOOR(ROUND(stop_ratio*0.5 + len_score*0.5, 6) * 1000000
+        | CAST(FLOOR((stop_ratio*0.5 + len_score*0.5) * 1000000
         |   + 0.5) AS BIGINT) AS p_micro,
         | ((doc_id * 1664525 + 1013904223) % 2147483647) % 1000000 AS digest,
         | ((doc_id * 1664525 + 1013904223) % 2147483647) % 1000000
-        |   < CAST(FLOOR(ROUND(stop_ratio*0.5 + len_score*0.5, 6) * 1000000
+        |   < CAST(FLOOR((stop_ratio*0.5 + len_score*0.5) * 1000000
         |     + 0.5) AS BIGINT) AS keep
         |FROM q ORDER BY doc_id""".stripMargin,
     "t15_zipf" ->

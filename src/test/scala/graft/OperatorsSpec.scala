@@ -16,6 +16,10 @@ class OperatorsSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  private def md5Of(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("multimodal decode produces deterministic batch-shaped features") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.decodeFeatures(media, batchSize = 64).collect()
@@ -843,9 +847,6 @@ class OperatorsSpec extends AnyFunSuite {
     val out = DedupOps.substringStripOf(docs, 20).collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
-    def md5Of(s: String) =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     // doc 1 owns every window → untouched
     assert(out(1L) === ((30L, 0L, 0L, md5Of(a))))
     // doc 2: every window already owned by doc 1 → one span covers all
@@ -883,9 +884,6 @@ class OperatorsSpec extends AnyFunSuite {
     // replay: group the (oracle-verified) p3 output by pos DIV ShardDocs
     val p3 = PackOps.p3Curriculum(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) // doc_id, n_tok, pos
-    def md5Of(s: String) =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val expected = p3.groupBy(_._3 / PackOps.ShardDocs).map { case (sid, rows) =>
       val byPos = rows.sortBy(_._3)
       sid -> ((byPos.length.toLong, byPos.map(_._2).sum,
@@ -926,6 +924,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spikes === Seq(30L))
     // its z is enormous (baseline std ≈ 0.83 around mean 11)
     assert(out.find(_.getLong(1) == 30L).get.getDouble(5) > 50.0)
+    // floor-division semantics: a pre-epoch event lands in hour −1,
+    // matching DuckDB's `//`, not in hour 0 as truncation would put it
+    val neg = Seq(("err", -1L), ("err", 1L)).toDF("event_type", "ts")
+    assert(Extras.anomalyOf(neg).collect().map(_.getLong(1)).toSeq
+      === Seq(-1L, 0L))
     // real table: one row per (event_type, hour), counts positive
     val real = Extras.w6Anomaly(spark, sf)
     val hourly = Tables(spark, sf, "events")
@@ -946,12 +949,14 @@ class OperatorsSpec extends AnyFunSuite {
       assert(p >= 0L && p <= 1000000L)
       assert(keep === (dg < p))
     }
-    // p_micro is EXACTLY the rounded t2 quality in micro-units
+    // p_micro tracks the t2 quality in micro-units (t2's published
+    // column is round-6, o10 scales the unrounded value — they can
+    // differ by at most one micro-unit at a half-way boundary)
     val q = TextOps.t2QualityScore(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     out.foreach { r =>
-      assert(r.getLong(2) ===
-        math.floor(q(r.getLong(0)) * 1e6 + 0.5).toLong)
+      val fromRounded = math.floor(q(r.getLong(0)) * 1e6 + 0.5).toLong
+      assert(math.abs(r.getLong(2) - fromRounded) <= 1L)
     }
   }
 
@@ -1058,40 +1063,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(est.getLong(5) - 30000.0) / 30000.0 < 0.10)
   }
 
-  test("sk3 heavy hitters: CMS upper bound, exact top-k recovery, merge identity") {
+  test("sk3 heavy hitters: pigeonhole recall incl. the local-top-m killer, merge identity") {
     import spark.implicits._
     import graft.queries.DedupOps
-    // token w_i appears i× in src_a and 2i× in src_b → exact count 3i
+    // the case a per-source top-m candidate tier gets wrong: "hot"
+    // is rank 11 in EVERY source (99 < the 10 private tokens' 100)
+    // yet the global #1 at 297; 100 singletons per source pad the
+    // mass. φ=1% of N=3597 → threshold 35.97 → HH = 30 private + hot.
+    val tricky = (0 until 3).map { s =>
+      val privates = (1 to 10).flatMap(p => Seq.fill(100)(s"s${s}p$p"))
+      val hot = Seq.fill(99)("hot")
+      val singles = (1 to 100).map(j => s"s${s}x$j")
+      (s.toLong, s"src$s", (privates ++ hot ++ singles).mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = DedupOps.heavyHittersOf(tricky, 10000L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = (0 until 3).flatMap(s =>
+      (1 to 10).map(p => s"s${s}p$p")).toSet + "hot"
+    assert(out.keySet === expected)
+    assert(out("hot") >= 297L) // CMS never under-counts
+    // merge identity: per-source sketches merged ≡ one global sketch
+    // (vocab ≪ width ⇒ no collisions ⇒ identical rows either way)
     val docs = (1 to 15).flatMap { i =>
       Seq(("src_a", Seq.fill(i)(s"w$i").mkString(" ")),
         ("src_b", Seq.fill(2 * i)(s"w$i").mkString(" ")))
     }.zipWithIndex.map { case ((s, t), id) => (id.toLong, s, t) }
       .toDF("doc_id", "source", "text")
-    val out = DedupOps.heavyHittersOf(docs, 10, 20).collect()
+    val multi = DedupOps.heavyHittersOf(docs, 10000L).collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    // CMS never underestimates: est ≥ exact for every returned token
-    out.foreach { case (tok, est) =>
-      val exact = 3L * tok.drop(1).toLong
-      assert(est >= exact, s"$tok: est $est < exact $exact")
-    }
-    // vocab (15) ≪ sketch width ⇒ no collisions here: exact recovery
-    assert(out.toSeq === (15 to 6 by -1).map(i => s"w$i" -> 3L * i))
-    // merge identity: per-source sketches merged ≡ one global sketch
-    // (localM ≥ vocab makes the candidate sets identical)
     val single = DedupOps.heavyHittersOf(
-      docs.withColumn("source", lit("all")), 10, 20).collect()
+      docs.withColumn("source", lit("all")), 10000L).collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    assert(single.toSeq === out.toSeq)
-    // the real table: output is exactly topK rows, est ≥ exact
-    val real = DedupOps.heavyHittersOf(
-      Tables(spark, sf, "documents"), 20, 10).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(real.size === 20)
+    assert(multi.toSeq === single.toSeq)
+    // N=360, φN=3.6 → w_i (count 3i) is a hitter iff i ≥ 2
+    assert(multi.map(_._1).toSet === (2 to 15).map(i => s"w$i").toSet)
+    // the real table: NO FALSE NEGATIVES — every token with exact
+    // count ≥ φ·N is in the output — and est ≥ exact for every row
     val exactReal = Tables(spark, sf, "documents")
       .select(explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nReal = exactReal.values.sum
+    val real = DedupOps.heavyHittersOf(
+      Tables(spark, sf, "documents"), 10000L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactReal.foreach { case (tok, n) =>
+      if (n * 1000000L >= 10000L * nReal)
+        assert(real.contains(tok), s"true heavy hitter $tok missing")
+    }
     real.foreach { case (tok, est) =>
       assert(est >= exactReal(tok), s"real $tok: est below exact")
     }
