@@ -76,14 +76,14 @@ object MakeScale {
     if (args.length > 3 && args(3) == "full") {
       val yearNanos = 31557600L * 1000000000L // 365.25 d — ts is epoch-nanos
       // NOTE the physical schema asymmetry this creates: the base
-      // events.parquet stores ts as TIMESTAMP(NANOS); reading it under
-      // nanosAsLong and writing the shifted value emits plain BIGINT
-      // epoch-nanos. Spark queries see the identical LongType either
-      // way (Tables sets the same conf), but scaled dirs are
-      // BENCH-ONLY inputs — the DuckDB oracle (epoch_us/date_trunc on
-      // a real timestamp) runs exclusively against the base sf dirs.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
+      // events.parquet stores ts as a parquet TIMESTAMP (nanos in the
+      // round-1..4 fixtures, micros from round 5); Tables normalizes
+      // either to the engine-facing epoch-nanos LongType, and writing
+      // the shifted value emits plain BIGINT epoch-nanos. Spark
+      // queries see the identical LongType either way (Tables passes
+      // raw longs through), but scaled dirs are BENCH-ONLY inputs —
+      // the DuckDB oracle (epoch_us/date_trunc on a real timestamp)
+      // runs exclusively against the base sf dirs.
       val orders = spark.read.parquet(s"$src/orders.parquet")
       (0 until copies).map { i =>
         orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * idOff))
@@ -98,7 +98,7 @@ object MakeScale {
         .repartition(32, col("l_orderkey"))
         .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
-      val events = spark.read.parquet(s"$src/events.parquet")
+      val events = Tables(spark, src, "events")
       (0 until copies).map { i =>
         events.select(
           (col("event_id") + lit(i * idOff)).as("event_id"),

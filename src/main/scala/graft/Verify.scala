@@ -15,11 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    // Fixture preflight (round-5 lesson): an empty/missing table must
+    // abort the whole run loudly, not let its queries fail one by one
+    // and silently shrink the correctness artifact.
+    val counts = Tables.preflight(spark, sfDir)
+    System.err.println("[verify] preflight row counts: " +
+      counts.map { case (n, c) => s"$n=$c" }.mkString(", "))
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,5 +47,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failures.nonEmpty) {
+      // Artifacts for the queries that DID succeed are all written; the
+      // nonzero exit makes the partial coverage impossible to miss.
+      System.err.println(s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: " +
+        failures.mkString(", "))
+      sys.exit(3)
+    }
   }
 }

@@ -15,8 +15,8 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet schema (ts = epoch-nanos int64, read as long —
-    * see graft.Tables). */
+  /** events.parquet ENGINE-FACING schema (ts = epoch-nanos long — the
+    * same boundary contract as graft.Tables). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -25,6 +25,25 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** File-source stream over an events dir, normalized to the nanos-
+    * long `ts` contract whatever the fixture's physical type (the
+    * graft.Tables discipline: TIMESTAMP(NANOS) reads as raw long via
+    * nanosAsLong; TIMESTAMP(MICROS) reads as an instant — NTZ
+    * inference off so unix_micros() is the raw stored integer — and
+    * converts). A streaming source needs its schema up front, so the
+    * physical schema is sniffed from a batch footer read; an
+    * empty-at-start dir falls back to the declared nanos-long schema
+    * (files that arrive later must then match it). */
+  private def readEvents(spark: SparkSession, srcDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val phys = scala.util.Try(spark.read.parquet(srcDir).schema)
+      .getOrElse(eventsSchema)
+    val src = spark.readStream.schema(phys).parquet(srcDir)
+    if (src.schema("ts").dataType == LongType) src
+    else src.withColumn("ts", expr("unix_micros(ts) * 1000"))
+  }
+
   private def withEventTime(df: DataFrame): DataFrame =
     df.withColumn("ets", timestamp_micros(expr("ts div 1000")))
 
@@ -32,8 +51,7 @@ object EventsStream {
     * of the batch `s10_hourly_events` query (results must agree when
     * the stream is drained; the spec asserts exactly that). */
   def hourlyAgg(spark: SparkSession, srcDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(eventsSchema).parquet(srcDir)
+    val src = readEvents(spark, srcDir)
     withEventTime(src)
       .withWatermark("ets", "2 hours")
       .groupBy(window(col("ets"), "1 hour"), col("event_type"))
@@ -57,8 +75,7 @@ object EventsStream {
     * are never conflated. */
   def dedupStream(spark: SparkSession, srcDir: String,
       horizon: String = "2 hours"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(eventsSchema).parquet(srcDir)
+    val src = readEvents(spark, srcDir)
     withEventTime(src)
       .withWatermark("ets", horizon)
       .dropDuplicatesWithinWatermark("event_id")
@@ -77,8 +94,7 @@ object EventsStream {
     * active-set growth, active.py:158–205). */
   def sessionCounts(spark: SparkSession, srcDir: String): Dataset[SessionOut] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(eventsSchema).parquet(srcDir)
+    val src = readEvents(spark, srcDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")).as[Event]
     src.groupByKey(_.user_id)
