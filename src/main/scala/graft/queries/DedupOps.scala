@@ -337,61 +337,21 @@ object DedupOps {
     * convergence is 2–3 rounds in practice. Only the O(1) changed
     * count crosses the driver per round. Singleton docs keep their
     * own id as cluster_id. */
-  def d6DupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = d3HammingPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    // pre-partition the (static) edge table on the join key: the
-    // cached partitioning satisfies each round's join requirement, so
-    // only the (much smaller) label side shuffles per round
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .repartition(col("src"))
-      .persist()
-    // localCheckpoint per round: iterative DataFrames otherwise nest
-    // every prior round's plan inside the next (plan-size blowup, not
-    // data). On a cluster this would be checkpoint() to durable
-    // storage for fault tolerance; the iteration structure is the same.
-    // try/finally: a failed round must not leave the edge table cached
-    // in a long-lived session.
-    try {
-      // iterate ONLY over the pair graph's vertices — singletons (the
-      // overwhelming majority of a deduped corpus) can never change
-      // label and are attached once at the end
-      val sumCol = sum(col("cluster_id").cast("decimal(38,0)"))
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id"))
-        .localCheckpoint(true)
-      // labels are min-monotone, so the decimal label sum strictly
-      // decreases iff any label changed — an O(1) agg replaces the
-      // old per-round full label join
-      var prevSum = labels.agg(sumCol).collect()(0).getDecimal(0)
-      var changed = true
-      var iter = 0
-      val maxIters = 64
-      while (changed && iter < maxIters) {
-        val prop = edges.join(labels, edges("src") === labels("doc_id"))
-          .select(col("dst").as("doc_id"), col("cluster_id"))
-        val next = labels.unionByName(prop)
-          .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-          .localCheckpoint(true)
-        val nextSum = next.agg(sumCol).collect()(0).getDecimal(0)
-        changed = nextSum.compareTo(prevSum) != 0
-        prevSum = nextSum
-        labels = next
-        iter += 1
-      }
-      // fail loudly rather than return split components: a silent
-      // partial result under-deletes duplicates downstream
-      require(!changed,
-        s"connected components did not converge in $maxIters rounds " +
-          "(pathological chain-shaped dup graph?)")
-      Tables(s, dir, "documents").select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .orderBy(col("doc_id"))
-    } finally edges.unpersist()
-  }
+  def d6DupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir).orderBy(col("doc_id"))
+
+  /** The MATERIALIZED labels table for `dir` (operators.DupClusters):
+    * the simhash → pairs → min-label fixpoint runs once per session
+    * per corpus; d6, d13, and any downstream curation stage all JOIN
+    * the same checkpointed table — the production shape, where labels
+    * are written once per corpus snapshot. The CC iteration itself
+    * lives in `DupClusters.computeLabels` (spec-covered with planted
+    * graphs); this binding only supplies the d3 pair list and the
+    * documents universe. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DupClusters.labelsFor(s, dir)(
+      (d3HammingPairs(s, dir).select(col("doc_a"), col("doc_b")),
+        Tables(s, dir, "documents").select(col("doc_id"))))
 
   /** D13 duplicate-cluster survivorship — the curation step AFTER
     * clustering: each near-dup cluster keeps its highest-quality
@@ -399,15 +359,16 @@ object DedupOps {
     * representative, not an arbitrary one (the reference keeps
     * first-seen, database/active.py:181–198; generalized here to the
     * t2 quality argmax with ties breaking to the smallest doc_id, so
-    * the choice is total and deterministic). Scale shape: the d6
-    * cluster labels join the t2 quality table on doc_id (both
-    * corpus-cardinality), then ONE shuffle on cluster_id for the
-    * per-cluster window — nothing pairwise, and cluster sizes are
-    * clique-sized (bounded by the dup multiplicity), so the window
-    * partitions cannot be hot. */
+    * the choice is total and deterministic). Scale shape: the
+    * MATERIALIZED d6 cluster labels (computed once per session per
+    * corpus — see `clusterLabels`) join the t2 quality table on
+    * doc_id (both corpus-cardinality), then ONE shuffle on cluster_id
+    * for the per-cluster window — nothing pairwise, no inline CC
+    * recompute, and cluster sizes are clique-sized (bounded by the
+    * dup multiplicity), so the window partitions cannot be hot. */
   def d13KeepBest(s: SparkSession, dir: String): DataFrame =
     keepBestOf(
-      d6DupClusters(s, dir),
+      clusterLabels(s, dir),
       graft.queries.TextOps.t2QualityScore(s, dir)
         .select(col("doc_id"), col("quality")))
 
