@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.collection.concurrent.TrieMap
 
 /** Connected-component duplicate-cluster labels as a MATERIALIZED
   * surface (the `MinHash.signatures(materialize = true)` discipline,
@@ -91,23 +90,17 @@ object DupClusters {
     } finally edges.unpersist()
   }
 
-  // (session, corpus) → eager localCheckpoint of the labels table;
-  // keyed by applicationId so a stopped-and-restarted session can
-  // never serve another context's checkpointed blocks.
-  private val store = TrieMap.empty[String, DataFrame]
-
-  /** The materialized labels table for `dir`'s documents corpus:
-    * fixpoint on first touch, O(1) lookups after. `compute` builds
-    * the pair list + universe lazily (only invoked on a miss). */
+  /** The materialized labels table for `dir`'s documents corpus
+    * (SessionTable discipline): fixpoint on first touch, O(1) lookups
+    * after. `compute` builds the pair list + universe lazily (only
+    * invoked on a miss). */
   def labelsFor(s: SparkSession, dir: String)(
-      compute: => (DataFrame, DataFrame)): DataFrame = {
-    val key = s"${s.sparkContext.applicationId}:$dir"
-    store.getOrElseUpdate(key, {
+      compute: => (DataFrame, DataFrame)): DataFrame =
+    SessionTable.of(s, s"dup-labels:$dir") {
       val (pairs, universe) = compute
-      computeLabels(pairs, universe).localCheckpoint(true)
-    })
-  }
+      computeLabels(pairs, universe)
+    }
 
   /** Drop all materialized labels (spec hygiene / corpus swap). */
-  def invalidate(): Unit = store.clear()
+  def invalidate(): Unit = SessionTable.invalidate()
 }

@@ -78,6 +78,68 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** D14 incremental near-dup probe against a MATERIALIZED signature
+    * table — the persisted-signature surface d2's scaladoc promises
+    * ("at 100 TB the signature table would be persisted once per
+    * corpus snapshot"), exercised end-to-end: the corpus history
+    * (doc_id % 10 ≠ 0) has its minhash signatures computed ONCE per
+    * session (SessionTable, the d6-labels discipline) and every
+    * incoming batch (here the doc_id % 10 = 0 slice — the d12
+    * incremental framing) signs only ITSELF and band-joins the
+    * checkpointed history. At 100 TB this is the nightly-ingest
+    * shape: signature build cost is proportional to the BATCH, the
+    * history never recomputes and never reshuffles (the band join
+    * shuffles band keys, not documents). Each batch doc reports its
+    * best history match (max est_jaccard, ties to the smallest id —
+    * total and deterministic) or −1. */
+  def d14IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val isBatch = pmod(col("doc_id"), lit(10)) === 0
+    val history = graft.operators.SessionTable.of(s, s"minhash-sigs:$dir") {
+      graft.operators.MinHash.signatures(
+        docs.where(!isBatch), "doc_id", "text",
+        k = K, bands = 2, shingleN = 3, materialize = false)
+    }
+    val batch = graft.operators.MinHash.signatures(
+      docs.where(isBatch), "doc_id", "text",
+      k = K, bands = 2, shingleN = 3, materialize = false)
+    incrementalProbeOf(batch, history)
+  }
+
+  /** The d14 kernel over arbitrary batch/history signature tables
+    * (spec-testable; also asserts materialized ≡ recomputed history).
+    */
+  def incrementalProbeOf(batch: DataFrame, history: DataFrame): DataFrame = {
+    val sigArr = array((0 until K).map(i => col(s"mh$i")): _*)
+    def exploded(df: DataFrame, side: String): DataFrame = df.select(
+      col("doc_id").as(s"${side}_id"), sigArr.as(s"sig_$side"),
+      posexplode(array(col("band_0"), col("band_1")))
+        .as(Seq("band_idx", "band_key")))
+    val b = exploded(batch, "b")
+    val h = exploded(history, "h")
+    val estJ = size(filter(sequence(lit(1), lit(K)),
+        i => element_at(col("sig_b"), i) === element_at(col("sig_h"), i)))
+      .cast("double") / K
+    // distinct: a pair colliding in both bands must count once (estJ
+    // is a pure function of the pair, so the triple collapses exactly)
+    val hits = b.join(h, Seq("band_idx", "band_key"))
+      .select(col("b_id"), col("h_id"), estJ.as("est_jaccard"))
+      .distinct()
+    val best = hits.withColumn("rn", row_number().over(
+        Window.partitionBy(col("b_id"))
+          .orderBy(col("est_jaccard").desc, col("h_id"))))
+      .where(col("rn") === 1)
+      .select(col("b_id").as("doc_id"), col("h_id").as("match_id"),
+        col("est_jaccard"))
+    batch.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("est_jaccard"), lit(0.0)).as("est_jaccard"),
+        (coalesce(col("est_jaccard"), lit(0.0)) >= 0.5).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D3 SimHash core: 64-bit signature — bit j = majority, across the
     * distinct-token set, of bit j of the first 64 bits of md5(token).
     * 64 bits replaces the r1 16-bit scheme, whose 2^16 signature space
@@ -815,6 +877,7 @@ object DedupOps {
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d2_minhash_pairs" -> (d2MinhashPairs _),
+    "d14_incremental_minhash" -> (d14IncrementalMinhash _),
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d4_neardup_pairs" -> ((s: SparkSession, dir: String) => nearDupPairs(s, dir)),
@@ -973,6 +1036,29 @@ object DedupOps {
       s"""$sigCte
          |SELECT doc_id, band0, band1, sig[1] AS mh0, sig[$K] AS mh${K - 1}
          |FROM band ORDER BY doc_id""".stripMargin,
+    "d14_incremental_minhash" ->
+      s"""$sigCte,
+         |hist AS (SELECT * FROM band WHERE doc_id % 10 <> 0),
+         |batchb AS (SELECT * FROM band WHERE doc_id % 10 = 0),
+         |cand AS (
+         | SELECT b.doc_id AS doc_id, h.doc_id AS h_id, b.sig AS sig_b, h.sig AS sig_h
+         | FROM batchb b JOIN hist h ON b.band0 = h.band0
+         | UNION
+         | SELECT b.doc_id, h.doc_id, b.sig, h.sig
+         | FROM batchb b JOIN hist h ON b.band1 = h.band1),
+         |est AS (
+         | SELECT doc_id, h_id,
+         |  len([i for i in range(1, ${K + 1}) if sig_b[i] = sig_h[i]])::DOUBLE / $K AS est_jaccard
+         | FROM cand),
+         |best AS (
+         | SELECT doc_id, h_id, est_jaccard, ROW_NUMBER() OVER (
+         |   PARTITION BY doc_id ORDER BY est_jaccard DESC, h_id) AS rn
+         | FROM est)
+         |SELECT b.doc_id, COALESCE(w.h_id, -1) AS match_id,
+         | COALESCE(w.est_jaccard, 0.0) AS est_jaccard,
+         | COALESCE(w.est_jaccard, 0.0) >= 0.5 AS is_dup
+         |FROM batchb b LEFT JOIN (SELECT * FROM best WHERE rn = 1) w USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "d2_minhash_pairs" ->
       s"""$sigCte,
          |cand AS (

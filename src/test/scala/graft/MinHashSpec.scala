@@ -150,4 +150,41 @@ class MinHashSpec extends AnyFunSuite {
     assert(out(1L)._2 === true && out(1L)._1 >= 1L)
     assert(out(2L) === ((0L, false)))
   }
+
+  test("d14 incremental probe: batch finds its history near-dup; novel docs report -1") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i")
+      .mkString(" ")
+    val novel = (1 to 40).map(i => s"fresh$i").mkString(" ")
+    val history = MinHash.signatures(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text",
+      materialize = false)
+    val batch = MinHash.signatures(
+      Seq((10L, nearDup), (20L, novel)).toDF("doc_id", "text"),
+      "doc_id", "text", materialize = false)
+    val out = queries.DedupOps.incrementalProbeOf(batch, history).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out(10L) === ((1L, true)))   // collides with history doc 1
+    assert(out(20L) === ((-1L, false))) // no band collision anywhere
+  }
+
+  test("d14 from the materialized signature table equals a fresh recompute") {
+    val sf = "/root/testdata/sf0.001"
+    graft.operators.SessionTable.invalidate()
+    val viaStore = queries.DedupOps.d14IncrementalMinhash(spark, sf)
+      .collect().toSeq
+
+    // fresh history signatures, bypassing the store entirely
+    val docs = Tables(spark, sf, "documents")
+    val isBatch = pmod(col("doc_id"), lit(10)) === 0
+    val freshHist = MinHash.signatures(docs.where(!isBatch),
+      "doc_id", "text", materialize = false)
+    val batch = MinHash.signatures(docs.where(isBatch),
+      "doc_id", "text", materialize = false)
+    val fresh = queries.DedupOps.incrementalProbeOf(batch, freshHist)
+      .orderBy(col("doc_id")).collect().toSeq
+
+    assert(viaStore === fresh)
+  }
 }
