@@ -286,6 +286,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T10 with the min-df MODEL CAP (opt-in scale path): tokens seen
+    * in fewer than `minDf` documents are dropped from the idf model
+    * table before the scoring join. This is real LM-scoring practice
+    * (a vocabulary floor), and it is what keeps the model side
+    * broadcast-sized as the corpus grows: the UNCAPPED model table
+    * tracks raw vocab — which the MakeScale suffix construction
+    * multiplies by the copy count, the traced cause of t10/t11's
+    * ~0.55 measured exponents — while the capped table tracks the
+    * head of the Zipf curve, which saturates. Docs whose every token
+    * is below the floor score 0 (kept total via left join — a
+    * sampler needs a row per doc). */
+  def t10TfIdfCapped(s: SparkSession, dir: String): DataFrame =
+    tfidfCappedOf(Tables(s, dir, "documents"), minDf = 5L)
+
+  /** The capped-t10 kernel (spec-testable; `minDf = 1` degenerates to
+    * t10's semantics plus zero-rows for token-less docs). */
+  def tfidfCappedOf(docs: DataFrame, minDf: Long): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("idf_q",
+        round(log(col("n_docs").cast("double") / col("df")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("idf_q")).as("score_micro"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T11 bigram-LM quality score — the CCNet-style perplexity filter
     * with the LM estimated from the corpus itself (no external model
     * exists in this environment, and ESTIMATE-then-SCORE is the real
@@ -324,6 +362,47 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"),
         round(-col("lp_sum").cast("double") / col("n_bigrams") / 1e6, 6)
           .as("xent_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T11 with the min-count MODEL CAP (opt-in scale path, the t10
+    * discipline): bigrams seen fewer than `minCount` times are
+    * dropped from the log-prob model table — marginals c(w1·) stay
+    * the TRUE totals over all bigrams (the standard formulation:
+    * capping prunes the numerator table, not the denominator mass).
+    * Out-of-model bigrams simply don't score; per-doc xent averages
+    * over the scored bigrams (`n_scored`), and all-OOV docs report
+    * (0, 0.0) — kept total via left join. */
+  def t11LmXentCapped(s: SparkSession, dir: String): DataFrame =
+    lmXentCappedOf(Tables(s, dir, "documents"), minCount = 3L)
+
+  /** The capped-t11 kernel (spec-testable with a hand corpus). */
+  def lmXentCappedOf(docs: DataFrame, minCount: Long): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graftx.Shingles.shingles(toks, 2))
+          .as("bigram"))
+    val cbAll = bi.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    val c1 = cbAll
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("c1"))
+    val lp = cbAll.where(col("cb") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(c1, "w1")
+      .select(col("bigram"),
+        round(log(col("cb").cast("double") / col("c1")) * 1e6, 0)
+          .cast("long").as("lp_q"))
+    val scored = bi.join(lp, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"), sum(col("lp_q")).as("lp_sum"))
+      .select(col("doc_id"), col("n_scored"),
+        round(-col("lp_sum").cast("double") / col("n_scored") / 1e6, 6)
+          .as("xent_nats"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("xent_nats"), lit(0.0)).as("xent_nats"))
       .orderBy(col("doc_id"))
   }
 
@@ -407,7 +486,9 @@ object TextOps {
     "t8_pii_redact" -> (t8PiiRedact _),
     "t9_vocab_df" -> (t9VocabDf _),
     "t10_tfidf" -> (t10TfIdf _),
+    "t10_tfidf_capped" -> (t10TfIdfCapped _),
     "t11_lm_xent" -> (t11LmXent _),
+    "t11_lm_xent_capped" -> (t11LmXentCapped _),
     // rows-only: iterative merge learning isn't SQL-expressible;
     // BpeSpec asserts hand-derived merges + encode/train consistency
     "t14_bpe_train" -> (graft.fit.Bpe.t14BpeTrain _),
@@ -552,6 +633,45 @@ object TextOps {
         |   / dfreq.df) * 1e6)::BIGINT)::BIGINT AS score_micro
         |FROM tf JOIN dfreq USING (token)
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "t10_tfidf_capped" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, token, COUNT(*) AS tf
+        | FROM tok GROUP BY doc_id, token),
+        |dfreq AS (
+        | SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        | HAVING COUNT(*) >= 5),
+        |sc AS (
+        | SELECT tf.doc_id,
+        |  SUM(tf.tf * ROUND(LN((SELECT COUNT(*) FROM documents)::DOUBLE
+        |    / dfreq.df) * 1e6)::BIGINT)::BIGINT AS score_micro
+        | FROM tf JOIN dfreq USING (token) GROUP BY tf.doc_id)
+        |SELECT d.doc_id, COALESCE(sc.score_micro, 0)::BIGINT AS score_micro
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "t11_lm_xent_capped" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |   i -> array_to_string(t[i:i+1], ' '))) AS bigram
+        | FROM tok),
+        |cb AS (SELECT bigram, COUNT(*) AS cb FROM bi GROUP BY bigram),
+        |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(cb) AS c1
+        |       FROM cb GROUP BY 1),
+        |lp AS (SELECT bigram, ROUND(LN(cb::DOUBLE / c1) * 1e6)::BIGINT AS lp_q
+        |       FROM cb JOIN c1 ON split_part(cb.bigram, ' ', 1) = c1.w1
+        |       WHERE cb >= 3),
+        |sc AS (
+        | SELECT doc_id, COUNT(*)::BIGINT AS n_scored,
+        |  ROUND(-(SUM(lp_q)::DOUBLE) / COUNT(*) / 1e6, 6) AS xent_nats
+        | FROM bi JOIN lp USING (bigram) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(sc.n_scored, 0)::BIGINT AS n_scored,
+        | COALESCE(sc.xent_nats, 0.0) AS xent_nats
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t11_lm_xent" ->
       """WITH tok AS (
         | SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -407,6 +407,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.head._3 < out.last._3)
   }
 
+  test("capped t11: rare bigrams drop from the model, marginals stay true, all-OOV docs stay total") {
+    import spark.implicits._
+    // "a b"×2 survives minCount=2; "a c"×1 is OOV; doc 4 is all-OOV
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val out = queries.TextOps.lmXentCappedOf(docs, minCount = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // lp("a b") = ln(2/3): the marginal c(a·)=3 still counts the
+    // pruned "a c" occurrence (true-denominator formulation)
+    val xab = math.rint(-(math.rint(math.log(2.0 / 3) * 1e6)) / 1e6 * 1e6) / 1e6
+    assert(out === Seq(
+      (1L, 1L, xab), (2L, 1L, xab), (3L, 0L, 0.0), (4L, 0L, 0.0)))
+  }
+
+  test("capped t10: below-floor tokens score zero, docs stay total") {
+    import spark.implicits._
+    // "w" appears in 2 docs (df=2 ≥ minDf=2); "r"/"z" in 1 doc each (pruned)
+    val docs = Seq((1L, "w w r"), (2L, "w"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = queries.TextOps.tfidfCappedOf(docs, minDf = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val idfW = math.rint(math.log(3.0 / 2) * 1e6).toLong
+    assert(out === Seq((1L, 2 * idfW), (2L, idfW), (3L, 0L)))
+  }
+
   test("quality classifier learns the weak label on held-out docs (m10)") {
     val scored = graft.fit.QualityModel.m10QualityClassifier(spark, sf)
     val rows = scored.collect()
