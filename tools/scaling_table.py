@@ -2,14 +2,15 @@
 """Regenerate COVERAGE.md's scaling table from the committed bench JSONs.
 
 Usage: python3 tools/scaling_table.py [bench/bench_sf0.1.json
-        bench/bench_sf0.5x.json bench/bench_sf2.5x.json]
+        bench/bench_sf0.5x.json bench/bench_sf2.5x_full.json]
 
-Prints (a) the markdown table for the documents/embeddings family —
-the query set is whatever the 2.5x subset run measured — and (b) the
-relational/event per-segment exponents + aggregate totals used by the
-surrounding prose. COVERAGE's numbers must come from this script over
-the committed JSONs, never from a by-hand transcription of a different
-run (the round-3 verdict's finding #1).
+From round 6 the 25x point covers the FULL surface (MakeScale full —
+re-keyed orders/lineitem, time-shifted events), so every query has
+three measured points and two per-5x-segment exponents. Prints (a) the
+full markdown table and (b) aggregate totals + the worst growth rows
+used by the surrounding prose. COVERAGE's numbers must come from this
+script over the committed JSONs, never from a by-hand transcription of
+a different run (the round-3 verdict's finding #1).
 """
 import json
 import math
@@ -18,7 +19,7 @@ import sys
 paths = sys.argv[1:] or [
     "bench/bench_sf0.1.json",
     "bench/bench_sf0.5x.json",
-    "bench/bench_sf2.5x.json",
+    "bench/bench_sf2.5x_full.json",
 ]
 b01, b05, b25 = (json.load(open(p)) for p in paths)
 
@@ -37,35 +38,35 @@ def fmt_exp(x):
     return s.replace("-", "−")  # minus sign, matching the doc
 
 
-print("Documents/embeddings family, all three points (warm seconds):\n")
+print("Full surface, all three points (warm seconds):\n")
 print("| query | sf0.1 s | 0.5x s | 2.5x s | exp lo | exp hi |")
 print("|-------|--------:|-------:|-------:|-------:|-------:|")
-fam = sorted(b25["queries"])
-for q in fam:
+for q in sorted(b25["queries"]):
     t1, t2, t3 = warm(b01, q), warm(b05, q), warm(b25, q)
+    if t1 is None or t2 is None or t3 is None:
+        continue
     print(
         f"| {q} | {t1:.2f} | {t2:.2f} | {t3:.2f} "
         f"| {fmt_exp(expo(t1, t2))} | {fmt_exp(expo(t2, t3))} |"
     )
 
-print("\nRelational/event surface, sf0.1 -> 0.5x exponents (desc):\n")
-rel = [q for q in sorted(b01["queries"]) if q not in set(fam)]
-rows = []
-for q in rel:
-    t1, t2 = warm(b01, q), warm(b05, q)
-    if t1 is None or t2 is None:
-        continue
-    rows.append((expo(t1, t2), q, t1, t2))
-for e, q, t1, t2 in sorted(rows, reverse=True):
-    print(f"  {q}: {t1:.2f} -> {t2:.2f}  exp {fmt_exp(e)}")
-
-w1, w2 = b01["warm_total_sec"], b05["warm_total_sec"]
-n1, n2 = len(b01["queries"]), len(b05["queries"])
+w1, w2, w3 = (b["warm_total_sec"] for b in (b01, b05, b25))
+n1, n2, n3 = (len(b["queries"]) for b in (b01, b05, b25))
 print(
     f"\nTotals: warm {w1:.1f} s ({n1} q, sf0.1) -> {w2:.1f} s ({n2} q, 0.5x)"
-    f"  aggregate exponent {expo(w1, w2):.2f}"
+    f" -> {w3:.1f} s ({n3} q, 2.5x)"
 )
-m = max(
-    (warm(b25, q) / warm(b01, q), q) for q in fam if warm(b01, q) and warm(b25, q)
+print(
+    f"Aggregate exponents: sf0.1->0.5x {expo(w1, w2):.2f},"
+    f" 0.5x->2.5x {expo(w2, w3):.2f},"
+    f" sf0.1->2.5x {expo(w1, w3, 25.0):.2f}"
 )
-print(f"Max 25x growth ratio: {m[1]} at {m[0]:.1f}x (linear would be 25x)")
+
+rows = [
+    (expo(warm(b01, q), warm(b25, q), 25.0), q, warm(b01, q), warm(b25, q))
+    for q in b25["queries"]
+    if warm(b01, q) and warm(b25, q) and warm(b01, q) >= 0.3
+]
+print("\nHighest 1x->25x exponents (warm sf0.1 >= 0.3 s):")
+for e, q, t1, t3 in sorted(rows, reverse=True)[:8]:
+    print(f"  {q}: {t1:.2f} -> {t3:.2f}  exp {fmt_exp(e)}")
