@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   * feature-extract as partition-batched kernels.
   *
   * ALL THREE modalities carry REAL encoded payloads with REAL pure-JVM
-  * decoders (no media libraries exist in this environment): images are
-  * 24-bit uncompressed BMP (graft.sources.Bmp), audio is RIFF/PCM WAV
-  * (graft.sources.Wav), video is YUV4MPEG2 (graft.sources.Y4m — the
-  * standard uncompressed container; a compressed-codec decode would
-  * need JNI, but the container/frame/plane layer is the part that
-  * shapes the Spark plan). Every decode kernel genuinely parses
-  * headers and payload arrays. Everything Spark-side is real: schema,
-  * partitioning, batch shape (kernels consume a partition in
+  * decoders (no media libraries exist in this environment): images
+  * alternate between baseline JPEG (graft.sources.Jpeg — full T.81
+  * marker/Huffman/IDCT decode, the COMPRESSED codec path) and 24-bit
+  * uncompressed BMP (graft.sources.Bmp), dispatched on the payload's
+  * magic bytes exactly as a production ingest kernel sniffs content
+  * types; audio is RIFF/PCM WAV (graft.sources.Wav); video is
+  * YUV4MPEG2 (graft.sources.Y4m — the standard uncompressed
+  * container; a compressed VIDEO codec would need JNI, but the
+  * container/frame/plane layer is the part that shapes the Spark
+  * plan). Every decode kernel genuinely parses headers, entropy
+  * segments, and payload arrays. Everything Spark-side is real:
+  * schema, partitioning, batch shape (kernels consume a partition in
   * fixed-size batches exactly like an Arrow/pandas-UDF boundary),
   * deterministic outputs. Swapping in a JNI/Arrow h264 decoder
   * changes no plan shape.
@@ -51,9 +55,15 @@ object Multimodal {
           def tbAt(i: Int): Int = if (tb.isEmpty) 0 else tb(i % tb.length) & 0xFF
           val rgb = Array.tabulate(w * h)(i =>
             (tbAt(3 * i) << 16) | (tbAt(3 * i + 1) << 8) | tbAt(3 * i + 2))
-          MediaRow(id, kind, graft.sources.Bmp.encode(
-            graft.sources.Bmp.Image(w, h, rgb)),
-            width = w, height = h, n_frames = 1)
+          // alternate compressed/uncompressed payloads so every batch
+          // exercises BOTH image decode paths (content-type dispatch
+          // is on magic bytes, as with real mixed-format ingest)
+          val payload =
+            if ((id / 3) % 2 == 0)
+              graft.sources.Jpeg.encode(graft.sources.Jpeg.Image(w, h, rgb))
+            else
+              graft.sources.Bmp.encode(graft.sources.Bmp.Image(w, h, rgb))
+          MediaRow(id, kind, payload, width = w, height = h, n_frames = 1)
         } else if (kind == "audio") {
           val tb = text.getBytes("UTF-8")
           def tbAt(i: Int): Int = if (tb.isEmpty) 0 else tb(i % tb.length) & 0xFF
@@ -84,8 +94,17 @@ object Multimodal {
       }
   }
 
-  /** Decode + feature-extract in partition batches. Images: REAL BMP
-    * decode (header parse + pixel extraction, graft.sources.Bmp) →
+  /** Sniff an image payload's container: JPEG SOI vs BMP magic. */
+  private[graft] def decodeImage(payload: Array[Byte]): graft.sources.Bmp.Image =
+    if (payload.length >= 2 && (payload(0) & 0xFF) == 0xFF &&
+        (payload(1) & 0xFF) == 0xD8) {
+      val j = graft.sources.Jpeg.decode(payload)
+      graft.sources.Bmp.Image(j.width, j.height, j.rgb)
+    } else graft.sources.Bmp.decode(payload)
+
+  /** Decode + feature-extract in partition batches. Images: REAL
+    * decode — baseline JPEG (T.81 Huffman+IDCT, graft.sources.Jpeg)
+    * or BMP (graft.sources.Bmp), dispatched on magic bytes →
     * 8-bin normalized LUMINANCE histogram over the decoded pixels,
     * decoded_bytes = 3·pixels. Audio: REAL WAV decode (RIFF chunk
     * walk + 16-bit PCM extraction, graft.sources.Wav) → 8-bin
@@ -102,7 +121,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch => // Arrow-batch-shaped boundary
         batch.map { m =>
           if (m.kind == "image") {
-            val img = graft.sources.Bmp.decode(m.payload)
+            val img = decodeImage(m.payload)
             val hist = new Array[Double](8)
             img.rgb.foreach { px =>
               val lum = (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)) / 3
@@ -134,11 +153,12 @@ object Multimodal {
     }
   }
 
-  /** Image resize in partition batches: REAL BMP decode → box-average
-    * downsample (each target pixel averages its source box per
-    * channel) → BMP re-encode. Non-image rows pass through untouched.
-    * Same batched kernel boundary as decodeFeatures; swapping in a
-    * JNI/Arrow resampler changes no plan shape. */
+  /** Image resize in partition batches: REAL decode (JPEG or BMP by
+    * magic bytes) → box-average downsample (each target pixel
+    * averages its source box per channel) → re-encode in the SOURCE
+    * format. Non-image rows pass through untouched. Same batched
+    * kernel boundary as decodeFeatures; swapping in a JNI/Arrow
+    * resampler changes no plan shape. */
   def resizeImages(media: Dataset[MediaRow], outW: Int,
       outH: Int, batchSize: Int = 64): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
@@ -148,7 +168,9 @@ object Multimodal {
         batch.map { m =>
           if (m.kind != "image") m
           else {
-            val img = graft.sources.Bmp.decode(m.payload)
+            val isJpeg = (m.payload(0) & 0xFF) == 0xFF &&
+              (m.payload(1) & 0xFF) == 0xD8
+            val img = decodeImage(m.payload)
             val out = new Array[Int](outW * outH)
             var y = 0
             while (y < outH) {
@@ -176,9 +198,12 @@ object Multimodal {
               }
               y += 1
             }
-            m.copy(payload = graft.sources.Bmp.encode(
-              graft.sources.Bmp.Image(outW, outH, out)),
-              width = outW, height = outH)
+            val payload =
+              if (isJpeg) graft.sources.Jpeg.encode(
+                graft.sources.Jpeg.Image(outW, outH, out))
+              else graft.sources.Bmp.encode(
+                graft.sources.Bmp.Image(outW, outH, out))
+            m.copy(payload = payload, width = outW, height = outH)
           }
         }
       }

@@ -22,6 +22,13 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("multimodal decode produces deterministic batch-shaped features") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
+    // the image slice mixes REAL compressed (JPEG) and uncompressed
+    // (BMP) payloads — both container paths must be present and decode
+    val imgs = media.collect().filter(_.kind == "image")
+    val jpegs = imgs.count(m => (m.payload(0) & 0xFF) == 0xFF &&
+      (m.payload(1) & 0xFF) == 0xD8)
+    assert(jpegs > 0 && jpegs < imgs.length,
+      s"expected mixed JPEG/BMP image payloads, got $jpegs/${imgs.length} JPEG")
     val feats = Multimodal.decodeFeatures(media, batchSize = 64).collect()
     assert(feats.length === 500)
     feats.foreach { f =>
