@@ -307,6 +307,32 @@ object Relational {
       .orderBy(col("lattice"), col("size"))
   }
 
+  /** J10 salted skew join (operators.SkewJoin): revenue by order
+    * priority through a SALTED lineitem⋈orders join — hot keys (top
+    * 100 by probe-side frequency, one bounded TakeOrdered pass)
+    * spread over 8 salt values so no single reducer owns a mega-key.
+    * Result-identical to the plain join by construction (the oracle
+    * IS the plain join), which is exactly the property that makes
+    * salting deployable: it changes the shuffle layout, never the
+    * answer. At this fixture's uniform key distribution the salting
+    * is mechanism demonstration; on a real skewed corpus the hot set
+    * is what keeps 1000-executor jobs from stalling on one straggler
+    * partition. */
+  def j10SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val hot = graft.operators.SkewJoin.topHotKeys(li, "l_orderkey", 100)
+    graft.operators.SkewJoin.saltedJoin(li, o, "l_orderkey", hot, salt = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** D7 canonical content hash of a relation (database/__init__.py:
     * 461–470 hash_group, 1285–1293 hash_db): per-row md5 over
     * canonicalized columns, combined with the hash-prefix-bucketed
@@ -369,6 +395,7 @@ object Relational {
     "j3_revenue_by_region" -> (j3RevenueByRegion _),
     "j4_semi_join" -> (j4SemiJoin _),
     "j5_best_per_group" -> (j5BestPerGroup _),
+    "j10_skew_join" -> (j10SkewJoin _),
     "u2_anti_join" -> (u2AntiJoin _),
     "a1_rollup_status" -> (a1Rollup _),
     "a4_stats_by_type" -> (a4Stats _),
@@ -557,6 +584,13 @@ object Relational {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS running_qty
         | FROM lineitem
         |) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    // the oracle is the PLAIN join — salting must be result-invisible
+    "j10_skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "s10_hourly_events" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         | event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
