@@ -62,7 +62,11 @@ object Plans {
       "o10_weighted_sample" -> "one codegen scan — integer micro-unit keep test, no shuffle but the determinism sort",
       "t15_zipf" -> "corpus collapses in the (source, token) count; ranking + regression on the vocabulary-bounded relation",
       "j9_nearest_join" -> "tolerance-bucketed equi-join candidates, per-probe argmin window on err_id — no cross join, no global sort",
-      "sk4_theta_intersect" -> "one distinct shuffle + per-source fixed-size sketch build; pairwise set algebra on driver-side kilobytes")
+      "sk4_theta_intersect" -> "one distinct shuffle + per-source fixed-size sketch build; pairwise set algebra on driver-side kilobytes",
+      "d14_incremental_minhash" -> "batch-only signature build band-joins the checkpointed history table; history never recomputes or reshuffles",
+      "t10_tfidf_capped" -> "df floor prunes the idf model side before the scoring join; totality left join against the pruned doc scan",
+      "t11_lm_xent_capped" -> "bigram model capped at the count floor, marginals from the uncapped aggregate, scored stream joins the pruned model",
+      "j10_skew_join" -> "hot keys salted: probe-side per-row pmod spread, build-side sequence-explode replication, join on (key, salt)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")

@@ -83,6 +83,39 @@ object EventsStream {
         col("value"), col("ets"))
   }
 
+  /** Stream-stream interval join with watermarks on BOTH unbounded
+    * sides — the remaining §2.10 surface beside windowed agg, bounded
+    * dedup, and custom state: each click joins the same user's
+    * purchases from the preceding 60 s. State is bounded by
+    * construction: both sides carry a watermark and the join
+    * condition time-bounds purchase_ts against click_ts, so the
+    * framework can evict click state once the purchase watermark
+    * passes `click_ts` and purchase state once the click watermark
+    * passes `purchase_ts + 60s` — the two conditions Structured
+    * Streaming REQUIRES before it will run an inner stream-stream
+    * join at all. The batch twin is the j8 range-join shape; the spec
+    * drains this stream and asserts set equality with the batch
+    * pairs. */
+  def intervalJoin(spark: SparkSession, srcDir: String,
+      horizon: String = "1 hour"): DataFrame = {
+    val clicks = withEventTime(readEvents(spark, srcDir))
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ets").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val purchases = withEventTime(readEvents(spark, srcDir))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ets").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("interval 60 seconds") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   final case class Event(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(count: Long, sum: Double, lastTsMicros: Long)

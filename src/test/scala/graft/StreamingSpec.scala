@@ -37,6 +37,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream-stream interval join drains to the batch pair set (j8 twin)") {
+    val dir = stageEvents()
+    val q = EventsStream.intervalJoin(spark, dir).writeStream
+      .outputMode("append").format("memory").queryName("sjoin").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT click_id, purchase_id FROM sjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // batch twin over the same fixture: purchases in [click-60s, click]
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") - lit(60L * 1000 * 1000 * 1000) &&
+        col("pts") <= col("cts"))
+      .select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stateful per-user session counts accumulate (mapGroupsWithState)") {
     val dir = stageEvents()
     val q = EventsStream.sessionCounts(spark, dir).writeStream
