@@ -338,6 +338,29 @@ object Extras {
   def w6Anomaly(s: SparkSession, dir: String): DataFrame =
     anomalyOf(Tables(s, dir, "events"))
 
+  /** W7 SLIDING-window rates — the overlapping-window primitive s10's
+    * tumbling buckets don't cover (Spark's `window(ts, size, slide)`
+    * with size 2 h / slide 1 h: every event lands in exactly two
+    * windows). This is the rolling-rate view an ops dashboard and a
+    * streaming pipeline both key on, and under Structured Streaming
+    * the IDENTICAL expression runs with a watermark (the s10
+    * discipline). Scale shape: the explode-to-2-windows doubles the
+    * pre-aggregation stream (a constant factor, map-side combined),
+    * then the corpus collapses in the (window, event_type) partial
+    * agg — no corpus-sized window function anywhere. The DuckDB
+    * oracle derives each event's two window starts by floor-division
+    * arithmetic — engine-exact because the fixture's timestamps are
+    * whole microseconds. */
+  def w7SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ets"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
   /** The w6 kernel over an arbitrary (event_type, ts-in-nanos)
     * relation — spec-testable with a planted spike. */
   def anomalyOf(ev: DataFrame): DataFrame = {
@@ -425,6 +448,7 @@ object Extras {
     "w4_funnel" -> (w4Funnel _),
     "w5_retention" -> (w5Retention _),
     "w6_anomaly" -> (w6Anomaly _),
+    "w7_sliding_window" -> (w7SlidingWindow _),
     "a6_weighted_mean" -> (a6WeightedMean _),
     "k1_vegard" -> (k1Vegard _),
     "x1_json_props" -> (x1JsonProps _),
@@ -623,6 +647,18 @@ object Extras {
         |ORDER BY user_id, session_id""".stripMargin,
     // w6: same trailing-24h RANGE window over the integer hour id;
     // DuckDB reads ts as TIMESTAMP_NS, so the id comes from epoch_ns
+    // each event's two 2h/1h sliding windows derived by floor-division
+    // arithmetic (exact: fixture timestamps are whole microseconds)
+    "w7_sliding_window" ->
+      """WITH e AS (
+        | SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |w AS (
+        | SELECT ((us // 3600000000) - off) * 3600000000 AS ws,
+        |  event_type, value
+        | FROM e CROSS JOIN (VALUES (0), (1)) AS o(off))
+        |SELECT STRFTIME(make_timestamp(ws), '%Y-%m-%d %H:%M') AS win_start,
+        | event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "w6_anomaly" ->
       """WITH h AS (
         | SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,
