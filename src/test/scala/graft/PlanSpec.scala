@@ -149,4 +149,35 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected only the sort exchange, got:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"))
   }
+
+  test("salted skew join: build side replicates via Generate, join keys carry the salt") {
+    val plan = formatted(queries.Relational.j10SkewJoin(spark, sf))
+    assert(plan.contains("Generate"),
+      "build-side salt replication must plan as a sequence explode")
+    assert(plan.contains("__salt"),
+      "the join must run on the salted key pair")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("sliding windows: no single-partition window, corpus collapses in a partial agg") {
+    val plan = formatted(queries.Extras.w7SlidingWindow(spark, sf))
+    assert(!plan.contains("SinglePartition"),
+      "the sliding-window agg must shuffle on (window, event_type), not funnel")
+    assert(plan.contains("HashAggregate"),
+      "overlapping windows must aggregate, not window-function, the corpus")
+  }
+
+  test("incremental minhash probe: history rides the checkpoint, only the batch is scanned") {
+    operators.SessionTable.invalidate()
+    queries.DedupOps.d14IncrementalMinhash(spark, sf) // populate the store
+    val plan = formatted(queries.DedupOps.d14IncrementalMinhash(spark, sf))
+    // the batch side scans parquet (its subtrees unify at runtime via
+    // exchange reuse); the HISTORY side must ride the checkpointed
+    // table — its defining NOT-batch filter may never reappear as a
+    // recompute, and an RDD scan must be present
+    assert(!plan.contains("NOT (pmod"),
+      s"history side recomputed its filter instead of riding the checkpoint:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"no checkpointed history scan in the plan:\n$plan")
+  }
 }
