@@ -117,8 +117,10 @@ object MinHash {
       col("band_idx"), col("band_key"))
     val b = exploded.select(col(idCol).as("id_b"), col("__sig").as("sig_b"),
       col("band_idx"), col("band_key"))
-    val estJ = size(filter(sequence(lit(1), lit(k)),
-      i => element_at(col("sig_a"), i) === element_at(col("sig_b"), i)))
+    // signature agreement as a native codegen loop (the interpreted
+    // size(filter(sequence)) lambda was the per-candidate hot cost)
+    val estJ = org.apache.spark.sql.graftx.PositionalEqual
+      .equalCount(col("sig_a"), col("sig_b"))
       .cast("double") / k
     a.join(b, Seq("band_idx", "band_key"))
       .where(col("id_a") < col("id_b"))

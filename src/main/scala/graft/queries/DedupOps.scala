@@ -117,8 +117,8 @@ object DedupOps {
         .as(Seq("band_idx", "band_key")))
     val b = exploded(batch, "b")
     val h = exploded(history, "h")
-    val estJ = size(filter(sequence(lit(1), lit(K)),
-        i => element_at(col("sig_b"), i) === element_at(col("sig_h"), i)))
+    val estJ = org.apache.spark.sql.graftx.PositionalEqual
+      .equalCount(col("sig_b"), col("sig_h"))
       .cast("double") / K
     // distinct: a pair colliding in both bands must count once (estJ
     // is a pure function of the pair, so the triple collapses exactly)
@@ -498,8 +498,8 @@ object DedupOps {
       sig.where(if (benchSide) isBench else !isBench)
         .select(col("doc_id").as(s"${prefix}_id"), sigArr.as(s"sig_$prefix"),
           posexplode(bandCols).as(Seq("band_idx", "band_key")))
-    val estJ = size(filter(sequence(lit(1), lit(K)),
-      i => element_at(col("sig_c"), i) === element_at(col("sig_b"), i)))
+    val estJ = org.apache.spark.sql.graftx.PositionalEqual
+      .equalCount(col("sig_c"), col("sig_b"))
       .cast("double") / K
     side(benchSide = false, "c")
       .join(side(benchSide = true, "b"), Seq("band_idx", "band_key"))

@@ -32,6 +32,8 @@ object GraftExtensions {
       arity("dot_product", 2)(c => DotProduct(c(0), c(1)))),
     ("sorted_intersect_size", classOf[SortedIntersectSize].getName,
       arity("sorted_intersect_size", 2)(c => SortedIntersectSize(c(0), c(1)))),
+    ("positional_equal_count", classOf[PositionalEqualCount].getName,
+      arity("positional_equal_count", 2)(c => PositionalEqualCount(c(0), c(1)))),
     ("keep_alpha_space", classOf[KeepAlphaSpace].getName,
       arity("keep_alpha_space", 1)(c => KeepAlphaSpace(c(0)))),
     ("shingles", classOf[Shingles].getName,

@@ -70,6 +70,33 @@ class VectorExprSpec extends AnyFunSuite {
     assert(msgs.exists(_.contains("null array elements")), msgs.mkString(" | "))
   }
 
+  test("PositionalEqualCount equals the size(filter(sequence)) lambda bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftx.PositionalEqual.equalCount
+    val k = 16
+    val df = (1 to 300).map { i =>
+      val a = (0 until k).map(j => ((i * 31 + j * 7) % 97).toLong)
+      val b = (0 until k).map(j => ((i * 17 + j * 7) % 97).toLong)
+      (i, a, b)
+    }.toDF("id", "a", "b")
+    val both = df.select(
+      equalCount(col("a"), col("b")).as("native"),
+      size(filter(sequence(lit(1), lit(k)),
+        i => element_at(col("a"), i) === element_at(col("b"), i))).as("interp"))
+    assert(both.where(col("native") =!= col("interp")).count() === 0)
+    // identical arrays count k; disjoint count 0; length mismatch raises
+    val edge = Seq((Seq(1L, 2L), Seq(1L, 2L), Seq(3L, 4L), Seq(1L, 2L, 3L)))
+      .toDF("a", "b", "c", "d")
+    val r = edge.select(equalCount(col("a"), col("b")),
+      equalCount(col("a"), col("c"))).collect()(0)
+    assert(r.getInt(0) === 2 && r.getInt(1) === 0)
+    val e = intercept[Exception] {
+      edge.select(equalCount(col("a"), col("d"))).collect()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      e.getCause.getMessage.contains("length mismatch"))
+  }
+
   test("DotProduct participates in whole-stage codegen") {
     // LocalTableScan plans skip codegen entirely — use a range scan so
     // the projection actually enters a WholeStageCodegen stage.
