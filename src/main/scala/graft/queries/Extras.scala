@@ -410,6 +410,40 @@ object Extras {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** A10 per-group winsorization — the outlier-clipping feature-prep
+    * step (clip to [p01, p99] within each group) that precedes
+    * normalization in a training-feature pipeline. Scale shape: the
+    * per-group fences are a GROUP-COUNT-sized aggregate broadcast
+    * back onto the corpus scan (AQE broadcasts it), clipping is one
+    * codegen map, and the audited output re-aggregates per group — so
+    * the corpus crosses the wire once however large the groups are.
+    * Fences here use the exact `percentile` (the a9 oracle-twin
+    * caveat applies: production would compute fences with
+    * `approx_percentile` — same plan shape, sketch-sized buffers).
+    * Determinism: fences round to 6 decimals BEFORE clipping in both
+    * engines (one correctly-rounded double op), clipped sums ride
+    * the decimal-cast discipline. */
+  def a10Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val fences = li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.01)"), 6).as("lo"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("hi"))
+    li.join(broadcast(fences), "l_returnflag")
+      .withColumn("clipped",
+        when(col("l_extendedprice") < col("lo"), col("lo"))
+          .when(col("l_extendedprice") > col("hi"), col("hi"))
+          .otherwise(col("l_extendedprice")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("l_extendedprice") < col("lo")).cast("long")).as("n_lo"),
+        sum((col("l_extendedprice") > col("hi")).cast("long")).as("n_hi"),
+        sum(col("clipped").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_clipped"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Production-scale quantiles: `approx_percentile` keeps a
     * FIXED-SIZE mergeable sketch (Greenwald–Khanna, one per group and
     * partition, merged map-side) instead of buffering the group's
@@ -437,6 +471,7 @@ object Extras {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a9_quantiles" -> (a9Quantiles _),
+    "a10_winsorize" -> (a10Winsorize _),
     "a9_quantiles_approx" -> ((s: SparkSession, d: String) => a9QuantilesApprox(s, d)),
     "o6_sample" -> (o6Sample _),
     "o7_stratified_sample" -> (o7StratifiedSample _),
@@ -524,6 +559,23 @@ object Extras {
          | SELECT (6 + ROW_NUMBER() OVER (ORDER BY bucket))::BIGINT,
          |   'split:' || bucket, n FROM sp)
          |SELECT stage_idx, stage, n_docs FROM stages ORDER BY stage_idx""".stripMargin,
+    // fences round to 6 decimals BEFORE clipping in both engines;
+    // clipped sums ride the decimal-cast discipline
+    "a10_winsorize" ->
+      """WITH f AS (
+        | SELECT l_returnflag,
+        |  ROUND(QUANTILE_CONT(l_extendedprice, 0.01), 6) AS lo,
+        |  ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 6) AS hi
+        | FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        | SUM((l.l_extendedprice < f.lo)::BIGINT)::BIGINT AS n_lo,
+        | SUM((l.l_extendedprice > f.hi)::BIGINT)::BIGINT AS n_hi,
+        | CAST(SUM(CAST(CASE WHEN l.l_extendedprice < f.lo THEN f.lo
+        |   WHEN l.l_extendedprice > f.hi THEN f.hi
+        |   ELSE l.l_extendedprice END AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS sum_clipped
+        |FROM lineitem l JOIN f USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     "a9_quantiles" ->
       """SELECT o_orderpriority,
         | ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS q25,
