@@ -115,20 +115,46 @@ object Bench {
       java.nio.file.Files.write(path, full.toString.getBytes("UTF-8"))
     }
 
-    // one-line driver contract: warm-pass per-query values (the
-    // stable measurement), cold total recorded alongside. The same
-    // line is also written to bench/driver_line.json so a truncated
-    // or interleaved stdout capture (BENCH_r05's parsed:null) still
-    // has a parseable artifact on disk.
-    val qs = warm.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    // One-line driver contract. The driver's stdout capture keeps only
+    // the LAST 2000 characters (measured from BENCH_r04/r05, both of
+    // which recorded parsed:null because the full 113-query map is
+    // ~2.8 KB — the line's head scrolled out of the tail before sbt's
+    // trailing "[success] Total time" line). So the stdout line carries
+    // the totals plus a HEADLINE subset of per-query warm times, budgeted
+    // to fit the tail with room for sbt's epilogue; the COMPLETE map is
+    // written to bench/driver_line.json and bench/bench_<sf>.json.
+    val warmMap2 = warm.toMap
     val spikesNote =
       if (spiked.isEmpty) "[]" else spiked.map(n => s""""$n"""").mkString("[", ",", "]")
-    val line = s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"sf":"$sfName","spikes_rerun":$spikesNote,"failed":${if (failed.isEmpty) "[]" else failed.map(n => s""""$n"""").mkString("[", ",", "]")},"queries":$qs}"""
+    val failedNote =
+      if (failed.isEmpty) "[]" else failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    def lineFor(qnames: Seq[String]): String = {
+      val qs = qnames.map(k => "\"" + k + "\":" + r3(warmMap2(k))).mkString("{", ",", "}")
+      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
+    }
+    // headline priority: one representative per family, expensive first,
+    // then everything else — trimmed from the back until the line fits.
+    val headline = Seq(
+      "q1_pricing_summary", "j3_revenue_by_region", "j7_asof_join",
+      "w3_sessionize", "d1_exact_dedup", "d2_minhash_lsh",
+      "d4_ngram_jaccard", "d6_dup_clusters", "d13_keep_best",
+      "s1_knn_bruteforce", "s3_ann_ivf", "s5_bm25", "s6_pca_project",
+      "t1_token_stats", "t10_tfidf", "p1_pack_sequences", "m7_curation",
+      "sk1_approx_distinct", "mm1_multimodal_features", "o5_split_assign",
+    )
+    val headlinePriority =
+      headline.filter(warmMap2.contains) ++ names.filterNot(headline.toSet)
+    val budget = 1600 // 2000-char tail minus sbt's epilogue, with margin
+    val keep = (headlinePriority.length to 1 by -1).view
+      .map(headlinePriority.take)
+      .find(qn => lineFor(qn).length <= budget)
+      .getOrElse(Seq.empty)
+    val line = lineFor(keep)
+    val fullLine = lineFor(names) // complete map for the on-disk mirror
     try {
       val lp = java.nio.file.Paths.get("bench/driver_line.json")
       Option(lp.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(lp, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(lp, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort mirror
     spark.stop()
     println(line)

@@ -46,6 +46,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full-surface manifest: lets the checker fail when the correctness
+    // artifact is missing entries (the round-5 events gap was silent
+    // because nothing compared "what ran" against "what should run").
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
     if (failures.nonEmpty) {
       // Artifacts for the queries that DID succeed are all written; the

@@ -862,6 +862,24 @@ object DedupOps {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** D16 edit-distance near-dup join (operators.EditDistance,
+    * PassJoin pigeonhole candidates + thresholded levenshtein verify):
+    * all document pairs whose chars 101–148 are within edit distance
+    * 3 — the exact-criterion complement to d2's probabilistic MinHash
+    * tier. The 48-char mid-document slice is where this fixture's
+    * near-dup perturbations actually land (the head-48 slice is
+    * byte-identical across copies, which would exercise nothing);
+    * strings shorter than 24 chars at that offset are excluded on
+    * BOTH sides (short-string edit distance is dominated by length
+    * difference and belongs to d1's exact tier). */
+  def d16EditdistJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 101, 48).as("pre"))
+    graft.operators.EditDistance
+      .selfJoin(docs, "doc_id", "pre", k = 3, minLen = 24, maxLen = 48)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d3_hamming_pairs" -> (d3HammingPairs _),
     "sk2_sketch_union" -> (sk2SketchUnion _),
@@ -884,6 +902,7 @@ object DedupOps {
     "d5_embedding_dedup" -> (d5EmbeddingDedup _),
     "d11_window_dedup" -> (d11WindowDedup _),
     "d12_bloom_dedup" -> (d12BloomDedup _),
+    "d16_editdist_join" -> (d16EditdistJoin _),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1005,6 +1024,18 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // d16: brute-force thresholded levenshtein over the same slice —
+    // O(N²) is the oracle's privilege, PassJoin's absence its point.
+    "d16_editdist_join" ->
+      """WITH p AS (
+        | SELECT doc_id, substr(text, 101, 48) AS pre FROM documents),
+        |q AS (SELECT * FROM p WHERE length(pre) BETWEEN 24 AND 48)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+        |FROM q a JOIN q b ON a.doc_id < b.doc_id
+        | AND abs(length(a.pre) - length(b.pre)) <= 3
+        | AND levenshtein(a.pre, b.pre) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // sk4: TRUE pairwise vocabulary counts. Valid as an equality
     // oracle because the gate corpus (sf0.01) keeps every per-source
     // vocab far below theta's k=4096 — exact mode, where estimates

@@ -469,7 +469,61 @@ object Extras {
         col("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** W8 time-weighted average (irregular time series): each user's
+    * event values weighted by how long they were "in effect" (until
+    * the next event) — the correct mean for unevenly sampled signals
+    * (a plain avg over-weights bursts). One lead() window and one agg
+    * on the SAME user_id key: the corpus shuffles once. */
+  def w8TimeWeighted(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events") // ts = epoch nanos (LongType, see Tables)
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .where(col("next_ts").isNotNull)
+      .withColumn("dt", (col("next_ts") - col("ts")).cast("double") / lit(1e9))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        round(sum(col("value") * col("dt")) / sum(col("dt")), 4).as("twa_value"))
+      .where(col("twa_value").isNotNull)
+      .orderBy(col("user_id"))
+  }
+
+  /** Z1 Z-order (Morton) layout audit (operators.ZOrder): normalize
+    * (o_custkey, order-day) to the 16-bit grid, interleave to a
+    * 32-bit z-value, and report per-bucket (top-6 z bits = an 8×8
+    * spatial tile) min/max extents of BOTH dimensions. The payoff the
+    * stats make visible: every bucket is tight in every interleaved
+    * dimension at once, so file-level min/max pruning works for
+    * predicates on either column — a single-column sort gives that
+    * for its leading column only. The dim-range normalization is one
+    * O(1)-row agg broadcast onto the scan; the z-value itself is
+    * stateless codegen bit arithmetic. */
+  def z1ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+    val stats = o.agg(
+      min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
+      min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+    val scaled = o.crossJoin(broadcast(stats)) // 1-row dim-stats broadcast
+      .withColumn("x", floor((col("o_custkey") - col("min_ck")).cast("double")
+        * lit(65535.0) / greatest(col("max_ck") - col("min_ck"), lit(1L)).cast("double")))
+      .withColumn("y", floor((col("day") - col("min_day")).cast("double")
+        * lit(65535.0) / greatest(col("max_day") - col("min_day"), lit(1L)).cast("double")))
+    scaled
+      .withColumn("z", graft.operators.ZOrder.zValue(col("x"), col("y")))
+      .withColumn("bucket", shiftrightunsigned(col("z"), 26).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w8_time_weighted" -> (w8TimeWeighted _),
+    "z1_zorder_layout" -> (z1ZorderLayout _),
     "a9_quantiles" -> (a9Quantiles _),
     "a10_winsorize" -> (a10Winsorize _),
     "a9_quantiles_approx" -> ((s: SparkSession, d: String) => a9QuantilesApprox(s, d)),
@@ -493,6 +547,53 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    // w8: same lead-window / weighted-ratio arithmetic; dt in seconds
+    // from micros here vs nanos on the Spark side — the true quotients
+    // are identical reals, so IEEE division rounds them identically.
+    "w8_time_weighted" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+        |i AS (
+        | SELECT user_id, value,
+        |  (lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |    - tus) / 1000000.0 AS dt
+        | FROM e)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        | ROUND(SUM(value * dt) / SUM(dt), 4) AS twa_value
+        |FROM i WHERE dt IS NOT NULL
+        |GROUP BY user_id
+        |HAVING ROUND(SUM(value * dt) / SUM(dt), 4) IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
+    // z1: the same normalize → magic-number interleave → bucket stats,
+    // spelled as shift/mask CTE stages.
+    "z1_zorder_layout" ->
+      """WITH d AS (
+        | SELECT o_custkey,
+        |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        | FROM orders),
+        |st AS (
+        | SELECT MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+        |        MIN(day) AS min_day, MAX(day) AS max_day FROM d),
+        |n AS (
+        | SELECT o_custkey, day,
+        |  CAST(FLOOR((o_custkey - min_ck) * 65535.0
+        |    / GREATEST(max_ck - min_ck, 1)) AS BIGINT) AS x,
+        |  CAST(FLOOR((day - min_day) * 65535.0
+        |    / GREATEST(max_day - min_day, 1)) AS BIGINT) AS y
+        | FROM d CROSS JOIN st),
+        |s1 AS (SELECT o_custkey, day,
+        |  (x | (x << 8)) & 16711935 AS xa, (y | (y << 8)) & 16711935 AS ya FROM n),
+        |s2 AS (SELECT o_custkey, day,
+        |  (xa | (xa << 4)) & 252645135 AS xb, (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+        |s3 AS (SELECT o_custkey, day,
+        |  (xb | (xb << 2)) & 858993459 AS xc, (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+        |s4 AS (SELECT o_custkey, day,
+        |  (xc | (xc << 1)) & 1431655765 AS xd, (yc | (yc << 1)) & 1431655765 AS yd FROM s3),
+        |z AS (SELECT o_custkey, day, (xd | (yd << 1)) AS z FROM s4)
+        |SELECT CAST(z >> 26 AS BIGINT) AS bucket, COUNT(*) AS n,
+        | MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+        | MIN(day) AS min_day, MAX(day) AS max_day
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
     // M7 audit-table oracle: each curation stage re-expressed in SQL
     // over the PREVIOUS stage's survivors (normalize = t6's transform,
     // dedup keepers = min doc_id per hash, decontaminate = d8's gram

@@ -380,9 +380,53 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** A11 multi-level rollup: CUBE over (status, priority) — the
+    * dashboard-style subtotal surface (reference's status roll-up
+    * database/__init__.py:930–982 is the gid=0 slice; CUBE adds every
+    * marginal in ONE pass). Catalyst expands CUBE to a single Expand
+    * + one hash aggregate: 4× the input rows through one shuffle, not
+    * four separate scans — at 100 TB that is the difference between
+    * one job and four. `gid` disambiguates a rolled-up NULL from a
+    * data NULL (grouping-set id, same bit order both engines). */
+  def a11Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** U5 SCD2 history build (slowly-changing dimension, type 2): fold
+    * each customer's order-status stream into versioned validity
+    * ranges — detect changes with lag(), close each version with
+    * lead(). This is the MERGE-INTO/CDC surface of a lakehouse
+    * pipeline expressed as two windows on ONE key partition: the
+    * corpus shuffles once on o_custkey and never again; no global
+    * window, no driver state. Dates emitted as strings for an
+    * engine-exact compare. */
+  def u5Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderstatus"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .withColumn("valid_to_ts", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd").as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderstatus"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a11_cube" -> (a11Cube _),
+    "u5_scd2_merge" -> (u5Scd2Merge _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "f1_projection" -> (f1Projection _),
     "f2_fancy_index" -> (f2FancyIndex _),
@@ -413,6 +457,33 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a11_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    "u5_scd2_merge" ->
+      """WITH h AS (
+        | SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |  lag(o_orderstatus) OVER w AS prev
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |c AS (
+        | SELECT * FROM h WHERE prev IS NULL OR prev <> o_orderstatus),
+        |v AS (
+        | SELECT o_custkey, o_orderstatus, o_orderdate,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to_ts
+        | FROM c)
+        |SELECT o_custkey, o_orderstatus,
+        | strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        | strftime(valid_to_ts, '%Y-%m-%d') AS valid_to,
+        | valid_to_ts IS NULL AS is_current
+        |FROM v
+        |ORDER BY o_custkey, valid_from, o_orderstatus""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EditDistance, ZOrder}
+
+/** Round-6 operator surface: PassJoin edit-distance join, Z-order
+  * layout keys, SCD2 history build, time-weighted averaging. */
+class Round6OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------- EditDistance
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("PassJoin selfJoin equals brute force on the fixture corpus") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), substring(col("text"), 101, 48).as("pre"))
+    val fast = pairsOf(EditDistance.selfJoin(docs, "doc_id", "pre", 3, 24, 48))
+    val slow = pairsOf(EditDistance.bruteForce(docs, "doc_id", "pre", 3, 24, 48))
+    assert(fast === slow)
+    assert(slow.nonEmpty, "fixture should contain at least one near pair")
+  }
+
+  test("PassJoin is complete on adversarial edits at segment boundaries") {
+    import spark.implicits._
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH" // 44 chars
+    def del(s: String, i: Int) = s.substring(0, i) + s.substring(i + 1)
+    def ins(s: String, i: Int, c: Char) = s.substring(0, i) + c + s.substring(i)
+    def sub(s: String, i: Int, c: Char) = s.substring(0, i) + c + s.substring(i + 1)
+    val variants = Seq(
+      base,
+      sub(base, 0, '#'), sub(base, 21, '#'), sub(base, 43, '#'),
+      // deletions straddling the k+1=4 canonical segment boundaries
+      del(base, 10), del(del(base, 11), 21), del(del(del(base, 0), 10), 30),
+      // insertions, incl. at both ends
+      ins(base, 0, '!'), ins(base, 44, '!'), ins(ins(ins(base, 5, '!'), 20, '?'), 40, '*'),
+      // exactly k=3 mixed edits
+      sub(del(base, 3), 30, '#') + "Z",
+      // beyond threshold: 4 substitutions (must appear in NEITHER side)
+      sub(sub(sub(sub(base, 1, '#'), 11, '#'), 22, '#'), 33, '#') + "",
+      // unrelated string of a matching length
+      "zyxwvutsrqponmlkjihgfedcba9876543210ZYXWVUTS")
+    val docs = variants.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "pre")
+    val fast = pairsOf(EditDistance.selfJoin(docs, "doc_id", "pre", 3, 24, 48))
+    val slow = pairsOf(EditDistance.bruteForce(docs, "doc_id", "pre", 3, 24, 48))
+    assert(fast === slow)
+    // the base string must match every ≤3-edit variant (ids 1..10)
+    val fromBase = slow.collect { case (0L, b, _) => b }
+    assert((1L to 10L).toSet.subsetOf(fromBase.toSet))
+  }
+
+  test("PassJoin candidate fan-out per document is a bounded constant") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH"))
+      .toDF("doc_id", "pre")
+    val nProbe = EditDistance.probeKeys(docs, "doc_id", "pre", 3, 24, 48).count()
+    val nIdx = EditDistance.segmentKeys(docs, "doc_id", "pre", 3).count()
+    assert(nIdx === 4)
+    // ≤ (2k+1) lengths × (k+1) segments × (2k+1) positions = 196
+    assert(nProbe <= 196, s"probe fan-out $nProbe exceeds the PassJoin bound")
+  }
+
+  // --------------------------------------------------------------- ZOrder
+
+  private def refSpread(x: Long): Long =
+    (0 until 16).map(b => ((x >> b) & 1L) << (2 * b)).sum
+
+  test("zValue matches the bitwise reference interleave") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val xs = Seq(0L, 1L, 2L, 3L, 0xFFFFL, 0x8000L, 0x5555L, 0xAAAAL) ++
+      Seq.fill(50)(rnd.nextInt(65536).toLong)
+    val ys = xs.reverse
+    val df = xs.zip(ys).toDF("x", "y")
+      .withColumn("z", ZOrder.zValue(col("x"), col("y")))
+    df.collect().foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z === (refSpread(x) | (refSpread(y) << 1)),
+        s"interleave mismatch for ($x, $y)")
+    }
+  }
+
+  test("z-order buckets are tight in BOTH dimensions simultaneously") {
+    val out = graft.queries.Extras.z1ZorderLayout(spark, sf).collect()
+    assert(out.nonEmpty)
+    // global extents
+    val ckSpan = out.map(_.getLong(3)).max - out.map(_.getLong(2)).min
+    val daySpan = out.map(_.getLong(5)).max - out.map(_.getLong(4)).min
+    out.foreach { r =>
+      val ck = r.getLong(3) - r.getLong(2)
+      val day = r.getLong(5) - r.getLong(4)
+      // a top-6-bit z bucket is an 8×8 tile of the normalized grid:
+      // each bucket's extent must be ≈1/8 of the global span per dim
+      assert(ck <= ckSpan / 8 + ckSpan / 64 + 1, s"custkey extent $ck too wide in $r")
+      assert(day <= daySpan / 8 + daySpan / 64 + 1, s"day extent $day too wide in $r")
+    }
+  }
+
+  // ----------------------------------------------------------------- SCD2
+
+  test("SCD2 collapses consecutive statuses and closes versions") {
+    import spark.implicits._
+    val hist = graft.queries.Relational.u5Scd2Merge(spark, sf)
+    val rows = hist.collect()
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_.getLong(0))
+    byCust.foreach { case (_, vs) =>
+      val sorted = vs.sortBy(r => (r.getString(2), r.getString(1)))
+      // exactly one open (current) version per customer
+      assert(sorted.count(_.getBoolean(4)) === 1)
+      // consecutive versions never repeat a status (change detection)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(1) != b.getString(1) ||
+          a.getString(2) == b.getString(2)) // same-day tie may repeat
+        case _ => ()
+      }
+      // each closed version's valid_to equals some later valid_from
+      val froms = sorted.map(_.getString(2)).toSet
+      sorted.filterNot(_.getBoolean(4)).foreach { r =>
+        assert(froms.contains(r.getString(3)),
+          s"valid_to ${r.getString(3)} closes onto no successor")
+      }
+    }
+  }
+
+  // --------------------------------------------------------- time-weighted
+
+  test("time-weighted average matches a hand computation") {
+    import spark.implicits._
+    // one user: value 10 held 3 s, 20 held 1 s → twa = (30+20)/4 = 12.5
+    val ev = Seq(
+      (1L, 0L, 77L, "a", 10.0),
+      (2L, 3L * 1000000000L, 77L, "a", 20.0),
+      (3L, 4L * 1000000000L, 77L, "a", 99.0) // terminal value carries no weight
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val out = ev.withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .where(col("next_ts").isNotNull)
+      .withColumn("dt", (col("next_ts") - col("ts")).cast("double") / lit(1e9))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value") * col("dt")) / sum(col("dt")), 4).as("twa"))
+      .collect()
+    assert(out.length === 1)
+    assert(math.abs(out(0).getDouble(1) - 12.5) < 1e-9)
+  }
+}

@@ -19,6 +19,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm_cell(v):
+    # array/list cells (e.g. a raw array<double> output column) are
+    # unhashable/unsortable as numpy arrays — canonicalize to tuples so
+    # the row sort and compare still work (ADVICE r5 item 2).
+    if hasattr(v, "tolist") and not hasattr(v, "is_integer"):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -35,11 +42,36 @@ def canon(df):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # fixture preflight (ADVICE r5 item 1): an empty/missing table makes
+    # downstream "passes" meaningless — abort loudly instead.
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        n = con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+        if n == 0:
+            print(f"ABORT: fixture table {t} is empty in {sf_dir}")
+            return 2
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # coverage gate (ADVICE r5 item 1): every declared query must have a
+    # Verify output; a missing entry is a FAIL, not a silent shrink.
+    try:
+        declared = json.load(open(f"{out_dir}/queries.json"))
+    except FileNotFoundError:
+        declared = sorted(oracle)
+    import os
+    for name in declared:
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"FAIL {name}: no Verify output (query did not run)")
+            n_fail += 1
+        elif name not in oracle:
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
+                print(f"ROWS {name} ({n} rows, no oracle)")
+            except Exception as e:
+                print(f"FAIL {name}: rows-only result unreadable: {e}")
+                n_fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             want = con.execute(sql).df()
