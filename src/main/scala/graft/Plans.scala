@@ -66,7 +66,12 @@ object Plans {
       "d14_incremental_minhash" -> "batch-only signature build band-joins the checkpointed history table; history never recomputes or reshuffles",
       "t10_tfidf_capped" -> "df floor prunes the idf model side before the scoring join; totality left join against the pruned doc scan",
       "t11_lm_xent_capped" -> "bigram model capped at the count floor, marginals from the uncapped aggregate, scored stream joins the pruned model",
-      "j10_skew_join" -> "hot keys salted: probe-side per-row pmod spread, build-side sequence-explode replication, join on (key, salt)")
+      "j10_skew_join" -> "hot keys salted: probe-side per-row pmod spread, build-side sequence-explode replication, join on (key, salt)",
+      "d16_editdist_join" -> "PassJoin pigeonhole: constant per-doc key fan-out, short-key equi-join candidates, thresholded levenshtein verify — no cartesian",
+      "a11_cube" -> "CUBE = one Expand + one hash aggregate: all four grouping sets in a single shuffle",
+      "u5_scd2_merge" -> "SCD2 change-fold: lag + lead windows share ONE o_custkey sort order — a single keyed shuffle",
+      "w8_time_weighted" -> "lead window and the weighted agg share the user_id partitioning — one shuffle end to end",
+      "z1_zorder_layout" -> "1-row dim-stats broadcast onto the scan, codegen bit-interleave, one bucket agg shuffle")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")

@@ -225,6 +225,133 @@ object Multimodal {
     }
   }
 
+  /** 64-bit DCT perceptual hash (the public pHash construction:
+    * average-pool the decoded luminance to 8×8, 2-D DCT-II, threshold
+    * every coefficient except DC against the median; 63 content bits).
+    * Invariant to what byte hashes are not: JPEG quantization noise,
+    * codec choice, resizes, small pixel edits — the image analog of
+    * d3's SimHash. Pure deterministic double arithmetic. */
+  def phash64(img: graft.sources.Bmp.Image): Long = {
+    val N = 8
+    val acc = Array.ofDim[Double](N, N)
+    val cnt = Array.ofDim[Int](N, N)
+    val (w, h) = (math.max(img.width, 1), math.max(img.height, 1))
+    var y = 0
+    while (y < h) {
+      val cy = y * N / h
+      var x = 0
+      while (x < w) {
+        val px = img.rgb(y * w + x)
+        val lum = (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)) / 3.0
+        val cx = x * N / w
+        acc(cy)(cx) += lum; cnt(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cell = Array.tabulate(N, N)((r, c) =>
+      if (cnt(r)(c) == 0) 0.0 else acc(r)(c) / cnt(r)(c))
+    // 2-D DCT-II of the 8×8 pooled luma
+    val dct = Array.tabulate(N, N) { (u, v) =>
+      var s = 0.0
+      var yy = 0
+      while (yy < N) {
+        var xx = 0
+        while (xx < N) {
+          s += cell(yy)(xx) *
+            math.cos((2 * xx + 1) * u * math.Pi / (2 * N)) *
+            math.cos((2 * yy + 1) * v * math.Pi / (2 * N))
+          xx += 1
+        }
+        yy += 1
+      }
+      s
+    }
+    val coefs = (for { u <- 0 until N; v <- 0 until N
+      if !(u == 0 && v == 0) } yield dct(u)(v)).toArray
+    val median = coefs.sorted.apply(coefs.length / 2)
+    var bits = 0L
+    var i = 0
+    while (i < coefs.length) {
+      if (coefs(i) > median) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Every image twice: the original payload and a CROSS-CODEC twin
+    * (BMP originals re-encoded as quality-85 JPEG, JPEG originals as
+    * BMP of their lossily-decoded pixels). Twin ids are 2·media_id+1,
+    * originals 2·media_id — the same logical picture stored under two
+    * codecs, which is exactly the duplicate class a byte/content hash
+    * (d1) is BLIND to: no two variant payloads share a single byte
+    * prefix, yet each pair shows the same content. */
+  def imageVariants(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter(_.kind == "image")
+      .flatMap { m =>
+        val img = decodeImage(m.payload)
+        val isJpeg = (m.payload(0) & 0xFF) == 0xFF && (m.payload(1) & 0xFF) == 0xD8
+        val twin =
+          if (isJpeg) graft.sources.Bmp.encode(img)
+          else graft.sources.Jpeg.encode(
+            graft.sources.Jpeg.Image(img.width, img.height, img.rgb), quality = 95)
+        Seq((2 * m.media_id, m.payload), (2 * m.media_id + 1, twin))
+      }
+  }
+
+  /** MM2 cross-codec image dedup by perceptual hash: decode every
+    * variant payload (JPEG or BMP), pool+DCT to a 64-bit pHash, then
+    * MULTI-INDEX HASHING over the hash (Norouzi, Punjani & Fleet,
+    * "Fast search in Hamming space with multi-index hashing",
+    * CVPR 2012 — public): the 64 bits split into m = 4 16-bit bands;
+    * a pair within hamming r must agree within ⌊r/m⌋ flips on some
+    * band (pigeonhole), so the PROBE side emits each band value plus
+    * its ≤2-flip neighborhood (1 + 16 + 120 = 137 probes per band, a
+    * bounded constant) and candidates come from an exact equi-join on
+    * (band_idx, 16-bit value). That buys a GUARANTEED radius of
+    * m·2 + (m−1) = 11 ≥ the operating threshold 10 — wide enough to
+    * reach through a quality-95 JPEG re-encode of even noise-like
+    * images — while the join keys stay selective (16-bit values, vs
+    * the 256-value bands plain 8-bit banding would need for a radius
+    * this wide). Codegen `bit_count(xor)` verifies candidates.
+    * Finds each original/re-encode pair THROUGH the lossy codec
+    * boundary while unrelated images (hamming ≈ 32, the random
+    * baseline) stay out. No pixel data ever shuffles: the corpus
+    * reduces to (variant_id, 64-bit hash) inside the decode kernel. */
+  def imagePhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 10): DataFrame = {
+    import spark.implicits._
+    val hashed = imageVariants(spark, dir)
+      .mapPartitions(_.map { case (id, payload) =>
+        (id, phash64(decodeImage(payload))) })
+    val nBands = 4
+    def bandVal(ph: Long, b: Int): Int = ((ph >>> (16 * b)) & 0xFFFF).toInt
+    // index side: the four exact band values
+    val idx = hashed.flatMap { case (id, ph) =>
+      (0 until nBands).map(b => (b, bandVal(ph, b), id, ph))
+    }.toDF("band_idx", "band_key", "media_a", "ph_a")
+    // probe side: each band's ≤2-flip neighborhood (137 keys/band)
+    val prb = hashed.flatMap { case (id, ph) =>
+      for {
+        b <- 0 until nBands
+        v = bandVal(ph, b)
+        probe <- Seq(v) ++
+          (0 until 16).map(i => v ^ (1 << i)) ++
+          (for { i <- 0 until 16; j <- i + 1 until 16 }
+            yield v ^ (1 << i) ^ (1 << j))
+      } yield (b, probe, id, ph)
+    }.toDF("band_idx", "band_key", "media_b", "ph_b")
+    idx.join(prb, Seq("band_idx", "band_key"))
+      .where(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** Query-surface entry: decode features summary per kind. */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
     decodeFeatures(mediaFromDocuments(spark, dir)).toDF()

@@ -221,10 +221,24 @@ object DedupOps {
     val prefix = tok.join(dfreq, "tok")
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <= col("nt") - ceil(col("nt") * threshold) + 1)
-    val a = prefix.select(col("source"), col("tok"), col("doc_id").as("doc_a"))
-    val b = prefix.select(col("source"), col("tok"), col("doc_id").as("doc_b"))
+    val a = prefix.select(col("source"), col("tok"), col("doc_id").as("doc_a"),
+      col("nt").as("na"), col("pos").as("pa"))
+    val b = prefix.select(col("source"), col("tok"), col("doc_id").as("doc_b"),
+      col("nt").as("nb"), col("pos").as("pb"))
+    // PPJoin size + positional filters (Xiao et al., WWW'08, public):
+    // J ≥ t needs overlap o = ⌈t·(na+nb)/(1+t)⌉; a posting shared at
+    // ranks (pa, pb) of the common (df, tok) order can support at most
+    // 1 + min(na−pa, nb−pb) overlap. Sound as an ANY-posting filter:
+    // a true pair's FIRST common token lies in both prefixes and has
+    // zero shared tokens before it, so its posting always passes. On
+    // this small-vocab corpus (weak prefix selectivity) these two
+    // predicates cut the candidate set ~2–3× before the distinct.
+    val o = ceil((col("na") + col("nb")) * lit(threshold / (1 + threshold)))
     val cand = a.join(b, Seq("source", "tok"))
-      .where(col("doc_a") < col("doc_b"))
+      .where(col("doc_a") < col("doc_b")
+        && col("na") >= col("nb") * threshold
+        && col("nb") >= col("na") * threshold
+        && lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= o)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     val ta = d.select(col("doc_id").as("doc_a"), col("tset").as("ta"),

@@ -162,6 +162,11 @@ object SimilarityOps {
     "s8_hybrid_rrf" -> (s8HybridRrf _),
     "d10_semdedup" -> (graft.operators.Similarity.d10SemDedup _),
     "mm1_multimodal_features" -> (graft.operators.Multimodal.featureSummary _),
+    // rows-only: decode + pHash are engine-side kernels with no SQL
+    // twin; completeness vs the planted cross-codec twins is spec'd
+    "mm2_image_phash" ->
+      ((s: SparkSession, d: String) =>
+        graft.operators.Multimodal.imagePhashPairs(s, d)),
     "m12_embedding_filter" -> (graft.operators.EmbedFilter.m12EmbeddingFilter _),
   )
 

@@ -180,4 +180,56 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD"),
       s"no checkpointed history scan in the plan:\n$plan")
   }
+
+  test("edit-distance join: equi-join candidates, never a cartesian or nested loop") {
+    val plan = formatted(queries.DedupOps.d16EditdistJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "PassJoin exists to avoid the O(N²) pair space")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join on segment keys")
+  }
+
+  // formatted explain prints every node twice (tree + numbered detail)
+  // — count the detail headers / Arguments lines, which appear exactly
+  // once per physical node.
+  private def nScans(plan: String): Int =
+    "\\(\\d+\\) Scan parquet".r.findAllIn(plan).length
+  private def nHashExchanges(plan: String): Int =
+    "Arguments: hashpartitioning".r.findAllIn(plan).length
+
+  test("cube plans as one Expand + hash aggregates, not one scan per grouping set") {
+    val plan = formatted(queries.Relational.a11Cube(spark, sf))
+    assert(plan.contains("Expand"),
+      "CUBE must expand grouping sets inline")
+    assert(nScans(plan) === 1,
+      "all four grouping sets must share a single orders scan")
+    assert(nHashExchanges(plan) === 1,
+      "all four grouping sets must ride one keyed shuffle")
+  }
+
+  test("SCD2 windows share one customer-key shuffle") {
+    val plan = formatted(queries.Relational.u5Scd2Merge(spark, sf))
+    assert(!plan.contains("SinglePartition"),
+      "change-fold windows must stay keyed by o_custkey")
+    assert(plan.contains("hashpartitioning(o_custkey"))
+    // lag and lead ride the same sort order: exactly one hash exchange
+    assert(nHashExchanges(plan) === 1,
+      s"expected ONE keyed shuffle for both windows:\n$plan")
+  }
+
+  test("time-weighted average: window and agg share the user_id partitioning") {
+    val plan = formatted(queries.Extras.w8TimeWeighted(spark, sf))
+    assert(!plan.contains("SinglePartition"))
+    assert(nHashExchanges(plan) === 1,
+      s"lead window and weighted agg must reuse one user_id shuffle:\n$plan")
+  }
+
+  test("z-order layout: dim stats broadcast, one bucket-agg shuffle") {
+    val plan = formatted(queries.Extras.z1ZorderLayout(spark, sf))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "the 1-row dim-stats must broadcast onto the scan")
+    assert(nHashExchanges(plan) === 1,
+      s"the interleave must stay stateless: only the bucket agg shuffles:\n$plan")
+  }
 }

@@ -135,6 +135,31 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------ mm2 pHash
+
+  test("pHash finds every cross-codec twin and nothing else") {
+    val imgs = graft.operators.Multimodal
+      .mediaFromDocuments(spark, sf).filter(_.kind == "image").count()
+    val pairs = graft.operators.Multimodal.imagePhashPairs(spark, sf).collect()
+    // exactly one pair per image: (2k, 2k+1) original/re-encode twins
+    assert(pairs.length === imgs)
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(b === a + 1 && a % 2 === 0,
+        s"unexpected non-twin pair ($a, $b) — cross-image false positive")
+    }
+  }
+
+  test("pHash is invariant under a lossless BMP round-trip") {
+    val media = graft.operators.Multimodal
+      .mediaFromDocuments(spark, sf).filter(_.kind == "image").head()
+    val img = graft.operators.Multimodal.decodeImage(media.payload)
+    val h1 = graft.operators.Multimodal.phash64(img)
+    val h2 = graft.operators.Multimodal.phash64(
+      graft.sources.Bmp.decode(graft.sources.Bmp.encode(img)))
+    assert(h1 === h2)
+  }
+
   // --------------------------------------------------------- time-weighted
 
   test("time-weighted average matches a hand computation") {
