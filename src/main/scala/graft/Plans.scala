@@ -71,7 +71,12 @@ object Plans {
       "a11_cube" -> "CUBE = one Expand + one hash aggregate: all four grouping sets in a single shuffle",
       "u5_scd2_merge" -> "SCD2 change-fold: lag + lead windows share ONE o_custkey sort order — a single keyed shuffle",
       "w8_time_weighted" -> "lead window and the weighted agg share the user_id partitioning — one shuffle end to end",
-      "z1_zorder_layout" -> "1-row dim-stats broadcast onto the scan, codegen bit-interleave, one bucket agg shuffle")
+      "z1_zorder_layout" -> "1-row dim-stats broadcast onto the scan, codegen bit-interleave, one bucket agg shuffle",
+      "t16_keywords" -> "doc_id-keyed rank window plans as WindowGroupLimit over the tf-idf scoring join — group buffers pruned to top-3 before the sort",
+      "t17_dsir_weights" -> "vocab²-bounded DSIR model table broadcast onto the bigram stream; smoothing constants ride single-row broadcast aggregates",
+      "w9_transitions" -> "one user_id sort-window for the lag; corpus collapses to the |types|² relation before the row-normalize window",
+      "m13_mix_gap" -> "corpus collapses in one source-keyed agg; totals ride a broadcast single-row join",
+      "c1_kmeans_summary" -> "capped-sample driver Lloyd, batched-GEMM assignment scan, k-row broadcast distance join, one cell-keyed agg")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")

@@ -103,14 +103,15 @@ object Similarity {
       * overhead per round to aggregate the same ≤4 MB. */
     def centroids(corpus: DataFrame, vCol: String, idCol: String,
         nlist: Int, iters: Int, seed: Long,
-        trainSample: Int = 8192): Array[Array[Double]] = {
+        trainSample: Int = 8192,
+        farthestInit: Boolean = false): Array[Array[Double]] = {
       val train: Array[Array[Double]] = corpus
         .withColumn("__h", xxhash64(col(idCol), lit(seed)))
         .orderBy(col("__h")).limit(trainSample)
         .select(col(vCol)).collect()
         .map(_.getSeq[Double](0).toArray)
       if (train.isEmpty) return Array.empty
-      lloydLocal(train, nlist, iters)
+      lloydLocal(train, nlist, iters, farthestInit)
     }
 
     /** Column-major Breeze matrix over row-major training vectors. */
@@ -127,9 +128,41 @@ object Similarity {
       * keep their centroid. Shared by the IVF coarse quantizer and
       * the PQ sub-codebooks — both train on bounded samples, so this
       * never sees corpus-sized input. */
+    /** Gonzalez farthest-first traversal init (deterministic: starts
+      * from the sample's first row under the keyed-digest order,
+      * strict > keeps the lowest index on distance ties). For
+      * well-separated clusters this provably seeds one center per
+      * cluster — the take-k init can seed two centers in one blob
+      * and Lloyd never recovers (the k-means summary operator's
+      * failure mode; at IVF's nlist ≈ 4√N the many-cells regime
+      * washes init quality out, so IVF keeps take-k and its committed
+      * outputs). O(n·k·dim), sample-bounded like Lloyd itself. */
+    private def farthestFirstInit(train: Array[Array[Double]],
+        k: Int): Array[Array[Double]] = {
+      val n = train.length
+      if (n <= k) return train.take(k)
+      val chosen = scala.collection.mutable.ArrayBuffer(train(0))
+      val minD = Array.fill(n)(Double.MaxValue)
+      while (chosen.length < k) {
+        val c = chosen.last
+        var best = 0; var bestD = -1.0; var i = 0
+        while (i < n) {
+          var d = 0.0; var j = 0
+          val v = train(i)
+          while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+          if (d < minD(i)) minD(i) = d
+          if (minD(i) > bestD) { bestD = minD(i); best = i }
+          i += 1
+        }
+        chosen += train(best)
+      }
+      chosen.toArray
+    }
+
     private[operators] def lloydLocal(train: Array[Array[Double]], k: Int,
-        iters: Int): Array[Array[Double]] = {
-      var cents = train.take(k)
+        iters: Int, farthestInit: Boolean = false): Array[Array[Double]] = {
+      var cents =
+        if (farthestInit) farthestFirstInit(train, k) else train.take(k)
       val n = train.length
       val dim = train(0).length
       val X = toMatrix(train)

@@ -70,6 +70,36 @@ object Extras {
       .orderBy(col("event_type"))
   }
 
+  /** W9 event-type transition matrix: first-order Markov transition
+    * counts and probabilities over per-user event sequences (the
+    * behavioral-analytics twin of t11's bigram LM — "what follows
+    * what"). One user_id-keyed sort-window for the lag, then the
+    * corpus collapses into a |types|²-sized relation; the per-row
+    * probability normalizes within the prev_type row via a window
+    * over that tiny relation. Probabilities are integer ppm so the
+    * DuckDB compare is exact. */
+  def w9Transitions(s: SparkSession, dir: String): DataFrame =
+    transitionsOf(Tables(s, dir, "events"))
+
+  /** The w9 kernel over an arbitrary (user_id, ts, event_id,
+    * event_type) relation — spec-testable with hand sequences. */
+  def transitionsOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy(col("prev_type"))
+    counts
+      .withColumn("row_tot", sum(col("n")).over(wp))
+      .select(col("prev_type"), col("event_type").as("next_type"), col("n"),
+        round(col("n") * lit(1e6) / col("row_tot"), 0).cast("long")
+          .as("p_ppm"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** O6/O7 deterministic "random" sample: rank by a keyed digest —
     * engine-independent, unlike rand(seed) (the reference persists
     * shuffle ids for exactly this reason; a content-keyed rank IS the
@@ -538,6 +568,7 @@ object Extras {
     "w5_retention" -> (w5Retention _),
     "w6_anomaly" -> (w6Anomaly _),
     "w7_sliding_window" -> (w7SlidingWindow _),
+    "w9_transitions" -> (w9Transitions _),
     "a6_weighted_mean" -> (a6WeightedMean _),
     "k1_vegard" -> (k1Vegard _),
     "x1_json_props" -> (x1JsonProps _),
@@ -850,6 +881,18 @@ object Extras {
         | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
         |   / COUNT(CAST(props->>'$.k' AS BIGINT)) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "w9_transitions" ->
+      """WITH tr AS (
+        | SELECT LAG(event_type, 1) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS prev_type,
+        |  event_type AS next_type
+        | FROM events),
+        |c AS (
+        | SELECT prev_type, next_type, COUNT(*)::BIGINT AS n
+        | FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        | ROUND(n * 1e6 / SUM(n) OVER (PARTITION BY prev_type))::BIGINT AS p_ppm
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
     "w2_lag_delta" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(AVG(delta), 6) AS avg_delta
         |FROM (

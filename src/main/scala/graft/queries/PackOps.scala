@@ -112,6 +112,38 @@ object PackOps {
       .orderBy(col("source"))
   }
 
+  /** M13 mix-gap report: observed token share per source vs a uniform
+    * target mix, with the reweighting factor that would close the gap
+    * (the audit a data-mixing pipeline runs BEFORE committing to an
+    * m9 plan — m9 prescribes, m13 measures what the corpus can
+    * deliver). Shares and factors in integer ppm/micro units so the
+    * cross-engine compare is exact. One source-level aggregation;
+    * totals ride a broadcast single-row join — downstream of the agg
+    * everything is source-cardinality-sized at any corpus scale. */
+  def m13MixGap(s: SparkSession, dir: String): DataFrame =
+    mixGapOf(Tables(s, dir, "documents"))
+
+  /** The m13 kernel over an arbitrary (source, text) relation. */
+  def mixGapOf(docs: DataFrame): DataFrame = {
+    val bySrc = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = bySrc.agg(sum(col("n_tokens")).as("tot"),
+      count(lit(1)).as("n_sources"))
+    val sharePpm =
+      round(col("n_tokens") * lit(1e6) / col("tot"), 0).cast("long")
+    val targetPpm = round(lit(1e6) / col("n_sources"), 0).cast("long")
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        sharePpm.as("share_ppm"),
+        targetPpm.as("target_ppm"),
+        (sharePpm - targetPpm).as("gap_ppm"),
+        round(col("tot").cast("double") / col("n_sources")
+          / col("n_tokens") * 1e6, 0).cast("long").as("upweight_micro"))
+      .orderBy(col("source"))
+  }
+
   /** M11 training-mix EXECUTION — the sampling pass that applies the
     * m9 plan (planning a mixture and never materializing it is the
     * half-finished version of this pipeline): every document joins
@@ -272,6 +304,7 @@ object PackOps {
     "p2_chunk_windows" -> (p2ChunkWindows _),
     "m9_mix_plan" -> (m9MixPlan _),
     "m11_mix_execute" -> (m11MixExecute _),
+    "m13_mix_gap" -> (m13MixGap _),
     // rows-only: L-BFGS float reductions aren't cross-engine
     // reproducible; the spec gates held-out accuracy instead
     "m10_quality_classifier" -> (graft.fit.QualityModel.m10QualityClassifier _),
@@ -331,6 +364,20 @@ object PackOps {
          |   - GREATEST(off, chunk_id * $ChunkCap))::BIGINT AS n_tokens,
          | SUM(CASE WHEN off < chunk_id * $ChunkCap THEN 1 ELSE 0 END)::BIGINT AS n_carry_in
          |FROM e GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+    "m13_mix_gap" ->
+      """WITH s AS (
+        | SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        | FROM documents GROUP BY source),
+        |t AS (SELECT SUM(n_tokens)::BIGINT AS tot,
+        |             COUNT(*)::BIGINT AS n_sources FROM s)
+        |SELECT source, n_docs, n_tokens,
+        | ROUND(n_tokens * 1e6 / tot)::BIGINT AS share_ppm,
+        | ROUND(1e6 / n_sources)::BIGINT AS target_ppm,
+        | ROUND(n_tokens * 1e6 / tot)::BIGINT
+        |   - ROUND(1e6 / n_sources)::BIGINT AS gap_ppm,
+        | ROUND(tot::DOUBLE / n_sources / n_tokens * 1e6)::BIGINT AS upweight_micro
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
     "m9_mix_plan" ->
       s"""WITH agg AS (
          | SELECT source, COUNT(*)::BIGINT AS n_docs,

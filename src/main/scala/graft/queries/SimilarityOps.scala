@@ -149,6 +149,56 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** C1 k-means clustering summary over the embedding corpus — the
+    * clustering pass a topic-balanced sampler or SemDeDup-style
+    * curation stage starts from. Reuses the IVF coarse quantizer's
+    * training discipline (capped keyed-digest sample, driver-local
+    * Lloyd, ≤4 MB driver traffic) and its batched-GEMM full-corpus
+    * assignment — clustering IS the IVF build minus the index, so the
+    * scale argument is identical: one corpus pass for assignment, one
+    * k-sized broadcast join for distances, one cell-keyed agg.
+    *
+    * Output is the per-cluster summary (sizes + inertia), not the
+    * corpus-sized assignment (which a caller gets from
+    * `Ivf.assignCells` directly). Per-point squared distances
+    * quantize to integer micro-units before the sum, so the
+    * per-cluster inertia is order-independent integer arithmetic.
+    * Rows-only (k-means is not SQL-expressible); KmeansSpec asserts
+    * blob recovery, determinism, and the inertia bound. */
+  def c1KmeansSummary(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity.Ivf
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    kmeansSummaryOf(emb, "vec_id", "v", k = 8, iters = 10, seed = 42L)
+  }
+
+  /** The c1 kernel over an arbitrary (id, vector) relation. */
+  def kmeansSummaryOf(emb: DataFrame, idCol: String, vCol: String,
+      k: Int, iters: Int, seed: Long): DataFrame = {
+    import graft.operators.Similarity.Ivf
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = Ivf.centroids(emb, vCol, idCol, nlist = k, iters = iters,
+      seed = seed, farthestInit = true)
+    val centTable = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "cent")
+    val d2 = aggregate(
+      zip_with(col(vCol), col("cent"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    Ivf.assignCells(emb, idCol, vCol, cents)
+      .join(broadcast(centTable), "cell")
+      .select(col("cell"),
+        round(d2 * lit(1e6), 0).cast("long").as("d2_micro"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d2_micro")).as("inertia_micro"))
+      .select(col("cell").cast("long").as("cluster_id"), col("n"),
+        col("inertia_micro"),
+        round(col("inertia_micro").cast("double") / col("n"), 0)
+          .cast("long").as("mean_d2_micro"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_bruteforce" -> (s1KnnBruteforce _),
     "s5_bm25" -> (s5Bm25 _),
@@ -158,6 +208,9 @@ object SimilarityOps {
     "s3_ann_ivf" -> (graft.operators.Similarity.s3AnnIvf _),
     "s4_ann_ivfpq" -> (graft.operators.Similarity.s4AnnIvfPq _),
     "s6_pca_project" -> (graft.operators.Pca.s6PcaProject _),
+    // rows-only: iterative k-means isn't SQL-expressible; KmeansSpec
+    // asserts blob recovery, determinism, and the inertia bound
+    "c1_kmeans_summary" -> (c1KmeansSummary _),
     "s7_scalar_quantize" -> (graft.operators.Quantize.s7ScalarQuantize _),
     "s8_hybrid_rrf" -> (s8HybridRrf _),
     "d10_semdedup" -> (graft.operators.Similarity.d10SemDedup _),

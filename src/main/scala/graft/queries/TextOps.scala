@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -406,6 +407,103 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T16 per-document keyword extraction: top-3 tokens by tf·idf with
+    * deterministic tie-break (weight desc, then token) — the classic
+    * tf-idf keyword summarizer a corpus-exploration / topic-tagging
+    * pass runs per document. Weights reuse t10's integer-micro-unit
+    * idf quantization, so ranking is pure integer comparison and
+    * immune to float summation order. Scale shape: the rank window
+    * partitions by doc_id (never SinglePartition) and the `rank <= 3`
+    * predicate plans as a WindowGroupLimit, so each group's buffer is
+    * pruned to 3 rows before the full sort materializes. */
+  def t16Keywords(s: SparkSession, dir: String): DataFrame =
+    keywordsOf(Tables(s, dir, "documents"), topK = 3)
+
+  /** The t16 kernel over an arbitrary (doc_id, text) relation —
+    * spec-testable with a hand-computable corpus. */
+  def keywordsOf(docs: DataFrame, topK: Int): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "token") // vocab-sized; AQE broadcasts it
+      .crossJoin(broadcast(n))
+      .withColumn("w_micro", col("tf") *
+        round(log(col("n_docs").cast("double") / col("df")) * 1e6, 0)
+          .cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("w_micro").desc, col("token"))
+    scored.withColumn("kw_rank", row_number().over(w).cast("long"))
+      .where(col("kw_rank") <= topK)
+      .select(col("doc_id"), col("kw_rank"), col("token"), col("w_micro"))
+      .orderBy(col("doc_id"), col("kw_rank"))
+  }
+
+  /** T17 DSIR importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * per-document log importance weight log p_target(doc)/p_raw(doc)
+    * under bag-of-bigrams models of a TARGET slice (here lang = 'en',
+    * standing in for the high-quality target corpus) vs the RAW
+    * corpus, with add-1 smoothing over the raw bigram vocabulary.
+    * Docs that look most target-like get the largest weights — the
+    * resampling key for target-matched training-mix selection.
+    *
+    * The paper hashes n-grams into 10⁴ buckets to bound the model;
+    * this corpus's vocab² is already model-table-sized, so features
+    * are the bigrams themselves (hashing is a drop-in `xxhash64 %  B`
+    * on the bigram column — it would only change the model table's
+    * key domain, not the plan shape; left unhashed here to keep the
+    * DuckDB oracle engine-independent).
+    *
+    * Determinism: per-bigram log-ratios quantize to integer
+    * micro-nats (t10/t11 discipline); per-doc sums are integer. The
+    * single ln argument is assembled as (ct+1)/(cr+1) · (Nr+V)/(Nt+V)
+    * — two correctly-rounded divides and one multiply, mirrored
+    * op-for-op in the oracle — so BIGINT products that could overflow
+    * at 100 TB never form. Scale shape: model table is vocab²-bounded
+    * (AQE broadcasts it), corpus shuffles once on bigram for the
+    * count and once on doc_id for the sum; smoothing constants ride
+    * a broadcast single-row aggregate — no driver-side counts. */
+  def t17DsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(Tables(s, dir, "documents"), col("lang") === "en")
+
+  /** The t17 kernel: importance weights of every doc under
+    * target-slice vs whole-corpus bigram models. `targetPred` selects
+    * the target rows (must be a subset of `docs`). */
+  def dsirWeightsOf(docs: DataFrame, targetPred: Column): DataFrame = {
+    val bi = docs.select(col("doc_id"), targetPred.as("is_target"),
+      explode(org.apache.spark.sql.graftx.Shingles.shingles(toks, 2))
+        .as("bigram"))
+    val cbr = bi.groupBy(col("bigram")).agg(count(lit(1)).as("cr"))
+    val cbt = bi.where(col("is_target"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("ct"))
+    val consts = cbr.agg(sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+      .crossJoin(broadcast(
+        bi.agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("nt"))))
+    val model = cbr.join(cbt, Seq("bigram"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("bigram"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
+            / (col("cr") + lit(1L))) *
+          ((col("nr") + col("v")).cast("double") / (col("nt") + col("v")))
+        ) * 1e6, 0).cast("long").as("lr_q"))
+    val scored = bi.join(model, "bigram") // total: model covers every raw bigram
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lr_q")).as("logw_micro"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left") // total over docs (1-token docs have no bigram)
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logw_micro"), lit(0L)).as("logw_micro"),
+        round(coalesce(col("logw_micro"), lit(0L)).cast("double")
+          / greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)) / 1e6, 6)
+          .as("avg_logw"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T12 collocation mining: top-50 bigrams by pointwise mutual
     * information, PMI = ln(c(w1,w2)·N / (c(w1,·)·c(·,w2))), with a
     * min-count floor of 5 (the classic Church–Hanks collocation
@@ -493,6 +591,8 @@ object TextOps {
     // BpeSpec asserts hand-derived merges + encode/train consistency
     "t14_bpe_train" -> (graft.fit.Bpe.t14BpeTrain _),
     "t15_zipf" -> (t15Zipf _),
+    "t16_keywords" -> (t16Keywords _),
+    "t17_dsir_weights" -> (t17DsirWeights _),
     "o10_weighted_sample" -> (o10WeightedSample _),
   )
 
@@ -619,6 +719,57 @@ object TextOps {
         |SELECT token, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS cf
         |FROM tf GROUP BY token
         |ORDER BY df DESC, token LIMIT 50""".stripMargin,
+    "t16_keywords" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, token, COUNT(*) AS tf
+        | FROM tok GROUP BY doc_id, token),
+        |dfreq AS (
+        | SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |sc AS (
+        | SELECT tf.doc_id, tf.token,
+        |  (tf.tf * ROUND(LN((SELECT COUNT(*) FROM documents)::DOUBLE
+        |    / dfreq.df) * 1e6)::BIGINT)::BIGINT AS w_micro
+        | FROM tf JOIN dfreq USING (token)),
+        |rk AS (
+        | SELECT doc_id, token, w_micro,
+        |  (ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY w_micro DESC, token))::BIGINT AS kw_rank
+        | FROM sc)
+        |SELECT doc_id, kw_rank, token, w_micro FROM rk
+        |WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""".stripMargin,
+    "t17_dsir_weights" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        | SELECT doc_id, lang = 'en' AS is_target,
+        |  unnest(list_transform(range(1, len(t)),
+        |   i -> array_to_string(t[i:i+1], ' '))) AS bigram
+        | FROM tok),
+        |cbr AS (SELECT bigram, COUNT(*) AS cr FROM bi GROUP BY bigram),
+        |cbt AS (SELECT bigram, COUNT(*) AS ct FROM bi
+        |        WHERE is_target GROUP BY bigram),
+        |k AS (SELECT (SELECT SUM(cr) FROM cbr) AS nr,
+        |             (SELECT COUNT(*) FROM cbr) AS v,
+        |             (SELECT COALESCE(SUM(ct), 0) FROM cbt) AS nt),
+        |model AS (
+        | SELECT cbr.bigram,
+        |  ROUND(LN(((COALESCE(cbt.ct, 0) + 1)::DOUBLE / (cbr.cr + 1))
+        |    * ((k.nr + k.v)::DOUBLE / (k.nt + k.v))) * 1e6)::BIGINT AS lr_q
+        | FROM cbr LEFT JOIN cbt USING (bigram) CROSS JOIN k),
+        |sc AS (
+        | SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+        |  SUM(lr_q)::BIGINT AS logw_micro
+        | FROM bi JOIN model USING (bigram) GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        | COALESCE(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+        | COALESCE(sc.logw_micro, 0)::BIGINT AS logw_micro,
+        | ROUND(COALESCE(sc.logw_micro, 0)::DOUBLE
+        |   / GREATEST(COALESCE(sc.n_bigrams, 0), 1) / 1e6, 6) AS avg_logw
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t10_tfidf" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS token

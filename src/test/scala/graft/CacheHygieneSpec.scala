@@ -50,6 +50,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "s3_ann_ivf",       // Lloyd iterations for the IVF centroids
     "s4_ann_ivfpq",     // PQ codebook training at build
     "s6_pca_project",   // covariance treeReduce at fit time
+    "c1_kmeans_summary", // Lloyd iterations for the cluster centroids
     "d10_semdedup",     // Lloyd iterations for the SemDeDup quantizer
     "d12_bloom_dedup",  // Bloom filter build over the corpus windows
     "d14_incremental_minhash", // history signature table materialized at build

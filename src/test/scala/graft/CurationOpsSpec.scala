@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 curation surface: t16 keyword extraction, t17 DSIR
+  * importance weights, w9 event transitions, m13 mix-gap report, c1
+  * k-means summary. Hand-computable corpora throughout; the fixture
+  * queries themselves are oracle-checked (or, for c1, rows-only with
+  * the invariants pinned here). */
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ------------------------------------------------------------------ t16
+
+  test("t16 keywords: hand-computed tf-idf ranks with tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common cherry cherry date"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.TextOps.keywordsOf(docs, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // idf_q: df=1 → ln3·1e6 ≈ 1098612; df=2 → ln1.5·1e6 ≈ 405465; df=3 → 0
+    // doc1: apple 2·1098612, banana 405465, common 0
+    // doc2: banana = cherry = 405465 → token tie-break, common 0
+    // doc3: date 1098612, cherry 810930, common 0
+    assert(got === Seq(
+      (1L, 1L, "apple"), (1L, 2L, "banana"), (1L, 3L, "common"),
+      (2L, 1L, "banana"), (2L, 2L, "cherry"), (2L, 3L, "common"),
+      (3L, 1L, "date"), (3L, 2L, "cherry"), (3L, 3L, "common")))
+  }
+
+  test("t16 keywords: docs with fewer distinct tokens emit fewer rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val n = graft.queries.TextOps.keywordsOf(docs, topK = 3)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n === Map(1L -> 1L, 2L -> 3L))
+  }
+
+  // ------------------------------------------------------------------ t17
+
+  test("t17 DSIR: target = whole corpus ⇒ every weight is exactly 0") {
+    import spark.implicits._
+    // ct = cr and nt = nr for every bigram → ratio ≡ 1 → lr_q ≡ 0
+    val docs = Seq(
+      (1L, "en", "a b c a b"),
+      (2L, "en", "x y x y"),
+      (3L, "en", "a b"))
+      .toDF("doc_id", "lang", "text")
+    val got = graft.queries.TextOps.dsirWeightsOf(docs, lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.length === 3)
+    assert(got.forall(_._3 === 0L), s"nonzero weight in $got")
+    // n_bigrams totality: 4, 3, 1
+    assert(got.map(t => t._1 -> t._2).toMap === Map(1L -> 4L, 2L -> 3L, 3L -> 1L))
+  }
+
+  test("t17 DSIR: target-like docs outweigh off-target docs, totality holds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the quick fox the quick fox"),
+      (2L, "en", "the quick fox jumps high"),
+      (3L, "de", "der schnelle fuchs springt hoch"),
+      (4L, "de", "the quick fox der schnelle"), // mixed
+      (5L, "de", "solo")) // 1 token → 0 bigrams
+      .toDF("doc_id", "lang", "text")
+    val got = graft.queries.TextOps
+      .dsirWeightsOf(docs, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getDouble(4))).toSeq
+    val byId = got.map(t => t._1 -> t._3).toMap
+    // target-typical bigrams score positive, off-target negative,
+    // the mixed doc in between
+    assert(byId(1L) > 0.0 && byId(2L) > 0.0)
+    assert(byId(3L) < 0.0)
+    assert(byId(3L) < byId(4L) && byId(4L) < byId(1L))
+    // totality incl. the bigram-less doc
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(got.find(_._1 == 5L).get._2 === 0L)
+  }
+
+  // ------------------------------------------------------------------- w9
+
+  test("w9 transitions: hand-computed counts and row-normalized ppm") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: A → B → A   (ties impossible: distinct ts)
+      (1L, 10L, 100L, "A"), (2L, 20L, 100L, "B"), (3L, 30L, 100L, "A"),
+      // user 2: B → A
+      (4L, 10L, 200L, "B"), (5L, 20L, 200L, "A"),
+      // user 3: single event — no transition
+      (6L, 10L, 300L, "C"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.queries.Extras.transitionsOf(events)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(("A", "B", 1L, 1000000L), ("B", "A", 2L, 1000000L)))
+  }
+
+  test("w9 transitions: same-ts ties break on event_id") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 10L, 1L, "A"), (2L, 10L, 1L, "B"), (3L, 10L, 1L, "C"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.queries.Extras.transitionsOf(events)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("A", "B"), ("B", "C")))
+  }
+
+  // ------------------------------------------------------------------ m13
+
+  test("m13 mix gap: hand-computed shares, gaps, and upweight factors") {
+    import spark.implicits._
+    val docs = Seq(
+      ("srcA", "t t t t t t t t t t"), ("srcA", "t t t t t t t t t t"),
+      ("srcA", "t t t t t t t t t t"), // 30 tokens
+      ("srcB", "u u u u u u u u u u")) // 10 tokens
+      .toDF("source", "text")
+    val got = graft.queries.PackOps.mixGapOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(
+      ("srcA", 3L, 30L, 750000L, 500000L, 250000L, 666667L),
+      ("srcB", 1L, 10L, 250000L, 500000L, -250000L, 2000000L)))
+  }
+
+  // ------------------------------------------------------------------- c1
+
+  private def blobs = {
+    import spark.implicits._
+    // three well-separated blobs, 4 distinct points each
+    val pts = for {
+      (cx, cy, base) <- Seq((0.0, 0.0, 0L), (100.0, 0.0, 10L), (0.0, 100.0, 20L))
+      j <- 0 until 4
+    } yield (base + j, Array(cx + 0.1 * j, cy - 0.1 * j))
+    pts.toDF("vec_id", "v")
+  }
+
+  test("c1 k-means: well-separated blobs are recovered with tight inertia") {
+    val got = graft.queries.SimilarityOps
+      .kmeansSummaryOf(blobs, "vec_id", "v", k = 3, iters = 10, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).sorted.toSeq === Seq(4L, 4L, 4L), s"sizes in ${got.toSeq}")
+    // within-blob spread ≤ (0.3² + 0.3²)·4 per blob, in micro-units
+    assert(got.map(_._3).sum <= (0.18 * 4 * 3 * 1e6).toLong,
+      s"inertia too high: ${got.toSeq}")
+  }
+
+  test("c1 k-means: summary is deterministic across runs") {
+    def run() = graft.queries.SimilarityOps
+      .kmeansSummaryOf(blobs, "vec_id", "v", k = 3, iters = 10, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run() === run())
+  }
+
+  test("c1 k-means on the fixture: k cells, every vector assigned") {
+    val got = SparkEntry.queries("c1_kmeans_summary")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(got.length === 8)
+    assert(got.map(_.getLong(1)).sum === 500L) // embeddings fixture size
+    assert(got.forall(_.getLong(2) >= 0L))
+  }
+}

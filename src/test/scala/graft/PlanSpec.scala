@@ -232,4 +232,42 @@ class PlanSpec extends AnyFunSuite {
     assert(nHashExchanges(plan) === 1,
       s"the interleave must stay stateless: only the bucket agg shuffles:\n$plan")
   }
+
+  test("keyword extraction: rank window prunes via WindowGroupLimit, no SinglePartition") {
+    val plan = formatted(queries.TextOps.t16Keywords(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"the kw_rank <= 3 predicate must prune group buffers before the sort:\n$plan")
+    // the rank window must partition by doc_id (the scalar count(*)
+    // agg's own 1-row SinglePartition exchange is benign)
+    assert(plan.contains("windowspecdefinition(doc_id"),
+      s"rank window must be keyed by doc_id:\n$plan")
+  }
+
+  test("DSIR weights: model and constants broadcast, corpus never nested-loops on itself") {
+    val plan = formatted(queries.TextOps.t17DsirWeights(spark, sf))
+    assert(plan.contains("BroadcastExchange"),
+      "the vocab²-bounded model side must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("event transitions: lag window keyed by user, normalize window keyed by prev_type") {
+    val plan = formatted(queries.Extras.w9Transitions(spark, sf))
+    assert(!plan.contains("SinglePartition"),
+      s"no window may collapse to one partition:\n$plan")
+  }
+
+  test("mix gap: corpus collapses in one source agg, totals broadcast") {
+    val plan = formatted(queries.PackOps.m13MixGap(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the 1-row totals must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("k-means summary: one cell-keyed agg over the GEMM assignment scan") {
+    val plan = formatted(
+      queries.SimilarityOps.c1KmeansSummary(spark, sf))
+    assert(plan.contains("MapPartitions"), "assignment must be the batched-GEMM map")
+    assert(plan.contains("BroadcastExchange"), "the k-row centroid table must broadcast")
+    assert(!plan.contains("SinglePartition"))
+  }
 }
