@@ -76,7 +76,9 @@ object Plans {
       "t17_dsir_weights" -> "vocab²-bounded DSIR model table broadcast onto the bigram stream; smoothing constants ride single-row broadcast aggregates",
       "w9_transitions" -> "one user_id sort-window for the lag; corpus collapses to the |types|² relation before the row-normalize window",
       "m13_mix_gap" -> "corpus collapses in one source-keyed agg; totals ride a broadcast single-row join",
-      "c1_kmeans_summary" -> "capped-sample driver Lloyd, batched-GEMM assignment scan, k-row broadcast distance join, one cell-keyed agg")
+      "c1_kmeans_summary" -> "capped-sample driver Lloyd, batched-GEMM assignment scan, k-row broadcast distance join, one cell-keyed agg",
+      "t18_ngram_novelty" -> "gram-keyed min-owner agg + the d11 minima-join shape back on gram, one doc_id agg, totality left join",
+      "d18_dedup_weights" -> "materialized cluster-labels table joined to its own cluster_id size agg — nothing pairwise, no CC recompute")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")

@@ -429,6 +429,29 @@ object DedupOps {
       (d3HammingPairs(s, dir).select(col("doc_a"), col("doc_b")),
         Tables(s, dir, "documents").select(col("doc_id"))))
 
+  /** D18 soft-dedup training weights — the DROPLESS alternative to
+    * d13's keep-one survivorship: every member of a duplicate cluster
+    * stays in the corpus but its training weight is divided by the
+    * cluster size (w = 1/|cluster|), so each piece of CONTENT
+    * contributes one unit of training mass regardless of how many
+    * near-copies exist. Down-weighting instead of dropping preserves
+    * the corpus's natural distribution while removing the duplicate
+    * amplification — the SoftDeDup discipline. Scale shape: joins the
+    * same MATERIALIZED cluster-labels table d6/d13 consume (computed
+    * once per session per corpus), one cluster_id agg for sizes, one
+    * cluster_id equi-join back — cluster sizes are clique-bounded, so
+    * neither the agg nor the join has hot keys. Weights are integer
+    * micro-units; the oracle reuses d6's shared CC CTE verbatim. */
+  def d18DedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir)
+    val sz = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+    labels.join(sz, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("csize"),
+        round(lit(1e6) / col("csize"), 0).cast("long").as("weight_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D13 duplicate-cluster survivorship — the curation step AFTER
     * clustering: each near-dup cluster keeps its highest-quality
     * member and drops the rest. A real dedup pass keeps the best
@@ -903,6 +926,7 @@ object DedupOps {
     "d3_simhash_dups" -> (d3SimhashDups _),
     "d6_dup_clusters" -> (d6DupClusters _),
     "d13_keep_best" -> (d13KeepBest _),
+    "d18_dedup_weights" -> (d18DedupWeights _),
     "d8_decontaminate" -> (d8Decontaminate _),
     "d9_fuzzy_decontaminate" -> (d9FuzzyDecontaminate _),
     "sk1_approx_distinct" -> (sk1ApproxDistinct _),
@@ -1186,6 +1210,18 @@ object DedupOps {
       s"""$ccClustersSql
          |SELECT doc_id, MIN(comp) AS cluster_id FROM cc
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // d18 = d6's clusters + size normalization; the CC prefix is the
+    // same shared string as d6/d13 (drift-proof by construction)
+    "d18_dedup_weights" ->
+      s"""$ccClustersSql,
+         |cl AS (
+         | SELECT doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY doc_id),
+         |sz AS (
+         | SELECT cluster_id, COUNT(*)::BIGINT AS csize
+         | FROM cl GROUP BY cluster_id)
+         |SELECT cl.doc_id, cl.cluster_id, sz.csize,
+         | ROUND(1e6 / sz.csize)::BIGINT AS weight_micro
+         |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.doc_id""".stripMargin,
     // d13 = d6's clusters + t2's quality, survivor per cluster: the
     // three sub-oracles (CC prefix, quality expression, window argmax)
     // must agree bit-for-bit with their standalone twins, so the first

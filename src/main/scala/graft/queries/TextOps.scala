@@ -504,6 +504,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T18 n-gram novelty score: per document, the fraction of its
+    * distinct 8-gram shingles whose FIRST owner (minimum doc_id — the
+    * d11/d15 first-occurrence discipline) is this document. Documents
+    * near 1.0 contribute genuinely new text; documents near 0.0 are
+    * recombinations of text seen earlier — the contribution signal a
+    * pruning pass uses BETWEEN exact dedup (which only catches whole
+    * windows) and quality filters (which ignore redundancy entirely).
+    * Scale shape: one gram-keyed shuffle for the min-owner table
+    * (wordcount volume, same as d11), one equi-join back on gram
+    * (both sides wordcount-sized — the d11 minima-join shape), one
+    * doc_id agg; totality left join keeps gram-less short docs.
+    * Novelty is integer ppm so the cross-engine compare is exact. */
+  def t18NgramNovelty(s: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(Tables(s, dir, "documents"), n = 8)
+
+  /** The t18 kernel over an arbitrary (doc_id, text) relation. */
+  def ngramNoveltyOf(docs: DataFrame, n: Int): DataFrame = {
+    val g = docs.select(col("doc_id"),
+      explode(array_distinct(
+        org.apache.spark.sql.graftx.Shingles.shingles(toks, n)))
+        .as("gram"))
+    val owner = g.groupBy(col("gram")).agg(min(col("doc_id")).as("owner"))
+    val per = g.join(owner, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)) * lit(1e6)
+          / greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 0)
+          .cast("long").as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T12 collocation mining: top-50 bigrams by pointwise mutual
     * information, PMI = ln(c(w1,w2)·N / (c(w1,·)·c(·,w2))), with a
     * min-count floor of 5 (the classic Church–Hanks collocation
@@ -593,6 +631,7 @@ object TextOps {
     "t15_zipf" -> (t15Zipf _),
     "t16_keywords" -> (t16Keywords _),
     "t17_dsir_weights" -> (t17DsirWeights _),
+    "t18_ngram_novelty" -> (t18NgramNovelty _),
     "o10_weighted_sample" -> (o10WeightedSample _),
   )
 
@@ -769,6 +808,27 @@ object TextOps {
         | ROUND(COALESCE(sc.logw_micro, 0)::DOUBLE
         |   / GREATEST(COALESCE(sc.n_bigrams, 0), 1) / 1e6, 6) AS avg_logw
         |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "t18_ngram_novelty" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |    [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]
+        |   ELSE [] END) AS gram
+        |  FROM tok)),
+        |own AS (SELECT gram, MIN(doc_id) AS owner FROM g GROUP BY gram),
+        |per AS (
+        | SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+        |  SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel
+        | FROM g JOIN own o USING (gram) GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+        | COALESCE(p.n_novel, 0)::BIGINT AS n_novel,
+        | ROUND(COALESCE(p.n_novel, 0) * 1e6
+        |   / GREATEST(COALESCE(p.n_grams, 0), 1))::BIGINT AS novelty_ppm
+        |FROM documents d LEFT JOIN per p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "t10_tfidf" ->
       """WITH tok AS (

@@ -89,6 +89,53 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.find(_._1 == 5L).get._2 === 0L)
   }
 
+  // ------------------------------------------------------------------ t18
+
+  test("t18 novelty: hand-computed first-owner fractions, totality") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),   // bigrams {a b, b c} — both first-owned here
+      (2L, "b c d"),   // {b c (owned by 1), c d (novel)}
+      (3L, "z"))       // no bigram at all
+      .toDF("doc_id", "text")
+    val got = graft.queries.TextOps.ngramNoveltyOf(docs, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 0L, 0L, 0L)))
+  }
+
+  test("t18 novelty: repeated grams inside one doc count once (distinct)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    // bigrams with multiplicity: {a b, b a, a b, b a, a b} → 2 distinct
+    val got = graft.queries.TextOps.ngramNoveltyOf(docs, n = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(got === ((2L, 2L)))
+  }
+
+  // ------------------------------------------------------------------ d18
+
+  test("d18 soft-dedup weights agree with d6 clusters and conserve mass") {
+    val sf001 = "/root/testdata/sf0.001"
+    val w = SparkEntry.queries("d18_dedup_weights")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d6 = SparkEntry.queries("d6_dup_clusters")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same labels, total coverage
+    assert(w.map(t => t._1 -> t._2).toMap === d6)
+    // singleton weight is exactly 1e6; every cluster's mass is 1e6
+    // up to the per-member rounding (csize·round(1e6/csize))
+    w.foreach { case (_, _, csize, wm) =>
+      assert(wm === math.rint(1e6 / csize).toLong)
+      if (csize == 1L) assert(wm === 1000000L)
+    }
+    // at least one real dup cluster exists in the fixture
+    assert(w.exists(_._3 > 1L))
+  }
+
   // ------------------------------------------------------------------- w9
 
   test("w9 transitions: hand-computed counts and row-normalized ppm") {

@@ -263,6 +263,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("ngram novelty: gram-keyed equi-join, no cartesian, no single-partition window") {
+    val plan = formatted(queries.TextOps.t18NgramNovelty(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the owner join must stay a gram-keyed equi-join:\n$plan")
+    assert(!plan.contains("SinglePartition"))
+  }
+
   test("k-means summary: one cell-keyed agg over the GEMM assignment scan") {
     val plan = formatted(
       queries.SimilarityOps.c1KmeansSummary(spark, sf))
