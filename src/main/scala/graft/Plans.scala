@@ -78,7 +78,8 @@ object Plans {
       "m13_mix_gap" -> "corpus collapses in one source-keyed agg; totals ride a broadcast single-row join",
       "c1_kmeans_summary" -> "capped-sample driver Lloyd, batched-GEMM assignment scan, k-row broadcast distance join, one cell-keyed agg",
       "t18_ngram_novelty" -> "gram-keyed min-owner agg + the d11 minima-join shape back on gram, one doc_id agg, totality left join",
-      "d18_dedup_weights" -> "materialized cluster-labels table joined to its own cluster_id size agg — nothing pairwise, no CC recompute")
+      "d18_dedup_weights" -> "materialized cluster-labels table joined to its own cluster_id size agg — nothing pairwise, no CC recompute",
+      "w10_session_window" -> "native session_window agg: one user_id shuffle, group-local session merge — the plan the streaming twin shares")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")

@@ -100,6 +100,36 @@ object Extras {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** W10 gap-based sessionization via the BUILT-IN `session_window`
+    * (w3 computes the same sessions with the lag/cumsum idiom; this
+    * surface is the native operator, and the one whose STREAMING twin
+    * — `EventsStream.sessionWindowAgg`, identical aggregation under a
+    * watermark — runs unchanged on an unbounded stream; StreamingSpec
+    * asserts drained equality). Session identity is exposed as the
+    * window START (min event ts, epoch micros) rather than w3's
+    * ordinal, which is what makes the output join-able across batch
+    * and stream. Boundary semantics: session windows are INCLUSIVE of
+    * the gap endpoint — an event exactly gap after its predecessor
+    * MERGES (spec-pinned), identical to w3's >-split lag idiom, and
+    * the oracle mirrors >. One user_id shuffle; session merging is
+    * group-local. */
+  def w10SessionWindow(s: SparkSession, dir: String): DataFrame =
+    sessionWindowOf(Tables(s, dir, "events"))
+
+  /** The w10 kernel over an arbitrary (user_id, ts-nanos, value)
+    * relation — shared by the batch query and the streaming twin's
+    * drained-equality spec. */
+  def sessionWindowOf(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"),
+        session_window(col("ets"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("s_start_us"),
+        col("n_events"), col("total"))
+      .orderBy(col("user_id"), col("s_start_us"))
+
   /** O6/O7 deterministic "random" sample: rank by a keyed digest —
     * engine-independent, unlike rand(seed) (the reference persists
     * shuffle ids for exactly this reason; a content-keyed rank IS the
@@ -569,6 +599,7 @@ object Extras {
     "w6_anomaly" -> (w6Anomaly _),
     "w7_sliding_window" -> (w7SlidingWindow _),
     "w9_transitions" -> (w9Transitions _),
+    "w10_session_window" -> (w10SessionWindow _),
     "a6_weighted_mean" -> (a6WeightedMean _),
     "k1_vegard" -> (k1Vegard _),
     "x1_json_props" -> (x1JsonProps _),
@@ -881,6 +912,26 @@ object Extras {
         | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
         |   / COUNT(CAST(props->>'$.k' AS BIGINT)) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // w10 mirrors session_window's boundary: a session's window is
+    // [ts, ts+gap] INCLUSIVE of the endpoint (an event exactly gap
+    // after its predecessor MERGES — spec-pinned), identical to w3's
+    // >-split lag idiom; session identity = min ts in session (epoch µs)
+    "w10_session_window" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id, value,
+        |  CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+        |       WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+        |       ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, ts, value,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS sid
+        | FROM g)
+        |SELECT user_id, epoch_us(MIN(ts))::BIGINT AS s_start_us,
+        | COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, s_start_us""".stripMargin,
     "w9_transitions" ->
       """WITH tr AS (
         | SELECT LAG(event_type, 1) OVER (PARTITION BY user_id

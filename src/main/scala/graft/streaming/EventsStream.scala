@@ -116,6 +116,25 @@ object EventsStream {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** W10's STREAMING twin — gap-based sessionization via the BUILT-IN
+    * `session_window` (dynamic merging session state, the idiomatic
+    * Spark operator for this; `sessionCounts` below is the
+    * custom-state teaching shape). Same logical aggregation as the
+    * batch `Extras.sessionWindowOf` — StreamingSpec drains it and
+    * asserts exact equality with the batch result. Watermark bounds
+    * the session state at the horizon. */
+  def sessionWindowAgg(spark: SparkSession, srcDir: String,
+      horizon: String = "1 hour"): DataFrame = {
+    val src = withEventTime(readEvents(spark, srcDir))
+      .withWatermark("ets", horizon)
+    src.groupBy(col("user_id"),
+        session_window(col("ets"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("s_start_us"),
+        col("n_events"), col("total"))
+  }
+
   final case class Event(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(count: Long, sum: Double, lastTsMicros: Long)

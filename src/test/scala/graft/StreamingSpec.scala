@@ -37,6 +37,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("session_window stream drains to the batch w10 result (native session state)") {
+    val dir = stageEvents()
+    val q = EventsStream.sessionWindowAgg(spark, dir).writeStream
+      .outputMode("complete").format("memory").queryName("sessw").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+      "SELECT user_id, s_start_us, n_events, total FROM sessw")
+      .collect().map(_.toString).sorted
+    val batch = graft.queries.Extras.w10SessionWindow(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("session_window boundary: exactly-gap merges, gap+1µs splits (w3-identical)") {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    val ev = Seq(
+      (1L, 0L, 1L, "view", 1.0),
+      (2L, gapUs * 1000, 1L, "view", 2.0), // exactly gap later → MERGES
+      (3L, (2 * gapUs + 1) * 1000, 1L, "view", 4.0)) // gap+1µs → splits
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.queries.Extras.sessionWindowOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq(
+      (1L, 0L, 2L, 3.0),
+      (1L, 2 * gapUs + 1, 1L, 4.0)))
+  }
+
   test("stream-stream interval join drains to the batch pair set (j8 twin)") {
     val dir = stageEvents()
     val q = EventsStream.intervalJoin(spark, dir).writeStream
