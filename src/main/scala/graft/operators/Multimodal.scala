@@ -343,7 +343,13 @@ object Multimodal {
             yield v ^ (1 << i) ^ (1 << j))
       } yield (b, probe, id, ph)
     }.toDF("band_idx", "band_key", "media_b", "ph_b")
-    idx.join(prb, Seq("band_idx", "band_key"))
+    // BOTH join sides are corpus-derived (4 and 137 rows per band per
+    // variant) — they grow with the corpus, so neither may broadcast:
+    // at the 25× bench point AQE's measured-size heuristic picked a
+    // broadcast that exhausted the driver, and at 100 TB any broadcast
+    // here is wrong by construction. MERGE pins the shuffle
+    // sort-merge join on the (band_idx, band_key) short key.
+    idx.hint("merge").join(prb, Seq("band_idx", "band_key"))
       .where(col("media_a") < col("media_b"))
       .select(col("media_a"), col("media_b"),
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
