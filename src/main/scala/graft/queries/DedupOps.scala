@@ -452,6 +452,42 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** O11 leakage-safe splits — train/holdout/test assignment keyed on
+    * the NEAR-DUP CLUSTER, not the document: every member of a
+    * duplicate cluster lands in the same split by construction, so a
+    * test document can never have a near-copy in train (the
+    * train/test contamination that doc-keyed splits silently allow —
+    * the same defect d8/d9 detect against external benchmarks,
+    * produced internally by the split itself). Assignment is the
+    * o6-style engine-neutral keyed digest: md5("split:"+cluster_id)
+    * compared as a hex string against the 'cc'/'e6' thresholds
+    * (≈ 79.7 % / 10.2 % / 10.2 %) — identical bytes in both engines,
+    * no float, no engine hash. Output is the per-split audit (doc and
+    * cluster counts) plus the leaked-cluster count, provably 0 here
+    * and > 0 for a doc-keyed split on the same corpus (spec-pinned
+    * contrast). Scale shape: labels are the materialized d6 table;
+    * one split-keyed agg + a cluster-keyed audit agg whose single-row
+    * result broadcasts. */
+  def o11ClusterSplit(s: SparkSession, dir: String): DataFrame =
+    clusterSplitOf(clusterLabels(s, dir))
+
+  /** The o11 kernel over an arbitrary (doc_id, cluster_id) labels
+    * relation — spec-testable with planted clusters. */
+  def clusterSplitOf(labels: DataFrame): DataFrame = {
+    val h = md5(concat(lit("split:"), col("cluster_id")))
+    val assigned = labels.withColumn("split",
+      when(h < "cc", "train").when(h < "e6", "holdout").otherwise("test"))
+    val leaks = assigned.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("nsp"))
+      .agg(coalesce(sum(when(col("nsp") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("leaked_clusters"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(broadcast(leaks))
+      .orderBy(col("split"))
+  }
+
   /** D13 duplicate-cluster survivorship — the curation step AFTER
     * clustering: each near-dup cluster keeps its highest-quality
     * member and drops the rest. A real dedup pass keeps the best
@@ -927,6 +963,7 @@ object DedupOps {
     "d6_dup_clusters" -> (d6DupClusters _),
     "d13_keep_best" -> (d13KeepBest _),
     "d18_dedup_weights" -> (d18DedupWeights _),
+    "o11_cluster_split" -> (o11ClusterSplit _),
     "d8_decontaminate" -> (d8Decontaminate _),
     "d9_fuzzy_decontaminate" -> (d9FuzzyDecontaminate _),
     "sk1_approx_distinct" -> (sk1ApproxDistinct _),
@@ -1210,6 +1247,28 @@ object DedupOps {
       s"""$ccClustersSql
          |SELECT doc_id, MIN(comp) AS cluster_id FROM cc
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // o11 = d6's clusters + the o6-style md5-hex-threshold digest;
+    // CC prefix shared verbatim with d6/d13/d18
+    "o11_cluster_split" ->
+      s"""$ccClustersSql,
+         |cl AS (
+         | SELECT doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY doc_id),
+         |a AS (
+         | SELECT doc_id, cluster_id,
+         |  CASE WHEN md5('split:' || cluster_id) < 'cc' THEN 'train'
+         |       WHEN md5('split:' || cluster_id) < 'e6' THEN 'holdout'
+         |       ELSE 'test' END AS split
+         | FROM cl),
+         |lk AS (
+         | SELECT COALESCE(SUM(CASE WHEN nsp > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS leaked_clusters
+         | FROM (SELECT cluster_id, COUNT(DISTINCT split) AS nsp
+         |       FROM a GROUP BY cluster_id))
+         |SELECT split, COUNT(*)::BIGINT AS n_docs,
+         | COUNT(DISTINCT cluster_id)::BIGINT AS n_clusters,
+         | lk.leaked_clusters
+         |FROM a CROSS JOIN lk
+         |GROUP BY split, lk.leaked_clusters ORDER BY split""".stripMargin,
     // d18 = d6's clusters + size normalization; the CC prefix is the
     // same shared string as d6/d13 (drift-proof by construction)
     "d18_dedup_weights" ->

@@ -46,6 +46,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "d6_dup_clusters",  // min-label propagation to fixpoint
     "d13_keep_best",    // builds on d6's fixpoint clusters
     "d18_dedup_weights", // builds on d6's fixpoint clusters
+    "o11_cluster_split", // builds on d6's fixpoint clusters
     "o5_split_assign",  // partition-count collect + prefix sum
     "s2_ann_lsh",       // adaptivePlanes sizes nPlanes from a count()
     "s3_ann_ivf",       // Lloyd iterations for the IVF centroids

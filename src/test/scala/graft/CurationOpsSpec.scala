@@ -136,6 +136,40 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(w.exists(_._3 > 1L))
   }
 
+  // ------------------------------------------------------------------ o11
+
+  test("o11 cluster split: leak-free by construction; doc-keyed split leaks") {
+    import spark.implicits._
+    // md5("split:9") = c9... → train; md5("split:10") = f3... → test.
+    // Cluster {9,10} under a DOC-keyed digest straddles train/test —
+    // the leakage o11 exists to prevent; cluster-keyed (label 9 →
+    // train) sends both members to train.
+    val labels = Seq((9L, 9L), (10L, 9L), (3L, 3L), (21L, 21L))
+      .toDF("doc_id", "cluster_id")
+    val got = graft.queries.DedupOps.clusterSplitOf(labels)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // cluster 9 (2 docs) + singleton 3 → train; singleton 21 → test
+    assert(got === Seq(("test", 1L, 1L, 0L), ("train", 3L, 2L, 0L)))
+    // the contrast: doc-keyed assignment splits cluster 9 across
+    // train and test (doc 9 → train, doc 10 → test)
+    val docKeyed = labels.withColumn("split",
+      when(md5(concat(lit("split:"), col("doc_id"))) < "cc", "train")
+        .when(md5(concat(lit("split:"), col("doc_id"))) < "e6", "holdout")
+        .otherwise("test"))
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("nsp"))
+      .where(col("nsp") > 1).count()
+    assert(docKeyed === 1L, "the planted cluster must leak under a doc-keyed split")
+  }
+
+  test("o11 on the fixture: full coverage, zero leaked clusters") {
+    val rows = SparkEntry.queries("o11_cluster_split")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getLong(1)).sum === 500L) // every doc assigned
+    assert(rows.forall(_.getLong(3) === 0L))
+  }
+
   // ------------------------------------------------------------------- w9
 
   test("w9 transitions: hand-computed counts and row-normalized ppm") {
