@@ -80,7 +80,8 @@ object Plans {
       "t18_ngram_novelty" -> "gram-keyed min-owner agg + the d11 minima-join shape back on gram, one doc_id agg, totality left join",
       "d18_dedup_weights" -> "materialized cluster-labels table joined to its own cluster_id size agg — nothing pairwise, no CC recompute",
       "w10_session_window" -> "native session_window agg: one user_id shuffle, group-local session merge — the plan the streaming twin shares",
-      "o11_cluster_split" -> "materialized labels → keyed-digest split map, split-keyed agg + 1-row leakage audit broadcast")
+      "o11_cluster_split" -> "materialized labels → keyed-digest split map, split-keyed agg + 1-row leakage audit broadcast",
+      "t19_bpe_encode" -> "encode-once: distinct-word UDF cost table, corpus joins on the short word key, one doc_id agg, totality left join")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")

@@ -110,11 +110,14 @@ object Bpe {
     * vocabulary as (token, n_occurrences over the FULL corpus,
     * merge_rank −1 for single characters), ordered by count desc then
     * token. */
-  def bpeVocabOf(docs: DataFrame, sampleDocs: Int, nMerges: Int): DataFrame = {
+  /** Shared trainer: capped keyed-digest sample → driver-local merge
+    * learning → broadcast (pair-rank, merged-token-rank) maps.
+    * Bounded by the cap, independent of corpus size. */
+  private def trainBroadcast(docs: DataFrame, sampleDocs: Int,
+      nMerges: Int): (org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]],
+        org.apache.spark.broadcast.Broadcast[Map[String, Int]]) = {
     val s = docs.sparkSession
     import s.implicits._
-    // capped keyed-digest sample → driver; bounded by the cap,
-    // independent of corpus size
     val sampleTexts: Array[String] = docs
       .withColumn("__h", xxhash64(col("doc_id"), lit(Seed)))
       .orderBy(col("__h")).limit(sampleDocs)
@@ -124,13 +127,17 @@ object Bpe {
       .foldLeft(Map.empty[String, Long].withDefaultValue(0L)) {
         (m, w) => m.updated(w, m(w) + 1L)
       }
-    require(wordFreq.nonEmpty, "t14: empty sample — no text to train on")
+    require(wordFreq.nonEmpty, "bpe: empty sample — no text to train on")
     val merges = train(wordFreq, nMerges)
     val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
     val mergedRank: Map[String, Int] =
       merges.zipWithIndex.map { case ((a, b), i) => (a + b, i) }.toMap
-    val rankB = s.sparkContext.broadcast(rank)
-    val mergedB = s.sparkContext.broadcast(mergedRank)
+    (s.sparkContext.broadcast(rank), s.sparkContext.broadcast(mergedRank))
+  }
+
+  def bpeVocabOf(docs: DataFrame, sampleDocs: Int, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    val (rankB, mergedB) = trainBroadcast(docs, sampleDocs, nMerges)
 
     // distributed apply: shuffle to DISTINCT words once, encode each
     // exactly once, re-aggregate token counts weighted by word count
@@ -151,5 +158,44 @@ object Bpe {
   /** Rows-only query `t14_bpe_train`. */
   def t14BpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeVocabOf(Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      SampleDocs, NMerges)
+
+  /** T19: the trained tokenizer APPLIED per document — the token
+    * budget every pretraining pipeline actually bills by (t7's regex
+    * count is the model-free approximation; this is the real subword
+    * count under the corpus's own learned merges). Encode-once
+    * discipline: the UDF encodes each DISTINCT word exactly once
+    * (vocab-sized work however large the corpus), and per-doc counts
+    * come from a corpus-sized equi-join on the short word key plus
+    * one doc_id agg. Totality: word-less docs keep a row (0, 0).
+    * Rows-only (iterative merge learning has no SQL twin); BpeSpec
+    * pins encode losslessness and the t14 cross-identity — summed
+    * t19 token counts equal t14's summed vocabulary occurrences. */
+  def bpeEncodeOf(docs: DataFrame, sampleDocs: Int, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    val (rankB, _) = trainBroadcast(docs, sampleDocs, nMerges)
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    val nTokUdf = udf((w: String) => encode(w, rankB.value).length)
+    val wordCost = tok.select(col("w")).distinct()
+      .withColumn("n_tok", nTokUdf(col("w")))
+    val per = tok.join(wordCost, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tokens"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        round(coalesce(col("n_bpe_tokens"), lit(0L))
+          * lit(1e6) / greatest(coalesce(col("n_words"), lit(0L)), lit(1L)), 0)
+          .cast("long").as("tokens_per_word_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rows-only query `t19_bpe_encode`. */
+  def t19BpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeOf(Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       SampleDocs, NMerges)
 }

@@ -628,6 +628,7 @@ object TextOps {
     // rows-only: iterative merge learning isn't SQL-expressible;
     // BpeSpec asserts hand-derived merges + encode/train consistency
     "t14_bpe_train" -> (graft.fit.Bpe.t14BpeTrain _),
+    "t19_bpe_encode" -> (graft.fit.Bpe.t19BpeEncode _),
     "t15_zipf" -> (t15Zipf _),
     "t16_keywords" -> (t16Keywords _),
     "t17_dsir_weights" -> (t17DsirWeights _),

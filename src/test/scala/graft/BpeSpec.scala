@@ -78,4 +78,27 @@ class BpeSpec extends AnyFunSuite {
     // vocabulary stays bounded by alphabet + merge count
     assert(a.length <= Bpe.NMerges + 128)
   }
+
+  test("t19 encode surface: totality, per-word cost, t14 cross-identity") {
+    import spark.implicits._
+    // hand corpus: "la" appears 3x, "lo" 1x → merges (l,a) then (l,o)
+    // → every word encodes to ONE token; a word-less doc keeps a row
+    val docs = Seq((1L, "la la lo"), (2L, "la"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Bpe.bpeEncodeOf(docs, sampleDocs = 10, nMerges = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, 3L, 3L, 1000000L),
+      (2L, 1L, 1L, 1000000L),
+      (3L, 0L, 0L, 0L)))
+    // cross-identity on the real table: summed per-doc token counts
+    // must equal t14's summed vocabulary occurrences (both count every
+    // token of every word occurrence exactly once)
+    val t19Sum = Bpe.t19BpeEncode(spark, sf)
+      .agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0)
+    val t14Sum = Bpe.t14BpeTrain(spark, sf)
+      .agg(sum(col("n_occurrences"))).collect()(0).getLong(0)
+    assert(t19Sum === t14Sum)
+  }
 }

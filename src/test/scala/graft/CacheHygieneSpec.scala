@@ -64,6 +64,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "s9_aflux",         // canned multi-page ingest assembles a local fixture
     "m12_embedding_filter", // seed-centroid aggregation at build
     "t14_bpe_train",    // capped-sample merge learning at build
+    "t19_bpe_encode",   // capped-sample merge learning at build
     "p3_curriculum",    // bucket-count prefix sum at build (the o5/p1 shape)
     "p4_shard_manifest", // composes p3's bucket-count prefix sum
     "sk3_heavy_hitters", // per-source CMS blobs collected + merged at build
