@@ -183,9 +183,14 @@ object SimilarityOps {
       seed = seed, farthestInit = true)
     val centTable = cents.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "cent")
-    val d2 = aggregate(
-      zip_with(col(vCol), col("cent"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    // |v−c|² = v·v − 2 v·c + c·c, each dot a codegen'd native
+    // expression (zip_with/aggregate lambdas are interpreted — the
+    // SCALING rule-4 ban on interpreted per-element work in a
+    // corpus-sized scan)
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftx.VectorExpressions.dotProduct(x, y)
+    val d2 = dot(col(vCol), col(vCol)) -
+      lit(2.0) * dot(col(vCol), col("cent")) + dot(col("cent"), col("cent"))
     Ivf.assignCells(emb, idCol, vCol, cents)
       .join(broadcast(centTable), "cell")
       .select(col("cell"),
