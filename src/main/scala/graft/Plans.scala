@@ -81,7 +81,9 @@ object Plans {
       "d18_dedup_weights" -> "materialized cluster-labels table joined to its own cluster_id size agg — nothing pairwise, no CC recompute",
       "w10_session_window" -> "native session_window agg: one user_id shuffle, group-local session merge — the plan the streaming twin shares",
       "o11_cluster_split" -> "materialized labels → keyed-digest split map, split-keyed agg + 1-row leakage audit broadcast",
-      "t19_bpe_encode" -> "encode-once: distinct-word UDF cost table, corpus joins on the short word key, one doc_id agg, totality left join")
+      "t19_bpe_encode" -> "encode-once: distinct-word UDF cost table, corpus joins on the short word key, one doc_id agg, totality left join",
+      "w11_engaged_time" -> "one user_id sort-window (running-max interval merge, the d15 span arithmetic on time), two keyed aggs",
+      "m14_quality_mix_report" -> "one (source, bin) agg over the scoring scan; total rides a broadcast single-row join")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")

@@ -130,6 +130,42 @@ object Extras {
         col("n_events"), col("total"))
       .orderBy(col("user_id"), col("s_start_us"))
 
+  /** W11 engaged time — per-user UNION of fixed attention windows:
+    * each event opens a half-open interval [ts, ts+5 min); overlapping
+    * intervals merge; output is interval count and total engaged
+    * time. This is the "time actually spent" metric session counts
+    * over-estimate (w3/w10 span idle gaps inside a session; the
+    * interval union doesn't) — and the same running-max span-merge
+    * arithmetic d15 applies to duplicate text spans, applied to time.
+    * One user_id sort-window (running max of interval ends marks
+    * merge starts), then two keyed aggs. Nanos are multiples of
+    * 1000, so engaged_us is exact in both engines. */
+  def w11EngagedTime(s: SparkSession, dir: String): DataFrame =
+    engagedTimeOf(Tables(s, dir, "events"), windowSecs = 300L)
+
+  /** The w11 kernel over an arbitrary (user_id, ts-nanos, event_id)
+    * relation — spec-testable with hand interval layouts. */
+  def engagedTimeOf(events: DataFrame, windowSecs: Long): DataFrame = {
+    val winNs = windowSecs * 1000000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .withColumn("prev_end",
+        max(col("ts") + lit(winNs))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_end").isNull || col("ts") >= col("prev_end"), 1)
+          .otherwise(0))
+    marked
+      .withColumn("grp", sum(col("is_new")).over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("ts")).as("s"), max(col("ts") + lit(winNs)).as("e"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        (sum(col("e") - col("s")) / lit(1000L)).cast("long").as("engaged_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** O6/O7 deterministic "random" sample: rank by a keyed digest —
     * engine-independent, unlike rand(seed) (the reference persists
     * shuffle ids for exactly this reason; a content-keyed rank IS the
@@ -600,6 +636,7 @@ object Extras {
     "w7_sliding_window" -> (w7SlidingWindow _),
     "w9_transitions" -> (w9Transitions _),
     "w10_session_window" -> (w10SessionWindow _),
+    "w11_engaged_time" -> (w11EngagedTime _),
     "a6_weighted_mean" -> (a6WeightedMean _),
     "k1_vegard" -> (k1Vegard _),
     "x1_json_props" -> (x1JsonProps _),
@@ -932,6 +969,30 @@ object Extras {
         | COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, s_start_us""".stripMargin,
+    // w11 mirrors the half-open [ts, ts+300s) interval-union in
+    // micros (events ts is micros-exact); Spark computes in nanos and
+    // divides by 1000 — multiples of 1000, exact in the double
+    "w11_engaged_time" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+        |m AS (
+        | SELECT user_id, tus, event_id,
+        |  MAX(tus + 300000000) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        | FROM e),
+        |g AS (
+        | SELECT user_id, tus,
+        |  SUM(CASE WHEN prev_end IS NULL OR tus >= prev_end
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS grp
+        | FROM m),
+        |iv AS (
+        | SELECT user_id, grp, MIN(tus) AS s, MAX(tus + 300000000) AS e
+        | FROM g GROUP BY user_id, grp)
+        |SELECT user_id, COUNT(*)::BIGINT AS n_intervals,
+        | SUM(e - s)::BIGINT AS engaged_us
+        |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin,
     "w9_transitions" ->
       """WITH tr AS (
         | SELECT LAG(event_type, 1) OVER (PARTITION BY user_id

@@ -81,6 +81,33 @@ object TextOps {
           .otherwise("low").as("quality_bin"))
   }
 
+  /** M14 quality-stratified mix report — the "what does my corpus
+    * look like through the quality lens" audit run BEFORE committing
+    * to filter thresholds: per (source, t2 quality bin) document and
+    * token inventories with global token shares. Reuses t2's shared
+    * quality expression and bin rule (single source of truth — the
+    * same discipline that ties o10 and m10's weak labels to t2), so
+    * the report can never drift from the score the filters actually
+    * apply. One (source, bin) agg over the corpus scan; the total
+    * rides a broadcast single-row join. */
+  def m14QualityMixReport(s: SparkSession, dir: String): DataFrame = {
+    val (_, quality) = qualityParts
+    val score = round(quality, 6)
+    val binned = Tables(s, dir, "documents")
+      .select(col("source"), size(toks).cast("long").as("n_tok"),
+        when(score >= 0.4, "good").when(score >= 0.25, "fair")
+          .otherwise("low").as("quality_bin"))
+    val agg = binned.groupBy(col("source"), col("quality_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = agg.agg(sum(col("n_tokens")).as("tot"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("quality_bin"), col("n_docs"),
+        col("n_tokens"),
+        round(col("n_tokens") * lit(1e6) / col("tot"), 0).cast("long")
+          .as("share_ppm"))
+      .orderBy(col("source"), col("quality_bin"))
+  }
+
   /** O10 quality-weighted Bernoulli sampling — the curation move
     * between hard gates (t13 keep/drop) and uniform sampling (o6):
     * every document is kept with probability equal to its t2 quality
@@ -629,6 +656,7 @@ object TextOps {
     // BpeSpec asserts hand-derived merges + encode/train consistency
     "t14_bpe_train" -> (graft.fit.Bpe.t14BpeTrain _),
     "t19_bpe_encode" -> (graft.fit.Bpe.t19BpeEncode _),
+    "m14_quality_mix_report" -> (m14QualityMixReport _),
     "t15_zipf" -> (t15Zipf _),
     "t16_keywords" -> (t16Keywords _),
     "t17_dsir_weights" -> (t17DsirWeights _),
@@ -665,6 +693,26 @@ object TextOps {
         | length(replace(text, ' ', ''))::BIGINT AS n_nospace,
         | length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')) AS avg_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // m14: the SAME quality CTE + the SAME bin thresholds as t2 —
+    // shared strings, so the report cannot drift from the filter
+    "m14_quality_mix_report" ->
+      s"""$qualityCteSql,
+        |b AS (
+        | SELECT q.source,
+        |  CASE WHEN ROUND(stop_ratio*0.5 + len_score*0.5, 6) >= 0.4 THEN 'good'
+        |       WHEN ROUND(stop_ratio*0.5 + len_score*0.5, 6) >= 0.25 THEN 'fair'
+        |       ELSE 'low' END AS quality_bin,
+        |  len(string_split(d.text, ' '))::BIGINT AS n_tok
+        | FROM q JOIN documents d USING (doc_id)),
+        |a AS (
+        | SELECT source, quality_bin, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(n_tok)::BIGINT AS n_tokens
+        | FROM b GROUP BY source, quality_bin),
+        |t AS (SELECT SUM(n_tokens)::BIGINT AS tot FROM a)
+        |SELECT source, quality_bin, n_docs, n_tokens,
+        | ROUND(n_tokens * 1e6 / tot)::BIGINT AS share_ppm
+        |FROM a CROSS JOIN t
+        |ORDER BY source, quality_bin""".stripMargin,
     "t2_quality_score" ->
       s"""$qualityCteSql
         |SELECT doc_id, ROUND(stop_ratio, 6) AS stop_ratio,

@@ -198,6 +198,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Seq(("A", "B"), ("B", "C")))
   }
 
+  // ------------------------------------------------------------------ w11
+
+  test("w11 engaged time: overlap merges, exact-end boundary splits") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val events = Seq(
+      // user 1: 0s and 100s overlap → [0,400); 1000s separate → [1000,1300)
+      (1L, ns(0), 1L, "view", 0.0), (2L, ns(100), 1L, "view", 0.0),
+      (3L, ns(1000), 1L, "view", 0.0),
+      // user 2: second event exactly at the first interval's END
+      // (half-open [0,300)) → two disjoint intervals
+      (4L, ns(0), 2L, "view", 0.0), (5L, ns(300), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.queries.Extras.engagedTimeOf(events, windowSecs = 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (1L, 2L, 700000000L),
+      (2L, 2L, 600000000L)))
+  }
+
+  // ------------------------------------------------------------------ m14
+
+  test("m14 quality mix report agrees with t2's bins and conserves shares") {
+    val sf001 = "/root/testdata/sf0.001"
+    val m14 = SparkEntry.queries("m14_quality_mix_report")(spark, sf001).collect()
+    val binTotals = m14.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val t2Bins = graft.queries.TextOps.t2QualityScore(spark, sf001)
+      .groupBy(col("quality_bin")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(binTotals === t2Bins, "m14 bin doc counts must equal t2's")
+    // shares sum to one million within per-row rounding
+    val shareSum = m14.map(_.getLong(4)).sum
+    assert(math.abs(shareSum - 1000000L) <= m14.length,
+      s"share_ppm sums to $shareSum")
+  }
+
   // ------------------------------------------------------------------ m13
 
   test("m13 mix gap: hand-computed shares, gaps, and upweight factors") {
