@@ -218,6 +218,40 @@ class CurationOpsSpec extends AnyFunSuite {
       (2L, 2L, 600000000L)))
   }
 
+  test("w11 engaged time matches an in-memory sweep reference on a seeded random corpus") {
+    import spark.implicits._
+    // seeded LCG → deterministic corpus with heavy overlap chains,
+    // duplicate timestamps, and isolated points
+    var state = 0x9E3779B97F4A7C15L
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    val winSec = 7L
+    val winNs = winSec * 1000000000L
+    val events = (1 to 400).map { i =>
+      val user = math.floorMod(next(), 5L)
+      val ts = math.floorMod(next(), 200L) * 1000000000L // whole seconds in [0,200)
+      (i.toLong, ts, user, "view", 0.0)
+    }
+    val got = graft.queries.Extras
+      .engagedTimeOf(events.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        windowSecs = winSec)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: classic sorted interval-union sweep per user
+    val ref = events.groupBy(_._3).map { case (u, evs) =>
+      val starts = evs.map(_._2).sorted
+      var nIv = 0L; var engaged = 0L
+      var curS = -1L; var curE = -1L
+      starts.foreach { s =>
+        if (curE < 0 || s >= curE) {
+          if (curE >= 0) engaged += curE - curS
+          nIv += 1; curS = s; curE = s + winNs
+        } else curE = math.max(curE, s + winNs)
+      }
+      engaged += curE - curS
+      u -> ((nIv, engaged / 1000L))
+    }
+    assert(got === ref)
+  }
+
   // ------------------------------------------------------------------ m14
 
   test("m14 quality mix report agrees with t2's bins and conserves shares") {
