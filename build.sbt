@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver extracts Bench's one-line JSON contract from stdout; sbt's
+// default LoggedOutput strategy prefixes every forked-process line with
+// "[info] ", which breaks line-oriented JSON extraction (BENCH_r03–r06
+// all recorded parsed:null). StdoutOutput passes the child's stdout
+// through verbatim, so the contract line reaches the driver raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

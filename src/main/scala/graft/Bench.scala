@@ -19,6 +19,21 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def r3(x: Double): Double = math.rint(x * 1000) / 1000
 
+  /** Per-query warm seconds from the previous committed artifact
+    * (`bench/bench_<sf>.json` as it exists on disk BEFORE this run
+    * overwrites it). We control the writer, so a line-oriented regex
+    * on `"name": {"cold": X, "warm": Y}` is exact; missing/unreadable
+    * file → empty map (guard simply disarmed on first run). */
+  private[graft] def benchBaseline(sfName: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(s"bench/bench_$sfName.json")
+    if (!java.nio.file.Files.isReadable(p)) return Map.empty
+    val line = """"([A-Za-z0-9_]+)":\s*\{"cold":\s*([-0-9.eE]+),\s*"warm":\s*([-0-9.eE]+)\}""".r
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      line.findAllMatchIn(text).map(m => m.group(1) -> m.group(3).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -73,10 +88,25 @@ object Bench {
     // impossible, so re-measure those queries once, isolated at the
     // end, and report the re-run as the warm value with the original
     // kept in `spikes_rerun` so the artifact self-documents.
+    //
+    // Round-7 extension (regression guard): the warm-vs-cold rule is
+    // blind when BOTH laps of a query are contended (r6's
+    // m6_materials_e2e: 9.97 cold / 10.44 warm vs three independent
+    // ~2.2 s measurements). So any query whose new warm also exceeds
+    // 2.5× its warm in the PREVIOUS COMMITTED artifact gets the same
+    // isolated re-measure — a contaminated refresh can no longer
+    // silently become the new baseline.
     val coldMap = cold.toMap
-    val spiked = warm0.collect {
+    val baselineWarm: Map[String, Double] =
+      benchBaseline(new java.io.File(sfDir).getName)
+    val spikedVsCold = warm0.collect {
       case (n, w) if !failed(n) && w > math.max(1.5, 2.5 * coldMap(n)) => n
     }
+    val spikedVsBaseline = warm0.collect {
+      case (n, w) if !failed(n) && baselineWarm.get(n)
+        .exists(b => w > math.max(1.5, 2.5 * b)) => n
+    }
+    val spiked = (spikedVsCold ++ spikedVsBaseline).distinct
     val reruns = spiked.map(n => n -> time1(n)).toMap
     val warm = warm0.map { case (n, w) =>
       n -> reruns.get(n).map(math.min(_, w)).getOrElse(w)
@@ -93,9 +123,17 @@ object Bench {
     full ++= s"""  "tables": {""" + tableCounts.map { case (n, c) => s""""$n": $c""" }
       .mkString(", ") + "},\n"
     full ++= s"""  "failed": [""" + failed.map(n => s""""$n"""").mkString(", ") + "],\n"
-    full ++= s"""  "spikes_rerun": {""" + spiked.map(n =>
-      s""""$n": {"contended_warm": ${r3(warm0.toMap.apply(n))}, "rerun": ${r3(reruns(n))}}""")
-      .mkString(", ") + "},\n"
+    full ++= s"""  "spikes_rerun": {""" + spiked.map { n =>
+      val trigger =
+        (if (spikedVsCold.contains(n)) Seq("warm_vs_cold") else Nil) ++
+        (if (spikedVsBaseline.contains(n)) Seq("vs_committed_baseline") else Nil)
+      s""""$n": {"contended_warm": ${r3(warm0.toMap.apply(n))}, "rerun": ${r3(reruns(n))}, "trigger": ${trigger.map(t => s""""$t"""").mkString("[", ", ", "]")}}"""
+    }.mkString(", ") + "},\n"
+    // one-time build cost of each SessionTable-materialized shared
+    // table (cluster labels, signature tables); see SessionTable.scala
+    full ++= s"""  "materialization_cost": {""" +
+      graft.operators.SessionTable.buildCosts.toSeq.sortBy(_._1)
+        .map { case (k, s) => s""""$k": ${r3(s)}""" }.mkString(", ") + "},\n"
     full ++= s"""  "order": "sorted query names (pinned)",\n  "queries": {\n"""
     val warmMap = warm.toMap
     full ++= names.map(n =>

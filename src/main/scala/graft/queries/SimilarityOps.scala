@@ -189,8 +189,12 @@ object SimilarityOps {
     // corpus-sized scan)
     def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
       org.apache.spark.sql.graftx.VectorExpressions.dotProduct(x, y)
-    val d2 = dot(col(vCol), col(vCol)) -
-      lit(2.0) * dot(col(vCol), col("cent")) + dot(col("cent"), col("cent"))
+    // greatest(·, 0): the expanded form can go ~-1e-16 from FP
+    // cancellation when a point sits (near-)exactly on its centroid,
+    // which would quantize to a negative micro-unit and deflate inertia
+    val d2 = greatest(dot(col(vCol), col(vCol)) -
+      lit(2.0) * dot(col(vCol), col("cent")) + dot(col("cent"), col("cent")),
+      lit(0.0))
     Ivf.assignCells(emb, idCol, vCol, cents)
       .join(broadcast(centTable), "cell")
       .select(col("cell"),

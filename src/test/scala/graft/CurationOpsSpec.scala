@@ -127,9 +127,13 @@ class CurationOpsSpec extends AnyFunSuite {
     // same labels, total coverage
     assert(w.map(t => t._1 -> t._2).toMap === d6)
     // singleton weight is exactly 1e6; every cluster's mass is 1e6
-    // up to the per-member rounding (csize·round(1e6/csize))
+    // up to the per-member rounding (csize·round(1e6/csize)).
+    // Reference expectation uses half-UP rounding: Spark round() and
+    // DuckDB ROUND both round half away from zero, while math.rint is
+    // half-to-even (they disagree at e.g. csize=128: 7812.5 → 7813 vs
+    // 7812).
     w.foreach { case (_, _, csize, wm) =>
-      assert(wm === math.rint(1e6 / csize).toLong)
+      assert(wm === math.round(1e6 / csize))
       if (csize == 1L) assert(wm === 1000000L)
     }
     // at least one real dup cluster exists in the fixture
