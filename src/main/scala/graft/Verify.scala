@@ -21,7 +21,13 @@ object Verify {
     val counts = Tables.preflight(spark, sfDir)
     System.err.println("[verify] preflight row counts: " +
       counts.map { case (n, c) => s"$n=$c" }.mkString(", "))
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // optional comma-separated subset for fast local iteration (the
+    // Bench convention); the driver's full runs leave it unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -50,7 +56,9 @@ object Verify {
     // artifact is missing entries (the round-5 events gap was silent
     // because nothing compared "what ran" against "what should run").
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.contains(n)))
+        .map(q).mkString("[", ",", "]"))
     spark.stop()
     if (failures.nonEmpty) {
       // Artifacts for the queries that DID succeed are all written; the

@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic k-means: Lloyd's algorithm over
+  * INTEGER-quantized vectors (tenth-milli units, the m12/s7/t10
+  * micro-unit discipline), with an md5-keyed deterministic training
+  * sample and floor-division centroid updates. Every arithmetic step
+  * — quantization, distances, argmin ties, centroid means — is exact
+  * integer math reproducible bit-for-bit by any engine, so the
+  * cluster assignment itself (not just a summary of it) has a DuckDB
+  * SQL oracle: `lloydSql` generates the equivalent unrolled-iteration
+  * SQL for the fixture tables. This upgrades c1_kmeans_summary and
+  * d10_semdedup from rows-only checks to full hash-level oracles
+  * (the round-6 j10/z1 conversion pattern: a result-identical
+  * deterministic twin), and makes the clustering reproducible across
+  * engine versions — a property float Lloyd cannot give (reassociated
+  * float means flip boundary assignments).
+  *
+  * Scale shape is unchanged from the float path (operators/
+  * Similarity.scala Ivf): the training sample is CAPPED (default
+  * 8192 rows ≈ 4 MB of longs to the driver, independent of corpus
+  * size), Lloyd runs driver-local over the sample, and the one
+  * corpus-sized pass is the distributed batched-GEMM cell assignment
+  * — exact here because every product/partial-sum is an
+  * integer-valued double far below 2^53 (|x| ≤ ~0.6 → |qv| ≤ 6e3,
+  * 64-dim dots ≤ ~2.3e9), so BLAS accumulation order cannot change
+  * the result.
+  *
+  * Quantization loses nothing that matters: 1e-4 resolution on unit-
+  * scale embeddings is far below the noise floor of any learned
+  * embedding, and SemDeDup/clustering verdicts at τ-granularity are
+  * unaffected (OperatorsSpec pins the verdict behavior; the oracle
+  * pins the full assignment).
+  */
+object IntKmeans {
+
+  /** Tenth-milli quantization (m12's Q): keeps every integer product
+    * comfortably exact in doubles at embedding scale. */
+  val Q = 1e4
+
+  /** (id, qv) with qv = round(x·1e4) as array<long> — Spark round is
+    * half-away-from-zero on doubles, same as DuckDB ROUND. */
+  def quantize(df: DataFrame, idCol: String, vCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol),
+      transform(col(vCol),
+        x => round(x.cast("double") * lit(Q), 0).cast("long")).as("qv"))
+
+  /** Deterministic capped training sample: first `cap` rows under the
+    * engine-neutral keyed digest md5("km:<seed>:" || id) (the o5/o11
+    * split discipline — xxhash64 has no DuckDB twin, md5 does).
+    * Driver traffic = cap × dim longs, corpus-size-independent. */
+  def sampleTrain(q: DataFrame, idCol: String, seed: Long,
+      cap: Int): Array[Array[Long]] =
+    q.orderBy(md5(concat(lit(s"km:$seed:"), col(idCol).cast("string"))),
+        col(idCol))
+      .limit(cap).select(col("qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+
+  private def d2(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
+
+  /** Gonzalez farthest-first traversal over the integer sample —
+    * start at the first sample row, then repeatedly the point
+    * maximizing min-distance-to-chosen; ties keep the lowest sample
+    * index (strict >), mirroring the SQL `ORDER BY md DESC, rn ASC
+    * LIMIT 1`. Exact integer distances → exact cross-engine replay. */
+  private def ffInit(train: Array[Array[Long]], k: Int): Array[Array[Long]] = {
+    val n = train.length
+    if (n <= k) return train.take(k)
+    val chosen = scala.collection.mutable.ArrayBuffer(train(0))
+    val minD = Array.fill(n)(Long.MaxValue)
+    while (chosen.length < k) {
+      val c = chosen.last
+      var best = 0; var bestD = -1L; var i = 0
+      while (i < n) {
+        val d = d2(train(i), c)
+        if (d < minD(i)) minD(i) = d
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      chosen += train(best)
+    }
+    chosen.toArray
+  }
+
+  /** Driver-local integer Lloyd. Init = farthest-first or the
+    * sample's first k rows; assignment argmin ties keep the lowest
+    * cell; update = elementwise floor(sum/count) (exact: |sum| < 2^53
+    * at any cap this sandbox reaches); empty cells keep their
+    * centroid. All decisions are integer comparisons → the SQL twin
+    * replays them exactly. */
+  def lloyd(train: Array[Array[Long]], k: Int, iters: Int,
+      farthest: Boolean): Array[Array[Long]] = {
+    if (train.isEmpty) return Array.empty
+    var cents: Array[Array[Long]] =
+      if (farthest) ffInit(train, k) else train.take(k)
+    val dim = train(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
+      val counts = new Array[Long](cents.length)
+      train.foreach { v =>
+        var best = 0; var bestD = Long.MaxValue; var c = 0
+        while (c < cents.length) {
+          val d = d2(v, cents(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var i = 0; while (i < dim) { s(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val s = sums(c)
+          Array.tabulate(dim)(i => math.floor(s(i).toDouble / counts(c)).toLong)
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Distributed full-corpus assignment — delegates to the batched-
+    * GEMM path (Ivf.assignCells) on integer-valued doubles, which is
+    * EXACT (see object doc), with argmax(v·c − ‖c‖²/2) ties keeping
+    * the lowest cell = the SQL twin's argmin(d2) ASC, cell ASC.
+    * Returns (idCol, "qvd" array<double>, "cell" int). */
+  def assign(q: DataFrame, idCol: String,
+      cents: Array[Array[Long]]): DataFrame =
+    Similarity.Ivf.assignCells(
+      q.select(col(idCol),
+        transform(col("qv"), _.cast("double")).as("qvd")),
+      idCol, "qvd", cents.map(_.map(_.toDouble)))
+
+  /** Exact integer dot as a codegen'd double expression (operands are
+    * integer-valued doubles; result is an integer-valued double). */
+  def doti(x: Column, y: Column): Column =
+    org.apache.spark.sql.graftx.VectorExpressions.dotProduct(x, y)
+
+  // ------------------------------------------------------------------
+  // DuckDB SQL twin (fixture oracle: 64-dim `embeddings` table)
+  // ------------------------------------------------------------------
+
+  private def d2Sql(a: String, b: String, dim: Int): String =
+    s"list_sum([($a.qv[j] - $b.cv[j]) * ($a.qv[j] - $b.cv[j]) FOR j IN range(1, ${dim + 1})])"
+
+  /** CTE prelude shared by every consumer: e(vec_id, qv), ord(+rn),
+    * train(rn, qv). MATERIALIZED: the unrolled iteration chain
+    * references e/train ~30 times — inlined CTEs would re-open the
+    * parquet per reference (DuckDB hit its fd limit at sf0.001). */
+  def preludeSql(seed: Long, cap: Int): String =
+    s"""e AS MATERIALIZED (
+       | SELECT vec_id, [ROUND(x::DOUBLE * 1e4)::BIGINT FOR x IN embedding] AS qv
+       | FROM embeddings),
+       |ord AS (
+       | SELECT vec_id, qv,
+       |  ROW_NUMBER() OVER (ORDER BY md5('km:$seed:' || vec_id), vec_id) AS rn
+       | FROM e),
+       |train AS MATERIALIZED (SELECT rn, qv FROM ord WHERE rn <= $cap)""".stripMargin
+
+  /** Farthest-first init CTEs ch1..ch<k>; the caller aliases ch<k> as
+    * its c0. Each step: per-point min distance to the chosen set,
+    * argmax (ties → lowest rn), append as the next cell. */
+  def ffInitSql(k: Int, dim: Int): String = {
+    // every ch$i is MATERIALIZED: ch$i is referenced twice by level
+    // i+1 (the UNION ALL and the min-distance scan), so inlining
+    // would re-expand the whole chain 2^k times
+    val first =
+      s"""ch1 AS MATERIALIZED (SELECT 0 AS cell, qv AS cv FROM train WHERE rn = 1)"""
+    val steps = (2 to k).map { i =>
+      s"""md$i AS (
+         | SELECT t.rn, MIN(${d2Sql("t", "c", dim)}) AS md
+         | FROM train t CROSS JOIN ch${i - 1} c GROUP BY t.rn),
+         |pk$i AS (SELECT rn FROM md$i ORDER BY md DESC, rn ASC LIMIT 1),
+         |ch$i AS MATERIALIZED (
+         | SELECT * FROM ch${i - 1}
+         | UNION ALL SELECT ${i - 1} AS cell, t.qv AS cv
+         | FROM train t JOIN pk$i USING (rn))""".stripMargin
+    }
+    (first +: steps).mkString(",\n")
+  }
+
+  /** Unrolled Lloyd iterations c0 → c<iters> (assign over `train`,
+    * floor-mean update, empty cells keep their centroid), then the
+    * full-corpus assignment af(vec_id, qv, cell) against c<iters>. */
+  def lloydSql(iters: Int, dim: Int): String = {
+    val its = (1 to iters).map { t =>
+      s"""a$t AS (
+         | SELECT rn, qv, cell FROM (
+         |  SELECT t.rn, t.qv, c.cell,
+         |   ROW_NUMBER() OVER (PARTITION BY t.rn
+         |    ORDER BY ${d2Sql("t", "c", dim)} ASC, c.cell ASC) AS rk
+         |  FROM train t CROSS JOIN c${t - 1} c) WHERE rk = 1),
+         |u$t AS (
+         | SELECT cell, list(cj ORDER BY j) AS cv FROM (
+         |  SELECT a.cell, t.j,
+         |   CAST(FLOOR(SUM(a.qv[t.j])::DOUBLE / COUNT(*)) AS BIGINT) AS cj
+         |  FROM a$t a CROSS JOIN range(1, ${dim + 1}) AS t(j)
+         |  GROUP BY a.cell, t.j) GROUP BY cell),
+         |c$t AS MATERIALIZED (
+         | SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+         | FROM c${t - 1} p LEFT JOIN u$t u USING (cell))""".stripMargin
+    }
+    val af =
+      s"""af AS MATERIALIZED (
+         | SELECT vec_id, qv, cell FROM (
+         |  SELECT o.vec_id, o.qv, c.cell,
+         |   ROW_NUMBER() OVER (PARTITION BY o.vec_id
+         |    ORDER BY ${d2Sql("o", "c", dim)} ASC, c.cell ASC) AS rk
+         |  FROM e o CROSS JOIN c$iters c) WHERE rk = 1)""".stripMargin
+    (its :+ af).mkString(",\n")
+  }
+
+  /** Complete d10 SemDeDup oracle: adaptive nlist = clamp(4·⌈√N⌉,
+    * [16, 65536]) take-k init, `iters` Lloyd rounds, within-cell
+    * max-cosine-to-previous-id verdict at τ. */
+  def oracleD10(tau: Double, seed: Long, cap: Int, iters: Int,
+      dim: Int): String = {
+    val r = dim + 1
+    s"""WITH ${preludeSql(seed, cap)},
+       |params AS (
+       | SELECT LEAST(65536, GREATEST(16,
+       |  4 * CAST(CEIL(SQRT(COUNT(*)::DOUBLE)) AS BIGINT))) AS nlist FROM e),
+       |c0 AS MATERIALIZED (
+       | SELECT rn - 1 AS cell, qv AS cv FROM train
+       | WHERE rn <= (SELECT nlist FROM params)),
+       |${lloydSql(iters, dim)},
+       |nn AS MATERIALIZED (
+       | SELECT vec_id, qv, cell,
+       |  list_sum([qv[j] * qv[j] FOR j IN range(1, $r)]) AS na FROM af),
+       |mx AS (
+       | SELECT b.vec_id,
+       |  MAX(CASE WHEN a.na = 0 OR b.na = 0 THEN 0.0
+       |      ELSE ROUND(list_sum([a.qv[j] * b.qv[j] FOR j IN range(1, $r)])::DOUBLE /
+       |           (SQRT(a.na::DOUBLE) * SQRT(b.na::DOUBLE)), 6) END) AS mx
+       | FROM nn a JOIN nn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       | GROUP BY b.vec_id)
+       |SELECT f.vec_id, f.cell::BIGINT AS cluster,
+       | COALESCE(m.mx, -1.0) AS max_sim_prev,
+       | COALESCE(m.mx, -1.0) >= $tau AS is_dup
+       |FROM af f LEFT JOIN mx m ON f.vec_id = m.vec_id
+       |ORDER BY f.vec_id""".stripMargin
+  }
+
+  /** Complete c1 k-means-summary oracle: farthest-first init (k
+    * unrolled steps), `iters` unrolled Lloyd rounds, per-cluster
+    * size + exact integer inertia in q8 units ((1e-4)² = 1e-8). */
+  def oracleC1(k: Int, seed: Long, cap: Int, iters: Int,
+      dim: Int): String =
+    s"""WITH ${preludeSql(seed, cap)},
+       |${ffInitSql(k, dim)},
+       |c0 AS (SELECT cell, cv FROM ch$k),
+       |${lloydSql(iters, dim)},
+       |sums AS (
+       | SELECT f.cell, COUNT(*)::BIGINT AS n,
+       |  SUM(${d2Sql("f", "c", dim)})::BIGINT AS inertia_q8
+       | FROM af f JOIN c$iters c USING (cell) GROUP BY f.cell)
+       |SELECT cell::BIGINT AS cluster_id, n, inertia_q8,
+       | ROUND(inertia_q8::DOUBLE / n)::BIGINT AS mean_d2_q8
+       |FROM sums ORDER BY cluster_id""".stripMargin
+}

@@ -500,33 +500,40 @@ object Similarity {
     * a cell, a vector whose cosine to any EARLIER-id cell member is
     * ≥ `tau` is flagged a duplicate — "keep one representative per
     * ε-ball", made deterministic by keeping the lowest id. Scale
-    * shape: the quantizer trains on a capped sample (Ivf.centroids),
-    * assignment is the one full corpus pass, and the verify join is
-    * blocked per cell — nlist grows with N to bound cell size, so the
-    * pair volume stays O(N · cell) and never goes all-pairs. Output
-    * is one verdict row per vector (row count is corpus-sized and
-    * insensitive to float drift; the cosine itself is rounded). */
+    * shape: the quantizer trains on a capped sample, assignment is
+    * the one full corpus pass, and the verify join is blocked per
+    * cell — nlist grows with N to bound cell size, so the pair
+    * volume stays O(N · cell) and never goes all-pairs.
+    *
+    * Round 7: the quantizer is the cross-engine-deterministic integer
+    * Lloyd (operators/IntKmeans.scala) — every assignment decision is
+    * exact integer arithmetic, the cosine rides exact integer dots,
+    * and the WHOLE output (cluster ids included) now has a DuckDB
+    * oracle (IntKmeans.oracleD10) instead of a rows-only check. */
   def semDedup(emb: DataFrame, vCol: String, idCol: String, nlist: Int,
       tau: Double, iters: Int, seed: Long): DataFrame = {
-    val cents = Ivf.centroids(emb, vCol, idCol, nlist, iters, seed)
-    val c = Ivf.assignCells(
-      emb.select(col(idCol).as("vec_id"), col(vCol).as("v")),
-      "vec_id", "v", cents)
-      .withColumn("cluster", col("cell").cast("long")).drop("cell")
-      .withColumn("nrm",
-        sqrt(VectorExpressions.dotProduct(col("v"), col("v"))))
+    val q = IntKmeans.quantize(emb, idCol, vCol)
+    val train = IntKmeans.sampleTrain(q, idCol, seed, cap = 8192)
+    val cents = IntKmeans.lloyd(train, nlist, iters, farthest = false)
+    val c = IntKmeans.assign(q, idCol, cents)
+      .select(col(idCol).as("vec_id"), col("qvd"),
+        col("cell").cast("long").as("cluster"))
+      .withColumn("na", IntKmeans.doti(col("qvd"), col("qvd"))) // exact int-valued
     val prev = c.select(col("cluster"), col("vec_id").as("prev_id"),
-      col("v").as("pv"), col("nrm").as("pn"))
+      col("qvd").as("pv"), col("na").as("nb"))
+    // cosine over exact integer dots; rounded BEFORE the max so the
+    // max compares the same 6-decimal values the oracle compares
+    val cs = when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
+      .otherwise(round(IntKmeans.doti(col("qvd"), col("pv"))
+        / (sqrt(col("na")) * sqrt(col("nb"))), 6))
     val sims = c.join(prev, "cluster")
       .where(col("prev_id") < col("vec_id"))
-      .select(col("vec_id"),
-        (VectorExpressions.dotProduct(col("v"), col("pv"))
-          / (col("nrm") * col("pn"))).as("cs"))
+      .select(col("vec_id"), cs.as("cs"))
       .groupBy(col("vec_id")).agg(max(col("cs")).as("mx"))
     c.select(col("vec_id"), col("cluster"))
       .join(sims, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
-        round(coalesce(col("mx"), lit(-1.0)), 6).as("max_sim_prev"),
+        coalesce(col("mx"), lit(-1.0)).as("max_sim_prev"),
         (coalesce(col("mx"), lit(-1.0)) >= tau).as("is_dup"))
       .orderBy(col("vec_id"))
   }
@@ -543,10 +550,10 @@ object Similarity {
     math.min(65536L, math.max(16L,
       4L * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
-  /** Query-surface entry: SemDeDup over the embeddings table
-    * (rows-only — cluster assignment rides float Lloyd means, so the
-    * verdict columns have no cross-engine oracle; behavior is
-    * asserted on a constructed corpus in OperatorsSpec). τ matches
+  /** Query-surface entry: SemDeDup over the embeddings table. Oracle-
+    * checked since round 7 (IntKmeans.oracleD10 replays the integer
+    * Lloyd + within-cell verdict exactly in DuckDB); behavior is also
+    * asserted on a constructed corpus in OperatorsSpec. τ matches
     * d5's near-dup notion for this synthetic embedding table. */
   def d10SemDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables(spark, dir, "embeddings")

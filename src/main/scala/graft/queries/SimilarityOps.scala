@@ -151,60 +151,59 @@ object SimilarityOps {
 
   /** C1 k-means clustering summary over the embedding corpus — the
     * clustering pass a topic-balanced sampler or SemDeDup-style
-    * curation stage starts from. Reuses the IVF coarse quantizer's
-    * training discipline (capped keyed-digest sample, driver-local
+    * curation stage starts from. Same training discipline as the IVF
+    * coarse quantizer (capped keyed-digest sample, driver-local
     * Lloyd, ≤4 MB driver traffic) and its batched-GEMM full-corpus
     * assignment — clustering IS the IVF build minus the index, so the
     * scale argument is identical: one corpus pass for assignment, one
     * k-sized broadcast join for distances, one cell-keyed agg.
     *
     * Output is the per-cluster summary (sizes + inertia), not the
-    * corpus-sized assignment (which a caller gets from
-    * `Ivf.assignCells` directly). Per-point squared distances
-    * quantize to integer micro-units before the sum, so the
-    * per-cluster inertia is order-independent integer arithmetic.
-    * Rows-only (k-means is not SQL-expressible); KmeansSpec asserts
-    * blob recovery, determinism, and the inertia bound. */
+    * corpus-sized assignment (which a caller gets from the assignment
+    * kernel directly).
+    *
+    * Round 7: runs on the cross-engine-deterministic integer Lloyd
+    * (operators/IntKmeans.scala — farthest-first init, exact integer
+    * distances, floor-mean updates), so inertia is EXACT integer
+    * arithmetic in q8 units ((1e-4)² quantization) and the whole
+    * summary has a DuckDB oracle (IntKmeans.oracleC1) instead of a
+    * rows-only check. CurationOpsSpec asserts blob recovery,
+    * determinism, and the inertia bound. */
   def c1KmeansSummary(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Similarity.Ivf
-    val emb = Tables(s, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-    kmeansSummaryOf(emb, "vec_id", "v", k = 8, iters = 10, seed = 42L)
+    val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    kmeansSummaryOf(emb, "vec_id", "embedding", k = 8, iters = 10, seed = 42L)
   }
 
   /** The c1 kernel over an arbitrary (id, vector) relation. */
   def kmeansSummaryOf(emb: DataFrame, idCol: String, vCol: String,
       k: Int, iters: Int, seed: Long): DataFrame = {
-    import graft.operators.Similarity.Ivf
+    import graft.operators.IntKmeans
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = Ivf.centroids(emb, vCol, idCol, nlist = k, iters = iters,
-      seed = seed, farthestInit = true)
+    val q = IntKmeans.quantize(emb, idCol, vCol)
+    val cents = IntKmeans.lloyd(
+      IntKmeans.sampleTrain(q, idCol, seed, cap = 8192),
+      k, iters, farthest = true)
     val centTable = cents.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "cent")
-    // |v−c|² = v·v − 2 v·c + c·c, each dot a codegen'd native
-    // expression (zip_with/aggregate lambdas are interpreted — the
-    // SCALING rule-4 ban on interpreted per-element work in a
+      .map { case (c, i) => (i, c.map(_.toDouble)) }.toSeq.toDF("cell", "cent")
+    // |v−c|² = v·v − 2 v·c + c·c over integer-valued doubles — every
+    // product and partial sum is an exact integer below 2^53, so the
+    // expansion is EXACT (and ≥ 0 exactly); each dot is a codegen'd
+    // native expression (zip_with/aggregate lambdas are interpreted —
+    // the SCALING rule-4 ban on interpreted per-element work in a
     // corpus-sized scan)
-    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.graftx.VectorExpressions.dotProduct(x, y)
-    // greatest(·, 0): the expanded form can go ~-1e-16 from FP
-    // cancellation when a point sits (near-)exactly on its centroid,
-    // which would quantize to a negative micro-unit and deflate inertia
-    val d2 = greatest(dot(col(vCol), col(vCol)) -
-      lit(2.0) * dot(col(vCol), col("cent")) + dot(col("cent"), col("cent")),
-      lit(0.0))
-    Ivf.assignCells(emb, idCol, vCol, cents)
+    val dot = IntKmeans.doti(_, _)
+    val d2 = dot(col("qvd"), col("qvd")) -
+      lit(2.0) * dot(col("qvd"), col("cent")) + dot(col("cent"), col("cent"))
+    IntKmeans.assign(q, idCol, cents)
       .join(broadcast(centTable), "cell")
-      .select(col("cell"),
-        round(d2 * lit(1e6), 0).cast("long").as("d2_micro"))
+      .select(col("cell"), d2.cast("long").as("d2_q8"))
       .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"), sum(col("d2_micro")).as("inertia_micro"))
+      .agg(count(lit(1)).as("n"), sum(col("d2_q8")).as("inertia_q8"))
       .select(col("cell").cast("long").as("cluster_id"), col("n"),
-        col("inertia_micro"),
-        round(col("inertia_micro").cast("double") / col("n"), 0)
-          .cast("long").as("mean_d2_micro"))
+        col("inertia_q8"),
+        round(col("inertia_q8").cast("double") / col("n"), 0)
+          .cast("long").as("mean_d2_q8"))
       .orderBy(col("cluster_id"))
   }
 
@@ -217,8 +216,9 @@ object SimilarityOps {
     "s3_ann_ivf" -> (graft.operators.Similarity.s3AnnIvf _),
     "s4_ann_ivfpq" -> (graft.operators.Similarity.s4AnnIvfPq _),
     "s6_pca_project" -> (graft.operators.Pca.s6PcaProject _),
-    // rows-only: iterative k-means isn't SQL-expressible; KmeansSpec
-    // asserts blob recovery, determinism, and the inertia bound
+    // oracle-green since r7: integer Lloyd replayed in DuckDB
+    // (IntKmeans.oracleC1); CurationOpsSpec asserts blob recovery,
+    // determinism, and the inertia bound
     "c1_kmeans_summary" -> (c1KmeansSummary _),
     "s7_scalar_quantize" -> (graft.operators.Quantize.s7ScalarQuantize _),
     "s8_hybrid_rrf" -> (s8HybridRrf _),
@@ -316,6 +316,15 @@ object SimilarityOps {
   val oracle: Map[String, String] = Map(
     "s5_bm25" -> s5Sql,
     "s8_hybrid_rrf" -> s8Sql,
+    // r7 conversions (VERDICT r6 task #4): the clustering step is the
+    // cross-engine-deterministic integer Lloyd, so the full unrolled
+    // iteration chain replays in DuckDB — see operators/IntKmeans.scala
+    "c1_kmeans_summary" ->
+      graft.operators.IntKmeans.oracleC1(k = 8, seed = 42L, cap = 8192,
+        iters = 10, dim = 64),
+    "d10_semdedup" ->
+      graft.operators.IntKmeans.oracleD10(tau = 0.3, seed = 42L,
+        cap = 8192, iters = 2, dim = 64),
     "s7_scalar_quantize" ->
       """WITH e AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -307,8 +307,9 @@ class CurationOpsSpec extends AnyFunSuite {
       .kmeansSummaryOf(blobs, "vec_id", "v", k = 3, iters = 10, seed = 42L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.map(_._2).sorted.toSeq === Seq(4L, 4L, 4L), s"sizes in ${got.toSeq}")
-    // within-blob spread ≤ (0.3² + 0.3²)·4 per blob, in micro-units
-    assert(got.map(_._3).sum <= (0.18 * 4 * 3 * 1e6).toLong,
+    // within-blob spread ≤ (0.3² + 0.3²)·4 per blob, in q8 units
+    // ((1e-4)² quantization → real d2 × 1e8)
+    assert(got.map(_._3).sum <= (0.18 * 4 * 3 * 1e8).toLong,
       s"inertia too high: ${got.toSeq}")
   }
 
