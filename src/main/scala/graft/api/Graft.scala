@@ -1,0 +1,285 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stable public facade of the graft engine — the library surface a
+  * user consumes on their OWN tables, independent of the bench/oracle
+  * fixture harness. Every method is a thin delegation to the kernel
+  * that backs the corresponding query-surface entry (named in each
+  * scaladoc as `qid:`), so the facade can never drift from the
+  * oracle-checked behavior; column contracts are spelled out per
+  * family.
+  *
+  * Quickstart (the README walk-through): given `docs(doc_id: long,
+  * text: string)` —
+  *
+  * {{{
+  * import graft.api.Graft
+  * val sig    = Graft.dedup.minhashSignatures(docs, "doc_id", "text")
+  * val pairs  = Graft.dedup.minhashCandidatePairs(sig, "doc_id", threshold = 0.75)
+  * val labels = Graft.dedup.clusterLabels(
+  *   pairs.select($"id_a" as "doc_a", $"id_b" as "doc_b"),
+  *   docs.select($"doc_id"))
+  * val split  = Graft.dedup.clusterSplit(labels)   // leakage-safe train/holdout/test
+  * }}}
+  *
+  * Scale notes live on the kernels themselves (each scaladoc states
+  * its shuffle shape); nothing here adds work — calling through the
+  * facade builds the same plan as calling the kernel.
+  */
+object Graft {
+
+  // ------------------------------------------------------------------
+  /** Deduplication family — contracts: documents are `(id, text)`;
+    * pair relations are `(doc_a, doc_b)`; label relations are
+    * `(doc_id, cluster_id)`. */
+  object dedup {
+    import graft.queries.DedupOps
+
+    /** qid: d1_exact_dedup — one keeper (min id) per exact content
+      * hash; one shuffle on the hash. */
+    def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+      docs.groupBy(md5(col(textCol)).as("content_hash"))
+        .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+    /** qid: d2_minhash_lsh — MinHash signatures + LSH band keys per
+      * document. `materialize = true` is the persisted-signature-table
+      * surface for corpus snapshots. */
+    def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+        k: Int = 16, bands: Int = 2, shingleN: Int = 3,
+        materialize: Boolean = false): DataFrame =
+      graft.operators.MinHash.signatures(docs, idCol, textCol, k, bands,
+        shingleN, materialize)
+
+    /** qid: d2_minhash_pairs — banded candidate pairs `(id_a, id_b,
+      * est_jaccard)` from a signature table; the equi-join is on band
+      * keys, never doc×doc. */
+    def minhashCandidatePairs(sig: DataFrame, idCol: String, k: Int = 16,
+        bands: Int = 2, threshold: Double = 0.75): DataFrame =
+      graft.operators.MinHash.candidatePairs(sig, idCol, k, bands, threshold)
+
+    /** qid: d14_incremental_minhash — probe a signature batch against
+      * a (materialized) history signature table; cost is proportional
+      * to the batch. */
+    def incrementalMinhashProbe(batch: DataFrame, history: DataFrame): DataFrame =
+      DedupOps.incrementalProbeOf(batch, history)
+
+    /** qid: d3_simhash — 64-bit SimHash per document over `(doc_id,
+      * text)`. */
+    def simhash(docs: DataFrame): DataFrame = DedupOps.simhash64Of(docs)
+
+    /** qid: d6_dup_clusters — connected-component labels `(doc_id,
+      * cluster_id)` from a pair list + id universe (iterative
+      * min-label; O(1) driver traffic per round). At scale, persist
+      * the result once per corpus snapshot and join it from every
+      * consumer (keepBest / dedupWeights / clusterSplit). */
+    def clusterLabels(pairs: DataFrame, universe: DataFrame): DataFrame =
+      graft.operators.DupClusters.computeLabels(pairs, universe)
+
+    /** qid: d13_keep_best — per-cluster survivorship: keep the
+      * highest-quality member (`quality` = `(doc_id, quality)`),
+      * ties to the smallest id. */
+    def keepBest(labels: DataFrame, quality: DataFrame): DataFrame =
+      DedupOps.keepBestOf(labels, quality)
+
+    /** qid: d18_dedup_weights — dropless SoftDeDup: every cluster
+      * member keeps weight 1e6/|cluster| micro-units. */
+    def dedupWeights(labels: DataFrame): DataFrame = {
+      val sz = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("csize"))
+      labels.join(sz, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("csize"),
+          round(lit(1e6) / col("csize"), 0).cast("long").as("weight_micro"))
+    }
+
+    /** qid: o11_cluster_split — leakage-safe train/holdout/test audit
+      * keyed on the CLUSTER (every near-dup lands in one split). */
+    def clusterSplit(labels: DataFrame): DataFrame =
+      DedupOps.clusterSplitOf(labels)
+
+    /** qid: d11_window_dedup — exact k-token-window dedup verdicts
+      * over `(doc_id, text)`. */
+    def windowDedup(docs: DataFrame, k: Int): DataFrame =
+      DedupOps.windowDedupOf(docs, k)
+
+    /** qid: d15_substring_strip — remove every k-token window already
+      * seen (lowest doc, leftmost position wins). */
+    def substringStrip(docs: DataFrame, k: Int): DataFrame =
+      DedupOps.substringStripOf(docs, k)
+
+    /** qid: d12_bloom_dedup — incremental ingest dedup: incoming docs
+      * probe a Bloom filter built once over the corpus history. */
+    def bloomDedup(corpus: DataFrame, incoming: DataFrame, k: Int,
+        fpp: Double = 0.01): DataFrame =
+      DedupOps.bloomDedupOf(corpus, incoming, k, fpp)
+
+    /** qid: d10_semdedup — SemDeDup over `(id, vector)`: integer-
+      * Lloyd clusters + within-cell cosine-to-earlier-id verdicts at
+      * `tau` (cross-engine deterministic, see operators/IntKmeans). */
+    def semDedup(emb: DataFrame, vCol: String, idCol: String, nlist: Int,
+        tau: Double, iters: Int = 2, seed: Long = 42L): DataFrame =
+      graft.operators.Similarity.semDedup(emb, vCol, idCol, nlist, tau,
+        iters, seed)
+  }
+
+  // ------------------------------------------------------------------
+  /** Similarity / embedding family — vectors are `array<float|double>`
+    * columns beside a numeric id. */
+  object similarity {
+    import graft.operators.Similarity
+
+    /** qid: s2_ann_lsh — LSH-bucketed approximate top-k with 1-bit
+      * multiprobe; brute-force recall is spec-pinned. */
+    def annTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
+        idCol: String, k: Int, nPlanes: Int, seed: Long, dim: Int): DataFrame =
+      Similarity.annTopK(corpus, queries, vCol, idCol, k, nPlanes, seed, dim)
+
+    /** qid: s3_ann_ivf — IVF-Flat top-k (capped-sample quantizer,
+      * batched-GEMM assignment, per-cell candidates). */
+    def ivfTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
+        idCol: String, k: Int, nlist: Int, nprobe: Int, iters: Int = 2,
+        seed: Long = 42L): DataFrame =
+      Similarity.Ivf.topK(corpus, queries, vCol, idCol, k, nlist, nprobe,
+        iters, seed)
+
+    /** qid: c1_kmeans_summary — per-cluster sizes + exact integer
+      * inertia (q8 units) from the deterministic integer Lloyd. */
+    def kmeansSummary(emb: DataFrame, idCol: String, vCol: String,
+        k: Int, iters: Int = 10, seed: Long = 42L): DataFrame =
+      graft.queries.SimilarityOps.kmeansSummaryOf(emb, idCol, vCol, k,
+        iters, seed)
+
+    /** qid: s6_pca_project — treeReduce covariance fit + projection
+      * (fit is O(d²) driver traffic regardless of corpus size). */
+    def pcaProject(df: DataFrame, idCol: String, vCol: String,
+        nComponents: Int): DataFrame =
+      graft.operators.Pca.project(df, idCol, vCol,
+        graft.operators.Pca.fit(df, vCol, nComponents))
+
+    /** Adaptive IVF cell count: clamp(4·⌈√N⌉, [16, 65536]). */
+    def adaptiveNlist(n: Long): Int = Similarity.adaptiveNlist(n)
+  }
+
+  // ------------------------------------------------------------------
+  /** Text-curation family — documents are `(doc_id, text)` unless
+    * noted; scores quantize to micro-units for cross-engine parity. */
+  object text {
+    import graft.queries.TextOps
+
+    /** qid: t2_quality_score — stopword-ratio + length-saturation
+      * quality with the shared bin rule (the single source of truth
+      * m10/m14/o10 also consume). */
+    def qualityScore(docs: DataFrame): DataFrame = {
+      val (stopRatio, quality) = TextOps.qualityParts
+      val score = round(quality, 6)
+      docs.select(col("doc_id"), round(stopRatio, 6).as("stop_ratio"),
+        score.as("quality"),
+        when(score >= 0.4, "good").when(score >= 0.25, "fair")
+          .otherwise("low").as("quality_bin"))
+    }
+
+    /** qid: t10_tfidf_capped — TF-IDF with a min-df floor so the
+      * model side stays on the Zipf head. */
+    def tfidf(docs: DataFrame, minDf: Long): DataFrame =
+      TextOps.tfidfCappedOf(docs, minDf)
+
+    /** qid: t11_lm_xent_capped — unigram LM cross-entropy quality
+      * signal with a min-count floor. */
+    def lmCrossEntropy(docs: DataFrame, minCount: Long): DataFrame =
+      TextOps.lmXentCappedOf(docs, minCount)
+
+    /** qid: t16_keywords — per-doc top-k TF-IDF keywords
+      * (WindowGroupLimit rank pruning). */
+    def keywords(docs: DataFrame, topK: Int): DataFrame =
+      TextOps.keywordsOf(docs, topK)
+
+    /** qid: t17_dsir — DSIR importance weights toward a target slice
+      * given by `targetPred` over the doc row. */
+    def dsirWeights(docs: DataFrame, targetPred: Column): DataFrame =
+      TextOps.dsirWeightsOf(docs, targetPred)
+
+    /** qid: t18_novelty — per-doc fraction of n-grams unseen in any
+      * earlier (smaller-id) document. */
+    def ngramNovelty(docs: DataFrame, n: Int): DataFrame =
+      TextOps.ngramNoveltyOf(docs, n)
+
+    /** qid: t13_gopher_rules — Gopher-style repetition/length/stop
+      * gates, one boolean per rule. */
+    def gopherRules(docs: DataFrame): DataFrame =
+      TextOps.gopherRulesOf(docs)
+
+    /** qid: t12_collocations — PMI collocation mining over adjacent
+      * token pairs. */
+    def collocations(docs: DataFrame): DataFrame =
+      TextOps.collocationsOf(docs)
+  }
+
+  // ------------------------------------------------------------------
+  /** Packing / mixture family — inputs carry `(source, doc_id, text)`
+    * unless noted. */
+  object pack {
+    import graft.queries.PackOps
+
+    /** qid: p2_chunk_windows — fixed-window/stride chunking with
+      * exact tail handling. */
+    def chunkWindows(docs: DataFrame, win: Int, stride: Int): DataFrame =
+      PackOps.chunkWindowsOf(docs, win, stride)
+
+    /** qid: m9_mix_plan — per-source target shares → sampling plan. */
+    def mixPlan(docs: DataFrame): DataFrame = PackOps.mixPlanOf(docs)
+
+    /** qid: m13_mix_gap — achieved-vs-target mixture gap report. */
+    def mixGap(docs: DataFrame): DataFrame = PackOps.mixGapOf(docs)
+
+    /** qid: m11_mix_execute — deterministic keyed-digest downsample
+      * executing the m9 plan. */
+    def mixExecute(docs: DataFrame): DataFrame = PackOps.mixExecuteOf(docs)
+
+    /** qid: m7_curation / shard manifests — deterministic shard
+      * manifest with per-shard token accounting. */
+    def shardManifest(docs: DataFrame): DataFrame =
+      PackOps.shardManifestOf(docs)
+  }
+
+  // ------------------------------------------------------------------
+  /** Split / sampling family. */
+  object splits {
+    /** qid: o5_split_assign — reproducible train/holdout/test
+      * assignment by keyed digest + scale-safe range-partitioned rank
+      * (no single-partition global window). */
+    def assign(df: DataFrame, idCol: String, splitName: String,
+        trainFrac: Double, seed: Long): DataFrame =
+      graft.operators.Splits.assign(df, idCol, splitName, trainFrac, seed)
+
+    /** Persist an assignment (id → split) for exact replay. */
+    def persist(assign: DataFrame, path: String): Unit =
+      graft.operators.Splits.persistAssignment(assign, path)
+
+    /** Re-apply a persisted assignment to a table. */
+    def apply(df: DataFrame, idCol: String, assignment: DataFrame,
+        split: String): DataFrame =
+      graft.operators.Splits.apply(df, idCol, assignment, split)
+  }
+
+  // ------------------------------------------------------------------
+  /** Event/session analytics family — events are `(user_id, event_id,
+    * ts epoch-nanos long, event_type, ...)`; `event_id` breaks
+    * same-timestamp ordering ties deterministically. */
+  object events {
+    import graft.queries.Extras
+
+    /** qid: w9_transitions — per-user event-type transition counts. */
+    def transitions(events: DataFrame): DataFrame = Extras.transitionsOf(events)
+
+    /** qid: w10_session_window — native session_window aggregation
+      * (streaming twin in graft.streaming). */
+    def sessionWindows(events: DataFrame): DataFrame =
+      Extras.sessionWindowOf(events)
+
+    /** qid: w11_engaged_time — per-user union of engagement
+      * intervals (sweep-free interval merge). */
+    def engagedTime(events: DataFrame, windowSecs: Long): DataFrame =
+      Extras.engagedTimeOf(events, windowSecs)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+// The point of this spec: a consumer of the published library uses
+// ONLY the facade — no graft.queries/graft.operators imports — and
+// runs the README quickstart end-to-end on their own tables.
+import graft.api.Graft
+
+/** Facade contract: the README quickstart (exact dedup → minhash
+  * pairs → cluster labels → survivorship/weights → leakage-safe
+  * split) runs on a user-authored DataFrame through `graft.api.Graft`
+  * alone, and the facade results agree with hand-derived expectations
+  * on a planted corpus. */
+class ApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // planted corpus: docs 1/2 identical, 3 a near-copy of them (one
+  // token changed), 4/5 unrelated singletons
+  private def docs = {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 39).map(i => s"w$i").mkString(" ") + " zz"
+    Seq(
+      (1L, base), (2L, base), (3L, near),
+      (4L, (1 to 40).map(i => s"x$i").mkString(" ")),
+      (5L, (1 to 40).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  test("quickstart: exactDedup collapses the identical pair") {
+    val d1 = Graft.dedup.exactDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(d1 === Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("quickstart: minhash pairs -> labels -> keepBest/weights/split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sig = Graft.dedup.minhashSignatures(docs, "doc_id", "text")
+    val pairs = Graft.dedup.minhashCandidatePairs(sig, "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // the three near-copies band together; the singletons never pair
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
+    assert(got.contains((1L, 2L))) // identical docs always collide
+
+    val labels = Graft.dedup.clusterLabels(pairs, docs.select(col("doc_id")))
+    val byDoc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(byDoc(1L) === byDoc(2L))            // same cluster
+    assert(byDoc(4L) !== byDoc(1L))            // singleton stays alone
+    assert(byDoc(4L) !== byDoc(5L))
+
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (4L, 0.1), (5L, 0.2))
+      .toDF("doc_id", "quality")
+    val kept = Graft.dedup.keepBest(labels, quality)
+      .where(col("keep")).collect().map(_.getLong(0)).toSet
+    // the 1/2(/3) cluster keeps its highest-quality member: doc 2
+    assert(kept.contains(2L) && !kept.contains(1L))
+    assert(kept.contains(4L) && kept.contains(5L))
+
+    val w = Graft.dedup.dedupWeights(labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(w(4L) === 1000000L)                 // singleton: full weight
+    assert(w(1L) === w(2L) && w(1L) < 1000000L)
+
+    val split = Graft.dedup.clusterSplit(labels).collect()
+    assert(split.map(_.getLong(1)).sum === 5L)          // every doc assigned
+    assert(split.forall(_.getLong(3) === 0L))           // leaked_clusters = 0
+  }
+
+  test("facade text + splits + events families run on user tables") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val q = Graft.text.qualityScore(docs).collect()
+    assert(q.length === 5)
+
+    val asg = Graft.splits.assign(docs, "doc_id", "s", 0.6, seed = 1L)
+    val sizes = asg.groupBy(col("bucket")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.sum === 5L && sizes("train") === 3L)
+
+    val ev = Seq((1L, 1L, 1000000000L, "view"), (1L, 2L, 2000000000L, "click"),
+      (1L, 3L, 3000000000L, "buy")).toDF("user_id", "event_id", "ts", "event_type")
+    val tr = Graft.events.transitions(ev).collect()
+    assert(tr.length === 2) // view→click, click→buy
+  }
+}
