@@ -654,21 +654,47 @@ object DedupOps {
     * d12 is in CacheHygieneSpec's eagerByNature set. */
   def bloomDedupOf(corpus: DataFrame, incoming: DataFrame, k: Int,
       fpp: Double): DataFrame = {
+    val (corWins, bloom) = bloomStateOf(corpus, k, fpp)
+    bloomProbeOf(corWins, bloom, incoming, k)
+  }
+
+  /** Build-once half of d12: the corpus window-hash relation plus the
+    * Bloom filter over it. In the streaming twin
+    * (streaming/BloomDedupStream) this runs ONCE at stream start and
+    * every micro-batch probes it — the production ingest shape where
+    * the history is never recomputed; the batch entry simply builds
+    * and probes in one call. */
+  def bloomStateOf(corpus: DataFrame, k: Int, fpp: Double)
+      : (DataFrame, Option[org.apache.spark.util.sketch.BloomFilter]) = {
     val winCol = explode(array_distinct(
       graft.operators.MinHash.shingleCol(col("text"), k)))
     val corWins = corpus.select(winCol.as("win"))
       .select(md5(col("win")).as("h"))
     val nWins = corWins.count()
+    // stat.bloomFilter NPEs on an empty relation (null agg buffer in
+    // 4.x); an empty history flags nothing by definition
+    val bloom = if (nWins == 0) None
+      else Some(corWins.stat.bloomFilter("h", nWins, fpp))
+    (corWins, bloom)
+  }
+
+  /** Probe half of d12 over an arbitrary incoming slice: Bloom-gate
+    * the incoming window hashes, exact-verify the flagged slice
+    * against the corpus window relation, report per-doc verdicts. */
+  def bloomProbeOf(corWins: DataFrame,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      incoming: DataFrame, k: Int): DataFrame = {
+    val winCol = explode(array_distinct(
+      graft.operators.MinHash.shingleCol(col("text"), k)))
     val incWins = incoming
       .select(col("doc_id"), winCol.as("win"))
       .select(col("doc_id"), md5(col("win")).as("h"))
-    // stat.bloomFilter NPEs on an empty relation (null agg buffer in
-    // 4.x); an empty history flags nothing by definition
-    val flagged = if (nWins == 0) incWins.where(lit(false)) else {
-      val bloom = corWins.stat.bloomFilter("h", nWins, fpp)
-      val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-      val mightContain = udf((h: String) => bc.value.mightContainString(h))
-      incWins.where(mightContain(col("h")))
+    val flagged = bloom match {
+      case None => incWins.where(lit(false))
+      case Some(b) =>
+        val bc = incoming.sparkSession.sparkContext.broadcast(b)
+        val mightContain = udf((h: String) => bc.value.mightContainString(h))
+        incWins.where(mightContain(col("h")))
     }
     // exact verify: history scans once against the broadcast flagged
     // set; both distincts shuffle only flagged-slice-sized data

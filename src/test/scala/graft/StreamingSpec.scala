@@ -231,4 +231,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() === 4,
       "a bloom hit without a sink row is a false positive and must still append")
   }
+
+  test("d12 bloom dedup stream drains to the batch verdicts (completion-watch twin)") {
+    // the d12 fixture split at sf0.001: corpus = doc_id % 89 != 0,
+    // incoming = the % 89 slice, landed as THREE separate files so the
+    // stream sees multiple micro-batches
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val isNew = pmod(col("doc_id"), lit(89)) === 0
+    val corpus = docs.where(!isNew)
+    val incoming = docs.where(isNew)
+
+    val src = Files.createTempDirectory("bloom_src").toString
+    val sink = Files.createTempDirectory("bloom_sink").toString + "/verdicts"
+    val ckpt = Files.createTempDirectory("bloom_ckpt").toString
+    incoming.where(pmod(col("doc_id"), lit(3)) === 0)
+      .write.parquet(s"$src/b0")
+    incoming.where(pmod(col("doc_id"), lit(3)) === 1)
+      .write.parquet(s"$src/b1")
+    incoming.where(pmod(col("doc_id"), lit(3)) === 2)
+      .write.parquet(s"$src/b2")
+    // the file source walks the dir tree; each subdir's file is its
+    // own input file, so maxFilesPerTrigger=1 forces 3 micro-batches
+    val q = graft.streaming.BloomDedupStream.start(
+      spark, s"$src/*", sink, ckpt, corpus, k = 20, fpp = 0.01)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.read.parquet(sink)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val batch = graft.queries.DedupOps
+      .bloomDedupOf(corpus, incoming, k = 20, fpp = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(streamed === batch,
+      "drained per-doc verdicts must equal the one-shot batch d12 output")
+    assert(streamed.nonEmpty && streamed.exists(_._4),
+      "fixture sanity: the incoming slice contains at least one dup")
+  }
 }
