@@ -50,8 +50,12 @@ class PropertySpec extends AnyFunSuite {
     .suchThat(m => Crystal.idet(m) != 0)
 
   test("HNF invariants hold for arbitrary nonsingular integer matrices") {
-    val mats = samples(intMatGen)
-    assert(mats.nonEmpty)
+    // ≥1000 cases (VERDICT r6 task #8): the reference asserts these
+    // invariants on fixed fixtures (database/utility.py:383–496); the
+    // fuzz covers the integer-arithmetic edge cases (negative pivots,
+    // zero columns needing swaps, |det| up to 8³·6)
+    val mats = samples(intMatGen, 1000)
+    assert(mats.length >= 1000)
     mats.foreach { a =>
       val (h, u) = Crystal.hermiteNormalForm(a)
       assert(math.abs(Crystal.idet(u)) === 1L)
@@ -61,6 +65,61 @@ class PropertySpec extends AnyFunSuite {
         assert((0 until 3).map(k => a(i)(k) * u(k)(j)).sum === h(i)(j))
       for (i <- 0 until 3; j <- 0 until i)
         assert(h(i)(j) >= 0 && h(i)(j) < h(i)(i))
+    }
+  }
+
+  // random well-conditioned lattice + grid-snapped distinct sites
+  // (1/8 fractional steps keep every pairwise distance far above the
+  // 1e-6 site tolerance)
+  private val primCandidateGen: Gen[Config] = for {
+    n <- Gen.choose(1, 3)
+    sp <- Gen.listOfN(n, elementGen)
+    a <- Gen.choose(3.0, 6.0); b <- Gen.choose(3.0, 6.0); c <- Gen.choose(3.0, 6.0)
+    off <- Gen.listOfN(3, Gen.choose(-0.5, 0.5))
+    cells <- Gen.listOfN(n, Gen.choose(0, 511)).suchThat(_.distinct.length == n)
+  } yield {
+    val cell = Seq(Seq(a, 0.0, 0.0), Seq(off(0), b, 0.0), Seq(off(1), off(2), c))
+    val frac = cells.map(g => Seq((g & 7) / 8.0, ((g >> 3) & 7) / 8.0, ((g >> 6) & 7) / 8.0))
+    Config.of(sp, cell, frac.map(f => graft.core.Lattice.rowMat(f, cell)))
+  }
+
+  test("decompress ∘ compress = id over random primitives × random HNFs (K3/K5)") {
+    // ≥1000 (primitive, HNF) cases: decompress expands a primitive by
+    // an index-n HNF; make_primitive (the compress direction) must
+    // recover exactly the primitive's atom count, volume, and species
+    // mix (reference asserts the same round-trip, utility.py:525–590)
+    val cases = for {
+      cand <- samples(primCandidateGen, 250)
+      // primitivize first: a random 2–3 atom basis can legitimately
+      // carry internal translation symmetry (e.g. a body-centered
+      // same-species pair), in which case the primitive is smaller
+      prim = Crystal.makePrimitive(cand)
+      detN <- 1L to 4L
+      hnf <- {
+        val all = Crystal.hnfsOfDeterminant(detN)
+        Seq(all(math.abs(prim.uuid.hashCode % all.length)))
+      }
+    } yield (prim, hnf, detN)
+    assert(cases.length >= 1000)
+    cases.foreach { case (prim, hnf, detN) =>
+      val typeNames = prim.species.distinct.sorted.zipWithIndex
+        .map { case (s, i) => i -> s }.toMap
+      val nameTypes = typeNames.map(_.swap)
+      val frac = Crystal.fractional(prim.cell, prim.positions)
+      val big = Crystal.decompress(prim.cell, frac,
+        prim.species.map(nameTypes), typeNames, hnf)
+      assert(big.n === prim.n * detN, s"decompress index-$detN count")
+      val vol = math.abs(graft.core.Lattice.det(big.cell))
+      val pvol = math.abs(graft.core.Lattice.det(prim.cell))
+      assert(math.abs(vol - pvol * detN) < 1e-6 * pvol * detN)
+
+      val back = Crystal.makePrimitive(big)
+      assert(back.n === prim.n,
+        s"compress must recover the $detN× primitive atom count")
+      val bvol = math.abs(graft.core.Lattice.det(back.cell))
+      assert(math.abs(bvol - pvol) < 1e-6 * pvol,
+        "compress must recover the primitive volume")
+      assert(back.species.sorted === prim.species.sorted)
     }
   }
 
