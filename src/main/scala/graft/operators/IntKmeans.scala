@@ -144,6 +144,56 @@ object IntKmeans {
   def doti(x: Column, y: Column): Column =
     org.apache.spark.sql.graftx.VectorExpressions.dotProduct(x, y)
 
+  /** IVF-Flat top-k on the deterministic integer quantizer — the s3
+    * shape (train capped sample → assign corpus → probe the nprobe
+    * nearest cells per query → exact cosine rerank), every decision
+    * exact integer arithmetic: cell assignment, the probe ranking
+    * (d², ties to the lowest cell), the rerank dot products (cosine
+    * rounded to 6 decimals before ranking, ties to the lowest id).
+    * Result replays bit-for-bit in DuckDB (oracleS3) — IVF recall is
+    * approximate by design, but the approximation itself is now
+    * deterministic, which is what makes an ANN index auditable across
+    * engine versions. Scale shape identical to Ivf.topK: one corpus
+    * assignment pass, per-query work bounded by nprobe·N/nlist. */
+  def topK(corpus: DataFrame, queries: DataFrame, vCol: String,
+      idCol: String, k: Int, nlist: Int, nprobe: Int, iters: Int,
+      seed: Long): DataFrame = {
+    val q = quantize(corpus, idCol, vCol)
+    val cents = lloyd(sampleTrain(q, idCol, seed, cap = 8192),
+      nlist, iters, farthest = false)
+    val c = assign(q, idCol, cents)
+      .select(col(idCol).as("vec_id"), col("qvd").as("v"), col("cell"))
+      .withColumn("na", doti(col("v"), col("v")))
+    val probe = udf { (qv: Seq[Long]) =>
+      cents.indices.map { ci =>
+        val cc = cents(ci)
+        var s = 0L; var i = 0
+        while (i < qv.length) { val t = qv(i) - cc(i); s += t * t; i += 1 }
+        (s, ci)
+      }.sorted.take(nprobe).map(_._2)
+    }
+    val qq = quantize(queries, idCol, vCol)
+      .select(col(idCol).as("query_id"), col("qv"))
+      .withColumn("cell", explode(probe(col("qv"))))
+      .withColumn("qvd", transform(col("qv"), _.cast("double")))
+      .withColumn("qn", doti(col("qvd"), col("qvd")))
+      .drop("qv")
+    val cos = when(col("na") === 0.0 || col("qn") === 0.0, lit(0.0))
+      .otherwise(round(doti(col("qvd"), col("v"))
+        / (sqrt(col("qn")) * sqrt(col("na"))), 6))
+    val byCos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    // cells are distinct per query (probe ranks each cell once) and a
+    // corpus vector lives in exactly one cell — no candidate dedup
+    qq.join(c, "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cos.as("cos_sim"))
+      .withColumn("rk", row_number().over(byCos).cast("long"))
+      .where(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   // ------------------------------------------------------------------
   // DuckDB SQL twin (fixture oracle: 64-dim `embeddings` table)
   // ------------------------------------------------------------------
@@ -247,6 +297,53 @@ object IntKmeans {
        | COALESCE(m.mx, -1.0) >= $tau AS is_dup
        |FROM af f LEFT JOIN mx m ON f.vec_id = m.vec_id
        |ORDER BY f.vec_id""".stripMargin
+  }
+
+  /** Complete s3 IVF-Flat top-k oracle: adaptive-nlist take-k
+    * quantizer, `iters` Lloyd rounds, full-corpus assignment, per-
+    * query probe of the GREATEST(4, nlist//16) nearest cells, exact
+    * cosine rerank (round 6, ties to the lowest id), top `k`. */
+  def oracleS3(k: Int, seed: Long, cap: Int, iters: Int,
+      dim: Int, queryPred: String): String = {
+    val r = dim + 1
+    s"""WITH ${preludeSql(seed, cap)},
+       |params AS (
+       | SELECT LEAST(65536, GREATEST(16,
+       |  4 * CAST(CEIL(SQRT(COUNT(*)::DOUBLE)) AS BIGINT))) AS nlist FROM e),
+       |c0 AS MATERIALIZED (
+       | SELECT rn - 1 AS cell, qv AS cv FROM train
+       | WHERE rn <= (SELECT nlist FROM params)),
+       |${lloydSql(iters, dim)},
+       |nn AS MATERIALIZED (
+       | SELECT vec_id, qv, cell,
+       |  list_sum([qv[j] * qv[j] FOR j IN range(1, $r)]) AS na FROM af),
+       |qs AS MATERIALIZED (
+       | SELECT vec_id AS query_id, qv,
+       |  list_sum([qv[j] * qv[j] FOR j IN range(1, $r)]) AS qn
+       | FROM e WHERE $queryPred),
+       |pr AS (
+       | SELECT query_id, cell FROM (
+       |  SELECT q.query_id, c.cell,
+       |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |    ORDER BY ${d2Sql("q", "c", dim)} ASC, c.cell ASC) AS rk
+       |  FROM qs q CROSS JOIN c$iters c)
+       | WHERE rk <= (SELECT GREATEST(4, nlist // 16) FROM params)),
+       |scored AS (
+       | SELECT q.query_id, f.vec_id,
+       |  CASE WHEN f.na = 0 OR q.qn = 0 THEN 0.0
+       |   ELSE ROUND(list_sum([q.qv[j] * f.qv[j] FOR j IN range(1, $r)])::DOUBLE /
+       |        (SQRT(q.qn::DOUBLE) * SQRT(f.na::DOUBLE)), 6) END AS cos_sim
+       | FROM pr p
+       | JOIN qs q ON p.query_id = q.query_id
+       | JOIN nn f ON f.cell = p.cell
+       | WHERE f.vec_id <> p.query_id),
+       |ranked AS (
+       | SELECT query_id, vec_id, cos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY cos_sim DESC, vec_id ASC) AS rk
+       | FROM scored)
+       |SELECT query_id, vec_id, cos_sim, rk
+       |FROM ranked WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
   }
 
   /** Complete c1 k-means-summary oracle: farthest-first init (k

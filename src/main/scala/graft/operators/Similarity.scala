@@ -444,14 +444,15 @@ object Similarity {
     }
   }
 
-  /** Query-surface entry: IVF ANN over the embeddings table
-    * (rows-only — approximate results have no SQL oracle; recall vs
-    * the exact baseline is asserted in OperatorsSpec). */
+  /** Query-surface entry: IVF ANN over the embeddings table. Oracle-
+    * checked since round 7: the coarse quantizer is the deterministic
+    * integer Lloyd (IntKmeans.topK / IntKmeans.oracleS3), so the
+    * approximate result itself replays exactly in DuckDB; recall vs
+    * the exact baseline stays asserted in OperatorsSpec. */
   def s3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables(spark, dir, "embeddings")
       .repartition(col("vec_id"))
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding"))
     val q = e.where(col("vec_id") < 5)
     // adaptive cell count (≈4√N, see adaptiveNlist): a FIXED nlist
     // makes the per-query candidate set nprobe·N/nlist — linear in
@@ -459,7 +460,7 @@ object Similarity {
     // ~6% of the cells (the FAISS-ish recall/latency point), so
     // per-query work is ~N/16 dot products against a probed subset.
     val nlist = adaptiveNlist(e.count())
-    Ivf.topK(e, q, "v", "vec_id", k = 10, nlist = nlist,
+    IntKmeans.topK(e, q, "embedding", "vec_id", k = 10, nlist = nlist,
       nprobe = math.max(4, nlist / 16), iters = 2, seed = 42L)
   }
 

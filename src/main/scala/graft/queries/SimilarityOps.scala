@@ -210,8 +210,9 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_bruteforce" -> (s1KnnBruteforce _),
     "s5_bm25" -> (s5Bm25 _),
-    // approximate → no SQL oracle (rows-only check); recall is
-    // asserted against s1 in OperatorsSpec
+    // s2/s4: approximate with engine-side randomness → rows-only;
+    // recall is asserted against s1 in OperatorsSpec. s3: oracle-green
+    // since r7 (deterministic integer quantizer, IntKmeans.oracleS3).
     "s2_ann_lsh" -> (graft.operators.Similarity.s2AnnLsh _),
     "s3_ann_ivf" -> (graft.operators.Similarity.s3AnnIvf _),
     "s4_ann_ivfpq" -> (graft.operators.Similarity.s4AnnIvfPq _),
@@ -325,6 +326,9 @@ object SimilarityOps {
     "d10_semdedup" ->
       graft.operators.IntKmeans.oracleD10(tau = 0.3, seed = 42L,
         cap = 8192, iters = 2, dim = 64),
+    "s3_ann_ivf" ->
+      graft.operators.IntKmeans.oracleS3(k = 10, seed = 42L, cap = 8192,
+        iters = 2, dim = 64, queryPred = "vec_id < 5"),
     "s7_scalar_quantize" ->
       """WITH e AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
