@@ -195,6 +195,82 @@ object IntKmeans {
   }
 
   // ------------------------------------------------------------------
+  // Deterministic sign-projection LSH (the s2 family)
+  // ------------------------------------------------------------------
+
+  /** ±1 hyperplane entries from the engine-neutral keyed digest:
+    * s(p, j) = +1 iff the first hex char of md5("pl:<seed>:<p>:<j>")
+    * is odd (j is 1-based to match SQL array indexing). Sign random
+    * projection (the original SimHash construction) — ±1 entries give
+    * the same locality guarantees as Gaussian planes for cosine
+    * similarity, and integer projections replay exactly in SQL. */
+  def planesSign(nPlanes: Int, dim: Int, seed: Long): Array[Array[Long]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, j0) =>
+      val h = mdt.digest(s"pl:$seed:$p:${j0 + 1}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 1) 1L else -1L
+    }
+  }
+
+  /** Plane count = minimal b ∈ [4, 24] with 2^b · 8k ≥ N — the same
+    * target-occupancy rule as Similarity.adaptivePlanes, but decided
+    * by exact integer comparison instead of floating log2 so the SQL
+    * twin can never disagree at a power-of-two boundary. */
+  def exactPlaneBits(n: Long, k: Int): Int = {
+    val target = math.max(1L, 8L * k)
+    val b = (0 to 24).find(b => (1L << b) * target >= n).getOrElse(24)
+    math.min(24, math.max(4, b))
+  }
+
+  /** LSH top-k on the deterministic sign planes — the s2 shape
+    * (bucket corpus + queries, 1-bit multiprobe, exact cosine rerank)
+    * with every decision exact: projections are ±1·integer dots, the
+    * sign threshold is ≥ 0, rerank cosines round to 6 before ranking.
+    * Replays bit-for-bit in DuckDB (oracleS2). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
+      idCol: String, k: Int, dim: Int, seed: Long): DataFrame = {
+    val q = quantize(corpus, idCol, vCol)
+    val np = exactPlaneBits(q.count(), k)
+    val pl = planesSign(np, dim, seed)
+    def bucketOf(v: Column): Column =
+      (0 until np).map { p =>
+        val plLit = array(pl(p).map(x => lit(x.toDouble)): _*)
+        when(doti(v, plLit) >= 0.0, lit((1L << p))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val c = assignNone(q, idCol)
+      .withColumn("bucket", bucketOf(col("qvd")))
+      .withColumn("na", doti(col("qvd"), col("qvd")))
+      .select(col(idCol).as("vec_id"), col("qvd").as("v"),
+        col("bucket"), col("na"))
+    val probes = (0 until np).map(p => lit(1L << p))
+    val qs = assignNone(quantize(queries, idCol, vCol), idCol)
+      .withColumn("bucket", bucketOf(col("qvd")))
+      .withColumn("qn", doti(col("qvd"), col("qvd")))
+      .select(col(idCol).as("query_id"), col("qvd"), col("bucket"), col("qn"))
+      // multiprobe: own bucket + each 1-bit flip — all distinct, and a
+      // corpus vector lives in exactly one bucket, so no candidate dedup
+      .withColumn("bucket", explode(array(
+        col("bucket") +: probes.map(p => col("bucket").bitwiseXOR(p)): _*)))
+    val cos = when(col("na") === 0.0 || col("qn") === 0.0, lit(0.0))
+      .otherwise(round(doti(col("qvd"), col("v"))
+        / (sqrt(col("qn")) * sqrt(col("na"))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    qs.join(c, "bucket")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cos.as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** (id, qvd) with qvd the integer-valued double vector — the
+    * no-clustering sibling of `assign` for expression-side kernels. */
+  private def assignNone(q: DataFrame, idCol: String): DataFrame =
+    q.select(col(idCol), transform(col("qv"), _.cast("double")).as("qvd"))
+
+  // ------------------------------------------------------------------
   // DuckDB SQL twin (fixture oracle: 64-dim `embeddings` table)
   // ------------------------------------------------------------------
 
@@ -337,6 +413,65 @@ object IntKmeans {
        | JOIN qs q ON p.query_id = q.query_id
        | JOIN nn f ON f.cell = p.cell
        | WHERE f.vec_id <> p.query_id),
+       |ranked AS (
+       | SELECT query_id, vec_id, cos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY cos_sim DESC, vec_id ASC) AS rk
+       | FROM scored)
+       |SELECT query_id, vec_id, cos_sim, rk
+       |FROM ranked WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Complete s2 sign-projection LSH top-k oracle: hash-derived ±1
+    * planes, exact-integer plane count (minimal b with 2^b·8k ≥ N,
+    * clamped to [4, 24]), bucketing on integer projections, 1-bit
+    * multiprobe, exact cosine rerank. */
+  def oracleS2(k: Int, seed: Long, dim: Int, queryPred: String): String = {
+    val r = dim + 1
+    val target = math.max(1L, 8L * k)
+    s"""WITH e AS MATERIALIZED (
+       | SELECT vec_id, [ROUND(x::DOUBLE * 1e4)::BIGINT FOR x IN embedding] AS qv
+       | FROM embeddings),
+       |np AS (
+       | SELECT LEAST(24, GREATEST(4, COALESCE(MIN(b), 24))) AS np
+       | FROM range(0, 25) t(b)
+       | WHERE (1::BIGINT << b) * $target >= (SELECT COUNT(*) FROM e)),
+       |pls AS MATERIALIZED (
+       | SELECT p, list(s ORDER BY j) AS sv FROM (
+       |  SELECT p, j,
+       |   CASE WHEN substr(md5('pl:$seed:' || p || ':' || j), 1, 1)
+       |    IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS s
+       |  FROM range(0, 24) t1(p) CROSS JOIN range(1, $r) t2(j)
+       |  WHERE p < (SELECT np FROM np)) GROUP BY p),
+       |bk AS MATERIALIZED (
+       | SELECT vec_id,
+       |  SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+       | FROM (
+       |  SELECT e.vec_id, pls.p,
+       |   list_sum([pls.sv[j] * e.qv[j] FOR j IN range(1, $r)]) AS proj
+       |  FROM e CROSS JOIN pls) GROUP BY vec_id),
+       |nn AS MATERIALIZED (
+       | SELECT e.vec_id, e.qv, b.bucket,
+       |  list_sum([e.qv[j] * e.qv[j] FOR j IN range(1, $r)]) AS na
+       | FROM e JOIN bk b ON e.vec_id = b.vec_id),
+       |qs AS MATERIALIZED (
+       | SELECT vec_id AS query_id, qv, bucket, na AS qn
+       | FROM nn WHERE $queryPred),
+       |qprobe AS (
+       | SELECT q.query_id, q.qv, q.qn,
+       |  CASE WHEN f.p < 0 THEN q.bucket
+       |       ELSE xor(q.bucket, (1::BIGINT << f.p)) END AS bucket
+       | FROM qs q CROSS JOIN (
+       |  SELECT -1 AS p
+       |  UNION ALL
+       |  SELECT b FROM range(0, 24) t(b) WHERE b < (SELECT np FROM np)) f),
+       |scored AS (
+       | SELECT q.query_id, f.vec_id,
+       |  CASE WHEN f.na = 0 OR q.qn = 0 THEN 0.0
+       |   ELSE ROUND(list_sum([q.qv[j] * f.qv[j] FOR j IN range(1, $r)])::DOUBLE /
+       |        (SQRT(q.qn::DOUBLE) * SQRT(f.na::DOUBLE)), 6) END AS cos_sim
+       | FROM qprobe q JOIN nn f ON f.bucket = q.bucket
+       | WHERE f.vec_id <> q.query_id),
        |ranked AS (
        | SELECT query_id, vec_id, cos_sim,
        |  ROW_NUMBER() OVER (PARTITION BY query_id

@@ -565,16 +565,18 @@ object Similarity {
       tau = 0.3, iters = 2, seed = 42L)
   }
 
-  /** Query-surface entry over the embeddings table (rows-only check —
-    * approximate results have no SQL oracle). */
+  /** Query-surface entry over the embeddings table. Oracle-checked
+    * since round 7: hash-derived ±1 sign-projection planes + integer
+    * projections replay exactly in DuckDB (IntKmeans.lshTopK /
+    * oracleS2); recall vs the exact baseline stays asserted in
+    * OperatorsSpec. The Gaussian-plane kernel (`annTopK`) remains the
+    * general-dim library surface. */
   def s2AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables(spark, dir, "embeddings")
       .repartition(col("vec_id"))
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding"))
     val q = e.where(col("vec_id") < 5)
-    val k = 10
-    annTopK(e, q, "v", "vec_id", k = k,
-      nPlanes = adaptivePlanes(e.count(), k), seed = 42L, dim = 64)
+    IntKmeans.lshTopK(e, q, "embedding", "vec_id", k = 10, dim = 64,
+      seed = 42L)
   }
 }

@@ -329,6 +329,9 @@ object SimilarityOps {
     "s3_ann_ivf" ->
       graft.operators.IntKmeans.oracleS3(k = 10, seed = 42L, cap = 8192,
         iters = 2, dim = 64, queryPred = "vec_id < 5"),
+    "s2_ann_lsh" ->
+      graft.operators.IntKmeans.oracleS2(k = 10, seed = 42L, dim = 64,
+        queryPred = "vec_id < 5"),
     "s7_scalar_quantize" ->
       """WITH e AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
