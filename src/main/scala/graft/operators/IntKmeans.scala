@@ -195,6 +195,142 @@ object IntKmeans {
   }
 
   // ------------------------------------------------------------------
+  // Deterministic IVF-PQ (the s4 family)
+  // ------------------------------------------------------------------
+
+  private def d2l(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
+
+  private def argminCellL(v: Array[Long], cents: Array[Array[Long]]): Int = {
+    var best = 0; var bestD = Long.MaxValue; var c = 0
+    while (c < cents.length) {
+      val d = d2l(v, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Integer PQ model: coarse centroids + per-subspace residual
+    * codebooks, all integer-valued (floor-mean Lloyd), so encoding,
+    * ADC tables, and candidate scores are exact integer arithmetic. */
+  case class PqModel(cents: Array[Array[Long]],
+      books: Array[Array[Array[Long]]], m: Int, ksub: Int, dsub: Int)
+
+  /** Train on the md5-ordered capped sample: coarse take-k Lloyd,
+    * then per-subspace take-k Lloyd over the coarse RESIDUALS (the
+    * Jégou–Douze–Schmid residual-PQ form), every init row order and
+    * every mean SQL-replayable. */
+  def trainPq(train: Array[Array[Long]], nlist: Int, m: Int, ksub: Int,
+      iters: Int): PqModel = {
+    val cents = lloyd(train, nlist, iters, farthest = false)
+    val dim = train(0).length
+    val dsub = dim / m
+    require(m * dsub == dim, s"m=$m must divide dim=$dim")
+    val residuals = train.map { v =>
+      val c = cents(argminCellL(v, cents))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val books = Array.tabulate(m) { s =>
+      lloyd(residuals.map(_.slice(s * dsub, (s + 1) * dsub)),
+        ksub, iters, farthest = false)
+    }
+    PqModel(cents, books, m, ksub, dsub)
+  }
+
+  /** IVF-PQ top-k on the deterministic integer model — the s4 shape
+    * (ADC scoring over probed cells' codes, exact cosine rerank of
+    * the rerankMult·k best ADC candidates), with codes, ADC tables,
+    * and scores all exact integers. Replays in DuckDB (oracleS4). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
+      idCol: String, k: Int, nlist: Int, m: Int, ksub: Int, nprobe: Int,
+      iters: Int, seed: Long, rerankMult: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = quantize(corpus, idCol, vCol)
+    val model = trainPq(sampleTrain(q, idCol, seed, cap = 8192),
+      nlist, m, ksub, iters)
+    val bc = spark.sparkContext.broadcast(model)
+    // corpus: coarse cell (exact GEMM), then per-subspace code —
+    // argmin over the ksub-row codebook of the integer residual slice
+    val codeUdf = udf { (qvd: Seq[Double], cell: Int) =>
+      val mdl = bc.value
+      val cent = mdl.cents(cell)
+      val r = Array.tabulate(qvd.length)(i => qvd(i).toLong - cent(i))
+      (0 until mdl.m).map { s =>
+        mdl.books(s).indices.minBy { j =>
+          var d = 0L; var i = 0
+          val bw = mdl.books(s)(j)
+          while (i < mdl.dsub) {
+            val t = r(s * mdl.dsub + i) - bw(i); d += t * t; i += 1
+          }
+          (d, j) // ties to the lowest codeword
+        }
+      }
+    }
+    val c = assign(q, idCol, model.cents)
+      .select(col(idCol).as("vec_id"), col("qvd").as("v"), col("cell"))
+      .withColumn("code", codeUdf(col("v"), col("cell")))
+      .withColumn("na", doti(col("v"), col("v")))
+    // query: nprobe nearest cells (exact integer d², ties lowest) +
+    // the per-cell M×ksub integer ADC table
+    val probeTabs = udf { (qv: Seq[Long]) =>
+      val mdl = bc.value
+      mdl.cents.indices.map { ci =>
+        (d2l(qv.toArray, mdl.cents(ci)), ci)
+      }.sorted.take(math.min(nprobe, mdl.cents.length)).map { case (_, ci) =>
+        val cent = mdl.cents(ci)
+        val tab = Array.tabulate(mdl.m * mdl.ksub) { idx =>
+          val s = idx / mdl.ksub; val j = idx % mdl.ksub
+          val bw = mdl.books(s)(j)
+          var d = 0L; var i = 0
+          while (i < mdl.dsub) {
+            val t = qv(s * mdl.dsub + i) - cent(s * mdl.dsub + i) - bw(i)
+            d += t * t; i += 1
+          }
+          d
+        }
+        (ci, tab.toSeq)
+      }
+    }
+    val adcUdf = udf { (tab: Seq[Long], code: Seq[Int]) =>
+      var s = 0; var d = 0L
+      val kk = bc.value.ksub
+      while (s < code.length) { d += tab(s * kk + code(s)); s += 1 }
+      d
+    }
+    val qs = quantize(queries, idCol, vCol)
+      .select(col(idCol).as("query_id"), col("qv"))
+      .withColumn("p", explode(probeTabs(col("qv"))))
+      .select(col("query_id"), col("qv"),
+        col("p._1").as("cell"), col("p._2").as("tab"))
+      .withColumn("qvd", transform(col("qv"), _.cast("double")))
+      .withColumn("qn", doti(col("qvd"), col("qvd")))
+    val byAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val cos = when(col("na") === 0.0 || col("qn") === 0.0, lit(0.0))
+      .otherwise(round(doti(col("qvd"), col("v"))
+        / (sqrt(col("qn")) * sqrt(col("na"))), 6))
+    val byCos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    qs.join(c, "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adcUdf(col("tab"), col("code")))
+      .select(col("query_id"), col("vec_id"), col("adc"),
+        col("qvd"), col("qn"), col("v"), col("na"))
+      .withColumn("ark", row_number().over(byAdc))
+      .where(col("ark") <= rerankMult * k)
+      .select(col("query_id"), col("vec_id"), cos.as("cos_sim"))
+      .withColumn("rk", row_number().over(byCos).cast("long"))
+      .where(col("rk") <= k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // ------------------------------------------------------------------
   // Deterministic sign-projection LSH (the s2 family)
   // ------------------------------------------------------------------
 
@@ -472,6 +608,134 @@ object IntKmeans {
        |        (SQRT(q.qn::DOUBLE) * SQRT(f.na::DOUBLE)), 6) END AS cos_sim
        | FROM qprobe q JOIN nn f ON f.bucket = q.bucket
        | WHERE f.vec_id <> q.query_id),
+       |ranked AS (
+       | SELECT query_id, vec_id, cos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY cos_sim DESC, vec_id ASC) AS rk
+       | FROM scored)
+       |SELECT query_id, vec_id, cos_sim, rk
+       |FROM ranked WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Per-subspace residual codebook chain: tr<s> (train slices),
+    * b<s>_0 (take-k init) → b<s>_<iters> via floor-mean Lloyd. */
+  private def bookChainSql(s: Int, dsub: Int, ksub: Int,
+      iters: Int): String = {
+    val lo = s * dsub + 1; val hi = (s + 1) * dsub
+    def d2b(a: String, b: String) =
+      s"list_sum([($a.sv[i] - $b.cv[i]) * ($a.sv[i] - $b.cv[i]) FOR i IN range(1, ${dsub + 1})])"
+    val head =
+      s"""tr$s AS MATERIALIZED (SELECT rn, rv[$lo:$hi] AS sv FROM tres),
+         |b${s}_0 AS MATERIALIZED (
+         | SELECT rn - 1 AS cell, sv AS cv FROM tr$s WHERE rn <= $ksub)""".stripMargin
+    val its = (1 to iters).map { t =>
+      s"""ba${s}_$t AS (
+         | SELECT rn, sv, cell FROM (
+         |  SELECT t.rn, t.sv, c.cell,
+         |   ROW_NUMBER() OVER (PARTITION BY t.rn
+         |    ORDER BY ${d2b("t", "c")} ASC, c.cell ASC) AS rk
+         |  FROM tr$s t CROSS JOIN b${s}_${t - 1} c) WHERE rk = 1),
+         |bu${s}_$t AS (
+         | SELECT cell, list(cj ORDER BY i) AS cv FROM (
+         |  SELECT a.cell, t.i,
+         |   CAST(FLOOR(SUM(a.sv[t.i])::DOUBLE / COUNT(*)) AS BIGINT) AS cj
+         |  FROM ba${s}_$t a CROSS JOIN range(1, ${dsub + 1}) AS t(i)
+         |  GROUP BY a.cell, t.i) GROUP BY cell),
+         |b${s}_$t AS MATERIALIZED (
+         | SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+         | FROM b${s}_${t - 1} p LEFT JOIN bu${s}_$t u USING (cell))""".stripMargin
+    }
+    (head +: its).mkString(",\n")
+  }
+
+  /** Complete s4 IVF-PQ top-k oracle: deterministic coarse quantizer
+    * (take-k, `iters` Lloyd rounds, adaptive nlist), per-subspace
+    * integer residual codebooks, exact-integer ADC shortlist of
+    * rerankMult·k per query, exact cosine rerank. */
+  def oracleS4(k: Int, seed: Long, cap: Int, iters: Int, dim: Int,
+      m: Int, ksub: Int, rerankMult: Int, queryPred: String): String = {
+    val r = dim + 1
+    val dsub = dim / m
+    val booksUnion = (0 until m)
+      .map(s => s"SELECT $s AS s, cell AS j, cv FROM b${s}_$iters")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${preludeSql(seed, cap)},
+       |params AS (
+       | SELECT LEAST(65536, GREATEST(16,
+       |  4 * CAST(CEIL(SQRT(COUNT(*)::DOUBLE)) AS BIGINT))) AS nlist FROM e),
+       |c0 AS MATERIALIZED (
+       | SELECT rn - 1 AS cell, qv AS cv FROM train
+       | WHERE rn <= (SELECT nlist FROM params)),
+       |${lloydSql(iters, dim)},
+       |tasn AS (
+       | SELECT rn, qv, cell FROM (
+       |  SELECT t.rn, t.qv, c.cell,
+       |   ROW_NUMBER() OVER (PARTITION BY t.rn
+       |    ORDER BY ${d2Sql("t", "c", dim)} ASC, c.cell ASC) AS rk
+       |  FROM train t CROSS JOIN c$iters c) WHERE rk = 1),
+       |tres AS MATERIALIZED (
+       | SELECT t.rn, [t.qv[j] - c.cv[j] FOR j IN range(1, $r)] AS rv
+       | FROM tasn t JOIN c$iters c USING (cell)),
+       |${(0 until m).map(s => bookChainSql(s, dsub, ksub, iters)).mkString(",\n")},
+       |books AS MATERIALIZED (
+       |  $booksUnion),
+       |cres AS MATERIALIZED (
+       | SELECT f.vec_id, f.cell, f.qv,
+       |  [f.qv[j] - c.cv[j] FOR j IN range(1, $r)] AS rv
+       | FROM af f JOIN c$iters c USING (cell)),
+       |codes AS MATERIALIZED (
+       | SELECT vec_id, s, j AS cs FROM (
+       |  SELECT r.vec_id, b.s, b.j,
+       |   ROW_NUMBER() OVER (PARTITION BY r.vec_id, b.s ORDER BY
+       |    list_sum([(r.rv[b.s * $dsub + i] - b.cv[i]) * (r.rv[b.s * $dsub + i] - b.cv[i])
+       |              FOR i IN range(1, ${dsub + 1})]) ASC, b.j ASC) AS rk
+       |  FROM cres r CROSS JOIN books b) WHERE rk = 1),
+       |nn AS MATERIALIZED (
+       | SELECT vec_id, qv, cell,
+       |  list_sum([qv[j] * qv[j] FOR j IN range(1, $r)]) AS na FROM af),
+       |qs AS MATERIALIZED (
+       | SELECT vec_id AS query_id, qv,
+       |  list_sum([qv[j] * qv[j] FOR j IN range(1, $r)]) AS qn
+       | FROM e WHERE $queryPred),
+       |pr AS MATERIALIZED (
+       | SELECT query_id, cell FROM (
+       |  SELECT q.query_id, c.cell,
+       |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |    ORDER BY ${d2Sql("q", "c", dim)} ASC, c.cell ASC) AS rk
+       |  FROM qs q CROSS JOIN c$iters c)
+       | WHERE rk <= (SELECT GREATEST(4, nlist // 16) FROM params)),
+       |tab AS MATERIALIZED (
+       | SELECT p.query_id, p.cell, b.s, b.j,
+       |  list_sum([(q.qv[b.s * $dsub + i] - c.cv[b.s * $dsub + i] - b.cv[i]) *
+       |            (q.qv[b.s * $dsub + i] - c.cv[b.s * $dsub + i] - b.cv[i])
+       |            FOR i IN range(1, ${dsub + 1})]) AS d
+       | FROM pr p
+       | JOIN qs q ON q.query_id = p.query_id
+       | JOIN c$iters c ON c.cell = p.cell
+       | CROSS JOIN books b),
+       |adc AS (
+       | SELECT cq.query_id, cq.vec_id, SUM(t.d)::BIGINT AS adc
+       | FROM (
+       |  SELECT p.query_id, p.cell, f.vec_id FROM pr p
+       |  JOIN nn f ON f.cell = p.cell WHERE f.vec_id <> p.query_id) cq
+       | JOIN codes cd ON cd.vec_id = cq.vec_id
+       | JOIN tab t ON t.query_id = cq.query_id AND t.cell = cq.cell
+       |           AND t.s = cd.s AND t.j = cd.cs
+       | GROUP BY cq.query_id, cq.vec_id),
+       |shortlist AS (
+       | SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc ASC, vec_id ASC) AS ark
+       |  FROM adc) WHERE ark <= ${rerankMult * k}),
+       |scored AS (
+       | SELECT sl.query_id, sl.vec_id,
+       |  CASE WHEN f.na = 0 OR q.qn = 0 THEN 0.0
+       |   ELSE ROUND(list_sum([q.qv[j] * f.qv[j] FOR j IN range(1, $r)])::DOUBLE /
+       |        (SQRT(q.qn::DOUBLE) * SQRT(f.na::DOUBLE)), 6) END AS cos_sim
+       | FROM shortlist sl
+       | JOIN qs q ON q.query_id = sl.query_id
+       | JOIN nn f ON f.vec_id = sl.vec_id),
        |ranked AS (
        | SELECT query_id, vec_id, cos_sim,
        |  ROW_NUMBER() OVER (PARTITION BY query_id

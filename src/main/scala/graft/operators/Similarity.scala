@@ -464,20 +464,22 @@ object Similarity {
       nprobe = math.max(4, nlist / 16), iters = 2, seed = 42L)
   }
 
-  /** Query-surface entry: IVF-PQ ANN over the embeddings table
-    * (rows-only — approximate results have no SQL oracle; recall vs
-    * the exact baseline and planted-duplicate behavior are asserted
-    * in OperatorsSpec). m=8 subspaces × ksub=16 codewords over the
-    * 64-dim embeddings → 8 nibble codes per vector where IVF-Flat
-    * keeps 512 bytes. */
+  /** Query-surface entry: IVF-PQ ANN over the embeddings table.
+    * Oracle-checked since round 7: coarse quantizer, per-subspace
+    * residual codebooks, PQ codes, and ADC scores are all exact
+    * integers under the deterministic kernel (IntKmeans.pqTopK /
+    * oracleS4), so the compressed-index approximation itself replays
+    * in DuckDB; recall vs the exact baseline and planted-duplicate
+    * behavior stay asserted in OperatorsSpec. m=8 subspaces × ksub=16
+    * codewords over the 64-dim embeddings → 8 nibble codes per vector
+    * where IVF-Flat keeps 512 bytes. */
   def s4AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables(spark, dir, "embeddings")
       .repartition(col("vec_id"))
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding"))
     val q = e.where(col("vec_id") < 5)
     val nlist = adaptiveNlist(e.count())
-    Ivf.topKPq(e, q, "v", "vec_id", k = 10, nlist = nlist,
+    IntKmeans.pqTopK(e, q, "embedding", "vec_id", k = 10, nlist = nlist,
       m = 8, ksub = 16, nprobe = math.max(4, nlist / 16),
       iters = 2, seed = 42L)
   }

@@ -332,6 +332,10 @@ object SimilarityOps {
     "s2_ann_lsh" ->
       graft.operators.IntKmeans.oracleS2(k = 10, seed = 42L, dim = 64,
         queryPred = "vec_id < 5"),
+    "s4_ann_ivfpq" ->
+      graft.operators.IntKmeans.oracleS4(k = 10, seed = 42L, cap = 8192,
+        iters = 2, dim = 64, m = 8, ksub = 16, rerankMult = 4,
+        queryPred = "vec_id < 5"),
     "s7_scalar_quantize" ->
       """WITH e AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
