@@ -135,13 +135,40 @@ object Graft {
         idCol: String, k: Int, nPlanes: Int, seed: Long, dim: Int): DataFrame =
       Similarity.annTopK(corpus, queries, vCol, idCol, k, nPlanes, seed, dim)
 
-    /** qid: s3_ann_ivf — IVF-Flat top-k (capped-sample quantizer,
-      * batched-GEMM assignment, per-cell candidates). */
-    def ivfTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
+    /** Float-Lloyd IVF-Flat top-k (capped-sample quantizer,
+      * batched-GEMM assignment, per-cell candidates) — the general
+      * library kernel; `ivfTopK` below is its cross-engine-
+      * deterministic twin. */
+    def ivfTopKFloat(corpus: DataFrame, queries: DataFrame, vCol: String,
         idCol: String, k: Int, nlist: Int, nprobe: Int, iters: Int = 2,
         seed: Long = 42L): DataFrame =
       Similarity.Ivf.topK(corpus, queries, vCol, idCol, k, nlist, nprobe,
         iters, seed)
+
+    /** qid: s3_ann_ivf — deterministic integer IVF-Flat top-k: every
+      * quantizer/probe/rerank decision is exact integer arithmetic,
+      * so results replay bit-for-bit across engines and versions. */
+    def ivfTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
+        idCol: String, k: Int, nlist: Int, nprobe: Int, iters: Int = 2,
+        seed: Long = 42L): DataFrame =
+      graft.operators.IntKmeans.topK(corpus, queries, vCol, idCol, k,
+        nlist, nprobe, iters, seed)
+
+    /** qid: s4_ann_ivfpq — deterministic integer IVF-PQ top-k (ADC
+      * shortlist + exact cosine rerank; codes/tables exact ints). */
+    def pqTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
+        idCol: String, k: Int, nlist: Int, m: Int = 8, ksub: Int = 16,
+        nprobe: Int = 4, iters: Int = 2, seed: Long = 42L): DataFrame =
+      graft.operators.IntKmeans.pqTopK(corpus, queries, vCol, idCol, k,
+        nlist, m, ksub, nprobe, iters, seed)
+
+    /** qid: s2_ann_lsh — deterministic sign-projection LSH top-k
+      * (hash-derived ±1 planes, exact integer projections, 1-bit
+      * multiprobe). */
+    def lshTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
+        idCol: String, k: Int, dim: Int, seed: Long = 42L): DataFrame =
+      graft.operators.IntKmeans.lshTopK(corpus, queries, vCol, idCol, k,
+        dim, seed)
 
     /** qid: c1_kmeans_summary — per-cluster sizes + exact integer
       * inertia (q8 units) from the deterministic integer Lloyd. */
