@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.IntKmeans
+
+/** Primitive-level pins for the cross-engine-deterministic integer
+  * kernel that now backs five oracles (c1/d10/s2/s3/s4): the oracles
+  * prove Spark ≡ DuckDB; this spec proves both equal the intended
+  * MATH (hand-derived Lloyd rounds, floor-mean semantics, tie rules,
+  * rounding parity), so an agreeing-but-wrong drift on both sides
+  * cannot hide. */
+class IntKmeansSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---------------------------------------------------------- quantize
+
+  test("quantize rounds half away from zero, both signs (DuckDB parity)") {
+    import spark.implicits._
+    // 0.00025·1e4 = 2.5 → 3; −0.00025 → −3; float widening must match
+    // DuckDB's x::DOUBLE of the same float bits
+    val df = Seq((1L, Seq(0.00025f, -0.00025f, 0.00024f, -1.5e-4f)))
+      .toDF("id", "v")
+    val got = IntKmeans.quantize(df, "id", "v")
+      .collect()(0).getSeq[Long](1)
+    assert(got === Seq(3L, -3L, 2L, -2L))
+  }
+
+  // ---------------------------------------------------------- lloyd
+
+  test("lloyd: one hand-derived round with floor-mean and empty-cell keep") {
+    // k=2, take-k init: c0=[0], c1=[10]; points 0,1,9,10
+    // assign: {0,1}→c0, {9,10}→c1; means: floor(1/2)=0, floor(19/2)=9
+    val train = Array(Array(0L), Array(10L), Array(1L), Array(9L))
+    val got = IntKmeans.lloyd(train, k = 2, iters = 1, farthest = false)
+    assert(got.map(_.toSeq).toSeq === Seq(Seq(0L), Seq(9L)))
+    // negative values floor toward -inf (SQL FLOOR parity, not trunc):
+    // points -1,-2 → mean -1.5 → floor -2
+    val neg = IntKmeans.lloyd(Array(Array(-1L), Array(-2L)), 1, 1, false)
+    assert(neg(0).toSeq === Seq(-2L))
+  }
+
+  test("lloyd: assignment ties keep the lowest cell") {
+    // point 5 is equidistant from centroids 0 and 10 → cell 0; after
+    // the round c0 = floor((0+5)/2) = 2, c1 keeps 10
+    val train = Array(Array(0L), Array(10L), Array(5L))
+    val got = IntKmeans.lloyd(train, k = 2, iters = 1, farthest = false)
+    assert(got.map(_.toSeq).toSeq === Seq(Seq(2L), Seq(10L)))
+  }
+
+  test("lloyd: empty cell keeps its centroid across rounds") {
+    // k=3 over 3 identical points: cells 1,2 never win an assignment
+    val train = Array(Array(7L), Array(7L), Array(7L))
+    val got = IntKmeans.lloyd(train, k = 3, iters = 2, farthest = false)
+    assert(got.map(_.toSeq).toSeq === Seq(Seq(7L), Seq(7L), Seq(7L)))
+  }
+
+  // ---------------------------------------------------------- ffInit
+
+  test("farthest-first init: argmax min-distance, ties to lowest index") {
+    // start train(0)=[0]; candidates [0],[4],[8],[8] → picks [8] (idx 2,
+    // not 3, on the tie); then min-dists are 0,16,0,0 → picks [4]
+    val train = Array(Array(0L), Array(4L), Array(8L), Array(8L))
+    val got = IntKmeans.lloyd(train, k = 3, iters = 0, farthest = true)
+    assert(got.map(_.toSeq).toSeq === Seq(Seq(0L), Seq(8L), Seq(4L)))
+  }
+
+  // ---------------------------------------------------------- planes
+
+  test("exactPlaneBits: integer rule incl. the power-of-two boundary") {
+    // target = 8k = 80; N = 80·2^b exactly on the boundary must give b
+    assert(IntKmeans.exactPlaneBits(80L * 32, k = 10) === 5)
+    assert(IntKmeans.exactPlaneBits(80L * 32 + 1, k = 10) === 6)
+    assert(IntKmeans.exactPlaneBits(1L, k = 10) === 4)        // clamp lo
+    assert(IntKmeans.exactPlaneBits(Long.MaxValue / 100, k = 10) === 24) // clamp hi
+  }
+
+  test("planesSign matches the md5 nibble-parity definition") {
+    val pl = IntKmeans.planesSign(nPlanes = 2, dim = 3, seed = 42L)
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    for (p <- 0 until 2; j <- 1 to 3) {
+      val h = mdt.digest(s"pl:42:$p:$j".getBytes("UTF-8"))
+      val odd = ((h(0) >> 4) & 1) == 1
+      assert(pl(p)(j - 1) === (if (odd) 1L else -1L))
+    }
+    assert(pl.flatten.toSet.subsetOf(Set(-1L, 1L)))
+  }
+
+  // ---------------------------------------------------------- sample
+
+  test("sampleTrain: md5-keyed order with id tie-break, cap applied") {
+    import spark.implicits._
+    val df = Seq((3L, Seq(3.0f)), (1L, Seq(1.0f)), (2L, Seq(2.0f)))
+      .toDF("id", "v")
+    val q = IntKmeans.quantize(df, "id", "v")
+    val full = IntKmeans.sampleTrain(q, "id", seed = 7L, cap = 10)
+    val expected = Seq(1L, 2L, 3L).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"km:7:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(full.map(_(0) / 10000).toSeq === expected)
+    // cap keeps the PREFIX of that order
+    val capped = IntKmeans.sampleTrain(q, "id", seed = 7L, cap = 2)
+    assert(capped.map(_(0) / 10000).toSeq === expected.take(2))
+  }
+
+  // ---------------------------------------------------------- assign
+
+  test("distributed GEMM assignment equals the driver-local argmin") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 64L).map(i =>
+      (i, Seq.fill(8)((rng.nextInt(2001) - 1000).toFloat / 1e4f)))
+    val df = rows.toDF("id", "v")
+    val q = IntKmeans.quantize(df, "id", "v")
+    val train = IntKmeans.sampleTrain(q, "id", seed = 1L, cap = 64)
+    val cents = IntKmeans.lloyd(train, k = 5, iters = 2, farthest = false)
+    val dist = IntKmeans.assign(q, "id", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val local = q.collect().map { r =>
+      val v = r.getSeq[Long](1).toArray
+      var best = 0; var bestD = Long.MaxValue
+      cents.indices.foreach { c =>
+        var d = 0L; var i = 0
+        while (i < v.length) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      r.getLong(0) -> best
+    }.toMap
+    assert(dist === local)
+  }
+
+  // ---------------------------------------------------------- pq
+
+  test("trainPq: residual codebooks are exact-integer and code-stable") {
+    val rng = new scala.util.Random(5)
+    val train = Array.fill(40)(Array.fill(8)(rng.nextInt(20001).toLong - 10000))
+    val m1 = IntKmeans.trainPq(train, nlist = 4, m = 2, ksub = 4, iters = 2)
+    val m2 = IntKmeans.trainPq(train.map(_.clone()), 4, 2, 4, 2)
+    assert(m1.dsub === 4)
+    assert(m1.cents.map(_.toSeq).toSeq === m2.cents.map(_.toSeq).toSeq)
+    assert(m1.books.map(_.map(_.toSeq).toSeq).toSeq ===
+      m2.books.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+}
