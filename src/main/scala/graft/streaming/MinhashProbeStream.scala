@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming twin of d14 (incremental near-dup probe against a
+  * materialized signature table) — the second half of the ingest
+  * story beside BloomDedupStream: documents land as files, the corpus
+  * HISTORY's minhash signature table is built ONCE at stream start
+  * (the persisted-signature-table surface d2's scaladoc promises,
+  * pinned with an eager localCheckpoint), and every micro-batch signs
+  * only ITSELF and band-joins the checkpointed history for its best
+  * match.
+  *
+  * Scale shape: per-batch cost is the batch's shingle→hash→agg pass
+  * plus a band-key equi-join against the history signatures — the
+  * history never recomputes, never reshuffles on anything wider than
+  * its band keys. A doc's verdict depends only on (doc, history), so
+  * the drained union over any micro-batch partitioning equals the
+  * one-shot batch d14 output (StreamingSpec asserts the drained
+  * equality). */
+object MinhashProbeStream {
+
+  /** Build-once history signature table (k/bands/shingleN must match
+    * the per-batch signing below — same constants as d14). */
+  def prepare(history: DataFrame, k: Int = 16, bands: Int = 2,
+      shingleN: Int = 3): DataFrame =
+    graft.operators.MinHash.signatures(history, "doc_id", "text",
+      k = k, bands = bands, shingleN = shingleN, materialize = false)
+      .localCheckpoint(true)
+
+  /** File-source stream over `srcDir`; per-batch best-match verdicts
+    * append to `sinkDir` as parquet. */
+  def start(spark: SparkSession, srcDir: String, sinkDir: String,
+      checkpointDir: String, history: DataFrame, k: Int = 16,
+      bands: Int = 2, shingleN: Int = 3): StreamingQuery = {
+    val hist = prepare(history, k, bands, shingleN)
+    spark.readStream.schema(BloomDedupStream.docsSchema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val batchSig = graft.operators.MinHash.signatures(batch,
+          "doc_id", "text", k = k, bands = bands, shingleN = shingleN,
+          materialize = false)
+        graft.queries.DedupOps.incrementalProbeOf(batchSig, hist)
+          .write.mode("append").parquet(sinkDir)
+      }
+      .start()
+  }
+}

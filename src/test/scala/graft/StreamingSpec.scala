@@ -269,4 +269,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.exists(_._4),
       "fixture sanity: the incoming slice contains at least one dup")
   }
+
+  test("d14 minhash probe stream drains to the batch verdicts (signature-table twin)") {
+    // the d14 fixture split at sf0.001: history = doc_id % 10 != 0,
+    // incoming = the % 10 slice, landed as three files
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val isNew = pmod(col("doc_id"), lit(10)) === 0
+    val history = docs.where(!isNew)
+    val incoming = docs.where(isNew)
+
+    val src = Files.createTempDirectory("mh_src").toString
+    val sink = Files.createTempDirectory("mh_sink").toString + "/verdicts"
+    val ckpt = Files.createTempDirectory("mh_ckpt").toString
+    (0 to 2).foreach { i =>
+      incoming.where(pmod(col("doc_id"), lit(3)) === i)
+        .write.parquet(s"$src/b$i")
+    }
+    val q = graft.streaming.MinhashProbeStream.start(
+      spark, s"$src/*", sink, ckpt, history)
+    q.processAllAvailable(); q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val streamed = canon(spark.read.parquet(sink))
+    val batch = canon(SparkEntry.queries("d14_incremental_minhash")(
+      spark, "/root/testdata/sf0.001"))
+    assert(streamed === batch,
+      "drained per-doc best matches must equal the one-shot batch d14 output")
+    assert(streamed.exists(_._4),
+      "fixture sanity: the incoming slice contains at least one near-dup")
+  }
 }
