@@ -240,6 +240,12 @@ object Graft {
       * token pairs. */
     def collocations(docs: DataFrame): DataFrame =
       TextOps.collocationsOf(docs)
+
+    /** qid: m15_nb_quality — discretized Naive Bayes quality
+      * classifier (closed-form integer counts, deterministic; the
+      * oracle-checkable sibling of the MLlib m10 surface). */
+    def nbQualityClassifier(docs: DataFrame): DataFrame =
+      graft.fit.QualityModel.nbClassifierOf(docs)
   }
 
   // ------------------------------------------------------------------

@@ -69,6 +69,125 @@ object QualityModel {
       .orderBy(col("doc_id"))
   }
 
+  /** M15: discretized Naive Bayes quality classifier — the
+    * closed-form sibling of m10's L-BFGS surface, over the SAME four
+    * engineered features, each discretized to an integer bin.
+    * Because the model is nothing but integer COUNTS pushed through
+    * ln() once per (feature, bin, class), the whole classifier obeys
+    * the quantize-before-reassociable-sum discipline (t10/t11/s5):
+    * per-(feature, bin, class) log-probabilities quantize to integer
+    * micro-units at model-build time, a document's score is prior +
+    * Σ_f bin_micro — exact integer arithmetic in any order — and the
+    * query is fully DuckDB-oracle-checkable where m10's float
+    * gradient reductions cannot be (its scaladoc's determinism note).
+    * (A plain multinomial NB over raw tokens was measured at 0.52
+    * holdout here: this fixture's label lives in ratio/length
+    * statistics, not topical vocabulary — discretizing the feature
+    * space is the standard NB answer, and is itself a curation-stack
+    * staple: fastText-style filters bucket meta-features the same
+    * way.)
+    *
+    * Scale shape: the model is BIN-SPACE-sized (≤ 4 features × ~21
+    * bins × 2 classes; AQE broadcasts it), featurization and scoring
+    * are single corpus scans + one (doc, feature) melt and one doc_id
+    * agg; the only driver traffic is the O(1) constant set (class doc
+    * counts). Laplace α = 1 over fixed per-feature bin-space sizes.
+    *
+    * Same weak labels and 80/20 split as m10 (shared t2 expression),
+    * so the two classifiers are directly comparable on the same
+    * holdout. */
+  def nbClassifierOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (stopRatio, quality) = graft.queries.TextOps.qualityParts
+    val nTok = size(toks).cast("double")
+    // the four m10 features, discretized; bin arithmetic is floor of
+    // the identical double expression on both engines
+    val binned = docs.select(
+      col("doc_id"),
+      (quality >= 0.3).cast("long").as("label"),
+      least(floor(nTok / lit(10.0)), lit(12.0)).cast("long").as("b_ntok"),
+      least(floor(length(col("text")).cast("double") / nTok * lit(2.0)),
+        lit(20.0)).cast("long").as("b_avg_len"),
+      least(floor(stopRatio * lit(10.0)), lit(10.0)).cast("long").as("b_stop"),
+      least(floor(size(array_distinct(toks)).cast("double") / nTok * lit(10.0)),
+        lit(10.0)).cast("long").as("b_distinct"))
+    // melt to (doc_id, label, fname, bin); per-feature Laplace K =
+    // the fixed bin-space size
+    val featK = Map("ntok" -> 13L, "avg_len" -> 21L, "stop" -> 11L,
+      "distinct" -> 11L)
+    val melted = featK.keys.toSeq.sorted.map { f =>
+      binned.select(col("doc_id"), col("label"), lit(f).as("fname"),
+        col(s"b_$f").as("bin"))
+    }.reduce(_ unionByName _)
+    val isTrain = pmod(col("doc_id"), lit(5)) =!= 0
+
+    // O(1) driver constants: class doc counts
+    val ndocs = binned.where(isTrain).groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val nTrain = ndocs(0L) + ndocs(1L)
+    // half-AWAY-from-zero, matching Spark round()/DuckDB ROUND on the
+    // negative log values (math.round is half-up: differs at -x.5)
+    def r0(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    def prior(c: Long): Long =
+      r0(1e6 * math.log((ndocs(c) + 1.0) / (nTrain + 2.0)))
+    def dflt(f: String, c: Long): Long =
+      r0(1e6 * math.log(1.0 / (ndocs(c) + featK(f))))
+    def dfltCol(c: Long) = featK.keys.toSeq.sorted.tail
+      .foldLeft(when(col("fname") === featK.keys.toSeq.sorted.head,
+        lit(dflt(featK.keys.toSeq.sorted.head, c)))) { (acc, f) =>
+        acc.when(col("fname") === f, lit(dflt(f, c)))
+      }
+
+    // bin-space-sized model with both classes' micro log-probs
+    def tsFor(c: Long) = round(lit(1e6) *
+      log((col("cnt") + lit(1)).cast("double") /
+        (lit(ndocs(c).toDouble) + kCol.cast("double"))), 0).cast("long")
+    lazy val kCol = featK.keys.toSeq.sorted.tail
+      .foldLeft(when(col("fname") === featK.keys.toSeq.sorted.head,
+        lit(featK(featK.keys.toSeq.sorted.head)))) { (acc, f) =>
+        acc.when(col("fname") === f, lit(featK(f)))
+      }
+    val model = melted.where(isTrain)
+      .groupBy(col("fname"), col("bin"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("fname"), col("bin"), col("label"),
+        when(col("label") === 0L, tsFor(0L)).otherwise(tsFor(1L)).as("ts"))
+      .groupBy(col("fname"), col("bin"))
+      .agg(
+        max(when(col("label") === 0L, col("ts"))).as("ts0m"),
+        max(when(col("label") === 1L, col("ts"))).as("ts1m"))
+
+    // scoring: the melt joins the broadcast-sized model; exact
+    // integer sums; unseen (feature, bin) falls to the Laplace default
+    val contrib = melted.join(model, Seq("fname", "bin"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ts0m"), dfltCol(0L)).as("c0"),
+        coalesce(col("ts1m"), dfltCol(1L)).as("c1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c0")).as("s0"), sum(col("c1")).as("s1"))
+    binned.select(col("doc_id"), col("label"))
+      .join(contrib, Seq("doc_id"))
+      .select(col("doc_id"), col("label"),
+        (col("s0") + lit(prior(0L))).as("score0_micro"),
+        (col("s1") + lit(prior(1L))).as("score1_micro"))
+      .select(col("doc_id"), col("label"),
+        when(col("score1_micro") > col("score0_micro"), lit(1L))
+          .otherwise(lit(0L)).as("prediction"),
+        (col("score1_micro") - col("score0_micro")).as("margin_micro"))
+      .withColumn("correct", col("label") === col("prediction"))
+      .select(col("doc_id"), col("label"), col("prediction"),
+        col("margin_micro"), col("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle query `m15_nb_quality`. */
+  def m15NbQuality(s: SparkSession, dir: String): DataFrame =
+    nbClassifierOf(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+
   /** Held-out accuracy (docs the fit never saw): the spec's gate. */
   private[graft] def holdoutAccuracy(scored: DataFrame): Double = {
     val hold = scored.where(pmod(col("doc_id"), lit(5)) === 0)

@@ -308,6 +308,9 @@ object PackOps {
     // rows-only: L-BFGS float reductions aren't cross-engine
     // reproducible; the spec gates held-out accuracy instead
     "m10_quality_classifier" -> (graft.fit.QualityModel.m10QualityClassifier _),
+    // m15: the closed-form sibling — integer NB counts, micro-quantized
+    // per-token log-probs → fully oracle-checkable (SCALING rule 11)
+    "m15_nb_quality" -> (graft.fit.QualityModel.m15NbQuality _),
   )
 
   // The p3 position computation, shared VERBATIM by the p3 and p4
@@ -329,6 +332,74 @@ object PackOps {
       | FROM d)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // m15: discretized NB quality classifier — the weak label and the
+    // four binned features restate t2/m10's expressions in identical
+    // double arithmetic; per-(feature,bin,class) log-probs quantize to
+    // integer micro-units BEFORE the per-doc sum (the t10/t11/s5
+    // discipline), so scoring is exact integer arithmetic
+    "m15_nb_quality" ->
+      s"""WITH f AS MATERIALIZED (
+         | SELECT doc_id,
+         |  CASE WHEN (len(list_filter(string_split(text,' '), t -> ${graft.queries.TextOps.stopPred}))::DOUBLE
+         |        / len(string_split(text,' '))) * 0.5
+         |       + LEAST(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) * 0.5 >= 0.3
+         |   THEN 1 ELSE 0 END::BIGINT AS label,
+         |  LEAST(FLOOR(len(string_split(text,' '))::DOUBLE / 10.0), 12.0)::BIGINT AS b_ntok,
+         |  LEAST(FLOOR(length(text)::DOUBLE / len(string_split(text,' ')) * 2.0), 20.0)::BIGINT AS b_avg_len,
+         |  LEAST(FLOOR((len(list_filter(string_split(text,' '), t -> ${graft.queries.TextOps.stopPred}))::DOUBLE
+         |        / len(string_split(text,' '))) * 10.0), 10.0)::BIGINT AS b_stop,
+         |  LEAST(FLOOR(len(list_distinct(string_split(text,' ')))::DOUBLE
+         |        / len(string_split(text,' ')) * 10.0), 10.0)::BIGINT AS b_distinct
+         | FROM documents),
+         |mf AS MATERIALIZED (
+         | SELECT doc_id, label, 'avg_len' AS fname, b_avg_len AS bin FROM f
+         | UNION ALL SELECT doc_id, label, 'distinct', b_distinct FROM f
+         | UNION ALL SELECT doc_id, label, 'ntok', b_ntok FROM f
+         | UNION ALL SELECT doc_id, label, 'stop', b_stop FROM f),
+         |consts AS MATERIALIZED (
+         | SELECT
+         |  (SELECT COUNT(*) FROM f WHERE doc_id % 5 <> 0 AND label = 0)::BIGINT AS n0,
+         |  (SELECT COUNT(*) FROM f WHERE doc_id % 5 <> 0 AND label = 1)::BIGINT AS n1),
+         |model AS MATERIALIZED (
+         | SELECT fname, bin,
+         |  MAX(CASE WHEN label = 0 THEN ts END) AS ts0m,
+         |  MAX(CASE WHEN label = 1 THEN ts END) AS ts1m
+         | FROM (
+         |  SELECT fname, bin, label,
+         |   ROUND(1e6 * LN((COUNT(*) + 1)::DOUBLE /
+         |    ((CASE WHEN label = 0 THEN (SELECT n0 FROM consts)
+         |           ELSE (SELECT n1 FROM consts) END)::DOUBLE
+         |     + (CASE fname WHEN 'ntok' THEN 13 WHEN 'avg_len' THEN 21
+         |        WHEN 'stop' THEN 11 ELSE 11 END)::DOUBLE)))::BIGINT AS ts
+         |  FROM mf WHERE doc_id % 5 <> 0
+         |  GROUP BY fname, bin, label) GROUP BY fname, bin),
+         |contrib AS (
+         | SELECT m.doc_id,
+         |  SUM(COALESCE(md.ts0m,
+         |   ROUND(1e6 * LN(1.0 / ((SELECT n0 FROM consts)
+         |    + CASE m.fname WHEN 'ntok' THEN 13 WHEN 'avg_len' THEN 21
+         |      WHEN 'stop' THEN 11 ELSE 11 END)::DOUBLE))::BIGINT))::BIGINT AS s0,
+         |  SUM(COALESCE(md.ts1m,
+         |   ROUND(1e6 * LN(1.0 / ((SELECT n1 FROM consts)
+         |    + CASE m.fname WHEN 'ntok' THEN 13 WHEN 'avg_len' THEN 21
+         |      WHEN 'stop' THEN 11 ELSE 11 END)::DOUBLE))::BIGINT))::BIGINT AS s1
+         | FROM mf m LEFT JOIN model md USING (fname, bin)
+         | GROUP BY m.doc_id),
+         |pri AS (
+         | SELECT
+         |  ROUND(1e6 * LN((n0 + 1.0) / (n0 + n1 + 2.0)))::BIGINT AS p0,
+         |  ROUND(1e6 * LN((n1 + 1.0) / (n0 + n1 + 2.0)))::BIGINT AS p1
+         | FROM consts),
+         |scored AS (
+         | SELECT l.doc_id, l.label,
+         |  c.s0 + (SELECT p0 FROM pri) AS sc0,
+         |  c.s1 + (SELECT p1 FROM pri) AS sc1
+         | FROM f l JOIN contrib c USING (doc_id))
+         |SELECT doc_id, label,
+         | CASE WHEN sc1 > sc0 THEN 1 ELSE 0 END::BIGINT AS prediction,
+         | (sc1 - sc0)::BIGINT AS margin_micro,
+         | (label = CASE WHEN sc1 > sc0 THEN 1 ELSE 0 END) AS correct
+         |FROM scored ORDER BY doc_id""".stripMargin,
     // p3: the oracle's single global ROW_NUMBER is the semantic spec;
     // the Spark side reaches the same permutation through the
     // bucket-offset shape (no single-partition window)

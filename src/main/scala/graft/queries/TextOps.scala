@@ -670,7 +670,7 @@ object TextOps {
   // The t2 quality ingredients as ONE shared CTE string — t2 and o10
   // both build on it, so the definition cannot drift between them
   // (the d13 shared-string discipline).
-  private val qualityCteSql: String =
+  private[graft] val qualityCteSql: String =
     s"""WITH q AS (
       | SELECT doc_id, source,
       |  len(list_filter(string_split(text,' '), t -> $stopPred))::DOUBLE

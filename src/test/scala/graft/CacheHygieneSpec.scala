@@ -60,6 +60,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "m6_materials_e2e", // full pipeline incl. split assignment
     "m7_curation",      // staged curation runner (per-stage counts)
     "m10_quality_classifier", // L-BFGS training iterations at fit time
+    "m15_nb_quality",   // O(1) class-count collection at model build
     "p1_pack_sequences", // global-offset prefix sum (max id + bucket sums)
     "s9_aflux",         // canned multi-page ingest assembles a local fixture
     "m12_embedding_filter", // seed-centroid aggregation at build

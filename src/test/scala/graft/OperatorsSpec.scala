@@ -457,6 +457,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.toSeq === labels.toSeq)
   }
 
+  test("NB quality classifier: planted vocab separates, fixture holdout learned (m15)") {
+    import spark.implicits._
+    // planted two-class corpus: label-1 docs are stopword-rich (t2
+    // quality ≥ 0.3), label-0 docs are junk tokens; disjoint vocab →
+    // NB must classify every holdout doc (doc_id % 5 = 0) correctly
+    val docs = (0L until 40L).map { i =>
+      val txt = if (i % 2 == 0) Seq.fill(10)("the a of and to in").mkString(" ")
+                else Seq.fill(8)(s"zz qq xx").mkString(" ")
+      (i, txt)
+    }.toDF("doc_id", "text")
+    val out = graft.fit.QualityModel.nbClassifierOf(docs).collect()
+    assert(out.length === 40)
+    assert(out.forall(_.getBoolean(4)), "disjoint vocab must classify perfectly")
+    // margins have the right sign and are symmetric in structure
+    assert(out.filter(_.getLong(1) == 1L).forall(_.getLong(3) > 0))
+    assert(out.filter(_.getLong(1) == 0L).forall(_.getLong(3) < 0))
+
+    // fixture: held-out accuracy clears the same 0.8 gate as m10
+    val scored = graft.fit.QualityModel.m15NbQuality(spark, sf)
+    val acc = graft.fit.QualityModel.holdoutAccuracy(scored)
+    assert(acc >= 0.8, s"NB held-out accuracy $acc")
+    // closed-form model: bit-identical across runs
+    val a = scored.collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val b = graft.fit.QualityModel.m15NbQuality(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(a === b)
+  }
+
   test("sequence packing: contiguous full chunks, token conservation, single carry-in (p1)") {
     val out = queries.PackOps.p1PackSequences(spark, sf).collect()
     assert(out.nonEmpty)
