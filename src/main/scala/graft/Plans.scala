@@ -48,7 +48,7 @@ object Plans {
       "w5_retention" -> "user_id window then (cohort,offset) agg — two keyed shuffles, no SinglePartition",
       "d13_keep_best" -> "cluster labels join quality on doc_id, one cluster_id window for the argmax",
       "s4_ann_ivfpq" -> "broadcast query probes onto encoded corpus, WindowGroupLimit prunes both rank windows",
-      "s6_pca_project" -> "stateless batched-GEMM projection map, only the determinism sort shuffles",
+      "s6_pca_project" -> "one treeReduce integer-scatter pass then a stateless codegen projection map, only the determinism sort shuffles",
       "s7_scalar_quantize" -> "per-row quantize map over the pruned scan, only the determinism sort shuffles",
       "s8_hybrid_rrf" -> "two broadcast-side rankers fused by a tiny full-outer join, top-k windows on query_id",
       "m12_embedding_filter" -> "centroid literal broadcast into one codegen scoring scan, only the determinism sort shuffles",

@@ -177,12 +177,23 @@ object Graft {
       graft.queries.SimilarityOps.kmeansSummaryOf(emb, idCol, vCol, k,
         iters, seed)
 
-    /** qid: s6_pca_project — treeReduce covariance fit + projection
+    /** Float PCA projection — treeReduce covariance fit + projection
       * (fit is O(d²) driver traffic regardless of corpus size). */
     def pcaProject(df: DataFrame, idCol: String, vCol: String,
         nComponents: Int): DataFrame =
       graft.operators.Pca.project(df, idCol, vCol,
         graft.operators.Pca.fit(df, vCol, nComponents))
+
+    /** qid: s6_pca_project — the cross-engine-deterministic integer
+      * twin (quantized scatter, power iteration + Hotelling
+      * deflation, all Long math): same one-pass O(d²)-driver-traffic
+      * shape, but the projection replays bit-for-bit in SQL. */
+    def pcaProjectDeterministic(df: DataFrame, idCol: String,
+        vCol: String, nComponents: Int, iters: Int = 24,
+        seed: Long = 7L): DataFrame =
+      graft.operators.IntPca.project(df, idCol, vCol,
+        graft.operators.IntPca.fit(df, idCol, vCol, nComponents, iters,
+          seed))
 
     /** Adaptive IVF cell count: clamp(4·⌈√N⌉, [16, 65536]). */
     def adaptiveNlist(n: Long): Int = Similarity.adaptiveNlist(n)

@@ -126,26 +126,10 @@ object Pca {
       .toDF(idCol, "proj")
   }
 
-  /** Query-surface entry: top-8 PCA projection of the embeddings
-    * table (rows-only — float reductions over shuffled partials have
-    * no bit-exact cross-engine oracle; the algebraic properties are
-    * asserted in OperatorsSpec). Output is HARNESS-SAFE scalars: one
-    * micro-unit long per component (`proj_0..proj_7`), never a raw
-    * array column — the driver's pandas row sort cannot order array
-    * cells, and per-component columns additionally pin any component
-    * permutation or sign flip the way s7's checksum does. */
-  def s6PcaProject(spark: SparkSession, dir: String): DataFrame = {
-    val e = graft.Tables(spark, dir, "embeddings")
-      .repartition(col("vec_id"))
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-    val model = fit(e, "v", r = 8)
-    val comps = (0 until model.r).map { i =>
-      round(element_at(col("proj"), i + 1) * lit(1e6), 0).cast("long")
-        .as(s"proj_${i}_micro")
-    }
-    project(e, "vec_id", "v", model)
-      .select(col("vec_id") +: comps: _*)
-      .orderBy(col("vec_id"))
-  }
+  // The s6_pca_project query entry lives in operators/IntPca.scala
+  // since round 7: the integer power-iteration twin is cross-engine
+  // deterministic and therefore DuckDB-oracleable, which the float
+  // eigSym fit here (reassociated double partials) can never be.
+  // This Breeze path remains the library API (Graft.vectors
+  // .pcaProject); IntPcaSpec pins the two against each other.
 }

@@ -715,16 +715,25 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Sketch-based distinct counting (HLL / approx_count_distinct —
-    * the "novel sketch" surface; no oracle: sketch implementations
-    * differ across engines, spec asserts the error bound instead). */
-  def sk1ApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        count(lit(1)).as("n"))
+  /** Sketch-based distinct counting — oracle-green since r7 via the
+    * cross-engine-deterministic HLL (operators/DetHll.scala): the
+    * register state and the estimate are exact md5-derived integer
+    * arithmetic, so the full result (not just an error bound) replays
+    * in DuckDB. Output keeps the mergeable sketch statistics
+    * (hll_empty, hll_sum_q40) alongside the estimate — the state IS
+    * the publishable object at 100 TB. */
+  def sk1ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey").cast("string").as("tok"))
+    val est = graft.operators.DetHll.estimate(
+      graft.operators.DetHll.registers(li, Seq("l_returnflag"), col("tok")),
+      Seq("l_returnflag"), "approx_parts")
+    val cnt = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    est.join(cnt, "l_returnflag")
+      .select(col("l_returnflag"), col("approx_parts"), col("n"),
+        col("hll_empty"), col("hll_sum_q40"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** D15: exact-substring REMOVAL — the deletion step of Lee-et-al
     * ExactSubstr dedup (d11 flags documents; real pipelines cut the
@@ -806,34 +815,41 @@ object DedupOps {
   /** SK2: mergeable-sketch set operations — the pattern that makes
     * sketches matter at 100 TB: per-source (per-day, per-shard) HLL
     * sketches of the distinct-token space are built in ONE corpus
-    * pass and then COMBINED without ever rescanning the data
-    * (Datasketches HLL union is lossless at equal lgK, so the union
-    * of sketches is the sketch of the union). A real pipeline stores
-    * these per-partition sketches and answers "how many new tokens
-    * does source X add to the union of the rest?" from kilobytes.
-    * Output: one row per source (estimate + exact for the spec's
-    * error bound) plus the `__union__` row whose estimate comes only
-    * from merging the per-source sketches. Rows-only: sketch
-    * internals have no cross-engine oracle; the spec bounds every
-    * estimate against exact and asserts the merge identity. */
+    * pass and then COMBINED without ever rescanning the data (a
+    * per-bucket MAX merge is lossless — the union of sketches IS the
+    * sketch of the union). A real pipeline stores these
+    * per-partition sketches and answers "how many new tokens does
+    * source X add to the union of the rest?" from kilobytes.
+    * Oracle-green since r7 via the deterministic HLL
+    * (operators/DetHll.scala): here the `__union__` row is computed
+    * by MERGING the per-source register tables, while the DuckDB
+    * twin recomputes the direct single-pass sketch of all sources —
+    * their hash-equality is the lossless-merge identity, now checked
+    * by the correctness gate every round instead of a spec fixture. */
   def sk2SketchUnion(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DetHll
     val toks = Tables(s, dir, "documents")
-      .select(col("source"), explode(split(col("text"), " ")).as("token"))
-      .where(length(col("token")) > 0)
-    val perSource = toks.groupBy(col("source"))
-      .agg(hll_sketch_agg(col("token"), 14).as("sk"),
-        count_distinct(col("token")).as("exact_distinct"))
-    val per = perSource.select(col("source"),
-      hll_sketch_estimate(col("sk")).cast("long").as("est_distinct"),
-      col("exact_distinct"))
-    // union WITHOUT rescanning: merge the source-cardinality-sized
-    // sketch rows only
-    val union = perSource
-      .agg(hll_union_agg(col("sk")).as("u"))
-      .select(lit("__union__").as("source"),
-        hll_sketch_estimate(col("u")).cast("long").as("est_distinct"),
-        lit(null).cast("long").as("exact_distinct"))
-    per.unionByName(union).orderBy(col("source"))
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    // both consumers reference the identical registers subtree, so
+    // ReuseExchange computes the corpus-sized aggregation once (the
+    // d2 signature-subtree discipline); no checkpoint needed
+    val regs = DetHll.registers(toks, Seq("source"), col("tok"))
+    val per = DetHll.estimate(regs, Seq("source"), "est_distinct")
+    val exact = toks.groupBy(col("source"))
+      .agg(count_distinct(col("tok")).as("exact_distinct"))
+    // union WITHOUT rescanning: per-bucket MAX over the register rows
+    val uregs = regs.groupBy(col("bucket"))
+      .agg(max(col("mx")).as("mx"))
+      .withColumn("source", lit("__union__"))
+    val union = DetHll.estimate(uregs, Seq("source"), "est_distinct")
+      .withColumn("exact_distinct", lit(null).cast("long"))
+    per.join(exact, "source")
+      .select(col("source"), col("est_distinct"), col("exact_distinct"),
+        col("hll_empty"), col("hll_sum_q40"))
+      .unionByName(union.select(col("source"), col("est_distinct"),
+        col("exact_distinct"), col("hll_empty"), col("hll_sum_q40")))
+      .orderBy(col("source"))
   }
 
   /** SK3: heavy hitters (frequent tokens) via Count-Min sketch — the
@@ -1125,6 +1141,12 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // sk1/sk2: r7 conversions — the deterministic HLL's registers and
+    // estimate are exact md5-derived integer arithmetic, so the full
+    // sketch replays in DuckDB (operators/DetHll.scala; sk2's oracle
+    // additionally proves the lossless-merge identity).
+    "sk1_approx_distinct" -> graft.operators.DetHll.oracleSk1,
+    "sk2_sketch_union" -> graft.operators.DetHll.oracleSk2,
     // d16: brute-force thresholded levenshtein over the same slice —
     // O(N²) is the oracle's privilege, PassJoin's absence its point.
     "d16_editdist_join" ->

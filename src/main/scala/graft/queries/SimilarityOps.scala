@@ -216,7 +216,10 @@ object SimilarityOps {
     "s2_ann_lsh" -> (graft.operators.Similarity.s2AnnLsh _),
     "s3_ann_ivf" -> (graft.operators.Similarity.s3AnnIvf _),
     "s4_ann_ivfpq" -> (graft.operators.Similarity.s4AnnIvfPq _),
-    "s6_pca_project" -> (graft.operators.Pca.s6PcaProject _),
+    // oracle-green since r7: deterministic integer power-iteration
+    // PCA (IntPca.oracleS6); the float Breeze path stays the library
+    // API and IntPcaSpec pins their agreement
+    "s6_pca_project" -> (graft.operators.IntPca.s6PcaProject _),
     // oracle-green since r7: integer Lloyd replayed in DuckDB
     // (IntKmeans.oracleC1); CurationOpsSpec asserts blob recovery,
     // determinism, and the inertia bound
@@ -336,6 +339,10 @@ object SimilarityOps {
       graft.operators.IntKmeans.oracleS4(k = 10, seed = 42L, cap = 8192,
         iters = 2, dim = 64, m = 8, ksub = 16, rerankMult = 4,
         queryPred = "vec_id < 5"),
+    "s6_pca_project" ->
+      graft.operators.IntPca.oracleS6(r = 8,
+        iters = graft.operators.IntPca.Iters,
+        seed = graft.operators.IntPca.Seed, dim = 64),
     "s7_scalar_quantize" ->
       """WITH e AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -882,12 +882,15 @@ class OperatorsSpec extends AnyFunSuite {
         s"$src estimate $est too far from exact $exact")
     }
     // the merged estimate must match a direct sketch over the whole
-    // corpus (Datasketches HLL union is lossless at equal lgK)
-    val direct = Tables(spark, sf, "documents")
-      .select(explode(split(col("text"), " ")).as("token"))
-      .where(length(col("token")) > 0)
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("token"), 14))
-        .cast("long")).collect()(0).getLong(0)
+    // corpus (per-bucket MAX merge is lossless — and since r7 the
+    // DuckDB oracle re-proves this same identity every round)
+    val toks = Tables(spark, sf, "documents")
+      .select(lit("all").as("g"),
+        explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val direct = graft.operators.DetHll.estimate(
+      graft.operators.DetHll.registers(toks, Seq("g"), col("tok")),
+      Seq("g"), "approx").collect()(0).getLong(1)
     assert(unionRows.head._2 === direct,
       s"merged estimate ${unionRows.head._2} != direct sketch $direct")
     // and the union estimate must cover every single source
