@@ -100,15 +100,56 @@ class IntPcaSpec extends AnyFunSuite {
         math.sqrt(b.map(x => x * x).sum))
     }
     // top component aligns tightly (healthy top eigengap in the
-    // fixture); comps 1–2 carry VS-quantization + deflation-floor
-    // noise amplified by their smaller gaps, so their bound is
-    // looser and the rotation-robust Rayleigh envelope below is the
-    // real pin for the deeper components
+    // fixture). Components 1+ sit in a quasi-degenerate stretch of
+    // the fixture spectrum (adjacent eigenvalue ratios 0.96–0.99):
+    // (λ_{c+1}/λ_c)^24 ≈ 0.4, so NO 24-round power method — float or
+    // integer — can separate individual eigenvectors there, and a
+    // per-component cosine pin would be asserting something the math
+    // does not promise. The rotation-robust pins are (a) subspace
+    // alignment: each integer component lies almost entirely inside
+    // the span of the leading Breeze components, and (b) the
+    // Rayleigh envelope below (per-component variance capture).
     val a0 = math.abs(cos(im.comps(0).map(_.toDouble), fm.components(0)))
     assert(a0 > 0.97, s"comp 0 misaligned with Breeze: |cos| = $a0")
-    (1 until 3).foreach { c =>
-      val a = math.abs(cos(im.comps(c).map(_.toDouble), fm.components(c)))
-      assert(a > 0.90, s"comp $c misaligned with Breeze: |cos| = $a")
+    // subspace alignment at r ∈ {1, 4, 8}: for each integer comp
+    // c < r, the fraction of its mass inside span(Breeze 0..r-1) is
+    // sqrt(Σ_j cos(u_c, v_j)²) (exact, since Breeze eigenvectors are
+    // orthonormal); a component rotated WITHIN the quasi-degenerate
+    // subspace passes, one that drifted out of the subspace fails
+    // (a1) chordal (projection-Frobenius) alignment between
+    // span(integer comps 0..r-1) and span(Breeze 0..r-1) at
+    // r ∈ {1, 4, 8}: sqrt of the mean squared in-span mass. A hard
+    // cutoff r that slices through the degenerate block necessarily
+    // leaks (Davis–Kahan sin-θ scales as 1/gap), so the span-vs-span
+    // bound is deliberately loose; measured values on this fixture
+    // are 0.97 / 0.85 / 0.94.
+    def spanFrac(u: Array[Double], hi: Int): Double =
+      math.sqrt((0 until hi).map { j =>
+        val cj = cos(u, fm.components(j)); cj * cj
+      }.sum)
+    Seq(1, 4, 8).foreach { r =>
+      val mean2 = (0 until r).map { c =>
+        val f = spanFrac(im.comps(c).map(_.toDouble), r); f * f
+      }.sum / r
+      val chordal = math.sqrt(mean2)
+      assert(chordal > 0.8,
+        s"span(int 0..${r - 1}) vs span(Breeze 0..${r - 1}): " +
+          s"chordal alignment $chordal")
+    }
+    // (a2) the tight rotation-robust pin: each integer component c
+    // lies almost entirely (> 0.95 mass) inside the slack-extended
+    // leading float span(Breeze 0 .. c+4). A component rotated
+    // WITHIN the quasi-degenerate eigenvalue cluster passes; one
+    // that drifted toward genuinely smaller eigenvalues fails.
+    // Measured min on this fixture: 0.987 (comp 5).
+    val fmWide = Pca.fit(fdf, "v", r = 16)
+    (0 until 8).foreach { c =>
+      val u = im.comps(c).map(_.toDouble)
+      val frac = math.sqrt((0 until (c + 5)).map { j =>
+        val cj = cos(u, fmWide.components(j)); cj * cj
+      }.sum)
+      assert(frac > 0.95,
+        s"comp $c: only $frac of its mass in span(Breeze 0..${c + 4})")
     }
     // every integer component's variance (Rayleigh under the FLOAT
     // covariance) must sit within the float eigenvalue envelope
