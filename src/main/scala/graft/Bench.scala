@@ -19,6 +19,20 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def r3(x: Double): Double = math.rint(x * 1000) / 1000
 
+  /** Whole-run stats from the previous committed artifact: its
+    * cold_total_sec and query-name set. Used by the round-8 whole-run
+    * contention gate (see main). Missing/unreadable → None. */
+  private[graft] def committedRun(sfName: String): Option[(Double, Set[String])] = {
+    val p = java.nio.file.Paths.get(s"bench/bench_$sfName.json")
+    if (!java.nio.file.Files.isReadable(p)) return None
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val ct = """"cold_total_sec":\s*([-0-9.eE]+)""".r
+        .findFirstMatchIn(text).map(_.group(1).toDouble)
+      ct.map(c => (c, benchBaseline(sfName).keySet))
+    } catch { case _: Throwable => None }
+  }
+
   /** Per-query warm seconds from the previous committed artifact
     * (`bench/bench_<sf>.json` as it exists on disk BEFORE this run
     * overwrites it). We control the writer, so a line-oriented regex
@@ -146,12 +160,32 @@ object Bench {
     // carries only the documents/embeddings tables)
     val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(if (only.isEmpty) Some(s"bench/bench_$sfName.json") else None)
-    benchOut.foreach { p =>
+    // Whole-run contention gate (round-8 lesson: the per-query guard's
+    // 1.5 s floor let an end-of-round refresh with the double-
+    // contention signature — cold_total 302 s vs the committed 175 s —
+    // replace a clean committed artifact, with many sub-threshold
+    // inflations riding in). If this refresh targets the COMMITTED
+    // default path, the query surface is unchanged, and the new
+    // cold_total exceeds the committed cold_total by >1.5×, the run is
+    // environment contention, not a regression: keep the committed
+    // artifact. Override with SPARK_GRAFT_FORCE_REFRESH=1 (for a real
+    // surface-neutral slowdown you intend to record).
+    val isDefaultPath = benchOut.contains(s"bench/bench_$sfName.json")
+    val gateRejected: Boolean = isDefaultPath &&
+      !sys.env.get("SPARK_GRAFT_FORCE_REFRESH").contains("1") &&
+      committedRun(sfName).exists { case (committedCold, committedNames) =>
+        committedNames == names.toSet && coldTotal > 1.5 * committedCold
+      }
+    if (!gateRejected) benchOut.foreach { p =>
       val path = java.nio.file.Paths.get(p)
       Option(path.getParent)
         .foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(path, full.toString.getBytes("UTF-8"))
     }
+    if (gateRejected) System.err.println(
+      s"[bench] whole-run contention gate: cold_total ${r3(coldTotal)}s > " +
+        s"1.5x committed ${committedRun(sfName).map(_._1).getOrElse(0.0)}s " +
+        "with unchanged surface - committed artifact kept, refresh rejected")
 
     // One-line driver contract. The driver's stdout capture keeps only
     // the LAST 2000 characters (measured from BENCH_r04/r05, both of
@@ -168,7 +202,7 @@ object Bench {
       if (failed.isEmpty) "[]" else failed.map(n => s""""$n"""").mkString("[", ",", "]")
     def lineFor(qnames: Seq[String]): String = {
       val qs = qnames.map(k => "\"" + k + "\":" + r3(warmMap2(k))).mkString("{", ",", "}")
-      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
+      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","artifact":"${if (gateRejected) "kept_contended" else "refreshed"}","spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
     }
     // headline priority: one representative per family, expensive first,
     // then everything else — trimmed from the back until the line fits.

@@ -40,8 +40,7 @@ object Graft {
     /** qid: d1_exact_dedup — one keeper (min id) per exact content
       * hash; one shuffle on the hash. */
     def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-      docs.groupBy(md5(col(textCol)).as("content_hash"))
-        .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+      DedupOps.exactDedupOf(docs, idCol, textCol)
 
     /** qid: d2_minhash_lsh — MinHash signatures + LSH band keys per
       * document. `materialize = true` is the persisted-signature-table
@@ -85,13 +84,8 @@ object Graft {
 
     /** qid: d18_dedup_weights — dropless SoftDeDup: every cluster
       * member keeps weight 1e6/|cluster| micro-units. */
-    def dedupWeights(labels: DataFrame): DataFrame = {
-      val sz = labels.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("csize"))
-      labels.join(sz, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("csize"),
-          round(lit(1e6) / col("csize"), 0).cast("long").as("weight_micro"))
-    }
+    def dedupWeights(labels: DataFrame): DataFrame =
+      DedupOps.dedupWeightsOf(labels)
 
     /** qid: o11_cluster_split — leakage-safe train/holdout/test audit
       * keyed on the CLUSTER (every near-dup lands in one split). */
@@ -116,7 +110,8 @@ object Graft {
 
     /** qid: d10_semdedup — SemDeDup over `(id, vector)`: integer-
       * Lloyd clusters + within-cell cosine-to-earlier-id verdicts at
-      * `tau` (cross-engine deterministic, see operators/IntKmeans). */
+      * `tau` (cross-engine deterministic, see operators/IntKmeans;
+      * same ~unit-scale input precondition as similarity.ivfTopK). */
     def semDedup(emb: DataFrame, vCol: String, idCol: String, nlist: Int,
         tau: Double, iters: Int = 2, seed: Long = 42L): DataFrame =
       graft.operators.Similarity.semDedup(emb, vCol, idCol, nlist, tau,
@@ -147,7 +142,13 @@ object Graft {
 
     /** qid: s3_ann_ivf — deterministic integer IVF-Flat top-k: every
       * quantizer/probe/rerank decision is exact integer arithmetic,
-      * so results replay bit-for-bit across engines and versions. */
+      * so results replay bit-for-bit across engines and versions.
+      * Input-scale precondition (applies to every Int* deterministic
+      * kernel): vectors must be ~unit scale — the bit-for-bit
+      * guarantee needs every quantized product/partial sum below
+      * 2^52 (|x| ≤ maxExactQ(dim)/1e4, ≈ 26 for 64-dim); the kernel
+      * validates the training sample and fails loudly on violation
+      * (IntKmeans.sampleTrain). */
     def ivfTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
         idCol: String, k: Int, nlist: Int, nprobe: Int, iters: Int = 2,
         seed: Long = 42L): DataFrame =
@@ -155,7 +156,8 @@ object Graft {
         nlist, nprobe, iters, seed)
 
     /** qid: s4_ann_ivfpq — deterministic integer IVF-PQ top-k (ADC
-      * shortlist + exact cosine rerank; codes/tables exact ints). */
+      * shortlist + exact cosine rerank; codes/tables exact ints).
+      * Same ~unit-scale input precondition as `ivfTopK`. */
     def pqTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
         idCol: String, k: Int, nlist: Int, m: Int = 8, ksub: Int = 16,
         nprobe: Int = 4, iters: Int = 2, seed: Long = 42L): DataFrame =
@@ -164,7 +166,8 @@ object Graft {
 
     /** qid: s2_ann_lsh — deterministic sign-projection LSH top-k
       * (hash-derived ±1 planes, exact integer projections, 1-bit
-      * multiprobe). */
+      * multiprobe). Same ~unit-scale input precondition as
+      * `ivfTopK` (the cosine rerank squares quantized values). */
     def lshTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
         idCol: String, k: Int, dim: Int, seed: Long = 42L): DataFrame =
       graft.operators.IntKmeans.lshTopK(corpus, queries, vCol, idCol, k,
@@ -208,14 +211,8 @@ object Graft {
     /** qid: t2_quality_score — stopword-ratio + length-saturation
       * quality with the shared bin rule (the single source of truth
       * m10/m14/o10 also consume). */
-    def qualityScore(docs: DataFrame): DataFrame = {
-      val (stopRatio, quality) = TextOps.qualityParts
-      val score = round(quality, 6)
-      docs.select(col("doc_id"), round(stopRatio, 6).as("stop_ratio"),
-        score.as("quality"),
-        when(score >= 0.4, "good").when(score >= 0.25, "fair")
-          .otherwise("low").as("quality_bin"))
-    }
+    def qualityScore(docs: DataFrame): DataFrame =
+      TextOps.qualityScoreOf(docs)
 
     /** qid: t10_tfidf_capped — TF-IDF with a min-df floor so the
       * model side stays on the Zipf head. */

@@ -95,7 +95,21 @@ object QualityModel {
     *
     * Same weak labels and 80/20 split as m10 (shared t2 expression),
     * so the two classifiers are directly comparable on the same
-    * holdout. */
+    * holdout.
+    *
+    * Ulp caveat (the one residual float in the oracle chain): the
+    * ~130 model values are round(1e6·ln(x)) with ln evaluated by JVM
+    * Math.log on the Spark side and C libm in DuckDB — these agree
+    * to ≤ 1 ulp but are not bit-pinned, so a value landing within an
+    * ulp of a .5 micro-unit boundary could in principle flip ROUND
+    * and break the hash oracle. Accepted deliberately: the inputs
+    * are ratios of small exact integers, none of which sits near a
+    * boundary for this bin space (checked empirically across the
+    * tri-scale fixtures), and the model is small enough that a
+    * future break would localize instantly. The fully
+    * transcendental-free alternative (DetHll's coupon-sum trick)
+    * does not apply — NB genuinely needs log-probabilities, not a
+    * harmonic series. */
   def nbClassifierOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

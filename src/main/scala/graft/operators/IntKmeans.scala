@@ -52,11 +52,35 @@ object IntKmeans {
     * split discipline — xxhash64 has no DuckDB twin, md5 does).
     * Driver traffic = cap × dim longs, corpus-size-independent. */
   def sampleTrain(q: DataFrame, idCol: String, seed: Long,
-      cap: Int): Array[Array[Long]] =
-    q.orderBy(md5(concat(lit(s"km:$seed:"), col(idCol).cast("string"))),
+      cap: Int): Array[Array[Long]] = {
+    val sample = q
+      .orderBy(md5(concat(lit(s"km:$seed:"), col(idCol).cast("string"))),
         col(idCol))
       .limit(cap).select(col("qv")).collect()
       .map(_.getSeq[Long](0).toArray)
+    // Exactness guard: the batched-GEMM assignment is bit-exact only
+    // while every integer product and d-term partial sum stays below
+    // 2^52 (see object doc). Unit-scale embeddings sit orders of
+    // magnitude inside the bound; arbitrary user vectors through the
+    // facade may not — fail loudly on the sample (quantized
+    // identically to the corpus) rather than silently lose the
+    // bit-for-bit determinism the scaladocs promise.
+    sample.find(_.nonEmpty).foreach { h =>
+      val bound = maxExactQ(h.length)
+      val worst = sample.iterator.flatMap(_.iterator).map(math.abs).max
+      require(worst <= bound,
+        s"|quantized coordinate| $worst exceeds the exact-GEMM bound " +
+          s"$bound for dim ${h.length}: rescale inputs to ~unit scale " +
+          "(determinism guarantee would silently break)")
+    }
+    sample
+  }
+
+  /** Largest |qv| keeping every product and dim-term partial sum
+    * exactly representable in doubles: floor(sqrt(2^52 / dim)) —
+    * one spare bit under the 2^53 integer-exact ceiling. */
+  def maxExactQ(dim: Int): Long =
+    math.sqrt((1L << 52).toDouble / math.max(dim, 1)).toLong
 
   private def d2(a: Array[Long], b: Array[Long]): Long = {
     var s = 0L; var i = 0
@@ -71,7 +95,11 @@ object IntKmeans {
     * LIMIT 1`. Exact integer distances → exact cross-engine replay. */
   private def ffInit(train: Array[Array[Long]], k: Int): Array[Array[Long]] = {
     val n = train.length
-    if (n <= k) return train.take(k)
+    // n == k deliberately falls through to the traversal: it still
+    // picks all k points but in farthest-first CELL ORDER, matching
+    // ffInitSql's unconditional k-step unroll (take(k) would number
+    // the cells differently and diverge from the SQL twin)
+    if (n < k) return train
     val chosen = scala.collection.mutable.ArrayBuffer(train(0))
     val minD = Array.fill(n)(Long.MaxValue)
     while (chosen.length < k) {
@@ -97,6 +125,12 @@ object IntKmeans {
   def lloyd(train: Array[Array[Long]], k: Int, iters: Int,
       farthest: Boolean): Array[Array[Long]] = {
     if (train.isEmpty) return Array.empty
+    // the SQL twins (ffInitSql / lloydSql) unroll exactly k init
+    // steps and would re-pick already-chosen rows on a smaller
+    // sample, silently diverging from this side — refuse instead
+    require(train.length >= k,
+      s"integer Lloyd needs >= k=$k training rows (got ${train.length}); " +
+        "shrink k or raise the sample cap")
     var cents: Array[Array[Long]] =
       if (farthest) ffInit(train, k) else train.take(k)
     val dim = train(0).length

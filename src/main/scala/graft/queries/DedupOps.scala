@@ -43,11 +43,16 @@ object DedupOps {
       Tables(s, dir, "documents"), "doc_id", "text",
       k = K, bands = 2, shingleN = 3, materialize = false)
 
+  /** The d1 kernel over an arbitrary document relation: keeper
+    * (min id) per exact content hash; one shuffle on the hash. The
+    * facade (api.Graft.dedup.exactDedup) delegates here. */
+  def exactDedupOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
   /** D1 exact dedup: keeper (min id) per content hash. */
   def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .groupBy(md5(col("text")).as("content_hash"))
-      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+    exactDedupOf(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("keeper"))
 
   /** D2a MinHash signatures + LSH band keys per document. Single
@@ -442,14 +447,18 @@ object DedupOps {
     * cluster_id equi-join back — cluster sizes are clique-bounded, so
     * neither the agg nor the join has hot keys. Weights are integer
     * micro-units; the oracle reuses d6's shared CC CTE verbatim. */
-  def d18DedupWeights(s: SparkSession, dir: String): DataFrame = {
-    val labels = clusterLabels(s, dir)
+  def d18DedupWeights(s: SparkSession, dir: String): DataFrame =
+    dedupWeightsOf(clusterLabels(s, dir)).orderBy(col("doc_id"))
+
+  /** The d18 kernel over an arbitrary `(doc_id, cluster_id)` label
+    * relation. The facade (api.Graft.dedup.dedupWeights) delegates
+    * here. */
+  def dedupWeightsOf(labels: DataFrame): DataFrame = {
     val sz = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("csize"))
     labels.join(sz, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("csize"),
         round(lit(1e6) / col("csize"), 0).cast("long").as("weight_micro"))
-      .orderBy(col("doc_id"))
   }
 
   /** O11 leakage-safe splits — train/holdout/test assignment keyed on
@@ -873,12 +882,18 @@ object DedupOps {
     * CMS trade. Only O(sources × sketch_bytes) plus the candidate
     * relation ever leave the executors.
     *
-    * Rows-only: sketch cell layouts have no cross-engine oracle
-    * (sk1/sk2 precedent); OperatorsSpec asserts no-false-negative
-    * recall on the REAL corpus, the upper-bound guarantee, and the
-    * merge identity (per-source merge ≡ single global sketch). */
+    * Oracle-green since r8: the sk3 QUERY surface runs on the
+    * cross-engine-deterministic md5-bucket CMS
+    * (operators/DetCms.scala — integer registers, 4-way MIN estimate,
+    * exact-integer φ gate), which replays bit-for-bit in DuckDB
+    * (DetCms.oracleSk3), completing the sketch family's hash-level
+    * oracles. This native-blob kernel (heavyHittersOf below) stays
+    * the general library surface — OperatorsSpec asserts its
+    * no-false-negative recall, upper-bound guarantee, and merge
+    * identity, and DetCmsSpec pins the two tiers' agreement. */
   def sk3HeavyHitters(s: SparkSession, dir: String): DataFrame =
-    heavyHittersOf(Tables(s, dir, "documents"), 10000L) // φ = 1%
+    graft.operators.DetCms
+      .heavyHittersOf(Tables(s, dir, "documents"), 10000L) // φ = 1%
 
   /** The sk3 kernel over an arbitrary (source, text) relation.
     * `phiMicro` = support threshold φ in millionths of the corpus
@@ -1147,6 +1162,10 @@ object DedupOps {
     // additionally proves the lossless-merge identity).
     "sk1_approx_distinct" -> graft.operators.DetHll.oracleSk1,
     "sk2_sketch_union" -> graft.operators.DetHll.oracleSk2,
+    // sk3: r8 conversion — deterministic md5-bucket CMS; registers,
+    // min-count estimates, and the φ-support gate are exact integer
+    // arithmetic (operators/DetCms.scala).
+    "sk3_heavy_hitters" -> graft.operators.DetCms.oracleSk3(10000L),
     // d16: brute-force thresholded levenshtein over the same slice —
     // O(N²) is the oracle's privilege, PassJoin's absence its point.
     "d16_editdist_join" ->

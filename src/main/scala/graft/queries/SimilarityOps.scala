@@ -210,9 +210,10 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_bruteforce" -> (s1KnnBruteforce _),
     "s5_bm25" -> (s5Bm25 _),
-    // s2/s4: approximate with engine-side randomness → rows-only;
-    // recall is asserted against s1 in OperatorsSpec. s3: oracle-green
-    // since r7 (deterministic integer quantizer, IntKmeans.oracleS3).
+    // s2/s3/s4: oracle-green since r7 via the deterministic integer
+    // kernels (IntKmeans.oracleS2/S3/S4 — hash-derived ±1 LSH planes,
+    // integer IVF quantizer, residual IVF-PQ with ADC); recall vs s1
+    // is additionally asserted in OperatorsSpec.
     "s2_ann_lsh" -> (graft.operators.Similarity.s2AnnLsh _),
     "s3_ann_ivf" -> (graft.operators.Similarity.s3AnnIvf _),
     "s4_ann_ivfpq" -> (graft.operators.Similarity.s4AnnIvfPq _),

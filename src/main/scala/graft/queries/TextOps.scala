@@ -70,16 +70,21 @@ object TextOps {
     (stopRatio, stopRatio * lit(0.5) + lenScore * lit(0.5))
   }
 
-  /** Quality scoring: stopword ratio + length saturation, binned. */
-  def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** The t2 kernel over an arbitrary `(doc_id, text)` relation:
+    * stopword ratio + length saturation, binned by the shared rule.
+    * The facade (api.Graft.text.qualityScore) delegates here. */
+  def qualityScoreOf(docs: DataFrame): DataFrame = {
     val (stopRatio, quality) = qualityParts
     val score = round(quality, 6)
-    sortedDocs(s, dir)
-      .select(col("doc_id"), round(stopRatio, 6).as("stop_ratio"),
-        score.as("quality"),
-        when(score >= 0.4, "good").when(score >= 0.25, "fair")
-          .otherwise("low").as("quality_bin"))
+    docs.select(col("doc_id"), round(stopRatio, 6).as("stop_ratio"),
+      score.as("quality"),
+      when(score >= 0.4, "good").when(score >= 0.25, "fair")
+        .otherwise("low").as("quality_bin"))
   }
+
+  /** Quality scoring: stopword ratio + length saturation, binned. */
+  def t2QualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(sortedDocs(s, dir))
 
   /** M14 quality-stratified mix report — the "what does my corpus
     * look like through the quality lens" audit run BEFORE committing
