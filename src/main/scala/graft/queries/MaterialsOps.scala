@@ -7,9 +7,11 @@ import graft.generators.Generators
 import graft.pipeline.MaterialsPipeline
 
 /** Materials-domain operator surface (SURVEY §2.2 generators, §2.5
-  * dedup, §2.10 pipeline). Not SQL-expressible → no oracle entries;
-  * the driver records rows-only checks and the ScalaTest specs carry
-  * the golden assertions (determinism, physics invariants).
+  * dedup, §2.10 pipeline). Mostly rows-only (JVM kernels: Breeze
+  * eigendecomposition, combinatorial enumeration) with ScalaTest
+  * golden assertions (determinism, physics invariants); g2 is
+  * oracle-checked since r8 via the committed seed fixture + an
+  * md5-keyed deterministic twin.
   *
   * These take the sfDir parameter for contract uniformity but operate
   * on the deterministic seed fixtures (the reference's seeds are
@@ -17,12 +19,58 @@ import graft.pipeline.MaterialsPipeline
   */
 object MaterialsOps {
 
+  /** G2 substitution, oracle-green since r8 — the deterministic
+    * md5-keyed twin of Generators.substitution (reference semantics:
+    * database/substitution.py:280–291 `_get_substitution` seeds
+    * np.random for reproducible symbol shuffles; here the shuffle IS
+    * the reproducibility): seeds come from the committed atom-level
+    * fixture parquet (sources/SeedFixture.scala), each of 64 draws
+    * ranks a seed's atom sites by md5("sub:<seed>:<draw>:<idx>"),
+    * the first n/2 ranks take Ag and the rest Pd (largest-remainder
+    * apportionment of the 50/50 stoichiometry on the even-n
+    * fixture), duplicate assignments collapse to their first draw
+    * (the reference's `seen` uniqueness guard), and the first 8
+    * distinct assignments per seed survive. Every step is relational
+    * (window rank, group-min, row_number) and replays bit-for-bit in
+    * DuckDB — the first g-family hash-level oracle, and the recipe
+    * for the rest of the family. The JVM-RNG kernel
+    * (Generators.substitution) stays the general library surface
+    * with its GeneratorsSpec pins.
+    *
+    * Scale shape: everything is partitioned by (seed, draw) — the
+    * generation grid — with one group-by collapse per seed; at 100 TB
+    * the seed table shards across executors and no stage sees more
+    * than atoms × draws rows per seed. */
   def g2Substitution(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    MaterialsPipeline.generate(MaterialsPipeline.seedDs(s), ranSeed = 42L)
-      .toDF()
-      .select(col("uuid"), col("groupUuid"), col("symbols"), col("n"),
-        col("configType"))
+    import org.apache.spark.sql.expressions.Window
+    val atoms = s.read.parquet(graft.sources.SeedFixture.path)
+      .select(col("seed_uuid"), col("atom_idx"), col("n"))
+    val draws = s.range(0, 64).select(col("id").cast("int").as("draw"))
+    val w = Window.partitionBy(col("seed_uuid"), col("draw"))
+      .orderBy(md5(concat_ws(":", lit("sub"), col("seed_uuid"),
+        col("draw"), col("atom_idx"))), col("atom_idx"))
+    val ranked = atoms.crossJoin(broadcast(draws))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("elem",
+        when(col("rk") * 2 <= col("n"), lit("Ag")).otherwise(lit("Pd")))
+    val asg = ranked.groupBy(col("seed_uuid"), col("n"), col("draw"))
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("atom_idx"), col("elem")))),
+        _.getField("elem"))).as("assignment"))
+    val firsts = asg.groupBy(col("seed_uuid"), col("n"), col("assignment"))
+      .agg(min(col("draw")).as("first_draw"))
+    val w2 = Window.partitionBy(col("seed_uuid")).orderBy(col("first_draw"))
+    val half = (col("n") / 2).cast("int").cast("string")
+    firsts.withColumn("pick", row_number().over(w2))
+      .where(col("pick") <= 8)
+      .select(
+        md5(concat_ws(":", lit("sub"), col("seed_uuid"), col("assignment")))
+          .as("uuid"),
+        col("seed_uuid").as("group_uuid"),
+        concat(lit("Ag"), half, lit("Pd"), half).as("symbols"),
+        col("n").cast("long").as("n"),
+        lit("sub").as("config_type"),
+        col("assignment"))
       .orderBy(col("uuid"))
   }
 
@@ -128,6 +176,38 @@ object MaterialsOps {
     "m6_materials_e2e" -> (m6EndToEnd _),
   )
 
-  /** Non-SQL-expressible: no oracle entries (driver does rows-only). */
-  val oracle: Map[String, String] = Map.empty
+  /** g2 is oracle-checked since r8 via the committed seed fixture +
+    * md5-keyed deterministic twin (see g2Substitution); the remaining
+    * g-family entries still run JVM kernels (Breeze eigendecompos-
+    * ition, combinatorial enumeration) with no SQL twin → rows-only. */
+  val oracle: Map[String, String] = Map(
+    "g2_substitution" ->
+      s"""WITH draws AS (SELECT r AS draw FROM range(0, 64) t(r)),
+         |atoms AS (
+         | SELECT seed_uuid, atom_idx, n
+         | FROM read_parquet('${graft.sources.SeedFixture.path}/*.parquet')),
+         |ranked AS (
+         | SELECT a.seed_uuid, a.n, d.draw, a.atom_idx,
+         |  ROW_NUMBER() OVER (PARTITION BY a.seed_uuid, d.draw
+         |   ORDER BY md5(concat_ws(':', 'sub', a.seed_uuid, d.draw,
+         |    a.atom_idx)), a.atom_idx) AS rk
+         | FROM atoms a CROSS JOIN draws d),
+         |asg AS (
+         | SELECT seed_uuid, n, draw,
+         |  string_agg(CASE WHEN rk * 2 <= n THEN 'Ag' ELSE 'Pd' END,
+         |   ',' ORDER BY atom_idx) AS assignment
+         | FROM ranked GROUP BY seed_uuid, n, draw),
+         |firsts AS (
+         | SELECT seed_uuid, n, assignment, MIN(draw) AS first_draw
+         | FROM asg GROUP BY seed_uuid, n, assignment),
+         |picked AS (
+         | SELECT *, ROW_NUMBER() OVER (PARTITION BY seed_uuid
+         |   ORDER BY first_draw) AS pick
+         | FROM firsts)
+         |SELECT md5(concat_ws(':', 'sub', seed_uuid, assignment)) AS uuid,
+         | seed_uuid AS group_uuid,
+         | 'Ag' || (n // 2) || 'Pd' || (n // 2) AS symbols,
+         | n::BIGINT AS n, 'sub' AS config_type, assignment
+         |FROM picked WHERE pick <= 8
+         |ORDER BY uuid""".stripMargin)
 }

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Committed seed-configuration fixture (atom-level parquet) — the
+  * r8 recipe that makes materials generators oracle-checkable: the
+  * reference's seeds are POSCAR files on disk (tests/AgPd fixtures),
+  * which is exactly why the g-family was "code-internal seeds → no
+  * oracle"; materializing the SAME seeds as a parquet relation gives
+  * DuckDB the generator's input, and an md5-keyed deterministic twin
+  * of the generator's randomness then replays end-to-end in SQL
+  * (see MaterialsOps.g2Substitution).
+  *
+  * Schema: one row per atom site —
+  * (seed_uuid string, atom_idx int, element string,
+  *  x y z double, n int) — seed_uuid is the seed Config's content
+  * hash, n its atom count. Regenerate with
+  * `sbt "runMain graft.sources.SeedFixture"` (deterministic: seeds
+  * are code-defined constants, coalesce(1), sorted). */
+object SeedFixture {
+
+  /** Absolute path so the Spark side and the driver's DuckDB process
+    * (unknown cwd) read the identical committed file. */
+  val path = "/root/repo/fixtures/seed_configs.parquet"
+
+  def df(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.MaterialsPipeline.seeds.flatMap { c =>
+      c.species.indices.map { i =>
+        (c.uuid, i, c.species(i),
+          c.positions(i)(0), c.positions(i)(1), c.positions(i)(2), c.n)
+      }
+    }.toDF("seed_uuid", "atom_idx", "element", "x", "y", "z", "n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    df(spark).coalesce(1)
+      .orderBy(col("seed_uuid"), col("atom_idx"))
+      .write.mode("overwrite").parquet(path)
+    spark.stop()
+  }
+}
