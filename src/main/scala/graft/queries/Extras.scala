@@ -495,7 +495,8 @@ object Extras {
     * SMALL-SF ORACLE TWIN ONLY: exact `percentile` buffers EVERY value
     * of the group in the aggregation buffer, so a hot group at 100 TB
     * holds billions of doubles and OOMs the executor. Production code
-    * must use [[a9QuantilesApprox]]. */
+    * must use [[a9QuantilesGk]] (or the oracle-checkable
+    * [[a9QuantilesDet]]). */
   def a9Quantiles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
@@ -540,7 +541,7 @@ object Extras {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Production-scale quantiles: `approx_percentile` keeps a
+  /** Production-scale quantiles tier: `approx_percentile` keeps a
     * FIXED-SIZE mergeable sketch (Greenwald–Khanna, one per group and
     * partition, merged map-side) instead of buffering the group's
     * values, so per-group memory is O(accuracy · log n) no matter how
@@ -549,8 +550,10 @@ object Extras {
     * bounds the rank error at n/10000 (≤0.01 % of the group);
     * OperatorsSpec ("approx quantiles stay within the sketch error
     * bound of exact") asserts the observed relative error vs the
-    * exact result, sk1-style. */
-  def a9QuantilesApprox(s: SparkSession, dir: String,
+    * exact result, sk1-style. Engine-specific sketch state → this
+    * tier is spec-checked; the `a9_quantiles_approx` ENTRY runs the
+    * oracle-checkable deterministic twin (a9QuantilesDet) since r8. */
+  def a9QuantilesGk(s: SparkSession, dir: String,
       accuracy: Int = 10000): DataFrame =
     Tables(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
@@ -564,6 +567,17 @@ object Extras {
         round(col("qs")(2), 4).as("q90"),
         col("n"))
       .orderBy(col("o_orderpriority"))
+
+  /** A9 approximate quantiles, oracle-green since r8 via the
+    * deterministic bottom-k sample sketch
+    * (operators/DetQuantiles.scala — md5-keyed KMV sample, exact
+    * integer rank arithmetic, no interpolation): the hash-level
+    * oracle twin of the GK tier above, same group key, same output
+    * schema. */
+  def a9QuantilesDet(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DetQuantiles.quantiles(
+      Tables(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+      col("o_orderkey"))
 
   /** W8 time-weighted average (irregular time series): each user's
     * event values weighted by how long they were "in effect" (until
@@ -622,7 +636,7 @@ object Extras {
     "z1_zorder_layout" -> (z1ZorderLayout _),
     "a9_quantiles" -> (a9Quantiles _),
     "a10_winsorize" -> (a10Winsorize _),
-    "a9_quantiles_approx" -> ((s: SparkSession, d: String) => a9QuantilesApprox(s, d)),
+    "a9_quantiles_approx" -> (a9QuantilesDet _),
     "o6_sample" -> (o6Sample _),
     "o7_stratified_sample" -> (o7StratifiedSample _),
     "a9_ingest_progress" -> (a9IngestProgress _),
@@ -783,6 +797,8 @@ object Extras {
         | ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS q90,
         | COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a9_quantiles_approx" -> graft.operators.DetQuantiles.oracleSql(
+      "orders", "o_orderpriority", "o_totalprice", "o_orderkey"),
     "o6_sample" ->
       """SELECT p_partkey, p_name, md5('42:' || p_partkey) AS rk
         |FROM part ORDER BY rk LIMIT 20""".stripMargin,

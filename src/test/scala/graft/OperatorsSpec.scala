@@ -144,7 +144,7 @@ class OperatorsSpec extends AnyFunSuite {
       df.collect().map(r => r.getString(0) ->
         Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val exact = keyed(queries.Extras.a9Quantiles(spark, dir))
-    val approx = keyed(queries.Extras.a9QuantilesApprox(spark, dir))
+    val approx = keyed(queries.Extras.a9QuantilesGk(spark, dir))
     assert(exact.keySet === approx.keySet)
     exact.foreach { case (k, exQs) =>
       exQs.zip(approx(k)).zipWithIndex.foreach { case ((ex, ap), i) =>
