@@ -74,13 +74,83 @@ object MaterialsOps {
       .orderBy(col("uuid"))
   }
 
+  /** G3 vacancy, oracle-green since r8 — the deterministic md5-keyed
+    * twin of Generators.vacancy (reference semantics:
+    * database/vacancy.py:108–164 — delete ceil(n·0.25) random sites,
+    * exhaustive combinations on small n, unique, capped): removal
+    * candidates are the exact k-subsets of each seed's sites
+    * (k = ceil(n/4) ∈ {1, 2} on the fixture: singletons, or an
+    * idx<idx self-join for pairs), ranked per seed by
+    * md5("vac:<seed>:<combo>") with the first nconfigs=4 surviving —
+    * the md5 rank IS the reference's reproducible shuffle. The kept
+    * atoms' formula is recomputed relationally (per-element totals
+    * minus removed counts, compressed Formula-style with the
+    * count-1 elision), so the twin checks stoichiometry, not just
+    * row counts. Fully relational → replays bit-for-bit in DuckDB.
+    * The JVM-RNG kernel (Generators.vacancy) stays the general
+    * library surface with its GeneratorsSpec pins.
+    *
+    * Scale shape: candidate generation is a per-seed self-join
+    * (atoms × atoms within a seed partition — O(n²) per seed, the
+    * exhaustive-combination regime the reference itself caps at
+    * 1000 combos); ranking and the formula rebuild are per-seed
+    * window/agg work on the same seed_uuid key, one shuffle. */
   def g3Vacancy(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    MaterialsPipeline.seedDs(s)
-      .flatMap(c => Generators.vacancy(c, 0.25, nconfigs = 4, ranSeed = 42L))
-      .toDF()
-      .select(col("uuid"), col("symbols"), col("n"),
-        col("params").getItem("removed").as("removed"))
+    import org.apache.spark.sql.expressions.Window
+    val atoms = s.read.parquet(graft.sources.SeedFixture.path)
+    val kOf = expr("(n + 3) div 4")
+    val singles = atoms.where(kOf === 1)
+      .select(col("seed_uuid"), col("n"),
+        col("atom_idx").cast("string").as("removed"))
+    val a = atoms.select(col("seed_uuid"), col("n"), col("atom_idx").as("ai"))
+    val b = atoms.select(col("seed_uuid").as("su_b"), col("atom_idx").as("bi"))
+    val pairs = a.join(b, col("seed_uuid") === col("su_b") &&
+        col("ai") < col("bi"))
+      .where(kOf === 2)
+      .select(col("seed_uuid"), col("n"),
+        concat_ws(",", col("ai"), col("bi")).as("removed"))
+    val removals = singles.union(pairs)
+    val w = Window.partitionBy(col("seed_uuid"))
+      .orderBy(md5(concat_ws(":", lit("vac"), col("seed_uuid"),
+        col("removed"))), col("removed"))
+    val picked = removals.withColumn("pick", row_number().over(w))
+      .where(col("pick") <= 4)
+    val remAtoms = picked.select(col("seed_uuid").as("su_r"), col("removed"),
+      explode(split(col("removed"), ",")).as("rm_s"))
+      .select(col("su_r"), col("removed"), col("rm_s").cast("int").as("rm_idx"))
+    val remCnt = remAtoms.join(
+        atoms.select(col("seed_uuid").as("su_a"), col("atom_idx"),
+          col("element")),
+        col("su_r") === col("su_a") && col("rm_idx") === col("atom_idx"))
+      .groupBy(col("su_r"), col("removed").as("removed_r"),
+        col("element").as("el_r"))
+      .agg(count(lit(1)).as("rc"))
+    val tot = atoms.groupBy(col("seed_uuid").as("su_t"), col("element"))
+      .agg(count(lit(1)).as("tc"))
+    val kept = picked.join(tot, col("seed_uuid") === col("su_t"))
+      .join(remCnt,
+        col("seed_uuid") === col("su_r") &&
+          col("removed") === col("removed_r") &&
+          col("element") === col("el_r"), "left")
+      .withColumn("kc", col("tc") - coalesce(col("rc"), lit(0L)))
+      .where(col("kc") > 0)
+      .select(col("seed_uuid"), col("n"), col("removed"),
+        col("element"), col("kc"))
+    val sym = kept.groupBy(col("seed_uuid"), col("n"), col("removed"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("element"),
+          when(col("kc") === 1, lit("")).otherwise(col("kc").cast("string"))
+            .as("cnt")))),
+        e => concat(e.getField("element"), e.getField("cnt"))))
+        .as("symbols"))
+    sym.select(
+      md5(concat_ws(":", lit("vac"), col("seed_uuid"), col("removed")))
+        .as("uuid"),
+      col("seed_uuid").as("group_uuid"),
+      col("symbols"),
+      (col("n") - expr("(n + 3) div 4")).cast("long").as("n"),
+      lit("vac").as("config_type"),
+      col("removed"))
       .orderBy(col("uuid"))
   }
 
@@ -94,13 +164,54 @@ object MaterialsOps {
       .orderBy(col("uuid"))
   }
 
+  /** G13 supercell, oracle-green since r8, ATOM-LEVEL — the
+    * relational twin of Generators.supercell for the diagonal
+    * (2,2,1) spec (reference: matdb/transforms.py:54–90): each seed
+    * atom is replicated over the |det M| = 4 lattice translations
+    * t = i·a + j·b (i, j ∈ {0, 1}), new position = p + (i·a + j·b)
+    * with the SAME left-to-right IEEE association in Spark and
+    * DuckDB (i, j ∈ {0, 1} make the products exact, the adds
+    * correctly rounded — bit-equal across engines), cell-major atom
+    * ordering shift_idx·n + atom_idx exactly like the kernel's
+    * `for t <- cart; p <- positions`. The oracle therefore checks
+    * the replicated GEOMETRY, not just counts; MaterialsTwinSpec
+    * additionally pins twin positions == kernel positions
+    * bit-for-bit. Needs the seed-level cell fixture
+    * (SeedFixture.cellsPath).
+    *
+    * Scale shape: a 4-row broadcast cross join (the shift grid) and
+    * a broadcast seed→cell join — the corpus scan never shuffles. */
   def g13Supercell(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    MaterialsPipeline.seedDs(s)
-      .map(c => Generators.supercell(c, Seq(2, 2, 1)))
-      .toDF()
-      .select(col("uuid"), col("symbols"), col("n"))
-      .orderBy(col("uuid"))
+    val atoms = s.read.parquet(graft.sources.SeedFixture.path)
+    val cells = s.read.parquet(graft.sources.SeedFixture.cellsPath)
+      .withColumnRenamed("seed_uuid", "su_c")
+    val shifts = s.range(0, 4).select(
+      (col("id") / 2).cast("int").as("i"), (col("id") % 2).cast("int").as("j"))
+    val tot = atoms.groupBy(col("seed_uuid").as("su_t"), col("element"))
+      .agg(count(lit(1)).as("tc"))
+    val sym = tot.groupBy(col("su_t"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("element"),
+          when(col("tc") * 4 === 1, lit(""))
+            .otherwise((col("tc") * 4).cast("string")).as("cnt")))),
+        e => concat(e.getField("element"), e.getField("cnt"))))
+        .as("symbols"))
+    atoms.crossJoin(broadcast(shifts))
+      .join(broadcast(cells), col("seed_uuid") === col("su_c"))
+      .join(broadcast(sym), col("seed_uuid") === col("su_t"))
+      .select(
+        md5(concat_ws(":", lit("sup"), col("seed_uuid"), lit("2,2,1")))
+          .as("uuid"),
+        col("seed_uuid").as("group_uuid"),
+        col("symbols"),
+        (col("n") * 4).cast("long").as("n"),
+        ((col("i") * 2 + col("j")) * col("n") + col("atom_idx"))
+          .as("atom_idx"),
+        col("element"),
+        (col("x") + (col("i") * col("ax") + col("j") * col("bx"))).as("x"),
+        (col("y") + (col("i") * col("ay") + col("j") * col("by"))).as("y"),
+        (col("z") + (col("i") * col("az") + col("j") * col("bz"))).as("z"))
+      .orderBy(col("group_uuid"), col("atom_idx"))
   }
 
   /** G1 enumeration, distributed over the (size × HNF-class) grid:
@@ -176,10 +287,15 @@ object MaterialsOps {
     "m6_materials_e2e" -> (m6EndToEnd _),
   )
 
-  /** g2 is oracle-checked since r8 via the committed seed fixture +
-    * md5-keyed deterministic twin (see g2Substitution); the remaining
-    * g-family entries still run JVM kernels (Breeze eigendecompos-
-    * ition, combinatorial enumeration) with no SQL twin → rows-only. */
+  /** g2/g3/g13 are oracle-checked since r8 via the committed seed
+    * fixtures + md5-keyed deterministic twins (see g2Substitution /
+    * g3Vacancy / g13Supercell); the remaining g-family entries run
+    * JVM kernels with no SQL twin → rows-only: g1/g1_enum_sampled
+    * (combinatorial HNF/labeling enumeration walk), g4 (Gaussian
+    * strain draws — Box–Muller needs runtime ln/cos, the libm-ulp
+    * class of divergence the deterministic twins exist to avoid),
+    * g8 (Breeze eigendecomposition), g9 (code-internal prototype
+    * library), m6 (the multi-stage JVM pipeline composite). */
   val oracle: Map[String, String] = Map(
     "g2_substitution" ->
       s"""WITH draws AS (SELECT r AS draw FROM range(0, 64) t(r)),
@@ -209,5 +325,86 @@ object MaterialsOps {
          | 'Ag' || (n // 2) || 'Pd' || (n // 2) AS symbols,
          | n::BIGINT AS n, 'sub' AS config_type, assignment
          |FROM picked WHERE pick <= 8
-         |ORDER BY uuid""".stripMargin)
+         |ORDER BY uuid""".stripMargin,
+    "g3_vacancy" ->
+      s"""WITH atoms AS (
+         | SELECT seed_uuid, atom_idx, element, n
+         | FROM read_parquet('${graft.sources.SeedFixture.path}/*.parquet')),
+         |singles AS (
+         | SELECT seed_uuid, n, CAST(atom_idx AS VARCHAR) AS removed
+         | FROM atoms WHERE (n + 3) // 4 = 1),
+         |pairs AS (
+         | SELECT a.seed_uuid, a.n,
+         |  concat_ws(',', a.atom_idx, b.atom_idx) AS removed
+         | FROM atoms a JOIN atoms b
+         |  ON a.seed_uuid = b.seed_uuid AND a.atom_idx < b.atom_idx
+         | WHERE (a.n + 3) // 4 = 2),
+         |removals AS (
+         | SELECT * FROM singles UNION ALL SELECT * FROM pairs),
+         |picked AS (
+         | SELECT *, ROW_NUMBER() OVER (PARTITION BY seed_uuid
+         |   ORDER BY md5(concat_ws(':', 'vac', seed_uuid, removed)),
+         |    removed) AS pick
+         | FROM removals QUALIFY pick <= 4),
+         |rem_atoms AS (
+         | SELECT seed_uuid, removed,
+         |  CAST(UNNEST(string_split(removed, ',')) AS INT) AS rm_idx
+         | FROM picked),
+         |rem_cnt AS (
+         | SELECT r.seed_uuid, r.removed, a.element, COUNT(*) AS rc
+         | FROM rem_atoms r JOIN atoms a
+         |  ON a.seed_uuid = r.seed_uuid AND a.atom_idx = r.rm_idx
+         | GROUP BY 1, 2, 3),
+         |tot AS (
+         | SELECT seed_uuid, element, COUNT(*) AS tc FROM atoms
+         | GROUP BY 1, 2),
+         |kept AS (
+         | SELECT p.seed_uuid, p.n, p.removed, t.element,
+         |  t.tc - COALESCE(rc.rc, 0) AS kc
+         | FROM picked p
+         | JOIN tot t ON t.seed_uuid = p.seed_uuid
+         | LEFT JOIN rem_cnt rc ON rc.seed_uuid = p.seed_uuid
+         |  AND rc.removed = p.removed AND rc.element = t.element
+         | WHERE t.tc - COALESCE(rc.rc, 0) > 0),
+         |sym AS (
+         | SELECT seed_uuid, n, removed,
+         |  string_agg(element || CASE WHEN kc = 1 THEN ''
+         |    ELSE CAST(kc AS VARCHAR) END, '' ORDER BY element)
+         |   AS symbols
+         | FROM kept GROUP BY 1, 2, 3)
+         |SELECT md5(concat_ws(':', 'vac', seed_uuid, removed)) AS uuid,
+         | seed_uuid AS group_uuid, symbols,
+         | CAST(n - (n + 3) // 4 AS BIGINT) AS n,
+         | 'vac' AS config_type, removed
+         |FROM sym ORDER BY uuid""".stripMargin,
+    "g13_supercell" ->
+      s"""WITH atoms AS (
+         | SELECT seed_uuid, atom_idx, element, x, y, z, n
+         | FROM read_parquet('${graft.sources.SeedFixture.path}/*.parquet')),
+         |cells AS (
+         | SELECT * FROM
+         |  read_parquet('${graft.sources.SeedFixture.cellsPath}/*.parquet')),
+         |shifts AS (
+         | SELECT r // 2 AS i, r % 2 AS j FROM range(0, 4) t(r)),
+         |tot AS (
+         | SELECT seed_uuid, element, COUNT(*) AS tc FROM atoms
+         | GROUP BY 1, 2),
+         |sym AS (
+         | SELECT seed_uuid,
+         |  string_agg(element || CASE WHEN tc * 4 = 1 THEN ''
+         |    ELSE CAST(tc * 4 AS VARCHAR) END, '' ORDER BY element)
+         |   AS symbols
+         | FROM tot GROUP BY 1)
+         |SELECT md5(concat_ws(':', 'sup', a.seed_uuid, '2,2,1')) AS uuid,
+         | a.seed_uuid AS group_uuid, y.symbols,
+         | CAST(a.n * 4 AS BIGINT) AS n,
+         | CAST((s.i * 2 + s.j) * a.n + a.atom_idx AS INT) AS atom_idx,
+         | a.element,
+         | a.x + (s.i * c.ax + s.j * c.bx) AS x,
+         | a.y + (s.i * c.ay + s.j * c.by) AS y,
+         | a.z + (s.i * c.az + s.j * c.bz) AS z
+         |FROM atoms a CROSS JOIN shifts s
+         |JOIN cells c ON c.seed_uuid = a.seed_uuid
+         |JOIN sym y ON y.seed_uuid = a.seed_uuid
+         |ORDER BY group_uuid, atom_idx""".stripMargin)
 }

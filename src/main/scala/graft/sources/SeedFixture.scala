@@ -24,6 +24,11 @@ object SeedFixture {
     * (unknown cwd) read the identical committed file. */
   val path = "/root/repo/fixtures/seed_configs.parquet"
 
+  /** Seed-level lattice vectors (one row per seed: the 3×3 cell,
+    * row-major ax..cz) — the g13 supercell twin needs the cell to
+    * replicate positions relationally (r8). */
+  val cellsPath = "/root/repo/fixtures/seed_cells.parquet"
+
   def df(spark: SparkSession): DataFrame = {
     import spark.implicits._
     graft.pipeline.MaterialsPipeline.seeds.flatMap { c =>
@@ -32,6 +37,17 @@ object SeedFixture {
           c.positions(i)(0), c.positions(i)(1), c.positions(i)(2), c.n)
       }
     }.toDF("seed_uuid", "atom_idx", "element", "x", "y", "z", "n")
+  }
+
+  def cellsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.MaterialsPipeline.seeds.map { c =>
+      (c.uuid,
+        c.cell(0)(0), c.cell(0)(1), c.cell(0)(2),
+        c.cell(1)(0), c.cell(1)(1), c.cell(1)(2),
+        c.cell(2)(0), c.cell(2)(1), c.cell(2)(2))
+    }.toDF("seed_uuid", "ax", "ay", "az", "bx", "by", "bz",
+      "cx", "cy", "cz")
   }
 
   def main(args: Array[String]): Unit = {
@@ -43,6 +59,9 @@ object SeedFixture {
     df(spark).coalesce(1)
       .orderBy(col("seed_uuid"), col("atom_idx"))
       .write.mode("overwrite").parquet(path)
+    cellsDf(spark).coalesce(1)
+      .orderBy(col("seed_uuid"))
+      .write.mode("overwrite").parquet(cellsPath)
     spark.stop()
   }
 }

@@ -35,6 +35,17 @@ class SeedFixtureSpec extends AnyFunSuite {
     assert(committed.map(_._7).distinct.sorted.toSeq === Seq(4, 8))
   }
 
+  test("committed cells fixture mirrors the code-defined seed cells") {
+    val committed = spark.read.parquet(graft.sources.SeedFixture.cellsPath)
+      .collect().map(r => (0 to 9).map(r.get)).sortBy(_.head.toString)
+    val fresh = graft.sources.SeedFixture.cellsDf(spark)
+      .collect().map(r => (0 to 9).map(r.get)).sortBy(_.head.toString)
+    assert(committed.toSeq === fresh.toSeq,
+      "fixtures/seed_cells.parquet is stale - rerun " +
+        "`sbt \"runMain graft.sources.SeedFixture\"`")
+    assert(committed.length === 2)
+  }
+
   test("g2 twin: stoichiometry, uniqueness, per-seed cap, determinism") {
     val out = graft.queries.MaterialsOps.g2Substitution(spark, "")
     val rows = out.collect()
