@@ -257,15 +257,52 @@ object MaterialsOps {
       .orderBy(col("size"), col("hnf_index"), col("labeling"))
   }
 
-  /** G9 prototype decoration: library × species permutations. */
+  /** G9 prototype decoration, oracle-green since r8 — the relational
+    * twin of Prototypes.generate (reference: database/prototype.py:
+    * 228–260 product loop, 262–292 permutation restriction): the
+    * prototype library's site-count table is a committed fixture
+    * (SeedFixture.protoSitesPath), the species-permutation grid for
+    * (Ag, Pd) a 6-row literal relation, and the decorated
+    * stoichiometry (slot → element counts → compressed formula) pure
+    * group-by/string work — the arity ≤ |species| guard falls out of
+    * the inner join. The geometric decoration (vegard lattice
+    * parameter, fractional → cartesian) stays the JVM kernel
+    * (Prototypes.decorate) with its PipelineSpec pins; MaterialsTwin-
+    * Spec asserts the twin's (prototype, perm, symbols, n) set equals
+    * the kernel surface's exactly.
+    *
+    * Scale shape: library × perms is a broadcast-sized grid; one
+    * group-by on (prototype, perm) — at a real library scale (10⁵
+    * protos × large alloy spaces) the grid shards by prototype and
+    * nothing else shuffles. */
   def g9Prototypes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val protos = graft.generators.Prototypes.generate(
-      Seq("all"), Seq("Ag", "Pd"), Map("Ag" -> 4.09, "Pd" -> 3.89))
-    s.createDataset(protos).toDF()
-      .select(col("uuid"), col("symbols"), col("n"),
-        col("params").getItem("prototype").as("prototype"),
-        col("params").getItem("perm").as("perm"))
+    val sites = s.read.parquet(graft.sources.SeedFixture.protoSitesPath)
+    val perms = Seq(
+      (1, "Ag", 0, "Ag"), (1, "Pd", 0, "Pd"),
+      (2, "Ag-Pd", 0, "Ag"), (2, "Ag-Pd", 1, "Pd"),
+      (2, "Pd-Ag", 0, "Pd"), (2, "Pd-Ag", 1, "Ag"))
+      .toDF("p_arity", "perm", "p_slot", "element")
+    val elCounts = sites
+      .join(broadcast(perms),
+        col("arity") === col("p_arity") && col("slot") === col("p_slot"))
+      .groupBy(col("proto_name"), col("nsites"), col("perm"),
+        col("element"))
+      .agg(sum(col("slot_cnt")).as("ec"))
+    elCounts.groupBy(col("proto_name"), col("nsites"), col("perm"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("element"),
+          when(col("ec") === 1, lit("")).otherwise(col("ec").cast("string"))
+            .as("cnt")))),
+        e => concat(e.getField("element"), e.getField("cnt"))))
+        .as("symbols"))
+      .select(
+        md5(concat_ws(":", lit("proto"), col("proto_name"), col("perm")))
+          .as("uuid"),
+        col("symbols"),
+        col("nsites").cast("long").as("n"),
+        col("proto_name").as("prototype"),
+        col("perm"))
       .orderBy(col("prototype"), col("perm"))
   }
 
@@ -406,5 +443,32 @@ object MaterialsOps {
          |FROM atoms a CROSS JOIN shifts s
          |JOIN cells c ON c.seed_uuid = a.seed_uuid
          |JOIN sym y ON y.seed_uuid = a.seed_uuid
-         |ORDER BY group_uuid, atom_idx""".stripMargin)
+         |ORDER BY group_uuid, atom_idx""".stripMargin,
+    "g9_prototypes" ->
+      s"""WITH sites AS (
+         | SELECT proto_name, arity, nsites, slot, slot_cnt FROM
+         |  read_parquet('${graft.sources.SeedFixture.protoSitesPath}/*.parquet')),
+         |perms AS (
+         | SELECT * FROM (VALUES
+         |  (1, 'Ag', 0, 'Ag'), (1, 'Pd', 0, 'Pd'),
+         |  (2, 'Ag-Pd', 0, 'Ag'), (2, 'Ag-Pd', 1, 'Pd'),
+         |  (2, 'Pd-Ag', 0, 'Pd'), (2, 'Pd-Ag', 1, 'Ag'))
+         |  p(p_arity, perm, p_slot, element)),
+         |el_counts AS (
+         | SELECT s.proto_name, s.nsites, p.perm, p.element,
+         |  SUM(s.slot_cnt) AS ec
+         | FROM sites s JOIN perms p
+         |  ON s.arity = p.p_arity AND s.slot = p.p_slot
+         | GROUP BY 1, 2, 3, 4),
+         |sym AS (
+         | SELECT proto_name, nsites, perm,
+         |  string_agg(element || CASE WHEN ec = 1 THEN ''
+         |    ELSE CAST(ec AS VARCHAR) END, '' ORDER BY element)
+         |   AS symbols
+         | FROM el_counts GROUP BY 1, 2, 3)
+         |SELECT
+         | md5(concat_ws(':', 'proto', proto_name, perm)) AS uuid,
+         | symbols, CAST(nsites AS BIGINT) AS n,
+         | proto_name AS prototype, perm
+         |FROM sym ORDER BY prototype, perm""".stripMargin)
 }

@@ -50,6 +50,22 @@ object SeedFixture {
       "cx", "cy", "cz")
   }
 
+  /** Prototype-library site-count table (one row per (prototype,
+    * species slot): proto_name, arity, nsites, slot, slot_cnt) — the
+    * g9 decoration twin's input relation (r8): with the library
+    * materialized, the per-arity selection × species-permutation
+    * product loop and the decorated stoichiometry replay in SQL. */
+  val protoSitesPath = "/root/repo/fixtures/proto_sites.parquet"
+
+  def protoSitesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.generators.Prototypes.library.flatMap { p =>
+      p.basis.groupBy(_._1).toSeq.map { case (slot, xs) =>
+        (p.name, p.arity, p.basis.length, slot, xs.length)
+      }
+    }.toDF("proto_name", "arity", "nsites", "slot", "slot_cnt")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[2]")
@@ -62,6 +78,9 @@ object SeedFixture {
     cellsDf(spark).coalesce(1)
       .orderBy(col("seed_uuid"))
       .write.mode("overwrite").parquet(cellsPath)
+    protoSitesDf(spark).coalesce(1)
+      .orderBy(col("proto_name"), col("slot"))
+      .write.mode("overwrite").parquet(protoSitesPath)
     spark.stop()
   }
 }

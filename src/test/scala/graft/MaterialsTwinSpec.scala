@@ -45,6 +45,31 @@ class MaterialsTwinSpec extends AnyFunSuite {
     }
   }
 
+  test("g9 twin (prototype, perm, symbols, n) set equals the kernel surface") {
+    val twin = graft.queries.MaterialsOps.g9Prototypes(spark, "")
+      .collect()
+      .map(r => (r.getString(3), r.getString(4), r.getString(1),
+        r.getLong(2)))
+      .toSet
+    val kernel = graft.generators.Prototypes.generate(
+        Seq("all"), Seq("Ag", "Pd"), Map("Ag" -> 4.09, "Pd" -> 3.89))
+      .map(c => (c.params("prototype"), c.params("perm"), c.symbols,
+        c.n.toLong))
+      .toSet
+    assert(twin === kernel)
+  }
+
+  test("committed proto-sites fixture mirrors the code-defined library") {
+    val committed = spark.read
+      .parquet(graft.sources.SeedFixture.protoSitesPath)
+      .collect().map(r => (0 to 4).map(r.get)).sortBy(_.toString)
+    val fresh = graft.sources.SeedFixture.protoSitesDf(spark)
+      .collect().map(r => (0 to 4).map(r.get)).sortBy(_.toString)
+    assert(committed.toSeq === fresh.toSeq,
+      "fixtures/proto_sites.parquet is stale - rerun " +
+        "`sbt \"runMain graft.sources.SeedFixture\"`")
+  }
+
   test("g3 twin: exhaustive unique removals, cap, stoichiometry, determinism") {
     val out = graft.queries.MaterialsOps.g3Vacancy(spark, "").collect()
     // n=4 seed: k=1, C(4,1)=4 candidates, cap 4 -> all 4;
