@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *    AS A STRING (buckets only ever need equality — no hex parse to
   *    disagree on), rho = 1 + leading zero bits of the next 13 hex
   *    chars (52 bits), computed as 4·(leading '0' chars) + a 16-way
-  *    nibble CASE — regexp + CASE, portable to any engine.
+  *    nibble CASE — ltrim + CASE, portable to any engine.
   *  - register state: MAX(rho) per bucket — the only aggregation,
   *    and a max of small ints is reassociation-free.
   *  - sum term: 2^(40 − min(rho, 40)) per present bucket, 2^40 per
@@ -57,9 +57,13 @@ object DetHll {
   val RawNum: Double =
     0.7213 / (1.0 + 1.079 / M) * M.toDouble * M.toDouble * Two40.toDouble
 
-  /** rho(tail) for a 13-hex-char column: 1 + leading zero bits. */
+  /** rho(tail) for a 13-hex-char column: 1 + leading zero bits.
+    * Leading-zero CHARS counted as 13 − length(ltrim(tail, '0')) —
+    * a linear scan, ~3× cheaper per token than the r7
+    * regexp_extract('^0*') form (the sk1/sk2 determinism-tax fix,
+    * r8); identical semantics in Spark and DuckDB. */
   private def rhoCol(tail: Column): Column = {
-    val l = length(regexp_extract(tail, "^0*", 0))
+    val l = lit(13) - length(ltrim(tail, "0"))
     val c = tail.substr(l + 1, lit(1))
     val z = when(c === "1", 3).when(c.isin("2", "3"), 2)
       .when(c.isin("4", "5", "6", "7"), 1).otherwise(0)
@@ -113,17 +117,19 @@ object DetHll {
     * the toks CTE and joins `est` back to whatever else it needs. */
   def estSql(toksRel: String): String =
     s"""hx AS (SELECT g, md5('hll:' || tok) AS hx FROM $toksRel),
+       |lz AS (
+       | SELECT g, substr(hx, 1, 3) AS bucket, substr(hx, 4, 13) AS tail,
+       |  13 - length(ltrim(substr(hx, 4, 13), '0')) AS l
+       | FROM hx),
        |br AS (
-       | SELECT g, substr(hx, 1, 3) AS bucket,
-       |  CASE WHEN length(regexp_extract(substr(hx, 4, 13), '^0*', 0)) = 13
-       |   THEN 53
-       |   ELSE 4 * length(regexp_extract(substr(hx, 4, 13), '^0*', 0))
-       |    + (CASE substr(substr(hx, 4, 13),
-       |         length(regexp_extract(substr(hx, 4, 13), '^0*', 0)) + 1, 1)
+       | SELECT g, bucket,
+       |  CASE WHEN l = 13 THEN 53
+       |   ELSE 4 * l
+       |    + (CASE substr(tail, l + 1, 1)
        |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
        |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
        |        WHEN '7' THEN 1 ELSE 0 END) + 1 END AS rho
-       | FROM hx),
+       | FROM lz),
        |regs AS MATERIALIZED (
        | SELECT g, bucket, MAX(rho) AS mx FROM br GROUP BY g, bucket),
        |st AS MATERIALIZED (
