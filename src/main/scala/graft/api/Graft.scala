@@ -203,6 +203,50 @@ object Graft {
   }
 
   // ------------------------------------------------------------------
+  /** Sketch family (r8) — the cross-engine-deterministic sketches:
+    * every estimate is exact md5-derived integer arithmetic, so
+    * sketch STATE and results replay bit-for-bit across engines,
+    * versions, and partitionings, and per-key state is fixed-size
+    * and losslessly mergeable (registers: per-bucket MAX for HLL,
+    * cell-wise SUM for CMS, re-applied bottom-k for quantiles). */
+  object sketches {
+    import graft.operators.{DetCms, DetHll, DetQuantiles}
+
+    /** qid: sk1_approx_distinct — per-key HLL register table from a
+      * token column; ≤ 4096 rows per key at any corpus size. */
+    def hllRegisters(df: DataFrame, keys: Seq[String],
+        tok: Column): DataFrame =
+      DetHll.registers(df, keys, tok)
+
+    /** Fold (possibly merged) registers to the deterministic
+      * estimate: (keys..., <approxName>, hll_empty, hll_sum_q40). */
+    def hllEstimate(regs: DataFrame, keys: Seq[String],
+        approxName: String = "approx"): DataFrame =
+      DetHll.estimate(regs, keys, approxName)
+
+    /** qid: sk3_heavy_hitters — deterministic CMS heavy hitters over
+      * a `(source, text)` relation at support φ = phiMicro/10⁶. */
+    def heavyHitters(docs: DataFrame, phiMicro: Long): DataFrame =
+      DetCms.heavyHittersOf(docs, phiMicro)
+
+    /** CMS register table from an exact `(token, n)` count relation
+      * — additive across sources/batches. */
+    def cmsRegisters(counts: DataFrame): DataFrame =
+      DetCms.registers(counts)
+
+    /** Min-count estimates for `cand(token)` rows against a CMS
+      * register table. */
+    def cmsEstimate(cand: DataFrame, regs: DataFrame): DataFrame =
+      DetCms.estimate(cand, regs)
+
+    /** qid: a9_quantiles_approx — deterministic bottom-k sample
+      * quantiles of `value` per `group` (`id` a unique row key). */
+    def sampleQuantiles(df: DataFrame, group: String, value: String,
+        id: Column, k: Int = DetQuantiles.K): DataFrame =
+      DetQuantiles.quantiles(df, group, value, id, k)
+  }
+
+  // ------------------------------------------------------------------
   /** Text-curation family — documents are `(doc_id, text)` unless
     * noted; scores quantize to micro-units for cross-engine parity. */
   object text {

@@ -76,6 +76,98 @@ class ApiSpec extends AnyFunSuite {
     assert(split.forall(_.getLong(3) === 0L))           // leaked_clusters = 0
   }
 
+  // every facade method is a thin delegation — assert the facade
+  // call and the kernel call build the SAME logical plan (canonical
+  // compare), the no-drift claim as a mechanical check
+  private def samePlan(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed)
+
+  test("facade similarity family runs and delegates plan-identically") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.where(col("vec_id") % 97 === 0).limit(4)
+    // the Int* kernels embed driver-fitted broadcast state (sampled
+    // centroids/planes), so two invocations canonicalize to different
+    // plans by construction — for these, delegation is asserted by
+    // RESULT equality (each kernel is bit-deterministic, so facade
+    // output == kernel output iff the facade delegates)
+    def sameRows(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Boolean =
+      a.collect().map(_.toSeq).toSeq == b.collect().map(_.toSeq).toSeq
+    val f = Graft.similarity.ivfTopK(emb, q, "embedding", "vec_id",
+      k = 3, nlist = 8, nprobe = 2)
+    assert(sameRows(f, graft.operators.IntKmeans.topK(emb, q,
+      "embedding", "vec_id", 3, 8, 2, 2, 42L)))
+    assert(f.collect().nonEmpty)
+    val l = Graft.similarity.lshTopK(emb, q, "embedding", "vec_id",
+      k = 3, dim = 64)
+    assert(sameRows(l, graft.operators.IntKmeans.lshTopK(emb, q,
+      "embedding", "vec_id", 3, 64, 42L)))
+    val km = Graft.similarity.kmeansSummary(emb, "vec_id", "embedding",
+      k = 4)
+    assert(sameRows(km, graft.queries.SimilarityOps.kmeansSummaryOf(
+      emb, "vec_id", "embedding", 4, 10, 42L)))
+    assert(km.collect().length === 4)
+    val pc = Graft.similarity.pcaProjectDeterministic(emb, "vec_id",
+      "embedding", nComponents = 2)
+    assert(pc.collect().nonEmpty)
+  }
+
+  test("facade sketches family runs and delegates plan-identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, split, length}
+    val srcDocs = Seq(
+      ("a", "x x x y z"), ("a", "x q r"), ("b", "x x zz")).toDF("source", "text")
+    val toks = srcDocs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val regs = Graft.sketches.hllRegisters(toks, Seq("source"), col("tok"))
+    assert(samePlan(regs, graft.operators.DetHll.registers(
+      toks, Seq("source"), col("tok"))))
+    val est = Graft.sketches.hllEstimate(regs, Seq("source"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("a" -> 5L, "b" -> 2L)) // small range = exact
+
+    val hh = Graft.sketches.heavyHitters(srcDocs, phiMicro = 300000L)
+    assert(samePlan(hh,
+      graft.operators.DetCms.heavyHittersOf(srcDocs, 300000L)))
+    // 'x' holds 6/11 of the mass — the only >=30% hitter
+    assert(hh.collect().map(_.getString(0)).toSeq === Seq("x"))
+
+    val counts = toks.groupBy(col("tok").as("token"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val cms = Graft.sketches.cmsEstimate(
+      counts.select(col("token")), Graft.sketches.cmsRegisters(counts))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cms("x") >= 6L) // CMS only over-counts
+
+    val dq = Graft.sketches.sampleQuantiles(
+      Seq.tabulate(100)(i => ("g", (i + 1).toDouble, i.toLong))
+        .toDF("grp", "v", "id"), "grp", "v", col("id"))
+    assert(samePlan(dq, graft.operators.DetQuantiles.quantiles(
+      Seq.tabulate(100)(i => ("g", (i + 1).toDouble, i.toLong))
+        .toDF("grp", "v", "id"), "grp", "v", col("id"))))
+    assert(dq.collect().head.getDouble(2) === 50.0)
+  }
+
+  test("facade pack family runs on user tables") {
+    import org.apache.spark.sql.functions.col
+    val ch = Graft.pack.chunkWindows(docs, win = 16, stride = 8)
+    assert(ch.collect().nonEmpty)
+    val mp = Graft.pack.mixPlan(
+      docs.withColumn("source",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("src"),
+          col("doc_id").cast("string")))
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(col("text")).cast("long")))
+    assert(mp.collect().nonEmpty)
+  }
+
   test("facade text + splits + events families run on user tables") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
