@@ -1001,5 +1001,9 @@ object TextOps {
         |CROSS JOIN n
         |WHERE cb.n_pair >= 5
         |ORDER BY pmi_micro DESC, cb.bigram LIMIT 50""".stripMargin,
+    // t14/t19: r8 conversions — BPE merge learning and encoding
+    // replayed as bounded unrolled-round CTE chains (fit/Bpe.scala)
+    "t14_bpe_train" -> graft.fit.Bpe.oracleT14,
+    "t19_bpe_encode" -> graft.fit.Bpe.oracleT19,
   )
 }

@@ -62,9 +62,9 @@ class BpeSpec extends AnyFunSuite {
       Seq(("la", 4L, 0), ("lo", 2L, 1)))
   }
 
-  test("t14 on the real table: deterministic, tokens rebuild the corpus mass") {
-    val a = Bpe.t14BpeTrain(spark, sf).collect()
-    val b = Bpe.t14BpeTrain(spark, sf).collect()
+  test("t14 vocab tier on the real table: deterministic, tokens rebuild the corpus mass") {
+    val a = Bpe.t14BpeVocab(spark, sf).collect()
+    val b = Bpe.t14BpeVocab(spark, sf).collect()
     assert(a.toSeq === b.toSeq, "two runs must be bit-identical")
     assert(a.nonEmpty)
     // conservation: total encoded characters = total non-space
@@ -77,6 +77,19 @@ class BpeSpec extends AnyFunSuite {
     assert(tokChars === corpusChars)
     // vocabulary stays bounded by alphabet + merge count
     assert(a.length <= Bpe.NMerges + 128)
+  }
+
+  test("t14 deterministic merge-table entry: well-formed, bit-stable") {
+    val a = Bpe.t14BpeTrain(spark, sf).collect()
+    assert(a.toSeq === Bpe.t14BpeTrain(spark, sf).collect().toSeq)
+    assert(a.nonEmpty && a.length <= Bpe.DetMerges)
+    a.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) === i) // dense ranks in learned order
+      assert(r.getString(3) === r.getString(1) + r.getString(2))
+    }
+    // learned pairs are distinct (a merged pair cannot recur: its
+    // occurrences were replaced)
+    assert(a.map(_.getString(3)).distinct.length === a.length)
   }
 
   test("t19 encode surface: totality, per-word cost, t14 cross-identity") {
@@ -94,11 +107,24 @@ class BpeSpec extends AnyFunSuite {
       (3L, 0L, 0L, 0L)))
     // cross-identity on the real table: summed per-doc token counts
     // must equal t14's summed vocabulary occurrences (both count every
-    // token of every word occurrence exactly once)
-    val t19Sum = Bpe.t19BpeEncode(spark, sf)
+    // token of every word occurrence exactly once; same 200-merge
+    // xxhash64-sampled tokenizer on both sides)
+    val realDocs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val t19Sum = Bpe.bpeEncodeOf(realDocs, Bpe.SampleDocs, Bpe.NMerges)
       .agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0)
-    val t14Sum = Bpe.t14BpeTrain(spark, sf)
+    val t14Sum = Bpe.t14BpeVocab(spark, sf)
       .agg(sum(col("n_occurrences"))).collect()(0).getLong(0)
     assert(t19Sum === t14Sum)
+    // the deterministic t19 entry: total, bit-stable, and its token
+    // counts conserve words (every word encodes to >= 1 token and
+    // <= its character count)
+    val det = Bpe.t19BpeEncode(spark, sf).collect()
+    assert(det.map(_.getLong(0)).length === realDocs.count())
+    det.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1)) // >= 1 token per word
+    }
+    assert(det.map(_.toSeq).toSeq ===
+      Bpe.t19BpeEncode(spark, sf).collect().map(_.toSeq).toSeq)
   }
 }
