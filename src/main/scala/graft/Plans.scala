@@ -83,7 +83,12 @@ object Plans {
       "o11_cluster_split" -> "materialized labels → keyed-digest split map, split-keyed agg + 1-row leakage audit broadcast",
       "t19_bpe_encode" -> "encode-once: distinct-word UDF cost table, corpus joins on the short word key, one doc_id agg, totality left join",
       "w11_engaged_time" -> "one user_id sort-window (running-max interval merge, the d15 span arithmetic on time), two keyed aggs",
-      "m14_quality_mix_report" -> "one (source, bin) agg over the scoring scan; total rides a broadcast single-row join")
+      "m14_quality_mix_report" -> "one (source, bin) agg over the scoring scan; total rides a broadcast single-row join",
+      "a9_quantiles_approx" -> "bottom-k sample via one group-keyed window; counts ride a broadcast group-count join; output <= k rows per group",
+      "g13_supercell" -> "4-row shift-grid + cells + symbols all broadcast onto the seed-atom scan — the corpus never shuffles",
+      "g3_vacancy" -> "seed-partitioned k-subset self-join candidates, one md5-rank window, formula rebuild on the same seed key",
+      "g9_prototypes" -> "library x perm broadcast grid, one (prototype, perm) agg — no corpus-sized exchange anywhere",
+      "g4_distortion" -> "seeds x draws strain grid (108 md5 terms/row) broadcast onto the atom scan; rattle is per-row expression work — no shuffle before the output sort")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")

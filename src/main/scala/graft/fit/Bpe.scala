@@ -29,9 +29,10 @@ import graft.Tables
   * Determinism: sample pinned by (seed, cap); ties in pair counts
   * break to the lexicographically smallest pair, so the merge list —
   * and therefore every encoding — is bit-stable across runs and
-  * partitionings. Not SQL-expressible (iterative fixpoint training)
-  * → rows-only driver check; BpeSpec asserts hand-derived merges,
-  * tie-breaking, and encode/train consistency. */
+  * partitionings. The t14/t19 ENTRIES are hash-level oracles since
+  * r8 (deterministic md5-sampled twins + bounded unrolled-round SQL,
+  * see the r8 block below); this 200-merge xxhash64-sampled surface
+  * stays the production tier, spec-pinned by BpeSpec. */
 object Bpe {
 
   val SampleDocs = 2048

@@ -1,17 +1,18 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Config
 import graft.generators.Generators
 import graft.pipeline.MaterialsPipeline
 
 /** Materials-domain operator surface (SURVEY §2.2 generators, §2.5
-  * dedup, §2.10 pipeline). Mostly rows-only (JVM kernels: Breeze
-  * eigendecomposition, combinatorial enumeration) with ScalaTest
-  * golden assertions (determinism, physics invariants); g2 is
-  * oracle-checked since r8 via the committed seed fixture + an
-  * md5-keyed deterministic twin.
+  * dedup, §2.10 pipeline). g2/g3/g13/g9 are hash-level oracles since
+  * r8 via committed fixture relations (seeds, cells, prototype site
+  * counts) + md5-keyed deterministic twins; the rest run JVM kernels
+  * (Breeze eigendecomposition, combinatorial enumeration, Gaussian
+  * draws) with ScalaTest golden assertions (determinism, physics
+  * invariants) → rows-only.
   *
   * These take the sfDir parameter for contract uniformity but operate
   * on the deterministic seed fixtures (the reference's seeds are
@@ -154,14 +155,94 @@ object MaterialsOps {
       .orderBy(col("uuid"))
   }
 
+  /** Number of strain draws per seed (mirrors the kernel's
+    * nconfigs=4 surface) and the Irwin–Hall width: a standard normal
+    * as the sum of 12 md5-derived 32-bit uniforms, centered and
+    * scaled by 2³² — mean 0, variance exactly 12·(1/12) = 1, and
+    * every step exact integer arithmetic until one final
+    * power-of-two division (exact in IEEE), so the "Gaussian" draw
+    * itself replays bit-for-bit in any engine. */
+  private val G4Draws = 4
+  private val G4Terms = 12
+
+  /** One Irwin–Hall(12) standard-normal column keyed by `key`:
+    * Σₜ U32(md5(key:t)) − 6·2³², divided by 2³². The subtraction and
+    * sum stay in BIGINT (< 2³⁶), the division is an exponent shift —
+    * both exact, so Spark and DuckDB agree to the last bit. */
+  private def ihGauss(key: Column): Column = {
+    val sum12 = (0 until G4Terms).map(t =>
+      conv(substring(md5(concat_ws(":", key, lit(t))), 1, 8), 16, 10)
+        .cast("long")).reduce(_ + _)
+    (sum12 - lit(6L * 4294967296L)).cast("double") / lit(4294967296.0)
+  }
+
+  /** The same Irwin–Hall column as DuckDB SQL text, term-for-term. */
+  private def ihGaussSql(key: String): String = {
+    val terms = (0 until G4Terms).map(t =>
+      s"CAST(('0x'||substr(md5(concat_ws(':',$key,$t)),1,8)) AS BIGINT)")
+      .mkString(" + ")
+    s"(CAST($terms - 25769803776 AS DOUBLE) / 4294967296.0)"
+  }
+
+  /** G4 distortion, oracle-green since r8, ATOM-LEVEL — the
+    * deterministic twin of Generators.distortion (reference:
+    * database/distortion.py:220–263 — random 3×3 strain ~
+    * N(I, diag(cov)), applied to cell and positions, plus a Gaussian
+    * position rattle). The kernel's JVM `nextGaussian` (Box–Muller:
+    * runtime ln/cos, the libm-ulp divergence class) is replaced by
+    * Irwin–Hall(12) normals built from md5-derived 32-bit uniforms —
+    * variance exactly 1 with NO transcendental anywhere, so the
+    * strain matrix m = I + 0.02·G, its determinant (the kernel's
+    * degeneracy/volume audit, exposed as a column), the strained
+    * positions p·m and the 0.001-amplitude rattle are all the same
+    * correctly-rounded IEEE products/sums in Spark and DuckDB —
+    * bit-equal, hash-level oracle. The kernel's cbrt volume
+    * normalization is the one step that cannot cross engines
+    * (irrational root); it stays on the JVM kernel surface
+    * (GeneratorsSpec pins det(norm) ≈ volumeFactor), and the twin's
+    * det column audits the same quantity pre-normalization.
+    * MaterialsTwinSpec recomputes a draw end-to-end with
+    * java MessageDigest and asserts bit-for-bit equality.
+    *
+    * Scale shape: the strain grid is seeds × draws (the generation
+    * grid — broadcast); the atom scan joins it broadcast and never
+    * shuffles; rattle is per-row expression work on the scan. */
   def g4Distortion(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    MaterialsPipeline.seedDs(s)
-      .flatMap(c => Generators.distortion(c, nconfigs = 4, covDiag = 0.0004,
-        volumeFactor = 1.02, rattle = 0.001, ranSeed = 42L))
-      .toDF()
-      .select(col("uuid"), col("symbols"), col("n"), col("configType"))
-      .orderBy(col("uuid"))
+    val atoms = s.read.parquet(graft.sources.SeedFixture.path)
+    val seeds = s.read.parquet(graft.sources.SeedFixture.cellsPath)
+      .select(col("seed_uuid"))
+    val draws = s.range(0, G4Draws).select(col("id").cast("int").as("draw"))
+    var grid = seeds.crossJoin(broadcast(draws))
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val g = ihGauss(concat_ws(":", lit("dist"), col("seed_uuid"),
+        col("draw"), lit(a), lit(b)))
+      val e = if (a == b) lit(1.0) + g * lit(0.02) else g * lit(0.02)
+      grid = grid.withColumn(s"m$a$b", e)
+    }
+    grid = grid.withColumn("det",
+      col("m00") * (col("m11") * col("m22") - col("m12") * col("m21")) -
+        col("m01") * (col("m10") * col("m22") - col("m12") * col("m20")) +
+        col("m02") * (col("m10") * col("m21") - col("m11") * col("m20")))
+    def pos(axis: Int): Column = {
+      val strained = col("x") * col(s"m0$axis") +
+        col("y") * col(s"m1$axis") + col("z") * col(s"m2$axis")
+      val rat = ihGauss(concat_ws(":", lit("rat"), col("seed_uuid"),
+        col("draw"), col("atom_idx"), lit(axis)))
+      strained + rat * lit(0.001)
+    }
+    atoms.join(broadcast(grid), "seed_uuid")
+      .select(
+        md5(concat_ws(":", lit("dist"), col("seed_uuid"), col("draw")))
+          .as("uuid"),
+        col("seed_uuid").as("group_uuid"),
+        lit("dist").as("config_type"),
+        col("draw"),
+        col("n").cast("long").as("n"),
+        col("atom_idx"),
+        col("element"),
+        pos(0).as("x"), pos(1).as("y"), pos(2).as("z"),
+        col("det"))
+      .orderBy(col("group_uuid"), col("draw"), col("atom_idx"))
   }
 
   /** G13 supercell, oracle-green since r8, ATOM-LEVEL — the
@@ -312,6 +393,46 @@ object MaterialsOps {
   def g8HessianEigen(s: SparkSession, dir: String): DataFrame =
     MaterialsPipeline.hessianSlice(s)
 
+  /** DuckDB twin of g4Distortion, generated term-for-term from the
+    * same (a, b, t) loops so the expression trees — and therefore
+    * every IEEE rounding — match the Spark side exactly. */
+  private def g4DistortionSql: String = {
+    val mCols = (for (a <- 0 until 3; b <- 0 until 3) yield {
+      val ih = ihGaussSql(s"'dist',s.seed_uuid,d.draw,$a,$b")
+      val e = if (a == b) s"1.0 + $ih * 0.02" else s"$ih * 0.02"
+      s"  $e AS m$a$b"
+    }).mkString(",\n")
+    def pos(axis: Int): String = {
+      val ih = ihGaussSql(s"'rat',a.seed_uuid,g.draw,a.atom_idx,$axis")
+      s"(a.x*g.m0$axis + a.y*g.m1$axis + a.z*g.m2$axis) + $ih * 0.001"
+    }
+    s"""WITH seeds AS (
+       | SELECT seed_uuid FROM
+       |  read_parquet('${graft.sources.SeedFixture.cellsPath}/*.parquet')),
+       |draws AS (SELECT CAST(r AS INT) AS draw FROM range(0, $G4Draws) t(r)),
+       |grid0 AS (
+       | SELECT s.seed_uuid, d.draw,
+       |$mCols
+       | FROM seeds s CROSS JOIN draws d),
+       |grid AS (
+       | SELECT *,
+       |  m00*(m11*m22 - m12*m21) - m01*(m10*m22 - m12*m20)
+       |   + m02*(m10*m21 - m11*m20) AS det
+       | FROM grid0),
+       |atoms AS (
+       | SELECT seed_uuid, atom_idx, element, x, y, z, n
+       | FROM read_parquet('${graft.sources.SeedFixture.path}/*.parquet'))
+       |SELECT md5(concat_ws(':', 'dist', a.seed_uuid, g.draw)) AS uuid,
+       | a.seed_uuid AS group_uuid, 'dist' AS config_type, g.draw,
+       | CAST(a.n AS BIGINT) AS n, a.atom_idx, a.element,
+       | ${pos(0)} AS x,
+       | ${pos(1)} AS y,
+       | ${pos(2)} AS z,
+       | g.det
+       |FROM atoms a JOIN grid g ON g.seed_uuid = a.seed_uuid
+       |ORDER BY group_uuid, g.draw, atom_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_enumerated" -> (g1Enumerated _),
     "g1_enum_sampled" -> (g1EnumSampled _),
@@ -324,16 +445,17 @@ object MaterialsOps {
     "m6_materials_e2e" -> (m6EndToEnd _),
   )
 
-  /** g2/g3/g13 are oracle-checked since r8 via the committed seed
-    * fixtures + md5-keyed deterministic twins (see g2Substitution /
-    * g3Vacancy / g13Supercell); the remaining g-family entries run
-    * JVM kernels with no SQL twin → rows-only: g1/g1_enum_sampled
-    * (combinatorial HNF/labeling enumeration walk), g4 (Gaussian
-    * strain draws — Box–Muller needs runtime ln/cos, the libm-ulp
-    * class of divergence the deterministic twins exist to avoid),
-    * g8 (Breeze eigendecomposition), g9 (code-internal prototype
-    * library), m6 (the multi-stage JVM pipeline composite). */
+  /** g2/g3/g4/g13/g9 are oracle-checked since r8 via the committed
+    * seed/library fixtures + md5-keyed deterministic twins (g4's
+    * Gaussians are Irwin–Hall integer sums — the Box–Muller ln/cos
+    * the kernel uses is exactly the libm-ulp divergence class the
+    * twins exist to avoid); the remaining g-family entries run JVM
+    * kernels with no SQL twin → rows-only: g1/g1_enum_sampled
+    * (combinatorial HNF/labeling enumeration walk), g8 (Breeze
+    * eigendecomposition), m6 (the multi-stage JVM pipeline
+    * composite). */
   val oracle: Map[String, String] = Map(
+    "g4_distortion" -> g4DistortionSql,
     "g2_substitution" ->
       s"""WITH draws AS (SELECT r AS draw FROM range(0, 64) t(r)),
          |atoms AS (

@@ -657,8 +657,8 @@ object TextOps {
     "t10_tfidf_capped" -> (t10TfIdfCapped _),
     "t11_lm_xent" -> (t11LmXent _),
     "t11_lm_xent_capped" -> (t11LmXentCapped _),
-    // rows-only: iterative merge learning isn't SQL-expressible;
-    // BpeSpec asserts hand-derived merges + encode/train consistency
+    // oracle since r8: deterministic md5-sampled tokenizer, merge
+    // learning + encoding replayed as bounded unrolled-round SQL
     "t14_bpe_train" -> (graft.fit.Bpe.t14BpeTrain _),
     "t19_bpe_encode" -> (graft.fit.Bpe.t19BpeEncode _),
     "m14_quality_mix_report" -> (m14QualityMixReport _),

@@ -94,4 +94,49 @@ class MaterialsTwinSpec extends AnyFunSuite {
     val again = graft.queries.MaterialsOps.g3Vacancy(spark, "").collect()
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("g4 twin equals a pure-JVM MessageDigest replay bit-for-bit") {
+    // Independent reimplementation of the twin's Irwin–Hall(12)
+    // normal and strain pipeline with java.security.MessageDigest —
+    // pins the md5-key derivation, the exact-integer centering, and
+    // the IEEE association order the oracle relies on.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ih(key: String): Double = {
+      val sum = (0 until 12).map(t =>
+        java.lang.Long.parseLong(md5hex(s"$key:$t").substring(0, 8), 16)).sum
+      (sum - 6L * 4294967296L).toDouble / 4294967296.0
+    }
+    val atoms = spark.read.parquet(graft.sources.SeedFixture.path)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val twin = graft.queries.MaterialsOps.g4Distortion(spark, "")
+      .collect()
+    assert(twin.length === atoms.length * 4)
+    twin.foreach { r =>
+      val (seed, draw, idx) = (r.getString(1), r.getInt(3), r.getInt(5))
+      val m = Array.tabulate(3, 3) { (a, b) =>
+        val g = ih(s"dist:$seed:$draw:$a:$b")
+        if (a == b) 1.0 + g * 0.02 else g * 0.02
+      }
+      val det =
+        m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+          m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+          m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+      assert(r.getDouble(10) === det, s"$seed draw $draw det")
+      // near-identity strain: det within a few sigma of 1
+      assert(math.abs(det - 1.0) < 0.2, s"$seed draw $draw det sane")
+      val (_, _, x, y, z) = atoms.find(a => a._1 == seed && a._2 == idx).get
+      def pos(axis: Int): Double =
+        (x * m(0)(axis) + y * m(1)(axis) + z * m(2)(axis)) +
+          ih(s"rat:$seed:$draw:$idx:$axis") * 0.001
+      assert(r.getDouble(7) === pos(0), s"$seed $draw atom $idx x")
+      assert(r.getDouble(8) === pos(1), s"$seed $draw atom $idx y")
+      assert(r.getDouble(9) === pos(2), s"$seed $draw atom $idx z")
+      assert(r.getString(0) === md5hex(s"dist:$seed:$draw"))
+      assert(r.getString(2) === "dist")
+    }
+  }
 }
