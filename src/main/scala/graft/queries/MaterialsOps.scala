@@ -387,8 +387,191 @@ object MaterialsOps {
       .orderBy(col("prototype"), col("perm"))
   }
 
-  def m6EndToEnd(s: SparkSession, dir: String): DataFrame =
-    MaterialsPipeline.endToEnd(s)
+  /** Position quantization for the m6 twin: 2¹⁷ micro-units per Å.
+    * Once positions are BIGINT, every cross-row aggregate (centroid
+    * sums, Σdisp², species offsets, group sums of energies) is exact
+    * integer arithmetic — order-free, so Spark's parallel agg and
+    * DuckDB's serial agg agree bit-for-bit. Magnitudes: q ≤ 8.2 Å ×
+    * 2¹⁷ ≈ 1.1e6, n·q − Σq ≤ 8.6e6, squared × 24 terms ≈ 1.8e15 —
+    * inside both BIGINT and the 2⁵³ exact-double window. */
+  private val M6Scale = 131072.0
+  private val M6Scale2 = 17179869184.0 // 2^34 = M6Scale²
+
+  /** m6 end-to-end, oracle-green since r8 — the deterministic twin of
+    * MaterialsPipeline.endToEnd (reference shape: seed → generate →
+    * dedup → calculator extract → split → summary; database/
+    * __init__.py setup/extract driver + utility.py:42–165 split
+    * sizing). Every stage is the already-oracled twin recipe chained
+    * end-to-end:
+    *
+    *  1. substitution — the g2 twin verbatim (64 md5-ranked draws,
+    *     first 8 distinct assignments per seed; C(4,2)=6 caps the
+    *     4-atom seed at 6 → 14 configs on the fixture);
+    *  2. widen — each config + 2 vacancy variants (g3 recipe:
+    *     md5-ranked k-subsets, k = ⌈n/4⌉) + 2 strain variants (g4
+    *     recipe: Irwin–Hall(12) strain, σ = 0.02 = √0.0004, no
+    *     rattle) → 14 + 28 + 28 = 70 configs;
+    *  3. stub energies — StubCalculator's harmonic model
+    *     (E = ½k·Σ|rᵢ − r̄|² + species offset, F = −k·disp) replayed
+    *     in integer space: positions quantized to 2¹⁷ micro-units,
+    *     n²·Σ|rᵢ − r̄|² = Σ(n·q − Σq)² exact BIGINT, species offset
+    *     md5-derived (u32 % 1000, the md5 analog of the kernel's
+    *     Rng.deriveSeed offset), per-config doubles rebuilt with
+    *     mirrored expression trees (IEEE sqrt is correctly-rounded —
+    *     exact cross-engine), then re-quantized to energy micro-units
+    *     so the GROUP sums are integer again;
+    *  4. split — md5-rank with the reference's ceil sizing
+    *     (Ntrain = ⌈0.8N⌉, Nhold = ⌈0.8(N−Ntrain)⌉), the relational
+    *     analog of Splits.assign's keyed-hash rank;
+    *  5. summary — (config_type, bucket) counts + micro-unit-exact
+    *     averages.
+    *
+    * The JVM pipeline (MaterialsPipeline.endToEnd: real Box–Muller
+    * draws, Splits.assign's scale-safe ranged rank) stays the library
+    * surface with its PipelineSpec pins; MaterialsTwinSpec pins the
+    * twin's config census (14/28/28), split sizing, physics
+    * (vac/dist energies vs their parent), and determinism.
+    *
+    * Scale shape: stages 1–2 are generation-grid work (seeds × draws,
+    * broadcast joins onto the seed-atom scan); stage 3 is one
+    * window + agg keyed by config uuid; stage 4's global rank is
+    * control-plane-sized here (the generation grid) — at corpus scale
+    * the split IS Splits.assign's ranged rank (o5). */
+  def m6EndToEnd(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val atoms = s.read.parquet(graft.sources.SeedFixture.path)
+    // stage 1: substitution (g2 twin)
+    val draws = s.range(0, 64).select(col("id").cast("int").as("draw"))
+    val w = Window.partitionBy(col("seed_uuid"), col("draw"))
+      .orderBy(md5(concat_ws(":", lit("sub"), col("seed_uuid"),
+        col("draw"), col("atom_idx"))), col("atom_idx"))
+    val ranked = atoms.select(col("seed_uuid"), col("atom_idx"), col("n"))
+      .crossJoin(broadcast(draws))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("elem",
+        when(col("rk") * 2 <= col("n"), lit("Ag")).otherwise(lit("Pd")))
+    val asg = ranked.groupBy(col("seed_uuid"), col("n"), col("draw"))
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("atom_idx"), col("elem")))),
+        _.getField("elem"))).as("assignment"))
+    val firsts = asg.groupBy(col("seed_uuid"), col("n"), col("assignment"))
+      .agg(min(col("draw")).as("first_draw"))
+    val w2 = Window.partitionBy(col("seed_uuid")).orderBy(col("first_draw"))
+    val cfgs = firsts.withColumn("pick", row_number().over(w2))
+      .where(col("pick") <= 8)
+      .select(md5(concat_ws(":", lit("sub"), col("seed_uuid"),
+        col("assignment"))).as("cfg_uuid"),
+        col("seed_uuid"), col("assignment"))
+    val cfgAtoms = cfgs.join(atoms, "seed_uuid")
+      .select(col("cfg_uuid"), col("atom_idx"),
+        element_at(split(col("assignment"), ","),
+          (col("atom_idx") + 1).cast("int")).as("element"),
+        col("x"), col("y"), col("z"), col("n"))
+    // stage 2a: the config itself
+    val subBranch = cfgAtoms.select(col("cfg_uuid").as("uuid"),
+      lit("sub").as("config_type"), col("n").as("n_at"),
+      col("atom_idx"), col("element"), col("x"), col("y"), col("z"))
+    // stage 2b: vacancy variants (g3 recipe, nconfigs = 2)
+    val kOf = expr("(n + 3) div 4")
+    val sites = cfgAtoms.select(col("cfg_uuid"), col("atom_idx"), col("n"))
+    val singles = sites.where(kOf === 1)
+      .select(col("cfg_uuid"), col("n"),
+        col("atom_idx").cast("string").as("removed"))
+    val sa = sites.select(col("cfg_uuid"), col("n"), col("atom_idx").as("ai"))
+    val sb = sites.select(col("cfg_uuid").as("cu_b"), col("atom_idx").as("bi"))
+    val pairs = sa.join(sb, col("cfg_uuid") === col("cu_b") &&
+        col("ai") < col("bi"))
+      .where(kOf === 2)
+      .select(col("cfg_uuid"), col("n"),
+        concat_ws(",", col("ai"), col("bi")).as("removed"))
+    val wv = Window.partitionBy(col("cfg_uuid"))
+      .orderBy(md5(concat_ws(":", lit("vac"), col("cfg_uuid"),
+        col("removed"))), col("removed"))
+    val vacPicked = singles.union(pairs)
+      .withColumn("pick", row_number().over(wv))
+      .where(col("pick") <= 2)
+      .select(col("cfg_uuid"), col("removed"),
+        (col("n") - expr("(n + 3) div 4")).as("n_keep"))
+    val vacBranch = vacPicked.join(cfgAtoms, "cfg_uuid")
+      .where(!array_contains(split(col("removed"), ","),
+        col("atom_idx").cast("string")))
+      .select(md5(concat_ws(":", lit("vac"), col("cfg_uuid"),
+        col("removed"))).as("uuid"),
+        lit("vac").as("config_type"), col("n_keep").as("n_at"),
+        col("atom_idx"), col("element"), col("x"), col("y"), col("z"))
+    // stage 2c: strain variants (g4 recipe, 2 draws, no rattle)
+    val ddraws = s.range(0, 2).select(col("id").cast("int").as("draw"))
+    var grid = cfgs.select(col("cfg_uuid")).crossJoin(broadcast(ddraws))
+    for (p <- 0 until 3; q <- 0 until 3) {
+      val g = ihGauss(concat_ws(":", lit("m6d"), col("cfg_uuid"),
+        col("draw"), lit(p), lit(q)))
+      val e = if (p == q) lit(1.0) + g * lit(0.02) else g * lit(0.02)
+      grid = grid.withColumn(s"m$p$q", e)
+    }
+    def spos(axis: Int): Column =
+      col("x") * col(s"m0$axis") + col("y") * col(s"m1$axis") +
+        col("z") * col(s"m2$axis")
+    val distBranch = cfgAtoms.join(broadcast(grid), "cfg_uuid")
+      .select(md5(concat_ws(":", lit("dist"), col("cfg_uuid"),
+        col("draw"))).as("uuid"),
+        lit("dist").as("config_type"), col("n").as("n_at"),
+        col("atom_idx"), col("element"),
+        spos(0).as("x"), spos(1).as("y"), spos(2).as("z"))
+    val widened = subBranch.unionByName(vacBranch).unionByName(distBranch)
+    // stage 3: integer-quantized stub energies
+    val quant = widened
+      .withColumn("qx", round(col("x") * lit(M6Scale)).cast("long"))
+      .withColumn("qy", round(col("y") * lit(M6Scale)).cast("long"))
+      .withColumn("qz", round(col("z") * lit(M6Scale)).cast("long"))
+      .withColumn("offa",
+        conv(substring(md5(concat(lit("el:"), col("element"))), 1, 8),
+          16, 10).cast("long") % 1000)
+    val wc = Window.partitionBy(col("uuid"))
+    val dev = quant
+      .withColumn("sx", sum(col("qx")).over(wc))
+      .withColumn("sy", sum(col("qy")).over(wc))
+      .withColumn("sz", sum(col("qz")).over(wc))
+    val perCfg = dev.groupBy(col("uuid"), col("config_type"), col("n_at"))
+      .agg(sum(
+        (col("n_at") * col("qx") - col("sx")) *
+          (col("n_at") * col("qx") - col("sx")) +
+        (col("n_at") * col("qy") - col("sy")) *
+          (col("n_at") * col("qy") - col("sy")) +
+        (col("n_at") * col("qz") - col("sz")) *
+          (col("n_at") * col("qz") - col("sz"))).as("ss"),
+        sum(col("offa")).as("off"))
+    val en = perCfg
+      .withColumn("energy",
+        lit(0.5) * col("ss").cast("double") /
+          (col("n_at") * col("n_at")).cast("double") / lit(M6Scale2) +
+          col("off").cast("double") / lit(1000.0))
+      .withColumn("fnorm",
+        sqrt(col("ss").cast("double") /
+          (col("n_at") * col("n_at")).cast("double") / lit(M6Scale2)))
+      .withColumn("e_micro", round(col("energy") * lit(1000000.0)).cast("long"))
+      .withColumn("f_micro", round(col("fnorm") * lit(1000000.0)).cast("long"))
+    // stage 4: md5-rank split with the reference's ceil sizing
+    val ws = Window.orderBy(md5(concat_ws(":", lit("split"), col("uuid"))),
+      col("uuid"))
+    val split4 = en
+      .withColumn("rk", row_number().over(ws).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("n_train", ceil(col("nn").cast("double") * lit(0.8)))
+      .withColumn("n_hold",
+        ceil((col("nn") - col("n_train")).cast("double") * lit(0.8)))
+      .withColumn("bucket",
+        when(col("rk") <= col("n_train"), "train")
+          .when(col("rk") <= col("n_train") + col("n_hold"), "holdout")
+          .otherwise("super"))
+    // stage 5: summary with micro-unit-exact averages
+    split4.groupBy(col("config_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_configs"),
+        (sum(col("e_micro")).cast("double") / lit(1000000.0) /
+          count(lit(1)).cast("double")).as("avg_energy"),
+        (sum(col("f_micro")).cast("double") / lit(1000000.0) /
+          count(lit(1)).cast("double")).as("avg_fnorm"))
+      .orderBy(col("config_type"), col("bucket"))
+  }
 
   def g8HessianEigen(s: SparkSession, dir: String): DataFrame =
     MaterialsPipeline.hessianSlice(s)
@@ -433,6 +616,138 @@ object MaterialsOps {
        |ORDER BY group_uuid, g.draw, atom_idx""".stripMargin
   }
 
+  /** DuckDB twin of m6EndToEnd — each CTE mirrors one Spark stage,
+    * with the strain terms generated from the same (p, q, t) loops so
+    * every IEEE rounding matches (the g4 discipline, chained). */
+  private def m6Sql: String = {
+    val mCols = (for (p <- 0 until 3; q <- 0 until 3) yield {
+      val ih = ihGaussSql(s"'m6d',c.cfg_uuid,d.draw,$p,$q")
+      val e = if (p == q) s"1.0 + $ih * 0.02" else s"$ih * 0.02"
+      s"  $e AS m$p$q"
+    }).mkString(",\n")
+    s"""WITH atoms AS (
+       | SELECT seed_uuid, atom_idx, element, x, y, z, n
+       | FROM read_parquet('${graft.sources.SeedFixture.path}/*.parquet')),
+       |draws AS (SELECT CAST(r AS INT) AS draw FROM range(0, 64) t(r)),
+       |ranked AS (
+       | SELECT a.seed_uuid, a.n, d.draw, a.atom_idx,
+       |  ROW_NUMBER() OVER (PARTITION BY a.seed_uuid, d.draw
+       |   ORDER BY md5(concat_ws(':', 'sub', a.seed_uuid, d.draw,
+       |    a.atom_idx)), a.atom_idx) AS rk
+       | FROM atoms a CROSS JOIN draws d),
+       |asg AS (
+       | SELECT seed_uuid, n, draw,
+       |  string_agg(CASE WHEN rk * 2 <= n THEN 'Ag' ELSE 'Pd' END,
+       |   ',' ORDER BY atom_idx) AS assignment
+       | FROM ranked GROUP BY seed_uuid, n, draw),
+       |firsts AS (
+       | SELECT seed_uuid, n, assignment, MIN(draw) AS first_draw
+       | FROM asg GROUP BY seed_uuid, n, assignment),
+       |cfgs AS (
+       | SELECT md5(concat_ws(':', 'sub', seed_uuid, assignment))
+       |   AS cfg_uuid, seed_uuid, assignment
+       | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seed_uuid
+       |    ORDER BY first_draw) AS pick FROM firsts)
+       | WHERE pick <= 8),
+       |cfg_atoms AS (
+       | SELECT c.cfg_uuid, a.atom_idx,
+       |  string_split(c.assignment, ',')[a.atom_idx + 1] AS element,
+       |  a.x, a.y, a.z, a.n
+       | FROM cfgs c JOIN atoms a ON a.seed_uuid = c.seed_uuid),
+       |vac_cand AS (
+       | SELECT cfg_uuid, n, CAST(atom_idx AS VARCHAR) AS removed
+       | FROM cfg_atoms WHERE (n + 3) // 4 = 1
+       | UNION ALL
+       | SELECT a.cfg_uuid, a.n,
+       |  concat_ws(',', a.atom_idx, b.atom_idx) AS removed
+       | FROM cfg_atoms a JOIN cfg_atoms b
+       |  ON a.cfg_uuid = b.cfg_uuid AND a.atom_idx < b.atom_idx
+       | WHERE (a.n + 3) // 4 = 2),
+       |vac_picked AS (
+       | SELECT cfg_uuid, removed, n - (n + 3) // 4 AS n_keep
+       | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cfg_uuid
+       |    ORDER BY md5(concat_ws(':', 'vac', cfg_uuid, removed)),
+       |     removed) AS pick
+       |   FROM vac_cand)
+       | WHERE pick <= 2),
+       |dgrid AS (
+       | SELECT c.cfg_uuid, d.draw,
+       |$mCols
+       | FROM cfgs c CROSS JOIN draws d WHERE d.draw < 2),
+       |widened AS (
+       | SELECT cfg_uuid AS uuid, 'sub' AS config_type, n AS n_at,
+       |  atom_idx, element, x, y, z
+       | FROM cfg_atoms
+       | UNION ALL
+       | SELECT md5(concat_ws(':', 'vac', v.cfg_uuid, v.removed)),
+       |  'vac', v.n_keep, a.atom_idx, a.element, a.x, a.y, a.z
+       | FROM vac_picked v JOIN cfg_atoms a ON a.cfg_uuid = v.cfg_uuid
+       | WHERE NOT list_contains(string_split(v.removed, ','),
+       |   CAST(a.atom_idx AS VARCHAR))
+       | UNION ALL
+       | SELECT md5(concat_ws(':', 'dist', a.cfg_uuid, g.draw)),
+       |  'dist', a.n, a.atom_idx, a.element,
+       |  a.x*g.m00 + a.y*g.m10 + a.z*g.m20,
+       |  a.x*g.m01 + a.y*g.m11 + a.z*g.m21,
+       |  a.x*g.m02 + a.y*g.m12 + a.z*g.m22
+       | FROM cfg_atoms a JOIN dgrid g ON g.cfg_uuid = a.cfg_uuid),
+       |quant AS (
+       | SELECT uuid, config_type, n_at,
+       |  CAST(round(x * 131072.0) AS BIGINT) AS qx,
+       |  CAST(round(y * 131072.0) AS BIGINT) AS qy,
+       |  CAST(round(z * 131072.0) AS BIGINT) AS qz,
+       |  CAST(('0x'||substr(md5('el:'||element),1,8)) AS BIGINT) % 1000
+       |   AS offa
+       | FROM widened),
+       |dev AS (
+       | SELECT *,
+       |  SUM(qx) OVER (PARTITION BY uuid) AS sx,
+       |  SUM(qy) OVER (PARTITION BY uuid) AS sy,
+       |  SUM(qz) OVER (PARTITION BY uuid) AS sz
+       | FROM quant),
+       |per_cfg AS (
+       | SELECT uuid, config_type, n_at,
+       |  SUM((n_at*qx - sx)*(n_at*qx - sx)
+       |    + (n_at*qy - sy)*(n_at*qy - sy)
+       |    + (n_at*qz - sz)*(n_at*qz - sz)) AS ss,
+       |  SUM(offa) AS off
+       | FROM dev GROUP BY uuid, config_type, n_at),
+       |en AS (
+       | SELECT uuid, config_type,
+       |  CAST(round((0.5 * CAST(ss AS DOUBLE)
+       |    / CAST(n_at * n_at AS DOUBLE) / 17179869184.0
+       |    + CAST(off AS DOUBLE) / 1000.0) * 1000000.0) AS BIGINT)
+       |   AS e_micro,
+       |  CAST(round(sqrt(CAST(ss AS DOUBLE)
+       |    / CAST(n_at * n_at AS DOUBLE) / 17179869184.0) * 1000000.0)
+       |   AS BIGINT) AS f_micro
+       | FROM per_cfg),
+       |splitted AS (
+       | SELECT *,
+       |  ROW_NUMBER() OVER (ORDER BY md5(concat_ws(':', 'split', uuid)),
+       |   uuid) AS rk,
+       |  COUNT(*) OVER () AS nn
+       | FROM en),
+       |bucketed AS (
+       | SELECT *,
+       |  CAST(ceil(CAST(nn AS DOUBLE) * 0.8) AS BIGINT) AS n_train,
+       |  CAST(ceil(CAST(nn - CAST(ceil(CAST(nn AS DOUBLE) * 0.8)
+       |    AS BIGINT) AS DOUBLE) * 0.8) AS BIGINT) AS n_hold
+       | FROM splitted)
+       |SELECT config_type,
+       | CASE WHEN rk <= n_train THEN 'train'
+       |      WHEN rk <= n_train + n_hold THEN 'holdout'
+       |      ELSE 'super' END AS bucket,
+       | COUNT(*) AS n_configs,
+       | CAST(SUM(e_micro) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+       |  AS avg_energy,
+       | CAST(SUM(f_micro) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+       |  AS avg_fnorm
+       |FROM bucketed
+       |GROUP BY config_type, bucket
+       |ORDER BY config_type, bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_enumerated" -> (g1Enumerated _),
     "g1_enum_sampled" -> (g1EnumSampled _),
@@ -445,17 +760,18 @@ object MaterialsOps {
     "m6_materials_e2e" -> (m6EndToEnd _),
   )
 
-  /** g2/g3/g4/g13/g9 are oracle-checked since r8 via the committed
+  /** g2/g3/g4/g13/g9/m6 are oracle-checked since r8 via the committed
     * seed/library fixtures + md5-keyed deterministic twins (g4's
     * Gaussians are Irwin–Hall integer sums — the Box–Muller ln/cos
     * the kernel uses is exactly the libm-ulp divergence class the
-    * twins exist to avoid); the remaining g-family entries run JVM
-    * kernels with no SQL twin → rows-only: g1/g1_enum_sampled
-    * (combinatorial HNF/labeling enumeration walk), g8 (Breeze
-    * eigendecomposition), m6 (the multi-stage JVM pipeline
-    * composite). */
+    * twins exist to avoid; m6 chains the g2/g3/g4 recipes through
+    * integer-quantized stub energies and an md5-rank split); the
+    * remaining g-family entries run JVM kernels with no SQL twin →
+    * rows-only: g1/g1_enum_sampled (combinatorial HNF/labeling
+    * enumeration walk), g8 (Breeze eigendecomposition). */
   val oracle: Map[String, String] = Map(
     "g4_distortion" -> g4DistortionSql,
+    "m6_materials_e2e" -> m6Sql,
     "g2_substitution" ->
       s"""WITH draws AS (SELECT r AS draw FROM range(0, 64) t(r)),
          |atoms AS (

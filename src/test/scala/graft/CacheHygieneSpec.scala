@@ -57,7 +57,6 @@ class CacheHygieneSpec extends AnyFunSuite {
     "d12_bloom_dedup",  // Bloom filter build over the corpus windows
     "d14_incremental_minhash", // history signature table materialized at build
     "j10_skew_join",    // bounded top-k hot-key detection pass at build
-    "m6_materials_e2e", // full pipeline incl. split assignment
     "m7_curation",      // staged curation runner (per-stage counts)
     "m10_quality_classifier", // L-BFGS training iterations at fit time
     "m15_nb_quality",   // O(1) class-count collection at model build

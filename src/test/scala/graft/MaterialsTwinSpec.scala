@@ -95,6 +95,58 @@ class MaterialsTwinSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("m6 twin: census, ceil split sizing, sub-energy replay, determinism") {
+    val rows = graft.queries.MaterialsOps.m6EndToEnd(spark, "").collect()
+    // census: 14 sub (C(4,2)=6 caps the 4-atom seed; 8 from the
+    // 8-atom seed) + 2 vacancy + 2 strain variants each
+    def totalOf(t: String) =
+      rows.filter(_.getString(0) == t).map(_.getLong(2)).sum
+    assert(totalOf("sub") === 14L)
+    assert(totalOf("vac") === 28L)
+    assert(totalOf("dist") === 28L)
+    // reference ceil sizing on N=70 under the same IEEE math
+    // Splits.assign uses: 70·0.8 rounds to exactly 56.0 → train 56;
+    // 14·0.8 = 11.2000…01 → holdout 12; super 2
+    def bucketOf(b: String) = rows.filter(_.getString(1) == b)
+      .map(_.getLong(2)).sum
+    assert(bucketOf("train") === 56L)
+    assert(bucketOf("holdout") === 12L)
+    assert(bucketOf("super") === 2L)
+    // independent JVM replay of the sub-family energies: every sub
+    // config of a seed shares one energy (positions are the seed's;
+    // the 50/50 assignment makes the species offset constant), so
+    // Σ n_configs·avg_energy over sub rows = 6·E(seed4) + 8·E(seed8)
+    // in micro-units, exactly.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def off(el: String): Long =
+      java.lang.Long.parseLong(md5hex(s"el:$el").substring(0, 8), 16) % 1000
+    val seeds = spark.read.parquet(graft.sources.SeedFixture.path)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .groupBy(_._1).values.map(_.sortBy(_._2).map(_._3)).toSeq
+    val expectedMicro = seeds.map { pos =>
+      val n = pos.length
+      val q = pos.map(_.map(x => Math.round(x * 131072.0)))
+      val ss = (0 until 3).map { ax =>
+        val s0 = q.map(_(ax)).sum
+        q.map(p => { val d = n * p(ax) - s0; d * d }).sum
+      }.sum
+      val e = 0.5 * ss.toDouble / (n * n).toDouble / 17179869184.0 +
+        (n / 2 * (off("Ag") + off("Pd"))).toDouble / 1000.0
+      val nCfgs = if (n == 4) 6 else 8
+      nCfgs * Math.round(e * 1000000.0)
+    }.sum
+    val gotMicro = rows.filter(_.getString(0) == "sub")
+      .map(r => r.getLong(2) * r.getDouble(3) * 1000000.0).sum
+    assert(math.abs(gotMicro - expectedMicro.toDouble) < 1e-3)
+    // deterministic replay
+    val again = graft.queries.MaterialsOps.m6EndToEnd(spark, "").collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("g4 twin equals a pure-JVM MessageDigest replay bit-for-bit") {
     // Independent reimplementation of the twin's Irwin–Hall(12)
     // normal and strain pipeline with java.security.MessageDigest —
