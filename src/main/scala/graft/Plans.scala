@@ -88,7 +88,9 @@ object Plans {
       "g13_supercell" -> "4-row shift-grid + cells + symbols all broadcast onto the seed-atom scan — the corpus never shuffles",
       "g3_vacancy" -> "seed-partitioned k-subset self-join candidates, one md5-rank window, formula rebuild on the same seed key",
       "g9_prototypes" -> "library x perm broadcast grid, one (prototype, perm) agg — no corpus-sized exchange anywhere",
-      "g4_distortion" -> "seeds x draws strain grid (108 md5 terms/row) broadcast onto the atom scan; rattle is per-row expression work — no shuffle before the output sort")
+      "g4_distortion" -> "seeds x draws strain grid (108 md5 terms/row) broadcast onto the atom scan; rattle is per-row expression work — no shuffle before the output sort",
+      "g1_enumerated" -> "labeling walk as relational algebra: class-grid x codes range join, orbit = equi-join with the broadcast group relation, canonical = per-code MIN — labelings never leave their class partition",
+      "m6_materials_e2e" -> "g2/g3/g4 twin stages chained: generation-grid broadcasts onto the seed-atom scan, one uuid-keyed window+agg for energies, control-plane-sized global rank for the split")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")

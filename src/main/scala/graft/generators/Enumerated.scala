@@ -188,12 +188,18 @@ object Enumerated {
     *   reference — decorations stay distinct via the euid-style
     *   uuid even at zero displacement).
     */
-  def labelingsFor(lattice: String, a: Double, species: Seq[String],
-      hnf: Crystal.IMat, hnfIndex: Int,
-      concs: Option[Seq[(Int, Int, Int)]] = None,
-      keepSupers: Boolean = false,
-      arrows: Option[Seq[Double]] = None,
-      displace: Double = 0.0): Seq[Enumerated] = {
+  /** The site-symmetry data of one empty decorated superlattice: the
+    * supercell config, the space-group site/rotation pairs, the bare
+    * site-permutation group, and the nontrivial pure lattice
+    * translations (the superperiodic filter). Extracted from
+    * [[labelingsFor]] so the labeling-canon group can be materialized
+    * as a fixture relation (the g1 oracle twin's input — r8). */
+  final case class SiteSymmetry(sup: Config,
+      groupOps: Seq[(Array[Int], Lattice.Mat3)],
+      group: Seq[Array[Int]], superTrans: Seq[Seq[Int]])
+
+  def siteSymmetry(lattice: String, a: Double,
+      hnf: Crystal.IMat): SiteSymmetry = {
     val (pcell, pbasis) = primitiveCell(lattice, a)
     val prim = Config.of(Seq.fill(pbasis.length)("X"), pcell, pbasis)
     val spec = hnf.flatten.map(_.toInt).toSeq
@@ -250,6 +256,18 @@ object Enumerated {
     }
     val group: Seq[Array[Int]] = groupOps.map(_._1).distinctBy(_.toSeq)
     val superTrans = trans.filter(p => p != p.indices.toSeq)
+    SiteSymmetry(sup, groupOps, group, superTrans)
+  }
+
+  def labelingsFor(lattice: String, a: Double, species: Seq[String],
+      hnf: Crystal.IMat, hnfIndex: Int,
+      concs: Option[Seq[(Int, Int, Int)]] = None,
+      keepSupers: Boolean = false,
+      arrows: Option[Seq[Double]] = None,
+      displace: Double = 0.0): Seq[Enumerated] = {
+    val SiteSymmetry(sup, groupOps, group, superTrans) =
+      siteSymmetry(lattice, a, hnf)
+    val n = sup.n
 
     val k = species.length
     require(n < 40 && BigInt(k).pow(n) <= BigInt(4000000),

@@ -295,38 +295,77 @@ object MaterialsOps {
       .orderBy(col("group_uuid"), col("atom_idx"))
   }
 
-  /** G1 enumeration, distributed over the (size × HNF-class) grid:
-    * the point-group-reduced sublattice classes are the Dataset axis;
-    * each task enumerates symmetry-unique labelings for its own
-    * sublattice (the Spark shape — at scale the grid is huge and
-    * labelings never leave their task). Class reduction is O(HNF²·48)
-    * integer checks on the driver — cheap next to the labeling walk. */
+  /** G1 enumeration, oracle-green since r8 — the relational form of
+    * the Hart–Forcade labeling walk (PRB 77, 224115; reference:
+    * database/enumerated.py:354–448 delegating to phenum). The
+    * combinatorial kernel (Enumerated.labelingsFor) canonicalizes
+    * each of the 2ⁿ labelings by MIN over the empty superlattice's
+    * space-group site permutations and drops labelings fixed by a
+    * nontrivial pure translation (superperiodic = duplicate of a
+    * smaller cell). Both rules are pure relational algebra once the
+    * site-permutation group is a RELATION — which the committed
+    * enum_group fixture provides (SeedFixture.enumGroupDf, generated
+    * by the kernel's own siteSymmetry): labelings = a range join
+    * (code < 2ⁿ), the orbit = labelings × group-ops with digit
+    * (code >> maps_to) % 2, canonical = MIN(permuted) per code,
+    * superperiodic = EXISTS translation-op with permuted = original.
+    * MaterialsTwinSpec pins twin (size, hnf_index, labeling, symbols)
+    * set == kernel set, and the fixture == a siteSymmetry recompute.
+    *
+    * Scale shape: the (size × HNF-class) grid is the distributed
+    * axis; each class's 2ⁿ × |group| orbit work is an equi-join on
+    * (size, hnf_index) — labelings never leave their class partition,
+    * and the group table is broadcast-sized. At real enumeration
+    * scale (n ≈ 20, 10⁶ labelings/class) the same plan holds with
+    * the code range generated per-class. */
   def g1Enumerated(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pcell = graft.generators.Enumerated.primitiveCell("fcc", 4.05)._1
-    val grid = for {
-      n <- 2 to 4
-      (hnf, idx) <- graft.generators.Enumerated.hnfClasses(pcell, n.toLong)
-        .zipWithIndex
-    } yield (n, idx, hnf.map(_.toSeq).toSeq)
-    s.createDataset(grid).repartition(col("_2"))
-      .flatMap { case (n, idx, hnfRows) =>
-        val hnf: graft.core.Crystal.IMat = hnfRows.map(_.toArray).toArray
-        graft.generators.Enumerated
-          .labelingsFor("fcc", 4.05, Seq("Ag", "Pd"), hnf, idx)
-          .map(e => (e.size, e.hnfIndex, e.labeling, e.config.uuid,
-            e.config.symbols))
-      }
-      .toDF("size", "hnf_index", "labeling", "uuid", "symbols")
+    val ops = s.read.parquet(graft.sources.SeedFixture.enumGroupPath)
+    val grid = ops.select(col("size"), col("hnf_index"), col("n")).distinct()
+    val codes = s.range(0, 16).select(col("id").as("code"))
+    val labelings = grid.join(broadcast(codes),
+      col("code") < expr("shiftleft(1, n)"))
+    val sites = s.range(0, 4).select(col("id").as("site_idx"))
+    val orig = labelings.join(broadcast(sites), col("site_idx") < col("n"))
+      .withColumn("digit", expr("shiftright(code, site_idx) % 2"))
+      .groupBy(col("size"), col("hnf_index"), col("n"), col("code"))
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("site_idx"), col("digit")))),
+        _.getField("digit"))).as("orig"))
+    val perOp = labelings.join(ops, Seq("size", "hnf_index", "n"))
+      .withColumn("digit", expr("shiftright(code, maps_to) % 2"))
+      .groupBy(col("size"), col("hnf_index"), col("n"), col("code"),
+        col("op_id"), col("is_translation"))
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("site_idx"), col("digit")))),
+        _.getField("digit"))).as("permuted"))
+    val canon = perOp.join(orig, Seq("size", "hnf_index", "n", "code"))
+      .groupBy(col("size"), col("hnf_index"), col("n"), col("code"))
+      .agg(min(col("permuted")).as("canonical"),
+        max(when(col("is_translation") && col("permuted") === col("orig"),
+          1).otherwise(0)).as("superper"))
+      .where(col("superper") === 0)
+    val uniq = canon
+      .select(col("size"), col("hnf_index"), col("n"), col("canonical"))
+      .distinct()
+      .withColumn("pd", length(translate(col("canonical"), "0,", "")))
+    def part(el: String, cnt: Column): Column =
+      when(cnt === 0, lit("")).when(cnt === 1, lit(el))
+        .otherwise(concat(lit(el), cnt.cast("string")))
+    uniq.select(col("size"), col("hnf_index"),
+      col("canonical").as("labeling"),
+      md5(concat_ws(":", lit("enum"), lit("fcc"), col("size"),
+        col("hnf_index"), col("canonical"))).as("uuid"),
+      concat(part("Ag", col("n") - col("pd")), part("Pd", col("pd")))
+        .as("symbols"))
       .orderBy(col("size"), col("hnf_index"), col("labeling"))
   }
 
   /** G1 nconfigs sampling (enumerated.py:354–448): keyed-digest rank
-    * over the distributed enumeration stream — md5(seed:uuid) orders
-    * the structures pseudo-randomly but deterministically, and
-    * orderBy+limit compiles to TakeOrderedAndProject (per-partition
-    * top-n, no global sort materialization). Same grid-distributed
-    * kernel as g1Enumerated. */
+    * over the enumeration — md5(seed:uuid) orders the structures
+    * pseudo-randomly but deterministically, and orderBy+limit
+    * compiles to TakeOrderedAndProject (per-partition top-n, no
+    * global sort materialization). Oracle-green since r8 on top of
+    * the g1 twin. */
   def g1EnumSampled(s: SparkSession, dir: String): DataFrame = {
     val nconfigs = 12
     val seed = 42
@@ -760,16 +799,76 @@ object MaterialsOps {
     "m6_materials_e2e" -> (m6EndToEnd _),
   )
 
-  /** g2/g3/g4/g13/g9/m6 are oracle-checked since r8 via the committed
-    * seed/library fixtures + md5-keyed deterministic twins (g4's
-    * Gaussians are Irwin–Hall integer sums — the Box–Muller ln/cos
-    * the kernel uses is exactly the libm-ulp divergence class the
-    * twins exist to avoid; m6 chains the g2/g3/g4 recipes through
-    * integer-quantized stub energies and an md5-rank split); the
-    * remaining g-family entries run JVM kernels with no SQL twin →
-    * rows-only: g1/g1_enum_sampled (combinatorial HNF/labeling
-    * enumeration walk), g8 (Breeze eigendecomposition). */
+  /** DuckDB twin of g1Enumerated — the labeling walk as SQL over the
+    * committed group relation. */
+  private def g1Sql: String =
+    s"""WITH ops AS (
+       | SELECT size, hnf_index, n, op_id, site_idx, maps_to,
+       |  is_translation
+       | FROM read_parquet('${graft.sources.SeedFixture.enumGroupPath}/*.parquet')),
+       |grid AS (SELECT DISTINCT size, hnf_index, n FROM ops),
+       |codes AS (SELECT r AS code FROM range(0, 16) t(r)),
+       |labelings AS (
+       | SELECT g.size, g.hnf_index, g.n, c.code
+       | FROM grid g JOIN codes c ON c.code < (1 << g.n)),
+       |orig AS (
+       | SELECT l.size, l.hnf_index, l.n, l.code,
+       |  string_agg(CAST((l.code >> s.r) % 2 AS VARCHAR), ','
+       |   ORDER BY s.r) AS orig
+       | FROM labelings l JOIN range(0, 4) s(r) ON s.r < l.n
+       | GROUP BY 1, 2, 3, 4),
+       |per_op AS (
+       | SELECT l.size, l.hnf_index, l.n, l.code, o.op_id,
+       |  o.is_translation,
+       |  string_agg(CAST((l.code >> o.maps_to) % 2 AS VARCHAR), ','
+       |   ORDER BY o.site_idx) AS permuted
+       | FROM labelings l JOIN ops o
+       |  ON o.size = l.size AND o.hnf_index = l.hnf_index
+       | GROUP BY 1, 2, 3, 4, 5, 6),
+       |canon AS (
+       | SELECT p.size, p.hnf_index, p.n, p.code,
+       |  MIN(p.permuted) AS canonical,
+       |  MAX(CASE WHEN p.is_translation AND p.permuted = r.orig
+       |    THEN 1 ELSE 0 END) AS superper
+       | FROM per_op p JOIN orig r ON r.size = p.size
+       |  AND r.hnf_index = p.hnf_index AND r.code = p.code
+       | GROUP BY 1, 2, 3, 4),
+       |uniq AS (
+       | SELECT DISTINCT size, hnf_index, n, canonical
+       | FROM canon WHERE superper = 0),
+       |sym AS (
+       | SELECT size, hnf_index, n, canonical,
+       |  length(translate(canonical, '0,', '')) AS pd
+       | FROM uniq)
+       |SELECT size, hnf_index, canonical AS labeling,
+       | md5(concat_ws(':', 'enum', 'fcc', size, hnf_index, canonical))
+       |  AS uuid,
+       | (CASE WHEN n - pd = 0 THEN '' WHEN n - pd = 1 THEN 'Ag'
+       |   ELSE 'Ag' || CAST(n - pd AS VARCHAR) END) ||
+       | (CASE WHEN pd = 0 THEN '' WHEN pd = 1 THEN 'Pd'
+       |   ELSE 'Pd' || CAST(pd AS VARCHAR) END) AS symbols
+       |FROM sym
+       |ORDER BY size, hnf_index, labeling""".stripMargin
+
+  /** g2/g3/g4/g13/g9/m6/g1 are oracle-checked since r8 via the
+    * committed seed/library/group fixtures + md5-keyed deterministic
+    * twins (g4's Gaussians are Irwin–Hall integer sums — the
+    * Box–Muller ln/cos the kernel uses is exactly the libm-ulp
+    * divergence class the twins exist to avoid; m6 chains the
+    * g2/g3/g4 recipes through integer-quantized stub energies and an
+    * md5-rank split; g1 replays the Hart–Forcade labeling canon over
+    * the committed site-permutation group). The one remaining
+    * g-family rows-only entry is g8 (Breeze eigendecomposition — no
+    * SQL twin for an iterative eigensolver on this surface). */
   val oracle: Map[String, String] = Map(
+    "g1_enumerated" -> g1Sql,
+    "g1_enum_sampled" ->
+      s"""WITH g1 AS ($g1Sql),
+         |sampled AS (
+         | SELECT * FROM g1
+         | ORDER BY md5(concat_ws(':', 42, uuid)), uuid LIMIT 12)
+         |SELECT size, hnf_index, labeling, uuid, symbols FROM sampled
+         |ORDER BY size, hnf_index, labeling""".stripMargin,
     "g4_distortion" -> g4DistortionSql,
     "m6_materials_e2e" -> m6Sql,
     "g2_substitution" ->

@@ -66,6 +66,34 @@ object SeedFixture {
     }.toDF("proto_name", "arity", "nsites", "slot", "slot_cnt")
   }
 
+  /** g1 labeling-canon group fixture (r8): one row per (cell-size,
+    * HNF-class, space-group op, site) — site_idx → maps_to is the
+    * op's site permutation, is_translation marks the nontrivial pure
+    * lattice translations (the superperiodic filter). With the group
+    * materialized, the Hart–Forcade labeling walk (min-over-orbit
+    * canonicalization + superperiodic drop) replays as joins +
+    * group-bys in any engine (MaterialsOps.g1Enumerated twin).
+    * Surface: fcc a=4.05, sizes 2–4, binary species — the g1 entry's
+    * parameters. */
+  val enumGroupPath = "/root/repo/fixtures/enum_group.parquet"
+
+  def enumGroupDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pcell = graft.generators.Enumerated.primitiveCell("fcc", 4.05)._1
+    val rows = for {
+      size <- 2 to 4
+      (hnf, idx) <- graft.generators.Enumerated.hnfClasses(pcell, size.toLong)
+        .zipWithIndex
+      sym = graft.generators.Enumerated.siteSymmetry("fcc", 4.05, hnf)
+      superSet = sym.superTrans.map(_.toSeq).toSet
+      (perm, opId) <- sym.group.zipWithIndex
+      isTrans = superSet.contains(perm.toSeq)
+      siteIdx <- perm.indices
+    } yield (size, idx, sym.sup.n, opId, siteIdx, perm(siteIdx), isTrans)
+    rows.toDF("size", "hnf_index", "n", "op_id", "site_idx", "maps_to",
+      "is_translation")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[2]")
@@ -81,6 +109,9 @@ object SeedFixture {
     protoSitesDf(spark).coalesce(1)
       .orderBy(col("proto_name"), col("slot"))
       .write.mode("overwrite").parquet(protoSitesPath)
+    enumGroupDf(spark).coalesce(1)
+      .orderBy(col("size"), col("hnf_index"), col("op_id"), col("site_idx"))
+      .write.mode("overwrite").parquet(enumGroupPath)
     spark.stop()
   }
 }

@@ -95,6 +95,40 @@ class MaterialsTwinSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("g1 twin (size, hnf_index, labeling, symbols) set equals the kernel") {
+    // The twin must reproduce the Hart–Forcade walk exactly: same
+    // canonical labeling strings (min-over-orbit), same superperiodic
+    // drops, same per-class census. Symbols are orbit-invariant
+    // (permutations preserve counts), so they must match too even
+    // though the kernel builds them from the first-encountered orbit
+    // member rather than the canonical one.
+    val kernel = graft.generators.Enumerated
+      .enumerate("fcc", 4.05, Seq("Ag", "Pd"), 2, 4)
+      .map(e => (e.size, e.hnfIndex, e.labeling, e.config.symbols))
+      .toSet
+    val twin = graft.queries.MaterialsOps.g1Enumerated(spark, "")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(4)))
+      .toSet
+    assert(twin === kernel)
+    assert(twin.size === 27) // fcc binary sizes 2–4: 2 + 6 + 19
+  }
+
+  test("committed enum-group fixture mirrors the kernel's siteSymmetry") {
+    val committed = spark.read
+      .parquet(graft.sources.SeedFixture.enumGroupPath)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getBoolean(6)))
+      .toSet
+    val fresh = graft.sources.SeedFixture.enumGroupDf(spark)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getBoolean(6)))
+      .toSet
+    assert(committed === fresh)
+  }
+
   test("m6 twin: census, ceil split sizing, sub-energy replay, determinism") {
     val rows = graft.queries.MaterialsOps.m6EndToEnd(spark, "").collect()
     // census: 14 sub (C(4,2)=6 caps the 4-atom seed; 8 from the
