@@ -83,10 +83,14 @@ object DetCms {
     * tier: pigeonhole-complete per-source support filter (exact
     * integers); estimate tier: deterministic CMS min-count; gate:
     * est·10⁶ ≥ φµ·N. Output (token, est_count), est desc. */
+  /** The sk3 tokenizer, shared with the streaming register twin so
+    * batch and per-micro-batch token streams are the same relation. */
+  def tokensOf(docs: DataFrame): DataFrame = docs
+    .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    .where(length(col("token")) > 0)
+
   def heavyHittersOf(docs: DataFrame, phiMicro: Long): DataFrame = {
-    val toks = docs
-      .select(col("source"), explode(split(col("text"), " ")).as("token"))
-      .where(length(col("token")) > 0)
+    val toks = tokensOf(docs)
     val totals = toks.agg(
       count(lit(1)).as("n_mass"),
       countDistinct(col("source")).as("n_src"))

@@ -270,6 +270,64 @@ class StreamingSpec extends AnyFunSuite {
       "fixture sanity: the incoming slice contains at least one dup")
   }
 
+  test("sk1 HLL register stream drains to the batch sketch bit-for-bit") {
+    // keyed token stream split into 3 micro-batches; merged per-bucket
+    // MAX registers must rebuild the exact batch sketch state AND
+    // estimate (max is associative + idempotent, so the partitioning
+    // is invisible)
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_returnflag"), col("l_partkey").cast("string").as("tok"))
+    val src = Files.createTempDirectory("hll_src").toString
+    val sink = Files.createTempDirectory("hll_sink").toString + "/regs"
+    val ckpt = Files.createTempDirectory("hll_ckpt").toString
+    (0 to 2).foreach { i =>
+      li.where(pmod(col("tok").cast("long"), lit(3)) === i)
+        .write.parquet(s"$src/b$i")
+    }
+    val q = graft.streaming.SketchStream.startHll(spark, s"$src/*", sink, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val streamed = canon(
+      graft.streaming.SketchStream.mergedHllEstimate(spark, sink))
+    val batch = canon(graft.operators.DetHll.estimate(
+      graft.operators.DetHll.registers(li, Seq("l_returnflag"), col("tok")),
+      Seq("l_returnflag"), "approx_parts").orderBy(col("l_returnflag")))
+    assert(streamed === batch,
+      "merged register deltas must equal the one-shot batch HLL sketch")
+    assert(streamed.nonEmpty && streamed.forall(_._2 > 0))
+  }
+
+  test("sk3 CMS register stream drains to the batch heavy hitters bit-for-bit") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val src = Files.createTempDirectory("cms_src").toString
+    val regSink = Files.createTempDirectory("cms_regs").toString + "/regs"
+    val candSink = Files.createTempDirectory("cms_cand").toString + "/cand"
+    val ckpt = Files.createTempDirectory("cms_ckpt").toString
+    (0 to 2).foreach { i =>
+      docs.where(pmod(col("doc_id"), lit(3)) === i)
+        .write.parquet(s"$src/b$i")
+    }
+    val q = graft.streaming.SketchStream.startCms(
+      spark, s"$src/*", regSink, candSink, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(r => (-r._2, r._1))
+      .toSeq
+    val streamed = canon(graft.streaming.SketchStream
+      .mergedHeavyHitters(spark, regSink, candSink, 10000L))
+    val batch = canon(
+      graft.operators.DetCms.heavyHittersOf(docs, 10000L))
+    assert(streamed === batch,
+      "summed register deltas must equal the one-shot batch CMS output")
+    assert(streamed.nonEmpty,
+      "fixture sanity: the corpus has at least one 1%-support token")
+  }
+
   test("d14 minhash probe stream drains to the batch verdicts (signature-table twin)") {
     // the d14 fixture split at sf0.001: history = doc_id % 10 != 0,
     // incoming = the % 10 slice, landed as three files
