@@ -72,16 +72,23 @@ object MaterialsPipeline {
       .orderBy(col("configType"), col("bucket"))
   }
 
+  /** The 2-atom hessian seed (shared with the fixture writer so the
+    * g8 twin's committed relation and this kernel agree by
+    * construction). */
+  def hessianSeed: Config = {
+    val a = 4.05
+    Config.of(Seq("Ag", "Pd"),
+      Seq(Seq(a, 0.0, 0.0), Seq(0.0, a, 0.0), Seq(0.0, 0.0, a)),
+      Seq(Seq(0.0, 0.0, 0.0), Seq(a / 2, a / 2, a / 2)),
+      configType = Some("seed"))
+  }
+
   /** Hessian slice: 2-atom seed → G7 displacements → stub forces →
     * G8 eigen-explode (distributed per-seed via groupByKey). */
   def hessianSlice(spark: SparkSession, ranSeed: Long = 42L): DataFrame = {
     import spark.implicits._
     val calc = StubCalculator(k = 1.0, ranSeed = ranSeed)
-    val a = 4.05
-    val seed2 = Config.of(Seq("Ag", "Pd"),
-      Seq(Seq(a, 0.0, 0.0), Seq(0.0, a, 0.0), Seq(0.0, 0.0, a)),
-      Seq(Seq(0.0, 0.0, 0.0), Seq(a / 2, a / 2, a / 2)),
-      configType = Some("seed"))
+    val seed2 = hessianSeed
     val disp = spark.createDataset(Seq(seed2))
       .flatMap(s => Hessian.displacements(s))
       .map(d => d.copy(config = calc.extract(d.config)))

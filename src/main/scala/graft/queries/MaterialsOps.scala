@@ -612,8 +612,17 @@ object MaterialsOps {
       .orderBy(col("config_type"), col("bucket"))
   }
 
+  /** G8 hessian eigen-explode, oracle-green since r8 — the
+    * cross-engine-deterministic fixed-sweep Jacobi twin
+    * (operators/JacobiEigen.scala: relational central-difference H
+    * assembly over the committed 2-atom seed fixture, then cyclic
+    * Jacobi built from correctly-rounded IEEE ops only). The Breeze
+    * kernel (MaterialsPipeline.hessianSlice → Hessian.eigenConfigs,
+    * LAPACK dsyevd) stays the library surface under PipelineSpec /
+    * GeneratorsSpec; JacobiEigenSpec pins the two spectra against
+    * each other to 1e-9. */
   def g8HessianEigen(s: SparkSession, dir: String): DataFrame =
-    MaterialsPipeline.hessianSlice(s)
+    graft.operators.JacobiEigen.g8Twin(s, dir)
 
   /** DuckDB twin of g4Distortion, generated term-for-term from the
     * same (a, b, t) loops so the expression trees — and therefore
@@ -861,6 +870,7 @@ object MaterialsOps {
     * g-family rows-only entry is g8 (Breeze eigendecomposition — no
     * SQL twin for an iterative eigensolver on this surface). */
   val oracle: Map[String, String] = Map(
+    "g8_hessian_eigen" -> graft.operators.JacobiEigen.oracleG8,
     "g1_enumerated" -> g1Sql,
     "g1_enum_sampled" ->
       s"""WITH g1 AS ($g1Sql),

@@ -94,6 +94,22 @@ object SeedFixture {
       "is_translation")
   }
 
+  /** g8 hessian seed fixture (r8): the 2-atom frozen-phonon seed as
+    * an atom relation — the input of the Jacobi eigensolver twin
+    * (operators/JacobiEigen.scala). Kept SEPARATE from
+    * seed_configs.parquet: adding a seed there would change the
+    * g2/g3/g4/g13/m6 oracles. */
+  val hessianSeedPath = "/root/repo/fixtures/hessian_seed.parquet"
+
+  def hessianSeedDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val c = graft.pipeline.MaterialsPipeline.hessianSeed
+    c.species.indices.map { i =>
+      (c.uuid, i, c.species(i),
+        c.positions(i)(0), c.positions(i)(1), c.positions(i)(2), c.n)
+    }.toDF("seed_uuid", "atom_idx", "element", "x", "y", "z", "n")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[2]")
@@ -112,6 +128,9 @@ object SeedFixture {
     enumGroupDf(spark).coalesce(1)
       .orderBy(col("size"), col("hnf_index"), col("op_id"), col("site_idx"))
       .write.mode("overwrite").parquet(enumGroupPath)
+    hessianSeedDf(spark).coalesce(1)
+      .orderBy(col("seed_uuid"), col("atom_idx"))
+      .write.mode("overwrite").parquet(hessianSeedPath)
     spark.stop()
   }
 }
