@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 132 codegen-heavy queries in one JVM overflow the default 240 MB
+  // JIT code cache; once it fills, compilation stops and late queries
+  // (alphabetically s*/t*/w*) run partially interpreted - the in-run
+  // inflation the bench artifact showed vs isolated re-measures.
+  "-XX:ReservedCodeCacheSize=512m",
 )
