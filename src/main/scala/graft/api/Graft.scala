@@ -348,6 +348,99 @@ object Graft {
   }
 
   // ------------------------------------------------------------------
+  /** Materials-domain family — the reference engine's own surface:
+    * seed configurations flow as `Dataset[graft.core.Config]` (the
+    * atom-level row type), generators are per-seed flatMaps (the
+    * seed table is the unit of parallelism — SCALING rule 7), and
+    * the relational outputs mirror the oracle-checked g-family
+    * queries. Deterministic under a pinned `ranSeed`. */
+  object materials {
+    import org.apache.spark.sql.Dataset
+    import graft.core.Config
+    import graft.generators.{Enumerated, Generators, Hessian, Prototypes}
+
+    /** The committed AgPd seed pair as a Dataset (qid feeds
+      * g2/g3/g4/g13/m6). */
+    def seeds(spark: SparkSession): Dataset[Config] =
+      graft.pipeline.MaterialsPipeline.seedDs(spark)
+
+    /** qid: g2_substitution — stoichiometric site substitution,
+      * content-hash-deduped per seed. */
+    def substitution(seeds: Dataset[Config], stoich: Map[String, Double],
+        nconfigs: Int, ranSeed: Long): Dataset[Config] = {
+      import seeds.sparkSession.implicits._
+      seeds.flatMap(c => Generators.substitution(c, stoich, nconfigs, ranSeed))
+    }
+
+    /** qid: g3_vacancy — exhaustive-then-capped vacancy generation. */
+    def vacancy(seeds: Dataset[Config], vacPerAtom: Double, nconfigs: Int,
+        ranSeed: Long): Dataset[Config] = {
+      import seeds.sparkSession.implicits._
+      seeds.flatMap(c =>
+        Generators.vacancy(c, vacPerAtom, nconfigs, ranSeed))
+    }
+
+    /** qid: g4_distortion — random-strain + rattle generation. */
+    def distortion(seeds: Dataset[Config], nconfigs: Int, covDiag: Double,
+        volumeFactor: Double, rattle: Double,
+        ranSeed: Long): Dataset[Config] = {
+      import seeds.sparkSession.implicits._
+      seeds.flatMap(c => Generators.distortion(c, nconfigs, covDiag,
+        volumeFactor, rattle, ranSeed))
+    }
+
+    /** qid: g13_supercell — diagonal/HNF supercell expansion. */
+    def supercell(seeds: Dataset[Config], spec: Seq[Int]): Dataset[Config] = {
+      import seeds.sparkSession.implicits._
+      seeds.map(c => Generators.supercell(c, spec))
+    }
+
+    /** qid: g1_enumerated — Hart–Forcade derivative-superstructure
+      * enumeration, distributed over the (size × HNF-class) grid.
+      * Output: (size, hnf_index, labeling, uuid, symbols). */
+    def enumerate(spark: SparkSession, lattice: String, a: Double,
+        species: Seq[String], minSize: Int, maxSize: Int): DataFrame = {
+      import spark.implicits._
+      val pcell = Enumerated.primitiveCell(lattice, a)._1
+      val grid = for {
+        n <- minSize to maxSize
+        (hnf, idx) <- Enumerated.hnfClasses(pcell, n.toLong).zipWithIndex
+      } yield (n, idx, hnf.map(_.toSeq).toSeq)
+      spark.createDataset(grid).repartition(col("_2"))
+        .flatMap { case (n, idx, rows) =>
+          Enumerated.labelingsFor(lattice, a, species,
+            rows.map(_.toArray).toArray, idx)
+            .map(e => (e.size, e.hnfIndex, e.labeling, e.config.uuid,
+              e.config.symbols))
+        }
+        .toDF("size", "hnf_index", "labeling", "uuid", "symbols")
+    }
+
+    /** qid: g9_prototypes — prototype-library decoration over the
+      * species-permutation grid; `latpars` maps element → lattice
+      * parameter (vegard-interpolated per decoration). */
+    def prototypes(spark: SparkSession, names: Seq[String],
+        species: Seq[String],
+        latpars: Map[String, Double]): Dataset[Config] = {
+      import spark.implicits._
+      spark.createDataset(Prototypes.generate(names, species, latpars))
+    }
+
+    /** qid: g8_hessian_eigen — frozen-phonon eigen pseudo-configs for
+      * one seed through a calculator (G7 displacements → forces → H →
+      * eigSym). The per-seed matrix is task-local; parallelize by
+      * mapping this over a seed Dataset. */
+    def hessianEigen(seed: Config,
+        calc: graft.calculators.Calculator): Seq[Config] =
+      Hessian.forSeed(seed, calc)
+
+    /** qid: m6_materials_e2e — the full generate → widen → stub-DFT →
+      * split → summary slice. */
+    def endToEnd(spark: SparkSession, ranSeed: Long = 42L): DataFrame =
+      graft.pipeline.MaterialsPipeline.endToEnd(spark, ranSeed)
+  }
+
+  // ------------------------------------------------------------------
   /** Event/session analytics family — events are `(user_id, event_id,
     * ts epoch-nanos long, event_type, ...)`; `event_id` breaks
     * same-timestamp ordering ties deterministically. */

@@ -184,4 +184,35 @@ class ApiSpec extends AnyFunSuite {
     val tr = Graft.events.transitions(ev).collect()
     assert(tr.length === 2) // view→click, click→buy
   }
+
+  test("facade materials family: generators, enumeration, eigen, pipeline") {
+    val seeds = Graft.materials.seeds(spark)
+    assert(seeds.count() === 2L)
+
+    val subs = Graft.materials.substitution(seeds,
+      Map("Ag" -> 0.5, "Pd" -> 0.5), nconfigs = 4, ranSeed = 7L).collect()
+    assert(subs.nonEmpty && subs.forall(_.configType.contains("sub")))
+    val vacs = Graft.materials.vacancy(seeds, 0.25, nconfigs = 2,
+      ranSeed = 7L).collect()
+    assert(vacs.nonEmpty && vacs.forall(c => c.n < 8))
+    val sup = Graft.materials.supercell(seeds, Seq(2, 1, 1)).collect()
+    assert(sup.map(_.n).sorted.toSeq === Seq(8, 16))
+
+    // fcc binary sizes 2-4: the oracle-pinned 27-structure census
+    val enum0 = Graft.materials
+      .enumerate(spark, "fcc", 4.05, Seq("Ag", "Pd"), 2, 4)
+    assert(enum0.count() === 27L)
+
+    val protos = Graft.materials.prototypes(spark, Seq("all"),
+      Seq("Ag", "Pd"), Map("Ag" -> 4.09, "Pd" -> 3.89)).collect()
+    assert(protos.nonEmpty)
+
+    val eigs = Graft.materials.hessianEigen(
+      graft.pipeline.MaterialsPipeline.hessianSeed,
+      graft.calculators.StubCalculator(k = 1.0))
+    assert(eigs.length === 3) // the analytic stub spectrum
+
+    val e2e = Graft.materials.endToEnd(spark).collect()
+    assert(e2e.nonEmpty)
+  }
 }
