@@ -367,4 +367,142 @@ object Multimodal {
         round(avg(element_at(col("feature"), 4)), 6).as("avg_bin3"))
       .orderBy(col("kind"))
   }
+
+  // ------------------------------------------------------------------
+  // mm3/mm4: oracle-checked feature extraction over LOSSLESS codecs
+  // ------------------------------------------------------------------
+
+  /** mm3 audio features, oracle-green since r8 — the first multimodal
+    * HASH-level oracle, possible because PCM WAV is LOSSLESS:
+    * decode(encode(samples)) == samples exactly, so features computed
+    * from the REAL RIFF/PCM decode (this kernel) equal features the
+    * oracle derives from the payload's synthesis law (samples are a
+    * deterministic function of the document text bytes — all-ASCII on
+    * this corpus, so DuckDB's per-char `ascii()` IS the byte). All
+    * features are integer arithmetic (energy, peak, 8-band amplitude
+    * histogram via the same two's-complement band formula as
+    * decodeFeatures) except RMS — one IEEE divide + correctly-rounded
+    * sqrt with a mirrored expression tree.
+    *
+    * Scale shape: decode is per-row kernel work inside the scan (the
+    * batched-kernel boundary above); the output is one row per media
+    * row, no shuffle before the output sort. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter(_.kind == "audio")
+      .map { m =>
+        val a = graft.sources.Wav.decode(m.payload)
+        val s = a.samples
+        var energy = 0L
+        var peak = 0
+        val h = new Array[Long](8)
+        var i = 0
+        while (i < s.length) {
+          val v: Int = s(i).toInt
+          energy += v.toLong * v.toLong
+          val av = math.abs(v); if (av > peak) peak = av
+          h((((v & 0xFFFF) >> 13) & 7)) += 1L
+          i += 1
+        }
+        (m.media_id, s.length, energy, peak,
+          h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
+      }
+      .toDF("media_id", "n_samples", "energy", "peak",
+        "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
+      .withColumn("rms",
+        sqrt(col("energy").cast("double") / col("n_samples").cast("double")))
+      .select(col("media_id"), col("n_samples"), col("energy"), col("peak"),
+        col("rms"), col("h0"), col("h1"), col("h2"), col("h3"), col("h4"),
+        col("h5"), col("h6"), col("h7"))
+      .orderBy(col("media_id"))
+  }
+
+  /** mm4 per-frame video stats, oracle-green since r8 — same lossless
+    * argument for the Y4M container: the decoded Y planes equal the
+    * synthesis bytes, so per-frame luma sums/extrema and the
+    * inter-frame motion (Σ|y_f − y_{f−1}|, the cheap scene-change
+    * signal a frame-sampling pipeline gates on) replay in SQL as
+    * pure-integer range-join aggregations. Frame 0's motion is 0 by
+    * convention. */
+  def videoFrameStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter(_.kind == "video")
+      .flatMap { m =>
+        val v = graft.sources.Y4m.decode(m.payload)
+        v.frames.zipWithIndex.map { case (f, fi) =>
+          var ySum = 0L
+          var yMin = 255
+          var yMax = 0
+          var motion = 0L
+          val y = f.y
+          val prev = if (fi == 0) null else v.frames(fi - 1).y
+          var i = 0
+          while (i < y.length) {
+            val yv = y(i) & 0xFF
+            ySum += yv
+            if (yv < yMin) yMin = yv
+            if (yv > yMax) yMax = yv
+            if (prev != null) motion += math.abs(yv - (prev(i) & 0xFF))
+            i += 1
+          }
+          (m.media_id, fi, ySum, yMin, yMax, motion)
+        }
+      }
+      .toDF("media_id", "frame_idx", "y_sum", "y_min", "y_max", "motion")
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** DuckDB twin of audioFeatures via the synthesis law. */
+  def oracleMm3: String = {
+    val hCols = (0 until 8).map(b =>
+      s"  CAST(SUM(CASE WHEN ((s & 65535) >> 13) & 7 = $b THEN 1 ELSE 0 END)" +
+        s" AS BIGINT) AS h$b").mkString(",\n")
+    s"""WITH auds AS (
+       | SELECT doc_id, text, length(text) AS len,
+       |  CAST((n_chars % 256) + 64 AS INT) AS n
+       | FROM documents WHERE doc_id % 3 = 1),
+       |smp AS (
+       | SELECT a.doc_id, a.n,
+       |  (ascii(substr(a.text, CAST(i.r % a.len AS INT) + 1, 1)) - 128) * 256
+       |   AS s
+       | FROM auds a JOIN range(0, 320) i(r) ON i.r < a.n),
+       |agg AS (
+       | SELECT doc_id, MAX(n) AS n_samples,
+       |  CAST(SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT)
+       |   AS energy,
+       |  MAX(abs(s)) AS peak,
+       |$hCols
+       | FROM smp GROUP BY doc_id)
+       |SELECT doc_id AS media_id, n_samples, energy, peak,
+       | sqrt(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms,
+       | h0, h1, h2, h3, h4, h5, h6, h7
+       |FROM agg ORDER BY media_id""".stripMargin
+  }
+
+  /** DuckDB twin of videoFrameStats via the synthesis law. */
+  def oracleMm4: String =
+    s"""WITH vids AS (
+       | SELECT doc_id, text, length(text) AS len,
+       |  CAST((n_chars % 16) * 2 + 16 AS INT) AS w,
+       |  CAST((n_chars % 7) + 1 AS INT) AS nf
+       | FROM documents WHERE doc_id % 3 = 2),
+       |grid AS (
+       | SELECT v.doc_id, CAST(f.r AS INT) AS frame_idx,
+       |  ascii(substr(v.text,
+       |   CAST((f.r * (v.w * 16) + i.r) % v.len AS INT) + 1, 1)) AS y,
+       |  CASE WHEN f.r = 0 THEN NULL ELSE
+       |   ascii(substr(v.text,
+       |    CAST(((f.r - 1) * (v.w * 16) + i.r) % v.len AS INT) + 1, 1)) END
+       |   AS yprev
+       | FROM vids v
+       | JOIN range(0, 7) f(r) ON f.r < v.nf
+       | JOIN range(0, 736) i(r) ON i.r < v.w * 16)
+       |SELECT doc_id AS media_id, frame_idx,
+       | CAST(SUM(y) AS BIGINT) AS y_sum,
+       | MIN(y) AS y_min, MAX(y) AS y_max,
+       | CAST(COALESCE(SUM(abs(y - yprev)), 0) AS BIGINT) AS motion
+       |FROM grid GROUP BY doc_id, frame_idx
+       |ORDER BY media_id, frame_idx""".stripMargin
 }

@@ -234,6 +234,11 @@ object SimilarityOps {
     "mm2_image_phash" ->
       ((s: SparkSession, d: String) =>
         graft.operators.Multimodal.imagePhashPairs(s, d)),
+    // oracle since r8: PCM WAV / Y4M are LOSSLESS, so features from
+    // the REAL decode equal the oracle's synthesis-law replay
+    "mm3_audio_features" -> (graft.operators.Multimodal.audioFeatures _),
+    "mm4_video_framestats" ->
+      (graft.operators.Multimodal.videoFrameStats _),
     "m12_embedding_filter" -> (graft.operators.EmbedFilter.m12EmbeddingFilter _),
   )
 
@@ -321,6 +326,8 @@ object SimilarityOps {
   val oracle: Map[String, String] = Map(
     "s5_bm25" -> s5Sql,
     "s8_hybrid_rrf" -> s8Sql,
+    "mm3_audio_features" -> graft.operators.Multimodal.oracleMm3,
+    "mm4_video_framestats" -> graft.operators.Multimodal.oracleMm4,
     // r7 conversions (VERDICT r6 task #4): the clustering step is the
     // cross-engine-deterministic integer Lloyd, so the full unrolled
     // iteration chain replays in DuckDB — see operators/IntKmeans.scala

@@ -162,6 +162,51 @@ class Round6OpsSpec extends AnyFunSuite {
 
   // --------------------------------------------------------- time-weighted
 
+  test("mm3 audio features equal a direct synthesis-law recompute (lossless PCM)") {
+    // The oracle's premise, checked in-JVM: WAV decode returns the
+    // exact synthesized samples, so features from the decode path
+    // equal features computed straight from the text bytes.
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .where(col("doc_id") % 3 === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = graft.operators.Multimodal.audioFeatures(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3))).toMap
+    assert(got.size === docs.length && docs.nonEmpty)
+    docs.foreach { case (id, text, nChars) =>
+      val tb = text.getBytes("UTF-8")
+      val n = (nChars % 256).toInt + 64
+      var energy = 0L; var peak = 0
+      (0 until n).foreach { i =>
+        val v = ((tb(i % tb.length) & 0xFF) - 128) * 256
+        energy += v.toLong * v.toLong
+        peak = math.max(peak, math.abs(v))
+      }
+      assert(got(id) === ((n, energy, peak)), s"doc $id")
+    }
+  }
+
+  test("mm4 frame stats: frame census and motion-0 convention (lossless Y4M)") {
+    val rows = graft.operators.Multimodal.videoFrameStats(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // frame 0 motion is 0 by convention; later frames mostly move
+    assert(rows.filter(_._2 == 0).forall(_._6 == 0L))
+    assert(rows.exists(r => r._2 > 0 && r._6 > 0L))
+    // per-doc frame count matches the synthesis law (n_chars % 7) + 1
+    val expected = graft.Tables(spark, sf, "documents")
+      .where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), ((col("n_chars") % 7) + 1).cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gotCounts = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(gotCounts === expected)
+    // luma bounds: ASCII text bytes land in [32, 126]
+    assert(rows.forall(r => r._4 >= 32 && r._5 <= 126))
+  }
+
   test("time-weighted average matches a hand computation") {
     import spark.implicits._
     // one user: value 10 held 3 s, 20 held 1 s → twa = (30+20)/4 = 12.5
