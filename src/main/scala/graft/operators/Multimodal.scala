@@ -454,6 +454,57 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** mm5 image stats over the BMP-coded half of the image rows,
+    * oracle-green since r8 — completes the modality triple: BMP is
+    * the lossless image container (JPEG rows keep the principled
+    * rows-only mm2 story — T.81 decode has no SQL twin), so integer
+    * luma statistics from the REAL BMP decode replay from the
+    * synthesis law exactly. Luma uses the same (r+g+b)/3 integer
+    * division as decodeFeatures' histogram. */
+  def imageStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter(m => m.kind == "image" && (m.media_id / 3) % 2 == 1)
+      .map { m =>
+        val img = decodeImage(m.payload)
+        var lumSum = 0L
+        val h = new Array[Long](8)
+        img.rgb.foreach { px =>
+          val lum = (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)) / 3
+          lumSum += lum
+          h(lum / 32) += 1L
+        }
+        (m.media_id, img.width, img.height, lumSum,
+          h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
+      }
+      .toDF("media_id", "w", "h", "lum_sum",
+        "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB twin of imageStats via the synthesis law. */
+  def oracleMm5: String = {
+    def tb(expr: String) =
+      s"ascii(substr(g.text, CAST(($expr) % g.len AS INT) + 1, 1))"
+    val lum = s"((${tb("3 * i.r")} + ${tb("3 * i.r + 1")} + " +
+      s"${tb("3 * i.r + 2")}) // 3)"
+    val hCols = (0 until 8).map(b =>
+      s"  CAST(SUM(CASE WHEN lum // 32 = $b THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS h$b").mkString(",\n")
+    s"""WITH imgs AS (
+       | SELECT doc_id, text, length(text) AS len,
+       |  CAST((n_chars % 24) + 8 AS INT) AS w, 8 AS h
+       | FROM documents WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1),
+       |px AS (
+       | SELECT g.doc_id, g.w, g.h, $lum AS lum
+       | FROM imgs g JOIN range(0, 248) i(r) ON i.r < g.w * 8)
+       |SELECT doc_id AS media_id, MAX(w) AS w, MAX(h) AS h,
+       | CAST(SUM(lum) AS BIGINT) AS lum_sum,
+       |$hCols
+       |FROM px GROUP BY doc_id
+       |ORDER BY media_id""".stripMargin
+  }
+
   /** DuckDB twin of audioFeatures via the synthesis law. */
   def oracleMm3: String = {
     val hCols = (0 until 8).map(b =>

@@ -239,6 +239,7 @@ object SimilarityOps {
     "mm3_audio_features" -> (graft.operators.Multimodal.audioFeatures _),
     "mm4_video_framestats" ->
       (graft.operators.Multimodal.videoFrameStats _),
+    "mm5_image_stats" -> (graft.operators.Multimodal.imageStats _),
     "m12_embedding_filter" -> (graft.operators.EmbedFilter.m12EmbeddingFilter _),
   )
 
@@ -328,6 +329,7 @@ object SimilarityOps {
     "s8_hybrid_rrf" -> s8Sql,
     "mm3_audio_features" -> graft.operators.Multimodal.oracleMm3,
     "mm4_video_framestats" -> graft.operators.Multimodal.oracleMm4,
+    "mm5_image_stats" -> graft.operators.Multimodal.oracleMm5,
     // r7 conversions (VERDICT r6 task #4): the clustering step is the
     // cross-engine-deterministic integer Lloyd, so the full unrolled
     // iteration chain replays in DuckDB — see operators/IntKmeans.scala

@@ -207,6 +207,27 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r._4 >= 32 && r._5 <= 126))
   }
 
+  test("mm5 image stats equal a direct synthesis-law recompute (lossless BMP)") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .where(col("doc_id") % 3 === 0 && (col("doc_id") / 3) % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = graft.operators.Multimodal.imageStats(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    assert(got.size === docs.length && docs.nonEmpty)
+    docs.foreach { case (id, text, nChars) =>
+      val tb = text.getBytes("UTF-8")
+      def at(i: Int) = tb(i % tb.length) & 0xFF
+      val w = (nChars % 24).toInt + 8
+      var lumSum = 0L
+      (0 until w * 8).foreach { i =>
+        lumSum += (at(3 * i) + at(3 * i + 1) + at(3 * i + 2)) / 3
+      }
+      assert(got(id) === ((w, 8, lumSum)), s"doc $id")
+    }
+  }
+
   test("time-weighted average matches a hand computation") {
     import spark.implicits._
     // one user: value 10 held 3 s, 20 held 1 s → twa = (30+20)/4 = 12.5
