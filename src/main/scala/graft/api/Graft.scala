@@ -441,6 +441,39 @@ object Graft {
   }
 
   // ------------------------------------------------------------------
+  /** Multimodal family — media rows are `Multimodal.MediaRow`
+    * (media_id, kind ∈ image|audio|video, payload binary, typed
+    * metadata); every decode kernel is a REAL pure-JVM codec (T.81
+    * JPEG, BMP, RIFF/PCM WAV, Y4M) dispatched on magic bytes and run
+    * in partition batches (the Arrow/pandas-UDF boundary shape). */
+  object media {
+    import org.apache.spark.sql.Dataset
+    import graft.operators.Multimodal
+
+    /** qid: mm1_multimodal_features — decode + per-row 8-bin feature
+      * histogram across all three modalities. */
+    def decodeFeatures(media: Dataset[Multimodal.MediaRow])
+        : Dataset[Multimodal.MediaFeatures] =
+      Multimodal.decodeFeatures(media)
+
+    /** Box-average image resize, re-encoded in the source format;
+      * non-image rows pass through. */
+    def resizeImages(media: Dataset[Multimodal.MediaRow], outW: Int,
+        outH: Int): Dataset[Multimodal.MediaRow] =
+      Multimodal.resizeImages(media, outW, outH)
+
+    /** Every rate-th frame of each video, re-encoded standalone. */
+    def sampleFrames(media: Dataset[Multimodal.MediaRow],
+        rate: Int): Dataset[Multimodal.Frame] =
+      Multimodal.sampleFrames(media, rate)
+
+    /** qid: mm2_image_phash — DCT perceptual hash over decoded
+      * pixels; 64-bit hash as a long. */
+    def phash64(img: graft.sources.Bmp.Image): Long =
+      Multimodal.phash64(img)
+  }
+
+  // ------------------------------------------------------------------
   /** Event/session analytics family — events are `(user_id, event_id,
     * ts epoch-nanos long, event_type, ...)`; `event_id` breaks
     * same-timestamp ordering ties deterministically. */

@@ -215,4 +215,19 @@ class ApiSpec extends AnyFunSuite {
     val e2e = Graft.materials.endToEnd(spark).collect()
     assert(e2e.nonEmpty)
   }
+
+  test("facade media family: decode features, resize, frame sampling, phash") {
+    val media = graft.operators.Multimodal
+      .mediaFromDocuments(spark, "/root/testdata/sf0.001")
+    val feats = Graft.media.decodeFeatures(media).collect()
+    assert(feats.map(_.kind).distinct.sorted.toSeq ===
+      Seq("audio", "image", "video"))
+    val resized = Graft.media.resizeImages(media, 4, 4)
+      .filter(_.kind == "image").head()
+    assert(resized.width === 4 && resized.height === 4)
+    val frames = Graft.media.sampleFrames(media, rate = 2).collect()
+    assert(frames.nonEmpty && frames.forall(_.frame_idx % 2 == 0))
+    val img = graft.sources.Bmp.Image(2, 2, Array(0, 0xFFFFFF, 0, 0xFFFFFF))
+    assert(Graft.media.phash64(img) === Graft.media.phash64(img))
+  }
 }
