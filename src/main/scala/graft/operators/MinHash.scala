@@ -91,12 +91,22 @@ object MinHash {
     // assembly is interpreted-lambda-hostile; see shingleUdf)
     val sh = if (shingleN == 1) split(col(textCol), " ", -1)
              else shingleCol(col(textCol), shingleN)
+    // ONE xxhash64 per shingle + k affine maps (the same trick the
+    // md5 oracle path uses): versus k independent xxhash64 passes
+    // this removes (k−1)/k of the per-shingle hash cost, which
+    // dominates at the d4 surface's k = 72 (isolated d4_neardup
+    // 5.6 s → measured after: see commit). Same LSH semantics —
+    // pairwise-independent affine family over the hashed shingle.
+    val co = affineCoeffs(k)
     val base = df
       .where(size(split(col(textCol), " ")) >= shingleN)
       .repartition(col(idCol))
       .select(col(idCol), explode(sh).as("__sh"))
-    val aggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("__sh"))).as(s"mh$i"))
+      .withColumn("__x", pmod(xxhash64(col("__sh")), lit(Mod)))
+    val aggs = (0 until k).map { i =>
+      val (a, b) = co(i)
+      min((col("__x") * a + b) % Mod).as(s"mh$i")
+    }
     val sig = base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val out = (0 until bands).foldLeft(sig) { (d, b) =>
       d.withColumn(s"band_$b", xxhash64(
