@@ -90,7 +90,11 @@ object Plans {
       "g9_prototypes" -> "library x perm broadcast grid, one (prototype, perm) agg — no corpus-sized exchange anywhere",
       "g4_distortion" -> "seeds x draws strain grid (108 md5 terms/row) broadcast onto the atom scan; rattle is per-row expression work — no shuffle before the output sort",
       "g1_enumerated" -> "labeling walk as relational algebra: class-grid x codes range join, orbit = equi-join with the broadcast group relation, canonical = per-code MIN — labelings never leave their class partition",
-      "m6_materials_e2e" -> "g2/g3/g4 twin stages chained: generation-grid broadcasts onto the seed-atom scan, one uuid-keyed window+agg for energies, control-plane-sized global rank for the split")
+      "m6_materials_e2e" -> "g2/g3/g4 twin stages chained: generation-grid broadcasts onto the seed-atom scan, one uuid-keyed window+agg for energies, control-plane-sized global rank for the split",
+      "g8_hessian_eigen" -> "relational H assembly over the broadcast seed fixture; the Jacobi recursion is a typed per-seed kernel (task-local 6x6), posexplode + cutoff after",
+      "mm3_audio_features" -> "per-row WAV decode inside the documents scan (batched kernel boundary), integer features, no shuffle before the output sort",
+      "mm4_video_framestats" -> "per-row Y4M decode + frame flatMap inside the scan; per-frame integer stats never leave the row's task",
+      "mm5_image_stats" -> "per-row BMP decode on the lossless half of the image rows; integer luma stats inside the scan")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")
