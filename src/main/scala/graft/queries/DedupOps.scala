@@ -332,7 +332,14 @@ object DedupOps {
     val inter = org.apache.spark.sql.graftx.SortedIntersect
       .sortedIntersectSize(col("ta"), col("tb"))
     val j = inter.cast("double") / (col("na") + col("nb") - inter)
+    // provably-lossless prune before the O(|set|) intersect (the d4
+    // PPJoin length bound): J = |∩|/|∪| ≤ min(n)/max(n), so J ≥ t
+    // requires min(n)·10⁶ ≥ ⌈t·10⁶⌉·max(n) — exact integers, no
+    // true pair can be dropped, output set unchanged
+    val tMicro = math.round(threshold * 1000000L)
     cand.join(ta, "doc_a").join(tb, "doc_b")
+      .where(least(col("na"), col("nb")).cast("long") * lit(1000000L) >=
+        lit(tMicro) * greatest(col("na"), col("nb")).cast("long"))
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
