@@ -115,25 +115,98 @@ object MinHash {
     if (materialize) out.persist() else out
   }
 
-  /** Candidate near-dup pairs with estimated Jaccard ≥ threshold. */
+  /** Default band-bucket guard threshold: far above any bucket the
+    * gate corpora produce (oracle results unchanged by construction),
+    * far below the 10⁵–10⁷-member buckets a boilerplate-heavy web
+    * corpus plants on one band key. At 4096 the worst small-bucket
+    * self-join is ~8.4M comparisons per bucket — one healthy task. */
+  val DefaultMaxBucket: Int = 4096
+
+  /** Band-bucket SKEW GUARD for LSH self-joins — the 100 TB failure
+    * mode SCALING.md names: millions of near-identical pages (cookie
+    * banners, templated listings) share one band key, and the band
+    * equi-join turns into an in-bucket n² that no executor finishes.
+    *
+    * Mechanism: one cheap `groupBy(bucket).count` pass (partial-agg —
+    * only (key, count) shuffles) sizes every bucket; buckets
+    * ≤ `maxBucket` self-join exactly as before (bit-identical pairs);
+    * buckets above it switch to STAR pairing against the bucket's
+    * min-id representative — O(n) pairs instead of O(n²). Sound for
+    * dedup because members of one mega-bucket agree on a full band
+    * (k/bands minhash rows), i.e. they are near-certain duplicates of
+    * EACH OTHER; linking all of them to one representative puts the
+    * whole bucket in one connected component exactly as the full
+    * pairwise join would, at a millionth of the cost. Pair-level
+    * output within a mega-bucket is the star subset (documented
+    * bounded-recall semantics; cluster/keeper semantics unchanged).
+    *
+    * `exploded` columns: keyCols ++ (idCol, payloadCols…); returns
+    * (id_a, id_b, payload_a…, payload_b…) with id_a < id_b, possibly
+    * with cross-band duplicates — callers `distinct()` as before. */
+  def guardedBandPairs(exploded: DataFrame, keyCols: Seq[String],
+      idCol: String, payloadCols: Seq[String],
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must be >= 2")
+    val keys = keyCols.map(col)
+    // bucket sizes: map-side partial agg → tiny (key, count) shuffle;
+    // the join-back shares the bucket-key partitioning with the pair
+    // join itself (exchange reuse), and a mega-bucket costs one
+    // narrow 1-row-attach pass, never a sort
+    val sizes = exploded.groupBy(keys: _*).agg(count(lit(1)).as("__bn"))
+    val sized = exploded.join(sizes, keyCols)
+    def side(suffix: String)(df: DataFrame) = df.select(
+      keys ++ (col(idCol).as(s"id_$suffix") +:
+        payloadCols.map(c => col(c).as(s"${c}_$suffix"))): _*)
+    val outCols = (Seq("id_a", "id_b") ++
+      payloadCols.flatMap(c => Seq(s"${c}_a", s"${c}_b"))).map(col)
+    val small = sized.where(col("__bn") <= maxBucket).drop("__bn")
+    val smallPairs = side("a")(small).join(side("b")(small), keyCols)
+      .where(col("id_a") < col("id_b"))
+      .select(outCols: _*)
+    val big = sized.where(col("__bn") > maxBucket).drop("__bn")
+    val repAggs = min(col(idCol)).as("id_a") +:
+      payloadCols.map(c => min_by(col(c), col(idCol)).as(s"${c}_a"))
+    val reps = big.groupBy(keys: _*).agg(repAggs.head, repAggs.tail: _*)
+    val bigPairs = side("b")(big).join(reps, keyCols)
+      .where(col("id_a") =!= col("id_b"))
+      .select(outCols: _*)
+    smallPairs.union(bigPairs)
+  }
+
+  /** Bipartite band-join guard: keeps at most `maxBucket` rows per
+    * bucket of a PROBE-TARGET side (lowest ids — deterministic),
+    * bounding the per-bucket fan-out of a batch×history or
+    * corpus×benchmark band join to maxBucket candidates per probing
+    * row. Buckets at or under the cap pass through bit-identically;
+    * above it the match set is the lowest-id subset (bounded-recall
+    * semantics, same discipline as [[guardedBandPairs]]). */
+  def capBucketMembers(exploded: DataFrame, keyCols: Seq[String],
+      idCol: String, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    exploded.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= maxBucket)
+      .drop("__rk")
+  }
+
+  /** Candidate near-dup pairs with estimated Jaccard ≥ threshold.
+    * Band buckets larger than `maxBucket` take the star-guard path
+    * (see [[guardedBandPairs]]) instead of the in-bucket self-join. */
   def candidatePairs(sig: DataFrame, idCol: String, k: Int = 16,
-      bands: Int = 2, threshold: Double = 0.75): DataFrame = {
+      bands: Int = 2, threshold: Double = 0.75,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sigArr = array((0 until k).map(i => col(s"mh$i")): _*)
     val exploded = sig
       .select(col(idCol), sigArr.as("__sig"),
         posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
           .as(Seq("band_idx", "band_key")))
-    val a = exploded.select(col(idCol).as("id_a"), col("__sig").as("sig_a"),
-      col("band_idx"), col("band_key"))
-    val b = exploded.select(col(idCol).as("id_b"), col("__sig").as("sig_b"),
-      col("band_idx"), col("band_key"))
     // signature agreement as a native codegen loop (the interpreted
     // size(filter(sequence)) lambda was the per-candidate hot cost)
     val estJ = org.apache.spark.sql.graftx.PositionalEqual
-      .equalCount(col("sig_a"), col("sig_b"))
+      .equalCount(col("__sig_a"), col("__sig_b"))
       .cast("double") / k
-    a.join(b, Seq("band_idx", "band_key"))
-      .where(col("id_a") < col("id_b"))
+    guardedBandPairs(exploded, Seq("band_idx", "band_key"), idCol,
+        Seq("__sig"), maxBucket)
       .select(col("id_a"), col("id_b"), estJ.as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .distinct()

@@ -121,7 +121,14 @@ object DedupOps {
       posexplode(array(col("band_0"), col("band_1")))
         .as(Seq("band_idx", "band_key")))
     val b = exploded(batch, "b")
-    val h = exploded(history, "h")
+    // skew guard: cap the HISTORY side per band bucket — each batch
+    // doc probes at most DefaultMaxBucket history members per bucket
+    // (lowest ids, deterministic); a history mega-bucket is by
+    // construction a pile of near-identical docs, so the best-match
+    // semantics survive with bounded fan-out. Gate-scale buckets are
+    // far under the cap → bit-identical results there.
+    val h = graft.operators.MinHash.capBucketMembers(
+      exploded(history, "h"), Seq("band_idx", "band_key"), "h_id")
     val estJ = org.apache.spark.sql.graftx.PositionalEqual
       .equalCount(col("sig_b"), col("sig_h"))
       .cast("double") / K
@@ -301,13 +308,13 @@ object DedupOps {
       .select(col("doc_id"), col("source"),
         posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
           .as(Seq("band_idx", "band_key")))
-    val a = exploded.select(col("source"), col("band_idx"),
-      col("band_key"), col("doc_id").as("doc_a"))
-    val b = exploded.select(col("source"), col("band_idx"),
-      col("band_key"), col("doc_id").as("doc_b"))
-    val cand0 = a.join(b, Seq("source", "band_idx", "band_key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    // band-bucket skew guard (SCALING.md item 8): buckets over the
+    // cap star-pair to a representative instead of self-joining n²;
+    // never triggered at gate scale → candidate (and output) sets
+    // unchanged there, and a boilerplate mega-bucket costs O(n)
+    val cand0 = graft.operators.MinHash.guardedBandPairs(
+        exploded, Seq("source", "band_idx", "band_key"), "doc_id", Nil)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
     val cand = if (!estGate) cand0 else {
       val sigArr = array((0 until k).map(i => col(s"mh$i")): _*)
@@ -590,8 +597,13 @@ object DedupOps {
     val estJ = org.apache.spark.sql.graftx.PositionalEqual
       .equalCount(col("sig_c"), col("sig_b"))
       .cast("double") / K
+    // skew guard: cap the BENCH side per band bucket (corpus rows must
+    // all be probed, but each corpus row's fan-out is then bounded by
+    // the cap; gate-scale bench buckets are tiny → results unchanged)
+    val benchCapped = graft.operators.MinHash.capBucketMembers(
+      side(benchSide = true, "b"), Seq("band_idx", "band_key"), "b_id")
     side(benchSide = false, "c")
-      .join(side(benchSide = true, "b"), Seq("band_idx", "band_key"))
+      .join(benchCapped, Seq("band_idx", "band_key"))
       .select(col("c_id").as("doc_id"), col("b_id"), estJ.as("est_j"))
       .where(col("est_j") >= 0.5)
       .groupBy(col("doc_id"))

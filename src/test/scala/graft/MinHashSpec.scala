@@ -82,6 +82,74 @@ class MinHashSpec extends AnyFunSuite {
     assert(composed.nonEmpty)
   }
 
+  test("band-bucket skew guard: a 10^4-doc mega-bucket yields O(n) star pairs, not n^2") {
+    import spark.implicits._
+    // the adversarial corpus SCALING.md item 8 names: boilerplate so
+    // common that one band key collects 10^4 docs — unguarded, the
+    // band self-join would emit ~5*10^7 candidate pairs from this
+    // bucket alone; the guard stars them to the min-id representative
+    val n = 10000
+    val text = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    val df = (1L to n.toLong).map(i => (i, text)).toDF("id", "text")
+    val sig = MinHash.signaturesFast(df, "id", "text", materialize = false)
+    val pairs = MinHash.candidatePairs(sig, "id", threshold = 0.5,
+      maxBucket = 64).collect()
+    assert(pairs.length === n - 1)            // star, not n(n-1)/2
+    assert(pairs.forall(_.getLong(0) === 1L)) // rep is the min id
+    assert(pairs.forall(_.getDouble(2) === 1.0))
+    // cluster semantics unchanged: keepers collapse everything to id 1
+    val k = MinHash.keepers(
+        spark.createDataFrame(spark.sparkContext.parallelize(
+          pairs.toIndexedSeq), pairsSchema),
+        df.select("id"), "id")
+      .collect().map(r => r.getLong(1))
+    assert(k.forall(_ == 1L))
+  }
+
+  private def pairsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id_a",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("id_b",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("est_jaccard",
+      org.apache.spark.sql.types.DoubleType)))
+
+  test("skew guard is a no-op below the cap: guarded == unguarded pair sets") {
+    import spark.implicits._
+    // three small near-dup clusters + singletons, every bucket far
+    // under the cap → the guard must be bit-invisible
+    val rows = (0 until 3).flatMap { c =>
+      (0 until 5).map { j =>
+        val toks = (1 to 30).map(i =>
+          if (i == 30 && j > 0) s"var${c}_$j" else s"c${c}tok$i")
+        ((c * 10 + j + 1).toLong, toks.mkString(" "))
+      }
+    } ++ Seq((100L, (1 to 30).map(i => s"solo$i").mkString(" ")))
+    val df = rows.toDF("id", "text")
+    val sig = MinHash.signatures(df, "id", "text", materialize = false)
+    def pairSet(maxBucket: Int) =
+      MinHash.candidatePairs(sig, "id", threshold = 0.5,
+          maxBucket = maxBucket)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    val guarded = pairSet(8)             // above any bucket here (<= 5)
+    val unguarded = pairSet(Int.MaxValue)
+    assert(guarded === unguarded)
+    assert(guarded.nonEmpty)
+  }
+
+  test("capBucketMembers keeps the lowest ids per bucket and passes small buckets through") {
+    import spark.implicits._
+    val df = Seq(
+      (0, "k1", 5L), (0, "k1", 3L), (0, "k1", 9L), (0, "k1", 1L),
+      (1, "k2", 7L), (1, "k2", 2L)).toDF("band_idx", "band_key", "h_id")
+    val capped = MinHash.capBucketMembers(
+        df, Seq("band_idx", "band_key"), "h_id", maxBucket = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(capped === Set((0, 1L), (0, 3L), (0, 5L), (1, 2L), (1, 7L)))
+  }
+
   test("approx distinct sketch stays within its error bound") {
     val sf = "/root/testdata/sf0.001"
     val approx = graft.queries.DedupOps.sk1ApproxDistinct(spark, sf)
