@@ -204,6 +204,15 @@ object Bpe {
     * DetEncodeRounds-deep SQL unroll. */
   private[graft] def encodeBounded(word: String,
       rank: Map[(String, String), Int], maxRounds: Int): Vector[String] = {
+    // the SQL twin symbolizes by CODEPOINT (DuckDB substr/length) while
+    // this side symbolizes by UTF-16 unit — identical only for ASCII,
+    // and unlike the training sample the encode pass sees EVERY corpus
+    // word. Fail loudly instead of silently diverging on a surrogate
+    // pair (same discipline as the round bound below).
+    require(word.forall(c => c < 0x80),
+      s"bpe: non-ASCII word '$word' - the unrolled SQL twin counts " +
+        "codepoints, the JVM side UTF-16 units; the t19 oracle only " +
+        "holds for all-ASCII corpora")
     var syms = word.map(_.toString).toVector
     var rounds = 0
     var continue = syms.length >= 2

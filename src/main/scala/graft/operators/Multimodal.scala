@@ -45,6 +45,17 @@ object Multimodal {
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
+        // Shared precondition of the mm3/mm4/mm5 SQL twins: the
+        // synthesis law reads text BYTES (UTF-8) while the oracles
+        // replay it with ascii(substr(...)) — codepoints — and an
+        // empty text would make the SQL modulo NULL out where this
+        // side emits a defined zero-sample row. Identical only for
+        // non-empty all-ASCII text, so fail loudly here (both kernel
+        // and twin see the same gate) instead of silently diverging.
+        require(text.nonEmpty && text.forall(c => c < 0x80),
+          s"media synthesis: doc $id text must be non-empty ASCII " +
+            "(the mm3/mm4/mm5 oracles count codepoints, the payload " +
+            "law bytes)")
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }

@@ -866,9 +866,11 @@ object MaterialsOps {
     * divergence class the twins exist to avoid; m6 chains the
     * g2/g3/g4 recipes through integer-quantized stub energies and an
     * md5-rank split; g1 replays the Hart–Forcade labeling canon over
-    * the committed site-permutation group). The one remaining
-    * g-family rows-only entry is g8 (Breeze eigendecomposition — no
-    * SQL twin for an iterative eigensolver on this surface). */
+    * the committed site-permutation group). g8 is oracle-checked too:
+    * the fixed-sweep Jacobi twin (JacobiEigen.oracleG8) replays the
+    * JVM kernel bit-for-bit in unrolled DuckDB CTEs; the Breeze/LAPACK
+    * eigensolver remains the library-tier path, pinned to the Jacobi
+    * spectrum at 1e-9 by spec. */
   val oracle: Map[String, String] = Map(
     "g8_hessian_eigen" -> graft.operators.JacobiEigen.oracleG8,
     "g1_enumerated" -> g1Sql,

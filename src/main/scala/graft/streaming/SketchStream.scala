@@ -71,20 +71,31 @@ object SketchStream {
 
   /** File-source stream of documents; each micro-batch appends (a)
     * its CMS register deltas to `regSink` and (b) its (source, token)
-    * support counts to `candSink` — both additive under SUM. */
+    * support counts to `candSink` — both additive under SUM.
+    *
+    * Replay safety: foreachBatch is only at-least-once, and unlike the
+    * HLL path's MAX merge a SUM merge is NOT idempotent — a micro-batch
+    * replayed after a failure between the two sink writes (or before
+    * the checkpoint commit) would double-count. So every sink row
+    * carries its `batch_id`, and the merge side collapses replays with
+    * a per-(batch_id, cell) MAX before the cross-batch SUM (a batch's
+    * recompute is deterministic, so duplicate rows are identical and
+    * MAX ≡ any-of). */
   def startCms(spark: SparkSession, srcDir: String, regSink: String,
       candSink: String, checkpointDir: String): StreamingQuery =
     spark.readStream.schema(docsSchema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val toks = graft.operators.DetCms.tokensOf(batch)
         val counts = toks.groupBy(col("token"))
           .agg(count(lit(1)).as("n"))
         graft.operators.DetCms.registers(counts)
+          .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(regSink)
         toks.groupBy(col("source"), col("token"))
           .agg(count(lit(1)).as("sn"))
+          .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(candSink)
       }
       .start()
@@ -92,13 +103,19 @@ object SketchStream {
   /** Merge drained CMS deltas (cell-wise SUM) + support counts, then
     * run the same candidate → estimate → φ-gate pipeline as the batch
     * sk3 entry. Equals DetCms.heavyHittersOf on the union of all
-    * batches bit-for-bit. */
+    * batches bit-for-bit — including under at-least-once replays,
+    * because each batch's rows are deduped on batch_id before the SUM
+    * (see startCms). */
   def mergedHeavyHitters(spark: SparkSession, regSink: String,
       candSink: String, phiMicro: Long): DataFrame = {
     val regs = spark.read.parquet(regSink)
+      .groupBy(col("batch_id"), col("r"), col("bucket"))
+      .agg(max(col("cnt")).as("cnt"))
       .groupBy(col("r"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
     val srcCnt = spark.read.parquet(candSink)
+      .groupBy(col("batch_id"), col("source"), col("token"))
+      .agg(max(col("sn")).as("sn"))
       .groupBy(col("source"), col("token"))
       .agg(sum(col("sn")).as("sn"))
     val totals = srcCnt.agg(

@@ -326,6 +326,21 @@ class StreamingSpec extends AnyFunSuite {
       "summed register deltas must equal the one-shot batch CMS output")
     assert(streamed.nonEmpty,
       "fixture sanity: the corpus has at least one 1%-support token")
+
+    // at-least-once replay: re-append one batch's sink rows verbatim
+    // (what a foreachBatch retry after a crash between the two sink
+    // writes does) — the batch_id dedup must keep the merge unchanged
+    val reg0 = spark.read.parquet(regSink)
+    val replayId = reg0.agg(min(col("batch_id"))).collect()(0).getLong(0)
+    reg0.where(col("batch_id") === replayId)
+      .write.mode("append").parquet(regSink)
+    val cand0 = spark.read.parquet(candSink)
+    cand0.where(col("batch_id") === replayId)
+      .write.mode("append").parquet(candSink)
+    val replayed = canon(graft.streaming.SketchStream
+      .mergedHeavyHitters(spark, regSink, candSink, 10000L))
+    assert(replayed === batch,
+      "a replayed micro-batch must not double-count CMS cells")
   }
 
   test("d14 minhash probe stream drains to the batch verdicts (signature-table twin)") {
