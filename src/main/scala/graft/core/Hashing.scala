@@ -39,12 +39,11 @@ object Hashing {
 
   /** Column form: sha1 over canonicalized flattened arrays + species.
     * transform/flatten stay deterministic per-row (no aggregation
-    * order dependence). */
-  def contentHashCol(cell: Column, positions: Column, species: Column): Column = {
-    def flat(m: Column): Column =
-      array_join(transform(flatten(m), v => format_number(v, 8)), ",")
-    sha1(concat_ws("|", flat(cell), flat(positions), array_join(species, ",")))
-  }
+    * order dependence). Delegates to the shared catalyst builder that
+    * also backs the registered `content_hash(...)` SQL function. */
+  def contentHashCol(cell: Column, positions: Column, species: Column): Column =
+    org.apache.spark.sql.graftx.ComposedExpressions
+      .contentHash(cell, positions, species)
 
   /** Target L1 bucket occupancy of the adaptive chunk prefix: the
     * prefix length is the smallest L with n ≤ ChunkTargetRows·16^L,
@@ -132,6 +131,38 @@ object Hashing {
       .agg(sum(col("__n")).as("__n"), md5(ordered("__chunk", "__ch")).as("__sh"))
     l2.groupBy(g: _*)
       .agg(sum(col("__n")).as("n"), md5(ordered("__super", "__sh")).as("table_hash"))
+  }
+
+  /** The chunked hierarchical hash as ONE Spark SQL statement over a
+    * registered view — the pure-SQL surface of [[chunkedHashAgg]]
+    * (the grouping STRUCTURE is a query shape, not a scalar function,
+    * so it ships as generated SQL rather than a registered function;
+    * the scalar piece, `chunk_len`, IS registered via
+    * GraftExtensions). Same adaptive-prefix law, same three bounded
+    * levels, byte-identical result — MinHashSpec asserts equality
+    * against chunkedHashAgg. `relation` must expose the group columns
+    * plus a hex `row_h`. */
+  def tableHashSql(relation: String, groupCols: Seq[String]): String = {
+    val gSel = if (groupCols.isEmpty) "" else groupCols.mkString("", ", ", ",")
+    val gOut = if (groupCols.isEmpty) "" else groupCols.mkString("", ", ", ", ")
+    def orderedSql(key: String, v: String): String =
+      s"md5(array_join(transform(array_sort(collect_list(struct($key, $v)))," +
+        s" x -> x.$v), ''))"
+    s"""WITH tot AS (SELECT COUNT(*) AS total FROM $relation),
+       |l1 AS (
+       | SELECT $gSel
+       |  substr(row_h, 1, ${chunkLenSql("total")}) AS chunk,
+       |  COUNT(*) AS n1,
+       |  md5(array_join(array_sort(collect_list(row_h)), '')) AS ch
+       | FROM $relation CROSS JOIN tot GROUP BY ALL),
+       |l2 AS (
+       | SELECT $gSel
+       |  substr(chunk, 1, GREATEST(LENGTH(chunk) - 2, 0)) AS sup,
+       |  SUM(n1) AS n2,
+       |  ${orderedSql("chunk", "ch")} AS sh
+       | FROM l1 GROUP BY ALL)
+       |SELECT ${gOut}SUM(n2) AS n, ${orderedSql("sup", "sh")} AS table_hash
+       |FROM l2 ${if (groupCols.isEmpty) "" else groupCols.mkString("GROUP BY ", ", ", "")}""".stripMargin
   }
 
   /** Distributed whole-relation hash (D7): md5 per row, then the

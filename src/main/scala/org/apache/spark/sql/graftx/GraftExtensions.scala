@@ -2,7 +2,9 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StringType
 
 /** SparkSessionExtensions entry point: registers the native graft
   * expressions as SQL functions, so
@@ -44,6 +46,25 @@ object GraftExtensions {
             s"shingles(tokens, n): n must be an integer literal, got $other")
         }
         Shingles(c(0), n)
+      }),
+    // Composed surfaces (SQL-registration completeness, VERDICT r8
+    // task 8): catalyst trees of BUILT-IN expressions built by
+    // ComposedExpressions (shared with the Column API so the two
+    // surfaces cannot drift) — fully codegen'd, no UDF wrapper.
+    ("content_hash", ComposedExpressions.getClass.getName,
+      arity("content_hash", 3)(c =>
+        ComposedExpressions.contentHashExpr(c(0), c(1), c(2)))),
+    ("chunk_len", ComposedExpressions.getClass.getName,
+      arity("chunk_len", 1)(c => ComposedExpressions.chunkLenExpr(
+        c(0), graft.core.Hashing.prefixThresholds))),
+    ("fnmatch", ComposedExpressions.getClass.getName,
+      arity("fnmatch", 2) { c =>
+        val pat = c(1) match {
+          case Literal(s, StringType) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"fnmatch(input, pattern): pattern must be a string literal, got $other")
+        }
+        ComposedExpressions.fnmatchExpr(c(0), pat)
       }))
 
   /** Imperative registration for an already-built session (extensions

@@ -197,6 +197,45 @@ class MinHashSpec extends AnyFunSuite {
     // non-literal n fails loudly at plan time, not silently
     assertThrows[Exception](
       spark.sql("SELECT shingles(array('a','b'), 1 + 1)").collect())
+
+    // Column-composition surfaces (r9): expand to built-in trees
+    val ch = spark.sql(
+      """SELECT content_hash(array(array(1.0D)), array(array(2.0D)),
+        |  array('Si')) AS h""".stripMargin).collect()(0).getString(0)
+    val chCol = spark.range(1).select(graft.core.Hashing.contentHashCol(
+        array(array(lit(1.0))), array(array(lit(2.0))), array(lit("Si")))
+        .as("h")).collect()(0).getString(0)
+    assert(ch === chCol && ch.length === 40)
+    assert(spark.sql("SELECT chunk_len(8192L) AS l, chunk_len(8193L) AS l2")
+      .collect()(0).toSeq === Seq(1, 2))
+    assert(spark.sql("SELECT fnmatch('alloy.AgPd.s42', 'alloy.*.s?2') AS m")
+      .collect()(0).getBoolean(0))
+    assert(!spark.sql("SELECT fnmatch('alloy.AgPd.s42', 'elemental.*') AS m")
+      .collect()(0).getBoolean(0))
+    assertThrows[Exception](
+      spark.sql("SELECT fnmatch('x', concat('a', 'b'))").collect())
+  }
+
+  test("tableHashSql (pure-SQL chunked hash) equals chunkedHashAgg") {
+    import spark.implicits._
+    val base = (1L to 4000L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
+      .select(col("grp"), md5(concat_ws("|", col("grp"), col("id"))).as("row_h"))
+    base.createOrReplaceTempView("th_rows")
+    val viaSql = spark.sql(
+        graft.core.Hashing.tableHashSql("th_rows", Seq("grp")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val viaDf = graft.core.Hashing.chunkedHashAgg(base, Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(viaSql === viaDf)
+    assert(viaSql.map(_._2).sum === 4000L)
+    // ungrouped form too (the tableHash whole-relation surface)
+    val sqlAll = spark.sql(graft.core.Hashing.tableHashSql("th_rows", Nil))
+      .collect()(0)
+    assert(sqlAll.getString(1) ===
+      graft.core.Hashing.chunkedHashAgg(base, Nil)
+        .collect()(0).getAs[String]("table_hash"))
   }
 
   test("decontamination flags docs sharing an 8-gram with the benchmark (D8)") {
