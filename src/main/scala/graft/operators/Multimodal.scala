@@ -290,6 +290,139 @@ object Multimodal {
     bits
   }
 
+  /** Quantized DCT-II basis for the ORACLE-TIER pHash: round(cos((2k+1)
+    * ·u·π/16)·2^14) — 64 integers computed once here and interpolated
+    * verbatim into the DuckDB twin (the affine-minhash discipline:
+    * transcendentals only at literal-generation time, never at row
+    * time). */
+  val DctQ: Array[Array[Long]] = Array.tabulate(8, 8)((u, k) =>
+    math.round(math.cos((2 * k + 1) * u * math.Pi / 16) * 16384.0))
+
+  /** Integer-quantized 64-bit pHash — the mm5 recipe applied to the
+    * pHash LAW (VERDICT r8 task 5): the same pool → DCT-II → median
+    * threshold as [[phash64]], but every step in exact integer
+    * arithmetic so the REAL BMP decode is hash-checkable against a
+    * DuckDB synthesis-law twin. Differences from the production
+    * double kernel: luma is r+g+b (3× — a positive scaling that
+    * cannot flip a threshold-vs-median comparison), pooled cells are
+    * floor(acc·1024/cnt), and the DCT uses [[DctQ]]. Magnitude audit:
+    * cell ≤ 765·1024 < 2^20, per-term ≤ 2^20·2^14·2^14 = 2^48, 64
+    * terms < 2^54 — exact in Long and in DuckDB BIGINT. */
+  def phash64Int(img: graft.sources.Bmp.Image): Long = {
+    val N = 8
+    val acc = Array.ofDim[Long](N, N)
+    val cnt = Array.ofDim[Long](N, N)
+    val (w, h) = (math.max(img.width, 1), math.max(img.height, 1))
+    var y = 0
+    while (y < h) {
+      val cy = y * N / h
+      var x = 0
+      while (x < w) {
+        val px = img.rgb(y * w + x)
+        val lum3 = ((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)
+        val cx = x * N / w
+        acc(cy)(cx) += lum3; cnt(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cell = Array.tabulate(N, N)((r, c) =>
+      if (cnt(r)(c) == 0) 0L else acc(r)(c) * 1024L / cnt(r)(c))
+    val dct = Array.tabulate(N, N) { (u, v) =>
+      var s = 0L
+      var yy = 0
+      while (yy < N) {
+        var xx = 0
+        while (xx < N) {
+          s += cell(yy)(xx) * DctQ(u)(xx) * DctQ(v)(yy)
+          xx += 1
+        }
+        yy += 1
+      }
+      s
+    }
+    val coefs = (for { u <- 0 until N; v <- 0 until N
+      if !(u == 0 && v == 0) } yield dct(u)(v)).toArray
+    val median = coefs.sorted.apply(coefs.length / 2)
+    var bits = 0L
+    var i = 0
+    while (i < coefs.length) {
+      if (coefs(i) > median) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** mm2's ORACLE half: integer-quantized pHash of the BMP-coded
+    * images (the lossless half, as mm5) from the REAL decode path,
+    * with the 4×16-bit multi-index bands mm2 dedups on. The JPEG half
+    * keeps the principled rows-only story (lossy T.81 decode has no
+    * SQL twin); this row pins the pool/DCT/median machinery itself
+    * cross-engine. */
+  def imagePhashBmp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter(m => m.kind == "image" && (m.media_id / 3) % 2 == 1)
+      .map { m =>
+        val ph = phash64Int(decodeImage(m.payload))
+        (m.media_id, ph,
+          (ph >>> 0) & 0xFFFFL, (ph >>> 16) & 0xFFFFL,
+          (ph >>> 32) & 0xFFFFL, (ph >>> 48) & 0xFFFFL)
+      }
+      .toDF("media_id", "phash", "band0", "band1", "band2", "band3")
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB twin of imagePhashBmp via the synthesis law (see
+    * oracleMm5 for the payload law). */
+  def oracleMm2Bmp: String = {
+    val cmat = (for { u <- 0 until 8; k <- 0 until 8 }
+      yield s"($u, $k, ${DctQ(u)(k)})").mkString(", ")
+    def tb(expr: String) =
+      s"ascii(substr(g.text, CAST(($expr) % g.len AS INT) + 1, 1))"
+    val lum3 = s"(${tb("3 * i.r")} + ${tb("3 * i.r + 1")} + ${tb("3 * i.r + 2")})"
+    s"""WITH imgs AS (
+       | SELECT doc_id, text, length(text) AS len,
+       |  CAST((n_chars % 24) + 8 AS INT) AS w, 8 AS h
+       | FROM documents WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1),
+       |px AS (
+       | SELECT g.doc_id, g.w, i.r // g.w AS y, i.r % g.w AS x,
+       |  $lum3 AS lum3
+       | FROM imgs g JOIN range(0, 248) i(r) ON i.r < g.w * 8),
+       |cells AS (
+       | SELECT doc_id, y AS cy, (x * 8) // w AS cx,
+       |  SUM(lum3)::BIGINT AS acc, COUNT(*)::BIGINT AS cnt
+       | FROM px GROUP BY 1, 2, 3),
+       |cellq AS (
+       | SELECT doc_id, cy, cx, (acc * 1024) // cnt AS cq FROM cells),
+       |cmat(u, k, c) AS (SELECT * FROM (VALUES $cmat)),
+       |dctm AS (
+       | SELECT q.doc_id, cu.u AS u, cv.u AS v,
+       |  SUM(q.cq * cu.c * cv.c)::BIGINT AS s
+       | FROM cellq q
+       | JOIN cmat cu ON cu.k = q.cx
+       | JOIN cmat cv ON cv.k = q.cy
+       | GROUP BY 1, 2, 3),
+       |coefs AS (
+       | SELECT doc_id, (u * 8 + v - 1) AS i, s
+       | FROM dctm WHERE NOT (u = 0 AND v = 0)),
+       |med AS (
+       | SELECT doc_id, s AS m FROM (
+       |  SELECT doc_id, s,
+       |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS rn
+       |  FROM coefs) z WHERE rn = 32),
+       |ph AS (
+       | SELECT c.doc_id,
+       |  SUM(CASE WHEN c.s > m.m THEN (1::BIGINT << c.i) ELSE 0 END)::BIGINT
+       |   AS phash
+       | FROM coefs c JOIN med m ON m.doc_id = c.doc_id
+       | GROUP BY 1)
+       |SELECT doc_id AS media_id, phash,
+       | (phash >> 0) & 65535 AS band0, (phash >> 16) & 65535 AS band1,
+       | (phash >> 32) & 65535 AS band2, (phash >> 48) & 65535 AS band3
+       |FROM ph ORDER BY media_id""".stripMargin
+  }
+
   /** Every image twice: the original payload and a CROSS-CODEC twin
     * (BMP originals re-encoded as quality-85 JPEG, JPEG originals as
     * BMP of their lossily-decoded pixels). Twin ids are 2·media_id+1,

@@ -234,6 +234,12 @@ object SimilarityOps {
     "mm2_image_phash" ->
       ((s: SparkSession, d: String) =>
         graft.operators.Multimodal.imagePhashPairs(s, d)),
+    // oracle (r9): the pHash LAW itself — pool/DCT/median in exact
+    // integer arithmetic over the lossless BMP half, hash-checked
+    // against the synthesis-law twin (the mm5 recipe); the JPEG half
+    // keeps mm2's principled rows-only story
+    "mm2_phash_bmp" ->
+      (graft.operators.Multimodal.imagePhashBmp _),
     // oracle since r8: PCM WAV / Y4M are LOSSLESS, so features from
     // the REAL decode equal the oracle's synthesis-law replay
     "mm3_audio_features" -> (graft.operators.Multimodal.audioFeatures _),
@@ -330,6 +336,7 @@ object SimilarityOps {
     "mm3_audio_features" -> graft.operators.Multimodal.oracleMm3,
     "mm4_video_framestats" -> graft.operators.Multimodal.oracleMm4,
     "mm5_image_stats" -> graft.operators.Multimodal.oracleMm5,
+    "mm2_phash_bmp" -> graft.operators.Multimodal.oracleMm2Bmp,
     // r7 conversions (VERDICT r6 task #4): the clustering step is the
     // cross-engine-deterministic integer Lloyd, so the full unrolled
     // iteration chain replays in DuckDB — see operators/IntKmeans.scala

@@ -170,6 +170,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(h(dropped) !== one)
   }
 
+  test("integer-quantized pHash tracks the production double pHash (mm2 oracle tier)") {
+    // same law, different arithmetic: the integer twin may flip only
+    // coefficients sitting within quantization error of the median —
+    // on the fixture corpus that is a small hamming distance, and the
+    // POOLED structure (bands used for dedup blocking) stays aligned
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+      .filter(m => m.kind == "image" && (m.media_id / 3) % 2 == 1)
+      .collect()
+    assert(media.nonEmpty)
+    val dists = media.map { m =>
+      val img = Multimodal.decodeImage(m.payload)
+      java.lang.Long.bitCount(
+        Multimodal.phash64(img) ^ Multimodal.phash64Int(img))
+    }
+    assert(dists.forall(_ <= 6),
+      s"worst int-vs-double pHash hamming ${dists.max} exceeds the " +
+        "quantization-jitter envelope")
+    assert(dists.count(_ <= 2) >= media.length / 2)
+  }
+
   test("multimodal frame sampling emits every Nth frame of videos") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val frames = Multimodal.sampleFrames(media, rate = 2).collect()
