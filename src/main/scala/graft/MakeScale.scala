@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Builds a scaled copy of the text/embedding tables for the second
@@ -25,6 +25,24 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.MakeScale <srcSfDir> <dstDir> <copies> [full]
   * — "full" additionally scales the relational/event tables (re-keyed,
   * events time-shifted per copy) and copies the dims through.
+  *
+  * ZIPF MODE (`… <copies> zipf [support]`, round-9; VERDICT r8 task
+  * 3): the default disjoint-token mode multiplies the 31-token base
+  * vocabulary by the copy count, which inflates the model-table
+  * family's measured exponents and makes the min-df caps measure as
+  * no-ops. Zipf mode instead rewrites every token position with a
+  * draw from ONE SHARED rank support (26⁴ alphabetic tokens by
+  * default) under a Zipf s = 2 rank law via inverse CDF
+  * r = ⌊1/(1−u·(1−1/V))⌋ on an md5-keyed uniform — deterministic and
+  * regeneration-stable. s = 2 over a FIXED support gives the
+  * empirical web-corpus regime: the OBSERVED vocabulary grows by
+  * Heaps' law with β = 1/s = 0.5 (head tokens shared by every copy,
+  * tail hapaxes appearing sublinearly), so df-capped model tables
+  * grow as √N while the caps prune the hapax band — real pruning at
+  * every scale, measurable against the uncapped vocabulary. Doc
+  * lengths, ids, languages and per-copy sources keep the default
+  * mode's structure; embeddings copy as usual. Zipf dirs are
+  * BENCH-ONLY inputs (t-family + sk3), like every scaled dir.
   */
 object MakeScale {
   def main(args: Array[String]): Unit = {
@@ -42,15 +60,48 @@ object MakeScale {
 
     def alphaSuffix(i: Int): String =
       "q" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+    val zipfMode = args.length > 3 && args(3) == "zipf"
     val docs = spark.read.parquet(s"$src/documents.parquet")
+
+    // zipf mode: every token position becomes a draw from one shared
+    // Zipf(s = 2) rank support (see object doc). All-alpha
+    // "zw"-prefixed tokens keep the base corpus's character-class
+    // statistics; the md5-keyed inverse-CDF keeps the corpus
+    // deterministic under regeneration and free of near-dup structure
+    // (each copy's draws are independent).
+    val zipfV: Int = if (args.length > 4) args(4).toInt else 456976 // 26^4
+    def zipfText(i: Int): Column = {
+      val alphabet = array(('a' to 'z').map(c => lit(c.toString)): _*)
+      def letter(q: Column): Column =
+        element_at(alphabet, (pmod(q, lit(26)) + 1).cast("int"))
+      def tokenAt(p: Column): Column = {
+        val u = conv(substring(md5(concat_ws(":",
+            lit("zipf"), col("doc_id"), lit(i), p)), 1, 15), 16, 10)
+          .cast("double") / lit(1.152921504606846976e18) // 16^15
+        // inverse CDF of P(rank = r) ∝ 1/r² truncated at V
+        val r = least(lit(zipfV), greatest(lit(1),
+          floor(lit(1.0) / (lit(1.0) - u * lit(1.0 - 1.0 / zipfV)))
+            .cast("int")))
+        concat(lit("zw"), letter(floor(r / 17576).cast("int")),
+          letter(floor(r / 676).cast("int")),
+          letter(floor(r / 26).cast("int")), letter(r))
+      }
+      array_join(transform(split(col("text"), " "),
+        (_, p) => tokenAt(p)), " ")
+    }
+
     (0 until copies).map { i =>
+      val text =
+        if (zipfMode) zipfText(i)
+        else array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(alphaSuffix(i)))), " ")
       docs.select(
         (col("doc_id") + lit(i * idOff)).as("doc_id"),
-        array_join(transform(split(col("text"), " "),
-          t => concat(t, lit(alphaSuffix(i)))), " ").as("text"),
+        text.as("text"),
         col("lang"),
-        concat(col("source"), lit(s"_$i")).as("source"),
-        col("n_chars"))
+        concat(col("source"), lit(s"_$i")).as("source"))
+        .withColumn("n_chars",
+          if (zipfMode) length(col("text")).cast("long") else col("n_chars"))
     }.reduce(_ unionByName _)
       .repartition(32, col("doc_id"))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
