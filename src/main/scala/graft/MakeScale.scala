@@ -99,9 +99,9 @@ object MakeScale {
         (col("doc_id") + lit(i * idOff)).as("doc_id"),
         text.as("text"),
         col("lang"),
-        concat(col("source"), lit(s"_$i")).as("source"))
-        .withColumn("n_chars",
-          if (zipfMode) length(col("text")).cast("long") else col("n_chars"))
+        concat(col("source"), lit(s"_$i")).as("source"),
+        (if (zipfMode) length(text).cast("long") else col("n_chars"))
+          .as("n_chars"))
     }.reduce(_ unionByName _)
       .repartition(32, col("doc_id"))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")

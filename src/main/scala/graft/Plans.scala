@@ -94,7 +94,9 @@ object Plans {
       "g8_hessian_eigen" -> "relational H assembly over the broadcast seed fixture; the Jacobi recursion is a typed per-seed kernel (task-local 6x6), posexplode + cutoff after",
       "mm3_audio_features" -> "per-row WAV decode inside the documents scan (batched kernel boundary), integer features, no shuffle before the output sort",
       "mm4_video_framestats" -> "per-row Y4M decode + frame flatMap inside the scan; per-frame integer stats never leave the row's task",
-      "mm5_image_stats" -> "per-row BMP decode on the lossless half of the image rows; integer luma stats inside the scan")
+      "mm5_image_stats" -> "per-row BMP decode on the lossless half of the image rows; integer luma stats inside the scan",
+      "mm2_phash_bmp" -> "per-row BMP decode + integer pool/DCT/median pHash inside the scan — the oracle tier of mm2's dedup blocking",
+      "d7_content_hash" -> "adaptive chunk prefix from a 1-row count broadcast; L1+L2 share one (group, super) exchange, L3 reshuffles bucket-sized rows")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")
