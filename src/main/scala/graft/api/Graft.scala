@@ -53,10 +53,15 @@ object Graft {
 
     /** qid: d2_minhash_pairs — banded candidate pairs `(id_a, id_b,
       * est_jaccard)` from a signature table; the equi-join is on band
-      * keys, never doc×doc. */
+      * keys, never doc×doc. Band buckets over `maxBucket` members
+      * (boilerplate mega-buckets) star-pair to their min-id
+      * representative instead of self-joining n² — cluster semantics
+      * preserved, adversarial corpora bounded (SCALING §8). */
     def minhashCandidatePairs(sig: DataFrame, idCol: String, k: Int = 16,
-        bands: Int = 2, threshold: Double = 0.75): DataFrame =
-      graft.operators.MinHash.candidatePairs(sig, idCol, k, bands, threshold)
+        bands: Int = 2, threshold: Double = 0.75,
+        maxBucket: Int = graft.operators.MinHash.DefaultMaxBucket): DataFrame =
+      graft.operators.MinHash.candidatePairs(sig, idCol, k, bands, threshold,
+        maxBucket)
 
     /** qid: d14_incremental_minhash — probe a signature batch against
       * a (materialized) history signature table; cost is proportional
@@ -492,5 +497,32 @@ object Graft {
       * intervals (sweep-free interval merge). */
     def engagedTime(events: DataFrame, windowSecs: Long): DataFrame =
       Extras.engagedTimeOf(events, windowSecs)
+  }
+
+  /** Content hashing / provenance (SURVEY §2.5 D7, S12). */
+  object hashing {
+
+    /** qid: d7_content_hash — hierarchical chunked relation hash over
+      * a `(groupCols…, row_h)` relation: adaptive hash-prefix buckets,
+      * bounded agg buffers at any group size, partition-invariant. */
+    def chunkedHashAgg(rows: DataFrame, groupCols: Seq[String]): DataFrame =
+      graft.core.Hashing.chunkedHashAgg(rows, groupCols)
+
+    /** Whole-relation content-version digest (one hex string) —
+      * the provenance-manifest surface. */
+    def tableHash(df: DataFrame): String = graft.core.Hashing.tableHash(df)
+
+    /** The chunked hash as ONE Spark SQL statement over a registered
+      * view — the pure-SQL session surface (byte-identical result;
+      * MinHashSpec asserts it). */
+    def tableHashSql(relation: String, groupCols: Seq[String]): String =
+      graft.core.Hashing.tableHashSql(relation, groupCols)
+
+    /** Register the native + composed graft SQL functions
+      * (dot_product, sorted_intersect_size, positional_equal_count,
+      * keep_alpha_space, shingles, content_hash, chunk_len, fnmatch)
+      * on an already-built session. */
+    def registerSqlFunctions(spark: SparkSession): Unit =
+      org.apache.spark.sql.graftx.GraftExtensions.register(spark)
   }
 }

@@ -148,22 +148,25 @@ object MinHash {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxBucket >= 2, "maxBucket must be >= 2")
     val keys = keyCols.map(col)
-    // bucket sizes: map-side partial agg → tiny (key, count) shuffle;
-    // the join-back shares the bucket-key partitioning with the pair
-    // join itself (exchange reuse), and a mega-bucket costs one
-    // narrow 1-row-attach pass, never a sort
-    val sizes = exploded.groupBy(keys: _*).agg(count(lit(1)).as("__bn"))
-    val sized = exploded.join(sizes, keyCols)
+    // Hot-bucket KEY SET, not per-row sizes: a map-side partial agg
+    // shuffles only (key, count), and the qualifying keys are ≤
+    // n/maxBucket rows — EMPTY on healthy corpora, so AQE broadcasts
+    // them and the anti-join below degenerates to a pass-through: the
+    // unskewed plan pays one cheap agg, nothing else (measured: the
+    // earlier per-row size join-back cost ~25 % on d4_neardup).
+    val bigKeys = exploded.groupBy(keys: _*).agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > maxBucket)
+      .select(keys: _*)
     def side(suffix: String)(df: DataFrame) = df.select(
       keys ++ (col(idCol).as(s"id_$suffix") +:
         payloadCols.map(c => col(c).as(s"${c}_$suffix"))): _*)
     val outCols = (Seq("id_a", "id_b") ++
       payloadCols.flatMap(c => Seq(s"${c}_a", s"${c}_b"))).map(col)
-    val small = sized.where(col("__bn") <= maxBucket).drop("__bn")
+    val small = exploded.join(bigKeys, keyCols, "left_anti")
     val smallPairs = side("a")(small).join(side("b")(small), keyCols)
       .where(col("id_a") < col("id_b"))
       .select(outCols: _*)
-    val big = sized.where(col("__bn") > maxBucket).drop("__bn")
+    val big = exploded.join(bigKeys, keyCols, "left_semi")
     val repAggs = min(col(idCol)).as("id_a") +:
       payloadCols.map(c => min_by(col(c), col(idCol)).as(s"${c}_a"))
     val reps = big.groupBy(keys: _*).agg(repAggs.head, repAggs.tail: _*)

@@ -493,7 +493,17 @@ object Multimodal {
     // broadcast that exhausted the driver, and at 100 TB any broadcast
     // here is wrong by construction. MERGE pins the shuffle
     // sort-merge join on the (band_idx, band_key) short key.
-    idx.hint("merge").join(prb, Seq("band_idx", "band_key"))
+    // Band-bucket skew guard (the d2/d3/d4 discipline, r9): a corpus
+    // of byte-identical boilerplate images collapses onto one pHash,
+    // so one band bucket holds the whole pile on BOTH sides and the
+    // join is n² there. The INDEX side caps at DefaultMaxBucket
+    // members per bucket (lowest ids) — every probe still reaches the
+    // lowest-id members, so duplicate clusters stay connected with
+    // bounded per-probe fan-out; gate-scale buckets are far under the
+    // cap → bit-identical results there.
+    val idxCapped = graft.operators.MinHash.capBucketMembers(
+      idx, Seq("band_idx", "band_key"), "media_a")
+    idxCapped.hint("merge").join(prb, Seq("band_idx", "band_key"))
       .where(col("media_a") < col("media_b"))
       .select(col("media_a"), col("media_b"),
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))

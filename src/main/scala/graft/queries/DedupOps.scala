@@ -390,21 +390,28 @@ object DedupOps {
   def d3HammingPairs(s: SparkSession, dir: String): DataFrame = {
     // both self-join sides share the simhash agg subtree — the
     // md5-per-token pass and its shuffle dedupe at physical planning
-    // (ReuseExchange); no persist/checkpoint, no build-time jobs
+    // (ReuseExchange); no persist/checkpoint, no build-time jobs.
+    // Band-bucket skew guard (the d2/d4 discipline, r9): a corpus of
+    // near-identical boilerplate collapses onto one simhash band
+    // value, and the unguarded self-join is n² in that bucket —
+    // buckets over the cap star-pair to the min-id representative
+    // (exact hamming still verified; never triggered at gate scale)
     val sig = simhash64(s, dir)
       .select(col("doc_id"), col("band0"), col("band1"),
         col("band2"), col("band3"))
-    def sides(p: String) = sig.select(
-      col("doc_id").as(s"doc_$p") +: (0 until 4).map(k =>
-        col(s"band$k").as(s"$p$k")) :+
+    val exploded = sig.select(
+      col("doc_id") +: (0 until 4).map(k => col(s"band$k")) :+
         posexplode(array((0 until 4).map(k => col(s"band$k")): _*))
           .as(Seq("band_idx", "band_val")): _*)
     val hamming = (0 until 4).map(k =>
-      bit_count(col(s"a$k").bitwiseXOR(col(s"b$k"))).cast("long"))
+      bit_count(col(s"band${k}_a").bitwiseXOR(col(s"band${k}_b")))
+        .cast("long"))
       .reduce(_ + _)
-    sides("a").join(sides("b"), Seq("band_idx", "band_val"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+    graft.operators.MinHash.guardedBandPairs(exploded,
+        Seq("band_idx", "band_val"), "doc_id",
+        (0 until 4).map(k => s"band$k"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        hamming.as("hamming"))
       .where(col("hamming") <= 3)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))

@@ -230,4 +230,20 @@ class ApiSpec extends AnyFunSuite {
     val img = graft.sources.Bmp.Image(2, 2, Array(0, 0xFFFFFF, 0, 0xFFFFFF))
     assert(Graft.media.phash64(img) === Graft.media.phash64(img))
   }
+
+  test("facade hashing family runs and delegates plan-identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, md5}
+    val base = (1L to 500L).map(i => (s"g${i % 2}", i)).toDF("grp", "id")
+      .select(col("grp"), md5(concat_ws("|", col("grp"), col("id"))).as("row_h"))
+    val f = Graft.hashing.chunkedHashAgg(base, Seq("grp"))
+    assert(samePlan(f, graft.core.Hashing.chunkedHashAgg(base, Seq("grp"))))
+    assert(f.collect().length === 2)
+    assert(Graft.hashing.tableHash(base) === graft.core.Hashing.tableHash(base))
+    base.createOrReplaceTempView("api_th")
+    assert(Graft.hashing.tableHashSql("api_th", Nil) ===
+      graft.core.Hashing.tableHashSql("api_th", Nil))
+    Graft.hashing.registerSqlFunctions(spark)
+    assert(spark.sql("SELECT chunk_len(100L) AS l").collect()(0).getInt(0) === 1)
+  }
 }
