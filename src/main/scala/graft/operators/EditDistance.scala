@@ -96,21 +96,22 @@ object EditDistance {
     * values, both strings length-bounded to [minLen, maxLen].
     * Output: (doc_a, doc_b, dist). */
   def selfJoin(docs: DataFrame, idCol: String, sCol: String, k: Int,
-      minLen: Int, maxLen: Int): DataFrame = {
+      minLen: Int, maxLen: Int,
+      maxBucket: Int = graft.operators.MinHash.DefaultMaxBucket): DataFrame = {
     val bounded = docs
       .where(length(col(sCol)).between(minLen, maxLen))
       .select(col(idCol).cast("long").as("id"), col(sCol).as("s"))
     // segment-bucket skew guard (the d2/d3/d4 band discipline, r9): a
     // corpus of identical strings shares every segment key, making the
     // idx×prb join n² in that bucket — the INDEX side caps at
-    // DefaultMaxBucket members per (seg_i, part_len, seg) bucket
+    // `maxBucket` members per (seg_i, part_len, seg) bucket
     // (lowest ids, deterministic). Every probe still reaches the
     // lowest-id members, so duplicate clusters stay connected with
     // bounded per-probe fan-out; gate-scale buckets are far under the
     // cap → bit-identical results there (the d16 oracle is unchanged).
     val idx = graft.operators.MinHash.capBucketMembers(
       segmentKeys(bounded, "id", "s", k).withColumnRenamed("id", "id_a"),
-      Seq("seg_i", "part_len", "seg"), "id_a")
+      Seq("seg_i", "part_len", "seg"), "id_a", maxBucket)
     val prb = probeKeys(bounded, "id", "s", k, minLen, maxLen)
       .withColumnRenamed("id", "id_b")
     val cand = idx.join(prb, Seq("seg_i", "part_len", "seg"))

@@ -61,6 +61,28 @@ class Round6OpsSpec extends AnyFunSuite {
     assert((1L to 10L).toSet.subsetOf(fromBase.toSet))
   }
 
+  test("PassJoin segment-bucket guard bounds an identical-string pile (r9 skew guard)") {
+    import spark.implicits._
+    // 500 byte-identical strings share EVERY segment key: unguarded,
+    // the idx×prb join emits ~n² candidates from one bucket. The
+    // capBucketMembers index cap bounds per-probe fan-out while every
+    // pair still verifies through the lowest-id members — with dist 0
+    // all pairs against the kept index members survive, and the pile
+    // stays one connected component via doc 1.
+    val s0 = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val docs = (1L to 500L).map(i => (i, s0)).toDF("doc_id", "s")
+    val pairs = EditDistance.selfJoin(docs, "doc_id", "s", 3, 24, 48,
+        maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // every doc is reachable from doc 1 (cluster connectivity intact)
+    val reach = pairs.collect { case (1L, b) => b }.toSet + 1L
+    assert((2L to 500L).forall(reach.contains))
+    // and the candidate set is bounded far below the n(n-1)/2 ≈ 125k
+    // the unguarded join would verify: ≤ cap·n pairs
+    assert(pairs.length <= 16 * 500)
+  }
+
   test("PassJoin candidate fan-out per document is a bounded constant") {
     import spark.implicits._
     val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH"))
