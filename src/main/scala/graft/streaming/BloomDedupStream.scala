@@ -57,4 +57,12 @@ object BloomDedupStream {
       }
       .start()
   }
+
+  /** Replay-safe sink reader: foreachBatch is at-least-once, so a
+    * retried micro-batch re-appends its verdict rows; verdicts are a
+    * pure function of (doc, pinned corpus state), so per-doc dedup
+    * makes the drained table exact under replays (the SketchStream
+    * batch_id discipline). */
+  def drainedVerdicts(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(sinkDir).dropDuplicates("doc_id")
 }

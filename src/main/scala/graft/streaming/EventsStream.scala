@@ -167,8 +167,11 @@ object EventsStream {
   }
 
   /** foreachBatch ingestion pattern: drain a stream into a parquet
-    * "rset" with idempotent per-batch dedup — the calculator-results
-    * connector loop (SURVEY §2.10 Spark mapping). */
+    * "rset" with per-batch key dedup — the calculator-results
+    * connector loop (SURVEY §2.10 Spark mapping). foreachBatch is
+    * at-least-once: a retried batch re-appends its (deterministic)
+    * rows, so consumers read the rset through [[readRset]], which
+    * restores exactly-once semantics with a per-key dedup. */
   def ingestLoop(stream: DataFrame, outPath: String, keyCol: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
@@ -176,4 +179,9 @@ object EventsStream {
         batch.dropDuplicates(keyCol).write.mode("append").parquet(outPath)
       }
       .start()
+
+  /** Replay-safe rset reader (see [[ingestLoop]]). */
+  def readRset(spark: org.apache.spark.sql.SparkSession, outPath: String,
+      keyCol: String): DataFrame =
+    spark.read.parquet(outPath).dropDuplicates(keyCol)
 }

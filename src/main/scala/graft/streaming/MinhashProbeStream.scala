@@ -47,4 +47,13 @@ object MinhashProbeStream {
       }
       .start()
   }
+
+  /** Replay-safe sink reader: foreachBatch is at-least-once, so a
+    * retried micro-batch re-appends its verdict rows. Verdicts are a
+    * pure function of (doc, history) — every copy is identical — so
+    * the per-doc dedup here makes the drained table exact under any
+    * number of replays (the SketchStream batch_id discipline;
+    * appends stay cheap, the dedup rides the read). */
+  def drainedVerdicts(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(sinkDir).dropDuplicates("doc_id")
 }

@@ -268,6 +268,15 @@ class StreamingSpec extends AnyFunSuite {
       "drained per-doc verdicts must equal the one-shot batch d12 output")
     assert(streamed.nonEmpty && streamed.exists(_._4),
       "fixture sanity: the incoming slice contains at least one dup")
+
+    // at-least-once replay: re-appended verdict rows must dedup away
+    spark.read.parquet(sink).limit(3).write.mode("append").parquet(sink)
+    val replayed = graft.streaming.BloomDedupStream
+      .drainedVerdicts(spark, sink)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(replayed === batch,
+      "a replayed micro-batch must not duplicate drained verdicts")
   }
 
   test("sk1 HLL register stream drains to the batch sketch bit-for-bit") {
@@ -374,5 +383,13 @@ class StreamingSpec extends AnyFunSuite {
       "drained per-doc best matches must equal the one-shot batch d14 output")
     assert(streamed.exists(_._4),
       "fixture sanity: the incoming slice contains at least one near-dup")
+
+    // at-least-once replay: re-append a slice of verdict rows verbatim
+    // (a foreachBatch retry) — drainedVerdicts must stay exact
+    val some = spark.read.parquet(sink).limit(5)
+    some.write.mode("append").parquet(sink)
+    assert(canon(graft.streaming.MinhashProbeStream
+      .drainedVerdicts(spark, sink)) === batch,
+      "a replayed micro-batch must not duplicate drained verdicts")
   }
 }
