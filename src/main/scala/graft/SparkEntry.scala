@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.MaterialsOps.queries ++
       graft.queries.Extras.queries ++
       graft.queries.PackOps.queries ++
-      graft.sources.Aflux.queries
+      graft.sources.Aflux.queries ++
+      graft.sources.Versioned.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.MaterialsOps.oracle ++
       graft.queries.Extras.oracle ++
       graft.queries.PackOps.oracle ++
-      graft.sources.Aflux.oracle
+      graft.sources.Aflux.oracle ++
+      graft.sources.Versioned.oracle
 }
