@@ -499,6 +499,68 @@ object Graft {
       Extras.engagedTimeOf(events, windowSecs)
   }
 
+  /** Versioned table format (SURVEY §1.3 / S12b) — Delta-style
+    * manifest-log tables on plain parquet: atomic commits, time
+    * travel, restore, vacuum, file-granular copy-on-write merge /
+    * delete, and an exactly-once foreachBatch streaming sink. */
+  object tables {
+    import graft.sources.Versioned
+
+    /** qid: v1_time_travel — commit `df` ("append" | "overwrite");
+      * returns the new version. */
+    def commit(df: DataFrame, path: String, mode: String = "append"): Int =
+      Versioned.commit(df, path, mode)
+
+    /** Snapshot read, latest or as-of a version. */
+    def read(spark: SparkSession, path: String,
+        asOf: Option[Int] = None): DataFrame =
+      Versioned.read(spark, path, asOf)
+
+    /** qid: v2_merge_upsert — copy-on-write upsert on a BIGINT key;
+      * only footer-range-intersecting files are rewritten. */
+    def merge(updates: DataFrame, path: String, key: String): Int =
+      Versioned.merge(updates, path, key)
+
+    /** Copy-on-write delete of rows matching `pred`. */
+    def deleteWhere(spark: SparkSession, path: String,
+        pred: org.apache.spark.sql.Column): Int =
+      Versioned.deleteWhere(spark, path, pred)
+
+    /** Non-destructive rollback: checkpoint `toVersion`'s live set as
+      * a NEW version (history intact). */
+    def restore(path: String, toVersion: Int): Int =
+      Versioned.restore(path, toVersion)
+
+    /** Drop data files unreachable from the last `retainVersions`
+      * snapshots. */
+    def vacuum(path: String, retainVersions: Int = 10): Seq[String] =
+      Versioned.vacuum(path, retainVersions)
+
+    /** All committed versions, ascending. */
+    def versions(path: String): Seq[Int] = Versioned.versions(path)
+
+    /** Exactly-once micro-batch commit: no-op (None) if `appId` has
+      * already committed `batchId` or later. */
+    def commitIfAbsent(df: DataFrame, path: String, appId: String,
+        batchId: Long): Option[Int] =
+      Versioned.commitIfAbsent(df, path, appId, batchId)
+
+    /** foreachBatch adapter for an exactly-once versioned sink. */
+    def streamingSink(path: String, appId: String): (DataFrame, Long) => Unit =
+      Versioned.streamingSink(path, appId)
+
+    /** OPTIMIZE: compact the live set (streaming small-files cure);
+      * rows unchanged, old layout still time-travelable. */
+    def optimize(spark: SparkSession, path: String, numFiles: Int = 1): Int =
+      Versioned.optimize(spark, path, numFiles)
+
+    /** Change feed over an append-only version range, tagged with
+      * `_commit_version` — the incremental-consumer read. */
+    def readChanges(spark: SparkSession, path: String, fromVersion: Int,
+        toVersion: Int): DataFrame =
+      Versioned.readChanges(spark, path, fromVersion, toVersion)
+  }
+
   /** Content hashing / provenance (SURVEY §2.5 D7, S12). */
   object hashing {
 

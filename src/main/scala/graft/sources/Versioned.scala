@@ -53,8 +53,14 @@ object Versioned {
   final case class Snapshot(version: Int, files: Seq[String],
       schemaDdl: String, baseVersion: Int, replayedManifests: Int)
 
+  /** `txns` is the Delta SetTransaction analog: the highest batch id
+    * committed per writer app, carried FORWARD in every manifest so
+    * reading the latest manifest alone answers "was this micro-batch
+    * already committed?" — the exactly-once handshake for streaming
+    * sinks under foreachBatch's at-least-once replays. */
   private final case class Manifest(version: Int, op: String,
-      full: Boolean, files: Seq[String], schemaDdl: String)
+      full: Boolean, files: Seq[String], schemaDdl: String,
+      txns: Map[String, Long] = Map.empty)
 
   // -------------------------------------------------------- log I/O
 
@@ -80,9 +86,11 @@ object Versioned {
 
   private def toJson(m: Manifest): String = {
     val files = m.files.map(jstr).mkString("[", ", ", "]")
+    val txns = m.txns.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ", ", "}")
     s"""{"version": ${m.version}, "op": ${jstr(m.op)}, """ +
       s""""full": ${m.full}, "schema": ${jstr(m.schemaDdl)}, """ +
-      s""""files": $files}"""
+      s""""txns": $txns, "files": $files}"""
   }
 
   private def parseManifest(p: Path): Manifest = {
@@ -107,7 +115,15 @@ object Versioned {
           case other => sys.error(s"versioned: manifest $p file: $other") }
         case other => sys.error(s"versioned: manifest $p files: $other")
       },
-      schemaDdl = str("schema"))
+      schemaDdl = str("schema"),
+      txns = (j \ "txns") match {
+        case JObject(fields) => fields.map {
+          case (k, JInt(v)) => k -> v.toLong
+          case (k, other) => sys.error(s"versioned: manifest $p txn $k: $other")
+        }.toMap
+        case JNothing => Map.empty // pre-txn manifests
+        case other => sys.error(s"versioned: manifest $p txns: $other")
+      })
   }
 
   /** All committed versions, ascending (empty for a fresh/absent table). */
@@ -190,7 +206,38 @@ object Versioned {
     * existing table require an identical schema DDL (loud error — the
     * reference's silent schema-drift failure mode); overwrite may
     * change the schema. */
-  def commit(df: DataFrame, path: String, mode: String = "append"): Int = {
+  def commit(df: DataFrame, path: String, mode: String = "append"): Int =
+    commitInternal(df, path, mode, txn = None).getOrElse(
+      sys.error(s"versioned: plain commit cannot be skipped ($path)"))
+
+  /** Exactly-once commit: append `df` tagged (appId, batchId); if a
+    * manifest already records a batch id ≥ `batchId` for `appId` the
+    * commit is a no-op returning None — safe under foreachBatch's
+    * at-least-once replays. Any data files a losing replay wrote stay
+    * invisible (the log is the source of truth) and are reclaimed by
+    * [[vacuum]]. */
+  def commitIfAbsent(df: DataFrame, path: String, appId: String,
+      batchId: Long): Option[Int] = {
+    if (lastTxn(path, appId).exists(_ >= batchId)) return None // fast path
+    commitInternal(df, path, "append", txn = Some(appId -> batchId))
+  }
+
+  /** Highest batch id committed by `appId`, from the LATEST manifest
+    * alone (txns are carried forward at every commit). */
+  def lastTxn(path: String, appId: String): Option[Long] = {
+    val vs = versions(path)
+    if (vs.isEmpty) None
+    else parseManifest(manifestPath(path, vs.max)).txns.get(appId)
+  }
+
+  /** foreachBatch adapter: `stream.writeStream.foreachBatch(
+    * Versioned.streamingSink(path, appId)).start()` gives an
+    * exactly-once versioned-table sink. */
+  def streamingSink(path: String, appId: String): (DataFrame, Long) => Unit =
+    (df, batchId) => { commitIfAbsent(df, path, appId, batchId); () }
+
+  private def commitInternal(df: DataFrame, path: String, mode: String,
+      txn: Option[(String, Long)]): Option[Int] = {
     require(mode == "append" || mode == "overwrite",
       s"versioned: mode must be append|overwrite, got $mode")
     val commitId = java.util.UUID.randomUUID().toString.take(12)
@@ -209,6 +256,14 @@ object Versioned {
       val vs = versions(path)
       val cur = if (vs.isEmpty) 0 else vs.max
       val v = cur + 1
+      val prevTxns =
+        if (cur == 0) Map.empty[String, Long]
+        else parseManifest(manifestPath(path, cur)).txns
+      txn.foreach { case (app, b) =>
+        // re-check under the current log head: a racing replay of the
+        // same batch may have won while we were writing data files
+        if (prevTxns.get(app).exists(_ >= b)) return None
+      }
       val (full, files) =
         if (mode == "overwrite" || cur == 0) (true, added)
         else {
@@ -219,7 +274,8 @@ object Versioned {
           if (v % CheckpointInterval == 0) (true, prev.files ++ added)
           else (false, added)
         }
-      if (publish(path, Manifest(v, mode, full, files, ddl))) return v
+      if (publish(path, Manifest(v, mode, full, files, ddl,
+        prevTxns ++ txn))) return Some(v)
       attempt += 1 // lost the race: re-resolve on top of the winner
     }
     sys.error(s"versioned: gave up after $attempt contended commits at $path")
@@ -231,12 +287,209 @@ object Versioned {
     val snap = snapshot(path, Some(toVersion))
     var attempt = 0
     while (attempt < 64) {
-      val v = versions(path).max + 1
+      val cur = versions(path).max
+      val v = cur + 1
+      // txns roll FORWARD across a restore (the data rolls back, the
+      // exactly-once ledger must not — a replayed batch is still dup)
+      val txns = parseManifest(manifestPath(path, cur)).txns
       if (publish(path, Manifest(v, "restore", full = true, snap.files,
-        snap.schemaDdl))) return v
+        snap.schemaDdl, txns))) return v
       attempt += 1
     }
     sys.error(s"versioned: gave up restoring $path to v$toVersion")
+  }
+
+  // ------------------------------------------------- merge (upsert)
+
+  /** Per-file [min, max] of a BIGINT key, from parquet FOOTERS only —
+    * no data scan, O(files) driver-side metadata reads. This is the
+    * data-skipping tier: at real scale these stats would be written
+    * into the manifest at commit time (Delta keeps them in the log);
+    * reading footers here keeps the log format lean while exercising
+    * the identical pruning decision. */
+  private def fileKeyRanges(spark: SparkSession, path: String,
+      files: Seq[String], key: String): Seq[(String, Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$path/$f"), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
+        blocks.foreach { b =>
+          val col = b.getColumns.asScala
+            .find(_.getPath.toDotString == key)
+            .getOrElse(sys.error(s"versioned: merge key $key not in $f"))
+          val st = col.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) {
+            // no stats for this block: cannot prune — conservatively
+            // mark the whole file touched (rewritten, never skipped)
+            lo = Long.MinValue; hi = Long.MaxValue
+          } else st.genericGetMin match {
+            case n: java.lang.Long =>
+              lo = math.min(lo, n.longValue)
+              hi = math.max(hi, st.genericGetMax
+                .asInstanceOf[java.lang.Long].longValue)
+            case other => sys.error(
+              s"versioned: merge key $key must be BIGINT, found $other in $f")
+          }
+        }
+        (f, lo, hi)
+      } finally reader.close()
+    }
+  }
+
+  /** MERGE (upsert) on a BIGINT key, file-granular copy-on-write:
+    * matched rows are replaced by their update row, unmatched update
+    * rows are inserted. Only files whose footer [min, max] key range
+    * intersects the updates' key range are rewritten; every other
+    * live file is carried into the new snapshot BY REFERENCE — the
+    * Delta COW discipline, so a 100 TB table pays for the files it
+    * touches, not its size. Publishes with CONFLICT DETECTION: if any
+    * commit landed after the snapshot this merge read, it aborts
+    * loudly (a racing writer may have changed rows we rewrote) —
+    * optimistic concurrency, the caller retries the whole merge. */
+  def merge(updates: DataFrame, path: String, key: String): Int = {
+    val spark = updates.sparkSession
+    val base = snapshot(path)
+    val ddl = StructType(updates.schema.fields.map(_.copy(nullable = true))).toDDL
+    require(base.schemaDdl == ddl,
+      s"versioned: merge schema mismatch at $path:\n  table: " +
+        s"${base.schemaDdl}\n  updates: $ddl")
+    val bounds = updates.agg(min(col(key)), max(col(key))).head()
+    if (bounds.isNullAt(0)) return base.version // empty updates: no-op
+    val (uLo, uHi) = (bounds.getLong(0), bounds.getLong(1))
+    val ranges = fileKeyRanges(spark, path, base.files, key)
+    val (touched, untouched) = ranges.partition {
+      case (_, lo, hi) => hi >= uLo && lo <= uHi
+    }
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"data/c-$commitId"
+    val existing =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType.fromDDL(base.schemaDdl))
+      else spark.read.schema(StructType.fromDDL(base.schemaDdl))
+        .parquet(touched.map { case (f, _, _) => s"$path/$f" }: _*)
+    existing.join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates)
+      .write.mode("errorifexists").parquet(s"$path/$dataRel")
+    val added = listParquet(Paths.get(path, "data", s"c-$commitId"))
+      .map(f => s"$dataRel/$f")
+    val files = untouched.map(_._1) ++ added
+    val cur = versions(path).max
+    if (cur != base.version)
+      throw new java.util.ConcurrentModificationException(
+        s"versioned: merge at $path read v${base.version} but the log is " +
+          s"at v$cur — a concurrent commit landed; retry the merge")
+    val txns = parseManifest(manifestPath(path, cur)).txns
+    if (!publish(path, Manifest(cur + 1, "merge", full = true, files,
+      base.schemaDdl, txns)))
+      throw new java.util.ConcurrentModificationException(
+        s"versioned: merge at $path lost the publish race at " +
+          s"v${cur + 1}; retry the merge")
+    cur + 1
+  }
+
+  /** DELETE rows matching `pred`: rewrite the live set filtered (at
+    * scale, the same footer-range pruning as [[merge]] applies when
+    * the predicate is key-range-shaped; arbitrary predicates rewrite
+    * what they scan). Publishes as a checkpoint with the same
+    * conflict detection as merge. */
+  def deleteWhere(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column): Int = {
+    val base = snapshot(path)
+    val kept = read(spark, path, Some(base.version)).where(!pred || pred.isNull)
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"data/c-$commitId"
+    kept.write.mode("errorifexists").parquet(s"$path/$dataRel")
+    val added = listParquet(Paths.get(path, "data", s"c-$commitId"))
+      .map(f => s"$dataRel/$f")
+    val cur = versions(path).max
+    if (cur != base.version)
+      throw new java.util.ConcurrentModificationException(
+        s"versioned: delete at $path read v${base.version} but the log is " +
+          s"at v$cur; retry")
+    val txns = parseManifest(manifestPath(path, cur)).txns
+    if (!publish(path, Manifest(cur + 1, "delete", full = true, added,
+      base.schemaDdl, txns)))
+      throw new java.util.ConcurrentModificationException(
+        s"versioned: delete at $path lost the publish race; retry")
+    cur + 1
+  }
+
+  /** OPTIMIZE: compact the live set into `numFiles` files — same
+    * rows, new layout — as a new version. The small-files problem is
+    * the chronic failure mode of streaming appends (every micro-batch
+    * lands a file; a month of 1-minute batches is 43k files whose
+    * footer/open cost dominates the scan); compaction is a pure log
+    * operation for readers since time travel still sees the old
+    * layout. Same conflict detection as [[merge]]. */
+  def optimize(spark: SparkSession, path: String, numFiles: Int = 1): Int = {
+    val base = snapshot(path)
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"data/c-$commitId"
+    read(spark, path, Some(base.version)).repartition(numFiles)
+      .write.mode("errorifexists").parquet(s"$path/$dataRel")
+    val added = listParquet(Paths.get(path, "data", s"c-$commitId"))
+      .map(f => s"$dataRel/$f")
+    val cur = versions(path).max
+    if (cur != base.version)
+      throw new java.util.ConcurrentModificationException(
+        s"versioned: optimize at $path read v${base.version} but the log " +
+          s"is at v$cur; retry")
+    val txns = parseManifest(manifestPath(path, cur)).txns
+    if (!publish(path, Manifest(cur + 1, "optimize", full = true, added,
+      base.schemaDdl, txns)))
+      throw new java.util.ConcurrentModificationException(
+        s"versioned: optimize at $path lost the publish race; retry")
+    cur + 1
+  }
+
+  /** CDC read: the rows ADDED in versions (`fromVersion`, `toVersion`]
+    * with a `_commit_version` column — the incremental-consumer feed
+    * (e.g. probe only NEW documents against the minhash history,
+    * `d14`-style, instead of rescanning the corpus). Sound only over
+    * pure append ranges, so any overwrite / merge / delete / restore /
+    * optimize inside the range errors loudly — those commits rewrite
+    * rather than add, and their row-level delta is not recoverable
+    * from the file log alone. */
+  def readChanges(spark: SparkSession, path: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    val vs = versions(path)
+    require(vs.contains(toVersion) && (fromVersion == 0 ||
+      vs.contains(fromVersion)) && fromVersion < toVersion,
+      s"versioned: bad change range ($fromVersion, $toVersion] " +
+        s"(have ${vs.mkString(",")})")
+    val range = vs.filter(v => v > fromVersion && v <= toVersion)
+    val parts = range.map { v =>
+      val m = parseManifest(manifestPath(path, v))
+      require(m.op == "append",
+        s"versioned: CDC range ($fromVersion, $toVersion] crosses a " +
+          s"'${m.op}' commit at v$v — change feed is append-only")
+      // an append CHECKPOINT carries the full live set; its own added
+      // files are the ones absent from the previous version's set
+      val addedFiles =
+        if (!m.full) m.files
+        else {
+          val prev = snapshot(path, Some(v - 1)).files.toSet
+          m.files.filterNot(prev)
+        }
+      (v, addedFiles, m.schemaDdl)
+    }
+    val schema = StructType.fromDDL(parts.last._3)
+    parts.map { case (v, files, _) =>
+      val df =
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else spark.read.schema(schema)
+          .parquet(files.map(f => s"$path/$f"): _*)
+      df.withColumn("_commit_version", lit(v))
+    }.reduce(_ unionByName _)
   }
 
   /** Read the table at `asOf` (default latest). Empty live set reads
@@ -309,10 +562,61 @@ object Versioned {
     Files.deleteIfExists(p)
   }
 
+  /** v2_merge_upsert: exercise the COW merge + delete path — seed the
+    * table with the even doc_ids, MERGE the multiples of 3 with their
+    * char count negated (evens∩3k are updated in place, odd 3k rows
+    * are inserted), then DELETE the multiples of 5. Each version's
+    * state is read back THROUGH the log and aggregated; the oracle
+    * replays the three set algebra states relationally. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val tmp = Files.createTempDirectory("graft-versioned-").toString
+    try {
+      commit(docs.where(col("doc_id") % 2 === 0), tmp, "append") // v1
+      merge(docs.where(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", -col("n_chars")), tmp, "doc_id") // v2
+      deleteWhere(spark, tmp, col("doc_id") % 5 === 0) // v3
+      val rows = (1 to 3).map { v =>
+        val r = read(spark, tmp, Some(v))
+          .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"),
+            sum(col("n_chars")).as("sum_chars"))
+          .head()
+        Row(v, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType.fromDDL(
+          "version INT, n_rows BIGINT, sum_doc_id BIGINT, sum_chars BIGINT"))
+        .orderBy(col("version"))
+    } finally deleteRecursively(Paths.get(tmp))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "v1_time_travel" -> (timeTravel _))
+    "v1_time_travel" -> (timeTravel _),
+    "v2_merge_upsert" -> (mergeUpsert _))
 
   val oracle: Map[String, String] = Map(
+    "v2_merge_upsert" -> """
+      WITH state2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN -n_chars ELSE n_chars END
+                 AS n_chars
+        FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0),
+      agg AS (
+        SELECT 1 AS version, count(*) AS n_rows,
+               sum(doc_id) AS sum_doc_id, sum(n_chars) AS sum_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 2, count(*), sum(doc_id), sum(n_chars) FROM state2
+        UNION ALL
+        SELECT 3, count(*), sum(doc_id), sum(n_chars) FROM state2
+        WHERE doc_id % 5 <> 0)
+      SELECT CAST(version AS INT) AS version,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_doc_id AS BIGINT) AS sum_doc_id,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM agg ORDER BY version""",
     "v1_time_travel" -> """
       WITH agg AS (
         SELECT 1 AS version, count(*) AS n_rows,

@@ -168,6 +168,22 @@ class ApiSpec extends AnyFunSuite {
     assert(mp.collect().nonEmpty)
   }
 
+  test("facade tables family: commit/merge/time-travel on user tables") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("api-tables-").toString
+    val v1 = Graft.tables.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    Graft.tables.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "s"), t, "id")
+    assert(Graft.tables.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(Graft.tables.read(spark, t, Some(v1)).count() === 2L)
+    assert(Graft.tables.versions(t) === Seq(1, 2))
+    assert(Graft.tables.commitIfAbsent(Seq((9L, "x")).toDF("id", "s"),
+      t, "app", 0L).isDefined)
+    assert(Graft.tables.commitIfAbsent(Seq((9L, "x")).toDF("id", "s"),
+      t, "app", 0L).isEmpty)
+  }
+
   test("facade text + splits + events families run on user tables") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
