@@ -19,38 +19,31 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def r3(x: Double): Double = math.rint(x * 1000) / 1000
 
-  /** Whole-run stats from the previous committed artifact: its
-    * (cold_total_sec, warm_total_sec) and query-name set. Used by the
-    * round-8 whole-run contention gate and the round-9 `contended`
-    * self-verdict (see main). Missing/unreadable → None. */
-  private[graft] def committedRun(sfName: String)
-      : Option[(Double, Double, Set[String])] = {
-    val p = java.nio.file.Paths.get(s"bench/bench_$sfName.json")
-    if (!java.nio.file.Files.isReadable(p)) return None
-    try {
-      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      def num(key: String): Option[Double] =
-        (""""""" + key + """":\s*([-0-9.eE]+)""").r
-          .findFirstMatchIn(text).map(_.group(1).toDouble)
-      for (c <- num("cold_total_sec"); w <- num("warm_total_sec"))
-        yield (c, w, benchBaseline(sfName).keySet)
-    } catch { case _: Throwable => None }
-  }
-
-  /** Per-query warm seconds from the previous committed artifact
+  /** Per-query (cold, warm) seconds from the previous artifact
     * (`bench/bench_<sf>.json` as it exists on disk BEFORE this run
     * overwrites it). We control the writer, so a line-oriented regex
     * on `"name": {"cold": X, "warm": Y}` is exact; missing/unreadable
-    * file → empty map (guard simply disarmed on first run). */
-  private[graft] def benchBaseline(sfName: String): Map[String, Double] = {
+    * file → empty map (guards simply disarmed on first run). Both the
+    * whole-run contention keep-gate (round 8) and the `contended`
+    * self-verdict (round 9) compare against the INTERSECTION of query
+    * names with this map — a growing surface must not disarm them
+    * (round-9 lesson: three new queries nulled the verdict exactly
+    * when it was needed). */
+  private[graft] def benchBaselineBoth(sfName: String)
+      : Map[String, (Double, Double)] = {
     val p = java.nio.file.Paths.get(s"bench/bench_$sfName.json")
     if (!java.nio.file.Files.isReadable(p)) return Map.empty
     val line = """"([A-Za-z0-9_]+)":\s*\{"cold":\s*([-0-9.eE]+),\s*"warm":\s*([-0-9.eE]+)\}""".r
     try {
       val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      line.findAllMatchIn(text).map(m => m.group(1) -> m.group(3).toDouble).toMap
+      line.findAllMatchIn(text)
+        .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+        .toMap
     } catch { case _: Throwable => Map.empty }
   }
+
+  private[graft] def benchBaseline(sfName: String): Map[String, Double] =
+    benchBaselineBoth(sfName).map { case (k, (_, w)) => k -> w }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,18 +133,32 @@ object Bench {
     // protocol above already re-measures the worst offenders, so the
     // whole-run verdict compares totals AFTER those re-runs. null when
     // there is no same-surface committed basis (first run / subset).
+    // The basis is the INTERSECTION of query names with the previous
+    // artifact (a growing surface must not disarm the verdict — round
+    // 9 lesson: three new queries made the verdict null exactly when
+    // it was needed), required to cover ≥90% of the old surface so a
+    // subset run still can't masquerade as a basis.
     val sfNameEarly = new java.io.File(sfDir).getName
-    val committed = committedRun(sfNameEarly)
-      .filter { case (_, _, names0) => names0 == names.toSet }
-    val contended: Option[Boolean] = committed.map {
-      case (cCold, cWarm, _) =>
-        coldTotal > 1.3 * cCold || warmTotal > 1.3 * cWarm
-    }
+    val prior = benchBaselineBoth(sfNameEarly)
+    val common = names.filter(prior.contains)
+    val basisOk = prior.nonEmpty && common.size >= (0.9 * prior.size)
+    val warmMapNow = warm.toMap
+    val coldMapNow = cold.toMap
+    val contended: Option[Boolean] =
+      if (!basisOk) None
+      else {
+        val cCold = common.map(n => prior(n)._1).sum
+        val cWarm = common.map(n => prior(n)._2).sum
+        val nCold = common.map(coldMapNow).sum
+        val nWarm = common.map(warmMapNow).sum
+        Some(nCold > 1.3 * cCold || nWarm > 1.3 * cWarm)
+      }
     def contendedJson: String = contended match {
       case None => """"contended": null"""
       case Some(v) =>
-        val (cCold, cWarm, _) = committed.get
-        s""""contended": $v, "contended_basis": {"committed_cold_total": ${r3(cCold)}, "committed_warm_total": ${r3(cWarm)}, "threshold": 1.3}"""
+        val cCold = common.map(n => prior(n)._1).sum
+        val cWarm = common.map(n => prior(n)._2).sum
+        s""""contended": $v, "contended_basis": {"committed_cold_total": ${r3(cCold)}, "committed_warm_total": ${r3(cWarm)}, "common_queries": ${common.size}, "threshold": 1.3}"""
     }
 
     // complete two-pass artifact (committed alongside the code)
@@ -200,8 +207,9 @@ object Bench {
     val isDefaultPath = benchOut.contains(s"bench/bench_$sfName.json")
     val gateRejected: Boolean = isDefaultPath &&
       !sys.env.get("SPARK_GRAFT_FORCE_REFRESH").contains("1") &&
-      committedRun(sfName).exists { case (committedCold, _, committedNames) =>
-        committedNames == names.toSet && coldTotal > 1.5 * committedCold
+      basisOk && {
+        val cCold = common.map(n => prior(n)._1).sum
+        common.map(coldMapNow).sum > 1.5 * cCold
       }
     if (!gateRejected) benchOut.foreach { p =>
       val path = java.nio.file.Paths.get(p)
@@ -210,9 +218,10 @@ object Bench {
       java.nio.file.Files.write(path, full.toString.getBytes("UTF-8"))
     }
     if (gateRejected) System.err.println(
-      s"[bench] whole-run contention gate: cold_total ${r3(coldTotal)}s > " +
-        s"1.5x committed ${committedRun(sfName).map(_._1).getOrElse(0.0)}s " +
-        "with unchanged surface - committed artifact kept, refresh rejected")
+      s"[bench] whole-run contention gate: common-query cold " +
+        s"${r3(common.map(coldMapNow).sum)}s > 1.5x committed " +
+        s"${r3(common.map(n => prior(n)._1).sum)}s over ${common.size} " +
+        "shared queries - committed artifact kept, refresh rejected")
 
     // One-line driver contract. The driver's stdout capture keeps only
     // the LAST 2000 characters (measured from BENCH_r04/r05, both of

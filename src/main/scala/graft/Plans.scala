@@ -118,6 +118,33 @@ object Plans {
     sb.append("\n## Splits.assign (library path) — scale-safe rank: " +
       s"range partition + per-partition window, no SinglePartition\n\n" +
       s"```\n$splitsPlan```\n")
+    // The graftv DSv2 scan isn't visible through the v1/v2/v3 query
+    // entries (they aggregate eagerly) — plan a projection over a
+    // throwaway versioned table to show the connector's column
+    // pruning landing in the scan's ReadSchema.
+    val vTmp = Files.createTempDirectory("plans-graftv-").toString
+    try {
+      sources.Versioned.commit(
+        spark.read.parquet(s"$sf/documents.parquet"), vTmp)
+      val vDf = spark.read.format("graftv").load(vTmp)
+        .groupBy("lang")
+        .agg(org.apache.spark.sql.functions.sum("n_chars").as("chars"))
+      val vPlan = vDf.queryExecution.explainString(
+        ExplainMode.fromString("formatted"))
+      sb.append("\n## graftv DSv2 scan (connector path) — required " +
+        "columns pushed into the parquet read schema (ReadSchema " +
+        "shrinks to lang,n_chars); one partition per manifest-listed " +
+        s"file\n\n```\n$vPlan```\n")
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().forEachRemaining(rm) finally s.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(Paths.get(vTmp))
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${picks.length + 1} plans)")
     spark.stop()

@@ -324,7 +324,8 @@ object Versioned {
           val col = b.getColumns.asScala
             .find(_.getPath.toDotString == key)
             .getOrElse(sys.error(s"versioned: merge key $key not in $f"))
-          val st = col.getStatistics
+          val st: org.apache.parquet.column.statistics.Statistics[_] =
+            col.getStatistics
           if (st == null || st.isEmpty || !st.hasNonNullValue) {
             // no stats for this block: cannot prune — conservatively
             // mark the whole file touched (rewritten, never skipped)
@@ -458,6 +459,34 @@ object Versioned {
     * optimize inside the range errors loudly — those commits rewrite
     * rather than add, and their row-level delta is not recoverable
     * from the file log alone. */
+  /** The files version `v` ADDED (append commits only — loud error
+    * otherwise): a delta manifest lists them directly; an append
+    * CHECKPOINT carries the full live set, so its additions are the
+    * files absent from the previous version's set. */
+  private def addedAt(path: String, v: Int, fromVersion: Int,
+      toVersion: Int): (Seq[String], String) = {
+    val m = parseManifest(manifestPath(path, v))
+    require(m.op == "append",
+      s"versioned: CDC range ($fromVersion, $toVersion] crosses a " +
+        s"'${m.op}' commit at v$v — change feed is append-only")
+    val added =
+      if (!m.full) m.files
+      else {
+        val prev =
+          if (v <= 1) Set.empty[String] // v1 has no predecessor
+          else snapshot(path, Some(v - 1)).files.toSet
+        m.files.filterNot(prev)
+      }
+    (added, m.schemaDdl)
+  }
+
+  /** All files appended by versions (`fromVersion`, `toVersion`] —
+    * the streaming-source feed ([[VersionedMicroBatchStream]]). */
+  private[sources] def appendedFiles(path: String, fromVersion: Int,
+      toVersion: Int): Seq[String] =
+    versions(path).filter(v => v > fromVersion && v <= toVersion)
+      .flatMap(v => addedAt(path, v, fromVersion, toVersion)._1)
+
   def readChanges(spark: SparkSession, path: String, fromVersion: Int,
       toVersion: Int): DataFrame = {
     val vs = versions(path)
@@ -467,19 +496,8 @@ object Versioned {
         s"(have ${vs.mkString(",")})")
     val range = vs.filter(v => v > fromVersion && v <= toVersion)
     val parts = range.map { v =>
-      val m = parseManifest(manifestPath(path, v))
-      require(m.op == "append",
-        s"versioned: CDC range ($fromVersion, $toVersion] crosses a " +
-          s"'${m.op}' commit at v$v — change feed is append-only")
-      // an append CHECKPOINT carries the full live set; its own added
-      // files are the ones absent from the previous version's set
-      val addedFiles =
-        if (!m.full) m.files
-        else {
-          val prev = snapshot(path, Some(v - 1)).files.toSet
-          m.files.filterNot(prev)
-        }
-      (v, addedFiles, m.schemaDdl)
+      val (addedFiles, ddl) = addedAt(path, v, fromVersion, toVersion)
+      (v, addedFiles, ddl)
     }
     val schema = StructType.fromDDL(parts.last._3)
     parts.map { case (v, files, _) =>
@@ -592,11 +610,51 @@ object Versioned {
     } finally deleteRecursively(Paths.get(tmp))
   }
 
+  /** v3_source_read: the DSv2 connector path — commit two versions,
+    * read BOTH through `format("graftv")` (latest + time travel), with
+    * the aggregate's column pruning pushed into the connector's
+    * parquet read schema (asserted structurally in
+    * VersionedSourceSpec). Aggregates are collected per version like
+    * v1/v2 (two 1-row collects). */
+  def sourceRead(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val tmp = Files.createTempDirectory("graft-versioned-").toString
+    try {
+      commit(docs.where(col("doc_id") % 4 === 0), tmp, "append") // v1
+      commit(docs.where(col("doc_id") % 4 === 2), tmp, "append") // v2
+      val rows = Seq(
+        spark.read.format("graftv").option("versionAsOf", 1).load(tmp)
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc")).head(),
+        spark.read.format("graftv").load(tmp)
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc")).head())
+        .zipWithIndex.map { case (r, i) =>
+          Row(i + 1, r.getLong(0), r.getLong(1))
+        }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType.fromDDL("version INT, n_rows BIGINT, sum_chars BIGINT"))
+        .orderBy(col("version"))
+    } finally deleteRecursively(Paths.get(tmp))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_time_travel" -> (timeTravel _),
-    "v2_merge_upsert" -> (mergeUpsert _))
+    "v2_merge_upsert" -> (mergeUpsert _),
+    "v3_source_read" -> (sourceRead _))
 
   val oracle: Map[String, String] = Map(
+    "v3_source_read" -> """
+      WITH agg AS (
+        SELECT 1 AS version, count(*) AS n_rows, sum(n_chars) AS sum_chars
+        FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT 2, count(*), sum(n_chars)
+        FROM documents WHERE doc_id % 4 IN (0, 2))
+      SELECT CAST(version AS INT) AS version,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM agg ORDER BY version""",
     "v2_merge_upsert" -> """
       WITH state2 AS (
         SELECT doc_id,

@@ -68,7 +68,10 @@ class CacheHygieneSpec extends AnyFunSuite {
     "p3_curriculum",    // bucket-count prefix sum at build (the o5/p1 shape)
     "p4_shard_manifest", // composes p3's bucket-count prefix sum
     "sk3_heavy_hitters", // per-source CMS blobs collected + merged at build
-    "sk4_theta_intersect" // per-source theta sketches collected at build
+    "sk4_theta_intersect", // per-source theta sketches collected at build
+    "v1_time_travel",   // versioned-table commits + per-version 1-row collects at build
+    "v2_merge_upsert",  // commit/merge/delete pipeline at build (same shape)
+    "v3_source_read"    // commits + DSv2 reads collected at build
   )
 
   test("no registered query leaves cache-manager entries behind") {
