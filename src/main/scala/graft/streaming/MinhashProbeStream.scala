@@ -56,4 +56,34 @@ object MinhashProbeStream {
     * appends stay cheap, the dedup rides the read). */
   def drainedVerdicts(spark: SparkSession, sinkDir: String): DataFrame =
     spark.read.parquet(sinkDir).dropDuplicates("doc_id")
+
+  /** The round-9 lake-native variant: tail a VERSIONED documents
+    * table through the `graftv` streaming source (version numbers as
+    * checkpointed offsets — each micro-batch is exactly the docs the
+    * appends since the last offset added, never a rescan) and land
+    * verdicts EXACTLY-ONCE into a versioned output table via the
+    * per-app txn ledger ([[graft.sources.Versioned.commitIfAbsent]]).
+    * Unlike [[start]]'s parquet-append sink, no read-side dedup is
+    * needed: a replayed micro-batch is refused at commit time, so
+    * `Versioned.read(out)` IS the exact drained table. The lake must
+    * already have ≥1 committed version (the source infers its schema
+    * from the log). */
+  def startOnLake(spark: SparkSession, lakePath: String, outTable: String,
+      checkpointDir: String, history: DataFrame, k: Int = 16,
+      bands: Int = 2, shingleN: Int = 3): StreamingQuery = {
+    val hist = prepare(history, k, bands, shingleN)
+    spark.readStream.format("graftv").load(lakePath)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val batchSig = graft.operators.MinHash.signatures(batch,
+          "doc_id", "text", k = k, bands = bands, shingleN = shingleN,
+          materialize = false)
+        graft.sources.Versioned.commitIfAbsent(
+          graft.queries.DedupOps.incrementalProbeOf(batchSig, hist),
+          outTable, "minhash-probe", batchId)
+        ()
+      }
+      .start()
+  }
 }

@@ -80,6 +80,46 @@ class VersionedSourceSpec extends AnyFunSuite {
     assert(seen.size === 3)
   }
 
+  test("incremental minhash probe over a graftv tail: exactly-once, equals batch d14") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val isNew = pmod(col("doc_id"), lit(10)) === 0
+    val history = docs.where(!isNew)
+    val incoming = docs.where(isNew)
+
+    val lake = tmpTable()
+    val out = tmpTable() + "/verdicts"
+    val ckpt = Files.createTempDirectory("mh_lake_ckpt").toString
+    // two lake commits with a STREAM RESTART between them: the second
+    // run resumes from the checkpointed version offset
+    Versioned.commit(incoming.where(pmod(col("doc_id"), lit(3)) < 2), lake)
+    def runOnce(): Unit = {
+      val q = graft.streaming.MinhashProbeStream.startOnLake(
+        spark, lake, out, ckpt, history)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    Versioned.commit(incoming.where(pmod(col("doc_id"), lit(3)) === 2), lake)
+    runOnce()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    // exactly-once sink: the versioned read IS the drained table —
+    // no read-side dedup — and equals the one-shot batch d14 output
+    val streamed = canon(Versioned.read(spark, out))
+    val batch = canon(SparkEntry.queries("d14_incremental_minhash")(
+      spark, "/root/testdata/sf0.001"))
+    assert(streamed === batch)
+    // a third run with no new lake commits must add NO verdict rows
+    // and NO output versions (replay refused by the txn ledger)
+    val versionsBefore = Versioned.versions(out)
+    runOnce()
+    assert(Versioned.versions(out) === versionsBefore)
+    assert(canon(Versioned.read(spark, out)) === batch)
+  }
+
   test("streaming tail refuses a range crossing a rewrite commit") {
     import spark.implicits._
     val t = tmpTable()
