@@ -148,13 +148,21 @@ object MinHash {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxBucket >= 2, "maxBucket must be >= 2")
     val keys = keyCols.map(col)
-    // Hot-bucket KEY SET, not per-row sizes: a map-side partial agg
-    // shuffles only (key, count), and the qualifying keys are ≤
+    // ONE shared exchange for every consumer below: repartitioning on
+    // the band keys here means the size agg, the anti/semi splits and
+    // both self-join sides all read the SAME shuffle output
+    // (ReuseExchange dedupes the identical subtree), so the signature/
+    // explode lineage is computed once — without this the guard's
+    // extra consumers re-evaluated it per branch, measured +25–35 % on
+    // d2/d3/d16 at the 5x point. The join and the groupBy then need
+    // no further exchange (already hash-clustered on keyCols).
+    val ex = exploded.repartition(keys: _*)
+    // Hot-bucket KEY SET, not per-row sizes: the qualifying keys are ≤
     // n/maxBucket rows — EMPTY on healthy corpora, so AQE broadcasts
-    // them and the anti-join below degenerates to a pass-through: the
-    // unskewed plan pays one cheap agg, nothing else (measured: the
-    // earlier per-row size join-back cost ~25 % on d4_neardup).
-    val bigKeys = exploded.groupBy(keys: _*).agg(count(lit(1)).as("__bn"))
+    // them, the anti-join degenerates to a pass-through, and AQE's
+    // empty-relation propagation prunes the whole star branch: the
+    // unskewed plan pays one co-partitioned agg, nothing else.
+    val bigKeys = ex.groupBy(keys: _*).agg(count(lit(1)).as("__bn"))
       .where(col("__bn") > maxBucket)
       .select(keys: _*)
     def side(suffix: String)(df: DataFrame) = df.select(
@@ -162,11 +170,11 @@ object MinHash {
         payloadCols.map(c => col(c).as(s"${c}_$suffix"))): _*)
     val outCols = (Seq("id_a", "id_b") ++
       payloadCols.flatMap(c => Seq(s"${c}_a", s"${c}_b"))).map(col)
-    val small = exploded.join(bigKeys, keyCols, "left_anti")
+    val small = ex.join(bigKeys, keyCols, "left_anti")
     val smallPairs = side("a")(small).join(side("b")(small), keyCols)
       .where(col("id_a") < col("id_b"))
       .select(outCols: _*)
-    val big = exploded.join(bigKeys, keyCols, "left_semi")
+    val big = ex.join(bigKeys, keyCols, "left_semi")
     val repAggs = min(col(idCol)).as("id_a") +:
       payloadCols.map(c => min_by(col(c), col(idCol)).as(s"${c}_a"))
     val reps = big.groupBy(keys: _*).agg(repAggs.head, repAggs.tail: _*)
