@@ -64,7 +64,23 @@ object Versioned {
 
   // -------------------------------------------------------- log I/O
 
-  private def logDir(path: String): Path = Paths.get(path, "_log")
+  /** Accept both plain paths and `file:` URIs (the session catalog
+    * hands DSv2 providers a URI-form location for `CREATE TABLE …
+    * USING graftv`). Other schemes are a loud error — the local
+    * java.nio log I/O below is the single-filesystem tier; a cluster
+    * deployment routes these through the object store's
+    * put-if-absent instead (see the class doc). */
+  private def norm(path: String): String =
+    if (path.startsWith("file:")) new java.net.URI(path).getPath
+    else if (path.contains(":/") && !path.matches("^[A-Za-z]:/.*"))
+      sys.error(s"versioned: unsupported path scheme in $path " +
+        "(local paths and file: URIs only in this environment)")
+    else path
+
+  private def dataPath(path: String, commitId: String): Path =
+    Paths.get(norm(path), "data", s"c-$commitId")
+
+  private def logDir(path: String): Path = Paths.get(norm(path), "_log")
 
   /** `Files.list` with the stream closed (it holds a directory fd). */
   private def listDir(p: Path): Vector[Path] = {
@@ -243,7 +259,7 @@ object Versioned {
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
     df.write.mode("errorifexists").parquet(s"$path/$dataRel")
-    val added = listParquet(Paths.get(path, "data", s"c-$commitId"))
+    val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
     added.foreach(f => require(f.forall(c => c.isLetterOrDigit ||
       "./-_=".contains(c)), s"versioned: unsafe file name $f"))
@@ -379,7 +395,7 @@ object Versioned {
     existing.join(updates.select(col(key)), Seq(key), "left_anti")
       .unionByName(updates)
       .write.mode("errorifexists").parquet(s"$path/$dataRel")
-    val added = listParquet(Paths.get(path, "data", s"c-$commitId"))
+    val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
     val files = untouched.map(_._1) ++ added
     val cur = versions(path).max
@@ -408,7 +424,7 @@ object Versioned {
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
     kept.write.mode("errorifexists").parquet(s"$path/$dataRel")
-    val added = listParquet(Paths.get(path, "data", s"c-$commitId"))
+    val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
     val cur = versions(path).max
     if (cur != base.version)
@@ -436,7 +452,7 @@ object Versioned {
     val dataRel = s"data/c-$commitId"
     read(spark, path, Some(base.version)).repartition(numFiles)
       .write.mode("errorifexists").parquet(s"$path/$dataRel")
-    val added = listParquet(Paths.get(path, "data", s"c-$commitId"))
+    val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
     val cur = versions(path).max
     if (cur != base.version)
@@ -531,7 +547,7 @@ object Versioned {
     if (vs.isEmpty) return Seq.empty
     val keepVs = vs.takeRight(retainVersions)
     val keep = keepVs.flatMap(v => snapshot(path, Some(v)).files).toSet
-    val dataDir = Paths.get(path, "data")
+    val dataDir = Paths.get(norm(path), "data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
     val live = listDir(dataDir).flatMap { cdir =>
       listDir(cdir).map(f => s"data/${cdir.getFileName}/${f.getFileName}")
@@ -539,7 +555,7 @@ object Versioned {
     val dead = live.filterNot(f => keep.contains(f) ||
       f.split('/').last.startsWith("_")) // keep parquet _SUCCESS markers
     dead.sorted.map { f =>
-      Files.deleteIfExists(Paths.get(path, f)); f
+      Files.deleteIfExists(Paths.get(norm(path), f)); f
     }
   }
 

@@ -120,6 +120,22 @@ class VersionedSourceSpec extends AnyFunSuite {
     assert(canon(Versioned.read(spark, out)) === batch)
   }
 
+  test("graftv tables are SQL-creatable: CREATE TABLE USING graftv + SELECT") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    spark.sql(s"CREATE TABLE graftv_sql_spec USING graftv OPTIONS (path '$t')")
+    try {
+      assert(spark.sql("SELECT sum(id) AS s FROM graftv_sql_spec")
+        .head().getLong(0) === 3L)
+      // new commits are visible through the catalog entry (the table
+      // resolves to the LOG, not to a frozen file list)
+      Versioned.commit(Seq((3L, "c")).toDF("id", "s"), t)
+      assert(spark.sql("SELECT count(*) AS n FROM graftv_sql_spec")
+        .head().getLong(0) === 3L)
+    } finally spark.sql("DROP TABLE graftv_sql_spec")
+  }
+
   test("streaming tail refuses a range crossing a rewrite commit") {
     import spark.implicits._
     val t = tmpTable()
