@@ -550,9 +550,13 @@ object Graft {
       Versioned.streamingSink(path, appId)
 
     /** OPTIMIZE: compact the live set (streaming small-files cure);
-      * rows unchanged, old layout still time-travelable. */
-    def optimize(spark: SparkSession, path: String, numFiles: Int = 1): Int =
-      Versioned.optimize(spark, path, numFiles)
+      * rows unchanged, old layout still time-travelable. `clusterBy`
+      * (1–2 columns; 2 interleave via the Morton key) range-lays the
+      * files so footer stats prune later merges/scans — OPTIMIZE
+      * ZORDER BY. */
+    def optimize(spark: SparkSession, path: String, numFiles: Int = 1,
+        clusterBy: Seq[String] = Nil): Int =
+      Versioned.optimize(spark, path, numFiles, clusterBy)
 
     /** Change feed over an append-only version range, tagged with
       * `_commit_version` — the incremental-consumer read. */

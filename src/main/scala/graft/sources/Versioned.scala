@@ -446,12 +446,30 @@ object Versioned {
     * footer/open cost dominates the scan); compaction is a pure log
     * operation for readers since time travel still sees the old
     * layout. Same conflict detection as [[merge]]. */
-  def optimize(spark: SparkSession, path: String, numFiles: Int = 1): Int = {
+  def optimize(spark: SparkSession, path: String, numFiles: Int = 1,
+      clusterBy: Seq[String] = Nil): Int = {
     val base = snapshot(path)
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
-    read(spark, path, Some(base.version)).repartition(numFiles)
-      .write.mode("errorifexists").parquet(s"$path/$dataRel")
+    val rows = read(spark, path, Some(base.version))
+    val laidOut =
+      if (clusterBy.isEmpty) rows.repartition(numFiles)
+      else {
+        // OPTIMIZE … ZORDER BY: range-partition on the layout key so
+        // every output file gets a TIGHT min/max footer range in the
+        // clustered dimension(s) — [[merge]]'s stats pruning then
+        // rewrites only the files a key batch actually intersects
+        // (VersionedSpec demonstrates the touched-set shrinking).
+        // Two columns interleave via the Morton key; one sorts plain.
+        val key = clusterBy match {
+          case Seq(a) => col(a)
+          case Seq(a, b) => graft.operators.ZOrder.zValue(col(a), col(b))
+          case other => sys.error(
+            s"versioned: clusterBy supports 1–2 columns, got $other")
+        }
+        rows.repartitionByRange(numFiles, key)
+      }
+    laidOut.write.mode("errorifexists").parquet(s"$path/$dataRel")
     val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
     val cur = versions(path).max

@@ -228,6 +228,34 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.snapshot(t, Some(6)).files.length >= 6)
   }
 
+  test("clustered optimize tightens merge's footer pruning") {
+    import spark.implicits._
+    val t = tmpTable()
+    // four interleaved commits: every file spans ~the whole key range,
+    // so a narrow-range merge must rewrite ALL of them
+    (0 until 4).foreach { i =>
+      Versioned.commit((1L to 200L).filter(_ % 4 == i)
+        .map(id => (id, s"r$id")).toDF("id", "s").coalesce(1), t)
+    }
+    val before = Versioned.snapshot(t).files.toSet
+    Versioned.merge(Seq((1L, "X"), (5L, "Y")).toDF("id", "s"), t, "id")
+    assert((Versioned.snapshot(t).files.toSet intersect before).isEmpty,
+      "scattered layout: a narrow merge touches every file")
+    // ZORDER-style clustered compaction → tight per-file key ranges
+    Versioned.optimize(spark, t, numFiles = 4, clusterBy = Seq("id"))
+    val clustered = Versioned.snapshot(t).files.toSet
+    Versioned.merge(Seq((2L, "Z")).toDF("id", "s"), t, "id")
+    val carried = Versioned.snapshot(t).files.toSet intersect clustered
+    assert(carried.size >= 2,
+      s"clustered layout must carry the untouched range files by " +
+        s"reference (carried ${carried.size} of ${clustered.size})")
+    // rows intact through it all
+    val got = Versioned.read(spark, t)
+    assert(got.count() === 200L)
+    assert(got.where(col("id") === 2L).head().getString(1) === "Z")
+    assert(got.where(col("id") === 1L).head().getString(1) === "X")
+  }
+
   test("readChanges feeds exactly the appended rows, tagged by version") {
     import spark.implicits._
     val t = tmpTable()
