@@ -507,9 +507,11 @@ object Graft {
     import graft.sources.Versioned
 
     /** qid: v1_time_travel — commit `df` ("append" | "overwrite");
-      * returns the new version. */
-    def commit(df: DataFrame, path: String, mode: String = "append"): Int =
-      Versioned.commit(df, path, mode)
+      * returns the new version. `mergeSchema = true` allows ADDITIVE
+      * append evolution (new nullable columns; old files null-fill). */
+    def commit(df: DataFrame, path: String, mode: String = "append",
+        mergeSchema: Boolean = false): Int =
+      Versioned.commit(df, path, mode, mergeSchema)
 
     /** Snapshot read, latest or as-of a version. */
     def read(spark: SparkSession, path: String,

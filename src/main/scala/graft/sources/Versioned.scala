@@ -220,11 +220,18 @@ object Versioned {
   /** Commit `df` to the table at `path`. `mode` = "append" |
     * "overwrite". Returns the committed version number. Appends to an
     * existing table require an identical schema DDL (loud error — the
-    * reference's silent schema-drift failure mode); overwrite may
-    * change the schema. */
-  def commit(df: DataFrame, path: String, mode: String = "append"): Int =
-    commitInternal(df, path, mode, txn = None).getOrElse(
-      sys.error(s"versioned: plain commit cannot be skipped ($path)"))
+    * reference's silent schema-drift failure mode) unless
+    * `mergeSchema = true`, which allows ADDITIVE evolution: new
+    * columns join the table schema as nullable, common columns must
+    * keep their types, and old files read back with the new columns
+    * null-filled (the committed DDL per manifest means time travel
+    * sees each version under its own schema). Overwrite may change
+    * the schema freely. */
+  def commit(df: DataFrame, path: String, mode: String = "append",
+      mergeSchema: Boolean = false): Int =
+    commitInternal(df, path, mode, txn = None, mergeSchema = mergeSchema)
+      .getOrElse(
+        sys.error(s"versioned: plain commit cannot be skipped ($path)"))
 
   /** Exactly-once commit: append `df` tagged (appId, batchId); if a
     * manifest already records a batch id ≥ `batchId` for `appId` the
@@ -253,7 +260,8 @@ object Versioned {
     (df, batchId) => { commitIfAbsent(df, path, appId, batchId); () }
 
   private def commitInternal(df: DataFrame, path: String, mode: String,
-      txn: Option[(String, Long)]): Option[Int] = {
+      txn: Option[(String, Long)], mergeSchema: Boolean = false)
+      : Option[Int] = {
     require(mode == "append" || mode == "overwrite",
       s"versioned: mode must be append|overwrite, got $mode")
     val commitId = java.util.UUID.randomUUID().toString.take(12)
@@ -280,17 +288,39 @@ object Versioned {
         // same batch may have won while we were writing data files
         if (prevTxns.get(app).exists(_ >= b)) return None
       }
-      val (full, files) =
-        if (mode == "overwrite" || cur == 0) (true, added)
+      val (full, files, outDdl) =
+        if (mode == "overwrite" || cur == 0) (true, added, ddl)
         else {
           val prev = snapshot(path, Some(cur))
-          require(prev.schemaDdl == ddl,
-            s"versioned: append schema mismatch at $path v$v:\n  table: " +
-              s"${prev.schemaDdl}\n  append: $ddl")
-          if (v % CheckpointInterval == 0) (true, prev.files ++ added)
-          else (false, added)
+          val committed =
+            if (prev.schemaDdl == ddl) ddl
+            else if (!mergeSchema)
+              throw new IllegalArgumentException(
+                s"versioned: append schema mismatch at $path v$v:\n  table: " +
+                  s"${prev.schemaDdl}\n  append: $ddl (pass mergeSchema = " +
+                  "true for additive evolution)")
+            else {
+              // ADDITIVE evolution: table columns keep their position
+              // and type; genuinely new columns append as nullable.
+              // Old files read back under the merged DDL with the new
+              // columns null-filled (parquet fills absent columns).
+              val prevS = StructType.fromDDL(prev.schemaDdl)
+              val newS = StructType.fromDDL(ddl)
+              prevS.fields.foreach { pf =>
+                newS.fields.find(_.name == pf.name).foreach { nf =>
+                  require(nf.dataType == pf.dataType,
+                    s"versioned: mergeSchema cannot change ${pf.name}: " +
+                      s"${pf.dataType} -> ${nf.dataType} at $path v$v")
+                }
+              }
+              val extra = newS.fields.filterNot(f =>
+                prevS.fieldNames.contains(f.name))
+              StructType(prevS.fields ++ extra).toDDL
+            }
+          if (v % CheckpointInterval == 0) (true, prev.files ++ added, committed)
+          else (false, added, committed)
         }
-      if (publish(path, Manifest(v, mode, full, files, ddl,
+      if (publish(path, Manifest(v, mode, full, files, outDdl,
         prevTxns ++ txn))) return Some(v)
       attempt += 1 // lost the race: re-resolve on top of the winner
     }

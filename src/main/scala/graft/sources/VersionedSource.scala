@@ -145,27 +145,43 @@ private[sources] class VersionedCountReader(file: String)
 private[sources] class VersionedPartitionReader(file: String,
     required: StructType) extends PartitionReader[InternalRow] {
 
-  private val reader: ParquetReader[Group] = {
+  // columns the FILE actually has — a file written before an additive
+  // schema evolution (commit mergeSchema = true) lacks the newer
+  // columns and reads them back as null, like any parquet source
+  private var present: Set[String] = Set.empty
+  // when the projection hits ONLY post-evolution columns, this file
+  // contributes row-count all-null rows straight from the footer
+  private var allNullRemaining: Long = 0L
+
+  private val reader: Option[ParquetReader[Group]] = {
     val conf = new Configuration() // local paths; a cluster threads the session's hadoopConf
     val hPath = new org.apache.hadoop.fs.Path(file)
     val footer = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
-    val fileSchema: MessageType =
-      try footer.getFooter.getFileMetaData.getSchema finally footer.close()
+    val (fileSchema: MessageType, rowCount: Long) =
+      try (footer.getFooter.getFileMetaData.getSchema,
+        footer.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      finally footer.close()
     val wanted = required.fieldNames.toSet
     val pruned = new MessageType(fileSchema.getName,
       fileSchema.getFields.asScala.filter(f => wanted(f.getName)).asJava)
-    require(pruned.getFieldCount == required.length,
-      s"graftv: $file lacks columns ${
-        wanted -- fileSchema.getFields.asScala.map(_.getName)}")
-    conf.set(ReadSupport.PARQUET_READ_SCHEMA, pruned.toString)
-    ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf).build()
+    present = pruned.getFields.asScala.map(_.getName).toSet
+    if (pruned.getFieldCount == 0) { allNullRemaining = rowCount; None }
+    else {
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, pruned.toString)
+      Some(ParquetReader.builder(new GroupReadSupport(), hPath)
+        .withConf(conf).build())
+    }
   }
 
   private var cur: Group = _
-  override def next(): Boolean = { cur = reader.read(); cur != null }
+  override def next(): Boolean = reader match {
+    case Some(r) => cur = r.read(); cur != null
+    case None => allNullRemaining -= 1; allNullRemaining >= 0
+  }
   override def get(): InternalRow = InternalRow.fromSeq(
     required.fields.map { f =>
-      if (cur.getFieldRepetitionCount(f.name) == 0) null
+      if (!present(f.name)) null
+      else if (cur.getFieldRepetitionCount(f.name) == 0) null
       else f.dataType match {
         case LongType => cur.getLong(f.name, 0)
         case IntegerType => cur.getInteger(f.name, 0)
@@ -179,7 +195,7 @@ private[sources] class VersionedPartitionReader(file: String,
             "the example-reader tier covers primitive columns")
       }
     }.toIndexedSeq)
-  override def close(): Unit = reader.close()
+  override def close(): Unit = reader.foreach(_.close())
 }
 
 private[sources] case class VersionedOffset(version: Int) extends Offset {

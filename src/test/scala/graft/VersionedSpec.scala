@@ -49,6 +49,46 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t).columns.toSeq === Seq("id", "x"))
   }
 
+  test("mergeSchema append: additive evolution, null-filled old files") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), t) // v1: (id, s)
+    // adding a column without opting in stays a loud error
+    intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((2L, "b", 0.5)).toDF("id", "s", "x"), t)
+    }
+    // additive evolution: new column appends as nullable
+    Versioned.commit(Seq((2L, "b", 0.5)).toDF("id", "s", "x"), t,
+      mergeSchema = true) // v2: (id, s, x)
+    val rows = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, "a", None), (2L, "b", Some(0.5))))
+    // old-shape appends still land against the evolved table (their
+    // files simply lack x) — both directions are additive
+    Versioned.commit(Seq((3L, "c")).toDF("id", "s"), t, mergeSchema = true)
+    assert(Versioned.read(spark, t).where(col("id") === 3L)
+      .head().isNullAt(2))
+    // time travel sees v1 under ITS schema
+    assert(Versioned.read(spark, t, Some(1)).columns.toSeq === Seq("id", "s"))
+    // a type CHANGE is never mergeable
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((4L, 9L, 0.5)).toDF("id", "s", "x"), t,
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("cannot change"))
+    // the graftv connector null-fills evolved columns too — including
+    // a projection of ONLY the new column over pre-evolution files
+    val viaSource = spark.read.format("graftv").load(t)
+      .select(col("id"), col("x")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).sortBy(_._1)
+    assert(viaSource.toSeq ===
+      Seq((1L, None), (2L, Some(0.5)), (3L, None)))
+    assert(spark.read.format("graftv").load(t).select(col("x"))
+      .where(col("x").isNotNull).count() === 1L)
+  }
+
   test("snapshot replay is bounded by the checkpoint interval") {
     import spark.implicits._
     val t = tmpTable()
