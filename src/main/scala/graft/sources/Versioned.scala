@@ -545,11 +545,18 @@ object Versioned {
   }
 
   /** All files appended by versions (`fromVersion`, `toVersion`] —
-    * the streaming-source feed ([[VersionedMicroBatchStream]]). */
+    * the streaming-source feed ([[VersionedMicroBatchStream]]).
+    * `skipChangeCommits`: silently skip non-append commits (their
+    * rewrites are not emitted) instead of erroring — the live-tail +
+    * OPTIMIZE coexistence mode. */
   private[sources] def appendedFiles(path: String, fromVersion: Int,
-      toVersion: Int): Seq[String] =
-    versions(path).filter(v => v > fromVersion && v <= toVersion)
-      .flatMap(v => addedAt(path, v, fromVersion, toVersion)._1)
+      toVersion: Int, skipChangeCommits: Boolean = false): Seq[String] = {
+    val range = versions(path).filter(v => v > fromVersion && v <= toVersion)
+    val kept =
+      if (!skipChangeCommits) range
+      else range.filter(v => parseManifest(manifestPath(path, v)).op == "append")
+    kept.flatMap(v => addedAt(path, v, fromVersion, toVersion)._1)
+  }
 
   def readChanges(spark: SparkSession, path: String, fromVersion: Int,
       toVersion: Int): DataFrame = {

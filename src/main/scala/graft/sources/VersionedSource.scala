@@ -34,7 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    exactly the rows appended by versions (start, end], recovered
   *    from the checkpoint like any Spark source. Non-append commits
   *    in the tailed range fail loudly (append-only change feed, as
-  *    [[Versioned.readChanges]]).
+  *    [[Versioned.readChanges]]) unless `option("skipChangeCommits",
+  *    true)` — then an OPTIMIZE/merge/delete on the live-tailed table
+  *    is skipped (its rewrites are not re-emitted) and later appends
+  *    keep flowing, Delta's escape hatch of the same name.
   *
   * Scale shape: planInputPartitions emits one partition per committed
   * parquet file (the manifest already knows them — no directory
@@ -73,11 +76,12 @@ private[sources] class VersionedTable(path: String, asOf: Option[Int],
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(path, asOf, tblSchema,
-      Option(options.get("startingversion")).map(_.toInt).getOrElse(0))
+      Option(options.get("startingversion")).map(_.toInt).getOrElse(0),
+      options.getBoolean("skipchangecommits", false))
 }
 
 private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
-    full: StructType, startingVersion: Int)
+    full: StructType, startingVersion: Int, skipChangeCommits: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -85,11 +89,13 @@ private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
     // read schema so pruned columns are never decoded.
     required = requiredSchema
   override def build(): Scan =
-    new VersionedScan(path, asOf, required, startingVersion)
+    new VersionedScan(path, asOf, required, startingVersion,
+      skipChangeCommits)
 }
 
 private[sources] class VersionedScan(path: String, asOf: Option[Int],
-    required: StructType, startingVersion: Int) extends Scan {
+    required: StructType, startingVersion: Int,
+    skipChangeCommits: Boolean) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graftv $path asOf=${asOf.getOrElse(-1)} " +
@@ -106,7 +112,8 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new VersionedMicroBatchStream(path, required.toDDL, startingVersion)
+    new VersionedMicroBatchStream(path, required.toDDL, startingVersion,
+      skipChangeCommits)
 }
 
 private[sources] case class VersionedInputPartition(filePath: String)
@@ -203,9 +210,15 @@ private[sources] case class VersionedOffset(version: Int) extends Offset {
 }
 
 /** Version numbers ARE the stream offsets: micro-batch (start, end]
-  * reads exactly the files appended by those commits. */
+  * reads exactly the files appended by those commits. With
+  * `skipChangeCommits` (Delta's escape hatch of the same name) a
+  * non-append commit inside the range — an OPTIMIZE, merge, delete or
+  * restore on the live-tailed table — is SKIPPED instead of failing
+  * the stream: its rewrites are not re-emitted (the documented
+  * trade-off), later appends keep flowing. */
 private[sources] class VersionedMicroBatchStream(path: String,
-    requiredDdl: String, startingVersion: Int) extends MicroBatchStream {
+    requiredDdl: String, startingVersion: Int,
+    skipChangeCommits: Boolean) extends MicroBatchStream {
 
   override def initialOffset(): Offset = VersionedOffset(startingVersion)
   override def latestOffset(): Offset =
@@ -220,7 +233,7 @@ private[sources] class VersionedMicroBatchStream(path: String,
     val s = start.asInstanceOf[VersionedOffset].version
     val e = end.asInstanceOf[VersionedOffset].version
     if (e <= s) return Array.empty
-    Versioned.appendedFiles(path, s, e)
+    Versioned.appendedFiles(path, s, e, skipChangeCommits)
       .map(f => VersionedInputPartition(s"$path/$f"): InputPartition)
       .toArray
   }

@@ -154,4 +154,33 @@ class VersionedSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("append-only") ||
       Option(e.getCause).exists(_.getMessage.contains("append-only")))
   }
+
+  test("skipChangeCommits: a live tail survives OPTIMIZE and keeps appending") {
+    import spark.implicits._
+    val t = tmpTable()
+    val ckpt = Files.createTempDirectory("graftv-skip-ckpt-").toString
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    Versioned.commit(Seq((2L, "b")).toDF("id", "s"), t)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graftv")
+        .option("skipChangeCommits", true).load(t)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => seen.add(r.getLong(0))); ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(seen.asScala.toSeq.sorted === Seq(1L, 2L))
+    // compaction + a merge land on the LIVE-TAILED table...
+    Versioned.optimize(spark, t, numFiles = 1)
+    Versioned.merge(Seq((1L, "A")).toDF("id", "s"), t, "id")
+    Versioned.commit(Seq((3L, "c")).toDF("id", "s"), t)
+    // ...and the resumed tail skips the rewrites, emits only the append
+    runOnce()
+    assert(seen.asScala.toSeq.sorted === Seq(1L, 2L, 3L),
+      "rewrite commits must be skipped, later appends must flow")
+  }
 }
