@@ -709,12 +709,87 @@ object Versioned {
     } finally deleteRecursively(Paths.get(tmp))
   }
 
+  /** v4_change_feed: CDC through the log — three append commits, then
+    * `readChanges(1, 3)` aggregated per `_commit_version`; the oracle
+    * replays each commit's predicate (a change feed over appends IS
+    * the union of the appended relations, version-tagged). */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val tmp = Files.createTempDirectory("graft-versioned-").toString
+    try {
+      commit(docs.where(col("doc_id") % 3 === 0), tmp, "append") // v1
+      commit(docs.where(col("doc_id") % 3 === 1), tmp, "append") // v2
+      commit(docs.where(col("doc_id") % 3 === 2), tmp, "append") // v3
+      val rows = readChanges(spark, tmp, fromVersion = 1, toVersion = 3)
+        .groupBy(col("_commit_version"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"))
+        .orderBy(col("_commit_version"))
+        .collect().toSeq // O(versions) rows
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2))), 1),
+        StructType.fromDDL(
+          "commit_version INT, n_rows BIGINT, sum_doc_id BIGINT"))
+        .orderBy(col("commit_version"))
+    } finally deleteRecursively(Paths.get(tmp))
+  }
+
+  /** v5_schema_evolution: a mergeSchema append adds a column; the
+    * read unions old (null-filled) and new files under the evolved
+    * DDL. The oracle replays the null-fill law relationally: the
+    * pre-evolution half contributes NULL extras. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val tmp = Files.createTempDirectory("graft-versioned-").toString
+    try {
+      commit(docs.where(col("doc_id") % 2 === 0), tmp, "append") // v1 (id, n)
+      commit(docs.where(col("doc_id") % 2 === 1)
+        .withColumn("extra", col("n_chars") * 2), tmp, "append",
+        mergeSchema = true) // v2 evolves: extra joins as nullable
+      val r = read(spark, tmp)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("extra")).as("n_extra"),
+          sum(coalesce(col("extra"), lit(0L))).as("sum_extra"),
+          sum(col("n_chars")).as("sum_chars"))
+        .head()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(
+          r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))), 1),
+        StructType.fromDDL("n_rows BIGINT, n_extra BIGINT, " +
+          "sum_extra BIGINT, sum_chars BIGINT"))
+    } finally deleteRecursively(Paths.get(tmp))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_time_travel" -> (timeTravel _),
     "v2_merge_upsert" -> (mergeUpsert _),
-    "v3_source_read" -> (sourceRead _))
+    "v3_source_read" -> (sourceRead _),
+    "v4_change_feed" -> (changeFeed _),
+    "v5_schema_evolution" -> (schemaEvolution _))
 
   val oracle: Map[String, String] = Map(
+    "v4_change_feed" -> """
+      WITH agg AS (
+        SELECT 2 AS commit_version, count(*) AS n_rows,
+               sum(doc_id) AS sum_doc_id
+        FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        SELECT 3, count(*), sum(doc_id)
+        FROM documents WHERE doc_id % 3 = 2)
+      SELECT CAST(commit_version AS INT) AS commit_version,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_doc_id AS BIGINT) AS sum_doc_id
+      FROM agg ORDER BY commit_version""",
+    "v5_schema_evolution" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n_extra,
+             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * 2
+                           ELSE 0 END) AS BIGINT) AS sum_extra,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents""",
     "v3_source_read" -> """
       WITH agg AS (
         SELECT 1 AS version, count(*) AS n_rows, sum(n_chars) AS sum_chars

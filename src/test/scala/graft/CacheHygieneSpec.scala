@@ -71,7 +71,9 @@ class CacheHygieneSpec extends AnyFunSuite {
     "sk4_theta_intersect", // per-source theta sketches collected at build
     "v1_time_travel",   // versioned-table commits + per-version 1-row collects at build
     "v2_merge_upsert",  // commit/merge/delete pipeline at build (same shape)
-    "v3_source_read"    // commits + DSv2 reads collected at build
+    "v3_source_read",   // commits + DSv2 reads collected at build
+    "v4_change_feed",   // commits + CDC aggregate collected at build
+    "v5_schema_evolution" // commits + evolved read collected at build
   )
 
   test("no registered query leaves cache-manager entries behind") {
