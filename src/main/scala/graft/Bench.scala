@@ -138,10 +138,17 @@ object Bench {
     // 9 lesson: three new queries made the verdict null exactly when
     // it was needed), required to cover ≥90% of the old surface so a
     // subset run still can't masquerade as a basis.
+    // FAILED queries are excluded from the basis, and any failure
+    // disarms the verdict and the refresh gate outright (round-9
+    // ADVICE): time1 records elapsed-to-failure (often ~0 s), so a run
+    // where heavy queries crash would otherwise report deflated totals
+    // that both pass the keep-gate and read as uncontended — a crashing
+    // run must never adjudicate performance or become the baseline.
     val sfNameEarly = new java.io.File(sfDir).getName
     val prior = benchBaselineBoth(sfNameEarly)
-    val common = names.filter(prior.contains)
-    val basisOk = prior.nonEmpty && common.size >= (0.9 * prior.size)
+    val common = names.filter(n => prior.contains(n) && !failed(n))
+    val basisOk = failed.isEmpty && prior.nonEmpty &&
+      common.size >= (0.9 * prior.size)
     val warmMapNow = warm.toMap
     val coldMapNow = cold.toMap
     val contended: Option[Boolean] =
@@ -205,19 +212,29 @@ object Bench {
     // artifact. Override with SPARK_GRAFT_FORCE_REFRESH=1 (for a real
     // surface-neutral slowdown you intend to record).
     val isDefaultPath = benchOut.contains(s"bench/bench_$sfName.json")
-    val gateRejected: Boolean = isDefaultPath &&
-      !sys.env.get("SPARK_GRAFT_FORCE_REFRESH").contains("1") &&
-      basisOk && {
-        val cCold = common.map(n => prior(n)._1).sum
-        common.map(coldMapNow).sum > 1.5 * cCold
-      }
+    val gateRejected: Boolean = isDefaultPath && (
+      // a run with ANY failed query never replaces the committed
+      // artifact — its totals are deflated by elapsed-to-failure
+      // timings (see the basis note above); force-refresh can't
+      // override this one (a crash is never "a real slowdown you
+      // intend to record")
+      failed.nonEmpty ||
+      (!sys.env.get("SPARK_GRAFT_FORCE_REFRESH").contains("1") &&
+        basisOk && {
+          val cCold = common.map(n => prior(n)._1).sum
+          common.map(coldMapNow).sum > 1.5 * cCold
+        }))
     if (!gateRejected) benchOut.foreach { p =>
       val path = java.nio.file.Paths.get(p)
       Option(path.getParent)
         .foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(path, full.toString.getBytes("UTF-8"))
     }
-    if (gateRejected) System.err.println(
+    if (gateRejected && failed.nonEmpty) System.err.println(
+      s"[bench] refresh gate: ${failed.size} failed queries " +
+        s"(${failed.mkString(", ")}) - a crashing run cannot become " +
+        "the committed artifact; kept")
+    else if (gateRejected) System.err.println(
       s"[bench] whole-run contention gate: common-query cold " +
         s"${r3(common.map(coldMapNow).sum)}s > 1.5x committed " +
         s"${r3(common.map(n => prior(n)._1).sum)}s over ${common.size} " +

@@ -26,6 +26,23 @@ import org.apache.spark.sql.functions._
   * — "full" additionally scales the relational/event tables (re-keyed,
   * events time-shifted per copy) and copies the dims through.
   *
+  * BOILERPLATE MODE (`… <copies> boiler [megaN]`, round-10; VERDICT
+  * r9 task 1): the LSH band-bucket skew guard's bounded-recall
+  * contract had never been MEASURED because no gate corpus plants a
+  * band bucket over DefaultMaxBucket = 4096. This mode unions the
+  * default-mode scaled corpus with a TEMPLATED-PAGE family — the
+  * cookie-banner/listing-page shape SCALING.md names — at several
+  * duplication rates: megaN/2 byte-identical copies of a 42-token
+  * template, megaN/4 with 1 mutated token, megaN/8 with 3 and megaN/8
+  * with 6 (deterministic mutation positions/tokens, so the corpus is
+  * regeneration-stable). The identical family alone exceeds the
+  * guard threshold, so d2/d4/d9/d14's mega-bucket paths actually
+  * fire; the mutated families give the pair/cluster comparison a
+  * RANGE of similarities instead of the trivial est = 1.0 case.
+  * Measured by `graft.GuardRecall` (guard on vs off: pair recall,
+  * cluster equivalence, wall-clock) → bench/guard_recall.json +
+  * COVERAGE §guard-recall.
+  *
   * ZIPF MODE (`… <copies> zipf [support]`, round-9; VERDICT r8 task
   * 3): the default disjoint-token mode multiplies the 31-token base
   * vocabulary by the copy count, which inflates the model-table
@@ -90,7 +107,7 @@ object MakeScale {
         (_, p) => tokenAt(p)), " ")
     }
 
-    (0 until copies).map { i =>
+    val scaledDocs = (0 until copies).map { i =>
       val text =
         if (zipfMode) zipfText(i)
         else array_join(transform(split(col("text"), " "),
@@ -103,6 +120,33 @@ object MakeScale {
         (if (zipfMode) length(text).cast("long") else col("n_chars"))
           .as("n_chars"))
     }.reduce(_ unionByName _)
+
+    // boilerplate mode: plant the templated-page families (object doc)
+    val boilerMode = args.length > 3 && args(3) == "boiler"
+    val withBoiler = if (!boilerMode) scaledDocs else {
+      val megaN = if (args.length > 4) args(4).toInt else 12000
+      val T = 42
+      val template = (1 to T).map(i => s"bpt$i")
+      def fam(tag: String, n: Int, idBase: Long, muts: Int) =
+        (0 until n).map { j =>
+          val toks = template.toArray
+          (0 until muts).foreach { m =>
+            toks((j * 7 + m * 11) % T) = s"u$tag${j}x$m"
+          }
+          (idBase + j, toks.mkString(" "))
+        }
+      val rows = fam("a", megaN / 2, 900000000L, 0) ++
+        fam("b", megaN / 4, 910000000L, 1) ++
+        fam("c", megaN / 8, 920000000L, 3) ++
+        fam("d", megaN / 8, 930000000L, 6)
+      import spark.implicits._
+      val bdf = rows.toDF("doc_id", "text").select(
+        col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("boiler").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      scaledDocs.unionByName(bdf)
+    }
+    withBoiler
       .repartition(32, col("doc_id"))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 

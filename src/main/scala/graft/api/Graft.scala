@@ -533,10 +533,13 @@ object Graft {
     def restore(path: String, toVersion: Int): Int =
       Versioned.restore(path, toVersion)
 
-    /** Drop data files unreachable from the last `retainVersions`
-      * snapshots. */
-    def vacuum(path: String, retainVersions: Int = 10): Seq[String] =
-      Versioned.vacuum(path, retainVersions)
+    /** Drop data/change files unreachable from the last
+      * `retainVersions` snapshots. Files younger than `graceMs` are
+      * never reclaimed (in-flight concurrent-writer guard); pass 0
+      * only when no concurrent writer can exist. */
+    def vacuum(path: String, retainVersions: Int = 10,
+        graceMs: Long = Versioned.DefaultVacuumGraceMs): Seq[String] =
+      Versioned.vacuum(path, retainVersions, graceMs)
 
     /** All committed versions, ascending. */
     def versions(path: String): Seq[Int] = Versioned.versions(path)
@@ -560,11 +563,25 @@ object Graft {
         clusterBy: Seq[String] = Nil): Int =
       Versioned.optimize(spark, path, numFiles, clusterBy)
 
-    /** Change feed over an append-only version range, tagged with
-      * `_commit_version` — the incremental-consumer read. */
+    /** Row-level change feed (Delta CDF semantics, r10): appends emit
+      * `insert` rows; merges their persisted pre/post images; deletes
+      * their removed rows; optimize nothing. Tagged `_change_type` +
+      * `_commit_version`. Overwrite/restore in range error loudly
+      * (re-baseline). */
     def readChanges(spark: SparkSession, path: String, fromVersion: Int,
         toVersion: Int): DataFrame =
       Versioned.readChanges(spark, path, fromVersion, toVersion)
+
+    /** Timestamp time travel (r10): read as of a wall-clock instant —
+      * the latest commit whose (monotone-adjusted) stamp is ≤ `tsMs`.
+      * DSv2 twin: `option("timestampAsOf", …)`. */
+    def readAsOfTimestamp(spark: SparkSession, path: String,
+        tsMs: Long): DataFrame =
+      Versioned.readAsOfTimestamp(spark, path, tsMs)
+
+    /** The commit instant `timestampAsOf` resolves against. */
+    def commitTimestamp(path: String, version: Int): Long =
+      Versioned.commitTimestamp(path, version)
   }
 
   /** Content hashing / provenance (SURVEY §2.5 D7, S12). */

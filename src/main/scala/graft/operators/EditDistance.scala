@@ -104,11 +104,15 @@ object EditDistance {
     // segment-bucket skew guard (the d2/d3/d4 band discipline, r9): a
     // corpus of identical strings shares every segment key, making the
     // idx×prb join n² in that bucket — the INDEX side caps at
-    // `maxBucket` members per (seg_i, part_len, seg) bucket
-    // (lowest ids, deterministic). Every probe still reaches the
-    // lowest-id members, so duplicate clusters stay connected with
-    // bounded per-probe fan-out; gate-scale buckets are far under the
-    // cap → bit-identical results there (the d16 oracle is unchanged).
+    // ~`maxBucket` members per (seg_i, part_len, seg) bucket (the
+    // bucket's min id + a deterministic hash subset; count-pass
+    // discipline, no band-key window). Every probe still reaches the
+    // min-id member, so duplicate clusters stay connected to the
+    // keeper with bounded per-probe fan-out; gate-scale buckets are
+    // far under the cap → bit-identical results there (the d16 oracle
+    // is unchanged). The exact-distance verify below scopes the
+    // connectivity claim: a probe whose only kept neighbors exceed k
+    // edits drops out (bounded-recall, see MinHash.guardedBandPairs).
     val idx = graft.operators.MinHash.capBucketMembers(
       segmentKeys(bounded, "id", "s", k).withColumnRenamed("id", "id_a"),
       Seq("seg_i", "part_len", "seg"), "id_a", maxBucket)

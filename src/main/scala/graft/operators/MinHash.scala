@@ -122,6 +122,23 @@ object MinHash {
     * self-join is ~8.4M comparisons per bucket — one healthy task. */
   val DefaultMaxBucket: Int = 4096
 
+  /** Session conf for the band-bucket skew guard: `"on"` (default)
+    * runs the count-pass + star/cap machinery; `"off"` skips it
+    * entirely — [[guardedBandPairs]] becomes the plain band self-join
+    * and [[capBucketMembers]] a pass-through. Set it off ONLY for a
+    * corpus the caller asserts is unskewed (no band bucket anywhere
+    * near [[DefaultMaxBucket]]): it recovers the unguarded constants
+    * (the count agg + anti/semi splits cost ~15–25 % on clean gate
+    * corpora) at the price of the n² mega-bucket failure mode the
+    * guard exists for. Results are identical on any corpus where no
+    * bucket exceeds the cap — the only regime where turning it off
+    * is legitimate. */
+  val GuardConfKey = "spark.graft.lsh.skewGuard"
+
+  private def guardOff(df: DataFrame): Boolean =
+    df.sparkSession.conf.get(GuardConfKey, "on")
+      .equalsIgnoreCase("off")
+
   /** Band-bucket SKEW GUARD for LSH self-joins — the 100 TB failure
     * mode SCALING.md names: millions of near-identical pages (cookie
     * banners, templated listings) share one band key, and the band
@@ -135,19 +152,55 @@ object MinHash {
     * dedup because members of one mega-bucket agree on a full band
     * (k/bands minhash rows), i.e. they are near-certain duplicates of
     * EACH OTHER; linking all of them to one representative puts the
-    * whole bucket in one connected component exactly as the full
-    * pairwise join would, at a millionth of the cost. Pair-level
-    * output within a mega-bucket is the star subset (documented
-    * bounded-recall semantics; cluster/keeper semantics unchanged).
+    * whole bucket in one connected component, at a millionth of the
+    * cost. Pair-level output within a mega-bucket is the star subset
+    * (documented bounded-recall semantics).
+    *
+    * CONNECTIVITY SCOPE: the one-component claim holds for the
+    * CANDIDATE graph this function returns. A caller that filters
+    * pairs afterwards by a similarity predicate (est-Jaccard ≥ t,
+    * hamming ≤ k, exact Jaccard) can drop a star edge (rep, member)
+    * that a member–member edge of the unguarded join would have
+    * passed, so mega-bucket clusters may fragment beyond the pair
+    * loss. Callers for whom band agreement itself is the similarity
+    * evidence should pass `emitStar = true` and exempt `is_star`
+    * edges from the threshold (see [[candidatePairs]]); callers with
+    * an EXACT verify must keep the filter (the output contract is the
+    * exact predicate) and inherit the scoped claim.
     *
     * `exploded` columns: keyCols ++ (idCol, payloadCols…); returns
-    * (id_a, id_b, payload_a…, payload_b…) with id_a < id_b, possibly
-    * with cross-band duplicates — callers `distinct()` as before. */
+    * (id_a, id_b, payload_a…, payload_b… [, is_star]) with
+    * id_a < id_b, possibly with cross-band duplicates — callers
+    * `distinct()` as before. With `emitStar`, star edges carry
+    * `is_star = true` (small-bucket pairs false).
+    *
+    * Honoring [[GuardConfKey]]: when the session asserts an unskewed
+    * corpus, the whole count-pass branch is skipped and the plain
+    * band self-join runs (identical results whenever no bucket
+    * exceeds `maxBucket`). */
   def guardedBandPairs(exploded: DataFrame, keyCols: Seq[String],
       idCol: String, payloadCols: Seq[String],
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      emitStar: Boolean = false): DataFrame = {
     require(maxBucket >= 2, "maxBucket must be >= 2")
     val keys = keyCols.map(col)
+    def starred(df: DataFrame, star: Boolean) =
+      if (emitStar) df.withColumn("is_star", lit(star)) else df
+    if (guardOff(exploded)) {
+      // caller-asserted clean corpus: one co-partitioned self-join,
+      // no count pass, no anti/semi splits (both sides reuse the one
+      // exchange via ReuseExchange exactly as before the guard)
+      val ex = exploded.repartition(keys: _*)
+      def side0(suffix: String) = ex.select(
+        keys ++ (col(idCol).as(s"id_$suffix") +:
+          payloadCols.map(c => col(c).as(s"${c}_$suffix"))): _*)
+      val outCols0 = (Seq("id_a", "id_b") ++
+        payloadCols.flatMap(c => Seq(s"${c}_a", s"${c}_b"))).map(col)
+      return starred(
+        side0("a").join(side0("b"), keyCols)
+          .where(col("id_a") < col("id_b"))
+          .select(outCols0: _*), star = false)
+    }
     // ONE shared exchange for every consumer below: repartitioning on
     // the band keys here means the size agg, the anti/semi splits and
     // both self-join sides all read the SAME shuffle output
@@ -181,28 +234,60 @@ object MinHash {
     val bigPairs = side("b")(big).join(reps, keyCols)
       .where(col("id_a") =!= col("id_b"))
       .select(outCols: _*)
-    smallPairs.union(bigPairs)
+    starred(smallPairs, star = false).union(starred(bigPairs, star = true))
   }
 
-  /** Bipartite band-join guard: keeps at most `maxBucket` rows per
-    * bucket of a PROBE-TARGET side (lowest ids — deterministic),
-    * bounding the per-bucket fan-out of a batch×history or
-    * corpus×benchmark band join to maxBucket candidates per probing
-    * row. Buckets at or under the cap pass through bit-identically;
-    * above it the match set is the lowest-id subset (bounded-recall
-    * semantics, same discipline as [[guardedBandPairs]]). */
+  /** Bipartite band-join guard: bounds the rows per bucket of a
+    * PROBE-TARGET side to ~`maxBucket`, so the per-bucket fan-out of
+    * a batch×history or corpus×benchmark band join stays bounded per
+    * probing row. Buckets at or under the cap pass through
+    * bit-identically; above it the kept set is the bucket's MIN-ID
+    * row plus a deterministic xxhash64-threshold subset (expected
+    * size ≤ maxBucket, Chernoff-concentrated) — bounded-recall
+    * semantics, same count-pass discipline as [[guardedBandPairs]].
+    *
+    * Deliberately NO `row_number` window over the band keys: on the
+    * adversarial corpus this guard exists for, a 10⁷-row bucket would
+    * be ONE task's sort before the cap applied. Instead: one cheap
+    * co-partitioned count pass finds the (≤ n/maxBucket, usually
+    * zero) oversized keys; small buckets anti-join through untouched;
+    * big-bucket rows keep `xxhash64(id) mod ceil(n/maxBucket) == 0`
+    * plus the min id — a per-row filter, never a per-bucket sort. The
+    * guaranteed min-id row keeps duplicate clusters connected to the
+    * keeper every sibling path elects, and a planted mega-bucket is
+    * never emptied. Honors [[GuardConfKey]] (off → pass-through). */
   def capBucketMembers(exploded: DataFrame, keyCols: Seq[String],
       idCol: String, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
-    exploded.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= maxBucket)
-      .drop("__rk")
+    if (guardOff(exploded)) return exploded
+    val keys = keyCols.map(col)
+    val orig = exploded.columns.map(col)
+    // one shared exchange, as in guardedBandPairs: count pass, the
+    // anti split and the filtered big side all reuse it
+    val ex = exploded.repartition(keys: _*)
+    val bigKeys = ex.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__bn"), min(col(idCol)).as("__minid"))
+      .where(col("__bn") > maxBucket)
+    val small = ex.join(bigKeys.select(keys: _*), keyCols, "left_anti")
+    val kept = ex.join(bigKeys, keyCols)
+      .where(col(idCol) === col("__minid") ||
+        pmod(xxhash64(col(idCol)),
+          ceil(col("__bn").cast("double") / maxBucket).cast("long")) === 0)
+    small.select(orig: _*).union(kept.select(orig: _*))
   }
 
   /** Candidate near-dup pairs with estimated Jaccard ≥ threshold.
     * Band buckets larger than `maxBucket` take the star-guard path
-    * (see [[guardedBandPairs]]) instead of the in-bucket self-join. */
+    * (see [[guardedBandPairs]]) instead of the in-bucket self-join.
+    *
+    * Star edges are EXEMPT from the threshold: members of a
+    * mega-bucket agree on a full band (k/bands minhash rows), which
+    * is precisely the similarity evidence this estimator surface
+    * runs on, so a (rep, member) star edge is kept even when its
+    * whole-signature estimate dips under `threshold` — otherwise a
+    * mega-bucket cluster could fragment where the unguarded join's
+    * member–member edges would have connected it. `est_jaccard` is
+    * still reported truthfully on such rows (it may be < threshold);
+    * below-cap buckets are unaffected (no star edges exist). */
   def candidatePairs(sig: DataFrame, idCol: String, k: Int = 16,
       bands: Int = 2, threshold: Double = 0.75,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -217,9 +302,11 @@ object MinHash {
       .equalCount(col("__sig_a"), col("__sig_b"))
       .cast("double") / k
     guardedBandPairs(exploded, Seq("band_idx", "band_key"), idCol,
-        Seq("__sig"), maxBucket)
-      .select(col("id_a"), col("id_b"), estJ.as("est_jaccard"))
-      .where(col("est_jaccard") >= threshold)
+        Seq("__sig"), maxBucket, emitStar = true)
+      .select(col("id_a"), col("id_b"), estJ.as("est_jaccard"),
+        col("is_star"))
+      .where(col("est_jaccard") >= threshold || col("is_star"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
       .distinct()
   }
 

@@ -373,23 +373,16 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  /** DuckDB twin of imagePhashBmp via the synthesis law (see
-    * oracleMm5 for the payload law). */
-  def oracleMm2Bmp: String = {
+  /** Shared pHash SQL tail: pools a `px(doc_id, w, y, x, lum3)` CTE
+    * into 8×8 cells, applies the quantized DCT, medians, and emits
+    * (media_id, phash, band0..band3) — the integer law of
+    * [[phash64Int]] verbatim. Sourced by TWO oracles: the
+    * synthesis-law BMP twin ([[oracleMm2Bmp]]) and the golden-pixel
+    * JPEG twin ([[oracleMm2JpegGolden]]). */
+  private def phashSqlTail: String = {
     val cmat = (for { u <- 0 until 8; k <- 0 until 8 }
       yield s"($u, $k, ${DctQ(u)(k)})").mkString(", ")
-    def tb(expr: String) =
-      s"ascii(substr(g.text, CAST(($expr) % g.len AS INT) + 1, 1))"
-    val lum3 = s"(${tb("3 * i.r")} + ${tb("3 * i.r + 1")} + ${tb("3 * i.r + 2")})"
-    s"""WITH imgs AS (
-       | SELECT doc_id, text, length(text) AS len,
-       |  CAST((n_chars % 24) + 8 AS INT) AS w, 8 AS h
-       | FROM documents WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1),
-       |px AS (
-       | SELECT g.doc_id, g.w, i.r // g.w AS y, i.r % g.w AS x,
-       |  $lum3 AS lum3
-       | FROM imgs g JOIN range(0, 248) i(r) ON i.r < g.w * 8),
-       |cells AS (
+    s"""cells AS (
        | SELECT doc_id, y AS cy, (x * 8) // w AS cx,
        |  SUM(lum3)::BIGINT AS acc, COUNT(*)::BIGINT AS cnt
        | FROM px GROUP BY 1, 2, 3),
@@ -421,6 +414,88 @@ object Multimodal {
        | (phash >> 0) & 65535 AS band0, (phash >> 16) & 65535 AS band1,
        | (phash >> 32) & 65535 AS band2, (phash >> 48) & 65535 AS band3
        |FROM ph ORDER BY media_id""".stripMargin
+  }
+
+  /** DuckDB twin of imagePhashBmp via the synthesis law (see
+    * oracleMm5 for the payload law). */
+  def oracleMm2Bmp: String = {
+    def tb(expr: String) =
+      s"ascii(substr(g.text, CAST(($expr) % g.len AS INT) + 1, 1))"
+    val lum3 = s"(${tb("3 * i.r")} + ${tb("3 * i.r + 1")} + ${tb("3 * i.r + 2")})"
+    s"""WITH imgs AS (
+       | SELECT doc_id, text, length(text) AS len,
+       |  CAST((n_chars % 24) + 8 AS INT) AS w, 8 AS h
+       | FROM documents WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1),
+       |px AS (
+       | SELECT g.doc_id, g.w, i.r // g.w AS y, i.r % g.w AS x,
+       |  $lum3 AS lum3
+       | FROM imgs g JOIN range(0, 248) i(r) ON i.r < g.w * 8),
+       |$phashSqlTail""".stripMargin
+  }
+
+  // --------------------------- golden-pixel oracles for the JPEG half
+
+  /** mm2's JPEG half under the GOLDEN-PIXEL oracle (round 10): the
+    * REAL T.81 decode runs at query time and feeds the same integer
+    * pool/DCT/median law as [[imagePhashBmp]]; the DuckDB twin
+    * replays that law over the COMMITTED golden decode
+    * (fixtures/golden_jpeg_pixels.parquet — see
+    * [[graft.sources.GoldenPixels]]). The unoracled surface shrinks
+    * to the decoder alone, and the decoder itself is pinned: any
+    * drift in IDCT/upsample rounding diverges from the committed
+    * pixels and fails the hash compare. */
+  def imagePhashJpegGolden(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter(m => m.kind == "image" && (m.media_id / 3) % 2 == 0)
+      .map { m =>
+        val ph = phash64Int(decodeImage(m.payload))
+        (m.media_id, ph,
+          (ph >>> 0) & 0xFFFFL, (ph >>> 16) & 0xFFFFL,
+          (ph >>> 32) & 0xFFFFL, (ph >>> 48) & 0xFFFFL)
+      }
+      .toDF("media_id", "phash", "band0", "band1", "band2", "band3")
+      .orderBy(col("media_id"))
+  }
+
+  def oracleMm2JpegGolden: String =
+    s"""WITH px AS (
+       | SELECT media_id AS doc_id, w, px_idx // w AS y, px_idx % w AS x,
+       |  lum3
+       | FROM read_parquet('${graft.sources.GoldenPixels.path}/*.parquet')),
+       |$phashSqlTail""".stripMargin
+
+  /** mm1's feature law over the JPEG half, golden-pixel-oracled:
+    * per-media INTEGER luminance-bin counts (the exact counts behind
+    * mm1's normalized histogram — integers so the compare is
+    * bit-exact) from the REAL decode, vs DuckDB binning the committed
+    * golden pixels. */
+  def imageHistJpegGolden(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter(m => m.kind == "image" && (m.media_id / 3) % 2 == 0)
+      .map { m =>
+        val img = decodeImage(m.payload)
+        val hist = new Array[Long](8)
+        img.rgb.foreach { px =>
+          val lum = (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)) / 3
+          hist(lum / 32) += 1L
+        }
+        (m.media_id, hist(0), hist(1), hist(2), hist(3), hist(4),
+          hist(5), hist(6), hist(7))
+      }
+      .toDF("media_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
+      .orderBy(col("media_id"))
+  }
+
+  def oracleMm1Golden: String = {
+    val bins = (0 until 8).map(b =>
+      s"SUM(CASE WHEN (lum3 // 3) // 32 = $b THEN 1 ELSE 0 END)::BIGINT AS b$b")
+      .mkString(",\n |  ")
+    s"""SELECT media_id,
+       |  $bins
+       |FROM read_parquet('${graft.sources.GoldenPixels.path}/*.parquet')
+       |GROUP BY media_id ORDER BY media_id""".stripMargin
   }
 
   /** Every image twice: the original payload and a CROSS-CODEC twin
@@ -496,11 +571,14 @@ object Multimodal {
     // Band-bucket skew guard (the d2/d3/d4 discipline, r9): a corpus
     // of byte-identical boilerplate images collapses onto one pHash,
     // so one band bucket holds the whole pile on BOTH sides and the
-    // join is n² there. The INDEX side caps at DefaultMaxBucket
-    // members per bucket (lowest ids) — every probe still reaches the
-    // lowest-id members, so duplicate clusters stay connected with
-    // bounded per-probe fan-out; gate-scale buckets are far under the
-    // cap → bit-identical results there.
+    // join is n² there. The INDEX side caps at ~DefaultMaxBucket
+    // members per bucket (the bucket's min id + a deterministic hash
+    // subset; count-pass discipline, no band-key window) — every
+    // probe still reaches the min-id member, so duplicate clusters
+    // stay connected to the keeper with bounded per-probe fan-out;
+    // gate-scale buckets are far under the cap → bit-identical
+    // results there. The hamming≤max verify below scopes the
+    // connectivity claim (bounded-recall, see guardedBandPairs).
     val idxCapped = graft.operators.MinHash.capBucketMembers(
       idx, Seq("band_idx", "band_key"), "media_a")
     idxCapped.hint("merge").join(prb, Seq("band_idx", "band_key"))

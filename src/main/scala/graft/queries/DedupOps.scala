@@ -122,11 +122,13 @@ object DedupOps {
         .as(Seq("band_idx", "band_key")))
     val b = exploded(batch, "b")
     // skew guard: cap the HISTORY side per band bucket — each batch
-    // doc probes at most DefaultMaxBucket history members per bucket
-    // (lowest ids, deterministic); a history mega-bucket is by
+    // doc probes ~DefaultMaxBucket history members per bucket (the
+    // bucket's min id + a deterministic hash subset; count-pass
+    // discipline, no band-key window); a history mega-bucket is by
     // construction a pile of near-identical docs, so the best-match
-    // semantics survive with bounded fan-out. Gate-scale buckets are
-    // far under the cap → bit-identical results there.
+    // semantics survive with bounded fan-out, and the guaranteed
+    // min-id member keeps the rank-1 tiebreak stable. Gate-scale
+    // buckets are far under the cap → bit-identical results there.
     val h = graft.operators.MinHash.capBucketMembers(
       exploded(history, "h"), Seq("band_idx", "band_key"), "h_id")
     val estJ = org.apache.spark.sql.graftx.PositionalEqual

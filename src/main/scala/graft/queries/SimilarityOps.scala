@@ -240,6 +240,15 @@ object SimilarityOps {
     // keeps mm2's principled rows-only story
     "mm2_phash_bmp" ->
       (graft.operators.Multimodal.imagePhashBmp _),
+    // oracle (r10): the JPEG half under the GOLDEN-PIXEL fixture —
+    // the real T.81 decode feeds the integer pHash / histogram laws,
+    // DuckDB replays them over the committed decode
+    // (fixtures/golden_jpeg_pixels.parquet); the unoracled surface is
+    // now the decoder alone, and the decoder is pinned against drift
+    "mm2_phash_jpeg_golden" ->
+      (graft.operators.Multimodal.imagePhashJpegGolden _),
+    "mm1_hist_jpeg_golden" ->
+      (graft.operators.Multimodal.imageHistJpegGolden _),
     // oracle since r8: PCM WAV / Y4M are LOSSLESS, so features from
     // the REAL decode equal the oracle's synthesis-law replay
     "mm3_audio_features" -> (graft.operators.Multimodal.audioFeatures _),
@@ -337,6 +346,9 @@ object SimilarityOps {
     "mm4_video_framestats" -> graft.operators.Multimodal.oracleMm4,
     "mm5_image_stats" -> graft.operators.Multimodal.oracleMm5,
     "mm2_phash_bmp" -> graft.operators.Multimodal.oracleMm2Bmp,
+    "mm2_phash_jpeg_golden" ->
+      graft.operators.Multimodal.oracleMm2JpegGolden,
+    "mm1_hist_jpeg_golden" -> graft.operators.Multimodal.oracleMm1Golden,
     // r7 conversions (VERDICT r6 task #4): the clustering step is the
     // cross-engine-deterministic integer Lloyd, so the full unrolled
     // iteration chain replays in DuckDB — see operators/IntKmeans.scala

@@ -57,10 +57,19 @@ object Versioned {
     * committed per writer app, carried FORWARD in every manifest so
     * reading the latest manifest alone answers "was this micro-batch
     * already committed?" — the exactly-once handshake for streaming
-    * sinks under foreachBatch's at-least-once replays. */
+    * sinks under foreachBatch's at-least-once replays.
+    *
+    * `tsMs` is the commit timestamp, stamped by [[publish]] at link
+    * time (round 10) — the resolution target of `timestampAsOf`
+    * (Delta's human-facing time travel; the reference's own dbcat
+    * sidecars record a timestamp the version-number API could not
+    * answer, utility.py:952–983). `changes` lists the row-level CDF
+    * parquet a merge/delete commit persisted beside its rewritten
+    * files (Delta CDF's update_preimage/postimage/delete rows). */
   private final case class Manifest(version: Int, op: String,
       full: Boolean, files: Seq[String], schemaDdl: String,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty, tsMs: Long = 0L,
+      changes: Option[Seq[String]] = None)
 
   // -------------------------------------------------------- log I/O
 
@@ -102,11 +111,19 @@ object Versioned {
 
   private def toJson(m: Manifest): String = {
     val files = m.files.map(jstr).mkString("[", ", ", "]")
+    // the "changes" key is written ONLY by CDF-recording ops: its
+    // absence marks a manifest whose row-level delta was never
+    // persisted (pre-r10, or an op that has none), distinctly from a
+    // merge/delete that touched zero rows (present-but-empty array)
+    val changes = m.changes.map(cs =>
+      s""""changes": ${cs.map(jstr).mkString("[", ", ", "]")}, """)
+      .getOrElse("")
     val txns = m.txns.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ", ", "}")
     s"""{"version": ${m.version}, "op": ${jstr(m.op)}, """ +
-      s""""full": ${m.full}, "schema": ${jstr(m.schemaDdl)}, """ +
-      s""""txns": $txns, "files": $files}"""
+      s""""full": ${m.full}, "ts": ${m.tsMs}, """ +
+      s""""schema": ${jstr(m.schemaDdl)}, """ +
+      s""""txns": $txns, $changes"files": $files}"""
   }
 
   private def parseManifest(p: Path): Manifest = {
@@ -139,6 +156,19 @@ object Versioned {
         }.toMap
         case JNothing => Map.empty // pre-txn manifests
         case other => sys.error(s"versioned: manifest $p txns: $other")
+      },
+      tsMs = (j \ "ts") match {
+        case JInt(v) => v.toLong
+        // pre-r10 manifests carry no stamp: the file's mtime is the
+        // honest fallback (it IS the publish instant for a hard link)
+        case JNothing => Files.getLastModifiedTime(p).toMillis
+        case other => sys.error(s"versioned: manifest $p ts: $other")
+      },
+      changes = (j \ "changes") match {
+        case JArray(xs) => Some(xs.map { case JString(s) => s
+          case other => sys.error(s"versioned: manifest $p change: $other") })
+        case JNothing => None // pre-CDF manifest / non-CDF op
+        case other => sys.error(s"versioned: manifest $p changes: $other")
       })
   }
 
@@ -162,7 +192,10 @@ object Versioned {
     val dir = logDir(path)
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, ".tmp-", ".json")
-    Files.writeString(tmp, toJson(m))
+    // stamp at link time, uniformly for every op: the manifest content
+    // IS the commit instant, so timestampAsOf never depends on fs
+    // metadata surviving copies/backups
+    Files.writeString(tmp, toJson(m.copy(tsMs = System.currentTimeMillis())))
     val target = manifestPath(path, m.version)
     try {
       try Files.createLink(target, tmp)
@@ -208,6 +241,45 @@ object Versioned {
     }
     Snapshot(v, files, ddl, base, replayed)
   }
+
+  /** Resolve a wall-clock instant to a version — Delta's
+    * `timestampAsOf` semantics: the LATEST commit whose stamp is ≤
+    * `tsMs`; an instant before the first commit is a loud error; an
+    * instant after the last resolves to the latest. Stamps are made
+    * MONOTONE by running max during the scan (two racing writers can
+    * publish v and v+1 with skewed clocks; a later version must never
+    * resolve to an earlier instant — the same adjustment Delta applies
+    * to its commit file times). O(versions) driver-side JSON reads,
+    * like every other log walk here. */
+  def timestampToVersion(path: String, tsMs: Long): Int = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"versioned: no committed versions under $path")
+    var adjusted = Long.MinValue
+    var resolved = -1
+    vs.foreach { v =>
+      adjusted = math.max(adjusted, parseManifest(manifestPath(path, v)).tsMs)
+      if (adjusted <= tsMs) resolved = v
+    }
+    require(resolved >= 0,
+      s"versioned: timestamp $tsMs predates the first commit of $path " +
+        s"(earliest ${parseManifest(manifestPath(path, vs.min)).tsMs})")
+    resolved
+  }
+
+  /** The (monotone-adjusted) commit instant of `v` — what
+    * `timestampAsOf` resolves against; exposed for history listings. */
+  def commitTimestamp(path: String, v: Int): Long = {
+    val vs = versions(path)
+    require(vs.contains(v), s"versioned: version $v not in log")
+    vs.filter(_ <= v)
+      .map(x => parseManifest(manifestPath(path, x)).tsMs).max
+  }
+
+  /** Timestamp-based time travel: read the table as of a wall-clock
+    * instant (epoch millis). `read(…, Some(v))`'s human-facing twin. */
+  def readAsOfTimestamp(spark: SparkSession, path: String,
+      tsMs: Long): DataFrame =
+    read(spark, path, Some(timestampToVersion(path, tsMs)))
 
   // ------------------------------------------------------- commits
 
@@ -407,8 +479,19 @@ object Versioned {
     require(base.schemaDdl == ddl,
       s"versioned: merge schema mismatch at $path:\n  table: " +
         s"${base.schemaDdl}\n  updates: $ddl")
-    val bounds = updates.agg(min(col(key)), max(col(key))).head()
+    // one pass over updates: key range for footer pruning, plus the
+    // Delta-MERGE precondition that the SOURCE keys be unique — with
+    // duplicate keys every copy of a matched table key is anti-joined
+    // away and ALL update rows insert, silently multiplying rows
+    // nondeterministically (Delta errors on multiple source matches
+    // per target row; so do we, before any file is written).
+    val bounds = updates.agg(min(col(key)), max(col(key)),
+      count(lit(1)), count_distinct(col(key))).head()
     if (bounds.isNullAt(0)) return base.version // empty updates: no-op
+    require(bounds.getLong(2) == bounds.getLong(3),
+      s"versioned: merge source has duplicate $key values " +
+        s"(${bounds.getLong(2)} rows, ${bounds.getLong(3)} distinct keys) " +
+        s"at $path — MERGE requires at most one update row per key")
     val (uLo, uHi) = (bounds.getLong(0), bounds.getLong(1))
     val ranges = fileKeyRanges(spark, path, base.files, key)
     val (touched, untouched) = ranges.partition {
@@ -428,6 +511,19 @@ object Versioned {
     val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
     val files = untouched.map(_._1) ++ added
+    // row-level CDF (round 10): persist this commit's change set
+    // beside the rewritten files — matched keys emit their pre- and
+    // post-image, unmatched update rows an insert. Touched files are
+    // COMPLETE for matched detection: an untouched file's footer range
+    // excludes every update key by construction. Like the data files,
+    // the change parquet is invisible until the manifest publishes.
+    val existingKeys = existing.select(col(key))
+    val updateKeys = updates.select(col(key))
+    val changeRel = changesOf(
+      existing.join(updateKeys, Seq(key), "left_semi"),
+      updates.join(existingKeys, Seq(key), "left_semi"),
+      updates.join(existingKeys, Seq(key), "left_anti"),
+      path, commitId)
     val cur = versions(path).max
     if (cur != base.version)
       throw new java.util.ConcurrentModificationException(
@@ -435,11 +531,31 @@ object Versioned {
           s"at v$cur — a concurrent commit landed; retry the merge")
     val txns = parseManifest(manifestPath(path, cur)).txns
     if (!publish(path, Manifest(cur + 1, "merge", full = true, files,
-      base.schemaDdl, txns)))
+      base.schemaDdl, txns, changes = Some(changeRel))))
       throw new java.util.ConcurrentModificationException(
         s"versioned: merge at $path lost the publish race at " +
           s"v${cur + 1}; retry the merge")
     cur + 1
+  }
+
+  /** Persist a commit's row-level change set to `_changes/c-<id>/`:
+    * pre/post images and inserts (merge) or deletes, each tagged with
+    * Delta CDF's `_change_type`. Returns the relative parquet paths
+    * for the manifest. */
+  private def changesOf(preimage: DataFrame, postimage: DataFrame,
+      inserts: DataFrame, path: String, commitId: String): Seq[String] = {
+    val chg = preimage.withColumn("_change_type", lit("update_preimage"))
+      .unionByName(postimage.withColumn("_change_type", lit("update_postimage")))
+      .unionByName(inserts.withColumn("_change_type", lit("insert")))
+    writeChanges(chg, path, commitId)
+  }
+
+  private def writeChanges(chg: DataFrame, path: String,
+      commitId: String): Seq[String] = {
+    val rel = s"_changes/c-$commitId"
+    chg.write.mode("errorifexists").parquet(s"$path/$rel")
+    listParquet(Paths.get(norm(path), "_changes", s"c-$commitId"))
+      .map(f => s"$rel/$f")
   }
 
   /** DELETE rows matching `pred`: rewrite the live set filtered (at
@@ -450,12 +566,17 @@ object Versioned {
   def deleteWhere(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column): Int = {
     val base = snapshot(path)
-    val kept = read(spark, path, Some(base.version)).where(!pred || pred.isNull)
+    val live = read(spark, path, Some(base.version))
+    val kept = live.where(!pred || pred.isNull)
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
     kept.write.mode("errorifexists").parquet(s"$path/$dataRel")
     val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
+    // row-level CDF: the deleted rows, persisted before publish
+    val changeRel = writeChanges(
+      live.where(pred).withColumn("_change_type", lit("delete")),
+      path, commitId)
     val cur = versions(path).max
     if (cur != base.version)
       throw new java.util.ConcurrentModificationException(
@@ -463,7 +584,7 @@ object Versioned {
           s"at v$cur; retry")
     val txns = parseManifest(manifestPath(path, cur)).txns
     if (!publish(path, Manifest(cur + 1, "delete", full = true, added,
-      base.schemaDdl, txns)))
+      base.schemaDdl, txns, changes = Some(changeRel))))
       throw new java.util.ConcurrentModificationException(
         s"versioned: delete at $path lost the publish race; retry")
     cur + 1
@@ -515,14 +636,6 @@ object Versioned {
     cur + 1
   }
 
-  /** CDC read: the rows ADDED in versions (`fromVersion`, `toVersion`]
-    * with a `_commit_version` column — the incremental-consumer feed
-    * (e.g. probe only NEW documents against the minhash history,
-    * `d14`-style, instead of rescanning the corpus). Sound only over
-    * pure append ranges, so any overwrite / merge / delete / restore /
-    * optimize inside the range errors loudly — those commits rewrite
-    * rather than add, and their row-level delta is not recoverable
-    * from the file log alone. */
   /** The files version `v` ADDED (append commits only — loud error
     * otherwise): a delta manifest lists them directly; an append
     * CHECKPOINT carries the full live set, so its additions are the
@@ -558,6 +671,54 @@ object Versioned {
     kept.flatMap(v => addedAt(path, v, fromVersion, toVersion)._1)
   }
 
+  /** CDC read: the row-level changes of versions (`fromVersion`,
+    * `toVersion`] with `_change_type` and `_commit_version` columns —
+    * Delta CDF semantics, the incremental-consumer feed (probe only
+    * NEW documents against the minhash history, `d14`-style; follow
+    * an UPSERTED corpus without rescanning it).
+    *
+    *  - append commits emit their added rows as `insert`;
+    *  - merge commits emit the change parquet persisted at commit
+    *    time (`update_preimage` / `update_postimage` / `insert`) —
+    *    round 10; previously any COW commit in range errored;
+    *  - delete commits emit their removed rows as `delete`;
+    *  - optimize commits emit NOTHING (pure layout, rows unchanged);
+    *  - overwrite / restore still error loudly: they are statements
+    *    about whole-table state, and their row-level delta is not
+    *    recorded (Delta CDF draws the same line — CDC consumers must
+    *    re-baseline across them).
+    *
+    * Pre-r10 merge/delete commits (no persisted change set) also
+    * error, with a message saying so. */
+  /** Per-version CDC batches of (`fromVersion`, `toVersion`]:
+    * (version, files, ddl, fromChangeParquet). Append versions list
+    * their added DATA files (`fromChangeParquet = false` — the
+    * consumer tags them `insert`); merge/delete list their persisted
+    * change parquet (which carries `_change_type` itself); optimize
+    * contributes nothing. Shared by [[readChanges]] and the DSv2
+    * change-feed stream. */
+  private[sources] def changeBatches(path: String, fromVersion: Int,
+      toVersion: Int): Seq[(Int, Seq[String], String, Boolean)] = {
+    val range = versions(path).filter(v => v > fromVersion && v <= toVersion)
+    range.map { v =>
+      val m = parseManifest(manifestPath(path, v))
+      m.op match {
+        case "append" =>
+          val (addedFiles, ddl) = addedAt(path, v, fromVersion, toVersion)
+          (v, addedFiles, ddl, false)
+        case "merge" | "delete" =>
+          val chg = m.changes.getOrElse(sys.error(
+            s"versioned: v$v is a pre-CDF '${m.op}' commit with no " +
+              "persisted change set — re-baseline past it"))
+          (v, chg, m.schemaDdl, true)
+        case "optimize" => (v, Nil, m.schemaDdl, true) // layout-only
+        case other => sys.error(
+          s"versioned: CDC range ($fromVersion, $toVersion] crosses a " +
+            s"'$other' commit at v$v — re-baseline from its snapshot")
+      }
+    }
+  }
+
   def readChanges(spark: SparkSession, path: String, fromVersion: Int,
       toVersion: Int): DataFrame = {
     val vs = versions(path)
@@ -565,21 +726,22 @@ object Versioned {
       vs.contains(fromVersion)) && fromVersion < toVersion,
       s"versioned: bad change range ($fromVersion, $toVersion] " +
         s"(have ${vs.mkString(",")})")
-    val range = vs.filter(v => v > fromVersion && v <= toVersion)
-    val parts = range.map { v =>
-      val (addedFiles, ddl) = addedAt(path, v, fromVersion, toVersion)
-      (v, addedFiles, ddl)
-    }
+    val parts = changeBatches(path, fromVersion, toVersion)
     val schema = StructType.fromDDL(parts.last._3)
-    parts.map { case (v, files, _) =>
+      .add("_change_type", "string")
+    parts.map { case (v, files, _, isChange) =>
       val df =
         if (files.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        else spark.read.schema(schema)
+        else if (isChange)
+          spark.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
+        else spark.read.schema(schema) // absent _change_type reads null
           .parquet(files.map(f => s"$path/$f"): _*)
+          .withColumn("_change_type", lit("insert"))
       df.withColumn("_commit_version", lit(v))
     }.reduce(_ unionByName _)
   }
+
 
   /** Read the table at `asOf` (default latest). Empty live set reads
     * as an empty relation with the committed schema. */
@@ -592,23 +754,53 @@ object Versioned {
     else spark.read.schema(schema).parquet(s.files.map(f => s"$path/$f"): _*)
   }
 
-  /** Delete data files unreachable from the last `retainVersions`
-    * snapshots (Delta VACUUM). DESTRUCTIVE for time travel past the
-    * horizon: older versions keep their manifests (audit trail) but
-    * their unique files are gone and reading them errors at scan.
+  /** Files younger than this survive [[vacuum]] even when no retained
+    * snapshot references them — the in-flight-writer guard. Writers
+    * put data files on disk BEFORE publishing their manifest
+    * (optimistic concurrency, see the class doc), so an unreferenced
+    * file may be a commit that is milliseconds from becoming visible;
+    * reclaiming it would leave the soon-published manifest pointing at
+    * deleted data — permanent loss on a COMMITTED version. Delta's
+    * VACUUM draws the same line with a modification-time retention
+    * horizon (default 7 days); 15 minutes is proportionate to a
+    * single-filesystem deployment where a commit's write-to-publish
+    * window is seconds. */
+  val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
+
+  /** Delete data and change files unreachable from the last
+    * `retainVersions` snapshots (Delta VACUUM). DESTRUCTIVE for time
+    * travel past the horizon: older versions keep their manifests
+    * (audit trail) but their unique files are gone and reading them
+    * errors at scan. Files whose mtime is within `graceMs` of now are
+    * NEVER reclaimed (see [[DefaultVacuumGraceMs]]); pass 0 only when
+    * the caller guarantees no concurrent writer exists.
     * Returns the deleted relative paths. */
-  def vacuum(path: String, retainVersions: Int = CheckpointInterval): Seq[String] = {
+  def vacuum(path: String, retainVersions: Int = CheckpointInterval,
+      graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
     val vs = versions(path)
     if (vs.isEmpty) return Seq.empty
     val keepVs = vs.takeRight(retainVersions)
-    val keep = keepVs.flatMap(v => snapshot(path, Some(v)).files).toSet
-    val dataDir = Paths.get(norm(path), "data")
-    if (!Files.isDirectory(dataDir)) return Seq.empty
-    val live = listDir(dataDir).flatMap { cdir =>
-      listDir(cdir).map(f => s"data/${cdir.getFileName}/${f.getFileName}")
+    val keepManifests = keepVs.map(v => parseManifest(manifestPath(path, v)))
+    val keep = keepVs.flatMap(v => snapshot(path, Some(v)).files).toSet ++
+      keepManifests.flatMap(_.changes.getOrElse(Nil))
+    val horizon = System.currentTimeMillis() - graceMs
+    def sweep(dirName: String): Vector[String] = {
+      val dir = Paths.get(norm(path), dirName)
+      if (!Files.isDirectory(dir)) return Vector.empty
+      listDir(dir).flatMap { cdir =>
+        listDir(cdir).map(f => s"$dirName/${cdir.getFileName}/${f.getFileName}")
+      }
     }
-    val dead = live.filterNot(f => keep.contains(f) ||
-      f.split('/').last.startsWith("_")) // keep parquet _SUCCESS markers
+    val dead = (sweep("data") ++ sweep("_changes"))
+      .filterNot(f => keep.contains(f) ||
+        f.split('/').last.startsWith("_")) // keep parquet _SUCCESS markers
+      .filter { f =>
+        // in-flight-writer guard: a young unreferenced file may belong
+        // to a commit racing toward publish — leave it for a later pass
+        try Files.getLastModifiedTime(Paths.get(norm(path), f))
+          .toMillis <= horizon
+        catch { case _: java.nio.file.NoSuchFileException => false }
+      }
     dead.sorted.map { f =>
       Files.deleteIfExists(Paths.get(norm(path), f)); f
     }
@@ -618,10 +810,16 @@ object Versioned {
 
   /** v1_time_travel: exercise the full commit/replay path against the
     * documents table — two appends, an overwrite, a restore — then
-    * read EVERY version back through the log and aggregate. The
-    * per-version aggregates are O(versions) single-row collects; the
-    * oracle replays the four predicates relationally (a versioned
-    * read at version v IS the union of the commits live at v). */
+    * read EVERY version back through the log and aggregate, plus one
+    * TIMESTAMP-based read (row 5): `readAsOfTimestamp` at the last
+    * commit's stamp must resolve to v4's state through the monotone
+    * stamp scan (commits land milliseconds apart here, so only the
+    * latest stamp is tie-free and deterministic — the between-commit
+    * and out-of-range cases are VersionedSpec's, with forced stamp
+    * gaps). The per-version aggregates are O(versions) single-row
+    * collects; the oracle replays the predicates relationally (a
+    * versioned read at version v IS the union of the commits live at
+    * v). */
   def timeTravel(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
@@ -631,12 +829,17 @@ object Versioned {
       commit(docs.where(col("doc_id") % 3 === 1), tmp, "append") // v2
       commit(docs.where(col("doc_id") % 2 === 0), tmp, "overwrite") // v3
       restore(tmp, 2) // v4 == v2's live set
+      def aggOf(df: DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .head()
       val rows = (1 to 4).map { v =>
-        val r = read(spark, tmp, Some(v))
-          .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"),
-            sum(col("n_chars")).as("sum_chars"))
-          .head()
+        val r = aggOf(read(spark, tmp, Some(v)))
         Row(v, r.getLong(0), r.getLong(1), r.getLong(2))
+      } :+ {
+        val r = aggOf(
+          readAsOfTimestamp(spark, tmp, commitTimestamp(tmp, 4)))
+        Row(5, r.getLong(0), r.getLong(1), r.getLong(2))
       }
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
@@ -709,10 +912,13 @@ object Versioned {
     } finally deleteRecursively(Paths.get(tmp))
   }
 
-  /** v4_change_feed: CDC through the log — three append commits, then
-    * `readChanges(1, 3)` aggregated per `_commit_version`; the oracle
-    * replays each commit's predicate (a change feed over appends IS
-    * the union of the appended relations, version-tagged). */
+  /** v4_change_feed: row-level CDC through the log — three append
+    * commits AND a COW merge (round 10), then `readChanges(1, 4)`
+    * aggregated per (`_commit_version`, `_change_type`); the oracle
+    * replays each commit's predicate — appends are the appended
+    * relations as `insert` rows, and the merge's pre/post images are
+    * the matched keys under the before/after state (the same set
+    * algebra the v2 oracle uses). */
   def changeFeed(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
@@ -721,17 +927,22 @@ object Versioned {
       commit(docs.where(col("doc_id") % 3 === 0), tmp, "append") // v1
       commit(docs.where(col("doc_id") % 3 === 1), tmp, "append") // v2
       commit(docs.where(col("doc_id") % 3 === 2), tmp, "append") // v3
-      val rows = readChanges(spark, tmp, fromVersion = 1, toVersion = 3)
-        .groupBy(col("_commit_version"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"))
-        .orderBy(col("_commit_version"))
-        .collect().toSeq // O(versions) rows
+      merge(docs.where(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", -col("n_chars")), tmp, "doc_id") // v4 (COW)
+      val rows = readChanges(spark, tmp, fromVersion = 1, toVersion = 4)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("_commit_version"), col("_change_type"))
+        .collect().toSeq // O(versions × change kinds) rows
       spark.createDataFrame(
         spark.sparkContext.parallelize(
-          rows.map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2))), 1),
+          rows.map(r => Row(r.getInt(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))), 1),
         StructType.fromDDL(
-          "commit_version INT, n_rows BIGINT, sum_doc_id BIGINT"))
-        .orderBy(col("commit_version"))
+          "commit_version INT, change_type STRING, n_rows BIGINT, " +
+            "sum_doc_id BIGINT, sum_chars BIGINT"))
+        .orderBy(col("commit_version"), col("change_type"))
     } finally deleteRecursively(Paths.get(tmp))
   }
 
@@ -772,16 +983,25 @@ object Versioned {
   val oracle: Map[String, String] = Map(
     "v4_change_feed" -> """
       WITH agg AS (
-        SELECT 2 AS commit_version, count(*) AS n_rows,
-               sum(doc_id) AS sum_doc_id
+        SELECT 2 AS commit_version, 'insert' AS change_type,
+               count(*) AS n_rows, sum(doc_id) AS sum_doc_id,
+               sum(n_chars) AS sum_chars
         FROM documents WHERE doc_id % 3 = 1
         UNION ALL
-        SELECT 3, count(*), sum(doc_id)
-        FROM documents WHERE doc_id % 3 = 2)
+        SELECT 3, 'insert', count(*), sum(doc_id), sum(n_chars)
+        FROM documents WHERE doc_id % 3 = 2
+        UNION ALL
+        SELECT 4, 'update_preimage', count(*), sum(doc_id), sum(n_chars)
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT 4, 'update_postimage', count(*), sum(doc_id), sum(-n_chars)
+        FROM documents WHERE doc_id % 5 = 0)
       SELECT CAST(commit_version AS INT) AS commit_version,
+             change_type,
              CAST(n_rows AS BIGINT) AS n_rows,
-             CAST(sum_doc_id AS BIGINT) AS sum_doc_id
-      FROM agg ORDER BY commit_version""",
+             CAST(sum_doc_id AS BIGINT) AS sum_doc_id,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM agg ORDER BY commit_version, change_type""",
     "v5_schema_evolution" -> """
       SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
@@ -834,6 +1054,10 @@ object Versioned {
         FROM documents WHERE doc_id % 2 = 0
         UNION ALL
         SELECT 4, count(*), sum(doc_id), sum(n_chars)
+        FROM documents WHERE doc_id % 3 IN (0, 1)
+        UNION ALL
+        -- row 5: the timestampAsOf read of the latest stamp == v4
+        SELECT 5, count(*), sum(doc_id), sum(n_chars)
         FROM documents WHERE doc_id % 3 IN (0, 1))
       SELECT CAST(version AS INT) AS version,
              CAST(n_rows AS BIGINT) AS n_rows,

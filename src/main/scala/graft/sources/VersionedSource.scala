@@ -53,23 +53,49 @@ class VersionedSource extends TableProvider with DataSourceRegister {
     Option(options.get("path")).getOrElse(
       sys.error("graftv: .load(<table path>) is required"))
 
-  private def asOf(options: JMap[String, String]): Option[Int] =
-    Option(options.get("versionasof"))
+  private def asOf(options: JMap[String, String]): Option[Int] = {
+    val byVersion = Option(options.get("versionasof"))
       .orElse(Option(options.get("versionAsOf"))).map(_.toInt)
+    val byTs = Option(options.get("timestampasof"))
+      .orElse(Option(options.get("timestampAsOf")))
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "graftv: versionAsOf and timestampAsOf are mutually exclusive")
+    byVersion.orElse(byTs.map(t =>
+      Versioned.timestampToVersion(pathOf(options), parseTs(t))))
+  }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StructType.fromDDL(
+  /** `timestampAsOf` accepts epoch millis, an ISO-8601 instant
+    * ("2026-08-15T12:00:00Z"), or the SQL "yyyy-MM-dd HH:mm:ss[.fff]"
+    * form interpreted in the session's default zone (what a human at
+    * this machine means by "yesterday 14:00"). */
+  private def parseTs(t: String): Long =
+    if (t.forall(_.isDigit)) t.toLong
+    else if (t.contains("T")) java.time.Instant.parse(t).toEpochMilli
+    else java.sql.Timestamp.valueOf(t).getTime
+
+  private def changeFeed(options: JMap[String, String]): Boolean =
+    Option(options.get("readchangefeed"))
+      .orElse(Option(options.get("readChangeFeed")))
+      .exists(_.toBoolean)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = StructType.fromDDL(
       Versioned.snapshot(pathOf(options), asOf(options)).schemaDdl)
+    if (changeFeed(options))
+      base.add("_change_type", "string").add("_commit_version", "int")
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new VersionedTable(pathOf(properties), asOf(properties), schema)
+    new VersionedTable(pathOf(properties), asOf(properties), schema,
+      changeFeed(properties))
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
 private[sources] class VersionedTable(path: String, asOf: Option[Int],
-    tblSchema: StructType) extends Table with SupportsRead {
+    tblSchema: StructType, changeFeed: Boolean) extends Table with SupportsRead {
   override def name(): String = s"graftv:$path"
   override def schema(): StructType = tblSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -77,11 +103,13 @@ private[sources] class VersionedTable(path: String, asOf: Option[Int],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(path, asOf, tblSchema,
       Option(options.get("startingversion")).map(_.toInt).getOrElse(0),
-      options.getBoolean("skipchangecommits", false))
+      Option(options.get("endingversion")).map(_.toInt),
+      options.getBoolean("skipchangecommits", false), changeFeed)
 }
 
 private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
-    full: StructType, startingVersion: Int, skipChangeCommits: Boolean)
+    full: StructType, startingVersion: Int, endingVersion: Option[Int],
+    skipChangeCommits: Boolean, changeFeed: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -89,45 +117,91 @@ private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
     // read schema so pruned columns are never decoded.
     required = requiredSchema
   override def build(): Scan =
-    new VersionedScan(path, asOf, required, startingVersion,
-      skipChangeCommits)
+    new VersionedScan(path, asOf, required, startingVersion, endingVersion,
+      skipChangeCommits, changeFeed)
 }
 
 private[sources] class VersionedScan(path: String, asOf: Option[Int],
-    required: StructType, startingVersion: Int,
-    skipChangeCommits: Boolean) extends Scan {
+    required: StructType, startingVersion: Int, endingVersion: Option[Int],
+    skipChangeCommits: Boolean, changeFeed: Boolean) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graftv $path asOf=${asOf.getOrElse(-1)} " +
+    s"graftv $path asOf=${asOf.getOrElse(-1)} changeFeed=$changeFeed " +
       s"ReadSchema: ${required.toDDL}"
 
-  override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      Versioned.snapshot(path, asOf).files
-        .map(f => VersionedInputPartition(s"$path/$f"): InputPartition)
-        .toArray
-    override def createReaderFactory(): PartitionReaderFactory =
-      new VersionedReaderFactory(required.toDDL)
-  }
+  /** BATCH snapshot reads delegate to Spark's own vectorized
+    * ParquetScan over the manifest's file list (round 10) — the same
+    * seam Delta and Iceberg use: the manifest log answers WHICH files
+    * exist; Spark's columnar parquet reader (whole-stage-codegen
+    * friendly, row-group pruning, column pruning via the pruned
+    * `required` schema) answers HOW to read them. The hand-rolled
+    * example reader below remains only for the streaming/change-feed
+    * paths, whose partitions need per-commit constant columns and are
+    * micro-batch-sized by construction. At 25x corpus scale the
+    * vectorized delegate reads at native spark.read.parquet speed —
+    * measured in bench/versioned_scale.json. */
+  override def toBatch: Batch =
+    if (changeFeed) new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        changePartitions(path, startingVersion,
+          endingVersion.getOrElse(Versioned.versions(path).max))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new VersionedReaderFactory(required.toDDL)
+    } else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val snap = Versioned.snapshot(path, asOf)
+      val files = snap.files
+        .map(f => new org.apache.hadoop.fs.Path(s"$path/$f"))
+      val dataSchema = StructType.fromDDL(snap.schemaDdl)
+      val idx = new org.apache.spark.sql.execution.datasources
+        .InMemoryFileIndex(spark, files, Map.empty, Some(dataSchema))
+      val b = org.apache.spark.sql.execution.datasources.v2.parquet
+        .ParquetScanBuilder(spark, idx, dataSchema, dataSchema,
+          CaseInsensitiveStringMap.empty())
+      b.pruneColumns(required)
+      b.build().toBatch
+    }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new VersionedMicroBatchStream(path, required.toDDL, startingVersion,
-      skipChangeCommits)
+      skipChangeCommits, changeFeed)
 }
 
-private[sources] case class VersionedInputPartition(filePath: String)
+/** One partition per changed file in (from, to]: append files are
+  * tagged `insert`; merge/delete change parquet carries its own
+  * `_change_type`. Shared by the batch and micro-batch change feeds. */
+private[sources] object changePartitions {
+  def apply(path: String, from: Int, to: Int): Array[InputPartition] =
+    Versioned.changeBatches(path, from, to).flatMap {
+      case (v, files, _, fromChangeParquet) => files.map(f =>
+        VersionedInputPartition(s"$path/$f", commitVersion = v,
+          tagInsert = !fromChangeParquet): InputPartition)
+    }.toArray
+}
+
+private[sources] case class VersionedInputPartition(filePath: String,
+    commitVersion: Int = -1, tagInsert: Boolean = false)
     extends InputPartition
 
 private[sources] class VersionedReaderFactory(requiredDdl: String)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[VersionedInputPartition].filePath
+    val p = partition.asInstanceOf[VersionedInputPartition]
+    // change-feed partitions pin their metadata columns to constants
+    // (the manifest knows them; the data file need not carry them)
+    val consts: Map[String, Any] =
+      if (p.commitVersion < 0) Map.empty
+      else Map("_commit_version" -> p.commitVersion) ++
+        (if (p.tagInsert)
+          Map("_change_type" -> UTF8String.fromString("insert"))
+        else Map.empty)
     // Catalyst prunes count(*)-style plans to ZERO columns: serve the
     // row count from the footer alone — no column chunk is opened.
-    if (requiredDdl.isEmpty) new VersionedCountReader(file)
-    else new VersionedPartitionReader(file, StructType.fromDDL(requiredDdl))
+    if (requiredDdl.isEmpty) new VersionedCountReader(p.filePath)
+    else new VersionedPartitionReader(p.filePath,
+      StructType.fromDDL(requiredDdl), consts)
   }
 }
 
@@ -150,7 +224,8 @@ private[sources] class VersionedCountReader(file: String)
   * as `parquet.read.schema`, so parquet skips the column chunks of
   * everything else — I/O-level pruning, not post-hoc projection. */
 private[sources] class VersionedPartitionReader(file: String,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, consts: Map[String, Any] = Map.empty)
+    extends PartitionReader[InternalRow] {
 
   // columns the FILE actually has — a file written before an additive
   // schema evolution (commit mergeSchema = true) lacks the newer
@@ -168,7 +243,7 @@ private[sources] class VersionedPartitionReader(file: String,
       try (footer.getFooter.getFileMetaData.getSchema,
         footer.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
       finally footer.close()
-    val wanted = required.fieldNames.toSet
+    val wanted = required.fieldNames.toSet -- consts.keySet
     val pruned = new MessageType(fileSchema.getName,
       fileSchema.getFields.asScala.filter(f => wanted(f.getName)).asJava)
     present = pruned.getFields.asScala.map(_.getName).toSet
@@ -187,7 +262,8 @@ private[sources] class VersionedPartitionReader(file: String,
   }
   override def get(): InternalRow = InternalRow.fromSeq(
     required.fields.map { f =>
-      if (!present(f.name)) null
+      if (consts.contains(f.name)) consts(f.name)
+      else if (!present(f.name)) null
       else if (cur.getFieldRepetitionCount(f.name) == 0) null
       else f.dataType match {
         case LongType => cur.getLong(f.name, 0)
@@ -218,7 +294,8 @@ private[sources] case class VersionedOffset(version: Int) extends Offset {
   * trade-off), later appends keep flowing. */
 private[sources] class VersionedMicroBatchStream(path: String,
     requiredDdl: String, startingVersion: Int,
-    skipChangeCommits: Boolean) extends MicroBatchStream {
+    skipChangeCommits: Boolean, changeFeed: Boolean)
+    extends MicroBatchStream {
 
   override def initialOffset(): Offset = VersionedOffset(startingVersion)
   override def latestOffset(): Offset =
@@ -233,6 +310,10 @@ private[sources] class VersionedMicroBatchStream(path: String,
     val s = start.asInstanceOf[VersionedOffset].version
     val e = end.asInstanceOf[VersionedOffset].version
     if (e <= s) return Array.empty
+    // readChangeFeed (round 10): the stream consumes merge/delete
+    // commits as row-level CDF batches instead of skipping (lossy) or
+    // failing (blocking) — Delta's readChangeFeed streaming mode
+    if (changeFeed) return changePartitions(path, s, e)
     Versioned.appendedFiles(path, s, e, skipChangeCommits)
       .map(f => VersionedInputPartition(s"$path/$f"): InputPartition)
       .toArray

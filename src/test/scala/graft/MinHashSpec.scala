@@ -139,15 +139,40 @@ class MinHashSpec extends AnyFunSuite {
     assert(guarded.nonEmpty)
   }
 
-  test("capBucketMembers keeps the lowest ids per bucket and passes small buckets through") {
+  test("capBucketMembers: small buckets pass through bit-identically, no Window in the plan") {
     import spark.implicits._
     val df = Seq(
       (0, "k1", 5L), (0, "k1", 3L), (0, "k1", 9L), (0, "k1", 1L),
       (1, "k2", 7L), (1, "k2", 2L)).toDF("band_idx", "band_key", "h_id")
-    val capped = MinHash.capBucketMembers(
-        df, Seq("band_idx", "band_key"), "h_id", maxBucket = 3)
-      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
-    assert(capped === Set((0, 1L), (0, 3L), (0, 5L), (1, 2L), (1, 7L)))
+    val out = MinHash.capBucketMembers(
+      df, Seq("band_idx", "band_key"), "h_id", maxBucket = 4)
+    // count-pass discipline: never a row_number window over the band
+    // keys (one 10^7-row bucket would be a single task's sort)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "capBucketMembers must not plan a Window")
+    val capped = out.collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(capped === Set((0, 1L), (0, 3L), (0, 5L), (0, 9L), (1, 2L), (1, 7L)))
+    assert(out.columns.toSeq === df.columns.toSeq)
+  }
+
+  test("capBucketMembers bounds a planted mega-bucket and always keeps its min id") {
+    import spark.implicits._
+    val n = 20000
+    val big = (1L to n.toLong).map(i => (0, "mega", i)) ++
+      Seq((1, "tiny", 41L), (1, "tiny", 42L))
+    val out = MinHash.capBucketMembers(
+        big.toDF("band_idx", "band_key", "h_id"),
+        Seq("band_idx", "band_key"), "h_id", maxBucket = 256)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val mega = out.filter(_._1 == "mega").map(_._2)
+    // expected size = n / ceil(n/256) = 20000/79 ≈ 253; allow 4x slack
+    // over the Chernoff-concentrated expectation, never the full n
+    assert(mega.length >= 1 && mega.length <= 4 * 256,
+      s"kept ${mega.length} of $n")
+    assert(mega.contains(1L), "min-id member must survive the cap")
+    assert(out.filter(_._1 == "tiny").map(_._2).sorted.toSeq === Seq(41L, 42L))
   }
 
   test("approx distinct sketch stays within its error bound") {
@@ -293,5 +318,101 @@ class MinHashSpec extends AnyFunSuite {
       .orderBy(col("doc_id")).collect().toSeq
 
     assert(viaStore === fresh)
+  }
+
+  /** Hand-crafted signature table: every doc agrees on mh0..mh7 (so
+    * band_0 is one shared bucket) and differs on mh8..mh15 (band_1
+    * singleton buckets) → pairwise est_jaccard is exactly 8/16. */
+  private def halfAgreeSig(n: Int) = {
+    import spark.implicits._
+    (1L to n.toLong).map { i =>
+      (i, Seq.fill(8)(7L) ++ (1 to 8).map(j => i * 100 + j),
+        "shared", s"solo$i")
+    }.toDF("id", "mh", "band_0", "band_1")
+      .select(col("id") +:
+        (0 until 16).map(j => element_at(col("mh"), j + 1).as(s"mh$j")) :+
+        col("band_0") :+ col("band_1"): _*)
+  }
+
+  test("star edges are exempt from the est-Jaccard threshold (cluster connectivity)") {
+    // 100 docs band-identical on band_0 only: est = 0.5 < 0.75, so the
+    // UNGUARDED join finds nothing — but once band_0 is a mega-bucket,
+    // its members are band-identical near-dups by construction and the
+    // star edges must survive the threshold, keeping the bucket one
+    // component. est_jaccard is still reported truthfully (0.5).
+    val sig = halfAgreeSig(100)
+    val unguarded = MinHash.candidatePairs(sig, "id", threshold = 0.75,
+      maxBucket = Int.MaxValue).collect()
+    assert(unguarded.isEmpty)
+    val starred = MinHash.candidatePairs(sig, "id", threshold = 0.75,
+      maxBucket = 16).collect()
+    assert(starred.length === 99)
+    assert(starred.forall(r => r.getLong(0) === 1L && r.getDouble(2) === 0.5))
+  }
+
+  test("d9/d14 plans contain no Window partitioned by band keys") {
+    val sf = "/root/testdata/sf0.001"
+    graft.operators.SessionTable.invalidate()
+    def bandWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(
+            _.name.toLowerCase.contains("band"))) => w
+      }
+    assert(bandWindows(
+      queries.DedupOps.d14IncrementalMinhash(spark, sf)).isEmpty)
+    assert(bandWindows(
+      queries.DedupOps.d9FuzzyDecontaminate(spark, sf)).isEmpty)
+  }
+
+  test("planted d14 history mega-bucket: bounded probe fan-out, min-id match survives") {
+    import spark.implicits._
+    val text = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    val history = MinHash.signatures(
+      (2L to 10001L).map(i => (i, text)).toDF("doc_id", "text"),
+      "doc_id", "text", materialize = false)
+    val batch = MinHash.signatures(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+      materialize = false)
+    val out = queries.DedupOps.incrementalProbeOf(batch, history).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // est 1.0 everywhere → rank-1 tiebreak is the lowest h_id, and the
+    // cap guarantees the min-id history member survives
+    assert(r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.0 && r.getBoolean(3))
+  }
+
+  test("skew-guard bypass flag: plain plan, identical results on a clean corpus") {
+    import spark.implicits._
+    val rows = (0 until 3).flatMap { c =>
+      (0 until 5).map { j =>
+        val toks = (1 to 30).map(i =>
+          if (i == 30 && j > 0) s"off${c}_$j" else s"g${c}tok$i")
+        ((c * 10 + j + 1).toLong, toks.mkString(" "))
+      }
+    }
+    val df = rows.toDF("id", "text")
+    val sig = MinHash.signatures(df, "id", "text", materialize = false)
+    def run() = MinHash.candidatePairs(sig, "id", threshold = 0.5)
+    val withGuard = run()
+    assert(withGuard.queryExecution.optimizedPlan.toString.contains("__bn"))
+    val guardOn = withGuard.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set(MinHash.GuardConfKey, "off")
+    try {
+      val bypassed = run()
+      // no count pass, no anti/semi splits in the bypassed plan
+      assert(!bypassed.queryExecution.optimizedPlan.toString.contains("__bn"))
+      val guardOff = bypassed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(guardOff === guardOn)
+      assert(guardOff.nonEmpty)
+      // capBucketMembers honors the flag too: pure pass-through
+      val capped = MinHash.capBucketMembers(
+        (1L to 50L).map(i => (0, "k", i)).toDF("band_idx", "band_key", "h_id"),
+        Seq("band_idx", "band_key"), "h_id", maxBucket = 4)
+      assert(capped.count() === 50L)
+    } finally spark.conf.set(MinHash.GuardConfKey, "on")
   }
 }

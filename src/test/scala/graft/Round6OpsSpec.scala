@@ -65,22 +65,29 @@ class Round6OpsSpec extends AnyFunSuite {
     import spark.implicits._
     // 500 byte-identical strings share EVERY segment key: unguarded,
     // the idx×prb join emits ~n² candidates from one bucket. The
-    // capBucketMembers index cap bounds per-probe fan-out while every
-    // pair still verifies through the lowest-id members — with dist 0
-    // all pairs against the kept index members survive, and the pile
-    // stays one connected component via doc 1.
+    // capBucketMembers index cap (count-pass + hash-threshold subset
+    // since r10 — no band-key window) bounds per-probe fan-out while
+    // the bucket's GUARANTEED min-id member keeps every pair
+    // verifying through doc 1, so the pile stays one connected
+    // component.
     val s0 = "abcdefghijklmnopqrstuvwxyz0123456789"
     val docs = (1L to 500L).map(i => (i, s0)).toDF("doc_id", "s")
     val pairs = EditDistance.selfJoin(docs, "doc_id", "s", 3, 24, 48,
         maxBucket = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty)
-    // every doc is reachable from doc 1 (cluster connectivity intact)
+    // every doc is reachable from doc 1 (cluster connectivity intact —
+    // the min-id member survives the cap by construction)
     val reach = pairs.collect { case (1L, b) => b }.toSet + 1L
     assert((2L to 500L).forall(reach.contains))
     // and the candidate set is bounded far below the n(n-1)/2 ≈ 125k
-    // the unguarded join would verify: ≤ cap·n pairs
-    assert(pairs.length <= 16 * 500)
+    // the unguarded join would verify. The hash-threshold subset is
+    // EXPECTED-size cap, Chernoff-concentrated — at this deliberately
+    // tiny cap (16 of 500) the binomial tail is wide, so allow the
+    // same 4x slack as MinHashSpec's planted-mega-bucket case; at the
+    // production cap (4096) the relative tail is negligible.
+    assert(pairs.length <= 4 * 16 * 500,
+      s"${pairs.length} candidates exceed 4x the expected cap bound")
   }
 
   test("PassJoin candidate fan-out per document is a bounded constant") {

@@ -14,8 +14,10 @@ import graft.sources.Versioned
   * (a plain multiset of rows per version), asserting after EVERY op
   * that the table reads back exactly the model — and at the end that
   * every HISTORICAL version still time-travels to its own model state,
-  * that CDC over the longest append-only stretch equals the model
-  * delta, and that vacuum leaves the latest snapshot intact. The
+  * that the ROW-LEVEL CDF law holds at every readable commit (prev
+  * state + change feed = next state, merges and deletes included;
+  * only overwrite/restore refuse), and that vacuum leaves the latest
+  * snapshot intact. The
   * storage layer earns the same discipline as the K-family kernels
   * (CrystalSpec's 1000-case fuzz): invariants, not examples. */
 class VersionedPropertySpec extends AnyFunSuite {
@@ -98,39 +100,48 @@ class VersionedPropertySpec extends AnyFunSuite {
         s"time travel to v$v diverged from the recorded model")
     }
 
-    // CDC invariant over the longest append-only stretch: the change
-    // feed equals the model delta between its endpoints
-    val appendRuns = {
-      val vs = Versioned.versions(t).sorted
-      val isAppend = vs.map(v => v -> (try {
-        Versioned.readChanges(spark, t, v - 1 max 0, v); true
-      } catch { case _: IllegalArgumentException => false })).toMap
-      vs.foldLeft(List.empty[List[Int]]) { (runs, v) =>
-        if (!isAppend(v)) Nil :: runs
-        else
-          runs match {
-            case head :: tail => (head :+ v) :: tail
-            case Nil => List(List(v))
-          }
-      }.filter(_.nonEmpty)
-    }
-    appendRuns.sortBy(-_.length).headOption.filter(_.length >= 2)
-      .foreach { run =>
-        val (lo, hi) = (run.head, run.last)
-        val feed = Versioned.readChanges(spark, t, lo - 1, hi)
-          .select(col("id"), col("s")).collect()
-          .map(r => (r.getLong(0), r.getString(1))).toVector
-        // an append run's delta vs the model: rows added between the
-        // version BEFORE the run and its end (no rewrites inside)
-        val before = history(lo - 1)
-        val after = history(hi)
-        val delta = after.diff(before)
-        assert(canon(feed) === canon(delta),
-          s"CDC over append run v$lo..v$hi diverged from the model delta")
+    // CDF law (round 10 — merge/delete now emit row-level changes):
+    // for EVERY commit whose change feed is readable, applying the
+    // feed to the previous model state yields exactly the next state —
+    // removed = preimages + deletes, added = postimages + inserts,
+    // multiset semantics (dup ids from re-appends included). Only
+    // overwrite and restore refuse (re-baseline semantics); count them
+    // to prove both invariant families actually fired in this run.
+    var cdfChecked = 0
+    var rebaselines = 0
+    Versioned.versions(t).sorted.filter(_ >= 2).foreach { v =>
+      val chOpt =
+        try Some(Versioned.readChanges(spark, t, v - 1, v)
+          .select(col("id"), col("s"), col("_change_type")).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toVector)
+        catch {
+          case e: RuntimeException if e.getMessage.contains("re-baseline") =>
+            rebaselines += 1; None
+        }
+      chOpt.foreach { ch =>
+        val bad = ch.map(_._3).filterNot(Set("insert", "delete",
+          "update_preimage", "update_postimage"))
+        assert(bad.isEmpty, s"unknown change types at v$v: $bad")
+        val removed = ch.collect {
+          case (id, s, t3) if t3 == "update_preimage" || t3 == "delete" =>
+            (id, s)
+        }
+        val added = ch.collect {
+          case (id, s, t3) if t3 == "update_postimage" || t3 == "insert" =>
+            (id, s)
+        }
+        assert(canon(history(v - 1).diff(removed) ++ added)
+            === canon(history(v)),
+          s"CDF law broken at v$v: prev state + change feed != next state")
+        cdfChecked += 1
       }
+    }
+    assert(cdfChecked > 0 && rebaselines > 0,
+      s"fuzz must exercise both CDF reads ($cdfChecked) and " +
+        s"re-baseline refusals ($rebaselines)")
 
     // vacuum keeps the latest snapshot intact
-    Versioned.vacuum(t, retainVersions = 1)
+    Versioned.vacuum(t, retainVersions = 1, graceMs = 0L)
     assert(canon(readBack(t)) === canon(model),
       "vacuum(retain=1) damaged the latest snapshot")
   }

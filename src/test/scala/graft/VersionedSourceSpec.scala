@@ -183,4 +183,46 @@ class VersionedSourceSpec extends AnyFunSuite {
     assert(seen.asScala.toSeq.sorted === Seq(1L, 2L, 3L),
       "rewrite commits must be skipped, later appends must flow")
   }
+
+  test("readChangeFeed: a live tail consumes a MERGE as row-level changes, no skips") {
+    import spark.implicits._
+    val t = tmpTable()
+    val ckpt = Files.createTempDirectory("graftv-cdf-ckpt-").toString
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t) // v1
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Int)]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graftv")
+        .option("readChangeFeed", true).load(t)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => seen.add(
+            (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))))
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(seen.asScala.toSeq.sorted ===
+      Seq((1L, "a", "insert", 1), (2L, "b", "insert", 1)))
+    // a COW merge lands on the live-tailed table: the resumed tail
+    // emits its pre/post images and insert — NOT a skip, NOT a failure
+    Versioned.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "s"), t, "id") // v2
+    Versioned.commit(Seq((4L, "d")).toDF("id", "s"), t) // v3
+    runOnce()
+    assert(seen.asScala.toSeq.sorted === Seq(
+      (1L, "a", "insert", 1), (2L, "B", "update_postimage", 2),
+      (2L, "b", "insert", 1), (2L, "b", "update_preimage", 2),
+      (3L, "c", "insert", 2), (4L, "d", "insert", 3)))
+    // downstream state maintenance: applying the feed reproduces the
+    // table (the d14-style incremental consumer over an UPSERTED
+    // corpus this feature exists for)
+    val byKey = seen.asScala.toSeq.groupBy(_._1).map { case (k, evs) =>
+      val last = evs.maxBy(e => (e._4, e._3 != "update_preimage"))
+      k -> (last._2, last._3 != "update_preimage" && last._3 != "delete")
+    }
+    val alive = byKey.collect { case (k, (s, true)) => (k, s) }.toSeq.sorted
+    assert(alive === Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted)
+  }
 }

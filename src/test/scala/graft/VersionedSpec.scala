@@ -136,7 +136,9 @@ class VersionedSpec extends AnyFunSuite {
     val t = tmpTable()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), t) // v1
     Versioned.commit(Seq((9L, "z")).toDF("id", "s"), t, "overwrite") // v2
-    val dead = Versioned.vacuum(t, retainVersions = 1)
+    // graceMs = 0: this spec is the single writer, so the in-flight
+    // guard (which would spare every just-written file) is waived
+    val dead = Versioned.vacuum(t, retainVersions = 1, graceMs = 0L)
     assert(dead.exists(_.endsWith(".parquet"))) // v1's data is gone
     assert(Versioned.read(spark, t).collect().map(_.getLong(0)).toSeq
       === Seq(9L)) // latest unharmed
@@ -302,14 +304,17 @@ class VersionedSpec extends AnyFunSuite {
     (1 to 12).foreach(i => // crosses the v10 self-checkpoint
       Versioned.commit(Seq((i.toLong, s"r$i")).toDF("id", "s"), t))
     val ch = Versioned.readChanges(spark, t, fromVersion = 9, toVersion = 12)
-      .collect().map(r => (r.getLong(0), r.getInt(2))).sorted.toSeq
-    assert(ch === Seq((10L, 10), (11L, 11), (12L, 12)))
-    // a non-append commit inside the range is refused loudly
-    Versioned.deleteWhere(spark, t, col("id") === 1L) // v13
-    val e = intercept[IllegalArgumentException] {
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3)))
+      .sorted.toSeq
+    assert(ch === Seq((10L, "insert", 10), (11L, "insert", 11),
+      (12L, "insert", 12)))
+    // a RE-BASELINE commit (overwrite/restore) in range is refused
+    // loudly — their row-level delta is a whole-table statement
+    Versioned.commit(Seq((99L, "ow")).toDF("id", "s"), t, "overwrite") // v13
+    val e = intercept[RuntimeException] {
       Versioned.readChanges(spark, t, 12, 13).collect()
     }
-    assert(e.getMessage.contains("append-only"))
+    assert(e.getMessage.contains("re-baseline"))
   }
 
   test("deleteWhere removes matching rows as a new version") {
@@ -339,6 +344,103 @@ class VersionedSpec extends AnyFunSuite {
     val e3 = expect(col("doc_id") % 2 === 0)
     assert(got.toSeq === Seq(
       (1, e1._1, e1._2, e1._3), (2, e2._1, e2._2, e2._3),
-      (3, e3._1, e3._2, e3._3), (4, e2._1, e2._2, e2._3)))
+      (3, e3._1, e3._2, e3._3), (4, e2._1, e2._2, e2._3),
+      (5, e2._1, e2._2, e2._3))) // timestampAsOf(latest stamp) == v4
+  }
+
+  test("timestampAsOf resolves between-commit, exact, latest and out-of-range instants") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), t) // v1
+    Thread.sleep(25) // force distinct millisecond stamps
+    Versioned.commit(Seq((2L, "b")).toDF("id", "s"), t) // v2
+    Thread.sleep(25)
+    Versioned.commit(Seq((3L, "c")).toDF("id", "s"), t) // v3
+    val (t1, t2, t3) = (Versioned.commitTimestamp(t, 1),
+      Versioned.commitTimestamp(t, 2), Versioned.commitTimestamp(t, 3))
+    assert(t1 < t2 && t2 < t3)
+    // exact stamps resolve to their own versions
+    assert(Versioned.timestampToVersion(t, t1) === 1)
+    assert(Versioned.timestampToVersion(t, t2) === 2)
+    // between-commit instants resolve to the EARLIER version (the
+    // latest commit not after the instant — Delta's semantics)
+    assert(Versioned.timestampToVersion(t, (t1 + t2) / 2) === 1)
+    assert(Versioned.timestampToVersion(t, (t2 + t3) / 2) === 2)
+    // after the last commit: latest
+    assert(Versioned.timestampToVersion(t, t3 + 60_000) === 3)
+    // before the first commit: loud error
+    val e = intercept[IllegalArgumentException] {
+      Versioned.timestampToVersion(t, t1 - 60_000)
+    }
+    assert(e.getMessage.contains("predates"))
+    // the read path end-to-end, library and DSv2 option forms
+    assert(Versioned.readAsOfTimestamp(spark, t, (t1 + t2) / 2)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L))
+    assert(spark.read.format("graftv")
+      .option("timestampAsOf", (t2 + t3) / 2).load(t)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // versionAsOf and timestampAsOf together: refused
+    val both = intercept[IllegalArgumentException] {
+      spark.read.format("graftv").option("timestampAsOf", t2)
+        .option("versionAsOf", 1).load(t).collect()
+    }
+    assert(both.getMessage.contains("mutually exclusive"))
+  }
+
+  test("merge refuses duplicate source keys (Delta MERGE precondition)") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.merge(Seq((2L, "x"), (2L, "y")).toDF("id", "s"), t, "id")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // table unchanged, no phantom version
+    assert(Versioned.versions(t) === Seq(1))
+    assert(Versioned.read(spark, t).count() === 2L)
+  }
+
+  test("vacuum's grace horizon spares young unreferenced files (in-flight writer guard)") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), t) // v1
+    Versioned.commit(Seq((9L, "z")).toDF("id", "s"), t, "overwrite") // v2
+    // simulate an in-flight writer: data files on disk, manifest not
+    // yet published — exactly what a concurrent commit looks like
+    // mid-publish. With the default grace, vacuum must spare BOTH the
+    // unreferenced v1 files and the in-flight ones (all younger than
+    // the horizon).
+    val inflight = Paths.get(t, "data", "c-inflight00000")
+    Files.createDirectories(inflight)
+    Files.writeString(inflight.resolve("part-00000.parquet"), "pending")
+    assert(Versioned.vacuum(t, retainVersions = 1).isEmpty)
+    assert(Files.exists(inflight.resolve("part-00000.parquet")))
+    // with the grace waived, the unreferenced files are reclaimed
+    val dead = Versioned.vacuum(t, retainVersions = 1, graceMs = 0L)
+    assert(dead.nonEmpty)
+    assert(!Files.exists(inflight.resolve("part-00000.parquet")))
+  }
+
+  test("merge and delete emit row-level CDF; optimize emits nothing") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"), t) // v1
+    Versioned.merge(
+      Seq((2L, 99L), (4L, 40L)).toDF("id", "v"), t, "id") // v2: upd 2, ins 4
+    Versioned.optimize(spark, t, numFiles = 1) // v3: layout only
+    Versioned.deleteWhere(spark, t, col("id") === 1L) // v4
+    val ch = Versioned.readChanges(spark, t, 1, 4)
+      .collect()
+      .map(r => (r.getInt(3), r.getString(2), r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(ch === Seq(
+      (2, "insert", 4L, 40L),
+      (2, "update_postimage", 2L, 99L),
+      (2, "update_preimage", 2L, 20L),
+      (4, "delete", 1L, 10L)))
+    // appends in a mixed range still read as inserts
+    val all = Versioned.readChanges(spark, t, 0, 2)
+    assert(all.where(col("_change_type") === "insert").count() === 4L) // 3 + 1
   }
 }
