@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Versioned
+
+/** Scales the versioned READ PATH (VERDICT r9 task 5): the v-family
+  * oracle gates are toy-sized driver loops that measure commit
+  * latency, not read-path behavior at size. This tool commits a
+  * MakeScale'd documents corpus into ONE graftv table the way a real
+  * ingest would (several appends, a COW merge, an OPTIMIZE), then
+  * measures the three read paths against each other at that size:
+  *
+  *  1. RAW parquet baseline — spark.read.parquet over the scaled dir;
+  *  2. LIBRARY read — Versioned.read (native vectorized scan over the
+  *     manifest's file list);
+  *  3. DSv2 CONNECTOR — format("graftv") (since round 10 the batch
+  *     scan delegates to Spark's own ParquetScan, so this should read
+  *     at native speed; this artifact is the measurement);
+  *
+  * each as (a) a full-scan aggregate and (b) the d14-style
+  * incremental minhash probe (history/batch sourced from the table),
+  * two laps, warm lap reported. Output: one JSON artifact per scale
+  * point (bench/versioned_scale_<label>.json) for the COVERAGE
+  * exponent table.
+  *
+  * Usage: runMain graft.VersionedScale <scaledSfDir> <tableDir> <label>
+  */
+object VersionedScale {
+  private def r3(x: Double): Double = math.rint(x * 1000) / 1000
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, tableDir, label) = args.take(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables(spark, srcDir, "documents")
+    val nDocs = docs.count()
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    /** two laps, warm reported (cold kept for the artifact) */
+    def lap2(body: => Unit): (Double, Double) = (timed(body), timed(body))
+
+    // ------------------------------------------------ ingest history
+    // 8 append slices + a COW merge + a clustered OPTIMIZE — the
+    // streaming-ingest-then-maintain shape (many commits, one
+    // key-ranged upsert, one compaction).
+    val tIngest = timed {
+      (0 until 8).foreach(i =>
+        Versioned.commit(docs.where(pmod(col("doc_id"), lit(8)) === i),
+          tableDir, "append"))
+    }
+    val tMerge = timed {
+      Versioned.merge(docs.where(pmod(col("doc_id"), lit(97)) === 0)
+        .withColumn("n_chars", -col("n_chars")), tableDir, "doc_id")
+    }
+    val tOptimize = timed {
+      Versioned.optimize(spark, tableDir, numFiles = 32,
+        clusterBy = Seq("doc_id"))
+    }
+    val snap = Versioned.snapshot(tableDir)
+    System.err.println(s"[versioned-scale] $label: $nDocs docs, " +
+      s"v${snap.version}, ${snap.files.size} live files; ingest " +
+      s"${r3(tIngest)}s merge ${r3(tMerge)}s optimize ${r3(tOptimize)}s")
+
+    // ------------------------------------------------ full-scan aggs
+    def fullScan(df: DataFrame): Unit = {
+      df.agg(count(lit(1)), sum(col("n_chars")), sum(length(col("text"))))
+        .collect(); ()
+    }
+    val (rawC, rawW) = lap2(fullScan(spark.read.parquet(s"$srcDir/documents.parquet")))
+    val (libC, libW) = lap2(fullScan(Versioned.read(spark, tableDir)))
+    val (conC, conW) = lap2(fullScan(spark.read.format("graftv").load(tableDir)))
+    System.err.println(s"[versioned-scale] $label full-scan warm: " +
+      s"raw ${r3(rawW)}s lib ${r3(libW)}s connector ${r3(conW)}s")
+
+    // -------------------------------- d14-style probe through each path
+    // history = 90% slice, batch = 10% slice; signature build dominates,
+    // so a read-path penalty shows as a constant-factor gap.
+    def probe(src: DataFrame): Unit = {
+      val hist = graft.operators.MinHash.signatures(
+        src.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text",
+        k = 16, bands = 2, shingleN = 3, materialize = false)
+      val batch = graft.operators.MinHash.signatures(
+        src.where(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text",
+        k = 16, bands = 2, shingleN = 3, materialize = false)
+      graft.queries.DedupOps.incrementalProbeOf(batch, hist)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val (probeRawC, probeRawW) =
+      lap2(probe(spark.read.parquet(s"$srcDir/documents.parquet")))
+    val (probeConC, probeConW) =
+      lap2(probe(spark.read.format("graftv").load(tableDir)))
+    System.err.println(s"[versioned-scale] $label d14 probe warm: " +
+      s"raw ${r3(probeRawW)}s connector ${r3(probeConW)}s")
+
+    val json =
+      s"""{"label": "$label", "n_docs": $nDocs, "version": ${snap.version},
+         | "live_files": ${snap.files.size},
+         | "ingest_sec": ${r3(tIngest)}, "merge_sec": ${r3(tMerge)},
+         | "optimize_sec": ${r3(tOptimize)},
+         | "fullscan": {"raw": {"cold": ${r3(rawC)}, "warm": ${r3(rawW)}},
+         |  "library": {"cold": ${r3(libC)}, "warm": ${r3(libW)}},
+         |  "connector": {"cold": ${r3(conC)}, "warm": ${r3(conW)}}},
+         | "d14_probe": {"raw": {"cold": ${r3(probeRawC)}, "warm": ${r3(probeRawW)}},
+         |  "connector": {"cold": ${r3(probeConC)}, "warm": ${r3(probeConW)}}}}
+         |""".stripMargin.replace("\n", "")
+    val p = java.nio.file.Paths.get(s"bench/versioned_scale_$label.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, json + "\n")
+    println(json)
+    spark.stop()
+  }
+}
