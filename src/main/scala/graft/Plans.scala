@@ -96,6 +96,7 @@ object Plans {
       "mm4_video_framestats" -> "per-row Y4M decode + frame flatMap inside the scan; per-frame integer stats never leave the row's task",
       "mm5_image_stats" -> "per-row BMP decode on the lossless half of the image rows; integer luma stats inside the scan",
       "mm2_phash_bmp" -> "per-row BMP decode + integer pool/DCT/median pHash inside the scan — the oracle tier of mm2's dedup blocking",
+      "mm2_phash_jpeg_golden" -> "per-row T.81 JPEG decode + the same integer pHash law, golden-pixel-oracled (r10): the decoder is the only unoracled stage",
       "d7_content_hash" -> "adaptive chunk prefix from a 1-row count broadcast; L1+L2 share one (group, super) exchange, L3 reshuffles bucket-sized rows")
 
     val sb = new StringBuilder
@@ -131,10 +132,11 @@ object Plans {
         .agg(org.apache.spark.sql.functions.sum("n_chars").as("chars"))
       val vPlan = vDf.queryExecution.explainString(
         ExplainMode.fromString("formatted"))
-      sb.append("\n## graftv DSv2 scan (connector path) — required " +
-        "columns pushed into the parquet read schema (ReadSchema " +
-        "shrinks to lang,n_chars); one partition per manifest-listed " +
-        s"file\n\n```\n$vPlan```\n")
+      sb.append("\n## graftv DSv2 scan (connector path) — batch reads " +
+        "delegate to Spark's vectorized ParquetScan over the manifest " +
+        "file list (r10), so the plan shows the NATIVE columnar scan " +
+        "(PushedFilters/ReadSchema, whole-stage codegen) through the " +
+        s"table format\n\n```\n$vPlan```\n")
     } finally {
       def rm(p: java.nio.file.Path): Unit = {
         if (Files.isDirectory(p)) {

@@ -75,16 +75,24 @@ object Versioned {
 
   /** Accept both plain paths and `file:` URIs (the session catalog
     * hands DSv2 providers a URI-form location for `CREATE TABLE …
-    * USING graftv`). Other schemes are a loud error — the local
-    * java.nio log I/O below is the single-filesystem tier; a cluster
-    * deployment routes these through the object store's
-    * put-if-absent instead (see the class doc). */
-  private def norm(path: String): String =
-    if (path.startsWith("file:")) new java.net.URI(path).getPath
-    else if (path.contains(":/") && !path.matches("^[A-Za-z]:/.*"))
-      sys.error(s"versioned: unsupported path scheme in $path " +
-        "(local paths and file: URIs only in this environment)")
-    else path
+    * USING graftv`). URI-first (round 10, replacing an accreted
+    * string-prefix chain with a dead Windows-drive regex): parse once,
+    * dispatch on the scheme. Any scheme other than file/absent is a
+    * loud error — the local java.nio log I/O below is the
+    * single-filesystem tier; a cluster deployment routes these through
+    * the object store's put-if-absent instead (see the class doc). */
+  private def norm(path: String): String = {
+    val uri = try new java.net.URI(path) catch {
+      case _: java.net.URISyntaxException => return path // plain path
+    }
+    uri.getScheme match {
+      case null => path // scheme-less: already a filesystem path
+      case "file" => uri.getPath
+      case other => sys.error(s"versioned: unsupported path scheme " +
+        s"'$other' in $path (local paths and file: URIs only in this " +
+        "environment)")
+    }
+  }
 
   private def dataPath(path: String, commitId: String): Path =
     Paths.get(norm(path), "data", s"c-$commitId")
