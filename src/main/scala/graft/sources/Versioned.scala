@@ -50,8 +50,12 @@ object Versioned {
     * replays at most this many manifests past its base checkpoint. */
   val CheckpointInterval = 10
 
+  /** Per-file [min, max] of every top-level BIGINT column. */
+  type FileStats = Map[String, Map[String, (Long, Long)]]
+
   final case class Snapshot(version: Int, files: Seq[String],
-      schemaDdl: String, baseVersion: Int, replayedManifests: Int)
+      schemaDdl: String, baseVersion: Int, replayedManifests: Int,
+      stats: FileStats = Map.empty)
 
   /** `txns` is the Delta SetTransaction analog: the highest batch id
     * committed per writer app, carried FORWARD in every manifest so
@@ -65,11 +69,21 @@ object Versioned {
     * sidecars record a timestamp the version-number API could not
     * answer, utility.py:952–983). `changes` lists the row-level CDF
     * parquet a merge/delete commit persisted beside its rewritten
-    * files (Delta CDF's update_preimage/postimage/delete rows). */
+    * files (Delta CDF's update_preimage/postimage/delete rows).
+    *
+    * `stats` is the data-skipping tier IN the log (round 10, the
+    * Delta discipline): per added file, [min, max] of every top-level
+    * BIGINT column, read once from the just-written footers at commit
+    * time (local and page-hot) so a later MERGE prunes its rewrite
+    * set from the manifest alone — zero footer opens against a
+    * 10⁵-file table. Checkpoints carry the full live set's stats
+    * forward; files from pre-stats manifests fall back to footer
+    * reads at merge time. */
   private final case class Manifest(version: Int, op: String,
       full: Boolean, files: Seq[String], schemaDdl: String,
       txns: Map[String, Long] = Map.empty, tsMs: Long = 0L,
-      changes: Option[Seq[String]] = None)
+      changes: Option[Seq[String]] = None,
+      stats: FileStats = Map.empty)
 
   // -------------------------------------------------------- log I/O
 
@@ -128,10 +142,15 @@ object Versioned {
       .getOrElse("")
     val txns = m.txns.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ", ", "}")
+    val stats = m.stats.toSeq.sortBy(_._1).map { case (f, cols) =>
+      s"${jstr(f)}: " + cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"${jstr(c)}: [$lo, $hi]"
+      }.mkString("{", ", ", "}")
+    }.mkString("{", ", ", "}")
     s"""{"version": ${m.version}, "op": ${jstr(m.op)}, """ +
       s""""full": ${m.full}, "ts": ${m.tsMs}, """ +
       s""""schema": ${jstr(m.schemaDdl)}, """ +
-      s""""txns": $txns, $changes"files": $files}"""
+      s""""txns": $txns, $changes"stats": $stats, "files": $files}"""
   }
 
   private def parseManifest(p: Path): Manifest = {
@@ -177,6 +196,20 @@ object Versioned {
           case other => sys.error(s"versioned: manifest $p change: $other") })
         case JNothing => None // pre-CDF manifest / non-CDF op
         case other => sys.error(s"versioned: manifest $p changes: $other")
+      },
+      stats = (j \ "stats") match {
+        case JObject(files) => files.map {
+          case (f, JObject(cols)) => f -> cols.map {
+            case (c, JArray(List(JInt(lo), JInt(hi)))) =>
+              c -> (lo.toLong, hi.toLong)
+            case (c, other) =>
+              sys.error(s"versioned: manifest $p stat $f.$c: $other")
+          }.toMap
+          case (f, other) =>
+            sys.error(s"versioned: manifest $p stats $f: $other")
+        }.toMap
+        case JNothing => Map.empty // pre-stats manifests
+        case other => sys.error(s"versioned: manifest $p stats: $other")
       })
   }
 
@@ -241,13 +274,15 @@ object Versioned {
       base = ver; !parseManifest(manifestPath(path, ver)).full
     }
     val toApply = (base +: suffix.reverse).distinct
+    var stats: FileStats = Map.empty
     toApply.foreach { ver =>
       val m = parseManifest(manifestPath(path, ver))
       replayed += 1
-      if (m.full) files = m.files.toVector else files = files ++ m.files
+      if (m.full) { files = m.files.toVector; stats = m.stats }
+      else { files = files ++ m.files; stats = stats ++ m.stats }
       ddl = m.schemaDdl
     }
-    Snapshot(v, files, ddl, base, replayed)
+    Snapshot(v, files, ddl, base, replayed, stats)
   }
 
   /** Resolve a wall-clock instant to a version — Delta's
@@ -355,6 +390,9 @@ object Versioned {
     // nullable form keeps a Seq-derived first commit (non-null encoders)
     // append-compatible with later parquet-derived commits.
     val ddl = StructType(df.schema.fields.map(_.copy(nullable = true))).toDDL
+    // footer stats of the just-written files, once, outside the retry
+    // loop (the files don't change across publish retries)
+    val addedStats = fileStatsOf(df.sparkSession, path, added)
     var attempt = 0
     while (attempt < 64) {
       val vs = versions(path)
@@ -368,8 +406,8 @@ object Versioned {
         // same batch may have won while we were writing data files
         if (prevTxns.get(app).exists(_ >= b)) return None
       }
-      val (full, files, outDdl) =
-        if (mode == "overwrite" || cur == 0) (true, added, ddl)
+      val (full, files, outDdl, stats) =
+        if (mode == "overwrite" || cur == 0) (true, added, ddl, addedStats)
         else {
           val prev = snapshot(path, Some(cur))
           val committed =
@@ -397,11 +435,13 @@ object Versioned {
                 prevS.fieldNames.contains(f.name))
               StructType(prevS.fields ++ extra).toDDL
             }
-          if (v % CheckpointInterval == 0) (true, prev.files ++ added, committed)
-          else (false, added, committed)
+          if (v % CheckpointInterval == 0)
+            (true, prev.files ++ added, committed,
+              prev.stats ++ addedStats) // checkpoint carries stats forward
+          else (false, added, committed, addedStats)
         }
       if (publish(path, Manifest(v, mode, full, files, outDdl,
-        prevTxns ++ txn))) return Some(v)
+        prevTxns ++ txn, stats = stats))) return Some(v)
       attempt += 1 // lost the race: re-resolve on top of the winner
     }
     sys.error(s"versioned: gave up after $attempt contended commits at $path")
@@ -419,7 +459,7 @@ object Versioned {
       // exactly-once ledger must not — a replayed batch is still dup)
       val txns = parseManifest(manifestPath(path, cur)).txns
       if (publish(path, Manifest(v, "restore", full = true, snap.files,
-        snap.schemaDdl, txns))) return v
+        snap.schemaDdl, txns, stats = snap.stats))) return v
       attempt += 1
     }
     sys.error(s"versioned: gave up restoring $path to v$toVersion")
@@ -427,14 +467,16 @@ object Versioned {
 
   // ------------------------------------------------- merge (upsert)
 
-  /** Per-file [min, max] of a BIGINT key, from parquet FOOTERS only —
-    * no data scan, O(files) driver-side metadata reads. This is the
-    * data-skipping tier: at real scale these stats would be written
-    * into the manifest at commit time (Delta keeps them in the log);
-    * reading footers here keeps the log format lean while exercising
-    * the identical pruning decision. */
-  private def fileKeyRanges(spark: SparkSession, path: String,
-      files: Seq[String], key: String): Seq[(String, Long, Long)] = {
+  /** Per-file [min, max] of every top-level BIGINT column, from
+    * parquet FOOTERS — no data scan, O(files) metadata reads. Called
+    * ONCE per commit on the just-written (local, page-hot) files and
+    * persisted in the manifest (the Delta log-stats discipline), so
+    * later merges prune from the log alone; also the fallback for
+    * files committed by pre-stats manifests. A column whose stats are
+    * absent in any block records the conservative full range
+    * (never-skipped). */
+  private def fileStatsOf(spark: SparkSession, path: String,
+      files: Seq[String]): FileStats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sparkContext.hadoopConfiguration
@@ -443,31 +485,60 @@ object Versioned {
         new org.apache.hadoop.fs.Path(s"$path/$f"), conf)
       val reader = ParquetFileReader.open(in)
       try {
-        val blocks = reader.getFooter.getBlocks.asScala
-        var lo = Long.MaxValue
-        var hi = Long.MinValue
-        blocks.foreach { b =>
-          val col = b.getColumns.asScala
-            .find(_.getPath.toDotString == key)
-            .getOrElse(sys.error(s"versioned: merge key $key not in $f"))
-          val st: org.apache.parquet.column.statistics.Statistics[_] =
-            col.getStatistics
-          if (st == null || st.isEmpty || !st.hasNonNullValue) {
-            // no stats for this block: cannot prune — conservatively
-            // mark the whole file touched (rewritten, never skipped)
-            lo = Long.MinValue; hi = Long.MaxValue
-          } else st.genericGetMin match {
-            case n: java.lang.Long =>
-              lo = math.min(lo, n.longValue)
-              hi = math.max(hi, st.genericGetMax
-                .asInstanceOf[java.lang.Long].longValue)
-            case other => sys.error(
-              s"versioned: merge key $key must be BIGINT, found $other in $f")
+        val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+        reader.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { col =>
+            val name = col.getPath.toDotString
+            if (!name.contains('.')) { // top-level only
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                col.getStatistics
+              val range =
+                if (st == null || st.isEmpty || !st.hasNonNullValue)
+                  Some((Long.MinValue, Long.MaxValue)) // conservative
+                else st.genericGetMin match {
+                  case n: java.lang.Long => Some((n.longValue,
+                    st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+                  case _ => None // non-BIGINT column: no range stats
+                }
+              range.foreach { case (lo, hi) =>
+                val (plo, phi) =
+                  acc.getOrElse(name, (Long.MaxValue, Long.MinValue))
+                acc(name) = (math.min(plo, lo), math.max(phi, hi))
+              }
+            }
           }
         }
-        (f, lo, hi)
+        f -> acc.toMap
       } finally reader.close()
+    }.toMap
+  }
+
+  /** [min, max] of `key` per file: from the SNAPSHOT's manifest stats
+    * when present (zero I/O), footer reads only for files committed by
+    * pre-stats manifests. Missing key column is a loud error. */
+  private def fileKeyRanges(spark: SparkSession, path: String,
+      snap: Snapshot, key: String): Seq[(String, Long, Long)] = {
+    val (known, unknown) = snap.files.partition(snap.stats.contains)
+    val fromLog = known.map { f =>
+      // recorded stats without the key = the file has no matchable
+      // key data (empty write partition / pre-evolution file): the
+      // empty range intersects nothing, see the fallback note below
+      val (lo, hi) = snap.stats(f).getOrElse(key,
+        (Long.MaxValue, Long.MinValue))
+      (f, lo, hi)
     }
+    val fromFooters = fileStatsOf(spark, path, unknown).toSeq.map {
+      case (f, cols) =>
+        // a file with no range for the key holds no matchable rows:
+        // zero row groups (an empty write partition) or a file
+        // written before the key column evolved in (its rows read the
+        // key as null, and null never equals an update key) — the
+        // EMPTY range intersects nothing, so the file carries by
+        // reference, exactly the old fold-over-blocks behavior
+        val (lo, hi) = cols.getOrElse(key, (Long.MaxValue, Long.MinValue))
+        (f, lo, hi)
+    }
+    fromLog ++ fromFooters
   }
 
   /** MERGE (upsert) on a BIGINT key, file-granular copy-on-write:
@@ -487,6 +558,10 @@ object Versioned {
     require(base.schemaDdl == ddl,
       s"versioned: merge schema mismatch at $path:\n  table: " +
         s"${base.schemaDdl}\n  updates: $ddl")
+    require(updates.schema(key).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"versioned: merge key $key must be BIGINT, found " +
+        s"${updates.schema(key).dataType} at $path")
     // one pass over updates: key range for footer pruning, plus the
     // Delta-MERGE precondition that the SOURCE keys be unique — with
     // duplicate keys every copy of a matched table key is anti-joined
@@ -501,7 +576,7 @@ object Versioned {
         s"(${bounds.getLong(2)} rows, ${bounds.getLong(3)} distinct keys) " +
         s"at $path — MERGE requires at most one update row per key")
     val (uLo, uHi) = (bounds.getLong(0), bounds.getLong(1))
-    val ranges = fileKeyRanges(spark, path, base.files, key)
+    val ranges = fileKeyRanges(spark, path, base, key)
     val (touched, untouched) = ranges.partition {
       case (_, lo, hi) => hi >= uLo && lo <= uHi
     }
@@ -519,6 +594,9 @@ object Versioned {
     val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
     val files = untouched.map(_._1) ++ added
+    val mergedStats = base.stats.view
+      .filterKeys(untouched.map(_._1).toSet).toMap ++
+      fileStatsOf(spark, path, added)
     // row-level CDF (round 10): persist this commit's change set
     // beside the rewritten files — matched keys emit their pre- and
     // post-image, unmatched update rows an insert. Touched files are
@@ -539,7 +617,8 @@ object Versioned {
           s"at v$cur — a concurrent commit landed; retry the merge")
     val txns = parseManifest(manifestPath(path, cur)).txns
     if (!publish(path, Manifest(cur + 1, "merge", full = true, files,
-      base.schemaDdl, txns, changes = Some(changeRel))))
+      base.schemaDdl, txns, changes = Some(changeRel),
+      stats = mergedStats)))
       throw new java.util.ConcurrentModificationException(
         s"versioned: merge at $path lost the publish race at " +
           s"v${cur + 1}; retry the merge")
@@ -592,7 +671,8 @@ object Versioned {
           s"at v$cur; retry")
     val txns = parseManifest(manifestPath(path, cur)).txns
     if (!publish(path, Manifest(cur + 1, "delete", full = true, added,
-      base.schemaDdl, txns, changes = Some(changeRel))))
+      base.schemaDdl, txns, changes = Some(changeRel),
+      stats = fileStatsOf(spark, path, added))))
       throw new java.util.ConcurrentModificationException(
         s"versioned: delete at $path lost the publish race; retry")
     cur + 1
@@ -638,7 +718,7 @@ object Versioned {
           s"is at v$cur; retry")
     val txns = parseManifest(manifestPath(path, cur)).txns
     if (!publish(path, Manifest(cur + 1, "optimize", full = true, added,
-      base.schemaDdl, txns)))
+      base.schemaDdl, txns, stats = fileStatsOf(spark, path, added))))
       throw new java.util.ConcurrentModificationException(
         s"versioned: optimize at $path lost the publish race; retry")
     cur + 1

@@ -104,12 +104,14 @@ private[sources] class VersionedTable(path: String, asOf: Option[Int],
     new VersionedScanBuilder(path, asOf, tblSchema,
       Option(options.get("startingversion")).map(_.toInt).getOrElse(0),
       Option(options.get("endingversion")).map(_.toInt),
-      options.getBoolean("skipchangecommits", false), changeFeed)
+      options.getBoolean("skipchangecommits", false), changeFeed,
+      Option(options.get("maxversionspertrigger")).map(_.toInt))
 }
 
 private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
     full: StructType, startingVersion: Int, endingVersion: Option[Int],
-    skipChangeCommits: Boolean, changeFeed: Boolean)
+    skipChangeCommits: Boolean, changeFeed: Boolean,
+    maxVersionsPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -118,12 +120,13 @@ private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
     required = requiredSchema
   override def build(): Scan =
     new VersionedScan(path, asOf, required, startingVersion, endingVersion,
-      skipChangeCommits, changeFeed)
+      skipChangeCommits, changeFeed, maxVersionsPerTrigger)
 }
 
 private[sources] class VersionedScan(path: String, asOf: Option[Int],
     required: StructType, startingVersion: Int, endingVersion: Option[Int],
-    skipChangeCommits: Boolean, changeFeed: Boolean) extends Scan {
+    skipChangeCommits: Boolean, changeFeed: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graftv $path asOf=${asOf.getOrElse(-1)} changeFeed=$changeFeed " +
@@ -165,7 +168,7 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new VersionedMicroBatchStream(path, required.toDDL, startingVersion,
-      skipChangeCommits, changeFeed)
+      skipChangeCommits, changeFeed, maxVersionsPerTrigger)
 }
 
 /** One partition per changed file in (from, to]: append files are
@@ -294,12 +297,33 @@ private[sources] case class VersionedOffset(version: Int) extends Offset {
   * trade-off), later appends keep flowing. */
 private[sources] class VersionedMicroBatchStream(path: String,
     requiredDdl: String, startingVersion: Int,
-    skipChangeCommits: Boolean, changeFeed: Boolean)
-    extends MicroBatchStream {
+    skipChangeCommits: Boolean, changeFeed: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionedOffset(startingVersion)
   override def latestOffset(): Offset =
     VersionedOffset(Versioned.versions(path).max)
+  /** ADMISSION CONTROL (round 10, Delta's maxFilesPerTrigger shape):
+    * `option("maxVersionsPerTrigger", n)` caps each micro-batch at n
+    * commits past the checkpointed offset, so a restarted tail with a
+    * month of backlog drains in bounded batches instead of planning
+    * one giant catch-up batch whose shuffle state must fit at once —
+    * the difference between a recovery and an OOM on a 100 TB table.
+    * Without the option the limit is allAvailable, as before. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val latest = Versioned.versions(path).max
+    val s = start.asInstanceOf[VersionedOffset].version
+    VersionedOffset(maxVersionsPerTrigger
+      .map(n => math.min(latest, s + math.max(n, 1)))
+      .getOrElse(latest))
+  }
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
   override def deserializeOffset(json: String): Offset =
     VersionedOffset(json.toInt)
   override def commit(end: Offset): Unit = ()

@@ -184,6 +184,29 @@ class VersionedSourceSpec extends AnyFunSuite {
       "rewrite commits must be skipped, later appends must flow")
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch's commit range (admission control)") {
+    import spark.implicits._
+    val t = tmpTable()
+    val ckpt = Files.createTempDirectory("graftv-mvpt-ckpt-").toString
+    (1 to 6).foreach(i =>
+      Versioned.commit(Seq((i.toLong, s"r$i")).toDF("id", "s"), t))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream.format("graftv")
+      .option("maxVersionsPerTrigger", 2).load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.collect().map(_.getLong(0)).toSeq.sorted); ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = batches.asScala.toSeq.filter(_.nonEmpty)
+    // a 6-commit backlog drains in bounded batches (≤2 commits = ≤2
+    // rows each here), never one giant catch-up batch
+    assert(got.size >= 3, s"expected >=3 bounded batches, got $got")
+    assert(got.forall(_.size <= 2), s"a batch exceeded the cap: $got")
+    assert(got.flatten.sorted === (1L to 6L))
+  }
+
   test("readChangeFeed: a live tail consumes a MERGE as row-level changes, no skips") {
     import spark.implicits._
     val t = tmpTable()

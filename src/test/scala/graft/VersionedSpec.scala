@@ -421,6 +421,54 @@ class VersionedSpec extends AnyFunSuite {
     assert(!Files.exists(inflight.resolve("part-00000.parquet")))
   }
 
+  test("manifests carry per-file BIGINT stats; merge prunes from the log, footer fallback works") {
+    import spark.implicits._
+    val t = tmpTable()
+    // three key-disjoint files (coalesce(1) per commit)
+    Versioned.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1), t)
+    Versioned.commit(Seq((100L, 1L)).toDF("id", "v").coalesce(1), t)
+    Versioned.commit(Seq((200L, 2L)).toDF("id", "v").coalesce(1), t)
+    val snap = Versioned.snapshot(t)
+    // every live file carries [min, max] for both BIGINT columns
+    assert(snap.files.forall(f => snap.stats.get(f)
+      .exists(c => c.contains("id") && c.contains("v"))))
+    val idRanges = snap.files.map(f => snap.stats(f)("id")).sortBy(_._1)
+    assert(idRanges === Seq((1L, 2L), (100L, 100L), (200L, 200L)))
+    // merge touching only the 100-range rewrites exactly that file —
+    // decided from the MANIFEST stats (no footer opens on this path)
+    Versioned.merge(Seq((100L, 9L)).toDF("id", "v"), t, "id")
+    val after = Versioned.snapshot(t)
+    val carried = after.files.toSet intersect snap.files.toSet
+    assert(carried.size === 2, s"untouched files must carry: $carried")
+    // carried files keep their manifest stats through the merge commit
+    assert(carried.forall(f => after.stats(f) == snap.stats(f)))
+    // checkpoint carries stats forward: push past the v10 checkpoint
+    (1 to 8).foreach(i =>
+      Versioned.commit(Seq((300L + i, 0L)).toDF("id", "v").coalesce(1), t))
+    val cp = Versioned.snapshot(t)
+    assert(cp.replayedManifests <= Versioned.CheckpointInterval + 1)
+    assert(cp.files.forall(f => cp.stats.contains(f)))
+    // FOOTER FALLBACK (pre-stats manifests): strip the stats field
+    // from every manifest on disk; merge must still prune correctly
+    val logDir = Paths.get(t, "_log")
+    val s2 = Files.list(logDir)
+    try s2.iterator().forEachRemaining { m =>
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(Files.readString(m))
+      val stripped = j match {
+        case JObject(fields) => JObject(fields.filterNot(_._1 == "stats"))
+        case other => other
+      }
+      Files.writeString(m,
+        org.json4s.jackson.JsonMethods.compact(stripped))
+    } finally s2.close()
+    val stripped = Versioned.snapshot(t)
+    assert(stripped.stats.isEmpty, "stripped log must read as pre-stats")
+    Versioned.merge(Seq((200L, 7L)).toDF("id", "v"), t, "id")
+    val got = Versioned.read(spark, t).where(col("id") === 200L).head()
+    assert(got.getLong(1) === 7L)
+  }
+
   test("merge and delete emit row-level CDF; optimize emits nothing") {
     import spark.implicits._
     val t = tmpTable()
