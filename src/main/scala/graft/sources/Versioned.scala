@@ -831,6 +831,28 @@ object Versioned {
   }
 
 
+  /** DATA SKIPPING from manifest stats (round 10, Delta's read-path
+    * analog of the merge pruning): the live files whose recorded
+    * [min, max] for `colName` intersects [lo, hi]. Files with NO
+    * stats entry (pre-stats manifests) are conservatively kept; files
+    * WITH a stats entry that lacks the column hold no non-null values
+    * of it (empty write partition / pre-evolution file), and since
+    * every supported predicate is a non-null comparison they are
+    * skipped. The DSv2 connector applies this transparently to pushed
+    * BIGINT range filters — the filters still run post-scan, pruning
+    * only removes files that cannot contain a qualifying row. */
+  def pruneFiles(snap: Snapshot, colName: String,
+      lo: Long, hi: Long): Seq[String] =
+    snap.files.filter { f =>
+      snap.stats.get(f) match {
+        case None => true // pre-stats manifest: never skip
+        case Some(cols) => cols.get(colName) match {
+          case Some((flo, fhi)) => fhi >= lo && flo <= hi
+          case None => false // no non-null values of the column
+        }
+      }
+    }
+
   /** Read the table at `asOf` (default latest). Empty live set reads
     * as an empty relation with the committed schema. */
   def read(spark: SparkSession, path: String,

@@ -112,21 +112,77 @@ private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
     full: StructType, startingVersion: Int, endingVersion: Option[Int],
     skipChangeCommits: Boolean, changeFeed: Boolean,
     maxVersionsPerTrigger: Option[Int])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = full
+  private var dataFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands us the projection; we push it into the parquet
     // read schema so pruned columns are never decoded.
     required = requiredSchema
+  /** Filters are accepted for DATA SKIPPING (manifest-stats file
+    * pruning + row-group pruning in the delegated parquet scan) but
+    * ALL remain post-scan (we return the full array and report none
+    * as pushed) — pruning only removes files/row groups that cannot
+    * contain a qualifying row, so correctness never depends on it. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    dataFilters = filters
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def build(): Scan =
     new VersionedScan(path, asOf, required, startingVersion, endingVersion,
-      skipChangeCommits, changeFeed, maxVersionsPerTrigger)
+      skipChangeCommits, changeFeed, maxVersionsPerTrigger, dataFilters)
+}
+
+/** Conjunctive per-column [lo, hi] bounds from pushed source filters
+  * (integral comparisons only — everything else is ignored, i.e.
+  * conservatively unbounded). */
+private[sources] object FilterBounds {
+  import org.apache.spark.sql.sources._
+  private def long(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+  def of(filters: Seq[Filter]): Map[String, (Long, Long)] = {
+    val bounds = scala.collection.mutable.Map[String, (Long, Long)]()
+    def tighten(col: String, lo: Long, hi: Long): Unit = {
+      val (plo, phi) = bounds.getOrElse(col, (Long.MinValue, Long.MaxValue))
+      bounds(col) = (math.max(plo, lo), math.min(phi, hi))
+    }
+    def walk(f: Filter): Unit = f match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(c, v) => long(v).foreach(x => tighten(c, x, x))
+      case GreaterThan(c, v) => long(v).foreach(x =>
+        tighten(c, if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) =>
+        long(v).foreach(x => tighten(c, x, Long.MaxValue))
+      case LessThan(c, v) => long(v).foreach(x =>
+        tighten(c, Long.MinValue, if (x == Long.MinValue) x else x - 1))
+      case LessThanOrEqual(c, v) =>
+        long(v).foreach(x => tighten(c, Long.MinValue, x))
+      case In(c, vs) if vs.nonEmpty && vs.forall(long(_).isDefined) =>
+        tighten(c, vs.flatMap(long).min, vs.flatMap(long).max)
+      case _ => () // unsupported shapes never prune
+    }
+    filters.foreach(walk)
+    bounds.toMap
+  }
 }
 
 private[sources] class VersionedScan(path: String, asOf: Option[Int],
     required: StructType, startingVersion: Int, endingVersion: Option[Int],
     skipChangeCommits: Boolean, changeFeed: Boolean,
-    maxVersionsPerTrigger: Option[Int] = None) extends Scan {
+    maxVersionsPerTrigger: Option[Int] = None,
+    dataFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graftv $path asOf=${asOf.getOrElse(-1)} changeFeed=$changeFeed " +
@@ -153,8 +209,16 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
     } else {
       val spark = org.apache.spark.sql.SparkSession.active
       val snap = Versioned.snapshot(path, asOf)
-      val files = snap.files
-        .map(f => new org.apache.hadoop.fs.Path(s"$path/$f"))
+      // DATA SKIPPING: conjunctive BIGINT bounds from the pushed
+      // filters prune the file list against the manifest stats before
+      // the scan is even planned (Delta's log-stats skipping); the
+      // filters still run post-scan, so unsupported shapes simply
+      // don't prune.
+      val bounds = FilterBounds.of(dataFilters.toSeq)
+      val kept = bounds.foldLeft(snap.files) { case (fs, (c, (lo, hi))) =>
+        Versioned.pruneFiles(snap.copy(files = fs), c, lo, hi)
+      }
+      val files = kept.map(f => new org.apache.hadoop.fs.Path(s"$path/$f"))
       val dataSchema = StructType.fromDDL(snap.schemaDdl)
       val idx = new org.apache.spark.sql.execution.datasources
         .InMemoryFileIndex(spark, files, Map.empty, Some(dataSchema))
@@ -162,6 +226,8 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
         .ParquetScanBuilder(spark, idx, dataSchema, dataSchema,
           CaseInsensitiveStringMap.empty())
       b.pruneColumns(required)
+      // forward for ROW-GROUP pruning inside the delegated scan
+      b.pushDataFilters(dataFilters)
       b.build().toBatch
     }
 

@@ -184,6 +184,43 @@ class VersionedSourceSpec extends AnyFunSuite {
       "rewrite commits must be skipped, later appends must flow")
   }
 
+  test("manifest-stats data skipping: a pushed key filter prunes the planned file set") {
+    import spark.implicits._
+    val t = tmpTable()
+    // three key-disjoint files (one per commit)
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
+    Versioned.commit(Seq((100L, "c")).toDF("id", "s").coalesce(1), t)
+    Versioned.commit(Seq((200L, "d")).toDF("id", "s").coalesce(1), t)
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // force planning through AQE
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.map {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.length
+            case _ => 1
+          }.sum
+      }
+      scans.sum
+    }
+    val all = spark.read.format("graftv").load(t)
+    assert(plannedFiles(all) === 3)
+    // point filter: only the intersecting file is planned, and the
+    // post-scan filter still runs (results exact)
+    val one = all.where(col("id") === 100L)
+    assert(one.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((100L, "c")))
+    assert(plannedFiles(one) === 1, "stats skipping must prune to 1 file")
+    // range filter spanning two files
+    val two = all.where(col("id") >= 2L && col("id") < 150L)
+    assert(two.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 100L))
+    assert(plannedFiles(two) === 2)
+    // unsupported filter shapes never prune (conservative)
+    val like = all.where(col("s") =!= "zzz")
+    assert(plannedFiles(like) === 3)
+    assert(like.count() === 4L)
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch's commit range (admission control)") {
     import spark.implicits._
     val t = tmpTable()
