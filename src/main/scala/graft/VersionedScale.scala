@@ -102,6 +102,20 @@ object VersionedScale {
     System.err.println(s"[versioned-scale] $label d14 probe warm: " +
       s"raw ${r3(probeRawW)}s connector ${r3(probeConW)}s")
 
+    // ------------------- point lookup: manifest-stats data skipping
+    // the OPTIMIZE above clustered by doc_id, so the manifest's
+    // per-file [min, max] ranges are tight — the pushed point filter
+    // plans ~1 of the 32 files (r10 data skipping). The planned-file
+    // count is asserted structurally in VersionedSourceSpec; here the
+    // wall-clock lands beside the full-scan number it replaces.
+    def lookup(): Unit = {
+      spark.read.format("graftv").load(tableDir)
+        .where(col("doc_id") === 42L).collect(); ()
+    }
+    val (skipC, skipW) = lap2(lookup())
+    System.err.println(s"[versioned-scale] $label point lookup " +
+      s"(stats-skipped) warm: ${r3(skipW)}s vs full-scan ${r3(conW)}s")
+
     val json =
       s"""{"label": "$label", "n_docs": $nDocs, "version": ${snap.version},
          | "live_files": ${snap.files.size},
@@ -111,7 +125,8 @@ object VersionedScale {
          |  "library": {"cold": ${r3(libC)}, "warm": ${r3(libW)}},
          |  "connector": {"cold": ${r3(conC)}, "warm": ${r3(conW)}}},
          | "d14_probe": {"raw": {"cold": ${r3(probeRawC)}, "warm": ${r3(probeRawW)}},
-         |  "connector": {"cold": ${r3(probeConC)}, "warm": ${r3(probeConW)}}}}
+         |  "connector": {"cold": ${r3(probeConC)}, "warm": ${r3(probeConW)}}},
+         | "point_lookup_skipped": {"cold": ${r3(skipC)}, "warm": ${r3(skipW)}}}
          |""".stripMargin.replace("\n", "")
     val p = java.nio.file.Paths.get(s"bench/versioned_scale_$label.json")
     java.nio.file.Files.createDirectories(p.getParent)
