@@ -1083,14 +1083,63 @@ object Versioned {
     } finally deleteRecursively(Paths.get(tmp))
   }
 
+  /** v6_cdf_apply: the CDF-apply LAW as an oracle gate — after an
+    * append + COW merge + delete, the table's final state is
+    * reconstructed purely FROM THE CHANGE FEED (adds = inserts +
+    * postimages, removes = preimages + deletes, multiset difference)
+    * and aggregated; the DuckDB twin derives the same state by the
+    * v2-style set algebra. This is what a downstream incremental
+    * consumer of an upserted corpus does — the gate proves the feed
+    * is a complete, sufficient description of the table's evolution
+    * (the single-threaded law the model fuzz asserts per-commit, now
+    * driver-checked cross-engine). */
+  def cdfApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val tmp = Files.createTempDirectory("graft-versioned-").toString
+    try {
+      commit(docs.where(col("doc_id") % 2 === 0), tmp, "append") // v1
+      merge(docs.where(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", -col("n_chars")), tmp, "doc_id") // v2
+      deleteWhere(spark, tmp, col("doc_id") % 5 === 0) // v3
+      val ch = readChanges(spark, tmp, fromVersion = 0, toVersion = 3)
+      val mult = when(col("_change_type").isin("insert", "update_postimage"),
+        1).otherwise(-1)
+      val state = ch.groupBy(col("doc_id"), col("n_chars"))
+        .agg(sum(mult).as("m"))
+        .where(col("m") === 1)
+      val r = state
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .head()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(
+          r.getLong(0), r.getLong(1), r.getLong(2))), 1),
+        StructType.fromDDL(
+          "n_rows BIGINT, sum_doc_id BIGINT, sum_chars BIGINT"))
+    } finally deleteRecursively(Paths.get(tmp))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_time_travel" -> (timeTravel _),
     "v2_merge_upsert" -> (mergeUpsert _),
     "v3_source_read" -> (sourceRead _),
     "v4_change_feed" -> (changeFeed _),
-    "v5_schema_evolution" -> (schemaEvolution _))
+    "v5_schema_evolution" -> (schemaEvolution _),
+    "v6_cdf_apply" -> (cdfApply _))
 
   val oracle: Map[String, String] = Map(
+    "v6_cdf_apply" -> """
+      WITH state2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN -n_chars ELSE n_chars END
+                 AS n_chars
+        FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0),
+      state3 AS (SELECT * FROM state2 WHERE doc_id % 5 <> 0)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM state3""",
     "v4_change_feed" -> """
       WITH agg AS (
         SELECT 2 AS commit_version, 'insert' AS change_type,
