@@ -582,6 +582,11 @@ object Graft {
     /** The commit instant `timestampAsOf` resolves against. */
     def commitTimestamp(path: String, version: Int): Long =
       Versioned.commitTimestamp(path, version)
+
+    /** DESCRIBE HISTORY: one row per version (op, adjusted commit
+      * instant, checkpoint flag, file count, CDF availability). */
+    def history(spark: SparkSession, path: String): DataFrame =
+      Versioned.history(spark, path)
   }
 
   /** Content hashing / provenance (SURVEY §2.5 D7, S12). */

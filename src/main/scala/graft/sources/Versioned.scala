@@ -324,6 +324,25 @@ object Versioned {
       tsMs: Long): DataFrame =
     read(spark, path, Some(timestampToVersion(path, tsMs)))
 
+  /** History listing (Delta DESCRIBE HISTORY): one row per committed
+    * version, ascending — op, the monotone-adjusted commit instant
+    * `timestampAsOf` resolves against, whether the manifest is a
+    * checkpoint, how many files it lists, and whether it persisted a
+    * row-level change set. O(versions) driver-side JSON reads. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    var adjusted = Long.MinValue
+    val rows = versions(path).map { v =>
+      val m = parseManifest(manifestPath(path, v))
+      adjusted = math.max(adjusted, m.tsMs)
+      Row(v, m.op, adjusted, m.full, m.files.size,
+        m.changes.isDefined)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType.fromDDL("version INT, op STRING, timestamp_ms BIGINT, " +
+        "is_checkpoint BOOLEAN, n_files INT, has_change_feed BOOLEAN"))
+  }
+
   // ------------------------------------------------------- commits
 
   private def listParquet(dir: Path): Seq[String] =

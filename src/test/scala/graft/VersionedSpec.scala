@@ -469,6 +469,28 @@ class VersionedSpec extends AnyFunSuite {
     assert(got.getLong(1) === 7L)
   }
 
+  test("history lists every version with op, monotone stamp, and CDF availability") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), t) // v1 append
+    Versioned.merge(Seq((1L, "A")).toDF("id", "s"), t, "id") // v2 merge
+    Versioned.deleteWhere(spark, t, col("id") === 99L) // v3 delete (no-op rows)
+    Versioned.restore(t, 1) // v4
+    val h = Versioned.history(spark, t).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(5)))
+    assert(h.map(x => (x._1, x._2)).toSeq ===
+      Seq((1, "append"), (2, "merge"), (3, "delete"), (4, "restore")))
+    // stamps are monotone non-decreasing and resolve via timestampAsOf
+    assert(h.map(_._3).toSeq === h.map(_._3).sorted.toSeq)
+    assert(Versioned.timestampToVersion(t, h.last._3) === 4)
+    // CDF availability: merge/delete persisted change sets, append/
+    // restore did not
+    assert(h.map(_._5).toSeq === Seq(false, true, true, false))
+    // v1 is a checkpoint by construction (first commit is full)
+    assert(h.head._4)
+  }
+
   test("merge and delete emit row-level CDF; optimize emits nothing") {
     import spark.implicits._
     val t = tmpTable()
