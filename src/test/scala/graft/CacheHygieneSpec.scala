@@ -70,6 +70,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "sk3_heavy_hitters", // per-source CMS blobs collected + merged at build
     "sk4_theta_intersect", // per-source theta sketches collected at build
     "v1_time_travel",   // versioned-table commits + per-version 1-row collects at build
+    "v6_cdf_apply",     // versioned-table commits + CDF reconstruction at build
     "v2_merge_upsert",  // commit/merge/delete pipeline at build (same shape)
     "v3_source_read",   // commits + DSv2 reads collected at build
     "v4_change_feed",   // commits + CDC aggregate collected at build
