@@ -36,9 +36,15 @@ import org.apache.spark.sql.functions._
 object GuardRecall {
   private def r4(x: Double): Double = math.rint(x * 10000) / 10000
 
+  /** `on-only` third arg: skip the guard-off / PPJoin-truth runs and
+    * emit guard-ON wall-clocks alone — for boiler corpora large
+    * enough that the unguarded n²-in-one-task lap would not finish
+    * in useful time (which is the guard's whole point; the recall
+    * metrics come from the smaller corpus where off still runs). */
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val out = if (args.length > 1) args(1) else "bench/guard_recall.json"
+    val onOnly = args.length > 2 && args(2) == "on-only"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,6 +104,38 @@ object GuardRecall {
     val sb = new StringBuilder
     sb ++= s"""{\n  "dir": "$dir",\n  "n_docs": $nDocs,\n"""
     sb ++= s"""  "max_bucket": ${graft.operators.MinHash.DefaultMaxBucket},\n"""
+
+    if (onOnly) {
+      // guard-ON wall-clocks only (two laps, warm reported): the
+      // growth of these against the boiler family size is the guard's
+      // sub-quadratic evidence at sizes where OFF cannot run
+      def lap2(build: => DataFrame): (Double, Double) = {
+        def once = { val (df, s) = run(guard = true)(build)
+          df.unpersist(); s }
+        (once, once)
+      }
+      val entries = Seq(
+        "d2_minhash_pairs" ->
+          (() => graft.queries.DedupOps.d2MinhashPairs(spark, dir)),
+        "d4_neardup_pairs" ->
+          (() => graft.queries.DedupOps.nearDupPairs(spark, dir)),
+        "d9_fuzzy_decontaminate" ->
+          (() => graft.queries.DedupOps.d9FuzzyDecontaminate(spark, dir)),
+        "d14_incremental_minhash" ->
+          (() => graft.queries.DedupOps.d14IncrementalMinhash(spark, dir)))
+      sb ++= entries.map { case (name, build) =>
+        val (c, w) = lap2(build())
+        println(s"[guard-recall] $name guard-on: cold ${r4(c)}s warm ${r4(w)}s")
+        s"""  "$name": {"sec_on_cold": ${r4(c)}, "sec_on_warm": ${r4(w)}}"""
+      }.mkString("", ",\n", "\n")
+      sb ++= "}\n"
+      val p0 = java.nio.file.Paths.get(out)
+      Option(p0.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p0, sb.toString)
+      println(s"[guard-recall] wrote $out")
+      spark.stop()
+      return
+    }
 
     // ---------------------------------------------------- d2 pairs
     def d2() = graft.queries.DedupOps.d2MinhashPairs(spark, dir)
