@@ -132,6 +132,15 @@ class VersionedConcurrencySpec extends AnyFunSuite {
       assert(readAt(v).sorted === states(v).sorted,
         s"snapshot v$v diverged from the serial replay")
     }
+
+    // racing writers' clocks may interleave, but the ADJUSTED stamps
+    // timestampAsOf resolves against must be monotone in log order —
+    // a later version never resolves to an earlier instant
+    val stamps = Versioned.history(spark, t).collect()
+      .map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1).map(_._2)
+    assert(stamps.toSeq === stamps.sorted.toSeq,
+      "adjusted commit stamps must be monotone under concurrency")
+    assert(Versioned.timestampToVersion(t, stamps.last) === vs.max)
   }
 
   test("racing commitIfAbsent replays of one batch land exactly once") {

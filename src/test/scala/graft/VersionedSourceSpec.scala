@@ -221,6 +221,27 @@ class VersionedSourceSpec extends AnyFunSuite {
     assert(like.count() === 4L)
   }
 
+  test("data skipping is sound across schema evolution: filters on the evolved column") {
+    import spark.implicits._
+    val t = tmpTable()
+    // v1 predates the `extra` column entirely
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    Versioned.commit(Seq((2L, "b", 7L)).toDF("id", "s", "extra").coalesce(1),
+      t, mergeSchema = true)
+    val base = spark.read.format("graftv").load(t)
+    // an equality filter on the evolved column can never match the
+    // pre-evolution file (its rows read extra as NULL): skipping it is
+    // sound, and the result is exact
+    val hit = base.where(col("extra") === 7L)
+    assert(hit.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // IS NULL is an unsupported pruning shape: no skipping, and the
+    // pre-evolution row IS found
+    val nulls = base.where(col("extra").isNull)
+    assert(nulls.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // no-match bound: planning may prune everything, result is empty
+    assert(base.where(col("extra") === 999L).count() === 0L)
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch's commit range (admission control)") {
     import spark.implicits._
     val t = tmpTable()
