@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -50,12 +50,47 @@ object Versioned {
     * replays at most this many manifests past its base checkpoint. */
   val CheckpointInterval = 10
 
-  /** Per-file [min, max] of every top-level BIGINT column. */
-  type FileStats = Map[String, Map[String, (Long, Long)]]
+  /** Per-file column statistic (round 11, generalized past BIGINT):
+    *
+    *  - [[LongStat]]: [min, max] of an integral column (INT64 and
+    *    INT32/16/8 physical types, widened to Long) — the numeric
+    *    skipping tier;
+    *  - [[StrStat]]: [min, upper-bound] of a STRING column, recorded
+    *    ONLY when both endpoints are pure ASCII (UTF-8 byte order,
+    *    parquet's stats order, agrees with Java/UTF8String compare
+    *    exactly there — outside ASCII the orderings diverge and a
+    *    "skip" could drop matching rows, so non-ASCII endpoints are
+    *    simply not recorded). `hi` is an inclusive upper BOUND, not
+    *    necessarily an attained value: long endpoints are truncated
+    *    to [[StrStatMaxLen]] chars with the last kept char bumped
+    *    (Delta's stats-truncation discipline) so a uuid-keyed 10⁵-file
+    *    manifest stays small;
+    *  - [[NullStat]]: the column has ZERO non-null values in the file
+    *    (proved by footer null counts) — skippable for every non-null
+    *    comparison.
+    *
+    * A column ABSENT from a file's map means "nothing known" and is
+    * always scanned (conservative). This is the round-11 semantics
+    * flip that fixes the ADVICE r10 high: previously absence meant
+    * "no non-null values" while only INT64 columns were ever
+    * recorded, so a pushed filter on an INT32 column skipped every
+    * stats-bearing file — wrong empty results. Now absence never
+    * skips; only an explicit [[NullStat]] does. */
+  sealed trait ColStat
+  final case class LongStat(lo: Long, hi: Long) extends ColStat
+  final case class StrStat(lo: String, hi: String) extends ColStat
+  case object NullStat extends ColStat
+
+  /** Stored string-stat endpoints are truncated to this many chars. */
+  val StrStatMaxLen = 64
+
+  /** Per-file stats of every recordable top-level column. */
+  type FileStats = Map[String, Map[String, ColStat]]
 
   final case class Snapshot(version: Int, files: Seq[String],
       schemaDdl: String, baseVersion: Int, replayedManifests: Int,
-      stats: FileStats = Map.empty)
+      stats: FileStats = Map.empty,
+      partitionCols: Seq[String] = Nil)
 
   /** `txns` is the Delta SetTransaction analog: the highest batch id
     * committed per writer app, carried FORWARD in every manifest so
@@ -83,7 +118,8 @@ object Versioned {
       full: Boolean, files: Seq[String], schemaDdl: String,
       txns: Map[String, Long] = Map.empty, tsMs: Long = 0L,
       changes: Option[Seq[String]] = None,
-      stats: FileStats = Map.empty)
+      stats: FileStats = Map.empty,
+      partitionCols: Seq[String] = Nil)
 
   // -------------------------------------------------------- log I/O
 
@@ -143,13 +179,22 @@ object Versioned {
     val txns = m.txns.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ", ", "}")
     val stats = m.stats.toSeq.sortBy(_._1).map { case (f, cols) =>
-      s"${jstr(f)}: " + cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-        s"${jstr(c)}: [$lo, $hi]"
+      s"${jstr(f)}: " + cols.toSeq.sortBy(_._1).map { case (c, st) =>
+        val v = st match {
+          case LongStat(lo, hi) => s"[$lo, $hi]"
+          case StrStat(lo, hi) => s"[${jstr(lo)}, ${jstr(hi)}]"
+          case NullStat => "null"
+        }
+        s"${jstr(c)}: $v"
       }.mkString("{", ", ", "}")
     }.mkString("{", ", ", "}")
+    val partition =
+      if (m.partitionCols.isEmpty) ""
+      else s""""partition": ${m.partitionCols.map(jstr)
+        .mkString("[", ", ", "]")}, """
     s"""{"version": ${m.version}, "op": ${jstr(m.op)}, """ +
       s""""full": ${m.full}, "ts": ${m.tsMs}, """ +
-      s""""schema": ${jstr(m.schemaDdl)}, """ +
+      s""""schema": ${jstr(m.schemaDdl)}, $partition""" +
       s""""txns": $txns, $changes"stats": $stats, "files": $files}"""
   }
 
@@ -197,11 +242,20 @@ object Versioned {
         case JNothing => None // pre-CDF manifest / non-CDF op
         case other => sys.error(s"versioned: manifest $p changes: $other")
       },
+      partitionCols = (j \ "partition") match {
+        case JArray(xs) => xs.map { case JString(s) => s
+          case other => sys.error(s"versioned: manifest $p partition: $other") }
+        case JNothing => Nil // unpartitioned / pre-r11 manifest
+        case other => sys.error(s"versioned: manifest $p partition: $other")
+      },
       stats = (j \ "stats") match {
         case JObject(files) => files.map {
           case (f, JObject(cols)) => f -> cols.map {
             case (c, JArray(List(JInt(lo), JInt(hi)))) =>
-              c -> (lo.toLong, hi.toLong)
+              c -> (LongStat(lo.toLong, hi.toLong): ColStat)
+            case (c, JArray(List(JString(lo), JString(hi)))) =>
+              c -> (StrStat(lo, hi): ColStat)
+            case (c, JNull) => c -> (NullStat: ColStat)
             case (c, other) =>
               sys.error(s"versioned: manifest $p stat $f.$c: $other")
           }.toMap
@@ -275,14 +329,16 @@ object Versioned {
     }
     val toApply = (base +: suffix.reverse).distinct
     var stats: FileStats = Map.empty
+    var pcols: Seq[String] = Nil
     toApply.foreach { ver =>
       val m = parseManifest(manifestPath(path, ver))
       replayed += 1
       if (m.full) { files = m.files.toVector; stats = m.stats }
       else { files = files ++ m.files; stats = stats ++ m.stats }
       ddl = m.schemaDdl
+      pcols = m.partitionCols
     }
-    Snapshot(v, files, ddl, base, replayed, stats)
+    Snapshot(v, files, ddl, base, replayed, stats, pcols)
   }
 
   /** Resolve a wall-clock instant to a version — Delta's
@@ -345,11 +401,116 @@ object Versioned {
 
   // ------------------------------------------------------- commits
 
-  private def listParquet(dir: Path): Seq[String] =
-    listDir(dir)
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .sorted
+  /** Parquet files under `dir`, RECURSIVE (a partitioned commit lays
+    * files out hive-style under `col=value/` subdirs), as
+    * dir-relative paths. */
+  private def listParquet(dir: Path): Seq[String] = {
+    def walk(p: Path, prefix: String): Vector[String] =
+      listDir(p).flatMap { c =>
+        val n = c.getFileName.toString
+        if (Files.isDirectory(c)) walk(c, s"$prefix$n/")
+        else if (n.endsWith(".parquet") && !n.startsWith("."))
+          Vector(s"$prefix$n")
+        else Vector.empty
+      }
+    walk(dir, "").sorted
+  }
+
+  /** Hive-style `%XX` path unescape (the escaping Spark's partitioned
+    * writer applies to special chars in partition values). */
+  private[sources] def unescapePathName(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          val hex = try Some(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+            catch { case _: NumberFormatException => None }
+          hex match {
+            case Some(code) => sb.append(code.toChar); i += 3
+            case None => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** Directory-name prefix of graftv partition segments. Partitioned
+    * commits are staged through DUPLICATED `__part_<col>` columns so
+    * the hive-style layout exists on disk (human-navigable, the
+    * reference's per-group folder convention, database/__init__.py:
+    * 85–87) while the ORIGINAL columns stay physically present in
+    * every data file — the Iceberg discipline, not Delta's. Readers
+    * therefore never depend on path parsing or partition discovery
+    * (which cannot span multiple `c-<commit>` dirs under one
+    * basePath); the manifest's per-file partition point stats are the
+    * partition index, and pruning rides the same [[ColStat]] skipping
+    * machinery as footer stats. */
+  private[sources] val PartDirPrefix = "__part_"
+
+  /** The `col=value` partition segments of a relative file path, raw
+    * (hive-unescaped) string values, keyed by the ORIGINAL column
+    * name (the [[PartDirPrefix]] staging prefix is stripped). */
+  private[sources] def partitionValuesOf(relFile: String)
+      : Map[String, String] =
+    relFile.split('/').iterator.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else Some(unescapePathName(seg.substring(0, i))
+        .stripPrefix(PartDirPrefix) ->
+        unescapePathName(seg.substring(i + 1)))
+    }.toMap
+
+  /** Partition values of a file AS [[ColStat]] point ranges — so
+    * partition pruning rides the exact same manifest-stats skipping
+    * machinery as footer stats (a partition value IS a perfect
+    * min == max statistic for every row in the file). Hive's null
+    * marker records [[NullStat]]. */
+  private def partitionStatsOf(relFile: String, pcols: Seq[String],
+      schema: StructType): Map[String, ColStat] = {
+    import org.apache.spark.sql.types._
+    val kvs = partitionValuesOf(relFile)
+    pcols.flatMap { c =>
+      kvs.get(c).flatMap { raw =>
+        if (raw == "__HIVE_DEFAULT_PARTITION__") Some(c -> (NullStat: ColStat))
+        else schema.find(_.name == c).map(_.dataType) match {
+          case Some(LongType | IntegerType | ShortType | ByteType) =>
+            try Some(c -> (LongStat(raw.toLong, raw.toLong): ColStat))
+            catch { case _: NumberFormatException => None }
+          case Some(StringType) if isAscii(raw) =>
+            truncMax(raw).map(h => c -> (StrStat(truncMin(raw), h): ColStat))
+          case _ => None // untyped/unsupported: no stat, never skipped
+        }
+      }
+    }.toMap
+  }
+
+  /** Write `df` under `dest`: flat parquet when unpartitioned,
+    * hive-style by the [[PartDirPrefix]] staging duplicates of
+    * `pcols` otherwise — the original columns stay IN the files. */
+  private def writeData(df: DataFrame, dest: String,
+      pcols: Seq[String]): Unit =
+    if (pcols.isEmpty) df.write.mode("errorifexists").parquet(dest)
+    else {
+      val staged = pcols.foldLeft(df)((d, c) =>
+        d.withColumn(s"$PartDirPrefix$c", col(c)))
+      staged.write.mode("errorifexists")
+        .partitionBy(pcols.map(c => s"$PartDirPrefix$c"): _*)
+        .parquet(dest)
+    }
+
+  /** Footer stats + (for partitioned tables) partition-value point
+    * stats, per file — what every commit records in its manifest. */
+  private def statsForFiles(spark: SparkSession, path: String,
+      files: Seq[String], pcols: Seq[String], schema: StructType)
+      : FileStats = {
+    val footer = fileStatsOf(spark, path, files)
+    if (pcols.isEmpty) footer
+    else files.map(f => f -> (footer.getOrElse(f, Map.empty) ++
+      partitionStatsOf(f, pcols, schema))).toMap
+  }
 
   /** Commit `df` to the table at `path`. `mode` = "append" |
     * "overwrite". Returns the committed version number. Appends to an
@@ -362,8 +523,9 @@ object Versioned {
     * sees each version under its own schema). Overwrite may change
     * the schema freely. */
   def commit(df: DataFrame, path: String, mode: String = "append",
-      mergeSchema: Boolean = false): Int =
-    commitInternal(df, path, mode, txn = None, mergeSchema = mergeSchema)
+      mergeSchema: Boolean = false, partitionBy: Seq[String] = Nil): Int =
+    commitInternal(df, path, mode, txn = None, mergeSchema = mergeSchema,
+      partitionBy = partitionBy)
       .getOrElse(
         sys.error(s"versioned: plain commit cannot be skipped ($path)"))
 
@@ -394,24 +556,46 @@ object Versioned {
     (df, batchId) => { commitIfAbsent(df, path, appId, batchId); () }
 
   private def commitInternal(df: DataFrame, path: String, mode: String,
-      txn: Option[(String, Long)], mergeSchema: Boolean = false)
+      txn: Option[(String, Long)], mergeSchema: Boolean = false,
+      partitionBy: Seq[String] = Nil)
       : Option[Int] = {
     require(mode == "append" || mode == "overwrite",
       s"versioned: mode must be append|overwrite, got $mode")
+    // resolve the EFFECTIVE partitioning before writing any file:
+    // partitioning is a table property (Delta), so appends inherit the
+    // table's layout when no partitionBy is given, and a conflicting
+    // explicit partitionBy on append is a loud error. Overwrite may
+    // re-lay-out freely.
+    val existingPcols: Seq[String] =
+      if (versions(path).isEmpty) Nil else snapshot(path).partitionCols
+    val pcols: Seq[String] =
+      if (mode == "overwrite" || versions(path).isEmpty) partitionBy
+      else if (partitionBy.isEmpty) existingPcols
+      else {
+        require(partitionBy == existingPcols,
+          s"versioned: append partitionBy (${partitionBy.mkString(",")}) " +
+            s"must match the table's (${existingPcols.mkString(",")}) " +
+            s"at $path")
+        partitionBy
+      }
+    pcols.foreach(c => require(df.columns.contains(c),
+      s"versioned: partition column $c not in the DataFrame at $path"))
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
-    df.write.mode("errorifexists").parquet(s"$path/$dataRel")
+    writeData(df, s"$path/$dataRel", pcols)
     val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
     added.foreach(f => require(f.forall(c => c.isLetterOrDigit ||
-      "./-_=".contains(c)), s"versioned: unsafe file name $f"))
+      "./-_=%".contains(c)), s"versioned: unsafe file name $f"))
     // asNullable: parquet round-trips lose NOT NULL anyway; storing the
     // nullable form keeps a Seq-derived first commit (non-null encoders)
     // append-compatible with later parquet-derived commits.
     val ddl = StructType(df.schema.fields.map(_.copy(nullable = true))).toDDL
-    // footer stats of the just-written files, once, outside the retry
-    // loop (the files don't change across publish retries)
-    val addedStats = fileStatsOf(df.sparkSession, path, added)
+    // footer + partition-value stats of the just-written files, once,
+    // outside the retry loop (the files don't change across publish
+    // retries)
+    val addedStats = statsForFiles(df.sparkSession, path, added, pcols,
+      df.schema)
     var attempt = 0
     while (attempt < 64) {
       val vs = versions(path)
@@ -429,6 +613,10 @@ object Versioned {
         if (mode == "overwrite" || cur == 0) (true, added, ddl, addedStats)
         else {
           val prev = snapshot(path, Some(cur))
+          require(prev.partitionCols == pcols,
+            s"versioned: append layout (${pcols.mkString(",")}) does not " +
+              s"match the table's (${prev.partitionCols.mkString(",")}) " +
+              s"at $path v$v — a racing commit changed the partitioning")
           val committed =
             if (prev.schemaDdl == ddl) ddl
             else if (!mergeSchema)
@@ -460,7 +648,8 @@ object Versioned {
           else (false, added, committed, addedStats)
         }
       if (publish(path, Manifest(v, mode, full, files, outDdl,
-        prevTxns ++ txn, stats = stats))) return Some(v)
+        prevTxns ++ txn, stats = stats, partitionCols = pcols)))
+        return Some(v)
       attempt += 1 // lost the race: re-resolve on top of the winner
     }
     sys.error(s"versioned: gave up after $attempt contended commits at $path")
@@ -478,7 +667,8 @@ object Versioned {
       // exactly-once ledger must not — a replayed batch is still dup)
       val txns = parseManifest(manifestPath(path, cur)).txns
       if (publish(path, Manifest(v, "restore", full = true, snap.files,
-        snap.schemaDdl, txns, stats = snap.stats))) return v
+        snap.schemaDdl, txns, stats = snap.stats,
+        partitionCols = snap.partitionCols))) return v
       attempt += 1
     }
     sys.error(s"versioned: gave up restoring $path to v$toVersion")
@@ -486,174 +676,399 @@ object Versioned {
 
   // ------------------------------------------------- merge (upsert)
 
-  /** Per-file [min, max] of every top-level BIGINT column, from
+  private def isAscii(s: String): Boolean = s.forall(c => c < 0x7f)
+
+  /** Truncate a string MIN endpoint: any prefix is ≤ the original in
+    * byte order, so a plain cut is a valid lower bound. */
+  private def truncMin(s: String): String = s.take(StrStatMaxLen)
+
+  /** Truncate a string MAX endpoint to a still-valid inclusive upper
+    * bound: cut to [[StrStatMaxLen]] and bump the last kept char — any
+    * string with the kept prefix is strictly below the bumped form.
+    * ASCII endpoints only (enforced by the caller), so the bump stays
+    * single-byte. None when unbumpable (cannot happen for ASCII < 0x7f
+    * but kept total). */
+  private def truncMax(s: String): Option[String] =
+    if (s.length <= StrStatMaxLen) Some(s)
+    else {
+      val cut = s.substring(0, StrStatMaxLen)
+      val last = cut.last
+      if (last < 0x7e) Some(cut.init + (last + 1).toChar) else None
+    }
+
+  /** Per-file [[ColStat]] of every recordable top-level column, from
     * parquet FOOTERS — no data scan, O(files) metadata reads. Called
     * ONCE per commit on the just-written (local, page-hot) files and
     * persisted in the manifest (the Delta log-stats discipline), so
     * later merges prune from the log alone; also the fallback for
-    * files committed by pre-stats manifests. A column whose stats are
-    * absent in any block records the conservative full range
-    * (never-skipped). */
+    * files committed by pre-stats manifests.
+    *
+    * Recorded: INT64/INT32 physical columns as [[LongStat]]; STRING
+    * (BINARY+UTF8) columns with pure-ASCII endpoints as [[StrStat]]
+    * (truncated, see [[truncMax]]); provably all-null columns as
+    * [[NullStat]]. Anything uncertain — missing block stats, non-ASCII
+    * endpoints, other types — records NOTHING for that column, and an
+    * absent column is never skipped (see [[ColStat]]). */
   private def fileStatsOf(spark: SparkSession, path: String,
       files: Seq[String]): FileStats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sparkContext.hadoopConfiguration
     files.map { f =>
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(s"$path/$f"), conf)
       val reader = ParquetFileReader.open(in)
       try {
-        val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+        // per column: Some(stat) accumulated so far, or None = poisoned
+        // (some block unknown → the column must never be recorded)
+        val acc = scala.collection.mutable.Map[String, Option[ColStat]]()
         reader.getFooter.getBlocks.asScala.foreach { b =>
           b.getColumns.asScala.foreach { col =>
             val name = col.getPath.toDotString
             if (!name.contains('.')) { // top-level only
               val st: org.apache.parquet.column.statistics.Statistics[_] =
                 col.getStatistics
-              val range =
-                if (st == null || st.isEmpty || !st.hasNonNullValue)
-                  Some((Long.MinValue, Long.MaxValue)) // conservative
-                else st.genericGetMin match {
-                  case n: java.lang.Long => Some((n.longValue,
+              val blockStat: Option[ColStat] =
+                if (st == null || st.isEmpty) None
+                else if (!st.hasNonNullValue) {
+                  // no non-null values in this block: provably all-null
+                  // only if the null count covers every row
+                  if (st.isNumNullsSet && st.getNumNulls == b.getRowCount)
+                    Some(NullStat)
+                  else None
+                } else st.genericGetMin match {
+                  case n: java.lang.Long => Some(LongStat(n.longValue,
                     st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
-                  case _ => None // non-BIGINT column: no range stats
+                  case n: java.lang.Integer => Some(LongStat(n.longValue,
+                    st.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
+                  case bin: org.apache.parquet.io.api.Binary
+                      if col.getPrimitiveType.getLogicalTypeAnnotation ==
+                        LogicalTypeAnnotation.stringType() =>
+                    val lo = bin.toStringUsingUTF8
+                    val hi = st.genericGetMax
+                      .asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .toStringUsingUTF8
+                    if (isAscii(lo) && isAscii(hi))
+                      truncMax(hi).map(h => StrStat(truncMin(lo), h))
+                    else None // byte-order vs UTF-16 order diverge: skip
+                  case _ => None // unrecorded type
                 }
-              range.foreach { case (lo, hi) =>
-                val (plo, phi) =
-                  acc.getOrElse(name, (Long.MaxValue, Long.MinValue))
-                acc(name) = (math.min(plo, lo), math.max(phi, hi))
-              }
+              val merged: Option[ColStat] =
+                if (!acc.contains(name)) blockStat
+                else (acc(name), blockStat) match {
+                  case (Some(NullStat), s) => s
+                  case (s, Some(NullStat)) => s
+                  case (Some(LongStat(a, b2)), Some(LongStat(c, d))) =>
+                    Some(LongStat(math.min(a, c), math.max(b2, d)))
+                  case (Some(StrStat(a, b2)), Some(StrStat(c, d))) =>
+                    Some(StrStat(if (a <= c) a else c, if (b2 >= d) b2 else d))
+                  case _ => None // unknown/mismatched block: poison
+                }
+              acc(name) = merged
             }
           }
         }
-        f -> acc.toMap
+        f -> acc.toSeq.collect { case (c, Some(s)) => c -> s }.toMap
       } finally reader.close()
     }.toMap
   }
 
-  /** [min, max] of `key` per file: from the SNAPSHOT's manifest stats
-    * when present (zero I/O), footer reads only for files committed by
-    * pre-stats manifests. Missing key column is a loud error. */
-  private def fileKeyRanges(spark: SparkSession, path: String,
-      snap: Snapshot, key: String): Seq[(String, Long, Long)] = {
+  /** Per-file [[ColStat]] map for `keys`: from the SNAPSHOT's manifest
+    * stats when present (zero I/O), footer reads only for files
+    * committed by pre-stats manifests. A key absent from a file's map
+    * means "nothing known" — the caller must treat the file as
+    * possibly matching (conservative; only an explicit [[NullStat]]
+    * proves the file holds no matchable key). */
+  private def fileKeyStats(spark: SparkSession, path: String,
+      snap: Snapshot): Seq[(String, Map[String, ColStat])] = {
     val (known, unknown) = snap.files.partition(snap.stats.contains)
-    val fromLog = known.map { f =>
-      // recorded stats without the key = the file has no matchable
-      // key data (empty write partition / pre-evolution file): the
-      // empty range intersects nothing, see the fallback note below
-      val (lo, hi) = snap.stats(f).getOrElse(key,
-        (Long.MaxValue, Long.MinValue))
-      (f, lo, hi)
-    }
-    val fromFooters = fileStatsOf(spark, path, unknown).toSeq.map {
-      case (f, cols) =>
-        // a file with no range for the key holds no matchable rows:
-        // zero row groups (an empty write partition) or a file
-        // written before the key column evolved in (its rows read the
-        // key as null, and null never equals an update key) — the
-        // EMPTY range intersects nothing, so the file carries by
-        // reference, exactly the old fold-over-blocks behavior
-        val (lo, hi) = cols.getOrElse(key, (Long.MaxValue, Long.MinValue))
-        (f, lo, hi)
-    }
-    fromLog ++ fromFooters
+    known.map(f => f -> snap.stats(f)) ++
+      fileStatsOf(spark, path, unknown).toSeq
   }
 
-  /** MERGE (upsert) on a BIGINT key, file-granular copy-on-write:
-    * matched rows are replaced by their update row, unmatched update
-    * rows are inserted. Only files whose footer [min, max] key range
-    * intersects the updates' key range are rewritten; every other
-    * live file is carried into the new snapshot BY REFERENCE — the
-    * Delta COW discipline, so a 100 TB table pays for the files it
-    * touches, not its size. Publishes with CONFLICT DETECTION: if any
-    * commit landed after the snapshot this merge read, it aborts
-    * loudly (a racing writer may have changed rows we rewrote) —
-    * optimistic concurrency, the caller retries the whole merge. */
-  def merge(updates: DataFrame, path: String, key: String): Int = {
+  /** Does a file whose recorded stat for a key column is `stat`
+    * possibly contain a key inside the source's [lo, hi] bound?
+    * Absent/shape-mismatched stats → yes (conservative); [[NullStat]]
+    * → no (key equality is a non-null comparison). String compares
+    * are Java order — sound because [[StrStat]] endpoints are
+    * ASCII-only by construction and non-ASCII BOUNDS are widened by
+    * the caller. */
+  private def statIntersects(stat: Option[ColStat],
+      bound: ColStat): Boolean = (stat, bound) match {
+    case (None, _) => true
+    case (Some(NullStat), _) => false
+    case (Some(LongStat(flo, fhi)), LongStat(lo, hi)) =>
+      fhi >= lo && flo <= hi
+    case (Some(StrStat(flo, fhi)), StrStat(lo, hi)) =>
+      fhi >= lo && flo <= hi
+    case _ => true // mismatched shapes never prune
+  }
+
+  /** MERGE clause surface (Delta's whenMatched/whenNotMatched, scoped
+    * to schema-identical upserts): clause `condition`s are evaluated
+    * over the SOURCE row's columns (update only rows the source flags,
+    * delete-on-tombstone, insert gating). A matched target row whose
+    * source condition fails is left UNCHANGED. */
+  sealed trait WhenMatched
+  object WhenMatched {
+    /** Replace each matched target row by its source row (when the
+      * source-row condition holds). */
+    final case class Update(condition: Option[Column] = None)
+      extends WhenMatched
+    /** Delete each matched target row (when the source-row condition
+      * holds) — the tombstone-feed shape. */
+    final case class Delete(condition: Option[Column] = None)
+      extends WhenMatched
+    /** Matched rows are left untouched (insert-only merge). */
+    case object Ignore extends WhenMatched
+  }
+  sealed trait WhenNotMatched
+  object WhenNotMatched {
+    /** Insert each unmatched source row (when the condition holds). */
+    final case class Insert(condition: Option[Column] = None)
+      extends WhenNotMatched
+    /** Unmatched source rows are dropped (update-only merge). */
+    case object Ignore extends WhenNotMatched
+  }
+
+  /** Key column types a MERGE accepts: orderable, footer-stat-able,
+    * hash-equality-clean. (Float/double keys are rejected — equality
+    * on floats is a data bug waiting to happen.) */
+  private val MergeKeyTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(LongType, IntegerType, ShortType, ByteType, StringType)
+  }
+
+  /** MERGE (upsert) on a single key — the pre-r11 surface, kept as
+    * the common case: update-all on match, insert-all otherwise. */
+  def merge(updates: DataFrame, path: String, key: String): Int =
+    merge(updates, path, Seq(key))
+
+  /** MERGE on a COMPOSITE key with Delta-style clauses (round 11 —
+    * the reference's own row identity is a uuid4 STRING, atoms.py:193,
+    * so single-BIGINT-key merge left every real upsert out). Key
+    * columns may be any mix of [[MergeKeyTypes]] (integrals and
+    * strings); clause conditions are over the SOURCE row (see
+    * [[WhenMatched]]).
+    *
+    * File-granular copy-on-write: only files whose recorded stats
+    * ([[ColStat]] — numeric ranges, ASCII string ranges, explicit
+    * all-null markers) can intersect the source's per-key bounds are
+    * rewritten; every other live file carries into the new snapshot
+    * BY REFERENCE — the Delta COW discipline, so a 100 TB table pays
+    * for the files it touches, not its size. Matched detection
+    * against the touched files alone is COMPLETE because pruning is
+    * conservative (a file is only skipped when its stats PROVE no
+    * source key can be present).
+    *
+    * Publishes with conflict RESOLUTION (round 11, upgraded from
+    * detection): an interloping APPEND whose added files are provably
+    * key-disjoint from the source bounds (per its manifest stats) is
+    * REBASED over — its files join the new snapshot untouched, the
+    * Delta disjoint-file-set retry. Any other interloper (overwrite /
+    * restore / another COW op, a same-key append, an append without
+    * stats, a concurrent schema change) still aborts loudly and the
+    * caller retries the whole merge. */
+  def merge(updates: DataFrame, path: String, keys: Seq[String],
+      whenMatched: WhenMatched = WhenMatched.Update(None),
+      whenNotMatched: WhenNotMatched = WhenNotMatched.Insert(None)): Int = {
     val spark = updates.sparkSession
+    require(keys.nonEmpty, "versioned: merge needs at least one key column")
     val base = snapshot(path)
     val ddl = StructType(updates.schema.fields.map(_.copy(nullable = true))).toDDL
     require(base.schemaDdl == ddl,
       s"versioned: merge schema mismatch at $path:\n  table: " +
         s"${base.schemaDdl}\n  updates: $ddl")
-    require(updates.schema(key).dataType ==
-      org.apache.spark.sql.types.LongType,
-      s"versioned: merge key $key must be BIGINT, found " +
-        s"${updates.schema(key).dataType} at $path")
-    // one pass over updates: key range for footer pruning, plus the
-    // Delta-MERGE precondition that the SOURCE keys be unique — with
-    // duplicate keys every copy of a matched table key is anti-joined
-    // away and ALL update rows insert, silently multiplying rows
-    // nondeterministically (Delta errors on multiple source matches
-    // per target row; so do we, before any file is written).
-    val bounds = updates.agg(min(col(key)), max(col(key)),
-      count(lit(1)), count_distinct(col(key))).head()
-    if (bounds.isNullAt(0)) return base.version // empty updates: no-op
-    require(bounds.getLong(2) == bounds.getLong(3),
-      s"versioned: merge source has duplicate $key values " +
-        s"(${bounds.getLong(2)} rows, ${bounds.getLong(3)} distinct keys) " +
-        s"at $path — MERGE requires at most one update row per key")
-    val (uLo, uHi) = (bounds.getLong(0), bounds.getLong(1))
-    val ranges = fileKeyRanges(spark, path, base, key)
-    val (touched, untouched) = ranges.partition {
-      case (_, lo, hi) => hi >= uLo && lo <= uHi
+    keys.foreach { k =>
+      require(MergeKeyTypes.contains(updates.schema(k).dataType),
+        s"versioned: merge key $k has unsupported type " +
+          s"${updates.schema(k).dataType} at $path (integral and string " +
+          "key columns only)")
+    }
+    // ONE pass over the source: per-key bounds for file pruning, plus
+    // two Delta-MERGE preconditions checked BEFORE any file write —
+    // (a) no null keys (a null key matches nothing and silently
+    // becomes a permanent insert-only row; ADVICE r10: the old
+    // count_distinct comparison also misfired on them), and (b) unique
+    // source keys (with duplicates every copy of a matched table key
+    // is anti-joined away and ALL duplicates insert, multiplying rows
+    // nondeterministically; Delta errors on multiple source matches
+    // per target row).
+    val aggCols = keys.flatMap(k => Seq(min(col(k)), max(col(k)))) ++ Seq(
+      count(lit(1)),
+      count(when(keys.map(col(_).isNull).reduce(_ || _), lit(1))),
+      count_distinct(col(keys.head), keys.tail.map(col): _*))
+    val r = updates.agg(aggCols.head, aggCols.tail: _*).head()
+    val nTotal = r.getLong(2 * keys.size)
+    if (nTotal == 0) return base.version // empty source: no-op
+    val nNullKey = r.getLong(2 * keys.size + 1)
+    require(nNullKey == 0,
+      s"versioned: merge source has $nNullKey null-key rows at $path — " +
+        s"MERGE keys (${keys.mkString(", ")}) must be non-null")
+    val nDistinct = r.getLong(2 * keys.size + 2)
+    require(nTotal == nDistinct,
+      s"versioned: merge source has duplicate (${keys.mkString(", ")}) " +
+        s"values ($nTotal rows, $nDistinct distinct keys) at $path — " +
+        "MERGE requires at most one update row per key")
+    // per-key source bounds as ColStat; a key with unusable bounds
+    // (non-ASCII string endpoints) simply never prunes or proves
+    // disjointness
+    val bounds: Map[String, ColStat] = keys.zipWithIndex.flatMap {
+      case (k, i) => updates.schema(k).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          val (lo, hi) = (r.getString(2 * i), r.getString(2 * i + 1))
+          if (isAscii(lo) && isAscii(hi)) Some(k -> StrStat(lo, hi)) else None
+        case _ =>
+          def asLong(a: Any): Long = a match {
+            case l: Long => l; case x: Int => x.toLong
+            case s: Short => s.toLong; case b: Byte => b.toLong
+            case other => sys.error(s"versioned: merge key bound $other")
+          }
+          Some(k -> LongStat(asLong(r.get(2 * i)), asLong(r.get(2 * i + 1))))
+      }
+    }.toMap
+    val ranges = fileKeyStats(spark, path, base)
+    val (touched, untouched) = ranges.partition { case (_, st) =>
+      bounds.forall { case (k, b) => statIntersects(st.get(k), b) }
     }
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
+    val schema = StructType.fromDDL(base.schemaDdl)
     val existing =
       if (touched.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          StructType.fromDDL(base.schemaDdl))
-      else spark.read.schema(StructType.fromDDL(base.schemaDdl))
-        .parquet(touched.map { case (f, _, _) => s"$path/$f" }: _*)
-    existing.join(updates.select(col(key)), Seq(key), "left_anti")
-      .unionByName(updates)
-      .write.mode("errorifexists").parquet(s"$path/$dataRel")
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema) // files carry ALL columns (Iceberg
+        // discipline — partition values are duplicated into the paths,
+        // never dropped from the rows)
+        .parquet(touched.map { case (f, _) => s"$path/$f" }: _*)
+    val keyCols = keys.map(col)
+    def condOf(c: Option[Column]): Column = c.getOrElse(lit(true))
+    val none = updates.limit(0)
+    // source rows whose matched-clause fires (update or delete targets)
+    val affecting = whenMatched match {
+      case WhenMatched.Update(c) => updates.where(condOf(c))
+      case WhenMatched.Delete(c) => updates.where(condOf(c))
+      case WhenMatched.Ignore => none
+    }
+    val existingKeys = existing.select(keyCols: _*)
+    // matched target rows the clause touches (pre-images)
+    val matchedPre = existing.join(
+      affecting.select(keyCols: _*), keys, "left_semi")
+    val keptExisting = existing.join(
+      affecting.select(keyCols: _*), keys, "left_anti")
+    val updatedRows = whenMatched match {
+      case WhenMatched.Update(c) =>
+        updates.where(condOf(c)).join(existingKeys, keys, "left_semi")
+      case _ => none // delete/ignore contribute nothing for matched
+    }
+    val insertedRows = whenNotMatched match {
+      case WhenNotMatched.Insert(c) =>
+        updates.where(condOf(c)).join(existingKeys, keys, "left_anti")
+      case WhenNotMatched.Ignore => none
+    }
+    writeData(keptExisting.unionByName(updatedRows)
+      .unionByName(insertedRows), s"$path/$dataRel", base.partitionCols)
     val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
     val files = untouched.map(_._1) ++ added
     val mergedStats = base.stats.view
       .filterKeys(untouched.map(_._1).toSet).toMap ++
-      fileStatsOf(spark, path, added)
-    // row-level CDF (round 10): persist this commit's change set
-    // beside the rewritten files — matched keys emit their pre- and
-    // post-image, unmatched update rows an insert. Touched files are
-    // COMPLETE for matched detection: an untouched file's footer range
-    // excludes every update key by construction. Like the data files,
-    // the change parquet is invisible until the manifest publishes.
-    val existingKeys = existing.select(col(key))
-    val updateKeys = updates.select(col(key))
-    val changeRel = changesOf(
-      existing.join(updateKeys, Seq(key), "left_semi"),
-      updates.join(existingKeys, Seq(key), "left_semi"),
-      updates.join(existingKeys, Seq(key), "left_anti"),
+      statsForFiles(spark, path, added, base.partitionCols, schema)
+    // row-level CDF: persist this commit's change set beside the
+    // rewritten files — update clauses emit pre/post images, delete
+    // clauses emit deletes, inserts emit inserts. Touched files are
+    // COMPLETE for matched detection (see the class doc). Like the
+    // data files, the change parquet is invisible until the manifest
+    // publishes.
+    val chgMatched = whenMatched match {
+      case WhenMatched.Update(_) =>
+        matchedPre.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updatedRows
+            .withColumn("_change_type", lit("update_postimage")))
+      case WhenMatched.Delete(_) =>
+        matchedPre.withColumn("_change_type", lit("delete"))
+      case WhenMatched.Ignore =>
+        none.withColumn("_change_type", lit("insert"))
+    }
+    val changeRel = writeChanges(
+      chgMatched.unionByName(
+        insertedRows.withColumn("_change_type", lit("insert"))),
       path, commitId)
-    val cur = versions(path).max
-    if (cur != base.version)
-      throw new java.util.ConcurrentModificationException(
-        s"versioned: merge at $path read v${base.version} but the log is " +
-          s"at v$cur — a concurrent commit landed; retry the merge")
-    val txns = parseManifest(manifestPath(path, cur)).txns
-    if (!publish(path, Manifest(cur + 1, "merge", full = true, files,
-      base.schemaDdl, txns, changes = Some(changeRel),
-      stats = mergedStats)))
-      throw new java.util.ConcurrentModificationException(
-        s"versioned: merge at $path lost the publish race at " +
-          s"v${cur + 1}; retry the merge")
-    cur + 1
+    publishCow(path, "merge", base, files, mergedStats,
+      changes = Some(changeRel), sourceBounds = Some(bounds))
   }
 
-  /** Persist a commit's row-level change set to `_changes/c-<id>/`:
-    * pre/post images and inserts (merge) or deletes, each tagged with
-    * Delta CDF's `_change_type`. Returns the relative parquet paths
-    * for the manifest. */
-  private def changesOf(preimage: DataFrame, postimage: DataFrame,
-      inserts: DataFrame, path: String, commitId: String): Seq[String] = {
-    val chg = preimage.withColumn("_change_type", lit("update_preimage"))
-      .unionByName(postimage.withColumn("_change_type", lit("update_postimage")))
-      .unionByName(inserts.withColumn("_change_type", lit("insert")))
-    writeChanges(chg, path, commitId)
+  /** Publish a COW commit (merge/optimize) with conflict RESOLUTION:
+    * interloping APPEND commits that are provably disjoint from the
+    * op's read-and-rewrite footprint are rebased over (their added
+    * files join the new snapshot untouched); everything else aborts
+    * with [[java.util.ConcurrentModificationException]].
+    *
+    * Disjointness proof per interloping append: `sourceBounds = None`
+    * (a pure layout op — OPTIMIZE — whose rows are carried verbatim)
+    * accepts ANY append; otherwise every file the append added must
+    * have a manifest stat proving NO source key can be present
+    * ([[statIntersects]] false on at least one bound key). An append
+    * without usable stats, a concurrent schema change, or any
+    * non-append op aborts — the caller retries the whole operation. */
+  /** Test seam: invoked ONCE per COW op, after its files are written
+    * but before the log head is resolved for publish — lets specs
+    * inject a deterministic concurrent commit into the conflict
+    * window. Self-clearing. */
+  private[graft] var beforeCowPublish: () => Unit = () => ()
+
+  private def publishCow(path: String, op: String, base: Snapshot,
+      files: Seq[String], stats: FileStats, changes: Option[Seq[String]],
+      sourceBounds: Option[Map[String, ColStat]]): Int = {
+    val hook = beforeCowPublish
+    beforeCowPublish = () => ()
+    hook()
+    var seen = base.version
+    var extraFiles = Vector.empty[String]
+    var extraStats: FileStats = Map.empty
+    var attempt = 0
+    while (attempt < 64) {
+      val cur = versions(path).max
+      if (cur != seen) {
+        versions(path).filter(v => v > seen && v <= cur).foreach { v =>
+          val m = parseManifest(manifestPath(path, v))
+          def conflict(why: String): Nothing =
+            throw new java.util.ConcurrentModificationException(
+              s"versioned: $op at $path read v${base.version} but a " +
+                s"concurrent '${m.op}' commit landed at v$v ($why); " +
+                s"retry the $op")
+          if (m.op != "append") conflict("only appends can be rebased over")
+          if (m.schemaDdl != base.schemaDdl) conflict("schema changed")
+          val addedF =
+            if (!m.full) m.files
+            else m.files.filterNot(snapshot(path, Some(v - 1)).files.toSet)
+          sourceBounds.foreach { bounds =>
+            addedF.foreach { f =>
+              val st = m.stats.getOrElse(f, Map.empty)
+              val mayOverlap = bounds.isEmpty ||
+                bounds.forall { case (k, b) => statIntersects(st.get(k), b) }
+              if (mayOverlap) conflict(
+                s"appended file $f cannot be proven key-disjoint from " +
+                  "the source")
+            }
+          }
+          extraFiles = extraFiles ++ addedF
+          extraStats = extraStats ++
+            m.stats.view.filterKeys(addedF.toSet).toMap
+        }
+        seen = cur
+      }
+      val txns = parseManifest(manifestPath(path, cur)).txns
+      if (publish(path, Manifest(cur + 1, op, full = true,
+        files ++ extraFiles, base.schemaDdl, txns, changes = changes,
+        stats = stats ++ extraStats,
+        partitionCols = base.partitionCols)))
+        return cur + 1
+      attempt += 1 // lost the publish race: re-examine the new head
+    }
+    sys.error(s"versioned: $op gave up after $attempt contended commits " +
+      s"at $path")
   }
 
   private def writeChanges(chg: DataFrame, path: String,
@@ -676,7 +1091,7 @@ object Versioned {
     val kept = live.where(!pred || pred.isNull)
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
-    kept.write.mode("errorifexists").parquet(s"$path/$dataRel")
+    writeData(kept, s"$path/$dataRel", base.partitionCols)
     val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
     // row-level CDF: the deleted rows, persisted before publish
@@ -691,7 +1106,9 @@ object Versioned {
     val txns = parseManifest(manifestPath(path, cur)).txns
     if (!publish(path, Manifest(cur + 1, "delete", full = true, added,
       base.schemaDdl, txns, changes = Some(changeRel),
-      stats = fileStatsOf(spark, path, added))))
+      stats = statsForFiles(spark, path, added, base.partitionCols,
+        StructType.fromDDL(base.schemaDdl)),
+      partitionCols = base.partitionCols)))
       throw new java.util.ConcurrentModificationException(
         s"versioned: delete at $path lost the publish race; retry")
     cur + 1
@@ -727,20 +1144,18 @@ object Versioned {
         }
         rows.repartitionByRange(numFiles, key)
       }
-    laidOut.write.mode("errorifexists").parquet(s"$path/$dataRel")
+    writeData(laidOut, s"$path/$dataRel", base.partitionCols)
     val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
-    val cur = versions(path).max
-    if (cur != base.version)
-      throw new java.util.ConcurrentModificationException(
-        s"versioned: optimize at $path read v${base.version} but the log " +
-          s"is at v$cur; retry")
-    val txns = parseManifest(manifestPath(path, cur)).txns
-    if (!publish(path, Manifest(cur + 1, "optimize", full = true, added,
-      base.schemaDdl, txns, stats = fileStatsOf(spark, path, added))))
-      throw new java.util.ConcurrentModificationException(
-        s"versioned: optimize at $path lost the publish race; retry")
-    cur + 1
+    // conflict RESOLUTION (round 11): OPTIMIZE is a pure layout op —
+    // its rows are the base snapshot's verbatim — so ANY interloping
+    // append rebases cleanly (the appended files simply stay in their
+    // original layout); a steady append stream can no longer starve a
+    // long compaction. sourceBounds = None encodes "no row footprint".
+    publishCow(path, "optimize", base, added,
+      statsForFiles(spark, path, added, base.partitionCols,
+        StructType.fromDDL(base.schemaDdl)),
+      changes = None, sourceBounds = None)
   }
 
   /** The files version `v` ADDED (append commits only — loud error
@@ -850,27 +1265,31 @@ object Versioned {
   }
 
 
-  /** DATA SKIPPING from manifest stats (round 10, Delta's read-path
-    * analog of the merge pruning): the live files whose recorded
-    * [min, max] for `colName` intersects [lo, hi]. Files with NO
-    * stats entry (pre-stats manifests) are conservatively kept; files
-    * WITH a stats entry that lacks the column hold no non-null values
-    * of it (empty write partition / pre-evolution file), and since
-    * every supported predicate is a non-null comparison they are
-    * skipped. The DSv2 connector applies this transparently to pushed
-    * BIGINT range filters — the filters still run post-scan, pruning
-    * only removes files that cannot contain a qualifying row. */
-  def pruneFiles(snap: Snapshot, colName: String,
-      lo: Long, hi: Long): Seq[String] =
+  /** DATA SKIPPING from manifest stats (Delta's read-path analog of
+    * the merge pruning): the live files whose recorded [[ColStat]]
+    * for `colName` can intersect `bound` (a [[LongStat]] or
+    * [[StrStat]] query range). Files with NO stats entry — or a stats
+    * entry lacking the column (round-11 semantics: absence means
+    * "nothing known", see [[ColStat]]) — are conservatively kept; an
+    * explicit [[NullStat]] skips (every supported predicate is a
+    * non-null comparison). The DSv2 connector applies this
+    * transparently to pushed range filters — the filters still run
+    * post-scan, pruning only removes files that cannot contain a
+    * qualifying row. */
+  def pruneFilesBy(snap: Snapshot, colName: String,
+      bound: ColStat): Seq[String] =
     snap.files.filter { f =>
       snap.stats.get(f) match {
         case None => true // pre-stats manifest: never skip
-        case Some(cols) => cols.get(colName) match {
-          case Some((flo, fhi)) => fhi >= lo && flo <= hi
-          case None => false // no non-null values of the column
-        }
+        case Some(cols) => statIntersects(cols.get(colName), bound)
       }
     }
+
+  /** Numeric-range data skipping (the pre-r11 signature, delegating
+    * to [[pruneFilesBy]]). */
+  def pruneFiles(snap: Snapshot, colName: String,
+      lo: Long, hi: Long): Seq[String] =
+    pruneFilesBy(snap, colName, LongStat(lo, hi))
 
   /** Read the table at `asOf` (default latest). Empty live set reads
     * as an empty relation with the committed schema. */
@@ -880,7 +1299,14 @@ object Versioned {
     val schema = StructType.fromDDL(s.schemaDdl)
     if (s.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(s.files.map(f => s"$path/$f"): _*)
+    else
+      // partitioned or not, every data file physically carries every
+      // column (Iceberg discipline, see [[PartDirPrefix]]) — one plain
+      // vectorized multi-file scan, no partition discovery. Filtered
+      // partitioned reads that want FILE-level pruning go through
+      // `format("graftv")`, where the manifest's partition point
+      // stats prune before planning.
+      spark.read.schema(schema).parquet(s.files.map(f => s"$path/$f"): _*)
   }
 
   /** Files younger than this survive [[vacuum]] even when no retained
@@ -916,8 +1342,15 @@ object Versioned {
     def sweep(dirName: String): Vector[String] = {
       val dir = Paths.get(norm(path), dirName)
       if (!Files.isDirectory(dir)) return Vector.empty
+      // recursive: partitioned commits nest files under k=v/ subdirs
+      def walk(p: Path, prefix: String): Vector[String] =
+        listDir(p).flatMap { c =>
+          val n = c.getFileName.toString
+          if (Files.isDirectory(c)) walk(c, s"$prefix$n/")
+          else Vector(s"$prefix$n")
+        }
       listDir(dir).flatMap { cdir =>
-        listDir(cdir).map(f => s"$dirName/${cdir.getFileName}/${f.getFileName}")
+        walk(cdir, s"$dirName/${cdir.getFileName}/")
       }
     }
     val dead = (sweep("data") ++ sweep("_changes"))
@@ -1139,7 +1572,98 @@ object Versioned {
     } finally deleteRecursively(Paths.get(tmp))
   }
 
+  /** v7_merge_composite (round 11): MERGE generalized past the single
+    * BIGINT key — the table is keyed by a (STRING uuid, BIGINT bucket)
+    * composite, the reference's own row-identity shape (uuid4 string,
+    * atoms.py:193). Exercises, against the DuckDB set algebra:
+    * an upsert merge on the composite key (v2), a whenMatched-DELETE /
+    * whenNotMatched-IGNORE tombstone merge (v3), per-version state
+    * aggregates, and the row-level CDF THROUGH both merges. The uuid
+    * is a deterministic bijection of doc_id (`u-<8-digit id>`), so the
+    * oracle replays the same algebra keyed by doc_id. */
+  def mergeComposite(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(
+        concat(lit("u-"), lpad(col("doc_id").cast("string"), 8, "0"))
+          .as("uid"),
+        pmod(col("doc_id"), lit(7)).as("bucket"),
+        col("n_chars"),
+        col("doc_id"))
+    val tmp = Files.createTempDirectory("graft-versioned-").toString
+    try {
+      def tbl(df: DataFrame) = df.select(col("uid"), col("bucket"),
+        col("n_chars"))
+      commit(tbl(docs.where(col("doc_id") % 2 === 0)), tmp, "append") // v1
+      merge(tbl(docs.where(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", -col("n_chars"))), tmp,
+        Seq("uid", "bucket")) // v2: composite-key upsert
+      merge(tbl(docs.where(col("doc_id") % 5 === 0)), tmp,
+        Seq("uid", "bucket"),
+        whenMatched = WhenMatched.Delete(None),
+        whenNotMatched = WhenNotMatched.Ignore) // v3: tombstone feed
+      val states = (1 to 3).map { v =>
+        val r = read(spark, tmp, Some(v))
+          .agg(count(lit(1)).as("n"), sum(col("bucket")).as("sb"),
+            sum(col("n_chars")).as("sc")).head()
+        Row(v, "state", r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val cdf = readChanges(spark, tmp, fromVersion = 1, toVersion = 3)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("bucket")).as("sb"),
+          sum(col("n_chars")).as("sc"))
+        .collect().toSeq
+        .map(r => Row(r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(states ++ cdf, 1),
+        StructType.fromDDL("step INT, kind STRING, n_rows BIGINT, " +
+          "sum_bucket BIGINT, sum_chars BIGINT"))
+        .orderBy(col("step"), col("kind"))
+    } finally deleteRecursively(Paths.get(tmp))
+  }
+
+  /** v8_partitioned (round 11): the partitioned-table surface — a
+    * two-commit ingest partitioned by `pb = doc_id % 4` (the SURVEY
+    * §7.2 "partition by group" convention), a COW merge THROUGH the
+    * partitioned layout, then reads through both engines: the graftv
+    * connector with a partition filter (whose manifest point stats
+    * prune the planned file set — plan-asserted in
+    * VersionedSourceSpec), the full connector scan, and a
+    * time-traveled library read. The oracle replays the set algebra
+    * relationally. */
+  def partitioned(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        pmod(col("doc_id"), lit(4)).as("pb"))
+    val tmp = Files.createTempDirectory("graft-versioned-").toString
+    try {
+      commit(docs.where(col("doc_id") % 2 === 0), tmp, "append",
+        partitionBy = Seq("pb")) // v1: establishes the layout
+      commit(docs.where(col("doc_id") % 2 === 1), tmp, "append") // v2 inherits
+      merge(docs.where(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", -col("n_chars")), tmp, Seq("doc_id")) // v3
+      def aggOf(df: DataFrame) = df
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"),
+          sum(col("n_chars")).as("sc")).head()
+      val viaConnectorPruned = aggOf(
+        spark.read.format("graftv").load(tmp).where(col("pb") === 2))
+      val viaConnectorFull = aggOf(spark.read.format("graftv").load(tmp))
+      val viaLibraryV1 = aggOf(read(spark, tmp, Some(1)))
+      val rows = Seq(viaConnectorPruned, viaConnectorFull, viaLibraryV1)
+        .zipWithIndex.map { case (r, i) =>
+          Row(i + 1, r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType.fromDDL(
+          "step INT, n_rows BIGINT, sum_doc_id BIGINT, sum_chars BIGINT"))
+        .orderBy(col("step"))
+    } finally deleteRecursively(Paths.get(tmp))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v8_partitioned" -> (partitioned _),
+    "v7_merge_composite" -> (mergeComposite _),
     "v1_time_travel" -> (timeTravel _),
     "v2_merge_upsert" -> (mergeUpsert _),
     "v3_source_read" -> (sourceRead _),
@@ -1148,6 +1672,60 @@ object Versioned {
     "v6_cdf_apply" -> (cdfApply _))
 
   val oracle: Map[String, String] = Map(
+    "v8_partitioned" -> """
+      WITH state3 AS (
+        SELECT doc_id, doc_id % 4 AS pb,
+               CASE WHEN doc_id % 3 = 0 THEN -n_chars ELSE n_chars END
+                 AS n_chars
+        FROM documents),
+      agg AS (
+        SELECT 1 AS step, count(*) AS n_rows, sum(doc_id) AS sum_doc_id,
+               sum(n_chars) AS sum_chars
+        FROM state3 WHERE pb = 2
+        UNION ALL
+        SELECT 2, count(*), sum(doc_id), sum(n_chars) FROM state3
+        UNION ALL
+        SELECT 3, count(*), sum(doc_id), sum(n_chars)
+        FROM documents WHERE doc_id % 2 = 0)
+      SELECT CAST(step AS INT) AS step,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_doc_id AS BIGINT) AS sum_doc_id,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM agg ORDER BY step""",
+    "v7_merge_composite" -> """
+      WITH state2 AS (
+        SELECT doc_id, doc_id % 7 AS bucket,
+               CASE WHEN doc_id % 3 = 0 THEN -n_chars ELSE n_chars END
+                 AS n_chars
+        FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0),
+      rows_out AS (
+        SELECT 1 AS step, 'state' AS kind, count(*) AS n_rows,
+               sum(doc_id % 7) AS sum_bucket, sum(n_chars) AS sum_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 2, 'state', count(*), sum(bucket), sum(n_chars) FROM state2
+        UNION ALL
+        SELECT 3, 'state', count(*), sum(bucket), sum(n_chars) FROM state2
+        WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT 2, 'update_preimage', count(*), sum(doc_id % 7),
+               sum(n_chars)
+        FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT 2, 'update_postimage', count(*), sum(doc_id % 7),
+               sum(-n_chars)
+        FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT 2, 'insert', count(*), sum(doc_id % 7), sum(-n_chars)
+        FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0
+        UNION ALL
+        SELECT 3, 'delete', count(*), sum(bucket), sum(n_chars)
+        FROM state2 WHERE doc_id % 5 = 0)
+      SELECT CAST(step AS INT) AS step, kind,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_bucket AS BIGINT) AS sum_bucket,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM rows_out ORDER BY step, kind""",
     "v6_cdf_apply" -> """
       WITH state2 AS (
         SELECT doc_id,

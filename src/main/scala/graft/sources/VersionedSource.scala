@@ -139,9 +139,13 @@ private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
       skipChangeCommits, changeFeed, maxVersionsPerTrigger, dataFilters)
 }
 
-/** Conjunctive per-column [lo, hi] bounds from pushed source filters
-  * (integral comparisons only — everything else is ignored, i.e.
-  * conservatively unbounded). */
+/** Conjunctive per-column bounds from pushed source filters, as
+  * [[Versioned.ColStat]] query ranges: integral comparisons tighten a
+  * [[Versioned.LongStat]]; string comparisons with pure-ASCII
+  * endpoints tighten a [[Versioned.StrStat]] (outside ASCII the
+  * UTF-16 vs UTF-8-byte orderings diverge from parquet's stats order,
+  * so such filters never prune). Everything else is ignored, i.e.
+  * conservatively unbounded. */
 private[sources] object FilterBounds {
   import org.apache.spark.sql.sources._
   private def long(v: Any): Option[Long] = v match {
@@ -151,29 +155,66 @@ private[sources] object FilterBounds {
     case b: Byte => Some(b.toLong)
     case _ => None
   }
-  def of(filters: Seq[Filter]): Map[String, (Long, Long)] = {
-    val bounds = scala.collection.mutable.Map[String, (Long, Long)]()
+  private def str(v: Any): Option[String] = v match {
+    case s: String if s.forall(_ < 0x7f) => Some(s)
+    case _ => None
+  }
+  def of(filters: Seq[Filter]): Map[String, Versioned.ColStat] = {
+    val nums = scala.collection.mutable.Map[String, (Long, Long)]()
+    val strs = scala.collection.mutable.Map[String, (String, String)]()
+    // "￿" * 8 as the practical string +infinity: above any ASCII
+    // value, and StrStat file ranges are ASCII-only so comparisons
+    // stay sound
+    val StrMax = "￿" * 8
     def tighten(col: String, lo: Long, hi: Long): Unit = {
-      val (plo, phi) = bounds.getOrElse(col, (Long.MinValue, Long.MaxValue))
-      bounds(col) = (math.max(plo, lo), math.min(phi, hi))
+      val (plo, phi) = nums.getOrElse(col, (Long.MinValue, Long.MaxValue))
+      nums(col) = (math.max(plo, lo), math.min(phi, hi))
+    }
+    def tightenStr(col: String, lo: String, hi: String): Unit = {
+      val (plo, phi) = strs.getOrElse(col, ("", StrMax))
+      strs(col) = (if (lo > plo) lo else plo, if (hi < phi) hi else phi)
     }
     def walk(f: Filter): Unit = f match {
       case And(l, r) => walk(l); walk(r)
-      case EqualTo(c, v) => long(v).foreach(x => tighten(c, x, x))
-      case GreaterThan(c, v) => long(v).foreach(x =>
-        tighten(c, if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
+      case EqualTo(c, v) =>
+        long(v).foreach(x => tighten(c, x, x))
+        str(v).foreach(s => tightenStr(c, s, s))
+      case GreaterThan(c, v) =>
+        long(v).foreach(x =>
+          tighten(c, if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
+        // strict > s: the open interval (s, ∞) is safely widened to
+        // [s, ∞) — pruning may keep one extra file, never drops one
+        str(v).foreach(s => tightenStr(c, s, StrMax))
       case GreaterThanOrEqual(c, v) =>
         long(v).foreach(x => tighten(c, x, Long.MaxValue))
-      case LessThan(c, v) => long(v).foreach(x =>
-        tighten(c, Long.MinValue, if (x == Long.MinValue) x else x - 1))
+        str(v).foreach(s => tightenStr(c, s, StrMax))
+      case LessThan(c, v) =>
+        long(v).foreach(x =>
+          tighten(c, Long.MinValue, if (x == Long.MinValue) x else x - 1))
+        str(v).foreach(s => tightenStr(c, "", s)) // widened closed bound
       case LessThanOrEqual(c, v) =>
         long(v).foreach(x => tighten(c, Long.MinValue, x))
+        str(v).foreach(s => tightenStr(c, "", s))
       case In(c, vs) if vs.nonEmpty && vs.forall(long(_).isDefined) =>
         tighten(c, vs.flatMap(long).min, vs.flatMap(long).max)
+      case In(c, vs) if vs.nonEmpty && vs.forall(str(_).isDefined) =>
+        val ss = vs.flatMap(str)
+        tightenStr(c, ss.min, ss.max)
+      case StringStartsWith(c, prefix) if str(prefix).isDefined &&
+          prefix.nonEmpty =>
+        // [prefix, prefix+1): every string starting with prefix sits
+        // in this range under byte order
+        val bumped =
+          if (prefix.last < 0x7e) Some(prefix.init + (prefix.last + 1).toChar)
+          else None
+        bumped.foreach(hi => tightenStr(c, prefix, hi))
       case _ => () // unsupported shapes never prune
     }
     filters.foreach(walk)
-    bounds.toMap
+    nums.map { case (c, (lo, hi)) =>
+      c -> (Versioned.LongStat(lo, hi): Versioned.ColStat) }.toMap ++
+      strs.map { case (c, (lo, hi)) =>
+        c -> (Versioned.StrStat(lo, hi): Versioned.ColStat) }.toMap
   }
 }
 
@@ -209,16 +250,23 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
     } else {
       val spark = org.apache.spark.sql.SparkSession.active
       val snap = Versioned.snapshot(path, asOf)
-      // DATA SKIPPING: conjunctive BIGINT bounds from the pushed
-      // filters prune the file list against the manifest stats before
-      // the scan is even planned (Delta's log-stats skipping); the
-      // filters still run post-scan, so unsupported shapes simply
-      // don't prune.
+      // DATA SKIPPING: conjunctive bounds (integral ranges + ASCII
+      // string ranges, round 11) from the pushed filters prune the
+      // file list against the manifest stats before the scan is even
+      // planned (Delta's log-stats skipping). For a PARTITIONED table
+      // the partition values are recorded in the manifest as point
+      // ranges, so partition pruning is the same fold — exact for
+      // equality/range predicates on partition columns, applied
+      // before any footer or directory is touched. The filters still
+      // run post-scan, so unsupported shapes simply don't prune.
       val bounds = FilterBounds.of(dataFilters.toSeq)
-      val kept = bounds.foldLeft(snap.files) { case (fs, (c, (lo, hi))) =>
-        Versioned.pruneFiles(snap.copy(files = fs), c, lo, hi)
+      val kept = bounds.foldLeft(snap.files) { case (fs, (c, b)) =>
+        Versioned.pruneFilesBy(snap.copy(files = fs), c, b)
       }
       val files = kept.map(f => new org.apache.hadoop.fs.Path(s"$path/$f"))
+      // every data file carries every column — partitioned layouts
+      // included (the Iceberg discipline, Versioned.PartDirPrefix) —
+      // so one uniform vectorized delegate serves both
       val dataSchema = StructType.fromDDL(snap.schemaDdl)
       val idx = new org.apache.spark.sql.execution.datasources
         .InMemoryFileIndex(spark, files, Map.empty, Some(dataSchema))
@@ -244,13 +292,18 @@ private[sources] object changePartitions {
   def apply(path: String, from: Int, to: Int): Array[InputPartition] =
     Versioned.changeBatches(path, from, to).flatMap {
       case (v, files, _, fromChangeParquet) => files.map(f =>
-        VersionedInputPartition(s"$path/$f", commitVersion = v,
+        VersionedInputPartition(s"$path/$f", relPath = f,
+          commitVersion = v,
           tagInsert = !fromChangeParquet): InputPartition)
     }.toArray
 }
 
+/** `relPath` is the TABLE-relative path — partition values are parsed
+  * from its `col=value` segments only, never from the table path
+  * itself (which may legitimately contain `=` in a directory name). */
 private[sources] case class VersionedInputPartition(filePath: String,
-    commitVersion: Int = -1, tagInsert: Boolean = false)
+    relPath: String = "", commitVersion: Int = -1,
+    tagInsert: Boolean = false)
     extends InputPartition
 
 private[sources] class VersionedReaderFactory(requiredDdl: String)
@@ -258,19 +311,45 @@ private[sources] class VersionedReaderFactory(requiredDdl: String)
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[VersionedInputPartition]
+    val schema =
+      if (requiredDdl.isEmpty) new StructType()
+      else StructType.fromDDL(requiredDdl)
     // change-feed partitions pin their metadata columns to constants
     // (the manifest knows them; the data file need not carry them)
-    val consts: Map[String, Any] =
+    val metaConsts: Map[String, Any] =
       if (p.commitVersion < 0) Map.empty
       else Map("_commit_version" -> p.commitVersion) ++
         (if (p.tagInsert)
           Map("_change_type" -> UTF8String.fromString("insert"))
         else Map.empty)
+    // partitioned DATA files carry their partition values in the path
+    // (hive layout), pinned as per-partition constants; change parquet
+    // lives under `_changes/c-<id>/` with no k=v segments and carries
+    // every column physically
+    import org.apache.spark.sql.types._
+    val partConsts: Map[String, Any] =
+      Versioned.partitionValuesOf(p.relPath).flatMap { case (k, raw) =>
+        schema.find(_.name == k).map { f =>
+          val v: Any =
+            if (raw == "__HIVE_DEFAULT_PARTITION__") null
+            else f.dataType match {
+              case LongType => java.lang.Long.valueOf(raw.toLong)
+              case IntegerType => java.lang.Integer.valueOf(raw.toInt)
+              case ShortType => java.lang.Short.valueOf(raw.toShort)
+              case ByteType => java.lang.Byte.valueOf(raw.toByte)
+              case BooleanType => java.lang.Boolean.valueOf(raw.toBoolean)
+              case StringType => UTF8String.fromString(raw)
+              case other => sys.error(
+                s"graftv: unsupported partition column type $other ($k)")
+            }
+          k -> v
+        }
+      }
+    val consts = metaConsts ++ partConsts
     // Catalyst prunes count(*)-style plans to ZERO columns: serve the
     // row count from the footer alone — no column chunk is opened.
     if (requiredDdl.isEmpty) new VersionedCountReader(p.filePath)
-    else new VersionedPartitionReader(p.filePath,
-      StructType.fromDDL(requiredDdl), consts)
+    else new VersionedPartitionReader(p.filePath, schema, consts)
   }
 }
 
@@ -369,8 +448,15 @@ private[sources] class VersionedMicroBatchStream(path: String,
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionedOffset(startingVersion)
+  /** Admission-controlled sources never serve the no-arg form: Spark
+    * dispatches the two-arg overload below for SupportsAdmissionControl
+    * streams, and a silent fallback here would plan an UNBOUNDED
+    * catch-up batch, bypassing maxVersionsPerTrigger. Throwing makes
+    * any future interface-dispatch change loud instead of lossy. */
   override def latestOffset(): Offset =
-    VersionedOffset(Versioned.versions(path).max)
+    throw new UnsupportedOperationException(
+      "graftv: latestOffset() is not served for an admission-controlled " +
+        "stream; Spark calls latestOffset(start, limit)")
   /** ADMISSION CONTROL (round 10, Delta's maxFilesPerTrigger shape):
     * `option("maxVersionsPerTrigger", n)` caps each micro-batch at n
     * commits past the checkpointed offset, so a restarted tail with a
@@ -405,7 +491,8 @@ private[sources] class VersionedMicroBatchStream(path: String,
     // failing (blocking) — Delta's readChangeFeed streaming mode
     if (changeFeed) return changePartitions(path, s, e)
     Versioned.appendedFiles(path, s, e, skipChangeCommits)
-      .map(f => VersionedInputPartition(s"$path/$f"): InputPartition)
+      .map(f => VersionedInputPartition(s"$path/$f",
+        relPath = f): InputPartition)
       .toArray
   }
 

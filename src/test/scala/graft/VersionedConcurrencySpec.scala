@@ -143,6 +143,69 @@ class VersionedConcurrencySpec extends AnyFunSuite {
     assert(Versioned.timestampToVersion(t, stamps.last) === vs.max)
   }
 
+  test("conflict RESOLUTION: disjoint appends rebase under merge/optimize; overlap aborts") {
+    import spark.implicits._
+    // (a) a key-disjoint append landing inside merge's conflict window
+    // REBASES: the merge succeeds (no abort) and the appended rows
+    // survive into its snapshot
+    val t1 = Files.createTempDirectory("versioned-resolve-").toString
+    Versioned.commit((1L to 10L).map(i => (i, i * 10)).toDF("id", "v")
+      .coalesce(1), t1) // v1
+    Versioned.beforeCowPublish = () => {
+      Versioned.commit(Seq((100L, 0L), (101L, 0L)).toDF("id", "v")
+        .coalesce(1), t1) // interloper v2, keys disjoint from [3, 3]
+      ()
+    }
+    val v = Versioned.merge(Seq((3L, 999L)).toDF("id", "v"), t1, "id")
+    assert(v === 3, "merge must publish ON TOP of the interloper")
+    val rows = Versioned.read(spark, t1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows.contains((3L, 999L)), "merge applied")
+    assert(rows.contains((100L, 0L)) && rows.contains((101L, 0L)),
+      "interloper append rows must survive the rebase")
+    assert(rows.size === 12)
+
+    // (b) an OVERLAPPING append (same key range) still aborts loudly
+    Versioned.beforeCowPublish = () => {
+      Versioned.commit(Seq((4L, -1L)).toDF("id", "v").coalesce(1), t1)
+      ()
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Versioned.merge(Seq((4L, 888L)).toDF("id", "v"), t1, "id")
+    }
+    assert(e.getMessage.contains("key-disjoint"))
+    // the caller's documented recovery: retry the whole merge
+    assert(Versioned.merge(Seq((4L, 888L)).toDF("id", "v"), t1, "id") > 0)
+    assert(Versioned.read(spark, t1).where(col("id") === 4L)
+      .head().getLong(1) === 888L)
+
+    // (c) a non-append interloper (restore) always aborts a merge
+    Versioned.beforeCowPublish = () => {
+      Versioned.restore(t1, 1); ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.merge(Seq((200L, 1L)).toDF("id", "v"), t1, "id")
+    }
+
+    // (d) OPTIMIZE rebases over ANY append (pure layout op): the
+    // steady-append-starves-compaction regime is gone
+    val t2 = Files.createTempDirectory("versioned-resolve-opt-").toString
+    Versioned.commit((1L to 5L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1), t2)
+    Versioned.commit((6L to 9L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1), t2)
+    Versioned.beforeCowPublish = () => {
+      Versioned.commit(Seq((50L, 50L)).toDF("id", "v").coalesce(1), t2)
+      ()
+    }
+    val vo = Versioned.optimize(spark, t2, numFiles = 1)
+    assert(vo === 4, "optimize must land on top of the interloper")
+    val after = Versioned.read(spark, t2).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(after === ((1L to 9L) :+ 50L).sorted,
+      "compacted rows AND the interloper's rows must both be live")
+  }
+
   test("racing commitIfAbsent replays of one batch land exactly once") {
     import spark.implicits._
     val t = Files.createTempDirectory("versioned-conc-txn-").toString

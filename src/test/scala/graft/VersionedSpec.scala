@@ -432,8 +432,11 @@ class VersionedSpec extends AnyFunSuite {
     // every live file carries [min, max] for both BIGINT columns
     assert(snap.files.forall(f => snap.stats.get(f)
       .exists(c => c.contains("id") && c.contains("v"))))
-    val idRanges = snap.files.map(f => snap.stats(f)("id")).sortBy(_._1)
-    assert(idRanges === Seq((1L, 2L), (100L, 100L), (200L, 200L)))
+    val idRanges = snap.files
+      .map(f => snap.stats(f)("id").asInstanceOf[Versioned.LongStat])
+      .sortBy(_.lo)
+    assert(idRanges === Seq(Versioned.LongStat(1L, 2L),
+      Versioned.LongStat(100L, 100L), Versioned.LongStat(200L, 200L)))
     // merge touching only the 100-range rewrites exactly that file —
     // decided from the MANIFEST stats (no footer opens on this path)
     Versioned.merge(Seq((100L, 9L)).toDF("id", "v"), t, "id")
@@ -512,5 +515,213 @@ class VersionedSpec extends AnyFunSuite {
     // appends in a mixed range still read as inserts
     val all = Versioned.readChanges(spark, t, 0, 2)
     assert(all.where(col("_change_type") === "insert").count() === 4L) // 3 + 1
+  }
+
+  // ------------------------------------------------- round 11: merge
+
+  test("merge on a composite (string uuid, long) key: upsert + CDF") {
+    import spark.implicits._
+    val t = tmpTable()
+    def uuid(i: Long) = f"u-$i%04d"
+    val seed = (1L to 6L).map(i => (uuid(i), i % 2, i * 10))
+      .toDF("u", "b", "v")
+    Versioned.commit(seed, t) // v1
+    // updates: (u-0002, 0) exists -> update; (u-0009, 1) is new -> insert
+    val ups = Seq((uuid(2), 0L, 999L), (uuid(9), 1L, 900L)).toDF("u", "b", "v")
+    val v2 = Versioned.merge(ups, t, Seq("u", "b"))
+    assert(v2 === 2)
+    val rows = Versioned.read(spark, t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows.size === 7)
+    assert(rows.contains((uuid(2), 0L, 999L)))
+    assert(rows.contains((uuid(9), 1L, 900L)))
+    assert(!rows.contains((uuid(2), 0L, 20L)))
+    // a SAME uuid with a DIFFERENT bucket must NOT match (composite)
+    val v3 = Versioned.merge(Seq((uuid(3), 0L, -1L)).toDF("u", "b", "v"),
+      t, Seq("u", "b")) // u-0003 exists with b=1 only -> insert
+    assert(Versioned.read(spark, t, Some(v3)).where(col("u") === uuid(3))
+      .count() === 2L)
+    // CDF of the composite merge
+    val ch = Versioned.readChanges(spark, t, 1, 2)
+      .select("_change_type", "u", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(ch === Seq(
+      ("insert", uuid(9), 900L),
+      ("update_postimage", uuid(2), 999L),
+      ("update_preimage", uuid(2), 20L)))
+  }
+
+  test("merge string-key stats prune: only intersecting files rewrite") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq(("aaa", 1L), ("abc", 2L)).toDF("k", "v")
+      .coalesce(1), t)
+    Versioned.commit(Seq(("mmm", 3L)).toDF("k", "v").coalesce(1), t)
+    Versioned.commit(Seq(("zzz", 4L)).toDF("k", "v").coalesce(1), t)
+    val snap = Versioned.snapshot(t)
+    // string stats recorded from the footers into the manifest
+    assert(snap.files.forall(f =>
+      snap.stats(f)("k").isInstanceOf[Versioned.StrStat]))
+    Versioned.merge(Seq(("mmm", 9L)).toDF("k", "v"), t, Seq("k"))
+    val after = Versioned.snapshot(t)
+    val carried = after.files.toSet intersect snap.files.toSet
+    assert(carried.size === 2, s"string-disjoint files must carry: $carried")
+    assert(Versioned.read(spark, t).where(col("k") === "mmm")
+      .head().getLong(1) === 9L)
+  }
+
+  test("merge clauses: conditional update, delete, insert gating") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit((1L to 5L).map(i => (i, i * 10, "old")).toDF("id", "v", "tag"), t)
+    // whenMatched update ONLY rows the source flags; unmatched insert
+    // only flagged rows too
+    val src = Seq((2L, 200L, "upd"), (3L, 300L, "skip"),
+      (8L, 800L, "upd"), (9L, 900L, "skip")).toDF("id", "v", "tag")
+    Versioned.merge(src, t, Seq("id"),
+      whenMatched = Versioned.WhenMatched.Update(Some(col("tag") === "upd")),
+      whenNotMatched = Versioned.WhenNotMatched.Insert(Some(col("tag") === "upd")))
+    val rows = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows === Seq((1L, 10L), (2L, 200L), (3L, 30L), (4L, 40L),
+      (5L, 50L), (8L, 800L))) // 3 unchanged (cond failed), 9 not inserted
+    // whenMatched DELETE: tombstone feed removes matched ids only
+    val tomb = Seq((2L, 0L, "x"), (77L, 0L, "x")).toDF("id", "v", "tag")
+    val v3 = Versioned.merge(tomb, t, Seq("id"),
+      whenMatched = Versioned.WhenMatched.Delete(None),
+      whenNotMatched = Versioned.WhenNotMatched.Ignore)
+    val ids = Versioned.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 3L, 4L, 5L, 8L)) // 2 deleted, 77 NOT inserted
+    // the delete clause's CDF rows are tagged delete
+    val ch = Versioned.readChanges(spark, t, v3 - 1, v3)
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ch === Seq(("delete", 2L)))
+  }
+
+  test("merge rejects null keys, duplicate keys, unsupported key types") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    val eNull = intercept[IllegalArgumentException] {
+      Versioned.merge(Seq((Some(2L), "b"), (None, "c"))
+        .toDF("id", "s"), t, "id")
+    }
+    assert(eNull.getMessage.contains("null-key"))
+    // unique non-null keys PLUS a null would previously misfire as
+    // "duplicate keys" (ADVICE r10 low): now it errors as null-key
+    val eDup = intercept[IllegalArgumentException] {
+      Versioned.merge(Seq((2L, "b"), (2L, "c")).toDF("id", "s"), t, "id")
+    }
+    assert(eDup.getMessage.contains("duplicate"))
+    val t2 = tmpTable()
+    Versioned.commit(Seq((0.5, "a")).toDF("d", "s"), t2)
+    val eType = intercept[IllegalArgumentException] {
+      Versioned.merge(Seq((0.5, "b")).toDF("d", "s"), t2, "d")
+    }
+    assert(eType.getMessage.contains("unsupported type"))
+  }
+
+  test("string stats truncation: long ASCII keys get bounded, not exact") {
+    import spark.implicits._
+    val t = tmpTable()
+    val longKey = "k" * 100 // over StrStatMaxLen
+    Versioned.commit(Seq((longKey, 1L)).toDF("k", "v").coalesce(1), t)
+    val snap = Versioned.snapshot(t)
+    val st = snap.stats(snap.files.head)("k").asInstanceOf[Versioned.StrStat]
+    assert(st.lo.length === Versioned.StrStatMaxLen)
+    assert(st.hi.length === Versioned.StrStatMaxLen)
+    assert(st.lo <= longKey && longKey <= st.hi, "bounds must contain the key")
+    // merge on the long key still matches (conservative bound)
+    Versioned.merge(Seq((longKey, 2L)).toDF("k", "v"), t, Seq("k"))
+    assert(Versioned.read(spark, t).head().getLong(1) === 2L)
+  }
+
+  test("partitioned table: hive layout, read-back, COW ops preserve layout") {
+    import spark.implicits._
+    val t = tmpTable()
+    val df = (1L to 12L).map(i => (i, i % 3, s"g${i % 3}", i * 10))
+      .toDF("id", "p", "g", "v")
+    Versioned.commit(df, t, partitionBy = Seq("p")) // v1
+    val snap = Versioned.snapshot(t)
+    assert(snap.partitionCols === Seq("p"))
+    assert(snap.files.forall(_.contains("__part_p=")), "hive layout expected")
+    // partition value recorded as a point stat in the manifest
+    assert(snap.files.forall(f =>
+      snap.stats(f)("p").isInstanceOf[Versioned.LongStat]))
+    // full read-back recovers the partition column from the path
+    val got = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got === (1L to 12L).map(i => (i, i % 3, s"g${i % 3}", i * 10)))
+    assert(Versioned.read(spark, t).columns.toSeq ===
+      Seq("id", "p", "g", "v"))
+    // appends INHERIT the layout; a conflicting explicit layout errors
+    Versioned.commit(Seq((13L, 1L, "g1", 130L)).toDF("id", "p", "g", "v"), t)
+    assert(Versioned.snapshot(t).files.forall(_.contains("p=")))
+    intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((14L, 2L, "g2", 140L)).toDF("id", "p", "g", "v"),
+        t, partitionBy = Seq("g"))
+    }
+    // merge preserves the layout and the composite read stays exact
+    Versioned.merge(Seq((5L, 2L, "g2", 999L)).toDF("id", "p", "g", "v"),
+      t, Seq("id"))
+    val after = Versioned.snapshot(t)
+    assert(after.files.forall(_.contains("__part_p=")))
+    assert(Versioned.read(spark, t).where(col("id") === 5L)
+      .head().getLong(3) === 999L)
+    assert(Versioned.read(spark, t).count() === 13L)
+    // deleteWhere + optimize keep the layout; rows stay exact
+    Versioned.deleteWhere(spark, t, col("p") === 0L)
+    Versioned.optimize(spark, t, numFiles = 1)
+    val fin = Versioned.snapshot(t)
+    assert(fin.files.forall(_.contains("__part_p=")))
+    val rows = Versioned.read(spark, t)
+    assert(rows.count() === 9L)
+    assert(rows.where(col("p") === 0L).count() === 0L)
+    // change feed across the partitioned merge/delete still carries
+    // the partition column values
+    val ch = Versioned.readChanges(spark, t,
+      fin.version - 2, fin.version - 1) // the delete commit
+    assert(ch.where(col("_change_type") === "delete")
+      .select("p").collect().forall(_.getLong(0) === 0L))
+  }
+
+  test("partition pruning: manifest point stats prune the partitioned scan") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit((1L to 40L).map(i => (i, i % 4, s"s$i"))
+      .toDF("id", "p", "s"), t, partitionBy = Seq("p"))
+    val snap = Versioned.snapshot(t)
+    // partition value = a PERFECT point stat per file
+    snap.files.foreach { f =>
+      val Versioned.LongStat(lo, hi) =
+        snap.stats(f)("p"): @unchecked
+      assert(lo === hi, s"partition stat must be a point: $f")
+      assert(f.contains(s"__part_p=$lo"))
+    }
+    // library-level pruning: the point stats select exactly the one
+    // partition's files
+    val pruned = Versioned.pruneFiles(snap, "p", 2L, 2L)
+    assert(pruned.nonEmpty && pruned.size < snap.files.size)
+    assert(pruned.forall(_.contains("__part_p=2")))
+    // rows stay exact through a partition-filtered library read
+    assert(Versioned.read(spark, t).where(col("p") === 2L)
+      .collect().map(_.getLong(0)).sorted.toSeq ===
+      (1L to 40L).filter(_ % 4 == 2))
+  }
+
+  test("all-null column records NullStat; absent column never skips") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, None: Option[Long]), (2L, None))
+      .toDF("id", "x").coalesce(1), t)
+    val snap = Versioned.snapshot(t)
+    assert(snap.stats(snap.files.head)("x") === Versioned.NullStat)
+    // NullStat prunes for any non-null bound
+    assert(Versioned.pruneFiles(snap, "x", 0L, 100L).isEmpty)
+    // absent column (never recorded) keeps the file
+    assert(Versioned.pruneFiles(snap, "nosuchcol", 0L, 1L) === snap.files)
   }
 }
