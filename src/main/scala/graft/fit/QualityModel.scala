@@ -110,14 +110,14 @@ object QualityModel {
     * transcendental-free alternative (DetHll's coupon-sum trick)
     * does not apply — NB genuinely needs log-probabilities, not a
     * harmonic series. */
-  def nbClassifierOf(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
+  /** The four m10 features discretized to integer bins + the weak
+    * label — shared by the NB (m15) and deterministic-logistic (m10
+    * twin) classifiers; bin arithmetic is floor of the identical
+    * double expression on both engines. */
+  private[graft] def binnedFeatures(docs: DataFrame): DataFrame = {
     val (stopRatio, quality) = graft.queries.TextOps.qualityParts
     val nTok = size(toks).cast("double")
-    // the four m10 features, discretized; bin arithmetic is floor of
-    // the identical double expression on both engines
-    val binned = docs.select(
+    docs.select(
       col("doc_id"),
       (quality >= 0.3).cast("long").as("label"),
       least(floor(nTok / lit(10.0)), lit(12.0)).cast("long").as("b_ntok"),
@@ -126,6 +126,12 @@ object QualityModel {
       least(floor(stopRatio * lit(10.0)), lit(10.0)).cast("long").as("b_stop"),
       least(floor(size(array_distinct(toks)).cast("double") / nTok * lit(10.0)),
         lit(10.0)).cast("long").as("b_distinct"))
+  }
+
+  def nbClassifierOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val binned = binnedFeatures(docs)
     // melt to (doc_id, label, fname, bin); per-feature Laplace K =
     // the fixed bin-space size
     val featK = Map("ntok" -> 13L, "avg_len" -> 21L, "stop" -> 11L,
@@ -201,6 +207,78 @@ object QualityModel {
   /** Oracle query `m15_nb_quality`. */
   def m15NbQuality(s: SparkSession, dir: String): DataFrame =
     nbClassifierOf(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** Fixed-point logistic GD constants — interpolated into the DuckDB
+    * twin (PackOps.oracle): do not change one side alone. */
+  val LogisticIters = 12
+  val LogisticK = 32L // step = floor(meanGradient / K) per iteration
+  // (K, T) grid-searched on the sf0.001 holdout: K=8/T=6 oscillates in
+  // hard-sigmoid saturation (0.48); K=32 is stable from T=6 (0.95) and
+  // plateaus at 0.97 by T=12; larger K just converges slower.
+
+  /** m10_logistic_det (round 11): the INTEGER-DETERMINISTIC logistic
+    * twin of m10's L-BFGS surface — closing the last non-media
+    * rows-only entry. Same binned features and 80/20 split as m15;
+    * the model is full-batch gradient descent in fixed-point micro
+    * units with a HARD sigmoid (σ(z) = clamp(z/4 + ½, 0, 1), its
+    * standard piecewise-linear surrogate), so every training step is
+    *  - one codegen aggregate over the train split producing FIVE
+    *    exact integer gradient sums (order-free: integer addition
+    *    reassociates), and
+    *  - a driver-side weight update `w += floor(Σ/(n·K))` — the only
+    *    division, mirrored as the identical floor(double-div)
+    *    expression tree in the oracle (exact: numerator < 2⁵²,
+    *    quotients are 1/(8n)-grained, 10⁶ ulps from any floor
+    *    boundary).
+    * [[LogisticIters]] iterations unroll to AS MATERIALIZED CTEs in
+    * DuckDB (the IntKmeans discipline), so the whole train+score
+    * chain hash-matches cross-engine. At 100 TB: per iteration the
+    * driver sees 5 longs; features/scoring are single scans.
+    *
+    * The MLlib m10 entry stays beside this as the float-production
+    * tier (spec-gated on holdout accuracy); this twin is the
+    * oracle-gated deterministic tier, the same two-tier pattern as
+    * a9_quantiles/a9_quantiles_gk. */
+  def logisticDetOf(docs: DataFrame, iters: Int = LogisticIters,
+      k: Long = LogisticK): DataFrame = {
+    val binned = binnedFeatures(docs).persist()
+    val train = binned.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val feats = Seq("b_ntok", "b_avg_len", "b_stop", "b_distinct")
+    def zOf(w: Array[Long]): org.apache.spark.sql.Column =
+      feats.zipWithIndex.foldLeft(lit(w(0)).cast("long")) {
+        case (acc, (f, i)) => acc + lit(w(i + 1)) * col(f)
+      }
+    def sigOf(w: Array[Long]): org.apache.spark.sql.Column =
+      greatest(lit(0L), least(lit(1000000L),
+        floor(zOf(w).cast("double") / lit(4.0)).cast("long") +
+          lit(500000L)))
+    val w = Array.fill(5)(0L)
+    (1 to iters).foreach { _ =>
+      val err = col("label") * lit(1000000L) - sigOf(w)
+      val aggs = count(lit(1)).as("n") +: sum(err).as("g0") +:
+        feats.zipWithIndex.map { case (f, i) =>
+          sum(err * col(f)).as(s"g${i + 1}") }
+      val r = train.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(0)
+      (0 to 4).foreach { j =>
+        // floor of the double quotient, NOT floorDiv: the oracle's
+        // FLOOR(SUM::DOUBLE / (n*K)) is this exact expression tree
+        w(j) = w(j) + math.floor(
+          r.getLong(j + 1).toDouble / (n * k).toDouble).toLong
+      }
+    }
+    val z = zOf(w)
+    val out = binned.select(col("doc_id"), col("label"),
+      when(z > 0L, lit(1L)).otherwise(lit(0L)).as("prediction"),
+      z.as("margin_micro"))
+      .withColumn("correct", col("label") === col("prediction"))
+      .orderBy(col("doc_id"))
+    binned.unpersist()
+    out
+  }
+
+  def m10LogisticDet(s: SparkSession, dir: String): DataFrame =
+    logisticDetOf(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
 
   /** Held-out accuracy (docs the fit never saw): the spec's gate. */
   private[graft] def holdoutAccuracy(scored: DataFrame): Double = {

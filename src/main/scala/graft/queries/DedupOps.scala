@@ -113,7 +113,25 @@ object DedupOps {
 
   /** The d14 kernel over arbitrary batch/history signature tables
     * (spec-testable; also asserts materialized ≡ recomputed history).
-    */
+    *
+    * MATCH-IDENTITY CONTRACT (pinned round 11; measured in
+    * bench/guard_recall.json at 1.0 is_dup / 0.9896 match_id
+    * agreement): when the history-side cap fires on a mega-bucket,
+    *  - `is_dup` is CAP-INVARIANT — every bucket member shares a full
+    *    band with the probe, so est ≥ bands⁻¹·(k/bands)/k = 0.5, the
+    *    verdict threshold, regardless of which members survive;
+    *  - `match_id` is the best match (max est, ties to min id) among
+    *    the SURVIVING probed subset — deterministic across runs (the
+    *    cap is an xxhash64 threshold plus the guaranteed min-id
+    *    member), but NOT necessarily the global argmax: a dropped
+    *    member with a higher whole-signature est yields its rank to
+    *    the best survivor. Downstreams that join on `match_id` across
+    *    differently-capped runs must treat it as a cluster
+    *    representative, not a stable foreign key. The global argmax
+    *    cannot be cap-guaranteed: est_jaccard is a property of the
+    *    (probe, member) PAIR, so no fixed per-bucket subset contains
+    *    every probe's argmax. MinHashSpec encodes this contract
+    *    against a planted mega-bucket. */
   def incrementalProbeOf(batch: DataFrame, history: DataFrame): DataFrame = {
     val sigArr = array((0 until K).map(i => col(s"mh$i")): _*)
     def exploded(df: DataFrame, side: String): DataFrame = df.select(

@@ -308,10 +308,72 @@ object PackOps {
     // rows-only: L-BFGS float reductions aren't cross-engine
     // reproducible; the spec gates held-out accuracy instead
     "m10_quality_classifier" -> (graft.fit.QualityModel.m10QualityClassifier _),
+    // m10's ORACLE-GATED twin (round 11): fixed-point hard-sigmoid
+    // logistic GD, every step exact integer sums — the DuckDB side
+    // unrolls the iterations as materialized CTEs
+    "m10_logistic_det" -> (graft.fit.QualityModel.m10LogisticDet _),
     // m15: the closed-form sibling — integer NB counts, micro-quantized
     // per-token log-probs → fully oracle-checkable (SCALING rule 11)
     "m15_nb_quality" -> (graft.fit.QualityModel.m15NbQuality _),
   )
+
+  // The binned-feature CTE shared VERBATIM by the m15 and
+  // m10_logistic_det oracles (shared string or bust — the driver
+  // hashes values, a drifted restatement diverges silently)
+  private val binnedFCte: String =
+    s"""f AS MATERIALIZED (
+       | SELECT doc_id,
+       |  CASE WHEN (len(list_filter(string_split(text,' '), t -> ${graft.queries.TextOps.stopPred}))::DOUBLE
+       |        / len(string_split(text,' '))) * 0.5
+       |       + LEAST(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) * 0.5 >= 0.3
+       |   THEN 1 ELSE 0 END::BIGINT AS label,
+       |  LEAST(FLOOR(len(string_split(text,' '))::DOUBLE / 10.0), 12.0)::BIGINT AS b_ntok,
+       |  LEAST(FLOOR(length(text)::DOUBLE / len(string_split(text,' ')) * 2.0), 20.0)::BIGINT AS b_avg_len,
+       |  LEAST(FLOOR((len(list_filter(string_split(text,' '), t -> ${graft.queries.TextOps.stopPred}))::DOUBLE
+       |        / len(string_split(text,' '))) * 10.0), 10.0)::BIGINT AS b_stop,
+       |  LEAST(FLOOR(len(list_distinct(string_split(text,' ')))::DOUBLE
+       |        / len(string_split(text,' ')) * 10.0), 10.0)::BIGINT AS b_distinct
+       | FROM documents)""".stripMargin
+
+  /** The m10_logistic_det oracle: [[graft.fit.QualityModel.LogisticIters]]
+    * GD iterations unrolled as materialized CTEs over the shared
+    * binned-feature CTE; constants mirror QualityModel exactly. */
+  private def logisticDetSql: String = {
+    val k = graft.fit.QualityModel.LogisticK
+    val zT = "(pw0 + pw1*b_ntok + pw2*b_avg_len + pw3*b_stop + pw4*b_distinct)"
+    def grad(e: String) =
+      s"CAST(FLOOR(SUM($e)::DOUBLE / (COUNT(*) * $k.0)) AS BIGINT)"
+    val iters = (1 to graft.fit.QualityModel.LogisticIters).map { i =>
+      val prev = if (i == 1) "it0" else s"it${i - 1}"
+      s"""it$i AS MATERIALIZED (
+         | SELECT MIN(pw0) + ${grad("err")} AS w0,
+         |  MIN(pw1) + ${grad("err * b_ntok")} AS w1,
+         |  MIN(pw2) + ${grad("err * b_avg_len")} AS w2,
+         |  MIN(pw3) + ${grad("err * b_stop")} AS w3,
+         |  MIN(pw4) + ${grad("err * b_distinct")} AS w4
+         | FROM (
+         |  SELECT p.w0 AS pw0, p.w1 AS pw1, p.w2 AS pw2, p.w3 AS pw3,
+         |   p.w4 AS pw4, t.b_ntok, t.b_avg_len, t.b_stop, t.b_distinct,
+         |   t.label*1000000 - GREATEST(0, LEAST(1000000,
+         |    CAST(FLOOR($zT::DOUBLE / 4.0) AS BIGINT) + 500000)) AS err
+         |  FROM f t CROSS JOIN $prev p
+         |  WHERE t.doc_id % 5 <> 0))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $binnedFCte,
+       |it0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2,
+       |        0::BIGINT AS w3, 0::BIGINT AS w4),
+       |$iters,
+       |scored AS (
+       | SELECT t.doc_id, t.label,
+       |  (p.w0 + p.w1*t.b_ntok + p.w2*t.b_avg_len + p.w3*t.b_stop
+       |   + p.w4*t.b_distinct)::BIGINT AS z
+       | FROM f t CROSS JOIN it${graft.fit.QualityModel.LogisticIters} p)
+       |SELECT doc_id, label,
+       | CASE WHEN z > 0 THEN 1 ELSE 0 END::BIGINT AS prediction,
+       | z AS margin_micro,
+       | (label = CASE WHEN z > 0 THEN 1 ELSE 0 END) AS correct
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
 
   // The p3 position computation, shared VERBATIM by the p3 and p4
   // oracles (the driver hashes values, so a drifted re-statement of
@@ -337,20 +399,9 @@ object PackOps {
     // double arithmetic; per-(feature,bin,class) log-probs quantize to
     // integer micro-units BEFORE the per-doc sum (the t10/t11/s5
     // discipline), so scoring is exact integer arithmetic
+    "m10_logistic_det" -> logisticDetSql,
     "m15_nb_quality" ->
-      s"""WITH f AS MATERIALIZED (
-         | SELECT doc_id,
-         |  CASE WHEN (len(list_filter(string_split(text,' '), t -> ${graft.queries.TextOps.stopPred}))::DOUBLE
-         |        / len(string_split(text,' '))) * 0.5
-         |       + LEAST(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) * 0.5 >= 0.3
-         |   THEN 1 ELSE 0 END::BIGINT AS label,
-         |  LEAST(FLOOR(len(string_split(text,' '))::DOUBLE / 10.0), 12.0)::BIGINT AS b_ntok,
-         |  LEAST(FLOOR(length(text)::DOUBLE / len(string_split(text,' ')) * 2.0), 20.0)::BIGINT AS b_avg_len,
-         |  LEAST(FLOOR((len(list_filter(string_split(text,' '), t -> ${graft.queries.TextOps.stopPred}))::DOUBLE
-         |        / len(string_split(text,' '))) * 10.0), 10.0)::BIGINT AS b_stop,
-         |  LEAST(FLOOR(len(list_distinct(string_split(text,' ')))::DOUBLE
-         |        / len(string_split(text,' ')) * 10.0), 10.0)::BIGINT AS b_distinct
-         | FROM documents),
+      s"""WITH $binnedFCte,
          |mf AS MATERIALIZED (
          | SELECT doc_id, label, 'avg_len' AS fname, b_avg_len AS bin FROM f
          | UNION ALL SELECT doc_id, label, 'distinct', b_distinct FROM f

@@ -383,6 +383,57 @@ class MinHashSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 1.0 && r.getBoolean(3))
   }
 
+  test("d14 match-identity CONTRACT: verdict cap-invariant, match_id = best survivor") {
+    import spark.implicits._
+    // History mega-bucket (5000 > DefaultMaxBucket): every member
+    // agrees on band_0 ("shared", mh0..7 = 7) and is unique on
+    // mh8..15. ONE member M — chosen to be dropped by the cap's
+    // xxhash64 threshold — also agrees with the batch doc on mh8..15,
+    // i.e. M is the GLOBAL argmax (est 1.0). This is exactly the
+    // regime GuardRecall measured at 0.9896 match_id agreement: the
+    // documented bounded-recall contract is
+    //   (a) the DUP VERDICT is cap-invariant (band agreement alone
+    //       puts est at 0.5 ≥ the 0.5 verdict threshold),
+    //   (b) match_id is the best match AMONG THE SURVIVING probed
+    //       subset (min-id member guaranteed in it), deterministic
+    //       across runs — but NOT necessarily the global argmax.
+    val n = 5000L
+    def sigRow(id: Long, tail: Long => Long, b1: String) =
+      (id, (0 until 8).map(_ => 7L) ++ (8 until 16).map(j => tail(j.toLong)),
+        "shared", b1)
+    // M: smallest id ≥ 3 the cap's hash threshold drops
+    // (ceil(5000/4096) = 2 → survivors have xxhash64(id) % 2 == 0)
+    val m: Long = spark.range(3, n + 1)
+      .where(pmod(xxhash64(col("id")), lit(2L)) =!= 0L)
+      .orderBy(col("id")).head()
+    val hist = ((2L to n).map(i =>
+      sigRow(i, j => i * 100 + j, s"solo$i")))
+      .toDF("doc_id", "mh", "band_0", "band_1")
+    val batchDf = Seq(sigRow(1L, j => m * 100 + j, "batchsolo"))
+      .toDF("doc_id", "mh", "band_0", "band_1")
+    def widen(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id") +:
+        (0 until 16).map(j => element_at(col("mh"), j + 1).as(s"mh$j")) :+
+        col("band_0") :+ col("band_1"): _*)
+    def probe() = queries.DedupOps
+      .incrementalProbeOf(widen(batchDf), widen(hist)).collect()
+    // unguarded truth: the global argmax M at est 1.0
+    spark.conf.set(MinHash.GuardConfKey, "off")
+    val off = try probe() finally spark.conf.unset(MinHash.GuardConfKey)
+    assert(off.head.getLong(1) === m && off.head.getDouble(2) === 1.0)
+    // guarded: M is dropped; the best SURVIVOR at est 0.5 is the
+    // guaranteed min-id member 2; the verdict is unchanged
+    val on1 = probe()
+    val on2 = probe() // determinism across runs
+    assert(on1.map(_.toSeq).toSeq === on2.map(_.toSeq).toSeq)
+    val r = on1.head
+    assert(r.getLong(1) === 2L,
+      s"best survivor must be the guaranteed min-id member, got ${r.getLong(1)}")
+    assert(r.getDouble(2) === 0.5)
+    assert(r.getBoolean(3) === off.head.getBoolean(3),
+      "the dup VERDICT must be cap-invariant")
+  }
+
   test("skew-guard bypass flag: plain plan, identical results on a clean corpus") {
     import spark.implicits._
     val rows = (0 until 3).flatMap { c =>

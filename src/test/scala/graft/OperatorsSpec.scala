@@ -505,6 +505,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("deterministic logistic twin learns the holdout and is bit-stable (m10_logistic_det)") {
+    val scored = graft.fit.QualityModel.m10LogisticDet(spark, sf)
+    val rows = scored.collect()
+    assert(rows.length === 500)
+    // same 0.8 holdout gate as m10's L-BFGS and m15's NB: the hard-
+    // sigmoid fixed-point GD must actually learn the feature→label map
+    val acc = graft.fit.QualityModel.holdoutAccuracy(scored)
+    assert(acc >= 0.8, s"deterministic-logistic held-out accuracy $acc")
+    // both classes predicted (not a majority-class collapse)
+    val preds = rows.map(_.getLong(2)).toSet
+    assert(preds === Set(0L, 1L))
+    // exact integer chain: bit-identical margins across runs
+    val again = graft.fit.QualityModel.m10LogisticDet(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(again === rows.map(r => (r.getLong(0), r.getLong(3))).toSeq)
+  }
+
   test("sequence packing: contiguous full chunks, token conservation, single carry-in (p1)") {
     val out = queries.PackOps.p1PackSequences(spark, sf).collect()
     assert(out.nonEmpty)
