@@ -149,23 +149,31 @@ object Bench {
     val common = names.filter(n => prior.contains(n) && !failed(n))
     val basisOk = failed.isEmpty && prior.nonEmpty &&
       common.size >= (0.9 * prior.size)
+    // Round-11 split (VERDICT r10 "What's wrong" #3): cold and warm
+    // are adjudicated INDEPENDENTLY. Warm is the verdict metric (the
+    // stable signal); cold includes per-query first-execution noise
+    // (footer reads, JIT) and on this box sat at 1.299x of basis with
+    // the old combined 1.3 gate — one slow cold JVM must not flap the
+    // warm verdict. `contended` remains the headline (= warm verdict,
+    // what VERDICT reads); `contended_cold` reports the cold side on
+    // its own.
     val warmMapNow = warm.toMap
     val coldMapNow = cold.toMap
-    val contended: Option[Boolean] =
-      if (!basisOk) None
+    val (contended, contendedCold): (Option[Boolean], Option[Boolean]) =
+      if (!basisOk) (None, None)
       else {
         val cCold = common.map(n => prior(n)._1).sum
         val cWarm = common.map(n => prior(n)._2).sum
         val nCold = common.map(coldMapNow).sum
         val nWarm = common.map(warmMapNow).sum
-        Some(nCold > 1.3 * cCold || nWarm > 1.3 * cWarm)
+        (Some(nWarm > 1.3 * cWarm), Some(nCold > 1.3 * cCold))
       }
-    def contendedJson: String = contended match {
-      case None => """"contended": null"""
-      case Some(v) =>
+    def contendedJson: String = (contended, contendedCold) match {
+      case (None, _) => """"contended": null, "contended_cold": null"""
+      case (Some(w), c) =>
         val cCold = common.map(n => prior(n)._1).sum
         val cWarm = common.map(n => prior(n)._2).sum
-        s""""contended": $v, "contended_basis": {"committed_cold_total": ${r3(cCold)}, "committed_warm_total": ${r3(cWarm)}, "common_queries": ${common.size}, "threshold": 1.3}"""
+        s""""contended": $w, "contended_cold": ${c.map(_.toString).getOrElse("null")}, "contended_basis": {"committed_cold_total": ${r3(cCold)}, "committed_warm_total": ${r3(cWarm)}, "common_queries": ${common.size}, "threshold": 1.3, "verdict_metric": "warm"}"""
     }
 
     // complete two-pass artifact (committed alongside the code)
@@ -255,7 +263,7 @@ object Bench {
       if (failed.isEmpty) "[]" else failed.map(n => s""""$n"""").mkString("[", ",", "]")
     def lineFor(qnames: Seq[String]): String = {
       val qs = qnames.map(k => "\"" + k + "\":" + r3(warmMap2(k))).mkString("{", ",", "}")
-      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","artifact":"${if (gateRejected) "kept_contended" else "refreshed"}","contended":${contended.map(_.toString).getOrElse("null")},"spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
+      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","artifact":"${if (gateRejected) "kept_contended" else "refreshed"}","contended":${contended.map(_.toString).getOrElse("null")},"contended_cold":${contendedCold.map(_.toString).getOrElse("null")},"spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
     }
     // headline priority: one representative per family, expensive first,
     // then everything else — trimmed from the back until the line fits.

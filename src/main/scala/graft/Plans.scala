@@ -97,7 +97,8 @@ object Plans {
       "mm5_image_stats" -> "per-row BMP decode on the lossless half of the image rows; integer luma stats inside the scan",
       "mm2_phash_bmp" -> "per-row BMP decode + integer pool/DCT/median pHash inside the scan — the oracle tier of mm2's dedup blocking",
       "mm2_phash_jpeg_golden" -> "per-row T.81 JPEG decode + the same integer pHash law, golden-pixel-oracled (r10): the decoder is the only unoracled stage",
-      "d7_content_hash" -> "adaptive chunk prefix from a 1-row count broadcast; L1+L2 share one (group, super) exchange, L3 reshuffles bucket-sized rows")
+      "d7_content_hash" -> "adaptive chunk prefix from a 1-row count broadcast; L1+L2 share one (group, super) exchange, L3 reshuffles bucket-sized rows",
+      "m10_logistic_det" -> "fixed-point GD trains at build (5 longs per iteration cross the driver); the returned plan is ONE codegen scoring scan over the binned features")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")
@@ -137,6 +138,40 @@ object Plans {
         "file list (r10), so the plan shows the NATIVE columnar scan " +
         "(PushedFilters/ReadSchema, whole-stage codegen) through the " +
         s"table format\n\n```\n$vPlan```\n")
+      // round 11: a PARTITIONED graftv table — the partition filter
+      // prunes the planned file set via the manifest's partition
+      // point stats BEFORE this plan exists (planInputPartitions);
+      // the spec asserting the planned-file count is
+      // VersionedSourceSpec."partitioned graftv scan".
+      val vpTmp = Files.createTempDirectory("plans-graftv-part-").toString
+      try {
+        sources.Versioned.commit(
+          spark.read.parquet(s"$sf/documents.parquet")
+            .withColumn("pb", org.apache.spark.sql.functions
+              .pmod(org.apache.spark.sql.functions.col("doc_id"),
+                org.apache.spark.sql.functions.lit(4))),
+          vpTmp, partitionBy = Seq("pb"))
+        val vpDf = spark.read.format("graftv").load(vpTmp)
+          .where(org.apache.spark.sql.functions.col("pb") === 2)
+          .groupBy("lang")
+          .agg(org.apache.spark.sql.functions.sum("n_chars").as("chars"))
+        val vpPlan = vpDf.queryExecution.explainString(
+          ExplainMode.fromString("formatted"))
+        sb.append("\n## graftv PARTITIONED scan (r11) — the pb = 2 " +
+          "filter prunes files at planInputPartitions via the " +
+          "manifest's partition point stats (file-count assert in " +
+          "VersionedSourceSpec); the surviving files read through the " +
+          s"same vectorized delegate\n\n```\n$vpPlan```\n")
+      } finally {
+        def rmp(p: java.nio.file.Path): Unit = {
+          if (Files.isDirectory(p)) {
+            val s = Files.list(p)
+            try s.iterator().forEachRemaining(rmp) finally s.close()
+          }
+          Files.deleteIfExists(p)
+        }
+        rmp(Paths.get(vpTmp))
+      }
     } finally {
       def rm(p: java.nio.file.Path): Unit = {
         if (Files.isDirectory(p)) {

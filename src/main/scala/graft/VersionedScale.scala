@@ -116,6 +116,30 @@ object VersionedScale {
     System.err.println(s"[versioned-scale] $label point lookup " +
       s"(stats-skipped) warm: ${r3(skipW)}s vs full-scan ${r3(conW)}s")
 
+    // ------------------- partitioned layout: partition-pruned scan
+    // (round 11) — the same corpus ingested partitionBy(pb = doc_id %
+    // 16); a connector scan filtered to ONE partition value should
+    // plan ~1/16 of the files via the manifest's partition point
+    // stats (structurally asserted in VersionedSourceSpec; this is
+    // the wall-clock beside it).
+    val partDir = s"$tableDir-part"
+    val tIngestPart = timed {
+      (0 until 8).foreach(i => Versioned.commit(
+        docs.where(pmod(col("doc_id"), lit(8)) === i)
+          .withColumn("pb", pmod(col("doc_id"), lit(16))),
+        partDir, "append", partitionBy = Seq("pb")))
+    }
+    def partAgg(df: DataFrame): Unit = {
+      df.agg(count(lit(1)), sum(col("n_chars"))).collect(); ()
+    }
+    val (partFullC, partFullW) =
+      lap2(partAgg(spark.read.format("graftv").load(partDir)))
+    val (partPruneC, partPruneW) =
+      lap2(partAgg(spark.read.format("graftv").load(partDir)
+        .where(col("pb") === 7)))
+    System.err.println(s"[versioned-scale] $label partitioned scan " +
+      s"warm: full ${r3(partFullW)}s vs pb=7 pruned ${r3(partPruneW)}s")
+
     val json =
       s"""{"label": "$label", "n_docs": $nDocs, "version": ${snap.version},
          | "live_files": ${snap.files.size},
@@ -126,7 +150,10 @@ object VersionedScale {
          |  "connector": {"cold": ${r3(conC)}, "warm": ${r3(conW)}}},
          | "d14_probe": {"raw": {"cold": ${r3(probeRawC)}, "warm": ${r3(probeRawW)}},
          |  "connector": {"cold": ${r3(probeConC)}, "warm": ${r3(probeConW)}}},
-         | "point_lookup_skipped": {"cold": ${r3(skipC)}, "warm": ${r3(skipW)}}}
+         | "point_lookup_skipped": {"cold": ${r3(skipC)}, "warm": ${r3(skipW)}},
+         | "partitioned": {"ingest_sec": ${r3(tIngestPart)},
+         |  "full": {"cold": ${r3(partFullC)}, "warm": ${r3(partFullW)}},
+         |  "pruned_1of16": {"cold": ${r3(partPruneC)}, "warm": ${r3(partPruneW)}}}}
          |""".stripMargin.replace("\n", "")
     val p = java.nio.file.Paths.get(s"bench/versioned_scale_$label.json")
     java.nio.file.Files.createDirectories(p.getParent)

@@ -508,20 +508,37 @@ object Graft {
 
     /** qid: v1_time_travel — commit `df` ("append" | "overwrite");
       * returns the new version. `mergeSchema = true` allows ADDITIVE
-      * append evolution (new nullable columns; old files null-fill). */
+      * append evolution (new nullable columns; old files null-fill).
+      * qid: v8_partitioned — `partitionBy` lays the commit out
+      * hive-style per partition value (appends inherit the table's
+      * layout; partition values become manifest point stats, so
+      * partition-filtered connector scans prune to the matching
+      * files). */
     def commit(df: DataFrame, path: String, mode: String = "append",
-        mergeSchema: Boolean = false): Int =
-      Versioned.commit(df, path, mode, mergeSchema)
+        mergeSchema: Boolean = false,
+        partitionBy: Seq[String] = Nil): Int =
+      Versioned.commit(df, path, mode, mergeSchema, partitionBy)
 
     /** Snapshot read, latest or as-of a version. */
     def read(spark: SparkSession, path: String,
         asOf: Option[Int] = None): DataFrame =
       Versioned.read(spark, path, asOf)
 
-    /** qid: v2_merge_upsert — copy-on-write upsert on a BIGINT key;
-      * only footer-range-intersecting files are rewritten. */
+    /** qid: v2_merge_upsert — copy-on-write upsert on a single key;
+      * only stats-range-intersecting files are rewritten. */
     def merge(updates: DataFrame, path: String, key: String): Int =
       Versioned.merge(updates, path, key)
+
+    /** qid: v7_merge_composite — MERGE on a COMPOSITE key (any mix of
+      * integral and STRING columns) with Delta-style clauses:
+      * `WhenMatched.Update/Delete/Ignore` and
+      * `WhenNotMatched.Insert/Ignore`, clause conditions over the
+      * source row. Defaults reproduce the plain upsert. */
+    def merge(updates: DataFrame, path: String, keys: Seq[String],
+        whenMatched: Versioned.WhenMatched = Versioned.WhenMatched.Update(None),
+        whenNotMatched: Versioned.WhenNotMatched =
+          Versioned.WhenNotMatched.Insert(None)): Int =
+      Versioned.merge(updates, path, keys, whenMatched, whenNotMatched)
 
     /** Copy-on-write delete of rows matching `pred`. */
     def deleteWhere(spark: SparkSession, path: String,

@@ -21,7 +21,7 @@ import graft.Tables
   */
 object DedupOps {
 
-  private val K = 16 // minhash signature length
+  private[graft] val K = 16 // minhash signature length
   private def toks: Column = split(col("text"), " ")
 
   /** Word 3-shingles of the token array. */

@@ -74,7 +74,10 @@ class CacheHygieneSpec extends AnyFunSuite {
     "v2_merge_upsert",  // commit/merge/delete pipeline at build (same shape)
     "v3_source_read",   // commits + DSv2 reads collected at build
     "v4_change_feed",   // commits + CDC aggregate collected at build
-    "v5_schema_evolution" // commits + evolved read collected at build
+    "v5_schema_evolution", // commits + evolved read collected at build
+    "v7_merge_composite", // composite-key merge pipeline at build (v2 shape)
+    "v8_partitioned",   // partitioned commits + pruned reads at build
+    "m10_logistic_det"  // fixed-point GD iterations at fit time
   )
 
   test("no registered query leaves cache-manager entries behind") {
