@@ -80,6 +80,39 @@ class VersionedSourceSpec extends AnyFunSuite {
     assert(seen.size === 3)
   }
 
+  test("streaming + change feed over a PARTITIONED table: full rows, merge post-images") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit((1L to 8L).map(i => (i, i % 2, s"s$i"))
+      .toDF("id", "p", "s"), t, partitionBy = Seq("p")) // v1
+    Versioned.commit(Seq((9L, 1L, "s9")).toDF("id", "p", "s"), t) // v2
+    // plain tail: the example reader serves partitioned data files
+    // with every column (rows physically carry them; path consts are
+    // a redundant cross-check)
+    val ckpt = Files.createTempDirectory("graftv-part-ckpt-").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+    val q = spark.readStream.format("graftv").load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          seen.add((r.getLong(0), r.getLong(1), r.getString(2)))); ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(seen.asScala.toSeq.sorted ===
+      (1L to 9L).map(i => (i, i % 2, s"s$i")).sorted)
+    // change feed THROUGH a merge on the partitioned layout
+    Versioned.merge(Seq((4L, 0L, "S4"), (10L, 0L, "S10"))
+      .toDF("id", "p", "s"), t, Seq("id")) // v3
+    val ch = Versioned.readChanges(spark, t, 2, 3)
+      .select("_change_type", "id", "p", "s").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    assert(ch === Seq(
+      ("insert", 10L, 0L, "S10"),
+      ("update_postimage", 4L, 0L, "S4"),
+      ("update_preimage", 4L, 0L, "s4")))
+  }
+
   test("incremental minhash probe over a graftv tail: exactly-once, equals batch d14") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
