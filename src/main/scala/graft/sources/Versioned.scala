@@ -144,6 +144,11 @@ object Versioned {
     }
   }
 
+  /** [[norm]] / [[fileStatsOf]], exposed for the DSv2 writer. */
+  private[sources] def normPath(p: String): String = norm(p)
+  private[sources] def statsOf(spark: SparkSession, path: String,
+      files: Seq[String]): FileStats = fileStatsOf(spark, path, files)
+
   private def dataPath(path: String, commitId: String): Path =
     Paths.get(norm(path), "data", s"c-$commitId")
 
@@ -596,6 +601,18 @@ object Versioned {
     // retries)
     val addedStats = statsForFiles(df.sparkSession, path, added, pcols,
       df.schema)
+    publishAdded(path, added, ddl, mode, txn, mergeSchema, pcols,
+      addedStats)
+  }
+
+  /** Publish ALREADY-WRITTEN data files as an append/overwrite commit
+    * — the seam shared by [[commitInternal]] (which writes the files
+    * itself) and the DSv2 batch writer (whose TASKS write the files;
+    * the driver publishes once all succeed). */
+  private[sources] def publishAdded(path: String, added: Seq[String],
+      ddl: String, mode: String, txn: Option[(String, Long)],
+      mergeSchema: Boolean, pcols: Seq[String],
+      addedStats: FileStats): Option[Int] = {
     var attempt = 0
     while (attempt < 64) {
       val vs = versions(path)

@@ -8,7 +8,7 @@ import org.apache.parquet.example.data.Group
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
-import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -95,17 +95,194 @@ class VersionedSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class VersionedTable(path: String, asOf: Option[Int],
-    tblSchema: StructType, changeFeed: Boolean) extends Table with SupportsRead {
+    tblSchema: StructType, changeFeed: Boolean)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftv:$path"
   override def schema(): StructType = tblSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(path, asOf, tblSchema,
       Option(options.get("startingversion")).map(_.toInt).getOrElse(0),
       Option(options.get("endingversion")).map(_.toInt),
       options.getBoolean("skipchangecommits", false), changeFeed,
       Option(options.get("maxversionspertrigger")).map(_.toInt))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new VersionedWriteBuilder(path, info.schema())
+}
+
+/** DSv2 WRITE path (round 11): `df.write.format("graftv")
+  * .mode("append" | "overwrite").save(path)` and SQL `INSERT INTO` /
+  * `INSERT OVERWRITE` over `CREATE TABLE … USING graftv` tables.
+  * Tasks write plain parquet part files under `data/c-<commit>/`
+  * (invisible until published — the log is the source of truth, so a
+  * failed/speculative task's stray file is simply never referenced
+  * and vacuum reclaims it); the driver publishes ONE manifest once
+  * every task committed, through the same optimistic-retry publish
+  * as the library `commit` ([[Versioned.publishAdded]]) — appends
+  * land atomically beside concurrent writers, schema mismatches
+  * fail loudly. Partitioned tables reject DSv2 writes (their layout
+  * is the library `commit(partitionBy = …)` surface), and the FIRST
+  * commit of a fresh table goes through `Versioned.commit` too (the
+  * provider must infer the table schema before a write resolves). */
+private[sources] class VersionedWriteBuilder(path: String,
+    writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new VersionedBatchWrite(path, writeSchema, overwrite)
+    }
+}
+
+private[sources] case class VersionedCommitMsg(relPath: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class VersionedBatchWrite(path: String,
+    schema: StructType, overwrite: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private val commitId = java.util.UUID.randomUUID().toString.take(12)
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    VersionedWriterFactory(s"$path/data/c-$commitId", schema.toDDL)
+
+  override def commit(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val added = messages.collect {
+      case VersionedCommitMsg(rel) if rel.nonEmpty => s"data/c-$commitId/$rel"
+    }.toSeq.sorted
+    val ddl = StructType(schema.fields.map(_.copy(nullable = true))).toDDL
+    val mode = if (overwrite) "overwrite" else "append"
+    // an all-empty append still publishes a (fileless) commit — the
+    // same contract as committing an empty DataFrame
+    Versioned.publishAdded(path, added, ddl, mode, txn = None,
+      mergeSchema = false, pcols = Nil,
+      addedStats = Versioned.statsOf(spark, path, added))
+    ()
+  }
+
+  override def abort(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    // delete whatever tasks managed to write; the unpublished commit
+    // dir is invisible either way
+    val dir = java.nio.file.Paths.get(
+      Versioned.normPath(s"$path/data/c-$commitId"))
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.foreach(java.nio.file.Files.deleteIfExists)
+      finally s.close()
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+}
+
+/** Executor-side writer: the write twin of the example-reader tier —
+  * primitive columns via the parquet Group API. The vectorized
+  * library `commit` path remains the bulk-ingest tier; this exists so
+  * the SQL/DataFrame write surface is first-class. */
+private[sources] case class VersionedWriterFactory(dataDir: String,
+    ddl: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new VersionedDataWriter(dataDir, ddl, partitionId, taskId)
+}
+
+private[sources] class VersionedDataWriter(dataDir: String, ddl: String,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+  import org.apache.spark.sql.types._
+
+  private val schema = StructType.fromDDL(ddl)
+  private val fileName =
+    f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+  private val msgType: MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.addField(Types.optional(INT64).named(f.name))
+        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
+        case DoubleType => b.addField(Types.optional(DOUBLE).named(f.name))
+        case FloatType => b.addField(Types.optional(FLOAT).named(f.name))
+        case BooleanType => b.addField(Types.optional(BOOLEAN).named(f.name))
+        case StringType => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case BinaryType => b.addField(Types.optional(BINARY).named(f.name))
+        case other => sys.error(
+          s"graftv: unsupported write column type $other (${f.name}) — " +
+            "the DSv2 writer covers primitive columns; use " +
+            "Versioned.commit for nested schemas")
+      }
+    }
+    b.named("spark_schema")
+  }
+  private val writer = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(Versioned.normPath(dataDir)))
+    org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dataDir/$fileName"),
+        new Configuration()))
+      .withType(msgType)
+      .build()
+  }
+  private val groupFactory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+
+  override def write(row: InternalRow): Unit = {
+    val g = groupFactory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val f = schema(i)
+        f.dataType match {
+          case LongType => g.append(f.name, row.getLong(i))
+          case IntegerType => g.append(f.name, row.getInt(i))
+          case DoubleType => g.append(f.name, row.getDouble(i))
+          case FloatType => g.append(f.name, row.getFloat(i))
+          case BooleanType => g.append(f.name, row.getBoolean(i))
+          case StringType => g.append(f.name,
+            org.apache.parquet.io.api.Binary
+              .fromString(row.getUTF8String(i).toString))
+          case BinaryType => g.append(f.name,
+            org.apache.parquet.io.api.Binary
+              .fromConstantByteArray(row.getBinary(i)))
+          case other => sys.error(s"graftv: unsupported $other")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writer.close()
+    VersionedCommitMsg(fileName)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => () }
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(Versioned.normPath(s"$dataDir/$fileName")))
+    ()
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],

@@ -80,6 +80,56 @@ class VersionedSourceSpec extends AnyFunSuite {
     assert(seen.size === 3)
   }
 
+  test("DSv2 WRITE: df.write append/overwrite and SQL INSERT INTO publish real commits") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, "a", 0.5)).toDF("id", "s", "x"), t) // v1 (library)
+    // DataFrame append through the connector
+    Seq((2L, "b", 1.5), (3L, "c", 2.5)).toDF("id", "s", "x")
+      .write.format("graftv").mode("append").save(t)
+    assert(Versioned.versions(t).max === 2)
+    assert(Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+      === Seq((1L, "a", 0.5), (2L, "b", 1.5), (3L, "c", 2.5)))
+    // the written files carry footer stats into the manifest like any
+    // other commit — data skipping covers DSv2-written files too
+    val snap = Versioned.snapshot(t)
+    val v2Files = snap.files.filterNot(
+      Versioned.snapshot(t, Some(1)).files.toSet)
+    assert(v2Files.nonEmpty)
+    assert(v2Files.forall(f => snap.stats(f).get("id")
+      .exists(_.isInstanceOf[Versioned.LongStat])))
+    // overwrite replaces the live set as a new version; history intact
+    Seq((9L, "z", 9.0)).toDF("id", "s", "x")
+      .write.format("graftv").mode("overwrite").save(t)
+    assert(Versioned.read(spark, t).collect().map(_.getLong(0)).toSeq
+      === Seq(9L))
+    assert(Versioned.read(spark, t, Some(2)).count() === 3L)
+    // SQL INSERT INTO over a catalog graftv table
+    spark.sql("DROP TABLE IF EXISTS g_ins")
+    spark.sql(s"CREATE TABLE g_ins USING graftv LOCATION '$t'")
+    spark.sql("INSERT INTO g_ins VALUES (10, 'ten', 10.0)")
+    assert(spark.sql("SELECT id FROM g_ins ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(9L, 10L))
+    assert(Versioned.versions(t).max === 4)
+    spark.sql("DROP TABLE g_ins")
+    // schema mismatch fails loudly, nothing published
+    val before = Versioned.versions(t).max
+    intercept[Exception] {
+      Seq((1L, 2L)).toDF("id", "y").write.format("graftv")
+        .mode("append").save(t)
+    }
+    assert(Versioned.versions(t).max === before)
+    // a partitioned table rejects the DSv2 write path loudly
+    val tp = tmpTable()
+    Versioned.commit(Seq((1L, 0L)).toDF("id", "p"), tp,
+      partitionBy = Seq("p"))
+    intercept[Exception] {
+      Seq((2L, 1L)).toDF("id", "p").write.format("graftv")
+        .mode("append").save(tp)
+    }
+  }
+
   test("streaming + change feed over a PARTITIONED table: full rows, merge post-images") {
     import spark.implicits._
     val t = tmpTable()
