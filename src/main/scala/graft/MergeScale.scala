@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Versioned
+
+/** Measures the round-11 STRING-KEY merge path at corpus scale: the
+  * reference's row identity is a uuid4 string, so the load-bearing
+  * question is whether a uuid-keyed upsert on a large table still
+  * prunes its copy-on-write set from the manifest's (truncated ASCII)
+  * string stats the way the BIGINT path does.
+  *
+  * Protocol on a `MakeScale`-expanded corpus: commit the documents
+  * with a `u-<id>` uuid key in 8 appends, OPTIMIZE range-clustered ON
+  * THE STRING KEY (tight per-file string ranges), then merge a small
+  * uuid batch three ways and record wall-clock + the carried-file
+  * count (files NOT rewritten = proof the string stats pruned):
+  *  - a range-tight batch (uuids from one narrow key range);
+  *  - a scattered batch (uuids spread across the key space);
+  *  - a composite (uuid, bucket) batch through the same machinery.
+  *
+  * Output: bench/merge_string_<label>.json.
+  */
+object MergeScale {
+  private def r3(x: Double): Double = math.rint(x * 1000) / 1000
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val tableDir = args(1)
+    val label = if (args.length > 2) args(2) else "25x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    val docs = Tables(spark, srcDir, "documents")
+      .select(
+        concat(lit("u-"), lpad(col("doc_id").cast("string"), 12, "0"))
+          .as("uid"),
+        pmod(col("doc_id"), lit(7)).as("bucket"),
+        col("n_chars"), col("doc_id"))
+    val tbl = docs.select(col("uid"), col("bucket"), col("n_chars"))
+    val nDocs = docs.count()
+
+    val tIngest = timed {
+      (0 until 8).foreach(i =>
+        Versioned.commit(tbl.where(pmod(col("doc_id"), lit(8)) === i),
+          tableDir, "append"))
+    }
+    val tCluster = timed {
+      Versioned.optimize(spark, tableDir, numFiles = 32,
+        clusterBy = Seq("uid"))
+    }
+    val base = Versioned.snapshot(tableDir)
+    System.err.println(s"[merge-scale] $label: $nDocs docs, " +
+      s"${base.files.size} files clustered on the STRING key; " +
+      s"ingest ${r3(tIngest)}s cluster ${r3(tCluster)}s")
+
+    def mergeProbe(name: String, updates: DataFrame,
+        keys: Seq[String]): String = {
+      val before = Versioned.snapshot(tableDir)
+      val nUpd = updates.count()
+      val t = timed { Versioned.merge(updates, tableDir, keys) }
+      val after = Versioned.snapshot(tableDir)
+      val carried = after.files.toSet.intersect(before.files.toSet).size
+      val rewritten = before.files.size - carried
+      System.err.println(f"[merge-scale] $label $name: $nUpd rows, " +
+        f"$carried of ${before.files.size} files carried " +
+        f"($rewritten rewritten) in ${t}%.2fs")
+      s"""  "$name": {"rows": $nUpd, "files_before": ${before.files.size}, "carried": $carried, "rewritten": $rewritten, "sec": ${r3(t)}}"""
+    }
+
+    // key-range endpoints taken FROM the data (the id space is
+    // MakeScale-re-keyed, so literal ranges would miss): the sorted
+    // uuid list's [1000, 1300) and [10000, 10200) slices — O(slices)
+    // driver rows, study-driver only
+    val uids = tbl.select(col("uid")).orderBy(col("uid"))
+      .limit(10200).collect().map(_.getString(0))
+    // 1. range-tight: one narrow uuid range (the clustered layout's
+    // best case — the string stats should carry almost everything)
+    val tight = mergeProbe("uuid_range_tight",
+      tbl.where(col("uid").between(uids(1000), uids(1299)))
+        .withColumn("n_chars", -col("n_chars")),
+      Seq("uid"))
+    // 2. scattered: a hash residue across the whole key space (worst
+    // case for range stats — the rewrite set approaches the file
+    // count, which is the honest cost of a scattered upsert)
+    val scattered = mergeProbe("uuid_scattered",
+      tbl.where(pmod(xxhash64(col("uid")), lit(400L)) === 0L)
+        .withColumn("n_chars", -col("n_chars")),
+      Seq("uid"))
+    // 3. composite (uuid, bucket) through the same machinery
+    val composite = mergeProbe("composite_uuid_bucket",
+      tbl.where(col("uid").between(uids(10000), uids(10199)))
+        .withColumn("n_chars", lit(0L)),
+      Seq("uid", "bucket"))
+
+    val json = s"""{\n  "label": "$label", "n_docs": $nDocs, "ingest_sec": ${r3(tIngest)}, "cluster_sec": ${r3(tCluster)},\n$tight,\n$scattered,\n$composite\n}\n"""
+    val p = java.nio.file.Paths.get(s"bench/merge_string_$label.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, json)
+    println(json)
+    spark.stop()
+  }
+}

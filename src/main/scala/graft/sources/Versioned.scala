@@ -984,8 +984,15 @@ object Versioned {
         updates.where(condOf(c)).join(existingKeys, keys, "left_anti")
       case WhenNotMatched.Ignore => none
     }
+    // the rewrite keeps the TOUCHED set's file granularity: without
+    // the coalesce the union inherits the join's shuffle partitioning
+    // and a 1-file rewrite lands as shuffle-partition-many small
+    // files — per-merge smallification that would hand OPTIMIZE a
+    // chronic backlog (measured: 1 touched file re-emerged as 17)
     writeData(keptExisting.unionByName(updatedRows)
-      .unionByName(insertedRows), s"$path/$dataRel", base.partitionCols)
+      .unionByName(insertedRows)
+      .coalesce(math.max(1, touched.size)), s"$path/$dataRel",
+      base.partitionCols)
     val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
     val files = untouched.map(_._1) ++ added
