@@ -1103,22 +1103,135 @@ object Versioned {
       .map(f => s"$rel/$f")
   }
 
-  /** DELETE rows matching `pred`: rewrite the live set filtered (at
-    * scale, the same footer-range pruning as [[merge]] applies when
-    * the predicate is key-range-shaped; arbitrary predicates rewrite
-    * what they scan). Publishes as a checkpoint with the same
-    * conflict detection as merge. */
+  /** Conjunctive NECESSARY per-column bounds of a predicate tree: any
+    * row satisfying the predicate must have each bounded column
+    * inside its range. Used to SKIP files whose stats are disjoint
+    * from a bound (they can hold no matching row). Conservative by
+    * construction — unanalyzable shapes contribute nothing, `Or`
+    * widens, non-ASCII string literals never bound. */
+  private def predBounds(e: org.apache.spark.sql.graftx.ColumnExpr.Node)
+      : Map[String, ColStat] = {
+    import org.apache.spark.sql.graftx.ColumnExpr._
+    def nameOf(x: Node): Option[String] = x match {
+      case Attr(n) => Some(n)
+      case _ => None
+    }
+    def longOf(l: Any): Option[Long] = l match {
+      case v: Long => Some(v); case v: Int => Some(v.toLong)
+      case v: Short => Some(v.toLong); case v: Byte => Some(v.toLong)
+      case _ => None
+    }
+    def strOf(l: Any): Option[String] = l match {
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        val s = u.toString; if (isAscii(s)) Some(s) else None
+      case s: String if isAscii(s) => Some(s)
+      case _ => None
+    }
+    val StrTop = "￿" * 8 // above any ASCII-ranged file stat
+    def stat(lo: Option[Long], hi: Option[Long], slo: Option[String],
+        shi: Option[String]): Option[ColStat] =
+      if (lo.isDefined || hi.isDefined)
+        Some(LongStat(lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)))
+      else if (slo.isDefined || shi.isDefined)
+        Some(StrStat(slo.getOrElse(""), shi.getOrElse(StrTop)))
+      else None
+    def one(col: Option[String], s: Option[ColStat]): Map[String, ColStat] =
+      (for (c <- col; v <- s) yield Map(c -> v)).getOrElse(Map.empty)
+    def intersect(a: Map[String, ColStat], b: Map[String, ColStat]) =
+      (a.keySet ++ b.keySet).flatMap { c =>
+        ((a.get(c), b.get(c)) match {
+          case (Some(LongStat(l1, h1)), Some(LongStat(l2, h2))) =>
+            Some(LongStat(math.max(l1, l2), math.min(h1, h2)))
+          case (Some(StrStat(l1, h1)), Some(StrStat(l2, h2))) =>
+            Some(StrStat(if (l1 >= l2) l1 else l2, if (h1 <= h2) h1 else h2))
+          case (x, y) => x.orElse(y)
+        }).map(c -> _)
+      }.toMap
+    def union(a: Map[String, ColStat], b: Map[String, ColStat]) =
+      a.keySet.intersect(b.keySet).flatMap { c =>
+        ((a(c), b(c)) match {
+          case (LongStat(l1, h1), LongStat(l2, h2)) =>
+            Some(LongStat(math.min(l1, l2), math.max(h1, h2)))
+          case (StrStat(l1, h1), StrStat(l2, h2)) =>
+            Some(StrStat(if (l1 <= l2) l1 else l2, if (h1 >= h2) h1 else h2))
+          case _ => None
+        }).map(c -> _)
+      }.toMap
+    def cmp(a: Node, v: Any, op: String): Map[String, ColStat] = op match {
+      case "=" | "==" | "<=>" if strOf(v).isDefined || longOf(v).isDefined =>
+        one(nameOf(a), stat(longOf(v), longOf(v), strOf(v), strOf(v)))
+      case ">" => one(nameOf(a), stat(longOf(v).map(x =>
+        if (x == Long.MaxValue) x else x + 1), None, strOf(v), None))
+      case ">=" => one(nameOf(a), stat(longOf(v), None, strOf(v), None))
+      case "<" => one(nameOf(a), stat(None, longOf(v).map(x =>
+        if (x == Long.MinValue) x else x - 1), None, strOf(v)))
+      case "<=" => one(nameOf(a), stat(None, longOf(v), None, strOf(v)))
+      case _ => Map.empty
+    }
+    def flip(op: String): String = op match {
+      case ">" => "<"; case ">=" => "<="
+      case "<" => ">"; case "<=" => ">="; case other => other
+    }
+    e match {
+      case Fn("and", Seq(l, r)) => intersect(predBounds(l), predBounds(r))
+      case Fn("or", Seq(l, r)) => union(predBounds(l), predBounds(r))
+      case Fn(op @ ("=" | "==" | "<=>" | ">" | ">=" | "<" | "<="),
+          Seq(a @ Attr(_), Lit(v))) => cmp(a, v, op)
+      case Fn(op @ ("=" | "==" | "<=>" | ">" | ">=" | "<" | "<="),
+          Seq(Lit(v), a @ Attr(_))) => cmp(a, v, flip(op))
+      case Fn("in", (a @ Attr(_)) +: vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Lit]) =>
+        val lits = vs.map(_.asInstanceOf[Lit].value)
+        val ls = lits.flatMap(longOf)
+        val ss = lits.flatMap(strOf)
+        if (ls.size == lits.size)
+          one(nameOf(a), Some(LongStat(ls.min, ls.max)))
+        else if (ss.size == lits.size)
+          one(nameOf(a), Some(StrStat(ss.min, ss.max)))
+        else Map.empty
+      case _ => Map.empty // unanalyzable: no necessary bound
+    }
+  }
+
+  /** DELETE rows matching `pred`, file-granular copy-on-write (round
+    * 11, the [[merge]] discipline applied to deletes): files whose
+    * stats are DISJOINT from the predicate's necessary bounds
+    * ([[predBounds]] — equality/range/IN shapes over stats-bearing
+    * columns) provably hold no matching row and carry into the new
+    * snapshot BY REFERENCE; only intersecting files rewrite.
+    * Unanalyzable predicates keep the rewrite-what-you-scan behavior.
+    * Publishes with the same strict conflict detection as before
+    * (any interloping commit aborts — a delete's row footprint is
+    * the predicate, which stats cannot bound from the other side). */
   def deleteWhere(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column): Int = {
     val base = snapshot(path)
-    val live = read(spark, path, Some(base.version))
+    val bounds = predBounds(
+      org.apache.spark.sql.graftx.ColumnExpr.nodeOf(pred))
+    val ranges = fileKeyStats(spark, path, base)
+    val (touched, untouched) = ranges.partition { case (_, st) =>
+      bounds.forall { case (c, b) => statIntersects(st.get(c), b) }
+    }
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val live =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(touched.map { case (f, _) => s"$path/$f" }: _*)
     val kept = live.where(!pred || pred.isNull)
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
-    writeData(kept, s"$path/$dataRel", base.partitionCols)
+    writeData(kept.coalesce(math.max(1, touched.size)),
+      s"$path/$dataRel", base.partitionCols)
     val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
-    // row-level CDF: the deleted rows, persisted before publish
+    val files = untouched.map(_._1) ++ added
+    val keptStats = base.stats.view
+      .filterKeys(untouched.map(_._1).toSet).toMap ++
+      statsForFiles(spark, path, added, base.partitionCols, schema)
+    // row-level CDF: the deleted rows (complete from the touched
+    // files alone — untouched files provably hold none), persisted
+    // before publish
     val changeRel = writeChanges(
       live.where(pred).withColumn("_change_type", lit("delete")),
       path, commitId)
@@ -1128,10 +1241,9 @@ object Versioned {
         s"versioned: delete at $path read v${base.version} but the log is " +
           s"at v$cur; retry")
     val txns = parseManifest(manifestPath(path, cur)).txns
-    if (!publish(path, Manifest(cur + 1, "delete", full = true, added,
+    if (!publish(path, Manifest(cur + 1, "delete", full = true, files,
       base.schemaDdl, txns, changes = Some(changeRel),
-      stats = statsForFiles(spark, path, added, base.partitionCols,
-        StructType.fromDDL(base.schemaDdl)),
+      stats = keptStats,
       partitionCols = base.partitionCols)))
       throw new java.util.ConcurrentModificationException(
         s"versioned: delete at $path lost the publish race; retry")

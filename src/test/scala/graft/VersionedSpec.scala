@@ -712,6 +712,50 @@ class VersionedSpec extends AnyFunSuite {
       (1L to 40L).filter(_ % 4 == 2))
   }
 
+  test("deleteWhere prunes range-shaped predicates: disjoint files carry by reference") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1), t)
+    Versioned.commit(Seq((100L, "c")).toDF("id", "s").coalesce(1), t)
+    Versioned.commit(Seq((200L, "d")).toDF("id", "s").coalesce(1), t)
+    val before = Versioned.snapshot(t)
+    // point delete: only the intersecting file rewrites
+    Versioned.deleteWhere(spark, t, col("id") === 100L)
+    val after = Versioned.snapshot(t)
+    val carried = after.files.toSet.intersect(before.files.toSet)
+    assert(carried.size === 2, s"disjoint files must carry: $carried")
+    assert(Versioned.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 200L))
+    // the CDF still lists exactly the deleted rows
+    val v = after.version
+    val ch = Versioned.readChanges(spark, t, v - 1, v)
+      .where(col("_change_type") === "delete").collect()
+    assert(ch.map(_.getLong(0)).toSeq === Seq(100L))
+    // range + conjunction shapes prune; disjunction widens soundly
+    val b2 = Versioned.snapshot(t)
+    Versioned.deleteWhere(spark, t,
+      col("id") >= 150L && col("id") <= 250L) // only the 200-file
+    val a2 = Versioned.snapshot(t)
+    assert(a2.files.toSet.intersect(b2.files.toSet).size >= 1)
+    assert(Versioned.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L))
+    // unanalyzable predicate: correct results, no pruning claims
+    Versioned.deleteWhere(spark, t, col("id") % 2 === 0L)
+    assert(Versioned.read(spark, t).collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    // string-key point delete prunes via the ASCII string stats
+    val ts = tmpTable()
+    Versioned.commit(Seq(("aaa", 1L)).toDF("k", "v").coalesce(1), ts)
+    Versioned.commit(Seq(("mmm", 2L)).toDF("k", "v").coalesce(1), ts)
+    val bs = Versioned.snapshot(ts)
+    Versioned.deleteWhere(spark, ts, col("k") === "mmm")
+    val as2 = Versioned.snapshot(ts)
+    assert(as2.files.toSet.intersect(bs.files.toSet).size === 1)
+    assert(Versioned.read(spark, ts).collect().map(_.getString(0)).toSeq
+      === Seq("aaa"))
+  }
+
   test("all-null column records NullStat; absent column never skips") {
     import spark.implicits._
     val t = tmpTable()
