@@ -823,18 +823,22 @@ object Versioned {
   }
 
   /** MERGE clause surface (Delta's whenMatched/whenNotMatched, scoped
-    * to schema-identical upserts): clause `condition`s are evaluated
-    * over the SOURCE row's columns (update only rows the source flags,
-    * delete-on-tombstone, insert gating). A matched target row whose
-    * source condition fails is left UNCHANGED. */
+    * to schema-identical upserts). Matched-clause `condition`s may
+    * reference BOTH sides by qualifier — `col("target.v") <
+    * col("source.v")` is the upsert-if-newer CDC pattern — or just
+    * the source row (unqualified columns resolve against the SOURCE;
+    * qualify both sides whenever target columns appear). Not-matched
+    * conditions are over the source row alone (there is no target
+    * row, Delta's rule). A matched target row whose condition fails
+    * is left UNCHANGED. */
   sealed trait WhenMatched
   object WhenMatched {
     /** Replace each matched target row by its source row (when the
-      * source-row condition holds). */
+      * condition holds). */
     final case class Update(condition: Option[Column] = None)
       extends WhenMatched
-    /** Delete each matched target row (when the source-row condition
-      * holds) — the tombstone-feed shape. */
+    /** Delete each matched target row (when the condition holds) —
+      * the tombstone-feed shape. */
     final case class Delete(condition: Option[Column] = None)
       extends WhenMatched
     /** Matched rows are left untouched (insert-only merge). */
@@ -842,7 +846,8 @@ object Versioned {
   }
   sealed trait WhenNotMatched
   object WhenNotMatched {
-    /** Insert each unmatched source row (when the condition holds). */
+    /** Insert each unmatched source row (when the source-row
+      * condition holds). */
     final case class Insert(condition: Option[Column] = None)
       extends WhenNotMatched
     /** Unmatched source rows are dropped (update-only merge). */
@@ -962,26 +967,39 @@ object Versioned {
     val keyCols = keys.map(col)
     def condOf(c: Option[Column]): Column = c.getOrElse(lit(true))
     val none = updates.limit(0)
-    // source rows whose matched-clause fires (update or delete targets)
-    val affecting = whenMatched match {
-      case WhenMatched.Update(c) => updates.where(condOf(c))
-      case WhenMatched.Delete(c) => updates.where(condOf(c))
-      case WhenMatched.Ignore => none
-    }
     val existingKeys = existing.select(keyCols: _*)
+    /** Keys of matched (target, source) pairs whose matched-clause
+      * condition FIRES. A condition referencing `target.…` evaluates
+      * on the aliased pair join; a source-only condition evaluates on
+      * the aliased source alone (cheaper — no pair join) and then
+      * restricts to matched keys. */
+    def firedMatchedKeys(c: Option[Column]): DataFrame =
+      if (c.exists(cond => org.apache.spark.sql.graftx.ColumnExpr
+          .referencesQualifier(cond, "target"))) {
+        val joinCond = keys.map(k =>
+          col(s"target.$k") === col(s"source.$k")).reduce(_ && _)
+        existing.alias("target").join(updates.alias("source"), joinCond)
+          .where(condOf(c))
+          .select(keys.map(k => col(s"source.$k").as(k)): _*)
+      } else updates.alias("source").where(condOf(c))
+        .select(keyCols: _*).join(existingKeys, keys, "left_semi")
+    val fired = whenMatched match {
+      case WhenMatched.Update(c) => firedMatchedKeys(c)
+      case WhenMatched.Delete(c) => firedMatchedKeys(c)
+      case WhenMatched.Ignore => none.select(keyCols: _*)
+    }
     // matched target rows the clause touches (pre-images)
-    val matchedPre = existing.join(
-      affecting.select(keyCols: _*), keys, "left_semi")
-    val keptExisting = existing.join(
-      affecting.select(keyCols: _*), keys, "left_anti")
+    val matchedPre = existing.join(fired, keys, "left_semi")
+    val keptExisting = existing.join(fired, keys, "left_anti")
     val updatedRows = whenMatched match {
-      case WhenMatched.Update(c) =>
-        updates.where(condOf(c)).join(existingKeys, keys, "left_semi")
+      case WhenMatched.Update(_) =>
+        updates.join(fired, keys, "left_semi")
       case _ => none // delete/ignore contribute nothing for matched
     }
     val insertedRows = whenNotMatched match {
       case WhenNotMatched.Insert(c) =>
-        updates.where(condOf(c)).join(existingKeys, keys, "left_anti")
+        updates.alias("source").where(condOf(c))
+          .join(existingKeys, keys, "left_anti")
       case WhenNotMatched.Ignore => none
     }
     // the rewrite keeps the TOUCHED set's file granularity: without
@@ -1113,7 +1131,7 @@ object Versioned {
       : Map[String, ColStat] = {
     import org.apache.spark.sql.graftx.ColumnExpr._
     def nameOf(x: Node): Option[String] = x match {
-      case Attr(n) => Some(n)
+      case a: Attr => Some(a.name)
       case _ => None
     }
     def longOf(l: Any): Option[Long] = l match {

@@ -12,11 +12,25 @@ import org.apache.spark.sql.Column
 object ColumnExpr {
   sealed trait Node
   final case class Fn(name: String, args: Seq[Node]) extends Node
-  final case class Attr(name: String) extends Node
+  final case class Attr(parts: Seq[String]) extends Node {
+    def name: String = parts.last
+  }
   final case class Lit(value: Any) extends Node
   case object Opaque extends Node
 
   def nodeOf(c: Column): Node = conv(c.node)
+
+  /** Does the predicate reference a `<qualifier>.…` attribute? (Used
+    * by merge to detect clause conditions over the TARGET side.) */
+  def referencesQualifier(c: Column, qualifier: String): Boolean = {
+    def walk(n: Node): Boolean = n match {
+      case Fn(_, args) => args.exists(walk)
+      case Attr(parts) => parts.length > 1 &&
+        parts.head.equalsIgnoreCase(qualifier)
+      case _ => false
+    }
+    walk(nodeOf(c))
+  }
 
   private def conv(n: org.apache.spark.sql.internal.ColumnNode): Node =
     n match {
@@ -24,7 +38,7 @@ object ColumnExpr {
         Fn(f.functionName.toLowerCase(java.util.Locale.ROOT),
           f.arguments.map(conv))
       case a: org.apache.spark.sql.internal.UnresolvedAttribute =>
-        Attr(a.nameParts.last)
+        Attr(a.nameParts)
       case l: org.apache.spark.sql.internal.Literal => Lit(l.value)
       case _ => Opaque
     }

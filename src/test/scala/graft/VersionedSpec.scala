@@ -600,6 +600,32 @@ class VersionedSpec extends AnyFunSuite {
     assert(ch === Seq(("delete", 2L)))
   }
 
+  test("merge conditions over the TARGET row: upsert-if-newer and stale-delete") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, 10L), (2L, 50L), (3L, 30L))
+      .toDF("id", "v"), t)
+    // upsert-if-newer (the CDC staple): update only when the source
+    // value beats the target's; unmatched rows insert
+    val src = Seq((1L, 99L), (2L, 7L), (4L, 40L)).toDF("id", "v")
+    Versioned.merge(src, t, Seq("id"),
+      whenMatched = Versioned.WhenMatched.Update(
+        Some(col("source.v") > col("target.v"))))
+    val rows = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // 1: 99 (newer wins), 2: 50 UNCHANGED (stale source), 3: 30, 4: inserted
+    assert(rows === Seq((1L, 99L), (2L, 50L), (3L, 30L), (4L, 40L)))
+    // stale-delete: remove matched targets older than the tombstone
+    val tomb = Seq((2L, 60L), (3L, 10L)).toDF("id", "v")
+    Versioned.merge(tomb, t, Seq("id"),
+      whenMatched = Versioned.WhenMatched.Delete(
+        Some(col("target.v") < col("source.v"))),
+      whenNotMatched = Versioned.WhenNotMatched.Ignore)
+    // 2 deleted (50 < 60); 3 kept (30 >= 10)
+    assert(Versioned.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 3L, 4L))
+  }
+
   test("merge rejects null keys, duplicate keys, unsupported key types") {
     import spark.implicits._
     val t = tmpTable()
