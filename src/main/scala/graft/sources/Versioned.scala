@@ -144,10 +144,29 @@ object Versioned {
     }
   }
 
-  /** [[norm]] / [[fileStatsOf]], exposed for the DSv2 writer. */
+  /** [[norm]] / [[fileStatsOf]] / [[statsForFiles]] / hive escaping,
+    * exposed for the DSv2 writer. */
   private[sources] def normPath(p: String): String = norm(p)
   private[sources] def statsOf(spark: SparkSession, path: String,
       files: Seq[String]): FileStats = fileStatsOf(spark, path, files)
+  private[sources] def statsOfPartitioned(spark: SparkSession,
+      path: String, files: Seq[String], pcols: Seq[String],
+      schema: StructType): FileStats =
+    statsForFiles(spark, path, files, pcols, schema)
+
+  /** Hive-style path escaping of a partition VALUE (the inverse of
+    * [[unescapePathName]]): the chars Spark's partitioned writer
+    * percent-encodes, so DSv2-written partition dirs parse back
+    * identically. */
+  private[sources] def escapePathName(s: String): String = {
+    val needs = "\"#%'*/:=?\\{[]^"
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (c < 0x20 || needs.contains(c)) sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
 
   private def dataPath(path: String, commitId: String): Path =
     Paths.get(norm(path), "data", s"c-$commitId")

@@ -125,10 +125,13 @@ private[sources] class VersionedTable(path: String, asOf: Option[Int],
   * every task committed, through the same optimistic-retry publish
   * as the library `commit` ([[Versioned.publishAdded]]) — appends
   * land atomically beside concurrent writers, schema mismatches
-  * fail loudly. Partitioned tables reject DSv2 writes (their layout
-  * is the library `commit(partitionBy = …)` surface), and the FIRST
-  * commit of a fresh table goes through `Versioned.commit` too (the
-  * provider must infer the table schema before a write resolves). */
+  * fail loudly. PARTITIONED tables write through the same path: each
+  * task routes rows to one sub-writer per partition value (hive-style
+  * `__part_<col>=<value>/` dirs, original columns kept in the rows —
+  * the table's Iceberg discipline), and the driver records partition
+  * point stats like the library commit. The FIRST commit of a fresh
+  * table goes through `Versioned.commit` (the provider must infer
+  * the table schema before a write resolves). */
 private[sources] class VersionedWriteBuilder(path: String,
     writeSchema: StructType)
     extends org.apache.spark.sql.connector.write.WriteBuilder
@@ -144,47 +147,57 @@ private[sources] class VersionedWriteBuilder(path: String,
     }
 }
 
-private[sources] case class VersionedCommitMsg(relPath: String)
+private[sources] case class VersionedCommitMsg(relPaths: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class VersionedBatchWrite(path: String,
     schema: StructType, overwrite: Boolean)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private val commitId = java.util.UUID.randomUUID().toString.take(12)
+  /** The table's partition layout — INSERTs inherit it, exactly like
+    * library appends (an overwrite through DSv2 drops to
+    * unpartitioned; re-laying-out is the library commit's surface). */
+  private val pcols: Seq[String] =
+    if (overwrite || Versioned.versions(path).isEmpty) Nil
+    else Versioned.snapshot(path).partitionCols
 
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    VersionedWriterFactory(s"$path/data/c-$commitId", schema.toDDL)
+    VersionedWriterFactory(s"$path/data/c-$commitId", schema.toDDL, pcols)
 
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     val added = messages.collect {
-      case VersionedCommitMsg(rel) if rel.nonEmpty => s"data/c-$commitId/$rel"
-    }.toSeq.sorted
+      case VersionedCommitMsg(rels) => rels.map(r => s"data/c-$commitId/$r")
+    }.toSeq.flatten.sorted
     val ddl = StructType(schema.fields.map(_.copy(nullable = true))).toDDL
     val mode = if (overwrite) "overwrite" else "append"
     // an all-empty append still publishes a (fileless) commit — the
     // same contract as committing an empty DataFrame
     Versioned.publishAdded(path, added, ddl, mode, txn = None,
-      mergeSchema = false, pcols = Nil,
-      addedStats = Versioned.statsOf(spark, path, added))
+      mergeSchema = false, pcols = pcols,
+      addedStats = Versioned.statsOfPartitioned(spark, path, added,
+        pcols, schema))
     ()
   }
 
   override def abort(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
-    // delete whatever tasks managed to write; the unpublished commit
-    // dir is invisible either way
+    // delete whatever tasks managed to write (recursively — a
+    // partitioned write nests value dirs); the unpublished commit dir
+    // is invisible either way
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.foreach(rm) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p); ()
+    }
     val dir = java.nio.file.Paths.get(
       Versioned.normPath(s"$path/data/c-$commitId"))
-    if (java.nio.file.Files.isDirectory(dir)) {
-      val s = java.nio.file.Files.list(dir)
-      try s.iterator().asScala.foreach(java.nio.file.Files.deleteIfExists)
-      finally s.close()
-      java.nio.file.Files.deleteIfExists(dir)
-    }
+    if (java.nio.file.Files.isDirectory(dir)) rm(dir)
   }
 }
 
@@ -193,23 +206,22 @@ private[sources] class VersionedBatchWrite(path: String,
   * library `commit` path remains the bulk-ingest tier; this exists so
   * the SQL/DataFrame write surface is first-class. */
 private[sources] case class VersionedWriterFactory(dataDir: String,
-    ddl: String)
+    ddl: String, pcols: Seq[String])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new VersionedDataWriter(dataDir, ddl, partitionId, taskId)
+    new VersionedDataWriter(dataDir, ddl, pcols, partitionId, taskId)
 }
 
 private[sources] class VersionedDataWriter(dataDir: String, ddl: String,
-    partitionId: Int, taskId: Long)
+    pcols: Seq[String], partitionId: Int, taskId: Long)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   import org.apache.spark.sql.types._
 
   private val schema = StructType.fromDDL(ddl)
-  private val fileName =
-    f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+  private val pIdx = pcols.map(c => schema.fieldIndex(c))
   private val msgType: MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
@@ -230,18 +242,51 @@ private[sources] class VersionedDataWriter(dataDir: String, ddl: String,
     }
     b.named("spark_schema")
   }
-  private val writer = {
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(Versioned.normPath(dataDir)))
-    org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(HadoopOutputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$dataDir/$fileName"),
-        new Configuration()))
-      .withType(msgType)
-      .build()
-  }
   private val groupFactory =
     new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+  // one sub-writer per partition-value tuple this task sees
+  // (unpartitioned: the single "" entry); value = (writer, relPath)
+  private val writers = scala.collection.mutable.LinkedHashMap
+    .empty[String, (org.apache.parquet.hadoop.ParquetWriter[
+      org.apache.parquet.example.data.Group], String)]
+
+  /** Hive-style partition sub-dir of a row ("" when unpartitioned). */
+  private def subDirOf(row: InternalRow): String =
+    if (pcols.isEmpty) ""
+    else pcols.zip(pIdx).map { case (c, i) =>
+      val rendered =
+        if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+        else schema(i).dataType match {
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case ShortType => row.getShort(i).toString
+          case ByteType => row.getByte(i).toString
+          case BooleanType => row.getBoolean(i).toString
+          case StringType => Versioned.escapePathName(
+            row.getUTF8String(i).toString)
+          case other => sys.error(
+            s"graftv: unsupported partition column type $other ($c)")
+        }
+      s"${Versioned.PartDirPrefix}$c=$rendered"
+    }.mkString("", "/", "/")
+
+  private def writerFor(row: InternalRow) = {
+    val sub = subDirOf(row)
+    writers.getOrElseUpdate(sub, {
+      val rel = sub +
+        f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()
+          .toString.take(8)}.parquet"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        Versioned.normPath(s"$dataDir/$sub")))
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dataDir/$rel"),
+          new Configuration()))
+        .withType(msgType)
+        .build()
+      (w, rel)
+    })._1
+  }
 
   override def write(row: InternalRow): Unit = {
     val g = groupFactory.newGroup()
@@ -266,19 +311,21 @@ private[sources] class VersionedDataWriter(dataDir: String, ddl: String,
       }
       i += 1
     }
-    writer.write(g)
+    writerFor(row).write(g)
   }
 
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    writer.close()
-    VersionedCommitMsg(fileName)
+    writers.values.foreach(_._1.close())
+    VersionedCommitMsg(writers.values.map(_._2).toSeq)
   }
 
   override def abort(): Unit = {
-    try writer.close() catch { case _: Throwable => () }
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(Versioned.normPath(s"$dataDir/$fileName")))
+    writers.values.foreach { case (w, rel) =>
+      try w.close() catch { case _: Throwable => () }
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(Versioned.normPath(s"$dataDir/$rel")))
+    }
     ()
   }
 

@@ -120,14 +120,29 @@ class VersionedSourceSpec extends AnyFunSuite {
         .mode("append").save(t)
     }
     assert(Versioned.versions(t).max === before)
-    // a partitioned table rejects the DSv2 write path loudly
+    // PARTITIONED tables: the DSv2 append inherits the layout — rows
+    // route to hive-style value dirs, partition point stats land in
+    // the manifest, and a partition-filtered scan prunes
     val tp = tmpTable()
-    Versioned.commit(Seq((1L, 0L)).toDF("id", "p"), tp,
+    Versioned.commit(Seq((1L, 0L, "a")).toDF("id", "p", "s"), tp,
       partitionBy = Seq("p"))
-    intercept[Exception] {
-      Seq((2L, 1L)).toDF("id", "p").write.format("graftv")
-        .mode("append").save(tp)
-    }
+    Seq((2L, 1L, "b"), (3L, 0L, "c"), (4L, 1L, "d"))
+      .toDF("id", "p", "s")
+      .write.format("graftv").mode("append").save(tp)
+    val snapP = Versioned.snapshot(tp)
+    assert(snapP.partitionCols === Seq("p"))
+    val newFiles = snapP.files.filterNot(
+      Versioned.snapshot(tp, Some(1)).files.toSet)
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("__part_p=")))
+    assert(newFiles.forall(f => snapP.stats(f)("p") match {
+      case Versioned.LongStat(lo, hi) => lo === hi
+      case _ => false
+    }), "partition point stats must land in the manifest")
+    assert(Versioned.read(spark, tp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      === Seq((1L, 0L, "a"), (2L, 1L, "b"), (3L, 0L, "c"), (4L, 1L, "d")))
+    assert(spark.read.format("graftv").load(tp).where(col("p") === 1L)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L))
   }
 
   test("streaming + change feed over a PARTITIONED table: full rows, merge post-images") {
