@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -143,6 +143,35 @@ class VersionedSourceSpec extends AnyFunSuite {
       === Seq((1L, 0L, "a"), (2L, 1L, "b"), (3L, 0L, "c"), (4L, 1L, "d")))
     assert(spark.read.format("graftv").load(tp).where(col("p") === 1L)
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L))
+  }
+
+  test("DSv2 write ABORT: a failing job publishes nothing and cleans its files") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), t) // v1
+    val boom = org.apache.spark.sql.functions.udf { (x: Long) =>
+      if (x == 3L) throw new RuntimeException("planted write failure")
+      x
+    }
+    intercept[Exception] {
+      Seq((2L, "b"), (3L, "c")).toDF("id", "s")
+        .repartition(1) // one task: the failure kills the whole batch
+        .withColumn("id", boom(col("id")))
+        .write.format("graftv").mode("append").save(t)
+    }
+    // the log never saw the commit; the table reads exactly v1
+    assert(Versioned.versions(t) === Seq(1))
+    assert(Versioned.read(spark, t).collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    // the aborted commit's directory is gone (driver-side abort) — at
+    // worst a stray dir would be unreferenced and vacuumable, but the
+    // clean path is asserted here
+    val dataDirs = {
+      val s = Files.list(Paths.get(t, "data"))
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
+      finally s.close()
+    }
+    assert(dataDirs.size === 1, s"aborted commit dir must be cleaned: $dataDirs")
   }
 
   test("streaming + change feed over a PARTITIONED table: full rows, merge post-images") {
