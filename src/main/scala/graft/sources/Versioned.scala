@@ -162,7 +162,11 @@ object Versioned {
     val needs = "\"#%'*/:=?\\{[]^"
     val sb = new StringBuilder
     s.foreach { c =>
-      if (c < 0x20 || needs.contains(c)) sb.append(f"%%${c.toInt}%02X")
+      // 0x7F (DEL) matches Spark's ExternalCatalogUtils.escapePathName,
+      // so DSv2-written dirs never diverge from library/Spark-written
+      // ones for the same value (ADVICE r11)
+      if (c < 0x20 || c == 0x7f || needs.contains(c))
+        sb.append(f"%%${c.toInt}%02X")
       else sb.append(c)
     }
     sb.toString
@@ -490,15 +494,23 @@ object Versioned {
   /** Partition values of a file AS [[ColStat]] point ranges — so
     * partition pruning rides the exact same manifest-stats skipping
     * machinery as footer stats (a partition value IS a perfect
-    * min == max statistic for every row in the file). Hive's null
-    * marker records [[NullStat]]. */
+    * min == max statistic for every row in the file).
+    *
+    * Hive's default marker records NOTHING (ADVICE r11): Spark's
+    * partitioned writer emits `__HIVE_DEFAULT_PARTITION__` for null
+    * AND for empty-string values AND for the literal sentinel string
+    * itself, so the marker is ambiguous — a [[NullStat]] here would
+    * falsely prove "no non-null values" for a file holding `p = ''`
+    * rows, silently pruning it from a pushed `p = ''` filter and
+    * letting a merge keyed on `p` insert a duplicate instead of
+    * updating. Absence = the file is never skipped. */
   private def partitionStatsOf(relFile: String, pcols: Seq[String],
       schema: StructType): Map[String, ColStat] = {
     import org.apache.spark.sql.types._
     val kvs = partitionValuesOf(relFile)
     pcols.flatMap { c =>
       kvs.get(c).flatMap { raw =>
-        if (raw == "__HIVE_DEFAULT_PARTITION__") Some(c -> (NullStat: ColStat))
+        if (raw == "__HIVE_DEFAULT_PARTITION__") None
         else schema.find(_.name == c).map(_.dataType) match {
           case Some(LongType | IntegerType | ShortType | ByteType) =>
             try Some(c -> (LongStat(raw.toLong, raw.toLong): ColStat))
@@ -609,8 +621,6 @@ object Versioned {
     writeData(df, s"$path/$dataRel", pcols)
     val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
-    added.foreach(f => require(f.forall(c => c.isLetterOrDigit ||
-      "./-_=%".contains(c)), s"versioned: unsafe file name $f"))
     // asNullable: parquet round-trips lose NOT NULL anyway; storing the
     // nullable form keeps a Seq-derived first commit (non-null encoders)
     // append-compatible with later parquet-derived commits.
@@ -632,6 +642,21 @@ object Versioned {
       ddl: String, mode: String, txn: Option[(String, Long)],
       mergeSchema: Boolean, pcols: Seq[String],
       addedStats: FileStats): Option[Int] = {
+    // Path-STRUCTURAL safety only (ADVICE r11): the old whitelist
+    // rejected characters Spark's partitioned writer legitimately
+    // leaves unescaped in partition values (space, '+', ',', '(', …),
+    // so `partitionBy` a string column holding "a b" failed loudly
+    // AFTER writing its data files — and the DSv2 publish path skipped
+    // the check entirely. A manifest-relative path is safe iff it
+    // cannot escape the table root: no leading '/', no NUL, no '..'
+    // or empty segment. Checked HERE (the seam both write paths share)
+    // so library and DSv2 commits are gated identically.
+    added.foreach { f =>
+      val segs = f.split('/')
+      require(!f.startsWith("/") && !f.contains('\u0000') &&
+        segs.nonEmpty && !segs.contains("..") && !segs.contains(""),
+        s"versioned: unsafe file name $f")
+    }
     var attempt = 0
     while (attempt < 64) {
       val vs = versions(path)
@@ -848,13 +873,29 @@ object Versioned {
     * the source row (unqualified columns resolve against the SOURCE;
     * qualify both sides whenever target columns appear). Not-matched
     * conditions are over the source row alone (there is no target
-    * row, Delta's rule). A matched target row whose condition fails
-    * is left UNCHANGED. */
+    * row, Delta's rule). A matched target row no clause fires on is
+    * left UNCHANGED.
+    *
+    * Round 12: clause CHAINS (`mergeClauses`) with Delta's
+    * first-match-wins rule — per matched pair the first clause whose
+    * condition holds applies, every clause but the last must carry a
+    * condition — and partial-column `UPDATE SET` / `INSERT (cols)`
+    * via the `set` map (target column → expression over the
+    * `target.`/`source.`-qualified pair; unset update columns keep
+    * the TARGET value, unset insert columns are NULL).
+    *
+    * Clause conditions and SET expressions must be DETERMINISTIC
+    * (they are evaluated once per set-algebra join, Delta's own
+    * rule); the SOURCE relation may be nondeterministic — it is
+    * materialized once up front (see [[mergeClauses]]). */
   sealed trait WhenMatched
   object WhenMatched {
-    /** Replace each matched target row by its source row (when the
-      * condition holds). */
-    final case class Update(condition: Option[Column] = None)
+    /** Replace each matched target row by its source row — or, with a
+      * non-empty `set`, by the target row with only the named columns
+      * replaced by their expressions (UPDATE SET) — when the
+      * condition holds. */
+    final case class Update(condition: Option[Column] = None,
+        set: Map[String, Column] = Map.empty)
       extends WhenMatched
     /** Delete each matched target row (when the condition holds) —
       * the tombstone-feed shape. */
@@ -865,9 +906,12 @@ object Versioned {
   }
   sealed trait WhenNotMatched
   object WhenNotMatched {
-    /** Insert each unmatched source row (when the source-row
-      * condition holds). */
-    final case class Insert(condition: Option[Column] = None)
+    /** Insert each unmatched source row — or, with a non-empty `set`,
+      * a row with the named columns set and every other column NULL
+      * (INSERT (cols) VALUES …) — when the source-row condition
+      * holds. */
+    final case class Insert(condition: Option[Column] = None,
+        set: Map[String, Column] = Map.empty)
       extends WhenNotMatched
     /** Unmatched source rows are dropped (update-only merge). */
     case object Ignore extends WhenNotMatched
@@ -886,12 +930,41 @@ object Versioned {
   def merge(updates: DataFrame, path: String, key: String): Int =
     merge(updates, path, Seq(key))
 
-  /** MERGE on a COMPOSITE key with Delta-style clauses (round 11 —
-    * the reference's own row identity is a uuid4 STRING, atoms.py:193,
-    * so single-BIGINT-key merge left every real upsert out). Key
-    * columns may be any mix of [[MergeKeyTypes]] (integrals and
-    * strings); clause conditions are over the SOURCE row (see
-    * [[WhenMatched]]).
+  /** MERGE on a COMPOSITE key with ONE whenMatched + ONE
+    * whenNotMatched clause — the round-11 surface, now sugar over
+    * [[mergeClauses]] (`Ignore` is the empty chain). */
+  def merge(updates: DataFrame, path: String, keys: Seq[String],
+      whenMatched: WhenMatched = WhenMatched.Update(),
+      whenNotMatched: WhenNotMatched = WhenNotMatched.Insert()): Int =
+    mergeClauses(updates, path, keys,
+      whenMatched match {
+        case WhenMatched.Ignore => Nil
+        case c => Seq(c)
+      },
+      whenNotMatched match {
+        case WhenNotMatched.Ignore => Nil
+        case c => Seq(c)
+      })
+
+  /** MERGE on a COMPOSITE key with Delta-style clause CHAINS (round
+    * 12; round 11 introduced the composite/string-key single-clause
+    * form — the reference's own row identity is a uuid4 STRING,
+    * atoms.py:193). Key columns may be any mix of [[MergeKeyTypes]]
+    * (integrals and strings). Per matched (target, source) pair the
+    * FIRST matched clause whose condition holds applies (Delta's
+    * rule; clauses after the first unconditional one would be dead,
+    * so every clause but the last must carry a condition); unmatched
+    * source rows take the first firing notMatched clause the same
+    * way. The CDC composite — upsert-if-newer AND tombstone-delete
+    * in ONE merge — is
+    * `Seq(Delete(Some(src("tombstone"))), Update(Some(newer)))`.
+    *
+    * SINGLE-EVALUATION SOURCE (round 12): `updates` is materialized
+    * once (localCheckpoint) before the duplicate-key precondition, so
+    * the precondition, the matched/inserted set algebra, and the data
+    * write all see the SAME rows even for a nondeterministic source
+    * (a rand()-salted feed, input files changing mid-merge) — Delta's
+    * source-materialization discipline.
     *
     * File-granular copy-on-write: only files whose recorded stats
     * ([[ColStat]] — numeric ranges, ASCII string ranges, explicit
@@ -901,7 +974,13 @@ object Versioned {
     * for the files it touches, not its size. Matched detection
     * against the touched files alone is COMPLETE because pruning is
     * conservative (a file is only skipped when its stats PROVE no
-    * source key can be present).
+    * source key can be present). The rewrite keeps the touched set's
+    * file granularity, but an insert-heavy merge scales its output
+    * file count with the SOURCE volume
+    * (`spark.graft.versioned.targetFileRows`, default 2²⁰) instead of
+    * serializing a bulk insert through `touched.size` tasks (round
+    * 12; the r11 coalesce was a single-writer bottleneck on
+    * bulk-insert merges into small tables).
     *
     * Publishes with conflict RESOLUTION (round 11, upgraded from
     * detection): an interloping APPEND whose added files are provably
@@ -911,11 +990,33 @@ object Versioned {
     * restore / another COW op, a same-key append, an append without
     * stats, a concurrent schema change) still aborts loudly and the
     * caller retries the whole merge. */
-  def merge(updates: DataFrame, path: String, keys: Seq[String],
-      whenMatched: WhenMatched = WhenMatched.Update(None),
-      whenNotMatched: WhenNotMatched = WhenNotMatched.Insert(None)): Int = {
+  def mergeClauses(updates: DataFrame, path: String, keys: Seq[String],
+      matched: Seq[WhenMatched], notMatched: Seq[WhenNotMatched]): Int = {
     val spark = updates.sparkSession
     require(keys.nonEmpty, "versioned: merge needs at least one key column")
+    require(!matched.contains(WhenMatched.Ignore) &&
+      !notMatched.contains(WhenNotMatched.Ignore),
+      "versioned: Ignore is the EMPTY clause chain — pass Nil, not " +
+        "Seq(Ignore)")
+    def mCondOf(c: WhenMatched): Option[Column] = c match {
+      case WhenMatched.Update(cc, _) => cc
+      case WhenMatched.Delete(cc) => cc
+      case WhenMatched.Ignore => None
+    }
+    matched.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+      require(mCondOf(c).nonEmpty,
+        s"versioned: matched clause ${i + 1} of ${matched.size} has no " +
+          "condition — only the LAST clause in a chain may be " +
+          "unconditional (everything after it would be dead)")
+    }
+    notMatched.dropRight(1).zipWithIndex.foreach {
+      case (WhenNotMatched.Insert(cc, _), i) =>
+        require(cc.nonEmpty,
+          s"versioned: notMatched clause ${i + 1} of ${notMatched.size} " +
+            "has no condition — only the LAST clause in a chain may be " +
+            "unconditional")
+      case _ => ()
+    }
     val base = snapshot(path)
     val ddl = StructType(updates.schema.fields.map(_.copy(nullable = true))).toDDL
     require(base.schemaDdl == ddl,
@@ -927,11 +1028,22 @@ object Versioned {
           s"${updates.schema(k).dataType} at $path (integral and string " +
           "key columns only)")
     }
-    // ONE pass over the source: per-key bounds for file pruning, plus
-    // two Delta-MERGE preconditions checked BEFORE any file write —
-    // (a) no null keys (a null key matches nothing and silently
-    // becomes a permanent insert-only row; ADVICE r10: the old
-    // count_distinct comparison also misfired on them), and (b) unique
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val tableCols: Seq[String] = schema.fields.map(_.name).toSeq
+    (matched.collect { case WhenMatched.Update(_, s) => s } ++
+      notMatched.collect { case WhenNotMatched.Insert(_, s) => s })
+      .foreach(_.keys.foreach(k => require(tableCols.contains(k),
+        s"versioned: SET column $k is not a table column at $path " +
+          s"(table: ${tableCols.mkString(", ")})")))
+    // SINGLE EVALUATION: pin the source rows before anything reads
+    // them — the class doc's discipline. localCheckpoint (not cache)
+    // so the plan TRUNCATES: downstream joins re-reading the source
+    // cannot recompute a nondeterministic lineage.
+    val src = updates.localCheckpoint()
+    // ONE pass over the materialized source: per-key bounds for file
+    // pruning, plus two Delta-MERGE preconditions checked BEFORE any
+    // file write — (a) no null keys (a null key matches nothing and
+    // silently becomes a permanent insert-only row), and (b) unique
     // source keys (with duplicates every copy of a matched table key
     // is anti-joined away and ALL duplicates insert, multiplying rows
     // nondeterministically; Delta errors on multiple source matches
@@ -940,7 +1052,7 @@ object Versioned {
       count(lit(1)),
       count(when(keys.map(col(_).isNull).reduce(_ || _), lit(1))),
       count_distinct(col(keys.head), keys.tail.map(col): _*))
-    val r = updates.agg(aggCols.head, aggCols.tail: _*).head()
+    val r = src.agg(aggCols.head, aggCols.tail: _*).head()
     val nTotal = r.getLong(2 * keys.size)
     if (nTotal == 0) return base.version // empty source: no-op
     val nNullKey = r.getLong(2 * keys.size + 1)
@@ -956,7 +1068,7 @@ object Versioned {
     // (non-ASCII string endpoints) simply never prunes or proves
     // disjointness
     val bounds: Map[String, ColStat] = keys.zipWithIndex.flatMap {
-      case (k, i) => updates.schema(k).dataType match {
+      case (k, i) => src.schema(k).dataType match {
         case org.apache.spark.sql.types.StringType =>
           val (lo, hi) = (r.getString(2 * i), r.getString(2 * i + 1))
           if (isAscii(lo) && isAscii(hi)) Some(k -> StrStat(lo, hi)) else None
@@ -975,7 +1087,6 @@ object Versioned {
     }
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
-    val schema = StructType.fromDDL(base.schemaDdl)
     val existing =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -985,7 +1096,7 @@ object Versioned {
         .parquet(touched.map { case (f, _) => s"$path/$f" }: _*)
     val keyCols = keys.map(col)
     def condOf(c: Option[Column]): Column = c.getOrElse(lit(true))
-    val none = updates.limit(0)
+    val none = src.limit(0)
     val existingKeys = existing.select(keyCols: _*)
     /** Keys of matched (target, source) pairs whose matched-clause
       * condition FIRES. A condition referencing `target.…` evaluates
@@ -997,38 +1108,83 @@ object Versioned {
           .referencesQualifier(cond, "target"))) {
         val joinCond = keys.map(k =>
           col(s"target.$k") === col(s"source.$k")).reduce(_ && _)
-        existing.alias("target").join(updates.alias("source"), joinCond)
+        existing.alias("target").join(src.alias("source"), joinCond)
           .where(condOf(c))
           .select(keys.map(k => col(s"source.$k").as(k)): _*)
-      } else updates.alias("source").where(condOf(c))
+      } else src.alias("source").where(condOf(c))
         .select(keyCols: _*).join(existingKeys, keys, "left_semi")
-    val fired = whenMatched match {
-      case WhenMatched.Update(c) => firedMatchedKeys(c)
-      case WhenMatched.Delete(c) => firedMatchedKeys(c)
-      case WhenMatched.Ignore => none.select(keyCols: _*)
+    // first-match-wins: clause i exclusively claims the fired keys no
+    // EARLIER clause fired on (source keys are unique, so the fired
+    // frames are key-sets)
+    val firedAll: Seq[DataFrame] = matched.map(c => firedMatchedKeys(mCondOf(c)))
+    val firedExcl: Seq[DataFrame] = firedAll.zipWithIndex.map { case (f, i) =>
+      firedAll.take(i).foldLeft(f)((d, e) => d.join(e, keys, "left_anti"))
     }
-    // matched target rows the clause touches (pre-images)
-    val matchedPre = existing.join(fired, keys, "left_semi")
-    val keptExisting = existing.join(fired, keys, "left_anti")
-    val updatedRows = whenMatched match {
-      case WhenMatched.Update(_) =>
-        updates.join(fired, keys, "left_semi")
-      case _ => none // delete/ignore contribute nothing for matched
+    val firedUnion = firedAll.reduceOption(_.unionByName(_))
+      .getOrElse(none.select(keyCols: _*))
+    // matched target rows clause i touches (its CDF pre-images)
+    def preimages(i: Int): DataFrame =
+      existing.join(firedExcl(i), keys, "left_semi")
+    /** Post-image rows of update clause i: the whole source row when
+      * `set` is empty; else the TARGET row with the set columns
+      * replaced, evaluated over the `target`/`source` pair join. */
+    def updateOut(i: Int, set: Map[String, Column]): DataFrame =
+      if (set.isEmpty) src.join(firedExcl(i), keys, "left_semi")
+      else {
+        val joinCond = keys.map(k =>
+          col(s"target.$k") === col(s"source.$k")).reduce(_ && _)
+        val firedK = firedExcl(i)
+          .select(keys.map(k => col(k).as(s"__graft_fk_$k")): _*)
+        existing.alias("target").join(src.alias("source"), joinCond)
+          .join(firedK, keys.map(k =>
+            col(s"source.$k") === col(s"__graft_fk_$k")).reduce(_ && _),
+            "left_semi")
+          .select(tableCols.map(c =>
+            set.getOrElse(c, col(s"target.$c")).as(c)): _*)
+      }
+    val updateOuts: Map[Int, DataFrame] = matched.zipWithIndex.collect {
+      case (WhenMatched.Update(_, set), i) => i -> updateOut(i, set)
+    }.toMap
+    val updatedRows = updateOuts.values
+      .reduceOption(_.unionByName(_)).getOrElse(none)
+    val keptExisting = existing.join(firedUnion, keys, "left_anti")
+    // notMatched chain: conditions are source-row-local, so the
+    // first-match-wins index is ONE projection over the unmatched
+    // source rows — no per-clause join
+    val unmatchedSrc = src.alias("source")
+      .join(existingKeys, keys, "left_anti")
+    val nmIdxCol = notMatched.zipWithIndex.foldRight(lit(-1)) {
+      case ((WhenNotMatched.Insert(c, _), i), acc) =>
+        when(condOf(c), lit(i)).otherwise(acc)
+      case ((WhenNotMatched.Ignore, _), acc) => acc
     }
-    val insertedRows = whenNotMatched match {
-      case WhenNotMatched.Insert(c) =>
-        updates.alias("source").where(condOf(c))
-          .join(existingKeys, keys, "left_anti")
-      case WhenNotMatched.Ignore => none
+    val NmIdx = "__graft_nm_clause"
+    val unmatchedIdx = unmatchedSrc.withColumn(NmIdx, nmIdxCol)
+    val insertOuts: Seq[DataFrame] = notMatched.zipWithIndex.collect {
+      case (WhenNotMatched.Insert(_, set), i) =>
+        val rows = unmatchedIdx.where(col(NmIdx) === i).drop(NmIdx)
+        if (set.isEmpty) rows
+        else rows.select(tableCols.map(c => set.get(c).map(_.as(c))
+          .getOrElse(lit(null).cast(schema(c).dataType).as(c))): _*)
     }
-    // the rewrite keeps the TOUCHED set's file granularity: without
+    val insertedRows = insertOuts.reduceOption(_.unionByName(_))
+      .getOrElse(none)
+    // the rewrite keeps the TOUCHED set's file granularity (without
     // the coalesce the union inherits the join's shuffle partitioning
     // and a 1-file rewrite lands as shuffle-partition-many small
-    // files — per-merge smallification that would hand OPTIMIZE a
-    // chronic backlog (measured: 1 touched file re-emerged as 17)
+    // files — measured: 1 touched file re-emerged as 17), but the
+    // output file count also scales with the SOURCE volume so a
+    // bulk-insert merge into a small table is not serialized through
+    // one writer task (round 12). coalesce never INCREASES partition
+    // count, so a small union still lands compactly.
+    val targetFileRows = spark.conf
+      .getOption("spark.graft.versioned.targetFileRows")
+      .map(_.toLong).getOrElse(1L << 20)
+    val outFiles = math.max(math.max(1, touched.size),
+      math.min(4096L, (nTotal + targetFileRows - 1) / targetFileRows).toInt)
     writeData(keptExisting.unionByName(updatedRows)
       .unionByName(insertedRows)
-      .coalesce(math.max(1, touched.size)), s"$path/$dataRel",
+      .coalesce(outFiles), s"$path/$dataRel",
       base.partitionCols)
     val added = listParquet(dataPath(path, commitId))
       .map(f => s"$dataRel/$f")
@@ -1042,20 +1198,18 @@ object Versioned {
     // COMPLETE for matched detection (see the class doc). Like the
     // data files, the change parquet is invisible until the manifest
     // publishes.
-    val chgMatched = whenMatched match {
-      case WhenMatched.Update(_) =>
-        matchedPre.withColumn("_change_type", lit("update_preimage"))
-          .unionByName(updatedRows
+    val chgPieces: Seq[DataFrame] = matched.zipWithIndex.map {
+      case (WhenMatched.Update(_, _), i) =>
+        preimages(i).withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updateOuts(i)
             .withColumn("_change_type", lit("update_postimage")))
-      case WhenMatched.Delete(_) =>
-        matchedPre.withColumn("_change_type", lit("delete"))
-      case WhenMatched.Ignore =>
+      case (WhenMatched.Delete(_), i) =>
+        preimages(i).withColumn("_change_type", lit("delete"))
+      case (WhenMatched.Ignore, _) =>
         none.withColumn("_change_type", lit("insert"))
-    }
+    } :+ insertedRows.withColumn("_change_type", lit("insert"))
     val changeRel = writeChanges(
-      chgMatched.unionByName(
-        insertedRows.withColumn("_change_type", lit("insert"))),
-      path, commitId)
+      chgPieces.reduce(_.unionByName(_)), path, commitId)
     publishCow(path, "merge", base, files, mergedStats,
       changes = Some(changeRel), sourceBounds = Some(bounds))
   }
@@ -1237,9 +1391,23 @@ object Versioned {
     * columns) provably hold no matching row and carry into the new
     * snapshot BY REFERENCE; only intersecting files rewrite.
     * Unanalyzable predicates keep the rewrite-what-you-scan behavior.
-    * Publishes with the same strict conflict detection as before
-    * (any interloping commit aborts — a delete's row footprint is
-    * the predicate, which stats cannot bound from the other side). */
+    *
+    * SINGLE EVALUATION (round 12): the predicate is evaluated ONCE
+    * per touched row and the verdict pinned via localCheckpoint, so
+    * the kept-rows data write and the CDF delete write see the SAME
+    * split — the r11 double-read (`live.where(!pred)` then
+    * `live.where(pred)`) scanned the touched files twice and could
+    * tear on a nondeterministic predicate. The checkpoint converts
+    * two scans into one.
+    *
+    * Publishes with the same conflict RESOLUTION as [[mergeClauses]]
+    * (round 12; r11 aborted on ANY interloper, so a steady append
+    * stream starved deletes): an interloping APPEND whose added files
+    * are provably disjoint from the predicate's necessary bounds —
+    * their manifest stats prove no appended row can satisfy `pred` —
+    * is REBASED over; an overlapping or stats-less append, any
+    * non-append commit, or an unanalyzable predicate (empty bounds
+    * prove nothing) still aborts loudly. */
   def deleteWhere(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column): Int = {
     val base = snapshot(path)
@@ -1255,7 +1423,11 @@ object Versioned {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.schema(schema)
         .parquet(touched.map { case (f, _) => s"$path/$f" }: _*)
-    val kept = live.where(!pred || pred.isNull)
+    val DelFlag = "__graft_delete"
+    val tagged = live.withColumn(DelFlag, pred).localCheckpoint()
+    val kept = tagged
+      .where(!col(DelFlag) || col(DelFlag).isNull).drop(DelFlag)
+    val deleted = tagged.where(col(DelFlag)).drop(DelFlag)
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
     writeData(kept.coalesce(math.max(1, touched.size)),
@@ -1270,21 +1442,10 @@ object Versioned {
     // files alone — untouched files provably hold none), persisted
     // before publish
     val changeRel = writeChanges(
-      live.where(pred).withColumn("_change_type", lit("delete")),
+      deleted.withColumn("_change_type", lit("delete")),
       path, commitId)
-    val cur = versions(path).max
-    if (cur != base.version)
-      throw new java.util.ConcurrentModificationException(
-        s"versioned: delete at $path read v${base.version} but the log is " +
-          s"at v$cur; retry")
-    val txns = parseManifest(manifestPath(path, cur)).txns
-    if (!publish(path, Manifest(cur + 1, "delete", full = true, files,
-      base.schemaDdl, txns, changes = Some(changeRel),
-      stats = keptStats,
-      partitionCols = base.partitionCols)))
-      throw new java.util.ConcurrentModificationException(
-        s"versioned: delete at $path lost the publish race; retry")
-    cur + 1
+    publishCow(path, "delete", base, files, keptStats,
+      changes = Some(changeRel), sourceBounds = Some(bounds))
   }
 
   /** OPTIMIZE: compact the live set into `numFiles` files — same
