@@ -540,6 +540,16 @@ object Graft {
           Versioned.WhenNotMatched.Insert(None)): Int =
       Versioned.merge(updates, path, keys, whenMatched, whenNotMatched)
 
+    /** MERGE with Delta-style clause CHAINS (first-match-wins; every
+      * clause but the last needs a condition) and partial-column
+      * `UPDATE SET` / `INSERT (cols)` maps — the CDC composite
+      * (tombstone-delete + upsert-if-newer in ONE merge). The source
+      * is materialized once; see [[Versioned.mergeClauses]]. */
+    def mergeClauses(updates: DataFrame, path: String, keys: Seq[String],
+        matched: Seq[Versioned.WhenMatched],
+        notMatched: Seq[Versioned.WhenNotMatched]): Int =
+      Versioned.mergeClauses(updates, path, keys, matched, notMatched)
+
     /** Copy-on-write delete of rows matching `pred`. */
     def deleteWhere(spark: SparkSession, path: String,
         pred: org.apache.spark.sql.Column): Int =

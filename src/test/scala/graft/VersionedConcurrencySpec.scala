@@ -236,4 +236,48 @@ class VersionedConcurrencySpec extends AnyFunSuite {
     assert(got === Seq((0L, "seed"), (100L, "b1"), (200L, "b2"),
       (300L, "b3")))
   }
+
+  test("deleteWhere rebases over provably-disjoint appends; overlap or unanalyzable aborts") {
+    import spark.implicits._
+    // (a) an append whose stats prove no row can satisfy the delete
+    // predicate REBASES (round 12 — r11 aborted on any interloper, so
+    // a steady append stream starved deletes)
+    val t = Files.createTempDirectory("versioned-delresolve-").toString
+    Versioned.commit((1L to 10L).map(i => (i, i * 10)).toDF("id", "v")
+      .coalesce(1), t) // v1
+    Versioned.beforeCowPublish = () => {
+      Versioned.commit(Seq((100L, 0L), (101L, 0L)).toDF("id", "v")
+        .coalesce(1), t) // interloper, ids disjoint from [3, 3]
+      ()
+    }
+    val v = Versioned.deleteWhere(spark, t, col("id") === 3L)
+    assert(v === 3, "delete must publish ON TOP of the interloper")
+    val ids = Versioned.read(spark, t).collect().map(_.getLong(0)).sorted
+    assert(!ids.contains(3L) && ids.contains(100L) && ids.contains(101L),
+      "delete applied AND the interloper's rows survive the rebase")
+    assert(ids.length === 11)
+
+    // (b) an append overlapping the predicate bounds still aborts
+    Versioned.beforeCowPublish = () => {
+      Versioned.commit(Seq((4L, -1L)).toDF("id", "v").coalesce(1), t)
+      ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.deleteWhere(spark, t, col("id") === 4L)
+    }
+    // retry (the documented recovery) deletes BOTH copies' key
+    Versioned.deleteWhere(spark, t, col("id") === 4L)
+    assert(!Versioned.read(spark, t).collect().map(_.getLong(0))
+      .contains(4L))
+
+    // (c) an unanalyzable predicate proves nothing — even a
+    // key-disjoint append aborts (empty bounds cannot certify)
+    Versioned.beforeCowPublish = () => {
+      Versioned.commit(Seq((500L, 0L)).toDF("id", "v").coalesce(1), t)
+      ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.deleteWhere(spark, t, col("id") % 97L === 1L)
+    }
+  }
 }

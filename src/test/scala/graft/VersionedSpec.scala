@@ -794,4 +794,135 @@ class VersionedSpec extends AnyFunSuite {
     // absent column (never recorded) keeps the file
     assert(Versioned.pruneFiles(snap, "nosuchcol", 0L, 1L) === snap.files)
   }
+
+  test("merge clause CHAINS: first-match-wins, UPDATE SET, partial insert") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, 10L, "a"), (2L, 50L, "b"), (3L, 30L, "c"),
+      (4L, 40L, "d")).toDF("id", "v", "note"), t)
+    // the CDC composite in ONE merge: tombstone-delete if the source
+    // row says so, else upsert-if-newer with a partial SET; unmatched
+    // rows route through a 2-clause insert chain
+    val src = Seq(
+      (1L, 99L, "tomb"),  // matched, delete clause fires
+      (2L, 99L, "x"),     // matched, update clause (99 > 50): SET v, note
+      (3L, 5L, "y"),      // matched, NO clause fires (5 < 30): unchanged
+      (4L, 100L, "tomb"), // matched, BOTH could fire: FIRST (delete) wins
+      (5L, 70L, "tomb"),  // unmatched, insert clause 0 (partial columns)
+      (6L, 60L, "z")      // unmatched, insert clause 1 (whole row)
+    ).toDF("id", "v", "note")
+    val v2 = Versioned.mergeClauses(src, t, Seq("id"),
+      matched = Seq(
+        Versioned.WhenMatched.Delete(Some(col("source.note") === "tomb")),
+        Versioned.WhenMatched.Update(
+          Some(col("source.v") > col("target.v")),
+          set = Map(
+            "v" -> col("source.v"),
+            "note" -> concat(col("target.note"), lit("!"))))),
+      notMatched = Seq(
+        Versioned.WhenNotMatched.Insert(Some(col("note") === "tomb"),
+          set = Map("id" -> col("id"), "v" -> lit(-1L))),
+        Versioned.WhenNotMatched.Insert(None)))
+    val rows = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("<null>"))).sorted.toSeq
+    assert(rows === Seq(
+      (2L, 99L, "b!"),      // SET replaced v, rewrote note from TARGET's
+      (3L, 30L, "c"),       // no clause fired: untouched
+      (5L, -1L, "<null>"),  // partial insert: unset column is NULL
+      (6L, 60L, "z")))      // unconditional whole-row insert
+    // CDF through the chain: one delete per fired delete-clause row,
+    // pre/post images for the SET update, inserts for both chains
+    val ch = Versioned.readChanges(spark, t, v2 - 1, v2)
+      .select("_change_type", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(ch === Seq(
+      ("delete", 1L, 10L), ("delete", 4L, 40L),
+      ("insert", 5L, -1L), ("insert", 6L, 60L),
+      ("update_postimage", 2L, 99L), ("update_preimage", 2L, 50L)))
+    // chain validation: a non-last unconditional clause is dead code —
+    // loud error, Delta's rule
+    val bad = intercept[IllegalArgumentException] {
+      Versioned.mergeClauses(src.limit(1), t, Seq("id"),
+        matched = Seq(Versioned.WhenMatched.Update(None),
+          Versioned.WhenMatched.Delete(None)),
+        notMatched = Nil)
+    }
+    assert(bad.getMessage.contains("unconditional"))
+  }
+
+  test("merge source evaluates ONCE: rand()-salted source stays consistent") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(spark.range(1, 101)
+      .select(col("id"), lit(0L).as("v")), t)
+    // a nondeterministic source: every re-evaluation would draw new vs
+    val src = spark.range(1, 201)
+      .select(col("id"), (rand() * 1e9).cast("long").as("v"))
+    val v2 = Versioned.merge(src, t, "id")
+    // internal consistency: the CDF images and the table state must
+    // agree row-for-row — a torn multi-evaluation merge writes a
+    // postimage drawn from a DIFFERENT rand() evaluation than the data
+    val state = Versioned.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state.size === 200)
+    val ch = Versioned.readChanges(spark, t, v2 - 1, v2).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[Long]("v")))
+    val post = ch.collect { case ("update_postimage", id, v) => id -> v }
+    val ins = ch.collect { case ("insert", id, v) => id -> v }
+    assert(post.length === 100 && ins.length === 100)
+    (post ++ ins).foreach { case (id, v) =>
+      assert(state(id) === v, s"CDF image for id=$id tore from the state")
+    }
+  }
+
+  test("insert-heavy merge scales output files with source volume") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, 0L)).toDF("id", "v").coalesce(1), t)
+    spark.conf.set("spark.graft.versioned.targetFileRows", "1000")
+    try {
+      Versioned.merge(
+        spark.range(1, 10001).select(col("id"), col("id").as("v"))
+          .repartition(8), t, "id")
+      val snap = Versioned.snapshot(t)
+      assert(snap.files.size >= 5,
+        s"bulk insert must not serialize through one writer task " +
+          s"(got ${snap.files.size} files)")
+      assert(Versioned.read(spark, t).count() === 10000L)
+      // small-files regression guard: a tiny follow-up merge into the
+      // multi-file table still lands at touched-set granularity, not
+      // shuffle-partition-many files
+      val before = snap.files.size
+      Versioned.merge(Seq((3L, -3L)).toDF("id", "v"), t, "id")
+      val after = Versioned.snapshot(t)
+      assert(after.files.size <= before + 1,
+        s"point merge re-smallified: $before -> ${after.files.size}")
+    } finally spark.conf.unset("spark.graft.versioned.targetFileRows")
+  }
+
+  test("partition values with spaces and empty strings: safe to write, never falsely pruned") {
+    import spark.implicits._
+    val t = tmpTable()
+    // "a b" used to fail the file-name whitelist AFTER writing data
+    // files; '' lands in the ambiguous __HIVE_DEFAULT_PARTITION__ dir
+    // whose point stat used to falsely prove all-null
+    Versioned.commit(Seq((1L, "a b"), (2L, ""), (3L, "x"), (4L, "a b"))
+      .toDF("id", "p").coalesce(1), t, partitionBy = Seq("p"))
+    def idsWhere(c: org.apache.spark.sql.Column) =
+      spark.read.format("graftv").load(t).where(c)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsWhere(col("p") === "a b") === Seq(1L, 4L))
+    assert(idsWhere(col("p") === "") === Seq(2L),
+      "empty-string partition value must not be pruned as all-null")
+    assert(idsWhere(col("p") === "x") === Seq(3L))
+    // a merge keyed on p with an '' source key UPDATES the row rather
+    // than skipping the falsely-pruned file and inserting a duplicate
+    Versioned.merge(Seq((20L, "")).toDF("id", "p"), t, Seq("p"))
+    assert(spark.read.format("graftv").load(t)
+      .where(col("p") === "").select("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(20L))
+    assert(Versioned.read(spark, t).count() === 4L)
+  }
 }
