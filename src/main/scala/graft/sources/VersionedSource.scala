@@ -97,12 +97,14 @@ class VersionedSource extends TableProvider with DataSourceRegister {
 private[sources] class VersionedTable(path: String, asOf: Option[Int],
     tblSchema: StructType, changeFeed: Boolean)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graftv:$path"
   override def schema(): StructType = tblSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(path, asOf, tblSchema,
       Option(options.get("startingversion")).map(_.toInt).getOrElse(0),
@@ -112,7 +114,30 @@ private[sources] class VersionedTable(path: String, asOf: Option[Int],
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new VersionedWriteBuilder(path, info.schema())
+    new VersionedWriteBuilder(path, info.schema(), info.queryId())
+
+  /** SQL `DELETE FROM` (round 12): Spark's DataSourceV2Strategy
+    * translates the WHERE clause to source [[Filter]]s and calls
+    * here; the filters rebuild as a Column predicate and run through
+    * the library's COW [[Versioned.deleteWhere]] — file-granular
+    * rewrite, CDF delete rows, append-rebase conflict resolution, the
+    * same door the library API uses. A WHERE shape that cannot
+    * translate to filters fails loudly in Spark's planner (never a
+    * silent partial delete). */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => FilterToColumn.of(f).isDefined)
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(asOf.isEmpty,
+      s"graftv: DELETE on a time-travel read of $path is not allowed")
+    val pred = filters.toSeq.flatMap(f => FilterToColumn.of(f))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Versioned.deleteWhere(
+      org.apache.spark.sql.SparkSession.active, path, pred)
+    ()
+  }
 }
 
 /** DSv2 WRITE path (round 11): `df.write.format("graftv")
@@ -133,7 +158,7 @@ private[sources] class VersionedTable(path: String, asOf: Option[Int],
   * table goes through `Versioned.commit` (the provider must infer
   * the table schema before a write resolves). */
 private[sources] class VersionedWriteBuilder(path: String,
-    writeSchema: StructType)
+    writeSchema: StructType, queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var overwrite = false
@@ -144,6 +169,13 @@ private[sources] class VersionedWriteBuilder(path: String,
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
         new VersionedBatchWrite(path, writeSchema, overwrite)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        require(!overwrite, "graftv: the streaming sink is append-only " +
+          "(outputMode append/update); Complete-mode rewrites belong in " +
+          "foreachBatch + Versioned.commit")
+        new VersionedStreamingWrite(path, writeSchema, queryId)
+      }
     }
 }
 
@@ -155,10 +187,12 @@ private[sources] class VersionedBatchWrite(path: String,
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private val commitId = java.util.UUID.randomUUID().toString.take(12)
   /** The table's partition layout — INSERTs inherit it, exactly like
-    * library appends (an overwrite through DSv2 drops to
-    * unpartitioned; re-laying-out is the library commit's surface). */
+    * library appends, and (round 12, ADVICE r11) so does an OVERWRITE:
+    * Delta's rule — `INSERT OVERWRITE` replaces the ROWS, the table's
+    * partitioning is a table property that survives. Re-laying-out is
+    * the library commit's surface (`Versioned.commit(partitionBy)`). */
   private val pcols: Seq[String] =
-    if (overwrite || Versioned.versions(path).isEmpty) Nil
+    if (Versioned.versions(path).isEmpty) Nil
     else Versioned.snapshot(path).partitionCols
 
   override def createBatchWriterFactory(
@@ -199,6 +233,76 @@ private[sources] class VersionedBatchWrite(path: String,
       Versioned.normPath(s"$path/data/c-$commitId"))
     if (java.nio.file.Files.isDirectory(dir)) rm(dir)
   }
+}
+
+/** DSv2 STREAMING sink (round 12): `df.writeStream.format("graftv")
+  * .option("checkpointLocation", …).start(path)` — exactly-once
+  * without the foreachBatch adapter. Each epoch's tasks write plain
+  * parquet under `data/c-strm-<query>-e<epoch>/` (invisible until
+  * published); the driver publishes ONE manifest per epoch through
+  * [[Versioned.publishAdded]] with the epoch id as the transaction
+  * ledger entry (`appId = graftv-stream-<queryId>`), so a replayed
+  * epoch after recovery publishes NOTHING (its files stay
+  * unreferenced, vacuum reclaims them) — the same idempotence
+  * contract as [[Versioned.commitIfAbsent]]. The sink table must
+  * exist (the provider infers the sink schema from the table);
+  * partitioned layouts are inherited per epoch. */
+private[sources] class VersionedStreamingWrite(path: String,
+    schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val qid = queryId.take(12)
+  private val pcols: Seq[String] =
+    if (Versioned.versions(path).isEmpty) Nil
+    else Versioned.snapshot(path).partitionCols
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    VersionedStreamingWriterFactory(path, schema.toDDL, pcols, qid)
+
+  override def commit(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rel = VersionedStreamingWrite.epochRel(qid, epochId)
+    val added = messages.collect {
+      case VersionedCommitMsg(rels) => rels.map(r => s"$rel/$r")
+    }.toSeq.flatten.sorted
+    val ddl = StructType(schema.fields.map(_.copy(nullable = true))).toDDL
+    Versioned.publishAdded(path, added, ddl, mode = "append",
+      txn = Some(s"graftv-stream-$queryId" -> epochId),
+      mergeSchema = false, pcols = pcols,
+      addedStats = Versioned.statsOfPartitioned(spark, path, added,
+        pcols, schema))
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    VersionedStreamingWrite.rmTree(java.nio.file.Paths.get(
+      Versioned.normPath(
+        s"$path/${VersionedStreamingWrite.epochRel(qid, epochId)}")))
+}
+
+private[sources] object VersionedStreamingWrite {
+  def epochRel(qid: String, epochId: Long): String =
+    s"data/c-strm-$qid-e$epochId"
+  def rmTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.foreach(rmTree) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p); ()
+  }
+}
+
+private[sources] case class VersionedStreamingWriterFactory(path: String,
+    ddl: String, pcols: Seq[String], qid: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new VersionedDataWriter(
+      s"$path/${VersionedStreamingWrite.epochRel(qid, epochId)}",
+      ddl, pcols, partitionId, taskId)
 }
 
 /** Executor-side writer: the write twin of the example-reader tier —
@@ -370,6 +474,36 @@ private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
   * UTF-16 vs UTF-8-byte orderings diverge from parquet's stats order,
   * so such filters never prune). Everything else is ignored, i.e.
   * conservatively unbounded. */
+/** DSv2 [[org.apache.spark.sql.sources.Filter]] → [[Column]]
+  * predicate, for routing SQL `DELETE FROM` through the library's
+  * COW [[Versioned.deleteWhere]]. Total over the translatable shapes;
+  * None (→ `canDeleteWhere` false, loud planner error) for anything
+  * else — a DELETE must never silently narrow its own predicate. */
+private[sources] object FilterToColumn {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.functions.{col, lit}
+  def of(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) => for { lc <- of(l); rc <- of(r) } yield lc && rc
+    case Or(l, r) => for { lc <- of(l); rc <- of(r) } yield lc || rc
+    case Not(c) => of(c).map(!_)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+}
+
 private[sources] object FilterBounds {
   import org.apache.spark.sql.sources._
   private def long(v: Any): Option[Long] = v match {

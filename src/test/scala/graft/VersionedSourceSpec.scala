@@ -502,4 +502,125 @@ class VersionedSourceSpec extends AnyFunSuite {
     assert(alive === Versioned.read(spark, t).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted)
   }
+
+  test("SQL DELETE FROM: COW touched-set, CDF, and loud non-translatable WHERE") {
+    import spark.implicits._
+    val t = tmpTable()
+    // two disjoint-range files so the touched set is observable
+    Versioned.commit((1L to 10L).map(i => (i, s"s$i")).toDF("id", "s")
+      .coalesce(1), t)
+    Versioned.commit((100L to 110L).map(i => (i, s"s$i")).toDF("id", "s")
+      .coalesce(1), t)
+    val before = Versioned.snapshot(t)
+    spark.sql("DROP TABLE IF EXISTS g_del")
+    spark.sql(s"CREATE TABLE g_del USING graftv LOCATION '$t'")
+    try {
+      spark.sql("DELETE FROM g_del WHERE id >= 3 AND id <= 4")
+      // rows: exactly the matched ids are gone
+      assert(spark.sql("SELECT count(*) AS n FROM g_del").head().getLong(0)
+        === 19L)
+      assert(spark.sql("SELECT min(id) AS m FROM g_del WHERE id < 50")
+        .head().getLong(0) === 1L)
+      // COW touched-set: the [100, 110] file provably held no match and
+      // must carry BY REFERENCE into the delete's snapshot
+      val after = Versioned.snapshot(t)
+      assert(after.version === before.version + 1)
+      assert(after.files.toSet.intersect(before.files.toSet).size === 1,
+        "the disjoint file must survive the SQL DELETE untouched")
+      // the delete flowed through the library door: CDF delete rows
+      val ch = Versioned.readChanges(spark, t, before.version, after.version)
+        .select("_change_type", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(ch === Seq(("delete", 3L), ("delete", 4L)))
+      // a WHERE that cannot translate to source filters fails loudly,
+      // never a silent partial delete
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM g_del WHERE id % 2 = 0")
+      }
+      assert(e.getMessage.toLowerCase.contains("delete"))
+      assert(spark.sql("SELECT count(*) AS n FROM g_del").head().getLong(0)
+        === 19L, "failed DELETE must not change the table")
+    } finally spark.sql("DROP TABLE g_del")
+  }
+
+  test("INSERT OVERWRITE preserves the partition layout (round 12; r11 dropped it)") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit((1L to 40L).map(i => (i, i % 4, s"s$i"))
+      .toDF("id", "p", "s"), t, partitionBy = Seq("p"))
+    spark.sql("DROP TABLE IF EXISTS g_ovw")
+    spark.sql(s"CREATE TABLE g_ovw USING graftv LOCATION '$t'")
+    try {
+      spark.sql(
+        "INSERT OVERWRITE g_ovw SELECT id * 10 AS id, id % 4 AS p, " +
+          "concat('t', id) AS s FROM range(1, 21)")
+      val snap = Versioned.snapshot(t)
+      assert(snap.partitionCols === Seq("p"),
+        "overwrite must keep the table's partitioning (Delta's rule)")
+      assert(Versioned.read(spark, t).count() === 20L)
+      // pruning still works after the overwrite: a partition filter
+      // plans a strict subset of the files
+      def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.map {
+              case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                fp.files.length
+              case _ => 1
+            }.sum
+        }.sum
+      }
+      val all = spark.read.format("graftv").load(t)
+      val nAll = plannedFiles(all)
+      val one = all.where(col("p") === 2L)
+      assert(plannedFiles(one) < nAll,
+        s"partition pruning lost after INSERT OVERWRITE ($nAll planned)")
+      assert(one.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+        (1L to 20L).filter(_ % 4 == 2).map(_ * 10))
+    } finally spark.sql("DROP TABLE g_ovw")
+  }
+
+  test("DSv2 streaming sink: exactly-once appends, replayed epoch publishes nothing") {
+    import spark.implicits._
+    val t = tmpTable()
+    val ckpt = Files.createTempDirectory("graftv-sink-ckpt-").toString
+    // the sink table must exist (the provider infers the sink schema)
+    Versioned.commit(Seq((0L, "seed")).toDF("id", "s"), t)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[(Long, String)]
+    def runOnce(): Unit = {
+      val q = mem.toDF().toDF("id", "s")
+        .writeStream.format("graftv")
+        .option("checkpointLocation", ckpt)
+        .start(t)
+      q.processAllAvailable(); q.stop()
+    }
+    mem.addData((1L, "a"), (2L, "b"))
+    runOnce()
+    mem.addData((3L, "c"))
+    runOnce()
+    def state() = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(state() === Seq((0L, "seed"), (1L, "a"), (2L, "b"), (3L, "c")))
+    // replay: wipe the last epoch's commit marker so the restarted
+    // query RE-EXECUTES it (the at-least-once recovery shape); the txn
+    // ledger must make the republish a no-op
+    val vBefore = Versioned.snapshot(t).version
+    val commits = Files.list(Paths.get(ckpt, "commits"))
+    val last = commits.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.forall(_.isDigit)).maxBy(_.getFileName.toString.toInt)
+    commits.close()
+    Files.delete(last)
+    // the local FS checkpoint manager writes a .crc sidecar per marker;
+    // leaving it behind makes the re-written marker's rename fail
+    Files.deleteIfExists(
+      last.resolveSibling(s".${last.getFileName.toString}.crc"))
+    runOnce()
+    assert(state() === Seq((0L, "seed"), (1L, "a"), (2L, "b"), (3L, "c")),
+      "replayed epoch must land exactly once")
+    assert(Versioned.snapshot(t).version === vBefore,
+      "the replayed epoch must publish NO new version")
+  }
 }
