@@ -52,6 +52,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR") // nothing may print after the JSON line
 

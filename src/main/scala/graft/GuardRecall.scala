@@ -50,6 +50,8 @@ object GuardRecall {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -71,6 +71,8 @@ object MakeScale {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val idOff = 100000000L

@@ -16,6 +16,8 @@ object Plans {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -51,6 +51,8 @@ object GoldenPixels {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     fresh(spark, "/root/testdata/sf0.01")

@@ -115,6 +115,8 @@ object SeedFixture {
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
       .getOrCreate()
     df(spark).coalesce(1)
       .orderBy(col("seed_uuid"), col("atom_idx"))

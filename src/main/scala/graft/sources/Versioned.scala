@@ -1995,7 +1995,61 @@ object Versioned {
     } finally deleteRecursively(Paths.get(tmp))
   }
 
+  /** v9_sql_merge (round 12): the SQL surface of the round-12
+    * row-level operations — a catalog `USING graftv` table driven
+    * entirely through `spark.sql`: a MERGE INTO clause CHAIN
+    * (tombstone-delete + UPDATE SET + conditional INSERT, Delta's
+    * first-match-wins) and a DELETE FROM whose WHERE rides the
+    * DSv2 SupportsDelete path into the COW deleteWhere. The oracle
+    * replays the same set algebra relationally (the v2/v7 pattern).
+    * Requires the GraftExtensions parser (Verify/Bench sessions
+    * enable it). */
+  def sqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val tmp = Files.createTempDirectory("graft-versioned-").toString
+    try {
+      commit(docs.where(col("doc_id") % 2 === 0), tmp, "append") // v1
+      docs.createOrReplaceTempView("v9_sql_merge_src")
+      spark.sql("DROP TABLE IF EXISTS v9_sql_merge_tbl")
+      spark.sql(s"CREATE TABLE v9_sql_merge_tbl USING graftv LOCATION '$tmp'")
+      try {
+        spark.sql("""
+          MERGE INTO v9_sql_merge_tbl AS tg
+          USING (SELECT doc_id, n_chars FROM v9_sql_merge_src
+                 WHERE doc_id % 3 = 0) AS s
+          ON tg.doc_id = s.doc_id
+          WHEN MATCHED AND s.doc_id % 5 = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET n_chars = -s.n_chars
+          WHEN NOT MATCHED AND s.doc_id % 7 != 0 THEN INSERT *
+        """) // v2
+        spark.sql(
+          "DELETE FROM v9_sql_merge_tbl WHERE doc_id >= 10 AND doc_id < 40"
+        ) // v3 (range chosen non-empty down to sf0.001's 50 docs)
+        val states = (1 to 3).map { v =>
+          val r = read(spark, tmp, Some(v))
+            .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"),
+              sum(col("n_chars")).as("sc")).head()
+          Row(v, "state", r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        val cdf = readChanges(spark, tmp, fromVersion = 1, toVersion = 3)
+          .groupBy(col("_commit_version"), col("_change_type"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"),
+            sum(col("n_chars")).as("sc"))
+          .collect().toSeq
+          .map(r => Row(r.getInt(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(states ++ cdf, 1),
+          StructType.fromDDL("step INT, kind STRING, n_rows BIGINT, " +
+            "sum_doc_id BIGINT, sum_chars BIGINT"))
+          .orderBy(col("step"), col("kind"))
+      } finally spark.sql("DROP TABLE IF EXISTS v9_sql_merge_tbl")
+    } finally deleteRecursively(Paths.get(tmp))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v9_sql_merge" -> (sqlMerge _),
     "v8_partitioned" -> (partitioned _),
     "v7_merge_composite" -> (mergeComposite _),
     "v1_time_travel" -> (timeTravel _),
@@ -2006,6 +2060,44 @@ object Versioned {
     "v6_cdf_apply" -> (cdfApply _))
 
   val oracle: Map[String, String] = Map(
+    "v9_sql_merge" -> """
+      WITH state2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 6 = 0 THEN -n_chars ELSE n_chars END
+                 AS n_chars
+        FROM documents
+        WHERE (doc_id % 2 = 0 AND doc_id % 30 <> 0)
+           OR (doc_id % 2 = 1 AND doc_id % 3 = 0 AND doc_id % 7 <> 0)),
+      rows_out AS (
+        SELECT 1 AS step, 'state' AS kind, count(*) AS n_rows,
+               sum(doc_id) AS sum_doc_id, sum(n_chars) AS sum_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 2, 'state', count(*), sum(doc_id), sum(n_chars) FROM state2
+        UNION ALL
+        SELECT 3, 'state', count(*), sum(doc_id), sum(n_chars)
+        FROM state2 WHERE NOT (doc_id >= 10 AND doc_id < 40)
+        UNION ALL
+        SELECT 2, 'delete', count(*), sum(doc_id), sum(n_chars)
+        FROM documents WHERE doc_id % 30 = 0
+        UNION ALL
+        SELECT 2, 'insert', count(*), sum(doc_id), sum(n_chars)
+        FROM documents
+        WHERE doc_id % 2 = 1 AND doc_id % 3 = 0 AND doc_id % 7 <> 0
+        UNION ALL
+        SELECT 2, 'update_preimage', count(*), sum(doc_id), sum(n_chars)
+        FROM documents WHERE doc_id % 6 = 0 AND doc_id % 30 <> 0
+        UNION ALL
+        SELECT 2, 'update_postimage', count(*), sum(doc_id), sum(-n_chars)
+        FROM documents WHERE doc_id % 6 = 0 AND doc_id % 30 <> 0
+        UNION ALL
+        SELECT 3, 'delete', count(*), sum(doc_id), sum(n_chars)
+        FROM state2 WHERE doc_id >= 10 AND doc_id < 40)
+      SELECT CAST(step AS INT) AS step, kind,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_doc_id AS BIGINT) AS sum_doc_id,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM rows_out ORDER BY step, kind""",
     "v8_partitioned" -> """
       WITH state3 AS (
         SELECT doc_id, doc_id % 4 AS pb,

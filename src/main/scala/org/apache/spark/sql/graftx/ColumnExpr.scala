@@ -40,6 +40,39 @@ object ColumnExpr {
       case a: org.apache.spark.sql.internal.UnresolvedAttribute =>
         Attr(a.nameParts)
       case l: org.apache.spark.sql.internal.Literal => Lit(l.value)
+      // Columns minted from catalyst trees (the SQL MERGE/DELETE
+      // rewrite path builds clause conditions via
+      // ExpressionUtils.column): surface the catalyst shape under the
+      // same ADT so referencesQualifier/predBounds see through them.
+      case w: org.apache.spark.sql.classic.ExpressionColumnNode =>
+        convCatalyst(w.expression)
       case _ => Opaque
     }
+
+  private def convCatalyst(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Node = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Attr(a.nameParts)
+      case a: ce.AttributeReference => Attr(a.qualifier :+ a.name)
+      case l: ce.Literal => Lit(l.value)
+      case ce.And(l, r) => Fn("and", Seq(convCatalyst(l), convCatalyst(r)))
+      case ce.Or(l, r) => Fn("or", Seq(convCatalyst(l), convCatalyst(r)))
+      case ce.Not(c) => Fn("not", Seq(convCatalyst(c)))
+      case ce.EqualTo(l, r) => Fn("=", Seq(convCatalyst(l), convCatalyst(r)))
+      case ce.EqualNullSafe(l, r) =>
+        Fn("<=>", Seq(convCatalyst(l), convCatalyst(r)))
+      case ce.GreaterThan(l, r) =>
+        Fn(">", Seq(convCatalyst(l), convCatalyst(r)))
+      case ce.GreaterThanOrEqual(l, r) =>
+        Fn(">=", Seq(convCatalyst(l), convCatalyst(r)))
+      case ce.LessThan(l, r) => Fn("<", Seq(convCatalyst(l), convCatalyst(r)))
+      case ce.LessThanOrEqual(l, r) =>
+        Fn("<=", Seq(convCatalyst(l), convCatalyst(r)))
+      case ce.In(v, list) => Fn("in", convCatalyst(v) +: list.map(convCatalyst))
+      case other => Fn(other.prettyName.toLowerCase(java.util.Locale.ROOT),
+        other.children.map(convCatalyst))
+    }
+  }
 }

@@ -14,11 +14,16 @@ import org.apache.spark.sql.types.StringType
   * or `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, cls, b) =>
       e.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(cls, name), b))
     }
+    // SQL MERGE INTO for graftv tables (round 12): a thin top-level
+    // plan rewrite — everything else passes through the delegate
+    // parser verbatim (see GraftSqlMerge.scala).
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,230 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
+
+/** SQL `MERGE INTO` for graftv tables (round 12).
+  *
+  * Spark's own MERGE planning requires the connector to implement
+  * `SupportsRowLevelOperations` (a rewrite-plan protocol sized for
+  * Delta/Iceberg's file-replacement executors); graftv's upsert
+  * machinery already exists as [[graft.sources.Versioned.mergeClauses]]
+  * — file-granular COW with Delta clause semantics, CDF, and conflict
+  * rebase. This parser-level bridge is the idiomatic
+  * `SparkSessionExtensions` seam for that: the delegate parser
+  * produces the standard [[MergeIntoTable]] plan, and a top-level
+  * rewrite repackages it as a leaf command that — AT RUN TIME —
+  * resolves whether the target is a graftv table (session-catalog
+  * `USING graftv` tables by provider, or the Delta-style
+  * `graftv.`/path`` direct form) and routes it through the library
+  * merge. Non-graftv targets re-enter Spark's own machinery
+  * untouched, so the extension never changes behavior for other
+  * formats.
+  *
+  * Mapping (mirrors the reference's active-set upsert loop, the
+  * write pattern behind database/active.py:158–205):
+  *  - `ON` must be a conjunction of `t.k = s.k` equalities on
+  *    same-named columns — they become the merge KEYS (graftv rows
+  *    are identified by key columns, not row ids);
+  *  - `WHEN MATCHED [AND c] THEN UPDATE SET *` → whole-row update;
+  *    `UPDATE SET col = expr, …` → partial-column SET map;
+  *    `THEN DELETE` → tombstone clause; chains keep SQL order
+  *    (first-match-wins, Delta's rule);
+  *  - `WHEN NOT MATCHED [AND c] THEN INSERT *` / `INSERT (cols)
+  *    VALUES (exprs)` → insert clauses (unset columns NULL);
+  *  - `WHEN NOT MATCHED BY SOURCE` is not supported (loud error);
+  *  - the source must be union-compatible with the target: every
+  *    table column present (it is projected to the table schema
+  *    before the merge; staging-only source columns are not
+  *    reachable from clause expressions — keep flags in table
+  *    columns or express them in the ON/AND conditions).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText) match {
+      case m: MergeIntoTable => GraftMergeIntoCommand(m)
+      case other => other
+    }
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan =
+    delegate.parsePlanWithParameters(sqlText, ctx) match {
+      case m: MergeIntoTable => GraftMergeIntoCommand(m)
+      case other => other
+    }
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String)
+      : org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** Leaf command carrying the PARSED (unresolved) MergeIntoTable; all
+  * resolution happens in run() through public DataFrame machinery, so
+  * the analyzer never sees a plan shape it would reject. */
+case class GraftMergeIntoCommand(merge: MergeIntoTable)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import graft.sources.Versioned
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val spark = sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"graftv MERGE INTO: $msg")
+
+    // ---- target: alias + name parts, then provider/location lookup
+    def unwrap(p: LogicalPlan, alias: Option[String])
+        : (Option[String], Seq[String]) = p match {
+      case SubqueryAlias(id, child) => unwrap(child, alias.orElse(Some(id.name)))
+      case UnresolvedRelation(parts, _, _) => (alias, parts)
+      case other => fail(s"the target must be a table, got ${other.nodeName}")
+    }
+    val (tAlias, tParts) = unwrap(merge.targetTable, None)
+    val pathOpt: Option[String] =
+      if (tParts.length == 2 && tParts.head.equalsIgnoreCase("graftv"))
+        Some(tParts(1)) // graftv.`/path` direct form
+      else {
+        val identOpt = tParts match {
+          case Seq(tbl) => Some(TableIdentifier(tbl))
+          case Seq(db, tbl) => Some(TableIdentifier(tbl, Some(db)))
+          case _ => None
+        }
+        identOpt.flatMap { ident =>
+          try {
+            val meta = spark.sessionState.catalog.getTableMetadata(ident)
+            if (meta.provider.exists(_.equalsIgnoreCase("graftv")))
+              Some(meta.location.toString)
+            else None
+          } catch { case _: Exception => None }
+        }
+      }
+    pathOpt match {
+      case None =>
+        // not ours: hand the ORIGINAL plan to Spark's machinery (its
+        // native row-level-operation path, or its native error)
+        org.apache.spark.sql.classic.Dataset.ofRows(spark, merge)
+          .collect().toSeq
+      case Some(path) =>
+        runGraft(spark, path, tAlias.getOrElse(tParts.last))
+    }
+  }
+
+  private def runGraft(spark: org.apache.spark.sql.classic.SparkSession,
+      path: String, targetQual: String): Seq[Row] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"graftv MERGE INTO: $msg")
+    require(merge.notMatchedBySourceActions.isEmpty,
+      "graftv MERGE INTO: WHEN NOT MATCHED BY SOURCE is not supported")
+    require(!merge.withSchemaEvolution,
+      "graftv MERGE INTO: WITH SCHEMA EVOLUTION is not supported")
+
+    val sourceQual: Option[String] = merge.sourceTable match {
+      case SubqueryAlias(id, _) => Some(id.name)
+      case UnresolvedRelation(parts, _, _) => Some(parts.last)
+      case _ => None
+    }
+    def isQual(parts: Seq[String], q: String): Boolean =
+      parts.length > 1 && parts.head.equalsIgnoreCase(q)
+
+    // clause expressions re-qualify to the engine's `target`/`source`
+    // aliases; unqualified names stay (they resolve source-side in
+    // source-only conditions, and error loudly where ambiguous)
+    def requalify(e: Expression): Expression = e.transformUp {
+      case a: UnresolvedAttribute if isQual(a.nameParts, targetQual) =>
+        UnresolvedAttribute("target" +: a.nameParts.tail)
+      case a: UnresolvedAttribute
+          if sourceQual.exists(q => isQual(a.nameParts, q)) =>
+        UnresolvedAttribute("source" +: a.nameParts.tail)
+    }
+    def colOf(e: Expression): Column = ExpressionUtils.column(requalify(e))
+
+    // ---- ON: conjunction of t.k = s.k equalities → merge keys
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keys: Seq[String] = conjuncts(merge.mergeCondition).map {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        val (t, s) =
+          if (isQual(a.nameParts, targetQual)) (a, b)
+          else if (isQual(b.nameParts, targetQual)) (b, a)
+          else fail(s"ON conjunct ${a.sql} = ${b.sql} must qualify the " +
+            s"target side as $targetQual.<col>")
+        require(sourceQual.forall(q => isQual(s.nameParts, q)),
+          s"graftv MERGE INTO: ON conjunct must compare against the " +
+            s"source (${s.sql})")
+        require(t.nameParts.last.equalsIgnoreCase(s.nameParts.last),
+          s"graftv MERGE INTO: ON keys must be same-named columns " +
+            s"(got ${t.sql} = ${s.sql}); rename in the source query")
+        t.nameParts.last
+      case other => fail("the ON condition must be a conjunction of " +
+        s"target.k = source.k equalities, got ${other.sql}")
+    }
+
+    def setOf(assigns: Seq[Assignment]): Map[String, Column] =
+      assigns.map { a =>
+        val name = a.key match {
+          case k: UnresolvedAttribute => k.nameParts.last
+          case other => fail(s"SET key must be a column, got ${other.sql}")
+        }
+        name -> colOf(a.value)
+      }.toMap
+
+    val matchedClauses: Seq[Versioned.WhenMatched] =
+      merge.matchedActions.map {
+        case DeleteAction(cond) =>
+          Versioned.WhenMatched.Delete(cond.map(colOf))
+        case UpdateAction(cond, assigns, _) =>
+          Versioned.WhenMatched.Update(cond.map(colOf), setOf(assigns))
+        case UpdateStarAction(cond) =>
+          Versioned.WhenMatched.Update(cond.map(colOf), Map.empty)
+        case other => fail(s"unsupported matched action $other")
+      }
+    val notMatchedClauses: Seq[Versioned.WhenNotMatched] =
+      merge.notMatchedActions.map {
+        case InsertAction(cond, assigns) =>
+          Versioned.WhenNotMatched.Insert(cond.map(colOf), setOf(assigns))
+        case InsertStarAction(cond) =>
+          Versioned.WhenNotMatched.Insert(cond.map(colOf), Map.empty)
+        case other => fail(s"unsupported not-matched action $other")
+      }
+
+    // ---- source: resolve, then project to the table schema (the
+    // engine's union-compatibility contract)
+    val srcRaw = org.apache.spark.sql.classic.Dataset.ofRows(
+      spark, merge.sourceTable)
+    val tableSchema = StructType.fromDDL(Versioned.snapshot(path).schemaDdl)
+    val missing = tableSchema.fields.map(_.name)
+      .filterNot(c => srcRaw.columns.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"graftv MERGE INTO: the source is missing table column(s) " +
+        s"${missing.mkString(", ")} — the source must be " +
+        "union-compatible with the target")
+    val src = srcRaw.select(tableSchema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        .as(f.name)).toIndexedSeq: _*)
+
+    Versioned.mergeClauses(src, path, keys, matchedClauses,
+      notMatchedClauses)
+    Seq.empty
+  }
+}

@@ -13,6 +13,8 @@ class ActiveLoopSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
     .getOrCreate()
 
   test("active loop grows the set, dedups, and resumes from state") {

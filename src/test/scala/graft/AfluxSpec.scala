@@ -15,6 +15,8 @@ class AfluxSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
     .getOrCreate()
 
   test("paper query builds the AFLUX matchbook URL (S9)") {

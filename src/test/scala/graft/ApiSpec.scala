@@ -19,6 +19,8 @@ class ApiSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
     .getOrCreate()
 
   // planted corpus: docs 1/2 identical, 3 a near-copy of them (one

@@ -11,6 +11,8 @@ class BpeSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
     .getOrCreate()
 
   private val sf = "/root/testdata/sf0.001"

@@ -14,6 +14,8 @@ class BucketedJoinSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
     .getOrCreate()
 
   test("co-bucketed join plans with zero Exchange and matches the plain join") {

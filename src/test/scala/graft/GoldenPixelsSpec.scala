@@ -16,6 +16,8 @@ class GoldenPixelsSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
     .getOrCreate()
 
   test("committed golden pixels equal a fresh JPEG decode of sf0.01") {

@@ -11,6 +11,8 @@ class SourcesSpec extends AnyFunSuite {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
       .getOrCreate()
 
   private val a = 4.05
@@ -65,7 +67,9 @@ class SourcesSpec extends AnyFunSuite {
 
   test("legacy ingest conforms keys and limit-samples deterministically") {
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+      .master("local[4]").config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions").getOrCreate()
     val frames = (1 to 5).map { i =>
       graft.sources.ExtXyz.write(cfg.copy(
         positions = cfg.positions.map(_.map(_ + i * 0.1))))

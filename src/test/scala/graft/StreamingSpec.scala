@@ -12,6 +12,8 @@ class StreamingSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 

@@ -11,6 +11,8 @@ class VectorExprSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
     .getOrCreate()
 
   test("DotProduct matches the interpreted aggregate/zip_with bit-for-bit") {

@@ -31,6 +31,8 @@ class VersionedConcurrencySpec extends AnyFunSuite {
     .master("local[8]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
     .getOrCreate()
 
   private type Rows = Vector[(Long, String)]

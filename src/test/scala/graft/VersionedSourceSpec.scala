@@ -16,6 +16,8 @@ class VersionedSourceSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
     .getOrCreate()
 
   private def tmpTable(): String =
@@ -622,5 +624,91 @@ class VersionedSourceSpec extends AnyFunSuite {
       "replayed epoch must land exactly once")
     assert(Versioned.snapshot(t).version === vBefore,
       "the replayed epoch must publish NO new version")
+  }
+
+  test("SQL MERGE INTO: upsert, clause chain with SET, CDF, COW pruning") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, 10L, "a"), (2L, 50L, "b"), (3L, 30L, "c"))
+      .toDF("id", "v", "note").coalesce(1), t)
+    Versioned.commit(Seq((100L, 1L, "z")).toDF("id", "v", "note")
+      .coalesce(1), t) // disjoint file: COW must carry it by reference
+    val before = Versioned.snapshot(t)
+    spark.sql("DROP TABLE IF EXISTS g_mrg")
+    spark.sql(s"CREATE TABLE g_mrg USING graftv LOCATION '$t'")
+    try {
+      // the CDC composite in ONE SQL statement: tombstone-delete,
+      // upsert-if-newer with a partial SET, conditional + star inserts
+      spark.sql("""
+        MERGE INTO g_mrg AS tg
+        USING (SELECT * FROM VALUES
+                 (1, 99, 'tomb'), (2, 99, 'x'), (3, 5, 'y'),
+                 (5, 70, 'tomb'), (6, 60, 'z')
+               AS src(id, v, note)) AS s
+        ON tg.id = s.id
+        WHEN MATCHED AND s.note = 'tomb' THEN DELETE
+        WHEN MATCHED AND s.v > tg.v THEN
+          UPDATE SET v = s.v, note = concat(tg.note, '!')
+        WHEN NOT MATCHED AND s.note = 'tomb' THEN
+          INSERT (id, v) VALUES (s.id, -1)
+        WHEN NOT MATCHED THEN INSERT *
+      """)
+      val rows = Versioned.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getString(2)).getOrElse("<null>"))).sorted.toSeq
+      assert(rows === Seq(
+        (2L, 99L, "b!"),     // SET update fired (99 > 50)
+        (3L, 30L, "c"),      // no clause fired: untouched
+        (5L, -1L, "<null>"), // partial INSERT: unset column NULL
+        (6L, 60L, "z"),      // INSERT *
+        (100L, 1L, "z")))    // untouched disjoint file
+      // COW: the disjoint [100] file carried by reference
+      val after = Versioned.snapshot(t)
+      assert(after.files.toSet.intersect(before.files.toSet).size === 1,
+        "SQL MERGE must keep the key-disjoint file untouched")
+      // the merge flowed through the library door: CDF images
+      val ch = Versioned.readChanges(spark, t, before.version, after.version)
+        .select("_change_type", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(ch === Seq(("delete", 1L), ("insert", 5L), ("insert", 6L),
+        ("update_postimage", 2L), ("update_preimage", 2L)))
+      // the direct path form works without a catalog table
+      spark.sql(s"""
+        MERGE INTO graftv.`$t` AS tg
+        USING (SELECT 200 AS id, 2 AS v, 'p' AS note) AS s
+        ON tg.id = s.id
+        WHEN NOT MATCHED THEN INSERT *
+      """)
+      assert(Versioned.read(spark, t).where(col("id") === 200L).count() === 1)
+      // a malformed ON (non-equality) fails loudly
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("""
+          MERGE INTO g_mrg AS tg
+          USING (SELECT 1 AS id, 1 AS v, 'q' AS note) AS s
+          ON tg.id > s.id
+          WHEN MATCHED THEN DELETE
+        """)
+      }
+      assert(e.getMessage.contains("ON"))
+      // a non-graftv target falls through to Spark's native handling
+      // (parquet tables have no row-level ops -> Spark's own error)
+      val tp = tmpTable()
+      Seq((1L, 1L)).toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$tp/pq")
+      spark.sql("DROP TABLE IF EXISTS plain_pq")
+      spark.sql(s"CREATE TABLE plain_pq USING parquet LOCATION '$tp/pq'")
+      try {
+        val e2 = intercept[Exception] {
+          spark.sql("""
+            MERGE INTO plain_pq AS tg
+            USING (SELECT 1 AS id, 2 AS v) AS s
+            ON tg.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+          """)
+        }
+        assert(!e2.getMessage.contains("graftv"),
+          s"non-graftv MERGE must surface Spark's own error, got: ${e2.getMessage}")
+      } finally spark.sql("DROP TABLE plain_pq")
+    } finally spark.sql("DROP TABLE g_mrg")
   }
 }
