@@ -156,6 +156,19 @@ object AnnRecall {
       sb ++= s"""    "lsh": {"sec": ${r4(tLsh)}, "recall_at_$K": ${r4(rLsh)}},\n"""
       println(f"[ann-recall] $label lsh: recall=$rLsh%.4f ${tLsh}%.2fs")
 
+      // sign-LSH at probe radius 2 (round 12): the recall dial — the
+      // pair-flip probes multiply candidates ~np/2× over radius 1
+      val (lsh2, tLsh2) = timed {
+        graft.operators.IntKmeans.lshTopK(
+          e.select(col("vec_id"), col("embedding")), q, "embedding",
+          "vec_id", k = K, dim = 64, seed = 42L, probeHamming = 2)
+          .persist()
+      }
+      val rLsh2 = recallOf(lsh2, truth, thresh)
+      lsh2.unpersist()
+      sb ++= s"""    "lsh_probe2": {"sec": ${r4(tLsh2)}, "recall_at_$K": ${r4(rLsh2)}},\n"""
+      println(f"[ann-recall] $label lsh_probe2: recall=$rLsh2%.4f ${tLsh2}%.2fs")
+
       // IVF-Flat + IVF-PQ nprobe sweep (production default nlist/16)
       val sweeps = Seq(32, 16, 8, 4, 2).map(d => d -> math.max(4, nlist / d))
       def sweepJson(name: String,

@@ -78,6 +78,25 @@ object Bench {
     // session start-up (footers are already warm from the preflight).
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
+    // Cross-round machine-drift canary (round 12; VERDICT r11 #9):
+    // a FIXED pure-CPU, data-independent kernel timed at run start
+    // and end (median of 3 laps). Its code never changes across
+    // rounds, so calibration_sec moves ONLY with the machine — the
+    // committed warm total walked 112.6 → 129.6 → 135.6 s across
+    // closings on near-identical code, and cross-round per-query
+    // deltas can now be normalized against this basis instead of
+    // hand-adjudicated.
+    def calibrate(): Double = {
+      val laps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1L << 27)
+          .selectExpr("sum(xxhash64(id * 2654435761))").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      laps.sorted.apply(1)
+    }
+    val calibStart = calibrate()
+
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def time1(name: String): Double = {
       val t0 = System.nanoTime()
@@ -126,6 +145,7 @@ object Bench {
     }
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
+    val calibEnd = calibrate() // drift DURING the run shows as end/start
 
     // Contention self-verdict (round-9; VERDICT r8 "What's wrong" #5:
     // two driver refreshes in a row had to be adjudicated by hand).
@@ -184,6 +204,8 @@ object Bench {
     full ++= s"""{\n  "sf": "$sfName",\n  "cpus": $cpus,\n"""
     full ++= s"""  "cold_total_sec": ${r3(coldTotal)},\n"""
     full ++= s"""  "warm_total_sec": ${r3(warmTotal)},\n"""
+    full ++= s"""  "calibration_sec": ${r3(calibStart)},\n"""
+    full ++= s"""  "calibration_end_sec": ${r3(calibEnd)},\n"""
     full ++= s"""  $contendedJson,\n"""
     full ++= s"""  "tables": {""" + tableCounts.map { case (n, c) => s""""$n": $c""" }
       .mkString(", ") + "},\n"
@@ -265,7 +287,7 @@ object Bench {
       if (failed.isEmpty) "[]" else failed.map(n => s""""$n"""").mkString("[", ",", "]")
     def lineFor(qnames: Seq[String]): String = {
       val qs = qnames.map(k => "\"" + k + "\":" + r3(warmMap2(k))).mkString("{", ",", "}")
-      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","artifact":"${if (gateRejected) "kept_contended" else "refreshed"}","contended":${contended.map(_.toString).getOrElse("null")},"contended_cold":${contendedCold.map(_.toString).getOrElse("null")},"spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
+      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"calibration_sec":${r3(calibStart)},"calibration_end_sec":${r3(calibEnd)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","artifact":"${if (gateRejected) "kept_contended" else "refreshed"}","contended":${contended.map(_.toString).getOrElse("null")},"contended_cold":${contendedCold.map(_.toString).getOrElse("null")},"spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
     }
     // headline priority: one representative per family, expensive first,
     // then everything else — trimmed from the back until the line fits.

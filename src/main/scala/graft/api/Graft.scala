@@ -174,9 +174,10 @@ object Graft {
       * multiprobe). Same ~unit-scale input precondition as
       * `ivfTopK` (the cosine rerank squares quantized values). */
     def lshTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
-        idCol: String, k: Int, dim: Int, seed: Long = 42L): DataFrame =
+        idCol: String, k: Int, dim: Int, seed: Long = 42L,
+        probeHamming: Int = 1): DataFrame =
       graft.operators.IntKmeans.lshTopK(corpus, queries, vCol, idCol, k,
-        dim, seed)
+        dim, seed, probeHamming)
 
     /** qid: c1_kmeans_summary — per-cluster sizes + exact integer
       * inertia (q8 units) from the deterministic integer Lloyd. */

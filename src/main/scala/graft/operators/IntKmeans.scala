@@ -393,12 +393,28 @@ object IntKmeans {
   }
 
   /** LSH top-k on the deterministic sign planes — the s2 shape
-    * (bucket corpus + queries, 1-bit multiprobe, exact cosine rerank)
-    * with every decision exact: projections are ±1·integer dots, the
-    * sign threshold is ≥ 0, rerank cosines round to 6 before ranking.
-    * Replays bit-for-bit in DuckDB (oracleS2). */
+    * (bucket corpus + queries, hamming-≤`probeHamming` multiprobe,
+    * exact cosine rerank) with every decision exact: projections are
+    * ±1·integer dots, the sign threshold is ≥ 0, rerank cosines round
+    * to 6 before ranking. `probeHamming = 1` replays bit-for-bit in
+    * DuckDB (oracleS2); `probeHamming = 2` adds the pair-flip probes —
+    * the recall dial, measured in `bench/ann_recall.json`.
+    *
+    * RECALL ENVELOPE (measured, bench/ann_recall.json): sign-LSH
+    * recall is bounded by the corpus's angular structure. On the
+    * synthetic near-iid embeddings, radius-1 reads 0.24 recall@10 at
+    * 1× and 0.52 at 25× — essentially the scanned fraction, because
+    * iid vectors give hyperplanes nothing to exploit; radius 2 buys
+    * recall linearly in extra candidates. For recall-critical
+    * retrieval prefer `ivfTopK` (s3: recall 1.0 at 25× at every
+    * nprobe) or brute force (s1); s2 exists for the banded-LSH plan
+    * shape (O(N) bucket join, never all-pairs) that holds at 100 TB
+    * when the corpus HAS angular clusters. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
-      idCol: String, k: Int, dim: Int, seed: Long): DataFrame = {
+      idCol: String, k: Int, dim: Int, seed: Long,
+      probeHamming: Int = 1): DataFrame = {
+    require(probeHamming == 1 || probeHamming == 2,
+      s"lshTopK: probeHamming must be 1 or 2, got $probeHamming")
     val q = quantize(corpus, idCol, vCol)
     val np = exactPlaneBits(q.count(), k)
     val pl = planesSign(np, dim, seed)
@@ -412,15 +428,20 @@ object IntKmeans {
       .withColumn("na", doti(col("qvd"), col("qvd")))
       .select(col(idCol).as("vec_id"), col("qvd").as("v"),
         col("bucket"), col("na"))
-    val probes = (0 until np).map(p => lit(1L << p))
+    // probe masks: own bucket + every 1-bit flip (+ every 2-bit flip
+    // at radius 2) — all masks distinct, and a corpus vector lives in
+    // exactly one bucket, so no candidate dedup
+    val masks: Seq[Long] = 0L +: ((0 until np).map(p => 1L << p) ++
+      (if (probeHamming >= 2)
+        for { a <- 0 until np; b <- (a + 1) until np }
+          yield (1L << a) | (1L << b)
+      else Nil))
     val qs = assignNone(quantize(queries, idCol, vCol), idCol)
       .withColumn("bucket", bucketOf(col("qvd")))
       .withColumn("qn", doti(col("qvd"), col("qvd")))
       .select(col(idCol).as("query_id"), col("qvd"), col("bucket"), col("qn"))
-      // multiprobe: own bucket + each 1-bit flip — all distinct, and a
-      // corpus vector lives in exactly one bucket, so no candidate dedup
       .withColumn("bucket", explode(array(
-        col("bucket") +: probes.map(p => col("bucket").bitwiseXOR(p)): _*)))
+        masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
     val cos = when(col("na") === 0.0 || col("qn") === 0.0, lit(0.0))
       .otherwise(round(doti(col("qvd"), col("v"))
         / (sqrt(col("qn")) * sqrt(col("na"))), 6))

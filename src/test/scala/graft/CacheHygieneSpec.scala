@@ -79,6 +79,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "v5_schema_evolution", // commits + evolved read collected at build
     "v7_merge_composite", // composite-key merge pipeline at build (v2 shape)
     "v8_partitioned",   // partitioned commits + pruned reads at build
+    "v9_sql_merge",     // SQL MERGE/DELETE pipeline at build (v2 shape)
     "m10_logistic_det"  // fixed-point GD iterations at fit time
   )
 

@@ -150,4 +150,48 @@ class IntKmeansSpec extends AnyFunSuite {
     assert(m1.books.map(_.map(_.toSeq).toSeq).toSeq ===
       m2.books.map(_.map(_.toSeq).toSeq).toSeq)
   }
+
+  test("lshTopK probe radius 2: higher recall on a clustered corpus (the dial)") {
+    import spark.implicits._
+    // a corpus with REAL angular clusters (what LSH exists for): 16
+    // cluster directions from deterministic ±1 sign patterns, members
+    // = center + small deterministic perturbation. On this geometry
+    // the true top-k of a member is its cluster; recall measures how
+    // many co-cluster neighbors each probe radius recovers.
+    val dim = 64
+    val rng = new scala.util.Random(7L)
+    val centers = Array.fill(16)(Array.fill(dim)(
+      if (rng.nextBoolean()) 1.0f else -1.0f))
+    val rows = for {
+      c <- centers.indices
+      m <- 0 until 40
+    } yield {
+      val r2 = new scala.util.Random(c * 1000 + m)
+      val v = centers(c).zipWithIndex.map { case (x, j) =>
+        x + 0.3f * (r2.nextFloat() - 0.5f) + 0f * j
+      }
+      (c * 40L + m, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.where(col("vec_id") % 40 === 0) // one query per cluster
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      // a hit = retrieved neighbor from the query's own cluster
+      val hits = df.where((col("vec_id") / 40).cast("long") ===
+        (col("query_id") / 40).cast("long")).count()
+      hits.toDouble / (16 * 10)
+    }
+    val r1 = recallOf(graft.operators.IntKmeans.lshTopK(
+      e, q, "embedding", "vec_id", k = 10, dim = dim, seed = 42L))
+    val r2 = recallOf(graft.operators.IntKmeans.lshTopK(
+      e, q, "embedding", "vec_id", k = 10, dim = dim, seed = 42L,
+      probeHamming = 2))
+    assert(r2 >= r1, s"radius 2 must not lose recall (r1=$r1, r2=$r2)")
+    assert(r2 >= 0.9,
+      s"radius-2 recall on a genuinely clustered corpus read $r2")
+    // invalid radius is a loud error
+    intercept[IllegalArgumentException] {
+      graft.operators.IntKmeans.lshTopK(e, q, "embedding", "vec_id",
+        k = 10, dim = dim, seed = 42L, probeHamming = 3)
+    }
+  }
 }
