@@ -1935,13 +1935,30 @@ object Versioned {
         Seq("uid", "bucket"),
         whenMatched = WhenMatched.Delete(None),
         whenNotMatched = WhenNotMatched.Ignore) // v3: tombstone feed
-      val states = (1 to 3).map { v =>
+      // v4 (round 12): the CDC composite in ONE merge — a clause
+      // CHAIN (first-match-wins) of tombstone-delete + upsert-if-newer
+      // with a SET expression over BOTH sides, plus a conditional
+      // insert. The oracle replays every clause relationally,
+      // including the target-referencing condition (source.n_chars >
+      // target.n_chars ⟺ n_chars > 0 exactly when the target holds
+      // the negated v2 value).
+      mergeClauses(tbl(docs.where(col("doc_id") % 4 === 0)), tmp,
+        Seq("uid", "bucket"),
+        matched = Seq(
+          WhenMatched.Delete(Some(col("source.bucket") === 1)),
+          WhenMatched.Update(
+            Some(col("source.n_chars") > col("target.n_chars")),
+            set = Map("n_chars" ->
+              (col("source.n_chars") * 2 + col("target.n_chars"))))),
+        notMatched = Seq(
+          WhenNotMatched.Insert(Some(col("bucket") =!= 2)))) // v4
+      val states = (1 to 4).map { v =>
         val r = read(spark, tmp, Some(v))
           .agg(count(lit(1)).as("n"), sum(col("bucket")).as("sb"),
             sum(col("n_chars")).as("sc")).head()
         Row(v, "state", r.getLong(0), r.getLong(1), r.getLong(2))
       }
-      val cdf = readChanges(spark, tmp, fromVersion = 1, toVersion = 3)
+      val cdf = readChanges(spark, tmp, fromVersion = 1, toVersion = 4)
         .groupBy(col("_commit_version"), col("_change_type"))
         .agg(count(lit(1)).as("n"), sum(col("bucket")).as("sb"),
           sum(col("n_chars")).as("sc"))
@@ -2122,8 +2139,31 @@ object Versioned {
       WITH state2 AS (
         SELECT doc_id, doc_id % 7 AS bucket,
                CASE WHEN doc_id % 3 = 0 THEN -n_chars ELSE n_chars END
-                 AS n_chars
+                 AS n_chars,
+               n_chars AS n0
         FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0),
+      state3 AS (SELECT * FROM state2 WHERE doc_id % 5 <> 0),
+      -- v4 clause chain: clause 0 deletes matched rows with source
+      -- bucket 1; clause 1 (first-match-wins after it) fires when
+      -- source.n_chars > target.n_chars -- the target holds -n0
+      -- exactly for 3|doc_id, so the condition is n0 > 0 there and
+      -- false (n0 > n0) elsewhere -- and SETs n_chars to
+      -- 2*source + target = 2*n0 - n0 = n0
+      upd4 AS (
+        SELECT doc_id, bucket, n0 FROM state3
+        WHERE doc_id % 4 = 0 AND doc_id % 7 <> 1 AND doc_id % 12 = 0
+          AND n0 > 0),
+      ins4 AS (
+        SELECT doc_id, doc_id % 7 AS bucket, n_chars FROM documents
+        WHERE doc_id % 4 = 0 AND doc_id % 5 = 0 AND doc_id % 7 <> 2),
+      state4 AS (
+        SELECT doc_id, bucket,
+               CASE WHEN doc_id % 4 = 0 AND doc_id % 7 <> 1
+                         AND doc_id % 12 = 0 AND n0 > 0
+                    THEN n0 ELSE n_chars END AS n_chars
+        FROM state3 WHERE NOT (doc_id % 4 = 0 AND doc_id % 7 = 1)
+        UNION ALL
+        SELECT doc_id, bucket, n_chars FROM ins4),
       rows_out AS (
         SELECT 1 AS step, 'state' AS kind, count(*) AS n_rows,
                sum(doc_id % 7) AS sum_bucket, sum(n_chars) AS sum_chars
@@ -2131,8 +2171,9 @@ object Versioned {
         UNION ALL
         SELECT 2, 'state', count(*), sum(bucket), sum(n_chars) FROM state2
         UNION ALL
-        SELECT 3, 'state', count(*), sum(bucket), sum(n_chars) FROM state2
-        WHERE doc_id % 5 <> 0
+        SELECT 3, 'state', count(*), sum(bucket), sum(n_chars) FROM state3
+        UNION ALL
+        SELECT 4, 'state', count(*), sum(bucket), sum(n_chars) FROM state4
         UNION ALL
         SELECT 2, 'update_preimage', count(*), sum(doc_id % 7),
                sum(n_chars)
@@ -2146,7 +2187,19 @@ object Versioned {
         FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0
         UNION ALL
         SELECT 3, 'delete', count(*), sum(bucket), sum(n_chars)
-        FROM state2 WHERE doc_id % 5 = 0)
+        FROM state2 WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT 4, 'delete', count(*), sum(bucket), sum(n_chars)
+        FROM state3 WHERE doc_id % 4 = 0 AND doc_id % 7 = 1
+        UNION ALL
+        SELECT 4, 'update_preimage', count(*), sum(bucket), sum(-n0)
+        FROM upd4
+        UNION ALL
+        SELECT 4, 'update_postimage', count(*), sum(bucket), sum(n0)
+        FROM upd4
+        UNION ALL
+        SELECT 4, 'insert', count(*), sum(bucket), sum(n_chars)
+        FROM ins4)
       SELECT CAST(step AS INT) AS step, kind,
              CAST(n_rows AS BIGINT) AS n_rows,
              CAST(sum_bucket AS BIGINT) AS sum_bucket,
