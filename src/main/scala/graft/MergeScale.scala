@@ -112,7 +112,10 @@ object MergeScale {
     // must land multiple output files and keep the write parallel.
     val bulkDir = tableDir + "-bulk"
     Versioned.commit(tbl.limit(1).coalesce(1), bulkDir, "append")
-    spark.conf.set("spark.graft.versioned.targetFileRows", "100000")
+    // target sized to the corpus so the scaling is OBSERVABLE here
+    // (~16 files); production default is 2^20 rows/file
+    spark.conf.set("spark.graft.versioned.targetFileRows",
+      math.max(1000L, nDocs / 16).toString)
     val bulkBefore = Versioned.snapshot(bulkDir)
     val tBulk = timed { Versioned.merge(tbl, bulkDir, Seq("uid")) }
     spark.conf.unset("spark.graft.versioned.targetFileRows")
@@ -123,7 +126,7 @@ object MergeScale {
       f"${bulkAfter.files.size} files in ${tBulk}%.2fs " +
       f"(rows_after=$bulkRows)")
     val bulk =
-      s"""  "bulk_insert_merge": {"rows": $nDocs, "files_before": ${bulkBefore.files.size}, "files_after": ${bulkAfter.files.size}, "rows_after": $bulkRows, "target_file_rows": 100000, "sec": ${r3(tBulk)}}"""
+      s"""  "bulk_insert_merge": {"rows": $nDocs, "files_before": ${bulkBefore.files.size}, "files_after": ${bulkAfter.files.size}, "rows_after": $bulkRows, "target_file_rows": ${math.max(1000L, nDocs / 16)}, "sec": ${r3(tBulk)}}"""
 
     val json = s"""{\n  "label": "$label", "n_docs": $nDocs, "ingest_sec": ${r3(tIngest)}, "cluster_sec": ${r3(tCluster)},\n$tight,\n$scattered,\n$composite,\n$bulk\n}\n"""
     val p = java.nio.file.Paths.get(s"bench/merge_string_$label.json")
