@@ -556,6 +556,14 @@ object Graft {
         pred: org.apache.spark.sql.Column): Int =
       Versioned.deleteWhere(spark, path, pred)
 
+    /** Copy-on-write UPDATE of rows matching `pred`: each `set`
+      * column takes its expression over the row, others keep their
+      * values (SQL `UPDATE t SET c = expr WHERE pred`). */
+    def updateWhere(spark: SparkSession, path: String,
+        pred: org.apache.spark.sql.Column,
+        set: Map[String, org.apache.spark.sql.Column]): Int =
+      Versioned.updateWhere(spark, path, pred, set)
+
     /** Non-destructive rollback: checkpoint `toVersion`'s live set as
       * a NEW version (history intact). */
     def restore(path: String, toVersion: Int): Int =

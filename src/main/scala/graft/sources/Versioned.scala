@@ -1448,6 +1448,65 @@ object Versioned {
       changes = Some(changeRel), sourceBounds = Some(bounds))
   }
 
+  /** UPDATE rows matching `pred`, setting each `set` column to its
+    * expression over the ROW (unset columns keep their values) —
+    * SQL `UPDATE t SET c = expr WHERE pred` as the same file-granular
+    * copy-on-write as [[deleteWhere]] (round 12): predicate-disjoint
+    * files carry by reference, the predicate is evaluated ONCE per
+    * touched row (checkpointed flag), the CDF records
+    * update_preimage/update_postimage rows, and the publish rebases
+    * over provably-disjoint interloping appends. Rows the update
+    * CREATES (postimages) may leave the predicate's bounds — that is
+    * fine: bounds gate which EXISTING rows can match, and the
+    * rewritten files get fresh stats. */
+  def updateWhere(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Int = {
+    require(set.nonEmpty, s"versioned: updateWhere needs SET columns")
+    val base = snapshot(path)
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val tableCols: Seq[String] = schema.fields.map(_.name).toSeq
+    set.keys.foreach(k => require(tableCols.contains(k),
+      s"versioned: SET column $k is not a table column at $path " +
+        s"(table: ${tableCols.mkString(", ")})"))
+    val bounds = predBounds(
+      org.apache.spark.sql.graftx.ColumnExpr.nodeOf(pred))
+    val ranges = fileKeyStats(spark, path, base)
+    val (touched, untouched) = ranges.partition { case (_, st) =>
+      bounds.forall { case (c, b) => statIntersects(st.get(c), b) }
+    }
+    val live =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(touched.map { case (f, _) => s"$path/$f" }: _*)
+    val UpdFlag = "__graft_update"
+    val tagged = live.withColumn(UpdFlag, pred).localCheckpoint()
+    val kept = tagged
+      .where(!col(UpdFlag) || col(UpdFlag).isNull).drop(UpdFlag)
+    val hit = tagged.where(col(UpdFlag)).drop(UpdFlag)
+    val updated = hit.select(tableCols.map(c =>
+      set.getOrElse(c, col(c)).as(c)): _*)
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"data/c-$commitId"
+    writeData(kept.unionByName(updated)
+      .coalesce(math.max(1, touched.size)),
+      s"$path/$dataRel", base.partitionCols)
+    val added = listParquet(dataPath(path, commitId))
+      .map(f => s"$dataRel/$f")
+    val files = untouched.map(_._1) ++ added
+    val newStats = base.stats.view
+      .filterKeys(untouched.map(_._1).toSet).toMap ++
+      statsForFiles(spark, path, added, base.partitionCols, schema)
+    val changeRel = writeChanges(
+      hit.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(updated
+          .withColumn("_change_type", lit("update_postimage"))),
+      path, commitId)
+    publishCow(path, "update", base, files, newStats,
+      changes = Some(changeRel), sourceBounds = Some(bounds))
+  }
+
   /** OPTIMIZE: compact the live set into `numFiles` files — same
     * rows, new layout — as a new version. The small-files problem is
     * the chronic failure mode of streaming appends (every micro-batch
@@ -1562,7 +1621,7 @@ object Versioned {
         case "append" =>
           val (addedFiles, ddl) = addedAt(path, v, fromVersion, toVersion)
           (v, addedFiles, ddl, false)
-        case "merge" | "delete" =>
+        case "merge" | "delete" | "update" =>
           val chg = m.changes.getOrElse(sys.error(
             s"versioned: v$v is a pre-CDF '${m.op}' commit with no " +
               "persisted change set — re-baseline past it"))
@@ -2016,8 +2075,9 @@ object Versioned {
     * row-level operations — a catalog `USING graftv` table driven
     * entirely through `spark.sql`: a MERGE INTO clause CHAIN
     * (tombstone-delete + UPDATE SET + conditional INSERT, Delta's
-    * first-match-wins) and a DELETE FROM whose WHERE rides the
-    * DSv2 SupportsDelete path into the COW deleteWhere. The oracle
+    * first-match-wins), a DELETE FROM whose WHERE rides the
+    * DSv2 SupportsDelete path into the COW deleteWhere, and an
+    * UPDATE … SET routed through [[updateWhere]]. The oracle
     * replays the same set algebra relationally (the v2/v7 pattern).
     * Requires the GraftExtensions parser (Verify/Bench sessions
     * enable it). */
@@ -2043,13 +2103,16 @@ object Versioned {
         spark.sql(
           "DELETE FROM v9_sql_merge_tbl WHERE doc_id >= 10 AND doc_id < 40"
         ) // v3 (range chosen non-empty down to sf0.001's 50 docs)
-        val states = (1 to 3).map { v =>
+        spark.sql(
+          "UPDATE v9_sql_merge_tbl SET n_chars = n_chars * 3 " +
+            "WHERE doc_id >= 40 AND doc_id < 48") // v4 (same-range rule)
+        val states = (1 to 4).map { v =>
           val r = read(spark, tmp, Some(v))
             .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"),
               sum(col("n_chars")).as("sc")).head()
           Row(v, "state", r.getLong(0), r.getLong(1), r.getLong(2))
         }
-        val cdf = readChanges(spark, tmp, fromVersion = 1, toVersion = 3)
+        val cdf = readChanges(spark, tmp, fromVersion = 1, toVersion = 4)
           .groupBy(col("_commit_version"), col("_change_type"))
           .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"),
             sum(col("n_chars")).as("sc"))
@@ -2085,6 +2148,13 @@ object Versioned {
         FROM documents
         WHERE (doc_id % 2 = 0 AND doc_id % 30 <> 0)
            OR (doc_id % 2 = 1 AND doc_id % 3 = 0 AND doc_id % 7 <> 0)),
+      state3 AS (
+        SELECT * FROM state2 WHERE NOT (doc_id >= 10 AND doc_id < 40)),
+      state4 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id >= 40 AND doc_id < 48 THEN n_chars * 3
+                    ELSE n_chars END AS n_chars
+        FROM state3),
       rows_out AS (
         SELECT 1 AS step, 'state' AS kind, count(*) AS n_rows,
                sum(doc_id) AS sum_doc_id, sum(n_chars) AS sum_chars
@@ -2092,8 +2162,9 @@ object Versioned {
         UNION ALL
         SELECT 2, 'state', count(*), sum(doc_id), sum(n_chars) FROM state2
         UNION ALL
-        SELECT 3, 'state', count(*), sum(doc_id), sum(n_chars)
-        FROM state2 WHERE NOT (doc_id >= 10 AND doc_id < 40)
+        SELECT 3, 'state', count(*), sum(doc_id), sum(n_chars) FROM state3
+        UNION ALL
+        SELECT 4, 'state', count(*), sum(doc_id), sum(n_chars) FROM state4
         UNION ALL
         SELECT 2, 'delete', count(*), sum(doc_id), sum(n_chars)
         FROM documents WHERE doc_id % 30 = 0
@@ -2109,7 +2180,14 @@ object Versioned {
         FROM documents WHERE doc_id % 6 = 0 AND doc_id % 30 <> 0
         UNION ALL
         SELECT 3, 'delete', count(*), sum(doc_id), sum(n_chars)
-        FROM state2 WHERE doc_id >= 10 AND doc_id < 40)
+        FROM state2 WHERE doc_id >= 10 AND doc_id < 40
+        UNION ALL
+        SELECT 4, 'update_preimage', count(*), sum(doc_id), sum(n_chars)
+        FROM state3 WHERE doc_id >= 40 AND doc_id < 48
+        UNION ALL
+        SELECT 4, 'update_postimage', count(*), sum(doc_id),
+               sum(n_chars * 3)
+        FROM state3 WHERE doc_id >= 40 AND doc_id < 48)
       SELECT CAST(step AS INT) AS step, kind,
              CAST(n_rows AS BIGINT) AS n_rows,
              CAST(sum_doc_id AS BIGINT) AS sum_doc_id,

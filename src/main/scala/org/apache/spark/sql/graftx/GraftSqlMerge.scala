@@ -46,17 +46,16 @@ import org.apache.spark.sql.types.StructType
   *    columns or express them in the ON/AND conditions).
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable => GraftMergeIntoCommand(m)
+    case u: UpdateTable => GraftUpdateCommand(u)
+    case other => other
+  }
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(sqlText) match {
-      case m: MergeIntoTable => GraftMergeIntoCommand(m)
-      case other => other
-    }
+    rewrite(delegate.parsePlan(sqlText))
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan =
-    delegate.parsePlanWithParameters(sqlText, ctx) match {
-      case m: MergeIntoTable => GraftMergeIntoCommand(m)
-      case other => other
-    }
+    rewrite(delegate.parsePlanWithParameters(sqlText, ctx))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -76,6 +75,44 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseDataType(sqlText)
 }
 
+/** Shared target resolution for the SQL row-level commands: unwrap
+  * the (possibly aliased) relation, then decide graftv-ness at RUN
+  * time — `graftv.`/path`` directly, or a session-catalog table by
+  * provider. */
+private[graftx] object GraftSqlTarget {
+  /** (alias, nameParts) of a bare/aliased relation target. */
+  def unwrap(p: LogicalPlan, what: String,
+      alias: Option[String] = None): (Option[String], Seq[String]) =
+    p match {
+      case SubqueryAlias(id, child) =>
+        unwrap(child, what, alias.orElse(Some(id.name)))
+      case UnresolvedRelation(parts, _, _) => (alias, parts)
+      case other => throw new IllegalArgumentException(
+        s"graftv $what: the target must be a table, got ${other.nodeName}")
+    }
+
+  /** The graftv table path, or None when the target is another
+    * format's table (the caller re-enters Spark's native handling). */
+  def pathOf(spark: SparkSession, tParts: Seq[String]): Option[String] =
+    if (tParts.length == 2 && tParts.head.equalsIgnoreCase("graftv"))
+      Some(tParts(1)) // graftv.`/path` direct form
+    else {
+      val identOpt = tParts match {
+        case Seq(tbl) => Some(TableIdentifier(tbl))
+        case Seq(db, tbl) => Some(TableIdentifier(tbl, Some(db)))
+        case _ => None
+      }
+      identOpt.flatMap { ident =>
+        try {
+          val meta = spark.sessionState.catalog.getTableMetadata(ident)
+          if (meta.provider.exists(_.equalsIgnoreCase("graftv")))
+            Some(meta.location.toString)
+          else None
+        } catch { case _: Exception => None }
+      }
+    }
+}
+
 /** Leaf command carrying the PARSED (unresolved) MergeIntoTable; all
   * resolution happens in run() through public DataFrame machinery, so
   * the analyzer never sees a plan shape it would reject. */
@@ -85,37 +122,9 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val spark = sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-
-    def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(s"graftv MERGE INTO: $msg")
-
-    // ---- target: alias + name parts, then provider/location lookup
-    def unwrap(p: LogicalPlan, alias: Option[String])
-        : (Option[String], Seq[String]) = p match {
-      case SubqueryAlias(id, child) => unwrap(child, alias.orElse(Some(id.name)))
-      case UnresolvedRelation(parts, _, _) => (alias, parts)
-      case other => fail(s"the target must be a table, got ${other.nodeName}")
-    }
-    val (tAlias, tParts) = unwrap(merge.targetTable, None)
-    val pathOpt: Option[String] =
-      if (tParts.length == 2 && tParts.head.equalsIgnoreCase("graftv"))
-        Some(tParts(1)) // graftv.`/path` direct form
-      else {
-        val identOpt = tParts match {
-          case Seq(tbl) => Some(TableIdentifier(tbl))
-          case Seq(db, tbl) => Some(TableIdentifier(tbl, Some(db)))
-          case _ => None
-        }
-        identOpt.flatMap { ident =>
-          try {
-            val meta = spark.sessionState.catalog.getTableMetadata(ident)
-            if (meta.provider.exists(_.equalsIgnoreCase("graftv")))
-              Some(meta.location.toString)
-            else None
-          } catch { case _: Exception => None }
-        }
-      }
-    pathOpt match {
+    val (tAlias, tParts) =
+      GraftSqlTarget.unwrap(merge.targetTable, "MERGE INTO")
+    GraftSqlTarget.pathOf(spark, tParts) match {
       case None =>
         // not ours: hand the ORIGINAL plan to Spark's machinery (its
         // native row-level-operation path, or its native error)
@@ -226,5 +235,50 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
     Versioned.mergeClauses(src, path, keys, matchedClauses,
       notMatchedClauses)
     Seq.empty
+  }
+}
+
+/** SQL `UPDATE t SET c = expr, … [WHERE pred]` for graftv tables
+  * (round 12): routed through [[graft.sources.Versioned.updateWhere]]
+  * — file-granular COW keyed on the predicate's necessary bounds, CDF
+  * update_preimage/update_postimage rows, append-rebase conflict
+  * resolution. SET expressions and the predicate are over the target
+  * ROW (qualified references are stripped to plain columns). Non-
+  * graftv targets re-enter Spark's native machinery untouched. */
+case class GraftUpdateCommand(update: UpdateTable)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import graft.sources.Versioned
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val spark = sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val (tAlias, tParts) = GraftSqlTarget.unwrap(update.table, "UPDATE")
+    GraftSqlTarget.pathOf(spark, tParts) match {
+      case None =>
+        org.apache.spark.sql.classic.Dataset.ofRows(spark, update)
+          .collect().toSeq
+      case Some(path) =>
+        val targetQual = tAlias.getOrElse(tParts.last)
+        // row-scoped rewrite: target-qualified refs become plain
+        // column refs (updateWhere evaluates over the row alone)
+        def requalify(e: Expression): Expression = e.transformUp {
+          case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+              a.nameParts.head.equalsIgnoreCase(targetQual) =>
+            UnresolvedAttribute(a.nameParts.tail)
+        }
+        def colOf(e: Expression) = ExpressionUtils.column(requalify(e))
+        val set: Map[String, org.apache.spark.sql.Column] =
+          update.assignments.map { a =>
+            val name = a.key match {
+              case k: UnresolvedAttribute => k.nameParts.last
+              case other => throw new IllegalArgumentException(
+                s"graftv UPDATE: SET key must be a column, got ${other.sql}")
+            }
+            name -> colOf(a.value)
+          }.toMap
+        val pred = update.condition.map(colOf)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        Versioned.updateWhere(spark, path, pred, set)
+        Seq.empty
+    }
   }
 }

@@ -626,6 +626,42 @@ class VersionedSourceSpec extends AnyFunSuite {
       "the replayed epoch must publish NO new version")
   }
 
+  test("SQL UPDATE: COW SET over the row, CDF, arbitrary predicates") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit((1L to 10L).map(i => (i, i * 10L)).toDF("id", "v")
+      .coalesce(1), t)
+    Versioned.commit((100L to 105L).map(i => (i, i * 10L)).toDF("id", "v")
+      .coalesce(1), t)
+    val before = Versioned.snapshot(t)
+    spark.sql("DROP TABLE IF EXISTS g_upd")
+    spark.sql(s"CREATE TABLE g_upd USING graftv LOCATION '$t'")
+    try {
+      spark.sql("UPDATE g_upd SET v = v + 1 WHERE id >= 3 AND id <= 4")
+      assert(spark.sql("SELECT sum(v) AS s FROM g_upd WHERE id <= 10")
+        .head().getLong(0) === (1L to 10L).map(_ * 10).sum + 2)
+      // range predicate pruned: the disjoint file carried by reference
+      val after = Versioned.snapshot(t)
+      assert(after.files.toSet.intersect(before.files.toSet).size === 1)
+      val ch = Versioned.readChanges(spark, t, before.version, after.version)
+        .select("_change_type", "id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(ch === Seq(("update_postimage", 3L, 31L),
+        ("update_postimage", 4L, 41L),
+        ("update_preimage", 3L, 30L), ("update_preimage", 4L, 40L)))
+      // an UNTRANSLATABLE-to-filters predicate still works here (the
+      // command evaluates the Column, unlike DSv2 DELETE's filters) —
+      // it just prunes nothing
+      spark.sql("UPDATE g_upd SET v = 0 WHERE id % 100 = 1")
+      assert(spark.sql("SELECT v FROM g_upd WHERE id IN (1, 101) ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(0L, 0L))
+      // direct-path form
+      spark.sql(s"UPDATE graftv.`$t` SET v = -1 WHERE id = 2")
+      assert(spark.sql("SELECT v FROM g_upd WHERE id = 2").head().getLong(0)
+        === -1L)
+    } finally spark.sql("DROP TABLE g_upd")
+  }
+
   test("SQL MERGE INTO: upsert, clause chain with SET, CDF, COW pruning") {
     import spark.implicits._
     val t = tmpTable()

@@ -904,6 +904,39 @@ class VersionedSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.versioned.targetFileRows")
   }
 
+  test("updateWhere: COW row update with pruning, single evaluation, CDF images") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit((1L to 10L).map(i => (i, i * 10, s"n$i"))
+      .toDF("id", "v", "note").coalesce(1), t)
+    Versioned.commit((100L to 110L).map(i => (i, i * 10, s"n$i"))
+      .toDF("id", "v", "note").coalesce(1), t)
+    val before = Versioned.snapshot(t)
+    val v3 = Versioned.updateWhere(spark, t,
+      col("id") >= 3L && col("id") <= 4L,
+      Map("v" -> (col("v") + 1L), "note" -> concat(col("note"), lit("!"))))
+    // values: only the matched rows changed, only the SET columns
+    val rows = Versioned.read(spark, t).where(col("id") <= 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(rows === Seq((1L, 10L, "n1"), (2L, 20L, "n2"), (3L, 31L, "n3!"),
+      (4L, 41L, "n4!"), (5L, 50L, "n5")))
+    // COW: the [100, 110] file is provably disjoint and carried
+    val after = Versioned.snapshot(t)
+    assert(after.files.toSet.intersect(before.files.toSet).size === 1,
+      "the disjoint file must survive the update untouched")
+    // CDF pre/post images
+    val ch = Versioned.readChanges(spark, t, v3 - 1, v3)
+      .select("_change_type", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(ch === Seq(("update_postimage", 3L, 31L),
+      ("update_postimage", 4L, 41L),
+      ("update_preimage", 3L, 30L), ("update_preimage", 4L, 40L)))
+    // SET column validation is loud
+    intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, t, lit(true), Map("nope" -> lit(1L)))
+    }
+  }
+
   test("partition values with spaces and empty strings: safe to write, never falsely pruned") {
     import spark.implicits._
     val t = tmpTable()
