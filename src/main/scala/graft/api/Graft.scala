@@ -548,8 +548,10 @@ object Graft {
       * is materialized once; see [[Versioned.mergeClauses]]. */
     def mergeClauses(updates: DataFrame, path: String, keys: Seq[String],
         matched: Seq[Versioned.WhenMatched],
-        notMatched: Seq[Versioned.WhenNotMatched]): Int =
-      Versioned.mergeClauses(updates, path, keys, matched, notMatched)
+        notMatched: Seq[Versioned.WhenNotMatched],
+        notMatchedBySource: Seq[Versioned.WhenMatched] = Nil): Int =
+      Versioned.mergeClauses(updates, path, keys, matched, notMatched,
+        notMatchedBySource)
 
     /** Copy-on-write delete of rows matching `pred`. */
     def deleteWhere(spark: SparkSession, path: String,

@@ -991,13 +991,30 @@ object Versioned {
     * stats, a concurrent schema change) still aborts loudly and the
     * caller retries the whole merge. */
   def mergeClauses(updates: DataFrame, path: String, keys: Seq[String],
-      matched: Seq[WhenMatched], notMatched: Seq[WhenNotMatched]): Int = {
+      matched: Seq[WhenMatched], notMatched: Seq[WhenNotMatched],
+      notMatchedBySource: Seq[WhenMatched] = Nil): Int = {
     val spark = updates.sparkSession
     require(keys.nonEmpty, "versioned: merge needs at least one key column")
     require(!matched.contains(WhenMatched.Ignore) &&
-      !notMatched.contains(WhenNotMatched.Ignore),
+      !notMatched.contains(WhenNotMatched.Ignore) &&
+      !notMatchedBySource.contains(WhenMatched.Ignore),
       "versioned: Ignore is the EMPTY clause chain — pass Nil, not " +
         "Seq(Ignore)")
+    // WHEN NOT MATCHED BY SOURCE (round 12, Delta's third clause
+    // family): applies to TARGET rows with no source match. There is
+    // no source row, so conditions and SET expressions are over the
+    // target row alone (plain column references), and an Update must
+    // say WHAT to set (no whole-source-row to copy). Its footprint is
+    // every unmatched target row — the WHOLE table — so the merge
+    // reads all files and its publish cannot rebase over ANY
+    // interloping append (appended rows would themselves be
+    // not-matched-by-source).
+    notMatchedBySource.foreach {
+      case WhenMatched.Update(_, set) => require(set.nonEmpty,
+        "versioned: a notMatchedBySource Update needs an explicit SET " +
+          "map (there is no source row to copy)")
+      case _ => ()
+    }
     def mCondOf(c: WhenMatched): Option[Column] = c match {
       case WhenMatched.Update(cc, _) => cc
       case WhenMatched.Delete(cc) => cc
@@ -1016,6 +1033,12 @@ object Versioned {
             "has no condition — only the LAST clause in a chain may be " +
             "unconditional")
       case _ => ()
+    }
+    notMatchedBySource.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+      require(mCondOf(c).nonEmpty,
+        s"versioned: notMatchedBySource clause ${i + 1} of " +
+          s"${notMatchedBySource.size} has no condition — only the LAST " +
+          "clause in a chain may be unconditional")
     }
     val base = snapshot(path)
     val ddl = StructType(updates.schema.fields.map(_.copy(nullable = true))).toDDL
@@ -1054,7 +1077,10 @@ object Versioned {
       count_distinct(col(keys.head), keys.tail.map(col): _*))
     val r = src.agg(aggCols.head, aggCols.tail: _*).head()
     val nTotal = r.getLong(2 * keys.size)
-    if (nTotal == 0) return base.version // empty source: no-op
+    // empty source: a pure matched/insert merge is a no-op; with
+    // notMatchedBySource clauses EVERY target row is unmatched and the
+    // clauses still apply (Delta's semantics)
+    if (nTotal == 0 && notMatchedBySource.isEmpty) return base.version
     val nNullKey = r.getLong(2 * keys.size + 1)
     require(nNullKey == 0,
       s"versioned: merge source has $nNullKey null-key rows at $path — " +
@@ -1067,24 +1093,32 @@ object Versioned {
     // per-key source bounds as ColStat; a key with unusable bounds
     // (non-ASCII string endpoints) simply never prunes or proves
     // disjointness
-    val bounds: Map[String, ColStat] = keys.zipWithIndex.flatMap {
-      case (k, i) => src.schema(k).dataType match {
-        case org.apache.spark.sql.types.StringType =>
-          val (lo, hi) = (r.getString(2 * i), r.getString(2 * i + 1))
-          if (isAscii(lo) && isAscii(hi)) Some(k -> StrStat(lo, hi)) else None
-        case _ =>
-          def asLong(a: Any): Long = a match {
-            case l: Long => l; case x: Int => x.toLong
-            case s: Short => s.toLong; case b: Byte => b.toLong
-            case other => sys.error(s"versioned: merge key bound $other")
-          }
-          Some(k -> LongStat(asLong(r.get(2 * i)), asLong(r.get(2 * i + 1))))
-      }
-    }.toMap
+    val bounds: Map[String, ColStat] =
+      if (nTotal == 0) Map.empty // empty NMBS-only source: no bounds
+      else keys.zipWithIndex.flatMap {
+        case (k, i) => src.schema(k).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            val (lo, hi) = (r.getString(2 * i), r.getString(2 * i + 1))
+            if (isAscii(lo) && isAscii(hi)) Some(k -> StrStat(lo, hi))
+            else None
+          case _ =>
+            def asLong(a: Any): Long = a match {
+              case l: Long => l; case x: Int => x.toLong
+              case s: Short => s.toLong; case b: Byte => b.toLong
+              case other => sys.error(s"versioned: merge key bound $other")
+            }
+            Some(k ->
+              LongStat(asLong(r.get(2 * i)), asLong(r.get(2 * i + 1))))
+        }
+      }.toMap
     val ranges = fileKeyStats(spark, path, base)
-    val (touched, untouched) = ranges.partition { case (_, st) =>
-      bounds.forall { case (k, b) => statIntersects(st.get(k), b) }
-    }
+    // notMatchedBySource touches every unmatched target row — which
+    // can live in ANY file — so pruning is off and every file rewrites
+    val (touched, untouched) =
+      if (notMatchedBySource.nonEmpty) (ranges, Nil)
+      else ranges.partition { case (_, st) =>
+        bounds.forall { case (k, b) => statIntersects(st.get(k), b) }
+      }
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
     val existing =
@@ -1147,7 +1181,37 @@ object Versioned {
     }.toMap
     val updatedRows = updateOuts.values
       .reduceOption(_.unionByName(_)).getOrElse(none)
-    val keptExisting = existing.join(firedUnion, keys, "left_anti")
+    val keptFired = existing.join(firedUnion, keys, "left_anti")
+    // notMatchedBySource chain: over target rows with NO source match
+    // (conditions/SETs are target-row-local → ONE projection); rows no
+    // clause claims stay unchanged
+    val NmbsIdx = "__graft_nmbs_clause"
+    val (keptExisting, nmbsUpdateOuts, nmbsPre):
+        (DataFrame, Map[Int, DataFrame], Int => DataFrame) =
+      if (notMatchedBySource.isEmpty)
+        (keptFired, Map.empty, _ => none)
+      else {
+        val srcKeysDf = src.select(keyCols: _*)
+        val matchedKept = keptFired.join(srcKeysDf, keys, "left_semi")
+        val unmatchedTgt = keptFired.join(srcKeysDf, keys, "left_anti")
+        val idxCol = notMatchedBySource.zipWithIndex.foldRight(lit(-1)) {
+          case ((c, i), acc) => when(condOf(mCondOf(c)), lit(i))
+            .otherwise(acc)
+        }
+        val withIdx = unmatchedTgt.withColumn(NmbsIdx, idxCol)
+        def claimed(i: Int): DataFrame =
+          withIdx.where(col(NmbsIdx) === i).drop(NmbsIdx)
+        val outs: Map[Int, DataFrame] =
+          notMatchedBySource.zipWithIndex.collect {
+            case (WhenMatched.Update(_, set), i) =>
+              i -> claimed(i).select(tableCols.map(c =>
+                set.getOrElse(c, col(c)).as(c)): _*)
+          }.toMap
+        val unchanged = withIdx.where(col(NmbsIdx) === -1).drop(NmbsIdx)
+        val kept = (Seq(matchedKept, unchanged) ++ outs.values)
+          .reduce(_.unionByName(_))
+        (kept, outs, claimed _)
+      }
     // notMatched chain: conditions are source-row-local, so the
     // first-match-wins index is ONE projection over the unmatched
     // source rows — no per-clause join
@@ -1207,11 +1271,24 @@ object Versioned {
         preimages(i).withColumn("_change_type", lit("delete"))
       case (WhenMatched.Ignore, _) =>
         none.withColumn("_change_type", lit("insert"))
+    } ++ notMatchedBySource.zipWithIndex.map {
+      case (WhenMatched.Update(_, _), i) =>
+        nmbsPre(i).withColumn("_change_type", lit("update_preimage"))
+          .unionByName(nmbsUpdateOuts(i)
+            .withColumn("_change_type", lit("update_postimage")))
+      case (WhenMatched.Delete(_), i) =>
+        nmbsPre(i).withColumn("_change_type", lit("delete"))
+      case (WhenMatched.Ignore, _) =>
+        none.withColumn("_change_type", lit("insert"))
     } :+ insertedRows.withColumn("_change_type", lit("insert"))
     val changeRel = writeChanges(
       chgPieces.reduce(_.unionByName(_)), path, commitId)
+    // a notMatchedBySource merge's footprint is the whole table —
+    // empty bounds prove nothing, so ANY interloping append aborts
     publishCow(path, "merge", base, files, mergedStats,
-      changes = Some(changeRel), sourceBounds = Some(bounds))
+      changes = Some(changeRel),
+      sourceBounds =
+        if (notMatchedBySource.nonEmpty) Some(Map.empty) else Some(bounds))
   }
 
   /** Publish a COW commit (merge/optimize) with conflict RESOLUTION:

@@ -38,7 +38,11 @@ import org.apache.spark.sql.types.StructType
   *    (first-match-wins, Delta's rule);
   *  - `WHEN NOT MATCHED [AND c] THEN INSERT *` / `INSERT (cols)
   *    VALUES (exprs)` → insert clauses (unset columns NULL);
-  *  - `WHEN NOT MATCHED BY SOURCE` is not supported (loud error);
+  *  - `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE / UPDATE SET
+  *    col = expr` → target-row clauses over the rows no source key
+  *    matches (Delta's third clause family; conditions and SETs see
+  *    the target row alone, and the merge reads the whole table —
+  *    there is no key range to prune by);
   *  - the source must be union-compatible with the target: every
   *    table column present (it is projected to the table schema
   *    before the merge; staging-only source columns are not
@@ -139,8 +143,6 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
       path: String, targetQual: String): Seq[Row] = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"graftv MERGE INTO: $msg")
-    require(merge.notMatchedBySourceActions.isEmpty,
-      "graftv MERGE INTO: WHEN NOT MATCHED BY SOURCE is not supported")
     require(!merge.withSchemaEvolution,
       "graftv MERGE INTO: WITH SCHEMA EVOLUTION is not supported")
 
@@ -216,6 +218,31 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
           Versioned.WhenNotMatched.Insert(cond.map(colOf), Map.empty)
         case other => fail(s"unsupported not-matched action $other")
       }
+    // WHEN NOT MATCHED BY SOURCE: target-row-scoped — strip the
+    // target qualifier so conditions/SETs resolve over the row alone
+    // (there is no source row; source references error loudly)
+    def tgtRowCol(e: Expression): Column =
+      ExpressionUtils.column(e.transformUp {
+        case a: UnresolvedAttribute if isQual(a.nameParts, targetQual) =>
+          UnresolvedAttribute(a.nameParts.tail)
+      })
+    def tgtSetOf(assigns: Seq[Assignment]): Map[String, Column] =
+      assigns.map { a =>
+        val name = a.key match {
+          case k: UnresolvedAttribute => k.nameParts.last
+          case other => fail(s"SET key must be a column, got ${other.sql}")
+        }
+        name -> tgtRowCol(a.value)
+      }.toMap
+    val nmbsClauses: Seq[Versioned.WhenMatched] =
+      merge.notMatchedBySourceActions.map {
+        case DeleteAction(cond) =>
+          Versioned.WhenMatched.Delete(cond.map(tgtRowCol))
+        case UpdateAction(cond, assigns, _) =>
+          Versioned.WhenMatched.Update(cond.map(tgtRowCol),
+            tgtSetOf(assigns))
+        case other => fail(s"unsupported not-matched-by-source action $other")
+      }
 
     // ---- source: resolve, then project to the table schema (the
     // engine's union-compatibility contract)
@@ -233,7 +260,7 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
         .as(f.name)).toIndexedSeq: _*)
 
     Versioned.mergeClauses(src, path, keys, matchedClauses,
-      notMatchedClauses)
+      notMatchedClauses, nmbsClauses)
     Seq.empty
   }
 }

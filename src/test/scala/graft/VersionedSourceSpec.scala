@@ -716,6 +716,25 @@ class VersionedSourceSpec extends AnyFunSuite {
         WHEN NOT MATCHED THEN INSERT *
       """)
       assert(Versioned.read(spark, t).where(col("id") === 200L).count() === 1)
+      // WHEN NOT MATCHED BY SOURCE (Delta's third clause family): the
+      // sync-to-snapshot shape — rows the source misses get tombstoned
+      // or marked, target-row conditions only
+      spark.sql("""
+        MERGE INTO g_mrg AS tg
+        USING (SELECT * FROM VALUES (2, 99, 'keep') AS src(id, v, note)) AS s
+        ON tg.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE AND tg.v < 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET note = 'orphan'
+      """)
+      // before: (2,99,'b!'), (3,30,'c'), (5,-1,null), (6,60,'z'),
+      // (100,1,'z'), (200,2,'p') — id 5 (v<0) deletes, id 2 matches,
+      // the rest orphan
+      val afterNmbs = Versioned.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getString(2)).getOrElse("<null>"))).sorted.toSeq
+      assert(afterNmbs === Seq((2L, 99L, "keep"), (3L, 30L, "orphan"),
+        (6L, 60L, "orphan"), (100L, 1L, "orphan"), (200L, 2L, "orphan")))
       // a malformed ON (non-equality) fails loudly
       val e = intercept[IllegalArgumentException] {
         spark.sql("""

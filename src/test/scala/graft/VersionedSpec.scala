@@ -853,6 +853,52 @@ class VersionedSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("unconditional"))
   }
 
+  test("whenNotMatchedBySource: delete/update target rows the source misses") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit((1L to 6L).map(i => (i, i * 10L, "live"))
+      .toDF("id", "v", "status").coalesce(1), t)
+    // the sync-to-snapshot CDC shape: source = the current upstream
+    // truth; matched rows update, unmatched source rows insert, and
+    // target rows the source no longer carries are tombstoned (stale
+    // ones) or marked (recent ones) — Delta's third clause family
+    val src = Seq((2L, 200L, "live"), (7L, 70L, "live"))
+      .toDF("id", "v", "status")
+    val v2 = Versioned.mergeClauses(src, t, Seq("id"),
+      matched = Seq(Versioned.WhenMatched.Update(None)),
+      notMatched = Seq(Versioned.WhenNotMatched.Insert(None)),
+      notMatchedBySource = Seq(
+        Versioned.WhenMatched.Delete(Some(col("v") < 30L)),
+        Versioned.WhenMatched.Update(None,
+          set = Map("status" -> lit("orphaned")))))
+    val rows = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(rows === Seq(
+      (2L, 200L, "live"),    // matched: updated
+      (3L, 30L, "orphaned"), // unmatched-by-source, v >= 30: marked
+      (4L, 40L, "orphaned"), (5L, 50L, "orphaned"), (6L, 60L, "orphaned"),
+      (7L, 70L, "live")))    // inserted; ids 1 (v=10) deleted
+    // CDF carries the NMBS images too
+    val ch = Versioned.readChanges(spark, t, v2 - 1, v2)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(ch === Seq(("delete", 1L), ("insert", 1L),
+      ("update_postimage", 5L), ("update_preimage", 5L)))
+    // an EMPTY source still applies NMBS to every target row
+    val emptySrc = src.limit(0)
+    Versioned.mergeClauses(emptySrc, t, Seq("id"),
+      matched = Nil, notMatched = Nil,
+      notMatchedBySource = Seq(
+        Versioned.WhenMatched.Update(None, Map("v" -> lit(0L)))))
+    assert(Versioned.read(spark, t).agg(sum(col("v"))).head().getLong(0)
+      === 0L)
+    // NMBS update without SET is a loud error (no source row to copy)
+    intercept[IllegalArgumentException] {
+      Versioned.mergeClauses(src, t, Seq("id"), Nil, Nil,
+        Seq(Versioned.WhenMatched.Update(None)))
+    }
+  }
+
   test("merge source evaluates ONCE: rand()-salted source stays consistent") {
     import spark.implicits._
     val t = tmpTable()
