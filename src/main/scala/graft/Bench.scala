@@ -89,8 +89,10 @@ object Bench {
     def calibrate(): Double = {
       val laps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
+        // bit_xor, not sum: 2^27 full-range hashes overflow a Long
+        // sum under ANSI; xor is the same CPU work with no overflow
         spark.range(1L << 27)
-          .selectExpr("sum(xxhash64(id * 2654435761))").collect()
+          .selectExpr("bit_xor(xxhash64(id * 2654435761))").collect()
         (System.nanoTime() - t0) / 1e9
       }
       laps.sorted.apply(1)
