@@ -281,5 +281,28 @@ class VersionedConcurrencySpec extends AnyFunSuite {
     intercept[java.util.ConcurrentModificationException] {
       Versioned.deleteWhere(spark, t, col("id") % 97L === 1L)
     }
+
+    // (d) updateWhere rides the same resolution: disjoint append
+    // rebases, overlap aborts
+    Versioned.beforeCowPublish = () => {
+      Versioned.commit(Seq((600L, 0L)).toDF("id", "v").coalesce(1), t)
+      ()
+    }
+    val vu = Versioned.updateWhere(spark, t, col("id") === 6L,
+      Map("v" -> lit(666L)))
+    assert(vu > 0)
+    val got = Versioned.read(spark, t)
+      .where(col("id").isin(6L, 600L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((6L, 666L), (600L, 0L)),
+      "update applied AND the interloper's row survives the rebase")
+    Versioned.beforeCowPublish = () => {
+      Versioned.commit(Seq((7L, -7L)).toDF("id", "v").coalesce(1), t)
+      ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.updateWhere(spark, t, col("id") === 7L,
+        Map("v" -> lit(0L)))
+    }
   }
 }

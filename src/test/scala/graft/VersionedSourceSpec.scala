@@ -626,6 +626,52 @@ class VersionedSourceSpec extends AnyFunSuite {
       "the replayed epoch must publish NO new version")
   }
 
+  test("partitioned tables through the round-12 write doors: streaming sink, SQL DELETE/UPDATE") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, 0L, "a"), (2L, 1L, "b"), (3L, 0L, "c"),
+      (4L, 1L, "d")).toDF("id", "p", "s"), t, partitionBy = Seq("p"))
+    // DSv2 streaming sink inherits the layout per epoch
+    val ckpt = Files.createTempDirectory("graftv-psink-ckpt-").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[(Long, Long, String)]
+    mem.addData((5L, 0L, "e"), (6L, 1L, "f"))
+    val q = mem.toDF().toDF("id", "p", "s")
+      .writeStream.format("graftv")
+      .option("checkpointLocation", ckpt).start(t)
+    q.processAllAvailable(); q.stop()
+    val snap = Versioned.snapshot(t)
+    assert(snap.partitionCols === Seq("p"))
+    val streamed = snap.files.filter(_.contains("c-strm-"))
+    assert(streamed.nonEmpty && streamed.forall(_.contains("__part_p=")),
+      s"streamed files must land in the hive layout: $streamed")
+    // SQL DELETE keeps the layout; partition point stats prune it
+    spark.sql("DROP TABLE IF EXISTS g_part_rl")
+    spark.sql(s"CREATE TABLE g_part_rl USING graftv LOCATION '$t'")
+    try {
+      spark.sql("DELETE FROM g_part_rl WHERE id = 3")
+      val afterDel = Versioned.snapshot(t)
+      assert(afterDel.partitionCols === Seq("p"))
+      assert(spark.sql("SELECT count(*) AS n FROM g_part_rl")
+        .head().getLong(0) === 5L)
+      // the p=1 files provably held no id=3 row (footer id stats):
+      // at least the streamed p=1 file must carry by reference
+      assert(afterDel.files.toSet.intersect(snap.files.toSet).nonEmpty)
+      // SQL UPDATE keeps the layout too (rows re-route to value dirs)
+      spark.sql("UPDATE g_part_rl SET s = concat(s, '!') WHERE id <= 2")
+      val afterUpd = Versioned.snapshot(t)
+      assert(afterUpd.partitionCols === Seq("p"))
+      assert(afterUpd.files.forall(_.contains("__part_p=")))
+      assert(spark.sql(
+        "SELECT s FROM g_part_rl WHERE id <= 2 ORDER BY id").collect()
+        .map(_.getString(0)).toSeq === Seq("a!", "b!"))
+      // reads through the connector still prune on p
+      assert(spark.read.format("graftv").load(t).where(col("p") === 0L)
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 5L))
+    } finally spark.sql("DROP TABLE g_part_rl")
+  }
+
   test("SQL UPDATE: COW SET over the row, CDF, arbitrary predicates") {
     import spark.implicits._
     val t = tmpTable()
