@@ -549,9 +549,10 @@ object Graft {
     def mergeClauses(updates: DataFrame, path: String, keys: Seq[String],
         matched: Seq[Versioned.WhenMatched],
         notMatched: Seq[Versioned.WhenNotMatched],
-        notMatchedBySource: Seq[Versioned.WhenMatched] = Nil): Int =
+        notMatchedBySource: Seq[Versioned.WhenMatched] = Nil,
+        mergeSchema: Boolean = false): Int =
       Versioned.mergeClauses(updates, path, keys, matched, notMatched,
-        notMatchedBySource)
+        notMatchedBySource, mergeSchema)
 
     /** Copy-on-write delete of rows matching `pred`. */
     def deleteWhere(spark: SparkSession, path: String,

@@ -634,6 +634,28 @@ object Versioned {
       addedStats)
   }
 
+  /** ADDITIVE schema merge (mergeSchema appends and schema-evolution
+    * merges share it): `prev` columns keep their position and type —
+    * type changes are a loud error — and genuinely new `next` columns
+    * append as nullable. Old files read back under the merged DDL
+    * with the new columns null-filled (parquet fills absent
+    * columns). */
+  private def mergeDdl(prevDdl: String, nextDdl: String, path: String,
+      what: String): String = {
+    val prevS = StructType.fromDDL(prevDdl)
+    val newS = StructType.fromDDL(nextDdl)
+    prevS.fields.foreach { pf =>
+      newS.fields.find(_.name == pf.name).foreach { nf =>
+        require(nf.dataType == pf.dataType,
+          s"versioned: $what cannot change ${pf.name}: " +
+            s"${pf.dataType} -> ${nf.dataType} at $path")
+      }
+    }
+    val extra = newS.fields.filterNot(f =>
+      prevS.fieldNames.contains(f.name))
+    StructType(prevS.fields ++ extra).toDDL
+  }
+
   /** Publish ALREADY-WRITTEN data files as an append/overwrite commit
     * — the seam shared by [[commitInternal]] (which writes the files
     * itself) and the DSv2 batch writer (whose TASKS write the files;
@@ -685,24 +707,7 @@ object Versioned {
                 s"versioned: append schema mismatch at $path v$v:\n  table: " +
                   s"${prev.schemaDdl}\n  append: $ddl (pass mergeSchema = " +
                   "true for additive evolution)")
-            else {
-              // ADDITIVE evolution: table columns keep their position
-              // and type; genuinely new columns append as nullable.
-              // Old files read back under the merged DDL with the new
-              // columns null-filled (parquet fills absent columns).
-              val prevS = StructType.fromDDL(prev.schemaDdl)
-              val newS = StructType.fromDDL(ddl)
-              prevS.fields.foreach { pf =>
-                newS.fields.find(_.name == pf.name).foreach { nf =>
-                  require(nf.dataType == pf.dataType,
-                    s"versioned: mergeSchema cannot change ${pf.name}: " +
-                      s"${pf.dataType} -> ${nf.dataType} at $path v$v")
-                }
-              }
-              val extra = newS.fields.filterNot(f =>
-                prevS.fieldNames.contains(f.name))
-              StructType(prevS.fields ++ extra).toDDL
-            }
+            else mergeDdl(prev.schemaDdl, ddl, path, "mergeSchema")
           if (v % CheckpointInterval == 0)
             (true, prev.files ++ added, committed,
               prev.stats ++ addedStats) // checkpoint carries stats forward
@@ -992,7 +997,8 @@ object Versioned {
     * caller retries the whole merge. */
   def mergeClauses(updates: DataFrame, path: String, keys: Seq[String],
       matched: Seq[WhenMatched], notMatched: Seq[WhenNotMatched],
-      notMatchedBySource: Seq[WhenMatched] = Nil): Int = {
+      notMatchedBySource: Seq[WhenMatched] = Nil,
+      mergeSchema: Boolean = false): Int = {
     val spark = updates.sparkSession
     require(keys.nonEmpty, "versioned: merge needs at least one key column")
     require(!matched.contains(WhenMatched.Ignore) &&
@@ -1041,17 +1047,39 @@ object Versioned {
           "clause in a chain may be unconditional")
     }
     val base = snapshot(path)
-    val ddl = StructType(updates.schema.fields.map(_.copy(nullable = true))).toDDL
-    require(base.schemaDdl == ddl,
-      s"versioned: merge schema mismatch at $path:\n  table: " +
-        s"${base.schemaDdl}\n  updates: $ddl")
+    val srcDdl =
+      StructType(updates.schema.fields.map(_.copy(nullable = true))).toDDL
+    // SCHEMA EVOLUTION (round 12, Delta's WITH SCHEMA EVOLUTION):
+    // with mergeSchema, source-only columns join the table as
+    // nullable (table columns keep position and type) — untouched
+    // files read back null-filled under the merged DDL, the rewrite
+    // and the CDF carry the evolved schema, and time travel sees each
+    // version under its own DDL. The source must still carry EVERY
+    // table column (union compatibility; a narrower source is a
+    // schema mismatch, evolution only WIDENS).
+    val mergedDdl =
+      if (base.schemaDdl == srcDdl) base.schemaDdl
+      else if (!mergeSchema)
+        throw new IllegalArgumentException(
+          s"versioned: merge schema mismatch at $path:\n  table: " +
+            s"${base.schemaDdl}\n  updates: $srcDdl (pass mergeSchema = " +
+            "true for additive evolution)")
+      else {
+        val tblCols = StructType.fromDDL(base.schemaDdl).fieldNames
+        val missing = tblCols.filterNot(updates.schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"versioned: merge source is missing table column(s) " +
+            s"${missing.mkString(", ")} at $path — evolution only " +
+            "ADDS columns, the source must carry every table column")
+        mergeDdl(base.schemaDdl, srcDdl, path, "merge schema evolution")
+      }
     keys.foreach { k =>
       require(MergeKeyTypes.contains(updates.schema(k).dataType),
         s"versioned: merge key $k has unsupported type " +
           s"${updates.schema(k).dataType} at $path (integral and string " +
           "key columns only)")
     }
-    val schema = StructType.fromDDL(base.schemaDdl)
+    val schema = StructType.fromDDL(mergedDdl)
     val tableCols: Seq[String] = schema.fields.map(_.name).toSeq
     (matched.collect { case WhenMatched.Update(_, s) => s } ++
       notMatched.collect { case WhenNotMatched.Insert(_, s) => s })
@@ -1288,7 +1316,8 @@ object Versioned {
     publishCow(path, "merge", base, files, mergedStats,
       changes = Some(changeRel),
       sourceBounds =
-        if (notMatchedBySource.nonEmpty) Some(Map.empty) else Some(bounds))
+        if (notMatchedBySource.nonEmpty) Some(Map.empty) else Some(bounds),
+      ddl = Some(mergedDdl))
   }
 
   /** Publish a COW commit (merge/optimize) with conflict RESOLUTION:
@@ -1312,7 +1341,13 @@ object Versioned {
 
   private def publishCow(path: String, op: String, base: Snapshot,
       files: Seq[String], stats: FileStats, changes: Option[Seq[String]],
-      sourceBounds: Option[Map[String, ColStat]]): Int = {
+      sourceBounds: Option[Map[String, ColStat]],
+      ddl: Option[String] = None): Int = {
+    // the published DDL: base's, unless the op evolved it (schema-
+    // evolution merge). Interloping-append compatibility is still
+    // judged against the BASE schema — that is what the op read, and
+    // old-schema files read back null-filled under the evolved DDL.
+    val outDdl = ddl.getOrElse(base.schemaDdl)
     val hook = beforeCowPublish
     beforeCowPublish = () => ()
     hook()
@@ -1353,7 +1388,7 @@ object Versioned {
       }
       val txns = parseManifest(manifestPath(path, cur)).txns
       if (publish(path, Manifest(cur + 1, op, full = true,
-        files ++ extraFiles, base.schemaDdl, txns, changes = changes,
+        files ++ extraFiles, outDdl, txns, changes = changes,
         stats = stats ++ extraStats,
         partitionCols = base.partitionCols)))
         return cur + 1

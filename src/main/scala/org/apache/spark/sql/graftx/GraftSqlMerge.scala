@@ -47,7 +47,11 @@ import org.apache.spark.sql.types.StructType
   *    table column present (it is projected to the table schema
   *    before the merge; staging-only source columns are not
   *    reachable from clause expressions — keep flags in table
-  *    columns or express them in the ON/AND conditions).
+  *    columns or express them in the ON/AND conditions);
+  *  - `WITH SCHEMA EVOLUTION` → the engine's additive mergeSchema:
+  *    source-only columns join the table as nullable, untouched
+  *    files read back null-filled, time travel sees each version
+  *    under its own DDL.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
@@ -143,8 +147,9 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
       path: String, targetQual: String): Seq[Row] = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"graftv MERGE INTO: $msg")
-    require(!merge.withSchemaEvolution,
-      "graftv MERGE INTO: WITH SCHEMA EVOLUTION is not supported")
+    // WITH SCHEMA EVOLUTION maps to the engine's mergeSchema: source-
+    // only columns join the table as nullable (see
+    // Versioned.mergeClauses)
 
     val sourceQual: Option[String] = merge.sourceTable match {
       case SubqueryAlias(id, _) => Some(id.name)
@@ -255,12 +260,22 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
       s"graftv MERGE INTO: the source is missing table column(s) " +
         s"${missing.mkString(", ")} — the source must be " +
         "union-compatible with the target")
-    val src = srcRaw.select(tableSchema.fields.map(f =>
+    // table columns cast to their table types; with WITH SCHEMA
+    // EVOLUTION the source-only columns ride along (they become the
+    // evolved columns)
+    val tableCast = tableSchema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-        .as(f.name)).toIndexedSeq: _*)
+        .as(f.name)).toIndexedSeq
+    val extras =
+      if (!merge.withSchemaEvolution) Nil
+      else srcRaw.columns.toSeq.filterNot(c =>
+        tableSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        .map(org.apache.spark.sql.functions.col)
+    val src = srcRaw.select(tableCast ++ extras: _*)
 
     Versioned.mergeClauses(src, path, keys, matchedClauses,
-      notMatchedClauses, nmbsClauses)
+      notMatchedClauses, nmbsClauses,
+      mergeSchema = merge.withSchemaEvolution)
     Seq.empty
   }
 }

@@ -781,6 +781,19 @@ class VersionedSourceSpec extends AnyFunSuite {
           Option(r.getString(2)).getOrElse("<null>"))).sorted.toSeq
       assert(afterNmbs === Seq((2L, 99L, "keep"), (3L, 30L, "orphan"),
         (6L, 60L, "orphan"), (100L, 1L, "orphan"), (200L, 2L, "orphan")))
+      // WITH SCHEMA EVOLUTION: a source-only column joins the table
+      spark.sql(s"""
+        MERGE WITH SCHEMA EVOLUTION INTO g_mrg AS tg
+        USING (SELECT 300 AS id, 3 AS v, 'q' AS note, 'fresh' AS origin) AS s
+        ON tg.id = s.id
+        WHEN NOT MATCHED THEN INSERT *
+      """)
+      val evolved = Versioned.read(spark, t)
+      assert(evolved.columns.toSeq === Seq("id", "v", "note", "origin"))
+      assert(evolved.where(col("id") === 300L).select("origin")
+        .head().getString(0) === "fresh")
+      assert(evolved.where(col("id") === 2L).select("origin")
+        .head().isNullAt(0), "pre-evolution rows read back null-filled")
       // a malformed ON (non-equality) fails loudly
       val e = intercept[IllegalArgumentException] {
         spark.sql("""

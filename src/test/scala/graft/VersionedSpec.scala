@@ -899,6 +899,54 @@ class VersionedSpec extends AnyFunSuite {
     }
   }
 
+  test("merge schema evolution: source-only columns join the table as nullable") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .coalesce(1), t)
+    Versioned.commit(Seq((100L, 1000L)).toDF("id", "v").coalesce(1), t)
+    // evolution off: a wider source is a loud mismatch
+    val wide = Seq((2L, 200L, "tagged"), (3L, 30L, "new"))
+      .toDF("id", "v", "tag")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.merge(wide, t, "id")
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    // evolution on: tag joins as nullable; untouched rows/files read
+    // back null-filled; the [100] file is key-disjoint and carried
+    val before = Versioned.snapshot(t)
+    val v3 = Versioned.mergeClauses(wide, t, Seq("id"),
+      matched = Seq(Versioned.WhenMatched.Update(None)),
+      notMatched = Seq(Versioned.WhenNotMatched.Insert(None)),
+      mergeSchema = true)
+    val rows = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("<null>"))).sorted.toSeq
+    assert(rows === Seq((1L, 10L, "<null>"), (2L, 200L, "tagged"),
+      (3L, 30L, "new"), (100L, 1000L, "<null>")))
+    assert(Versioned.snapshot(t).files.toSet
+      .intersect(before.files.toSet).size === 1,
+      "evolution must not force rewriting key-disjoint files")
+    // time travel: the PRE-evolution version keeps its own schema
+    assert(Versioned.read(spark, t, Some(2)).columns.toSeq
+      === Seq("id", "v"))
+    // CDF through the evolution carries the evolved schema
+    val ch = Versioned.readChanges(spark, t, v3 - 1, v3)
+    assert(ch.columns.contains("tag"))
+    assert(ch.where(col("_change_type") === "insert")
+      .select("tag").head().getString(0) === "new")
+    // a source MISSING a table column stays a loud error even with
+    // evolution on (it only widens)
+    val narrow = Seq((5L, "x")).toDF("id", "tag")
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.mergeClauses(narrow, t, Seq("id"),
+        Seq(Versioned.WhenMatched.Update(None)),
+        Seq(Versioned.WhenNotMatched.Insert(None)), Nil,
+        mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("missing table column"))
+  }
+
   test("merge source evaluates ONCE: rand()-salted source stays consistent") {
     import spark.implicits._
     val t = tmpTable()
