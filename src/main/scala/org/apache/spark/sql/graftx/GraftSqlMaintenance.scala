@@ -1,0 +1,163 @@
+package org.apache.spark.sql.graftx
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types._
+
+/** SQL MAINTENANCE statements for graftv tables (round 12) — the
+  * statements Delta's extension parser adds for ITS lake format,
+  * re-expressed over the graftv library surface:
+  *
+  *   OPTIMIZE <t> [ZORDER BY (c1[, c2])] [INTO <n> FILES]
+  *   VACUUM <t> [RETAIN <n> VERSIONS]
+  *   RESTORE <t> TO VERSION AS OF <v>
+  *   DESCRIBE HISTORY <t>
+  *
+  * `<t>` is a session-catalog `USING graftv` table, `db.t`, or the
+  * direct `graftv.`/path`` form. Spark's grammar has none of these
+  * statements, so [[GraftSqlParser]] pre-matches the leading keyword
+  * and hands the text here; anything that does not fully match falls
+  * through to the delegate parser (whose ParseException is the right
+  * error for a malformed statement). Non-graftv targets are a loud
+  * error — these are graftv statements, there is no native fallback.
+  *
+  * Semantics note: VACUUM retains VERSIONS (the unit of graftv's log
+  * retention), not hours — the statement mirrors
+  * [[graft.sources.Versioned.vacuum]] honestly instead of aping
+  * Delta's clock-based contract, and the in-flight-writer mtime grace
+  * stays at its library default.
+  */
+private[graftx] object GraftMaintenanceSql {
+  private def p(re: String): Pattern =
+    Pattern.compile(re, Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+
+  // <t>: `graftv`.`/path` | graftv.`/path` | `db`.`t` | db.t | t
+  private val Tbl = """((?:[\w$]+|`[^`]*`)(?:\s*\.\s*(?:[\w$]+|`[^`]*`))?)"""
+  private val Optimize = p(
+    s"""^\\s*OPTIMIZE\\s+$Tbl(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?(?:\\s+INTO\\s+(\\d+)\\s+FILES)?\\s*;?\\s*$$""")
+  private val Vacuum = p(
+    s"""^\\s*VACUUM\\s+$Tbl(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$$""")
+  private val Restore = p(
+    s"""^\\s*RESTORE\\s+$Tbl\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
+  private val History = p(
+    s"""^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Tbl\\s*;?\\s*$$""")
+
+  /** Cheap pre-gate: does the statement LEAD with one of our
+    * keywords? (Only then is the full match attempted — everything
+    * else goes straight to the delegate parser.) */
+  private val Lead = p(
+    """^\s*(OPTIMIZE|VACUUM|RESTORE)\b.*|^\s*DESC(?:RIBE)?\s+HISTORY\b.*""")
+  def leads(sqlText: String): Boolean = Lead.matcher(sqlText).matches()
+
+  /** Split a (possibly backticked) multipart identifier on its
+    * TOP-LEVEL dots — dots inside backticks (e.g. a path ending in
+    * `.parquet`) stay in their part. Backticks are stripped. */
+  private def parts(tbl: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inTick = false
+    tbl.foreach {
+      case '`' => inTick = !inTick
+      case '.' if !inTick => out += sb.toString.trim; sb.clear()
+      case c => sb.append(c)
+    }
+    out += sb.toString.trim
+    out.toSeq
+  }
+
+  def parse(sqlText: String): Option[LogicalPlan] = {
+    val om = Optimize.matcher(sqlText)
+    if (om.matches()) {
+      val zorder = Option(om.group(2)).map(_.split(',').map(_.trim)
+        .filter(_.nonEmpty).map(c => parts(c).last).toSeq).getOrElse(Nil)
+      return Some(GraftOptimizeCommand(parts(om.group(1)), zorder,
+        Option(om.group(3)).map(_.toInt)))
+    }
+    val vm = Vacuum.matcher(sqlText)
+    if (vm.matches())
+      return Some(GraftVacuumCommand(parts(vm.group(1)),
+        Option(vm.group(2)).map(_.toInt)))
+    val rm = Restore.matcher(sqlText)
+    if (rm.matches())
+      return Some(GraftRestoreCommand(parts(rm.group(1)),
+        rm.group(2).toInt))
+    val hm = History.matcher(sqlText)
+    if (hm.matches())
+      return Some(GraftHistoryCommand(parts(hm.group(1))))
+    None
+  }
+
+  private[graftx] def graftPathOf(spark: SparkSession,
+      tParts: Seq[String], what: String): String =
+    GraftSqlTarget.pathOf(spark, tParts).getOrElse(
+      throw new IllegalArgumentException(
+        s"$what is a graftv statement: ${tParts.mkString(".")} is not " +
+          "a graftv table (USING graftv, or the graftv.`/path` form)"))
+
+  private[graftx] def attrsOf(ddl: String): Seq[Attribute] =
+    StructType.fromDDL(ddl).fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+}
+
+/** `OPTIMIZE t [ZORDER BY (…)] [INTO n FILES]` →
+  * [[graft.sources.Versioned.optimize]] (compaction is an ONLINE op:
+  * it rebases over any interloping append). Returns the new
+  * version. */
+case class GraftOptimizeCommand(tParts: Seq[String], zorder: Seq[String],
+    files: Option[Int])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf("version INT")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceSql.graftPathOf(spark, tParts, "OPTIMIZE")
+    Seq(Row(graft.sources.Versioned.optimize(spark, path,
+      numFiles = files.getOrElse(1), clusterBy = zorder)))
+  }
+}
+
+/** `VACUUM t [RETAIN n VERSIONS]` →
+  * [[graft.sources.Versioned.vacuum]] with the library's default
+  * in-flight-writer grace. Returns the reclaimed file count. */
+case class GraftVacuumCommand(tParts: Seq[String], retain: Option[Int])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf("removed_files INT")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceSql.graftPathOf(spark, tParts, "VACUUM")
+    Seq(Row(graft.sources.Versioned.vacuum(path,
+      retainVersions = retain.getOrElse(
+        graft.sources.Versioned.CheckpointInterval)).size))
+  }
+}
+
+/** `RESTORE t TO VERSION AS OF v` →
+  * [[graft.sources.Versioned.restore]] (non-destructive: the rollback
+  * is a NEW version, history stays intact). */
+case class GraftRestoreCommand(tParts: Seq[String], toVersion: Int)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf("version INT")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceSql.graftPathOf(spark, tParts, "RESTORE")
+    Seq(Row(graft.sources.Versioned.restore(path, toVersion)))
+  }
+}
+
+/** `DESCRIBE HISTORY t` → [[graft.sources.Versioned.history]]: one
+  * row per version with op, monotone-adjusted stamp, checkpoint flag,
+  * file count, and CDF availability. O(versions) driver rows. */
+case class GraftHistoryCommand(tParts: Seq[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenanceSql.attrsOf(
+    "version INT, op STRING, timestamp_ms BIGINT, " +
+      "is_checkpoint BOOLEAN, n_files INT, has_change_feed BOOLEAN")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceSql.graftPathOf(spark, tParts,
+      "DESCRIBE HISTORY")
+    graft.sources.Versioned.history(spark, path).collect().toSeq
+  }
+}

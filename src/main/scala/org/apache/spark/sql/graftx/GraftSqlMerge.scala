@@ -60,10 +60,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case other => other
   }
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+    // maintenance statements (OPTIMIZE/VACUUM/RESTORE/DESCRIBE
+    // HISTORY) lead with keywords Spark's grammar does not know —
+    // pre-matched so the delegate's ParseException stays the error
+    // for anything malformed (see GraftSqlMaintenance.scala)
+    if (GraftMaintenanceSql.leads(sqlText))
+      GraftMaintenanceSql.parse(sqlText)
+        .getOrElse(rewrite(delegate.parsePlan(sqlText)))
+    else rewrite(delegate.parsePlan(sqlText))
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan =
-    rewrite(delegate.parsePlanWithParameters(sqlText, ctx))
+    if (GraftMaintenanceSql.leads(sqlText))
+      GraftMaintenanceSql.parse(sqlText)
+        .getOrElse(rewrite(delegate.parsePlanWithParameters(sqlText, ctx)))
+    else rewrite(delegate.parsePlanWithParameters(sqlText, ctx))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

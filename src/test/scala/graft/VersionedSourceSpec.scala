@@ -672,6 +672,53 @@ class VersionedSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE g_part_rl")
   }
 
+  test("SQL maintenance: OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY") {
+    import spark.implicits._
+    val t = tmpTable()
+    (1 to 4).foreach(i => Versioned.commit(
+      Seq((i.toLong, s"s$i")).toDF("id", "s").coalesce(1), t))
+    spark.sql("DROP TABLE IF EXISTS g_maint")
+    spark.sql(s"CREATE TABLE g_maint USING graftv LOCATION '$t'")
+    try {
+      // OPTIMIZE compacts 4 files into 2, ZORDER BY the key
+      val vOpt = spark.sql("OPTIMIZE g_maint ZORDER BY (id) INTO 2 FILES")
+        .head().getInt(0)
+      assert(vOpt === 5)
+      assert(Versioned.snapshot(t).files.size === 2)
+      assert(spark.sql("SELECT count(*) AS n FROM g_maint")
+        .head().getLong(0) === 4L)
+      // RESTORE is non-destructive: v6 = v2's live set, history intact
+      val vRes = spark.sql("RESTORE g_maint TO VERSION AS OF 2")
+        .head().getInt(0)
+      assert(vRes === 6)
+      assert(spark.sql("SELECT count(*) AS n FROM g_maint")
+        .head().getLong(0) === 2L)
+      // DESCRIBE HISTORY: one row per version, ops recorded
+      val hist = spark.sql("DESCRIBE HISTORY g_maint").collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      assert(hist.length === 6)
+      assert(hist.toMap.get(5) === Some("optimize"))
+      assert(hist.toMap.get(6) === Some("restore"))
+      // VACUUM with a tight horizon reports reclaimable counts (the
+      // young-file mtime grace keeps just-written files, so 0 here —
+      // the statement surface is what is under test; the reclaim
+      // mechanics are VersionedSpec's)
+      val removed = spark.sql("VACUUM g_maint RETAIN 3 VERSIONS")
+        .head().getInt(0)
+      assert(removed >= 0)
+      // direct-path form + graftv-only gating
+      assert(spark.sql(s"DESCRIBE HISTORY graftv.`$t`").count() === 6)
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("OPTIMIZE definitely_not_a_graftv_table")
+      }
+      assert(e.getMessage.contains("graftv"))
+      // malformed statements keep Spark's own parse error
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        spark.sql("OPTIMIZE") // no target
+      }
+    } finally spark.sql("DROP TABLE g_maint")
+  }
+
   test("SQL UPDATE: COW SET over the row, CDF, arbitrary predicates") {
     import spark.implicits._
     val t = tmpTable()
