@@ -46,6 +46,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * example reader below is the local-mode decode tier; on a cluster
   * the same plan shape holds with the vectorized reader.
   */
+object VersionedSource {
+  /** Table handle as-of a version — the seam the SQL time-travel
+    * resolution rule (`SELECT … FROM t VERSION AS OF v`,
+    * graftx.GraftTimeTravelRule) resolves graftv relations through. */
+  def tableAsOf(path: String,
+      asOf: Option[Int]): org.apache.spark.sql.connector.catalog.Table = {
+    val schema = StructType.fromDDL(Versioned.snapshot(path, asOf).schemaDdl)
+    new VersionedTable(path, asOf, schema, changeFeed = false)
+  }
+}
+
 class VersionedSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftv"
 

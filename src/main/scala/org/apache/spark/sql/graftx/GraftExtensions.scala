@@ -19,10 +19,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(cls, name), b))
     }
-    // SQL MERGE INTO for graftv tables (round 12): a thin top-level
-    // plan rewrite — everything else passes through the delegate
-    // parser verbatim (see GraftSqlMerge.scala).
-    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // SQL MERGE INTO / UPDATE / maintenance statements for graftv
+    // tables (round 12): a thin top-level plan rewrite plus a
+    // pre-matched mini-grammar — everything else passes through the
+    // delegate parser verbatim (see GraftSqlMerge.scala,
+    // GraftSqlMaintenance.scala).
+    // The parser also resolves SELECT … VERSION/TIMESTAMP AS OF over
+    // graftv relations at parse time (GraftTimeTravel — the V1
+    // session catalog throws before any injected resolution rule
+    // could).
+    e.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
   }
 }
 

@@ -53,12 +53,14 @@ import org.apache.spark.sql.types.StructType
   *    files read back null-filled, time travel sees each version
   *    under its own DDL.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
-    case m: MergeIntoTable => GraftMergeIntoCommand(m)
-    case u: UpdateTable => GraftUpdateCommand(u)
-    case other => other
-  }
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  private def rewrite(plan: LogicalPlan): LogicalPlan =
+    GraftTimeTravel(session, plan match {
+      case m: MergeIntoTable => GraftMergeIntoCommand(m)
+      case u: UpdateTable => GraftUpdateCommand(u)
+      case other => other
+    })
   override def parsePlan(sqlText: String): LogicalPlan =
     // maintenance statements (OPTIMIZE/VACUUM/RESTORE/DESCRIBE
     // HISTORY) lead with keywords Spark's grammar does not know —

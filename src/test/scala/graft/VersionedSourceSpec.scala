@@ -672,6 +672,38 @@ class VersionedSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE g_part_rl")
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF resolve graftv snapshots") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), t) // v1
+    Thread.sleep(30) // real stamp gap for the timestamp form
+    Versioned.commit(Seq((2L, "b")).toDF("id", "s"), t) // v2
+    spark.sql("DROP TABLE IF EXISTS g_tt")
+    spark.sql(s"CREATE TABLE g_tt USING graftv LOCATION '$t'")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM g_tt VERSION AS OF 1")
+        .head().getLong(0) === 1L)
+      assert(spark.sql("SELECT count(*) AS n FROM g_tt VERSION AS OF 2")
+        .head().getLong(0) === 2L)
+      // the direct-path form time-travels too
+      assert(spark.sql(
+        s"SELECT id FROM graftv.`$t` VERSION AS OF 1").head().getLong(0)
+        === 1L)
+      // TIMESTAMP AS OF at v1's commit stamp resolves to v1
+      val ts1 = Versioned.commitTimestamp(t, 1)
+      val sqlTs = new java.sql.Timestamp(ts1).toString
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM g_tt TIMESTAMP AS OF '$sqlTs'")
+        .head().getLong(0) === 1L)
+      // joins across versions work (the CDC-diff query shape)
+      val diff = spark.sql("""
+        SELECT cur.id FROM g_tt cur
+        LEFT ANTI JOIN (SELECT id FROM g_tt VERSION AS OF 1) old
+        ON cur.id = old.id""").collect().map(_.getLong(0)).toSeq
+      assert(diff === Seq(2L))
+    } finally spark.sql("DROP TABLE g_tt")
+  }
+
   test("SQL maintenance: OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY") {
     import spark.implicits._
     val t = tmpTable()
