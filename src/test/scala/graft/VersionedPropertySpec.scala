@@ -190,7 +190,7 @@ class VersionedPropertySpec extends AnyFunSuite {
     }
 
     (0 until 30).foreach { i =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(8) match {
         case 0 => // append, sometimes duplicating an existing row
           val rows = freshRows(1 + rnd.nextInt(2)) ++
             (if (model.nonEmpty && rnd.nextBoolean())
@@ -231,6 +231,52 @@ class VersionedPropertySpec extends AnyFunSuite {
           val target = vs(rnd.nextInt(vs.length))
           Versioned.restore(t, target)
           model = history(target)
+        case 6 => // round 12: clause CHAIN with SET expressions —
+          // first-match-wins (delete if v%5, else SET-update if v%2),
+          // a 2-clause insert chain (partial columns, then whole-row)
+          val src = mergeSource(i)
+          val existedKeys = model.map(ckey).toSet
+          Versioned.mergeClauses(toDf(src), t, Seq("u", "b"),
+            matched = Seq(
+              Versioned.WhenMatched.Delete(Some(col("source.v") % 5 === 0)),
+              Versioned.WhenMatched.Update(Some(col("source.v") % 2 === 0),
+                set = Map("v" -> (col("source.v") + col("target.v"))))),
+            notMatched = Seq(
+              Versioned.WhenNotMatched.Insert(Some(col("v") % 3 === 0),
+                set = Map("u" -> col("u"), "b" -> col("b"),
+                  "v" -> lit(-1L))),
+              Versioned.WhenNotMatched.Insert(None)))
+          val srcBy = src.map(r => ckey(r) -> r).toMap
+          val delKeys = src.filter(r =>
+            existedKeys(ckey(r)) && r._3 % 5 == 0).map(ckey).toSet
+          val updKeys = src.filter(r => existedKeys(ckey(r)) &&
+            r._3 % 5 != 0 && r._3 % 2 == 0).map(ckey).toSet
+          val inserted = src.filterNot(r => existedKeys(ckey(r))).map { r =>
+            if (r._3 % 3 == 0) (r._1, r._2, -1L) else r
+          }
+          model = model.flatMap { r =>
+            val k = ckey(r)
+            if (delKeys(k)) Vector.empty
+            else if (updKeys(k)) // SET applies per target COPY
+              Vector((r._1, r._2, srcBy(k)._3 + r._3))
+            else Vector(r)
+          } ++ inserted
+        case 7 => // round 12: the sync-to-snapshot shape — upsert +
+          // NOT MATCHED BY SOURCE chain (tombstone v%7, else mark)
+          val src = mergeSource(i)
+          val srcKeys = src.map(ckey).toSet
+          Versioned.mergeClauses(toDf(src), t, Seq("u", "b"),
+            matched = Seq(Versioned.WhenMatched.Update(None)),
+            notMatched = Seq(Versioned.WhenNotMatched.Insert(None)),
+            notMatchedBySource = Seq(
+              Versioned.WhenMatched.Delete(Some(col("v") % 7 === 0)),
+              Versioned.WhenMatched.Update(None,
+                set = Map("v" -> (col("v") + 1000000L)))))
+          model = model.flatMap { r =>
+            if (srcKeys(ckey(r))) Vector.empty // replaced by the source
+            else if (r._3 % 7 == 0) Vector.empty // NMBS tombstone
+            else Vector((r._1, r._2, r._3 + 1000000L)) // NMBS mark
+          } ++ src
       }
       val v = Versioned.versions(t).max
       history += v -> model
