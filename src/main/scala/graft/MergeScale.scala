@@ -128,7 +128,50 @@ object MergeScale {
     val bulk =
       s"""  "bulk_insert_merge": {"rows": $nDocs, "files_before": ${bulkBefore.files.size}, "files_after": ${bulkAfter.files.size}, "rows_after": $bulkRows, "target_file_rows": ${math.max(1000L, nDocs / 16)}, "sec": ${r3(tBulk)}}"""
 
-    val json = s"""{\n  "label": "$label", "n_docs": $nDocs, "ingest_sec": ${r3(tIngest)}, "cluster_sec": ${r3(tCluster)},\n$tight,\n$scattered,\n$composite,\n$bulk\n}\n"""
+    // 5. updateWhere on a tight uuid range (round 12): the COW UPDATE
+    // must prune like the point delete. The earlier merge probes left
+    // mixed-range rewrite outputs, so re-cluster first — the same
+    // OPTIMIZE-restores-pruning maintenance a real table runs.
+    Versioned.optimize(spark, tableDir, numFiles = 32,
+      clusterBy = Seq("uid"))
+    val updBefore = Versioned.snapshot(tableDir)
+    val tUpd = timed {
+      Versioned.updateWhere(spark, tableDir,
+        col("uid").between(uids(2000), uids(2199)),
+        Map("n_chars" -> (col("n_chars") + 1L)))
+    }
+    val updAfter = Versioned.snapshot(tableDir)
+    val updCarried = updAfter.files.toSet
+      .intersect(updBefore.files.toSet).size
+    System.err.println(f"[merge-scale] $label update_tight: " +
+      f"$updCarried of ${updBefore.files.size} files carried in ${tUpd}%.2fs")
+    val updProbe =
+      s"""  "update_where_tight": {"rows": 200, "files_before": ${updBefore.files.size}, "carried": $updCarried, "rewritten": ${updBefore.files.size - updCarried}, "sec": ${r3(tUpd)}}"""
+
+    // 6. NOT-MATCHED-BY-SOURCE sync merge (round 12): its footprint
+    // is every unmatched target row, so the WHOLE table rewrites —
+    // measured here so the honest cost is on the record (this is the
+    // operation's semantics, not a missed optimization)
+    val nmbsBefore = Versioned.snapshot(tableDir)
+    val tNmbs = timed {
+      Versioned.mergeClauses(
+        tbl.where(pmod(xxhash64(col("uid")), lit(4L)) === 0L), tableDir,
+        Seq("uid"),
+        matched = Seq(Versioned.WhenMatched.Update(None)),
+        notMatched = Seq(Versioned.WhenNotMatched.Insert(None)),
+        notMatchedBySource = Seq(Versioned.WhenMatched.Update(None,
+          set = Map("bucket" -> lit(-1L)))))
+    }
+    val nmbsAfter = Versioned.snapshot(tableDir)
+    val nmbsCarried = nmbsAfter.files.toSet
+      .intersect(nmbsBefore.files.toSet).size
+    System.err.println(f"[merge-scale] $label nmbs_sync: " +
+      f"$nmbsCarried of ${nmbsBefore.files.size} files carried " +
+      f"(full rewrite by design) in ${tNmbs}%.2fs")
+    val nmbsProbe =
+      s"""  "nmbs_sync_merge": {"files_before": ${nmbsBefore.files.size}, "carried": $nmbsCarried, "sec": ${r3(tNmbs)}, "note": "whole-table rewrite is the operation's semantics"}"""
+
+    val json = s"""{\n  "label": "$label", "n_docs": $nDocs, "ingest_sec": ${r3(tIngest)}, "cluster_sec": ${r3(tCluster)},\n$tight,\n$scattered,\n$composite,\n$bulk,\n$updProbe,\n$nmbsProbe\n}\n"""
     val p = java.nio.file.Paths.get(s"bench/merge_string_$label.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(p, json)
