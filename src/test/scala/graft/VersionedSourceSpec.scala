@@ -493,6 +493,14 @@ class VersionedSourceSpec extends AnyFunSuite {
       (1L, "a", "insert", 1), (2L, "B", "update_postimage", 2),
       (2L, "b", "insert", 1), (2L, "b", "update_preimage", 2),
       (3L, "c", "insert", 2), (4L, "d", "insert", 3)))
+    // an UPDATE commit (round 12) streams through the tail too:
+    // pre/post images, no skip, no failure
+    Versioned.updateWhere(spark, t, col("id") === 4L,
+      Map("s" -> concat(col("s"), lit("!")))) // v4
+    runOnce()
+    assert(seen.asScala.toSeq.count(_._4 == 4) === 2)
+    assert(seen.asScala.toSeq.filter(_._4 == 4).sorted === Seq(
+      (4L, "d", "update_preimage", 4), (4L, "d!", "update_postimage", 4)))
     // downstream state maintenance: applying the feed reproduces the
     // table (the d14-style incremental consumer over an UPSERTED
     // corpus this feature exists for)
