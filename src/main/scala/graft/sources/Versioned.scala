@@ -898,7 +898,15 @@ object Versioned {
     /** Replace each matched target row by its source row — or, with a
       * non-empty `set`, by the target row with only the named columns
       * replaced by their expressions (UPDATE SET) — when the
-      * condition holds. */
+      * condition holds.
+      *
+      * DUPLICATE-KEY targets (a degenerate state only plain appends
+      * can create — the table's own merges never do): MERGE treats
+      * the key as ROW IDENTITY, so a whole-row update COLLAPSES all
+      * copies of a matched key into the single source row, while a
+      * SET update — whose expressions may read `target.…` values
+      * that differ per copy — rewrites EACH copy. Deduplicate
+      * (d1-family) before merging if copy multiplicity matters. */
     final case class Update(condition: Option[Column] = None,
         set: Map[String, Column] = Map.empty)
       extends WhenMatched
@@ -1081,7 +1089,8 @@ object Versioned {
     }
     val schema = StructType.fromDDL(mergedDdl)
     val tableCols: Seq[String] = schema.fields.map(_.name).toSeq
-    (matched.collect { case WhenMatched.Update(_, s) => s } ++
+    ((matched ++ notMatchedBySource)
+      .collect { case WhenMatched.Update(_, s) => s } ++
       notMatched.collect { case WhenNotMatched.Insert(_, s) => s })
       .foreach(_.keys.foreach(k => require(tableCols.contains(k),
         s"versioned: SET column $k is not a table column at $path " +
@@ -1837,6 +1846,13 @@ object Versioned {
     * Returns the deleted relative paths. */
   def vacuum(path: String, retainVersions: Int = CheckpointInterval,
       graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
+    // retain < 1 would keep NO snapshot and reclaim every live data
+    // file while the manifests still reference them — irrecoverable
+    // corruption from a typo (ADVICE-style guard, Delta's own vacuum
+    // has a minimum-retention check for the same reason)
+    require(retainVersions >= 1,
+      s"versioned: vacuum must retain at least 1 version, got " +
+        s"$retainVersions at $path")
     val vs = versions(path)
     if (vs.isEmpty) return Seq.empty
     val keepVs = vs.takeRight(retainVersions)

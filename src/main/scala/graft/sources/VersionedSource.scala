@@ -229,21 +229,14 @@ private[sources] class VersionedBatchWrite(path: String,
   }
 
   override def abort(messages: Array[
-      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
     // delete whatever tasks managed to write (recursively — a
-    // partitioned write nests value dirs); the unpublished commit dir
-    // is invisible either way
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.iterator().asScala.foreach(rm) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p); ()
-    }
-    val dir = java.nio.file.Paths.get(
-      Versioned.normPath(s"$path/data/c-$commitId"))
-    if (java.nio.file.Files.isDirectory(dir)) rm(dir)
-  }
+    // partitioned write nests value dirs). SAFE as a dir-level delete
+    // because the batch commitId is RANDOM per attempt: nothing else
+    // can have published into this dir (contrast the streaming abort,
+    // whose epoch dirs are deterministic across replays).
+    VersionedStreamingWrite.rmTree(java.nio.file.Paths.get(
+      Versioned.normPath(s"$path/data/c-$commitId")))
 }
 
 /** DSv2 STREAMING sink (round 12): `df.writeStream.format("graftv")
@@ -287,11 +280,23 @@ private[sources] class VersionedStreamingWrite(path: String,
     ()
   }
 
+  /** Abort deletes ONLY the files THIS attempt's tasks reported —
+    * never the whole epoch directory. The epoch dir is DETERMINISTIC
+    * (replays reuse it), so a prior attempt of the same epoch may
+    * already have PUBLISHED files there: a dir-level delete on a
+    * failed replay would destroy data the live manifest references
+    * (data loss on every later read). Files from tasks that died
+    * before reporting stay as unreferenced strays — vacuum reclaims
+    * them, the log never saw them. */
   override def abort(epochId: Long, messages: Array[
-      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
-    VersionedStreamingWrite.rmTree(java.nio.file.Paths.get(
-      Versioned.normPath(
-        s"$path/${VersionedStreamingWrite.epochRel(qid, epochId)}")))
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val rel = VersionedStreamingWrite.epochRel(qid, epochId)
+    messages.collect { case VersionedCommitMsg(rels) => rels }.flatten
+      .foreach { r =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+          Versioned.normPath(s"$path/$rel/$r")))
+      }
+  }
 }
 
 private[sources] object VersionedStreamingWrite {

@@ -188,12 +188,21 @@ object GraftTimeTravel {
         Option(e.eval()).map(_.asInstanceOf[Long] / 1000L) // micros → ms
       case StringType => Option(e.eval()).flatMap { raw =>
         val t = raw.toString
-        try Some(
-          if (t.forall(_.isDigit)) t.toLong
-          else if (t.contains("T"))
-            java.time.Instant.parse(t).toEpochMilli
-          else java.sql.Timestamp.valueOf(t).getTime)
-        catch { case _: Exception => None }
+        def tryMs(b: => Long): Option[Long] =
+          try Some(b) catch { case _: Exception => None }
+        if (t.forall(_.isDigit) && t.nonEmpty) tryMs(t.toLong)
+        else if (t.contains("T"))
+          // zoned instant first; zone-LESS ISO falls back to the
+          // system zone (what a human at this machine means)
+          tryMs(java.time.Instant.parse(t).toEpochMilli).orElse(tryMs(
+            java.time.LocalDateTime.parse(t)
+              .atZone(java.time.ZoneId.systemDefault())
+              .toInstant.toEpochMilli))
+        else
+          // "yyyy-MM-dd HH:mm:ss[.fff]", or date-only at midnight
+          // (the shape Delta's TIMESTAMP AS OF accepts)
+          tryMs(java.sql.Timestamp.valueOf(t).getTime).orElse(tryMs(
+            java.sql.Date.valueOf(t).getTime))
       }
       case _ => None
     }

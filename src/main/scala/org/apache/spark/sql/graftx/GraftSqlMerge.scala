@@ -56,11 +56,14 @@ import org.apache.spark.sql.types.StructType
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   private def rewrite(plan: LogicalPlan): LogicalPlan =
-    GraftTimeTravel(session, plan match {
+    // time travel FIRST: the command wrappers are LEAF nodes (their
+    // inner plan is not a child), so a VERSION AS OF inside e.g. a
+    // MERGE source must resolve before the wrap or never
+    GraftTimeTravel(session, plan) match {
       case m: MergeIntoTable => GraftMergeIntoCommand(m)
       case u: UpdateTable => GraftUpdateCommand(u)
       case other => other
-    })
+    }
   override def parsePlan(sqlText: String): LogicalPlan =
     // maintenance statements (OPTIMIZE/VACUUM/RESTORE/DESCRIBE
     // HISTORY) lead with keywords Spark's grammar does not know —

@@ -709,6 +709,26 @@ class VersionedSourceSpec extends AnyFunSuite {
         LEFT ANTI JOIN (SELECT id FROM g_tt VERSION AS OF 1) old
         ON cur.id = old.id""").collect().map(_.getLong(0)).toSeq
       assert(diff === Seq(2L))
+      // zone-less ISO and date-only literals resolve too (self-review
+      // finding: Instant.parse alone rejected them with a misleading
+      // UNSUPPORTED_FEATURE error)
+      val iso = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ts1),
+        java.time.ZoneId.systemDefault()).toString
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM g_tt TIMESTAMP AS OF '$iso'")
+        .head().getLong(0) === 1L)
+      // a time-traveled MERGE SOURCE resolves (the command wrapper is
+      // a leaf; the transform must run before the wrap)
+      spark.sql("""
+        MERGE INTO g_tt AS tg
+        USING (SELECT id, concat(s, '_old') AS s
+               FROM g_tt VERSION AS OF 1) AS src
+        ON tg.id = src.id
+        WHEN MATCHED THEN UPDATE SET *
+      """)
+      assert(spark.sql("SELECT s FROM g_tt WHERE id = 1").head()
+        .getString(0) === "a_old")
     } finally spark.sql("DROP TABLE g_tt")
   }
 

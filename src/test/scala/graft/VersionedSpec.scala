@@ -897,6 +897,19 @@ class VersionedSpec extends AnyFunSuite {
       Versioned.mergeClauses(src, t, Seq("id"), Nil, Nil,
         Seq(Versioned.WhenMatched.Update(None)))
     }
+    // a typo'd NMBS SET column is a loud error, not a silent no-op
+    // (round-12 self-review finding)
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.mergeClauses(src, t, Seq("id"), Nil, Nil,
+        Seq(Versioned.WhenMatched.Update(None,
+          set = Map("statuss" -> lit("x")))))
+    }
+    assert(e2.getMessage.contains("SET column"))
+    // vacuum refuses a retention that would reclaim every live file
+    val e3 = intercept[IllegalArgumentException] {
+      Versioned.vacuum(t, retainVersions = 0)
+    }
+    assert(e3.getMessage.contains("retain"))
   }
 
   test("merge schema evolution: source-only columns join the table as nullable") {
