@@ -55,6 +55,16 @@ object VersionedSource {
     val schema = StructType.fromDDL(Versioned.snapshot(path, asOf).schemaDdl)
     new VersionedTable(path, asOf, schema, changeFeed = false)
   }
+
+  /** Change-feed table handle — the seam the `table_changes(...)` SQL
+    * table function resolves through (the version range rides the
+    * relation's options into the scan builder). */
+  def tableChanges(path: String)
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val schema = StructType.fromDDL(Versioned.snapshot(path).schemaDdl)
+      .add("_change_type", "string").add("_commit_version", "int")
+    new VersionedTable(path, None, schema, changeFeed = true)
+  }
 }
 
 class VersionedSource extends TableProvider with DataSourceRegister {

@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // could).
     e.injectParser((session, delegate) =>
       new GraftSqlParser(session, delegate))
+    // Delta's CDC table function over graftv change feeds:
+    // SELECT * FROM table_changes('t', start [, end])
+    e.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(GraftTableChanges.getClass.getName,
+        "table_changes"),
+      (args: Seq[Expression]) => GraftTableChanges(args)))
   }
 }
 

@@ -234,3 +234,56 @@ object GraftTimeTravel {
         }
     }
 }
+
+/** `SELECT * FROM table_changes('t', start [, end])` — Delta's CDC
+  * table function over graftv change feeds (round 12): the rows plus
+  * `_change_type` / `_commit_version` for the commits in
+  * [start, end] (INCLUSIVE both, Delta's convention; the library's
+  * `readChanges(from, to)` is exclusive-from — the TVF maps
+  * `startingversion = start - 1`). `end` defaults to the latest
+  * version. The first argument resolves like every other graftv SQL
+  * target (catalog table name or a raw table path). Arguments must
+  * be literals (they select the scan range at plan time). */
+object GraftTableChanges {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"table_changes: $what must be a string literal, got ${other.sql}")
+  }
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"table_changes: $what must be an integer literal, got ${other.sql}")
+  }
+
+  def apply(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      s"table_changes(table, startVersion[, endVersion]) takes 2 or 3 " +
+        s"arguments, got ${args.length}")
+    val spark = SparkSession.active
+    val name = litString(args.head, "the table name")
+    val tParts =
+      if (name.contains('/')) Seq("graftv", name) // a raw table path
+      else name.split('.').toSeq
+    val path = GraftMaintenanceSql.graftPathOf(spark, tParts,
+      "table_changes")
+    val start = litInt(args(1), "startVersion")
+    require(start >= 1, s"table_changes: startVersion must be >= 1 " +
+      s"(got $start); version 1 is the first commit")
+    val end = if (args.length == 3) litInt(args(2), "endVersion")
+      else graft.sources.Versioned.versions(path).max
+    require(end >= start,
+      s"table_changes: endVersion $end < startVersion $start")
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("readchangefeed", "true")
+    opts.put("startingversion", (start - 1).toString) // inclusive start
+    opts.put("endingversion", end.toString)
+    DataSourceV2Relation.create(
+      graft.sources.VersionedSource.tableChanges(path), None, None,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts), None)
+  }
+}

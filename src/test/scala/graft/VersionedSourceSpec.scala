@@ -732,6 +732,43 @@ class VersionedSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE g_tt")
   }
 
+  test("table_changes TVF: SQL change feed over a version range") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, 10L)).toDF("id", "v"), t) // v1
+    Versioned.commit(Seq((2L, 20L)).toDF("id", "v"), t) // v2
+    Versioned.merge(Seq((2L, 200L), (3L, 30L)).toDF("id", "v"), t,
+      "id") // v3
+    spark.sql("DROP TABLE IF EXISTS g_cdc")
+    spark.sql(s"CREATE TABLE g_cdc USING graftv LOCATION '$t'")
+    try {
+      // inclusive both ends (Delta's convention): [2, 3]
+      val rows = spark.sql(
+        "SELECT id, v, _change_type, _commit_version " +
+          "FROM table_changes('g_cdc', 2, 3)").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getInt(3))).sorted.toSeq
+      assert(rows === Seq(
+        (2L, 20L, "insert", 2), (2L, 20L, "update_preimage", 3),
+        (2L, 200L, "update_postimage", 3), (3L, 30L, "insert", 3)))
+      // end defaults to the latest version; start is validated
+      assert(spark.sql("SELECT count(*) AS n FROM table_changes('g_cdc', 1)")
+        .head().getLong(0) === 5L)
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM table_changes('g_cdc', 0)").collect()
+      }
+      assert(e.getMessage.contains("startVersion"))
+      // the raw-path form works without a catalog table
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM table_changes('$t', 3, 3)")
+        .head().getLong(0) === 3L)
+      // filters/aggregation compose over the TVF like any relation
+      assert(spark.sql(
+        "SELECT sum(v) AS s FROM table_changes('g_cdc', 1) " +
+          "WHERE _change_type = 'insert'").head().getLong(0) === 60L)
+    } finally spark.sql("DROP TABLE g_cdc")
+  }
+
   test("SQL maintenance: OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY") {
     import spark.implicits._
     val t = tmpTable()
