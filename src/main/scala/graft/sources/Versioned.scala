@@ -901,12 +901,13 @@ object Versioned {
       * condition holds.
       *
       * DUPLICATE-KEY targets (a degenerate state only plain appends
-      * can create — the table's own merges never do): MERGE treats
-      * the key as ROW IDENTITY, so a whole-row update COLLAPSES all
-      * copies of a matched key into the single source row, while a
-      * SET update — whose expressions may read `target.…` values
-      * that differ per copy — rewrites EACH copy. Deduplicate
-      * (d1-family) before merging if copy multiplicity matters. */
+      * can create — the table's own merges never do): BOTH forms
+      * rewrite EACH matched target copy (whole-row replaces every
+      * copy with the source row; a SET update's `target.…` reads see
+      * each copy's own values), preserving row count — Delta's
+      * semantics (round 13; previously the whole-row form collapsed
+      * the copies into one row). Deduplicate (d1-family) before
+      * merging if you want copies collapsed. */
     final case class Update(condition: Option[Column] = None,
         set: Map[String, Column] = Map.empty)
       extends WhenMatched
@@ -1196,23 +1197,37 @@ object Versioned {
     // matched target rows clause i touches (its CDF pre-images)
     def preimages(i: Int): DataFrame =
       existing.join(firedExcl(i), keys, "left_semi")
-    /** Post-image rows of update clause i: the whole source row when
-      * `set` is empty; else the TARGET row with the set columns
-      * replaced, evaluated over the `target`/`source` pair join. */
-    def updateOut(i: Int, set: Map[String, Column]): DataFrame =
-      if (set.isEmpty) src.join(firedExcl(i), keys, "left_semi")
-      else {
-        val joinCond = keys.map(k =>
-          col(s"target.$k") === col(s"source.$k")).reduce(_ && _)
-        val firedK = firedExcl(i)
-          .select(keys.map(k => col(k).as(s"__graft_fk_$k")): _*)
-        existing.alias("target").join(src.alias("source"), joinCond)
-          .join(firedK, keys.map(k =>
-            col(s"source.$k") === col(s"__graft_fk_$k")).reduce(_ && _),
-            "left_semi")
-          .select(tableCols.map(c =>
-            set.getOrElse(c, col(s"target.$c")).as(c)): _*)
+    /** Post-image rows of update clause i, evaluated over the
+      * `target`/`source` pair join: the whole source row when `set` is
+      * empty, else the TARGET row with the set columns replaced. BOTH
+      * forms rewrite EACH matched target copy (round 13, ADVICE r12:
+      * the whole-row form previously semi-joined the source, which
+      * COLLAPSED duplicate-key target copies into one output row —
+      * Delta updates every matched copy and preserves row count, and
+      * the CDF preimage/postimage counts must agree). Every output
+      * column is CAST to its table type (round 13, ADVICE r12 high:
+      * an uncast `SET v = v / 2` on a BIGINT column published
+      * DOUBLE-typed parquet under a manifest DDL still saying BIGINT
+      * — every later `spark.read.schema` of the live version failed
+      * with a parquet type-convert error until RESTORE; Delta applies
+      * store-assignment casts at exactly this seam). */
+    def updateOut(i: Int, set: Map[String, Column]): DataFrame = {
+      val joinCond = keys.map(k =>
+        col(s"target.$k") === col(s"source.$k")).reduce(_ && _)
+      val firedK = firedExcl(i)
+        .select(keys.map(k => col(k).as(s"__graft_fk_$k")): _*)
+      val proj = tableCols.map { c =>
+        val e =
+          if (set.isEmpty) col(s"source.$c")
+          else set.getOrElse(c, col(s"target.$c"))
+        e.cast(schema(c).dataType).as(c)
       }
+      existing.alias("target").join(src.alias("source"), joinCond)
+        .join(firedK, keys.map(k =>
+          col(s"source.$k") === col(s"__graft_fk_$k")).reduce(_ && _),
+          "left_semi")
+        .select(proj: _*)
+    }
     val updateOuts: Map[Int, DataFrame] = matched.zipWithIndex.collect {
       case (WhenMatched.Update(_, set), i) => i -> updateOut(i, set)
     }.toMap
@@ -1241,8 +1256,10 @@ object Versioned {
         val outs: Map[Int, DataFrame] =
           notMatchedBySource.zipWithIndex.collect {
             case (WhenMatched.Update(_, set), i) =>
+              // cast to the table type — the updateOut discipline
               i -> claimed(i).select(tableCols.map(c =>
-                set.getOrElse(c, col(c)).as(c)): _*)
+                set.getOrElse(c, col(c)).cast(schema(c).dataType)
+                  .as(c)): _*)
           }.toMap
         val unchanged = withIdx.where(col(NmbsIdx) === -1).drop(NmbsIdx)
         val kept = (Seq(matchedKept, unchanged) ++ outs.values)
@@ -1265,8 +1282,9 @@ object Versioned {
       case (WhenNotMatched.Insert(_, set), i) =>
         val rows = unmatchedIdx.where(col(NmIdx) === i).drop(NmIdx)
         if (set.isEmpty) rows
-        else rows.select(tableCols.map(c => set.get(c).map(_.as(c))
-          .getOrElse(lit(null).cast(schema(c).dataType).as(c))): _*)
+        else rows.select(tableCols.map(c =>
+          set.get(c).map(_.cast(schema(c).dataType).as(c))
+            .getOrElse(lit(null).cast(schema(c).dataType).as(c))): _*)
     }
     val insertedRows = insertOuts.reduceOption(_.unionByName(_))
       .getOrElse(none)
@@ -1606,8 +1624,11 @@ object Versioned {
     val kept = tagged
       .where(!col(UpdFlag) || col(UpdFlag).isNull).drop(UpdFlag)
     val hit = tagged.where(col(UpdFlag)).drop(UpdFlag)
+    // every output column casts to its table type (ADVICE r12 high:
+    // `SET v = v / 2` on BIGINT otherwise publishes DOUBLE parquet
+    // under a BIGINT manifest DDL — later reads fail until RESTORE)
     val updated = hit.select(tableCols.map(c =>
-      set.getOrElse(c, col(c)).as(c)): _*)
+      set.getOrElse(c, col(c)).cast(schema(c).dataType).as(c)): _*)
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
     writeData(kept.unionByName(updated)

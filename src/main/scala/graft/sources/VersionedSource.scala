@@ -87,12 +87,18 @@ class VersionedSource extends TableProvider with DataSourceRegister {
 
   /** `timestampAsOf` accepts epoch millis, an ISO-8601 instant
     * ("2026-08-15T12:00:00Z"), or the SQL "yyyy-MM-dd HH:mm:ss[.fff]"
-    * form interpreted in the session's default zone (what a human at
-    * this machine means by "yesterday 14:00"). */
+    * form interpreted in the SESSION time zone
+    * (`spark.sql.session.timeZone`, never the JVM default — the same
+    * query must resolve the same version on any machine). */
   private def parseTs(t: String): Long =
     if (t.forall(_.isDigit)) t.toLong
     else if (t.contains("T")) java.time.Instant.parse(t).toEpochMilli
-    else java.sql.Timestamp.valueOf(t).getTime
+    else {
+      val zone = java.time.ZoneId.of(org.apache.spark.sql.SparkSession
+        .active.sessionState.conf.sessionLocalTimeZone)
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .atZone(zone).toInstant.toEpochMilli
+    }
 
   private def changeFeed(options: JMap[String, String]): Boolean =
     Option(options.get("readchangefeed"))

@@ -181,7 +181,12 @@ object GraftTimeTravel {
   import org.apache.spark.sql.catalyst.expressions.Expression
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-  private def tsMillisOf(e: Expression): Option[Long] =
+  /** Zone-less literals resolve in the SESSION time zone
+    * (`spark.sql.session.timeZone`), never the JVM default — Spark
+    * and Delta's rule; the same query must pick the same version
+    * regardless of the machine's zone (ADVICE r12). */
+  private def tsMillisOf(e: Expression,
+      zone: java.time.ZoneId): Option[Long] =
     if (!e.resolved || !e.foldable) None
     else e.dataType match {
       case TimestampType =>
@@ -192,17 +197,19 @@ object GraftTimeTravel {
           try Some(b) catch { case _: Exception => None }
         if (t.forall(_.isDigit) && t.nonEmpty) tryMs(t.toLong)
         else if (t.contains("T"))
-          // zoned instant first; zone-LESS ISO falls back to the
-          // system zone (what a human at this machine means)
+          // zoned instant first; zone-LESS ISO resolves in the
+          // session zone
           tryMs(java.time.Instant.parse(t).toEpochMilli).orElse(tryMs(
             java.time.LocalDateTime.parse(t)
-              .atZone(java.time.ZoneId.systemDefault())
-              .toInstant.toEpochMilli))
+              .atZone(zone).toInstant.toEpochMilli))
         else
           // "yyyy-MM-dd HH:mm:ss[.fff]", or date-only at midnight
-          // (the shape Delta's TIMESTAMP AS OF accepts)
-          tryMs(java.sql.Timestamp.valueOf(t).getTime).orElse(tryMs(
-            java.sql.Date.valueOf(t).getTime))
+          // (the shape Delta's TIMESTAMP AS OF accepts), session zone
+          tryMs(java.time.LocalDateTime
+            .parse(t.replace(' ', 'T'))
+            .atZone(zone).toInstant.toEpochMilli).orElse(tryMs(
+            java.time.LocalDate.parse(t).atStartOfDay(zone)
+              .toInstant.toEpochMilli))
       }
       case _ => None
     }
@@ -212,6 +219,8 @@ object GraftTimeTravel {
       case tt @ RelationTimeTravel(ur: UnresolvedRelation, ts, ver) =>
         GraftSqlTarget.pathOf(spark, ur.multipartIdentifier) match {
           case Some(path) =>
+            val zone = java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone)
             val asOf: Option[Int] = ver match {
               case Some(v) =>
                 try Some(v.toInt)
@@ -221,7 +230,7 @@ object GraftTimeTravel {
                       s"graftv VERSION AS OF needs an integer version, " +
                         s"got '$v'")
                 }
-              case None => ts.flatMap(tsMillisOf).map(ms =>
+              case None => ts.flatMap(tsMillisOf(_, zone)).map(ms =>
                 graft.sources.Versioned.timestampToVersion(path, ms))
             }
             asOf match {
@@ -255,7 +264,11 @@ object GraftTableChanges {
   }
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType) =>
+      // reject instead of silently truncating (ADVICE r12)
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"table_changes: $what $v is out of the version range")
+      v.toInt
     case other => throw new IllegalArgumentException(
       s"table_changes: $what must be an integer literal, got ${other.sql}")
   }
@@ -269,13 +282,22 @@ object GraftTableChanges {
     val tParts =
       if (name.contains('/')) Seq("graftv", name) // a raw table path
       else name.split('.').toSeq
+    // dotted names: t | db.t | spark_catalog.db.t (ADVICE r12: deeper
+    // nesting used to misparse into a silent "not a graftv table")
+    require(name.contains('/') || tParts.length <= 2 ||
+      (tParts.length == 3 && tParts.head.equalsIgnoreCase("spark_catalog")),
+      s"table_changes: cannot resolve '$name' — use t, db.t, " +
+        "spark_catalog.db.t, or a raw table path")
     val path = GraftMaintenanceSql.graftPathOf(spark, tParts,
       "table_changes")
+    val allVersions = graft.sources.Versioned.versions(path)
+    require(allVersions.nonEmpty,
+      s"table_changes: $name has no committed versions yet")
     val start = litInt(args(1), "startVersion")
     require(start >= 1, s"table_changes: startVersion must be >= 1 " +
       s"(got $start); version 1 is the first commit")
     val end = if (args.length == 3) litInt(args(2), "endVersion")
-      else graft.sources.Versioned.versions(path).max
+      else allVersions.max
     require(end >= start,
       s"table_changes: endVersion $end < startVersion $start")
     val opts = new java.util.HashMap[String, String]()

@@ -115,12 +115,22 @@ private[graftx] object GraftSqlTarget {
     }
 
   /** The graftv table path, or None when the target is another
-    * format's table (the caller re-enters Spark's native handling). */
-  def pathOf(spark: SparkSession, tParts: Seq[String]): Option[String] =
-    if (tParts.length == 2 && tParts.head.equalsIgnoreCase("graftv"))
-      Some(tParts(1)) // graftv.`/path` direct form
+    * format's table (the caller re-enters Spark's native handling).
+    * Only table-genuinely-absent exceptions classify as "not ours"
+    * (ADVICE r12: a catch-all here silently re-routed a graftv MERGE
+    * through Spark's native path on a transient metastore/IO failure,
+    * masking the real error); anything else propagates. A leading
+    * `spark_catalog` part is stripped (the session catalog's
+    * fully-qualified 3-part form). */
+  def pathOf(spark: SparkSession, tParts: Seq[String]): Option[String] = {
+    val parts =
+      if (tParts.length == 3 &&
+        tParts.head.equalsIgnoreCase("spark_catalog")) tParts.tail
+      else tParts
+    if (parts.length == 2 && parts.head.equalsIgnoreCase("graftv"))
+      Some(parts(1)) // graftv.`/path` direct form
     else {
-      val identOpt = tParts match {
+      val identOpt = parts match {
         case Seq(tbl) => Some(TableIdentifier(tbl))
         case Seq(db, tbl) => Some(TableIdentifier(tbl, Some(db)))
         case _ => None
@@ -131,9 +141,16 @@ private[graftx] object GraftSqlTarget {
           if (meta.provider.exists(_.equalsIgnoreCase("graftv")))
             Some(meta.location.toString)
           else None
-        } catch { case _: Exception => None }
+        } catch {
+          case _: org.apache.spark.sql.catalyst.analysis
+            .NoSuchTableException => None
+          // covers NoSuchNamespaceException too (its subclass)
+          case _: org.apache.spark.sql.catalyst.analysis
+            .NoSuchDatabaseException => None
+        }
       }
     }
+  }
 }
 
 /** Leaf command carrying the PARSED (unresolved) MergeIntoTable; all

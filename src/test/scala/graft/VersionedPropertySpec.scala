@@ -68,13 +68,18 @@ class VersionedPropertySpec extends AnyFunSuite {
           val rows = freshRows(2 + rnd.nextInt(3))
           Versioned.commit(rows.toDF("id", "s"), t, "overwrite")
           model = rows
-        case 2 => // merge: update one existing key (all its copies) + insert one
+        case 2 => // merge: update one existing key (EACH copy is
+          // rewritten — round 13, Delta's row-count-preserving
+          // semantics) + insert one
           val upd = (if (model.nonEmpty)
             Vector((model(rnd.nextInt(model.length))._1, s"upd$i"))
           else Vector.empty) ++ freshRows(1)
-          val keys = upd.map(_._1).toSet
+          val updBy = upd.toMap
+          val existedKeys = model.map(_._1).toSet
           Versioned.merge(upd.toDF("id", "s"), t, "id")
-          model = model.filterNot(r => keys(r._1)) ++ upd
+          model = model.map(r =>
+            if (updBy.contains(r._1)) (r._1, updBy(r._1)) else r) ++
+            upd.filterNot(r => existedKeys(r._1))
         case 3 => // deleteWhere on an id residue class
           val m = 2 + rnd.nextInt(3); val k = rnd.nextInt(m)
           Versioned.deleteWhere(spark, t, col("id") % m === k)
@@ -197,23 +202,28 @@ class VersionedPropertySpec extends AnyFunSuite {
               Vector(model(rnd.nextInt(model.length))) else Vector.empty)
           Versioned.commit(toDf(rows), t)
           model = model ++ rows
-        case 1 => // plain composite upsert (update-all / insert-all)
+        case 1 => // plain composite upsert (update-all / insert-all;
+          // round 13: whole-row updates rewrite EACH duplicate copy)
           val src = mergeSource(i)
-          val keys = src.map(ckey).toSet
+          val srcBy = src.map(r => ckey(r) -> r).toMap
+          val existedKeys = model.map(ckey).toSet
           Versioned.merge(toDf(src), t, Seq("u", "b"))
-          model = model.filterNot(r => keys(ckey(r))) ++ src
+          model = model.map(r => srcBy.getOrElse(ckey(r), r)) ++
+            src.filterNot(r => existedKeys(ckey(r)))
         case 2 => // CLAUSE merge: update iff v even, insert iff v % 3 == 0
+          // (whole-row update rewrites each duplicate copy, round 13)
           val src = mergeSource(i)
+          val srcBy = src.map(r => ckey(r) -> r).toMap
           val existedKeys = model.map(ckey).toSet
           Versioned.merge(toDf(src), t, Seq("u", "b"),
             whenMatched = Versioned.WhenMatched.Update(Some(col("v") % 2 === 0)),
             whenNotMatched = Versioned.WhenNotMatched.Insert(Some(col("v") % 3 === 0)))
           val updKeys = src.filter(r => r._3 % 2 == 0 && existedKeys(ckey(r)))
             .map(ckey).toSet
-          val applied = src.filter { r =>
-            if (existedKeys(ckey(r))) r._3 % 2 == 0 else r._3 % 3 == 0
-          }
-          model = model.filterNot(r => updKeys(ckey(r))) ++ applied
+          val inserted = src.filter(r =>
+            !existedKeys(ckey(r)) && r._3 % 3 == 0)
+          model = model.map(r =>
+            if (updKeys(ckey(r))) srcBy(ckey(r)) else r) ++ inserted
         case 3 => // tombstone feed: delete matched, ignore unmatched
           val src = mergeSource(i)
           val existedKeys = model.map(ckey).toSet
@@ -262,9 +272,11 @@ class VersionedPropertySpec extends AnyFunSuite {
             else Vector(r)
           } ++ inserted
         case 7 => // round 12: the sync-to-snapshot shape — upsert +
-          // NOT MATCHED BY SOURCE chain (tombstone v%7, else mark)
+          // NOT MATCHED BY SOURCE chain (tombstone v%7, else mark);
+          // round 13: matched copies each rewrite to the source row
           val src = mergeSource(i)
-          val srcKeys = src.map(ckey).toSet
+          val srcBy = src.map(r => ckey(r) -> r).toMap
+          val existedKeys = model.map(ckey).toSet
           Versioned.mergeClauses(toDf(src), t, Seq("u", "b"),
             matched = Seq(Versioned.WhenMatched.Update(None)),
             notMatched = Seq(Versioned.WhenNotMatched.Insert(None)),
@@ -273,10 +285,10 @@ class VersionedPropertySpec extends AnyFunSuite {
               Versioned.WhenMatched.Update(None,
                 set = Map("v" -> (col("v") + 1000000L)))))
           model = model.flatMap { r =>
-            if (srcKeys(ckey(r))) Vector.empty // replaced by the source
+            if (srcBy.contains(ckey(r))) Vector(srcBy(ckey(r)))
             else if (r._3 % 7 == 0) Vector.empty // NMBS tombstone
             else Vector((r._1, r._2, r._3 + 1000000L)) // NMBS mark
-          } ++ src
+          } ++ src.filterNot(r => existedKeys(ckey(r)))
       }
       val v = Versioned.versions(t).max
       history += v -> model
