@@ -2277,7 +2277,74 @@ object Versioned {
     } finally deleteRecursively(Paths.get(tmp))
   }
 
+  /** v10_create (round 13): table birth through the WRITE path — a
+    * partitioned `CREATE TABLE … USING graftv PARTITIONED BY … AS
+    * SELECT` (v1 from the CTAS write), a second FRESH table created by
+    * a plain `df.write.format("graftv").save(freshPath)`, an `INSERT
+    * INTO` feeding the CTAS table from it (v2, layout inherited), and
+    * a `MERGE INTO` over the CTAS-born table (v3) — proving a table
+    * born through SQL takes every row-level door. Step 4 reads the
+    * final state through the connector with a partition filter (the
+    * manifest's partition point stats prune the planned files). The
+    * oracle replays the states relationally. */
+  def createTableAsSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        pmod(col("doc_id"), lit(3)).as("pb"))
+    val tmp = Files.createTempDirectory("graft-versioned-").toString
+    val tmp2 = {
+      val d = Files.createTempDirectory("graft-versioned-2-")
+      Files.delete(d) // truly fresh: created by the write itself
+      d.toString
+    }
+    try {
+      docs.createOrReplaceTempView("v10_create_src")
+      spark.sql("DROP TABLE IF EXISTS v10_create_tbl")
+      spark.sql(
+        s"CREATE TABLE v10_create_tbl USING graftv PARTITIONED BY (pb) " +
+          s"LOCATION '$tmp' AS SELECT doc_id, n_chars, pb " +
+          "FROM v10_create_src WHERE doc_id % 2 = 0") // v1 (CTAS birth)
+      try {
+        docs.where(col("doc_id") % 2 === 1)
+          .write.format("graftv").mode("append").save(tmp2) // fresh save
+        spark.read.format("graftv").load(tmp2)
+          .createOrReplaceTempView("v10_create_odds")
+        spark.sql(
+          "INSERT INTO v10_create_tbl SELECT doc_id, n_chars, pb " +
+            "FROM v10_create_odds") // v2 (inherits the pb layout)
+        spark.sql("""
+          MERGE INTO v10_create_tbl AS tg
+          USING (SELECT doc_id, -n_chars AS n_chars, pb
+                 FROM v10_create_src WHERE doc_id % 5 = 0) AS s
+          ON tg.doc_id = s.doc_id
+          WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+          WHEN NOT MATCHED THEN INSERT *
+        """) // v3 (pure update: every %5 key exists at v2)
+        def aggOf(df: DataFrame) = df
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"),
+            sum(col("n_chars")).as("sc")).head()
+        val states = (1 to 3).map { v =>
+          val r = aggOf(read(spark, tmp, Some(v)))
+          Row(v, r.getLong(0), r.getLong(1), r.getLong(2))
+        } :+ {
+          val r = aggOf(spark.read.format("graftv").load(tmp)
+            .where(col("pb") === 1))
+          Row(4, r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(states, 1),
+          StructType.fromDDL(
+            "step INT, n_rows BIGINT, sum_doc_id BIGINT, sum_chars BIGINT"))
+          .orderBy(col("step"))
+      } finally spark.sql("DROP TABLE IF EXISTS v10_create_tbl")
+    } finally {
+      deleteRecursively(Paths.get(tmp))
+      deleteRecursively(Paths.get(tmp2))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v10_create" -> (createTableAsSelect _),
     "v9_sql_merge" -> (sqlMerge _),
     "v8_partitioned" -> (partitioned _),
     "v7_merge_composite" -> (mergeComposite _),
@@ -2289,6 +2356,29 @@ object Versioned {
     "v6_cdf_apply" -> (cdfApply _))
 
   val oracle: Map[String, String] = Map(
+    "v10_create" -> """
+      WITH state3 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN -n_chars ELSE n_chars END
+                 AS n_chars,
+               doc_id % 3 AS pb
+        FROM documents),
+      agg AS (
+        SELECT 1 AS step, count(*) AS n_rows, sum(doc_id) AS sum_doc_id,
+               sum(n_chars) AS sum_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 2, count(*), sum(doc_id), sum(n_chars) FROM documents
+        UNION ALL
+        SELECT 3, count(*), sum(doc_id), sum(n_chars) FROM state3
+        UNION ALL
+        SELECT 4, count(*), sum(doc_id), sum(n_chars) FROM state3
+        WHERE pb = 1)
+      SELECT CAST(step AS INT) AS step,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_doc_id AS BIGINT) AS sum_doc_id,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM agg ORDER BY step""",
     "v9_sql_merge" -> """
       WITH state2 AS (
         SELECT doc_id,

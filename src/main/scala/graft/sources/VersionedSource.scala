@@ -113,21 +113,73 @@ class VersionedSource extends TableProvider with DataSourceRegister {
     else base
   }
 
+  /** Round 13: `supportsExternalMetadata = true` so the FIRST commit
+    * of a table can come through the write path — `df.write
+    * .format("graftv").save(freshPath)` and `CREATE TABLE … USING
+    * graftv [PARTITIONED BY …] [AS SELECT …]` hand the write/catalog
+    * schema (and identity partition transforms) here instead of dying
+    * in [[inferSchema]] (Delta creates on first write; the reference
+    * births each rset by writing it, database/__init__.py:1062–1067).
+    * For an EXISTING table the LOG stays the source of truth: the
+    * provided schema is ignored and the snapshot schema serves both
+    * reads and byName write resolution, exactly as before. */
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new VersionedTable(pathOf(properties), asOf(properties), schema,
-      changeFeed(properties))
+      properties: JMap[String, String]): Table = {
+    val path = pathOf(properties)
+    if (Versioned.versions(path).nonEmpty) {
+      val base = StructType.fromDDL(
+        Versioned.snapshot(path, asOf(properties)).schemaDdl)
+      val tblSchema =
+        if (changeFeed(properties))
+          base.add("_change_type", "string").add("_commit_version", "int")
+        else base
+      new VersionedTable(path, asOf(properties), tblSchema,
+        changeFeed(properties))
+    } else {
+      require(!changeFeed(properties),
+        s"graftv: no committed versions to read changes from at $path")
+      require(asOf(properties).isEmpty,
+        s"graftv: no committed versions to time-travel to at $path")
+      val pcols = partitioning.toSeq.map {
+        case t if t.name == "identity" && t.references.length == 1 =>
+          t.references.head.fieldNames.mkString(".")
+        case other => sys.error(
+          s"graftv: only identity partition transforms are supported, " +
+            s"got $other")
+      }
+      pcols.foreach(c => require(schema.fieldNames.contains(c),
+        s"graftv: partition column $c not in the write schema at $path"))
+      new VersionedTable(path, None, schema, changeFeed = false,
+        pendingPartitionCols = pcols)
+    }
+  }
 
-  override def supportsExternalMetadata(): Boolean = false
+  override def supportsExternalMetadata(): Boolean = true
 }
 
+/** `pendingPartitionCols` is non-empty only for a FRESH (zero-commit)
+  * table handle created through the write path: the first published
+  * commit establishes it as the table layout (after that the log's
+  * partitionCols rule, as always). */
 private[sources] class VersionedTable(path: String, asOf: Option[Int],
-    tblSchema: StructType, changeFeed: Boolean)
+    tblSchema: StructType, changeFeed: Boolean,
+    pendingPartitionCols: Seq[String] = Nil)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graftv:$path"
   override def schema(): StructType = tblSchema
+  /** The table layout as identity transforms — what DataFrameWriter's
+    * partitioning-match check compares `.partitionBy(...)` against
+    * (round 13): the log's partitionCols for a committed table, the
+    * pending write layout for a fresh one. */
+  override def partitioning(): Array[Transform] = {
+    val pcols =
+      if (Versioned.versions(path).isEmpty) pendingPartitionCols
+      else Versioned.snapshot(path).partitionCols
+    pcols.map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c)).toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -141,7 +193,8 @@ private[sources] class VersionedTable(path: String, asOf: Option[Int],
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new VersionedWriteBuilder(path, info.schema(), info.queryId())
+    new VersionedWriteBuilder(path, info.schema(), info.queryId(),
+      pendingPartitionCols)
 
   /** SQL `DELETE FROM` (round 12): Spark's DataSourceV2Strategy
     * translates the WHERE clause to source [[Filter]]s and calls
@@ -181,11 +234,14 @@ private[sources] class VersionedTable(path: String, asOf: Option[Int],
   * task routes rows to one sub-writer per partition value (hive-style
   * `__part_<col>=<value>/` dirs, original columns kept in the rows —
   * the table's Iceberg discipline), and the driver records partition
-  * point stats like the library commit. The FIRST commit of a fresh
-  * table goes through `Versioned.commit` (the provider must infer
-  * the table schema before a write resolves). */
+  * point stats like the library commit. A FRESH path is CREATED by
+  * its first write (round 13): the write schema becomes v1's DDL and
+  * `partitionBy`/`PARTITIONED BY` identity transforms become the
+  * table layout — Delta's create-on-first-write; previously the first
+  * commit had to go through `Versioned.commit`. */
 private[sources] class VersionedWriteBuilder(path: String,
-    writeSchema: StructType, queryId: String)
+    writeSchema: StructType, queryId: String,
+    pendingPcols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var overwrite = false
@@ -195,13 +251,14 @@ private[sources] class VersionedWriteBuilder(path: String,
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-        new VersionedBatchWrite(path, writeSchema, overwrite)
+        new VersionedBatchWrite(path, writeSchema, overwrite, pendingPcols)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!overwrite, "graftv: the streaming sink is append-only " +
           "(outputMode append/update); Complete-mode rewrites belong in " +
           "foreachBatch + Versioned.commit")
-        new VersionedStreamingWrite(path, writeSchema, queryId)
+        new VersionedStreamingWrite(path, writeSchema, queryId,
+          pendingPcols)
       }
     }
 }
@@ -210,16 +267,18 @@ private[sources] case class VersionedCommitMsg(relPaths: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class VersionedBatchWrite(path: String,
-    schema: StructType, overwrite: Boolean)
+    schema: StructType, overwrite: Boolean,
+    pendingPcols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private val commitId = java.util.UUID.randomUUID().toString.take(12)
   /** The table's partition layout — INSERTs inherit it, exactly like
     * library appends, and (round 12, ADVICE r11) so does an OVERWRITE:
     * Delta's rule — `INSERT OVERWRITE` replaces the ROWS, the table's
     * partitioning is a table property that survives. Re-laying-out is
-    * the library commit's surface (`Versioned.commit(partitionBy)`). */
+    * the library commit's surface (`Versioned.commit(partitionBy)`).
+    * A FRESH table takes the write's declared layout (round 13). */
   private val pcols: Seq[String] =
-    if (Versioned.versions(path).isEmpty) Nil
+    if (Versioned.versions(path).isEmpty) pendingPcols
     else Versioned.snapshot(path).partitionCols
 
   override def createBatchWriterFactory(
@@ -264,15 +323,16 @@ private[sources] class VersionedBatchWrite(path: String,
   * ledger entry (`appId = graftv-stream-<queryId>`), so a replayed
   * epoch after recovery publishes NOTHING (its files stay
   * unreferenced, vacuum reclaims them) — the same idempotence
-  * contract as [[Versioned.commitIfAbsent]]. The sink table must
-  * exist (the provider infers the sink schema from the table);
+  * contract as [[Versioned.commitIfAbsent]]. A fresh sink path is
+  * CREATED by its first epoch (round 13, the batch-writer rule);
   * partitioned layouts are inherited per epoch. */
 private[sources] class VersionedStreamingWrite(path: String,
-    schema: StructType, queryId: String)
+    schema: StructType, queryId: String,
+    pendingPcols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val qid = queryId.take(12)
   private val pcols: Seq[String] =
-    if (Versioned.versions(path).isEmpty) Nil
+    if (Versioned.versions(path).isEmpty) pendingPcols
     else Versioned.snapshot(path).partitionCols
 
   override def createStreamingWriterFactory(

@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Versioned
+
+/** Round 13 (VERDICT r12 #1): graftv tables are CREATED by their
+  * first write — `df.write.format("graftv").save(freshPath)`,
+  * partitioned saves, `CREATE TABLE … USING graftv [PARTITIONED BY …]
+  * AS SELECT`, and a fresh streaming sink path. Previously the first
+  * commit had to go through `Versioned.commit` because the provider
+  * inferred schema from an existing snapshot — the first wall every
+  * new user hit (Delta creates on first write; the reference births
+  * each rset by writing it, database/__init__.py:1062–1067). */
+class VersionedCreateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
+    .getOrCreate()
+
+  private def fresh(): String = {
+    val d = Files.createTempDirectory("graftv-create-")
+    Files.delete(d) // a truly fresh (absent) location
+    d.toString
+  }
+
+  test("fresh-path save(append) creates the table from the write schema") {
+    import spark.implicits._
+    val t = fresh()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("graftv").mode("append").save(t)
+    assert(Versioned.versions(t) == Seq(1))
+    val back = spark.read.format("graftv").load(t)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(back == Seq((1L, "a"), (2L, "b")))
+    // second append lands as v2 against the established schema
+    Seq((3L, "c")).toDF("id", "s")
+      .write.format("graftv").mode("append").save(t)
+    assert(Versioned.versions(t) == Seq(1, 2))
+    assert(spark.read.format("graftv").load(t).count() == 3)
+  }
+
+  test("fresh-path save(overwrite) creates; overwrite of existing replaces") {
+    import spark.implicits._
+    val t = fresh()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format("graftv").mode("overwrite").save(t)
+    assert(Versioned.versions(t) == Seq(1))
+    Seq((9L, "z")).toDF("id", "s")
+      .write.format("graftv").mode("overwrite").save(t)
+    val back = spark.read.format("graftv").load(t)
+      .as[(Long, String)].collect().toSeq
+    assert(back == Seq((9L, "z")))
+  }
+
+  test("fresh partitioned save establishes the table layout") {
+    import spark.implicits._
+    val t = fresh()
+    Seq((1L, 0L, "a"), (2L, 1L, "b"), (3L, 0L, "c")).toDF("id", "p", "s")
+      .write.format("graftv").partitionBy("p").mode("append").save(t)
+    assert(Versioned.snapshot(t).partitionCols == Seq("p"))
+    // a later un-annotated append INHERITS the layout
+    Seq((4L, 1L, "d")).toDF("id", "p", "s")
+      .write.format("graftv").mode("append").save(t)
+    assert(Versioned.snapshot(t).partitionCols == Seq("p"))
+    assert(spark.read.format("graftv").load(t).where(col("p") === 0L)
+      .count() == 2)
+    // partition point stats prune the planned file set
+    val snap = Versioned.snapshot(t)
+    val pruned = Versioned.pruneFilesBy(snap, "p",
+      Versioned.LongStat(1L, 1L))
+    assert(pruned.size < snap.files.size)
+  }
+
+  test("CTAS: CREATE TABLE ... USING graftv AS SELECT creates and loads") {
+    import spark.implicits._
+    val t = fresh()
+    spark.sql("DROP TABLE IF EXISTS r13_ctas")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .createOrReplaceTempView("r13_ctas_src")
+    spark.sql(
+      s"CREATE TABLE r13_ctas USING graftv LOCATION '$t' AS " +
+        "SELECT id, s FROM r13_ctas_src WHERE id <= 2")
+    try {
+      assert(Versioned.versions(t) == Seq(1))
+      assert(spark.sql("SELECT * FROM r13_ctas").count() == 2)
+      // the CTAS-born table takes every row-level door
+      spark.sql("INSERT INTO r13_ctas SELECT 10, 'j'")
+      spark.sql(s"""
+        MERGE INTO r13_ctas AS tg
+        USING (SELECT id, s FROM r13_ctas_src) AS s
+        ON tg.id = s.id
+        WHEN MATCHED AND s.id = 1 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET s = upper(s.s)
+        WHEN NOT MATCHED THEN INSERT *""")
+      val back = spark.sql("SELECT id, s FROM r13_ctas ORDER BY id")
+        .as[(Long, String)].collect().toSeq
+      assert(back == Seq((2L, "B"), (3L, "c"), (10L, "j")))
+    } finally spark.sql("DROP TABLE IF EXISTS r13_ctas")
+  }
+
+  test("partitioned CTAS establishes the layout from PARTITIONED BY") {
+    import spark.implicits._
+    val t = fresh()
+    spark.sql("DROP TABLE IF EXISTS r13_ctas_p")
+    Seq((1L, 0L), (2L, 1L), (3L, 0L)).toDF("id", "p")
+      .createOrReplaceTempView("r13_ctas_p_src")
+    spark.sql(
+      s"CREATE TABLE r13_ctas_p USING graftv PARTITIONED BY (p) " +
+        s"LOCATION '$t' AS SELECT id, p FROM r13_ctas_p_src")
+    try {
+      assert(Versioned.snapshot(t).partitionCols == Seq("p"))
+      assert(spark.sql("SELECT * FROM r13_ctas_p WHERE p = 0").count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS r13_ctas_p")
+  }
+
+  test("CREATE TABLE (cols) then INSERT INTO births the table at v1") {
+    val t = fresh()
+    spark.sql("DROP TABLE IF EXISTS r13_cols")
+    spark.sql(
+      s"CREATE TABLE r13_cols (id BIGINT, s STRING) USING graftv " +
+        s"LOCATION '$t'")
+    try {
+      spark.sql("INSERT INTO r13_cols VALUES (1, 'a'), (2, 'b')")
+      assert(Versioned.versions(t) == Seq(1))
+      assert(spark.sql("SELECT * FROM r13_cols").count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS r13_cols")
+  }
+
+  test("errorifexists/ignore get Spark's actionable mode error, not an inferSchema crash") {
+    import spark.implicits._
+    val t = fresh()
+    // Spark's DSv2 save path categorically rejects ErrorIfExists and
+    // Ignore for external-metadata providers (UNSUPPORTED_DATA_SOURCE_
+    // SAVE_MODE — the same wall Delta/Iceberg path writes hit); the
+    // win over round 12 is the error is Spark's actionable "use
+    // Append or Overwrite" instead of graftv's inferSchema crash,
+    // and CREATE TABLE (which IS the create-if-absent door) works.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, "a")).toDF("id", "s")
+        .write.format("graftv").mode("errorifexists").save(t)
+    }
+    assert(e.getMessage.contains("UNSUPPORTED_DATA_SOURCE_SAVE_MODE"))
+    assert(Versioned.versions(t).isEmpty) // nothing half-created
+  }
+
+  test("append to an existing table still validates schema loudly") {
+    import spark.implicits._
+    val t = fresh()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format("graftv").mode("append").save(t)
+    val e = intercept[Exception] {
+      Seq((1.5, "x")).toDF("wrong", "s")
+        .write.format("graftv").mode("append").save(t)
+    }
+    // byName resolution against the LOG schema (the provided write
+    // schema never overrides a committed table)
+    assert(e.getMessage.toLowerCase.contains("cannot") ||
+      e.getMessage.contains("schema"))
+    assert(Versioned.versions(t) == Seq(1))
+  }
+
+  test("fresh streaming sink path is created by its first epoch") {
+    import spark.implicits._
+    val t = fresh()
+    val ckpt = Files.createTempDirectory("graftv-create-ck-").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[(Long, String)]
+    src.addData((1L, "a"), (2L, "b"))
+    val q = src.toDF().toDF("id", "s").writeStream.format("graftv")
+      .option("checkpointLocation", ckpt).start(t)
+    try q.processAllAvailable() finally q.stop()
+    assert(Versioned.versions(t).nonEmpty)
+    assert(spark.read.format("graftv").load(t).count() == 2)
+  }
+}
