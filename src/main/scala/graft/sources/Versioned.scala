@@ -721,6 +721,68 @@ object Versioned {
     sys.error(s"versioned: gave up after $attempt contended commits at $path")
   }
 
+  /** ALTER TABLE … ADD COLUMNS (round 13): publish a METADATA-ONLY
+    * commit (op `metadata`, zero files) whose DDL appends the new
+    * columns as nullable — the SQL face of the additive evolution
+    * `mergeSchema` appends and `WITH SCHEMA EVOLUTION` merges already
+    * perform (the reference's open params/properties schema,
+    * atoms.py:218–236). Existing files read back with the new columns
+    * null-filled (parquet fills absent columns); time travel keeps
+    * each version under its own DDL, so pre-ALTER versions still read
+    * WITHOUT the columns (the v5 law through DDL). Duplicate names
+    * and nested positions are loud errors — evolution only APPENDS
+    * top-level columns. Concurrency: the publish retries like any
+    * append; a concurrent COW op that read the pre-ALTER schema
+    * aborts against this commit (schema changed), as it must. */
+  def addColumns(path: String, colsDdl: String): Int = {
+    val newCols = StructType.fromDDL(colsDdl)
+    require(newCols.nonEmpty, s"versioned: ADD COLUMNS needs columns")
+    var attempt = 0
+    while (attempt < 64) {
+      val vs = versions(path)
+      require(vs.nonEmpty,
+        s"versioned: no committed versions under $path — create the " +
+          "table before altering it")
+      val cur = vs.max
+      val snap = snapshot(path, Some(cur))
+      val prevS = StructType.fromDDL(snap.schemaDdl)
+      newCols.fields.foreach(f => require(
+        !prevS.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"versioned: column ${f.name} already exists at $path"))
+      val outDdl =
+        StructType(prevS.fields ++ newCols.fields.map(_.copy(nullable = true)))
+          .toDDL
+      val txns = parseManifest(manifestPath(path, cur)).txns
+      if (publish(path, Manifest(cur + 1, "metadata", full = false,
+        Nil, outDdl, txns, partitionCols = snap.partitionCols)))
+        return cur + 1
+      attempt += 1
+    }
+    sys.error(s"versioned: gave up altering $path after $attempt attempts")
+  }
+
+  /** DESCRIBE DETAIL (round 13, Delta's statement of the same name):
+    * one row of table-level facts — format, location, schema DDL,
+    * partition columns, latest version, live file count, created /
+    * last-modified instants, and total committed versions. O(log)
+    * driver-side reads. */
+  def describeDetail(spark: SparkSession, path: String): DataFrame = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"versioned: no committed versions under $path")
+    val snap = snapshot(path)
+    val row = Row("graftv", norm(path), snap.schemaDdl,
+      snap.partitionCols.mkString(","), snap.version,
+      snap.files.size, commitTimestamp(path, vs.min),
+      commitTimestamp(path, vs.max), vs.size)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1),
+      StructType.fromDDL(
+        "format STRING, location STRING, schema_ddl STRING, " +
+          "partition_columns STRING, version INT, num_files INT, " +
+          "created_ts_ms BIGINT, last_modified_ts_ms BIGINT, " +
+          "num_versions INT"))
+  }
+
   /** Non-destructive rollback (Delta RESTORE): commit a checkpoint
     * whose live set is `toVersion`'s. History is preserved. */
   def restore(path: String, toVersion: Int): Int = {
@@ -1723,7 +1785,11 @@ object Versioned {
       toVersion: Int, skipChangeCommits: Boolean = false): Seq[String] = {
     val range = versions(path).filter(v => v > fromVersion && v <= toVersion)
     val kept =
-      if (!skipChangeCommits) range
+      if (!skipChangeCommits)
+        // metadata-only commits (ALTER TABLE, round 13) carry ZERO
+        // rows — always skippable, never a stream-killing "change"
+        range.filter(v =>
+          parseManifest(manifestPath(path, v)).op != "metadata")
       else range.filter(v => parseManifest(manifestPath(path, v)).op == "append")
     kept.flatMap(v => addedAt(path, v, fromVersion, toVersion)._1)
   }
@@ -1769,6 +1835,7 @@ object Versioned {
               "persisted change set — re-baseline past it"))
           (v, chg, m.schemaDdl, true)
         case "optimize" => (v, Nil, m.schemaDdl, true) // layout-only
+        case "metadata" => (v, Nil, m.schemaDdl, true) // schema-only
         case other => sys.error(
           s"versioned: CDC range ($fromVersion, $toVersion] crosses a " +
             s"'$other' commit at v$v — re-baseline from its snapshot")

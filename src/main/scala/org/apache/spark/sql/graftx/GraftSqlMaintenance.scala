@@ -45,12 +45,14 @@ private[graftx] object GraftMaintenanceSql {
     s"""^\\s*RESTORE\\s+$Tbl\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
   private val History = p(
     s"""^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Tbl\\s*;?\\s*$$""")
+  private val Detail = p(
+    s"""^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Tbl\\s*;?\\s*$$""")
 
   /** Cheap pre-gate: does the statement LEAD with one of our
     * keywords? (Only then is the full match attempted — everything
     * else goes straight to the delegate parser.) */
   private val Lead = p(
-    """^\s*(OPTIMIZE|VACUUM|RESTORE)\b.*|^\s*DESC(?:RIBE)?\s+HISTORY\b.*""")
+    """^\s*(OPTIMIZE|VACUUM|RESTORE)\b.*|^\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\b.*""")
   def leads(sqlText: String): Boolean = Lead.matcher(sqlText).matches()
 
   /** Split a (possibly backticked) multipart identifier on its
@@ -88,6 +90,9 @@ private[graftx] object GraftMaintenanceSql {
     val hm = History.matcher(sqlText)
     if (hm.matches())
       return Some(GraftHistoryCommand(parts(hm.group(1))))
+    val dm = Detail.matcher(sqlText)
+    if (dm.matches())
+      return Some(GraftDetailCommand(parts(dm.group(1))))
     None
   }
 
@@ -159,6 +164,70 @@ case class GraftHistoryCommand(tParts: Seq[String])
     val path = GraftMaintenanceSql.graftPathOf(spark, tParts,
       "DESCRIBE HISTORY")
     graft.sources.Versioned.history(spark, path).collect().toSeq
+  }
+}
+
+/** `DESCRIBE DETAIL t` (round 13, Delta's statement) →
+  * [[graft.sources.Versioned.describeDetail]]: one row of
+  * table-level facts. */
+case class GraftDetailCommand(tParts: Seq[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenanceSql.attrsOf(
+    "format STRING, location STRING, schema_ddl STRING, " +
+      "partition_columns STRING, version INT, num_files INT, " +
+      "created_ts_ms BIGINT, last_modified_ts_ms BIGINT, " +
+      "num_versions INT")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceSql.graftPathOf(spark, tParts,
+      "DESCRIBE DETAIL")
+    graft.sources.Versioned.describeDetail(spark, path).collect().toSeq
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMNS (c TYPE, …)` for graftv tables (round
+  * 13): routed through the metadata-only
+  * [[graft.sources.Versioned.addColumns]] commit — old files
+  * null-fill, time travel keeps per-version DDL. Non-graftv targets
+  * re-enter Spark's native ALTER machinery untouched. The session
+  * catalog's stored schema is NOT touched: for graftv tables the log
+  * is the schema's source of truth and the provider serves it on
+  * every load. FIRST/AFTER positions, nested fields and DEFAULTs are
+  * loud errors (evolution only APPENDS top-level nullable columns). */
+case class GraftAddColumnsCommand(
+    alter: org.apache.spark.sql.catalyst.plans.logical.AddColumns)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val spark = sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val tParts = alter.table match {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        ut.multipartIdentifier
+      case other => throw new IllegalArgumentException(
+        s"ALTER TABLE: unexpected target ${other.nodeName}")
+    }
+    GraftSqlTarget.pathOf(spark, tParts) match {
+      case None => // not ours: Spark's native ALTER path
+        org.apache.spark.sql.classic.Dataset.ofRows(spark, alter)
+          .collect().toSeq
+      case Some(path) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(
+            s"graftv ALTER TABLE ADD COLUMNS: $msg")
+        val fields = alter.columnsToAdd.map { c =>
+          if (c.path.nonEmpty) fail(
+            s"nested field ${c.name.mkString(".")} — only top-level " +
+              "columns can be added")
+          if (c.position.nonEmpty) fail(
+            s"FIRST/AFTER on ${c.colName} — added columns append at " +
+              "the end")
+          if (c.default.nonEmpty) fail(
+            s"DEFAULT on ${c.colName} — added columns are null-filled")
+          StructField(c.colName, c.dataType, nullable = true)
+        }
+        graft.sources.Versioned.addColumns(path,
+          StructType(fields).toDDL)
+        Seq.empty
+    }
   }
 }
 

@@ -62,6 +62,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     GraftTimeTravel(session, plan) match {
       case m: MergeIntoTable => GraftMergeIntoCommand(m)
       case u: UpdateTable => GraftUpdateCommand(u)
+      case a: AddColumns => GraftAddColumnsCommand(a)
       case other => other
     }
   override def parsePlan(sqlText: String): LogicalPlan =
