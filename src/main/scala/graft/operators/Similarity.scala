@@ -472,7 +472,12 @@ object Similarity {
     * in DuckDB; recall vs the exact baseline and planted-duplicate
     * behavior stay asserted in OperatorsSpec. m=8 subspaces × ksub=16
     * codewords over the 64-dim embeddings → 8 nibble codes per vector
-    * where IVF-Flat keeps 512 bytes. */
+    * where IVF-Flat keeps 512 bytes. Round 13: below the small-corpus
+    * line (N < IntKmeans.TrainCap) the kernel widens the probe and
+    * exact-reranks every probed candidate (IndexRefineFlat limit) —
+    * measured recall@10 0.82–0.94 at the hard 1× regime
+    * (bench/ann_recall.json; was 0.24–0.4), 1.0 at 25× with the ADC
+    * scale path unchanged. */
   def s4AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables(spark, dir, "embeddings")
       .repartition(col("vec_id"))
