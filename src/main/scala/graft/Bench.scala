@@ -33,13 +33,53 @@ object Bench {
       : Map[String, (Double, Double)] = {
     val p = java.nio.file.Paths.get(s"bench/bench_$sfName.json")
     if (!java.nio.file.Files.isReadable(p)) return Map.empty
-    val line = """"([A-Za-z0-9_]+)":\s*\{"cold":\s*([-0-9.eE]+),\s*"warm":\s*([-0-9.eE]+)\}""".r
+    // `[,}]` after warm, not `}`: round-13 artifacts append
+    // "warm_per_calib" after warm, and the guard regex must keep
+    // reading BOTH artifact generations.
+    val line = """"([A-Za-z0-9_]+)":\s*\{"cold":\s*([-0-9.eE]+),\s*"warm":\s*([-0-9.eE]+)[,}]""".r
     try {
       val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       line.findAllMatchIn(text)
         .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
         .toMap
     } catch { case _: Throwable => Map.empty }
+  }
+
+  /** Calibration-normalized round-over-round movers: for each name in
+    * `common`, compare (warm/calibration) now vs the committed
+    * artifact and keep those beyond `threshold`× in either direction
+    * (ratio > t or < 1/t). Queries under `floorSec` on both sides are
+    * exempt — scheduler jitter dominates there. Returns
+    * (name, prevWarm, nowWarm, adjustedRatio) sorted worst-first. */
+  private[graft] def adjustedDrift(prior: Map[String, (Double, Double)],
+      nowWarm: Map[String, Double], common: Seq[String],
+      priorCalib: Double, calibNow: Double, threshold: Double = 1.5,
+      floorSec: Double = 0.5): Seq[(String, Double, Double, Double)] =
+    common.flatMap { n =>
+      val prevW = prior(n)._2
+      val nowW = nowWarm(n)
+      if (math.max(prevW, nowW) < floorSec) None
+      else {
+        val prevAdj = prevW / priorCalib
+        val nowAdj = nowW / math.max(calibNow, 1e-9)
+        val ratio = if (prevAdj > 0) nowAdj / prevAdj else 1.0
+        if (ratio > threshold || ratio < 1.0 / threshold)
+          Some((n, prevW, nowW, ratio))
+        else None
+      }
+    }.sortBy(-_._4)
+
+  /** calibration_sec of the committed artifact for `sfName` — the
+    * machine-speed basis the previous round's per-query warm times
+    * were measured under. None on first run / unreadable artifact. */
+  private[graft] def priorCalibration(sfName: String): Option[Double] = {
+    val p = java.nio.file.Paths.get(s"bench/bench_$sfName.json")
+    if (!java.nio.file.Files.isReadable(p)) return None
+    val re = """"calibration_sec":\s*([-0-9.eE]+)""".r
+    try re.findFirstMatchIn(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      .map(_.group(1).toDouble)
+    catch { case _: Throwable => None }
   }
 
   private[graft] def benchBaseline(sfName: String): Map[String, Double] =
@@ -200,6 +240,34 @@ object Bench {
         s""""contended": $w, "contended_cold": ${c.map(_.toString).getOrElse("null")}, "contended_basis": {"committed_cold_total": ${r3(cCold)}, "committed_warm_total": ${r3(cWarm)}, "common_queries": ${common.size}, "threshold": 1.3, "verdict_metric": "warm"}"""
     }
 
+    // Calibration-normalized drift adjudication (round 13; VERDICT r12
+    // #6): the canary exists since r12 but nothing consumed it. For
+    // every query present in BOTH this run and the committed artifact,
+    // compare machine-speed-adjusted warm times — (warm/calibration)
+    // now vs then — and flag any mover beyond 1.5× in either
+    // direction. This separates code regressions from machine-day
+    // drift per query (r12's p1/j3 noise would have been adjudicated
+    // automatically: their raw deltas were inside 1.5× once divided
+    // by the calibration shift). Sub-0.5 s queries are exempt — at
+    // that size scheduler jitter dominates and the flag would flood.
+    val priorCalib = priorCalibration(sfNameEarly)
+    val calibNow = math.max(calibStart, 1e-9)
+    val driftFlagged: Seq[(String, Double, Double, Double)] =
+      priorCalib match {
+        case Some(pc) if pc > 0 && basisOk =>
+          adjustedDrift(prior, warmMapNow, common, pc, calibNow)
+        case _ => Nil
+      }
+    val driftJson = priorCalib match {
+      case Some(pc) =>
+        s""""calibration_adjusted_drift": {"basis_calibration_sec": ${r3(pc)}, "threshold": 1.5, "floor_sec": 0.5, "flagged": {""" +
+          driftFlagged.map { case (n, pw, nw, r) =>
+            s""""$n": {"prev_warm": ${r3(pw)}, "warm": ${r3(nw)}, "adjusted_ratio": ${r3(r)}}"""
+          }.mkString(", ") + "}}"
+      case None =>
+        """"calibration_adjusted_drift": null"""
+    }
+
     // complete two-pass artifact (committed alongside the code)
     val sfName = new java.io.File(sfDir).getName
     val full = new StringBuilder
@@ -209,6 +277,7 @@ object Bench {
     full ++= s"""  "calibration_sec": ${r3(calibStart)},\n"""
     full ++= s"""  "calibration_end_sec": ${r3(calibEnd)},\n"""
     full ++= s"""  $contendedJson,\n"""
+    full ++= s"""  $driftJson,\n"""
     full ++= s"""  "tables": {""" + tableCounts.map { case (n, c) => s""""$n": $c""" }
       .mkString(", ") + "},\n"
     full ++= s"""  "failed": [""" + failed.map(n => s""""$n"""").mkString(", ") + "],\n"
@@ -225,8 +294,12 @@ object Bench {
         .map { case (k, s) => s""""$k": ${r3(s)}""" }.mkString(", ") + "},\n"
     full ++= s"""  "order": "sorted query names (pinned)",\n  "queries": {\n"""
     val warmMap = warm.toMap
+    // warm_per_calib = warm / calibration_sec: the machine-speed-
+    // normalized per-query time the NEXT round's drift adjudication
+    // divides against (and the unit a human should compare across
+    // rounds — it moves only with code).
     full ++= names.map(n =>
-      s"""    "$n": {"cold": ${r3(cold.toMap.apply(n))}, "warm": ${r3(warmMap(n))}}""")
+      s"""    "$n": {"cold": ${r3(cold.toMap.apply(n))}, "warm": ${r3(warmMap(n))}, "warm_per_calib": ${r3(warmMap(n) / calibNow)}}""")
       .mkString(",\n")
     full ++= "\n  }\n}\n"
     // a SPARK_GRAFT_ONLY-subset run must not clobber the committed
@@ -289,7 +362,7 @@ object Bench {
       if (failed.isEmpty) "[]" else failed.map(n => s""""$n"""").mkString("[", ",", "]")
     def lineFor(qnames: Seq[String]): String = {
       val qs = qnames.map(k => "\"" + k + "\":" + r3(warmMap2(k))).mkString("{", ",", "}")
-      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"calibration_sec":${r3(calibStart)},"calibration_end_sec":${r3(calibEnd)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","artifact":"${if (gateRejected) "kept_contended" else "refreshed"}","contended":${contended.map(_.toString).getOrElse("null")},"contended_cold":${contendedCold.map(_.toString).getOrElse("null")},"spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
+      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"calibration_sec":${r3(calibStart)},"calibration_end_sec":${r3(calibEnd)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","artifact":"${if (gateRejected) "kept_contended" else "refreshed"}","contended":${contended.map(_.toString).getOrElse("null")},"contended_cold":${contendedCold.map(_.toString).getOrElse("null")},"drift_flagged":${driftFlagged.map(f => s""""${f._1}"""").mkString("[", ",", "]")},"spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
     }
     // headline priority: one representative per family, expensive first,
     // then everything else — trimmed from the back until the line fits.

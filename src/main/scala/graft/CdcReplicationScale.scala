@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming CDC replication A→B at scale (round 13, VERDICT r12 #5):
+  * the v6 cdf-apply law as a RUNNING stream, measured on a
+  * `MakeScale`-expanded documents corpus.
+  *
+  * Protocol:
+  *  - table A is driven through the full commit-kind zoo a live
+  *    corpus table sees: `appends` staged appends, one upsert MERGE
+  *    rewriting ~1/5 of the landed docs, one `deleteWhere` dropping
+  *    ~1/10, one `updateWhere` touching ~1/9, and an OPTIMIZE
+  *    (layout-only);
+  *  - `readStream.format("graftv").option("readChangeFeed", true)
+  *    .option("maxVersionsPerTrigger", 1)` tails A from version 0 and
+  *    `foreachBatch(Versioned.replicationSink(B, keys))` applies each
+  *    commit to replica B as ONE COW merge;
+  *  - DRAINED EQUALITY AT EVERY VERSION: after each trigger, B must
+  *    state-equal A at the trigger's commit version (symmetric
+  *    `exceptAll` counts, both zero) — not just at the end.
+  *
+  * Output: one JSON artifact (default bench/changefeed_replication
+  * .json) with per-trigger rows/seconds/equality.
+  */
+object CdcReplicationScale {
+  private def r3(x: Double): Double = math.rint(x * 1000) / 1000
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out =
+      if (args.length > 1) args(1) else "bench/changefeed_replication.json"
+    val copies = if (args.length > 2) args(2).toInt else 25
+    val appends = 6
+    val scaled = java.nio.file.Files
+      .createTempDirectory("graft-cdcrs-data-").toString
+    MakeScale.main(Array(src, scaled, copies.toString))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graftx.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.sources.Versioned
+
+    val docs = Tables(spark, scaled, "documents")
+      .select(col("doc_id"), col("text")).persist()
+    val nDocs = docs.count()
+
+    // ---- drive A
+    val a = java.nio.file.Files
+      .createTempDirectory("graft-cdcrs-a-").toString
+    val b = java.nio.file.Files
+      .createTempDirectory("graft-cdcrs-b-").toString
+    (0 until appends).foreach { i =>
+      Versioned.commit(
+        docs.where(pmod(col("doc_id"), lit(appends)) === i), a, "append")
+    }
+    Versioned.merge(
+      docs.where(pmod(col("doc_id"), lit(5)) === 2)
+        .withColumn("text", concat(col("text"), lit(" replicated tail"))),
+      a, "doc_id")
+    Versioned.deleteWhere(spark, a, pmod(col("doc_id"), lit(10)) === 7)
+    Versioned.updateWhere(spark, a, pmod(col("doc_id"), lit(9)) === 4,
+      Map("text" -> upper(col("text"))))
+    Versioned.optimize(spark, a, numFiles = 8)
+    val nVersions = Versioned.versions(a).max
+
+    // ---- replicate through the running stream, one version per
+    //      trigger, equality checked at every drain
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cdcrs-ckpt-").toString
+    val triggers = scala.collection.mutable
+      .ArrayBuffer[(Long, Int, Long, Double, Boolean)]()
+    val q = spark.readStream.format("graftv")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(a)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        val n = mb.count()
+        Versioned.replicationSink(b, Seq("doc_id"))(mb, batchId)
+        val drained = mb.agg(max(col("_commit_version"))).head()
+        val (ver, eq) =
+          if (drained.isNullAt(0)) (-1, true) // layout-only commit
+          else {
+            val v = drained.getInt(0)
+            val fa = Versioned.read(spark, a, Some(v))
+            val fb = Versioned.read(spark, b)
+            (v, fb.exceptAll(fa).isEmpty && fa.exceptAll(fb).isEmpty)
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        triggers.synchronized {
+          triggers += ((batchId, ver, n, sec, eq)); ()
+        }
+        println(f"[cdc-replication] trigger $batchId v$ver: $n rows " +
+          f"in $sec%.2fs equal=$eq")
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+
+    val allEqual = triggers.forall(_._5)
+    val trigRows = triggers.sortBy(_._1).map { case (bid, v, n, s, eq) =>
+      s"""    {"trigger": $bid, "version": $v, "rows": $n, "sec": ${r3(s)}, "state_equal": $eq}"""
+    }
+    val sb = new StringBuilder
+    sb ++= "{\n"
+    sb ++= s"""  "corpus": "${copies}x", "n_docs": $nDocs,\n"""
+    sb ++= s"""  "n_versions": $nVersions, "appends": $appends,\n"""
+    sb ++= s"""  "ops": ["append", "merge", "delete", "update", "optimize"],\n"""
+    sb ++= s"""  "max_versions_per_trigger": 1,\n"""
+    sb ++= s"""  "equal_at_every_drained_version": $allEqual,\n"""
+    sb ++= s"""  "total_apply_sec": ${r3(triggers.map(_._4).sum)},\n"""
+    sb ++= s"""  "per_trigger": [\n${trigRows.mkString(",\n")}\n  ]\n"""
+    sb ++= "}\n"
+    val p = java.nio.file.Paths.get(out)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, sb.toString.getBytes("UTF-8"))
+    println(s"[cdc-replication] equal_at_every_drained_version=" +
+      s"$allEqual -> $out")
+    require(allEqual, "drained-equality FAILED")
+    spark.stop()
+  }
+}

@@ -100,7 +100,15 @@ object Plans {
       "mm2_phash_bmp" -> "per-row BMP decode + integer pool/DCT/median pHash inside the scan — the oracle tier of mm2's dedup blocking",
       "mm2_phash_jpeg_golden" -> "per-row T.81 JPEG decode + the same integer pHash law, golden-pixel-oracled (r10): the decoder is the only unoracled stage",
       "d7_content_hash" -> "adaptive chunk prefix from a 1-row count broadcast; L1+L2 share one (group, super) exchange, L3 reshuffles bucket-sized rows",
-      "m10_logistic_det" -> "fixed-point GD trains at build (5 longs per iteration cross the driver); the returned plan is ONE codegen scoring scan over the binned features")
+      "m10_logistic_det" -> "fixed-point GD trains at build (5 longs per iteration cross the driver); the returned plan is ONE codegen scoring scan over the binned features",
+      // round 13 (VERDICT r12 #7): every query >2s at sf0.1 carries an
+      // audited plan entry
+      "d4_ngram_jaccard" -> "the d4 candidate shape with an exact n-gram jaccard verify: minhash band equi-join candidates, token-set verify — no cartesian",
+      "m7_curation" -> "composite curation audit (normalize → exact-dedup → decontaminate → sample → split): each stage is the individually-audited t6/d1/d8/o7 plan, fused into one chained plan over the survivors",
+      "a10_winsorize" -> "group-count-sized percentile fences broadcast back onto the corpus scan; the clip is one codegen map, one keyed agg each side — corpus crosses the wire once",
+      "sk1_approx_distinct" -> "deterministic HLL: one (group, register) partial agg builds the sketch rows; the exact-count twin joins group-count-sized relations only",
+      "d9_fuzzy_decontaminate" -> "bench-side band keys explode and equi-join the corpus side's bands; positional-equal signature estimator verifies candidates — no cartesian",
+      "mm2_image_phash" -> "mm2's full tier: per-row image decode (BMP + T.81 JPEG, golden-pinned) + integer pHash inside the scan, then band-bucket Hamming pairing — the mm2_phash_bmp oracle twin's plan with the decoder swapped")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")
@@ -184,6 +192,27 @@ object Plans {
       }
       rm(Paths.get(vTmp))
     }
+    // round 13 (VERDICT r12 #7): the v-family entries (v1–v11) have no
+    // single data-plane plan to dump — each is an eager driver loop
+    // performing multiple REAL commits (appends, COW merges, deletes,
+    // updates, optimize, restore, CDC reads) against a throwaway
+    // graftv table, so their bench time is COMMIT-LATENCY-BOUND
+    // (manifest publishes + small parquet writes), not scan-bound.
+    sb.append("\n## v-family (v1–v11) — commit-latency-bound by design\n\n")
+    sb.append("The versioned-table queries are micro-benchmarks of the " +
+      "COMMIT path: each run stages several real commits (appends, " +
+      "clause-chain merges, deleteWhere/updateWhere, OPTIMIZE, RESTORE, " +
+      "CDC reads/replication) on a throwaway table and aggregates the " +
+      "per-version states. Their wall-clock measures manifest-publish " +
+      "latency and small-file write overhead, not scan throughput — " +
+      "there is no single lazy plan to dump. Their DATA-plane scans " +
+      "are exactly the two graftv DSv2 plans above (vectorized " +
+      "delegate + partition/stats pruning); their scale behavior is " +
+      "measured separately in bench/versioned_scale_*.json, " +
+      "bench/merge_string_*.json, bench/changefeed_scale.json and " +
+      "bench/changefeed_replication.json, where commit cost is shown " +
+      "to scale with the TOUCHED file set (file-granular COW), never " +
+      "the table size.\n")
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${picks.length + 1} plans)")
     spark.stop()

@@ -306,6 +306,21 @@ object Versioned {
       .sorted
   }
 
+  /** All of `rel` (table-root-relative staging files the in-flight
+    * `op` just wrote) still exist — else a concurrent [[vacuum]]
+    * whose grace window undershot our write-to-publish duration
+    * reclaimed them, and publishing would reference missing files.
+    * The loud failure names the contract knob. */
+  private def requireStaged(path: String, rel: Seq[String],
+      op: String): Unit =
+    rel.foreach { f =>
+      require(Files.exists(Paths.get(norm(path), f)),
+        s"versioned: $op at $path lost staged file $f before publish " +
+          "— a concurrent vacuum's graceMs was shorter than this " +
+          "write's write-to-publish duration; re-run the write and " +
+          "size vacuum graceMs above the longest expected write")
+    }
+
   /** Publish `m` as version `m.version` atomically. True on success,
     * false if that version number was taken by a racing writer. The
     * content is fully written to a temp file FIRST; the publish is a
@@ -591,6 +606,94 @@ object Versioned {
   def streamingSink(path: String, appId: String): (DataFrame, Long) => Unit =
     (df, batchId) => { commitIfAbsent(df, path, appId, batchId); () }
 
+  /** Apply a CHANGE-FEED batch (rows carrying `_change_type` +
+    * `_commit_version`, as produced by `readChangeFeed` in batch or
+    * streaming form) to the graftv table at `target` — the v6
+    * cdf-apply law as an executable operator (round 13). Versions in
+    * the batch are applied IN ORDER; per version the net row effect
+    * reduces to at most TWO COW merges over the table's exact schema
+    * (no marker column ever evolves into the replica):
+    *
+    *  - `delete` rows tombstone-delete their keys (a whenMatched-
+    *    Delete merge with no insert chain),
+    *  - `insert` / `update_postimage` rows upsert (a plain upsert
+    *    merge) — a key appears in at most one change kind per commit,
+    *    so the two merges never touch the same key,
+    *  - `update_preimage` rows are dropped (the postimage carries the
+    *    state),
+    *  - an empty batch (OPTIMIZE / metadata commits are layout- or
+    *    schema-only) is a no-op.
+    *
+    * A nonexistent / empty `target` is BORN from the first batch's
+    * inserts (table birth is a write), with tombstones for
+    * never-seen keys skipped. REPLAY-IDEMPOTENT state-wise: re-
+    * applying a version's changes upserts identical rows and its
+    * tombstones find no match (and insert nothing — the delete-merge
+    * has no notMatched chain), so foreachBatch's at-least-once replay
+    * of the last uncommitted batch converges to the same `target`
+    * state — at the cost of an extra (empty-effect) version on
+    * `target`.
+    *
+    * Scale shape: one COW merge per SOURCE COMMIT, each touching only
+    * the files its keys hit (file-granular COW + stats pruning), so a
+    * replica of a 100 TB table pays per-commit for the commit's
+    * footprint, never the table's size. The per-trigger driver work
+    * is O(versions in the batch) — one `distinct` collect of the
+    * tiny `_commit_version` column. */
+  def applyChanges(batch: DataFrame, target: String,
+      keys: Seq[String]): Unit = {
+    require(batch.columns.contains("_change_type") &&
+      batch.columns.contains("_commit_version"),
+      "versioned: applyChanges needs a change-feed batch " +
+        "(_change_type + _commit_version columns); read the source " +
+        "with readChangeFeed")
+    val dataCols = batch.columns
+      .filterNot(c => c == "_change_type" || c == "_commit_version")
+    keys.foreach(k => require(dataCols.contains(k),
+      s"versioned: replication key $k not in the change batch"))
+    val vs = batch.select("_commit_version").distinct()
+      .orderBy("_commit_version")
+      .collect().map(_.getInt(0)) // O(versions per trigger)
+    vs.foreach { v =>
+      val chg = batch.where(col("_commit_version") === v)
+      // a key appears in at most ONE change kind per commit (first-
+      // match-wins clause semantics upstream), so the delete-merge
+      // and the upsert-merge never touch the same key and their
+      // relative order is immaterial — the source keeps the TABLE's
+      // exact schema (no marker column to evolve into the replica)
+      val dels = chg.where(col("_change_type") === "delete")
+        .select(dataCols.map(col).toIndexedSeq: _*)
+      val ups = chg
+        .where(col("_change_type").isin("insert", "update_postimage"))
+        .select(dataCols.map(col).toIndexedSeq: _*)
+      if (versions(target).isEmpty) {
+        // table birth: commit the inserts; tombstones have nothing to
+        // delete on an empty replica
+        if (!ups.isEmpty) { commit(ups, target, "append"); () }
+      } else {
+        if (!dels.isEmpty) {
+          mergeClauses(dels, target, keys,
+            matched = Seq(WhenMatched.Delete(None)), notMatched = Nil)
+          ()
+        }
+        if (!ups.isEmpty) { merge(ups, target, keys); () }
+      }
+    }
+  }
+
+  /** foreachBatch adapter for CONTINUOUS CDC replication A→B:
+    * {{{
+    * spark.readStream.format("graftv")
+    *   .option("readChangeFeed", "true").load(a)
+    *   .writeStream.option("checkpointLocation", ckpt)
+    *   .foreachBatch(Versioned.replicationSink(b, Seq("id"))).start()
+    * }}}
+    * keeps `b` state-equal to `a` at every drained version through
+    * inserts, updates, deletes, and layout-only commits. */
+  def replicationSink(target: String, keys: Seq[String])
+      : (DataFrame, Long) => Unit =
+    (df, _) => applyChanges(df, target, keys)
+
   private def commitInternal(df: DataFrame, path: String, mode: String,
       txn: Option[(String, Long)], mergeSchema: Boolean = false,
       partitionBy: Seq[String] = Nil)
@@ -679,6 +782,19 @@ object Versioned {
         segs.nonEmpty && !segs.contains("..") && !segs.contains(""),
         s"versioned: unsafe file name $f")
     }
+    val hook = beforeAppendPublish
+    beforeAppendPublish = () => ()
+    hook()
+    // Vacuum-race guard (round 13): staging files are unreferenced
+    // until THIS publish lands, so a concurrent vacuum whose grace
+    // window is shorter than our write-to-publish duration may have
+    // reclaimed them. Publishing anyway would commit a manifest whose
+    // files are gone — silent corruption discovered only at scan.
+    // Fail LOUDLY instead; the caller re-runs the write. (One stat
+    // per added file, driver-side; the residual check-to-publish
+    // window is milliseconds vs the minutes-scale grace contract —
+    // SCALING.md §cross-process writers.)
+    requireStaged(path, added, "commit")
     var attempt = 0
     while (attempt < 64) {
       val vs = versions(path)
@@ -1428,6 +1544,12 @@ object Versioned {
     * window. Self-clearing. */
   private[graft] var beforeCowPublish: () => Unit = () => ()
 
+  /** Test hook mirroring [[beforeCowPublish]] for the APPEND seam:
+    * fires once between data-file staging and manifest publish —
+    * the exact window a concurrent vacuum (or second writer) can
+    * interleave into. Self-clearing. */
+  private[graft] var beforeAppendPublish: () => Unit = () => ()
+
   private def publishCow(path: String, op: String, base: Snapshot,
       files: Seq[String], stats: FileStats, changes: Option[Seq[String]],
       sourceBounds: Option[Map[String, ColStat]],
@@ -1440,6 +1562,15 @@ object Versioned {
     val hook = beforeCowPublish
     beforeCowPublish = () => ()
     hook()
+    // same vacuum-race guard as the append seam, on the FRESH subset
+    // only: carried-by-reference base files are protected by the
+    // retained manifests (vacuum keeps them), so stat-ing them would
+    // be O(live files) per commit for nothing — only this op's
+    // still-unreferenced rewrites and CDC files are reclaimable by an
+    // undershooting concurrent vacuum. After the test hook, which
+    // simulates exactly this write-to-publish interloper window.
+    requireStaged(path,
+      files.filterNot(base.files.toSet) ++ changes.getOrElse(Nil), op)
     var seen = base.version
     var extraFiles = Vector.empty[String]
     var extraStats: FileStats = Map.empty
@@ -2181,6 +2312,52 @@ object Versioned {
     } finally deleteRecursively(Paths.get(tmp))
   }
 
+  /** v11_cdc_replicate (round 13): the REPLICATION operator
+    * [[applyChanges]], oracled end-to-end. Table A is driven through
+    * every row-bearing commit kind — two appends, an upsert MERGE, a
+    * `deleteWhere`, an `updateWhere` — plus a layout-only OPTIMIZE;
+    * replica B is built FROM THE CHANGE FEED ALONE, one
+    * `applyChanges(readChanges(v-1, v))` per version (the same
+    * per-version batches the streaming `replicationSink` sees under
+    * `maxVersionsPerTrigger=1` — CdcReplicationSpec drives the actual
+    * running stream). Emits B's final-state aggregates plus the
+    * symmetric-difference row count vs A (the law: 0); the DuckDB
+    * oracle reconstructs the same final state relationally
+    * (insert ∪ upsert, minus deletes, with the update applied). */
+  def cdcReplicate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val a = Files.createTempDirectory("graft-versioned-").toString
+    val b = Files.createTempDirectory("graft-versioned-").toString
+    try {
+      commit(docs.where(col("doc_id") % 4 === 0), a) // v1 append
+      commit(docs.where(col("doc_id") % 4 === 1), a) // v2 append
+      merge(docs.where(col("doc_id") % 6 === 0) // v3 upsert
+        .withColumn("n_chars", col("n_chars") + 1000000L), a, "doc_id")
+      deleteWhere(spark, a, col("doc_id") % 10 === 0) // v4
+      updateWhere(spark, a, col("doc_id") % 9 === 1, // v5
+        Map("n_chars" -> -col("n_chars")))
+      optimize(spark, a) // v6: layout-only, empty change batch
+      (1 to versions(a).max).foreach { v =>
+        applyChanges(readChanges(spark, a, v - 1, v), b, Seq("doc_id"))
+      }
+      val fa = read(spark, a)
+      val fb = read(spark, b)
+      val diff = fb.exceptAll(fa).count() + fa.exceptAll(fb).count()
+      val r = fb
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .head()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(
+          r.getLong(0), r.getLong(1), r.getLong(2), diff)), 1),
+        StructType.fromDDL("n_rows BIGINT, sum_doc_id BIGINT, " +
+          "sum_chars BIGINT, diff_rows BIGINT"))
+    } finally {
+      deleteRecursively(Paths.get(a)); deleteRecursively(Paths.get(b))
+    }
+  }
+
   /** v7_merge_composite (round 11): MERGE generalized past the single
     * BIGINT key — the table is keyed by a (STRING uuid, BIGINT bucket)
     * composite, the reference's own row-identity shape (uuid4 string,
@@ -2411,6 +2588,7 @@ object Versioned {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v11_cdc_replicate" -> (cdcReplicate _),
     "v10_create" -> (createTableAsSelect _),
     "v9_sql_merge" -> (sqlMerge _),
     "v8_partitioned" -> (partitioned _),
@@ -2423,6 +2601,27 @@ object Versioned {
     "v6_cdf_apply" -> (cdfApply _))
 
   val oracle: Map[String, String] = Map(
+    "v11_cdc_replicate" -> """
+      WITH base AS (
+        SELECT doc_id, n_chars FROM documents WHERE doc_id % 4 IN (0, 1)),
+      m AS (
+        SELECT doc_id, n_chars + 1000000 AS n_chars
+        FROM documents WHERE doc_id % 6 = 0),
+      upserted AS (
+        SELECT COALESCE(m.doc_id, b.doc_id) AS doc_id,
+               COALESCE(m.n_chars, b.n_chars) AS n_chars
+        FROM base b FULL OUTER JOIN m ON b.doc_id = m.doc_id),
+      afterdel AS (SELECT * FROM upserted WHERE doc_id % 10 <> 0),
+      final AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 9 = 1 THEN -n_chars ELSE n_chars END
+                 AS n_chars
+        FROM afterdel)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(0 AS BIGINT) AS diff_rows
+      FROM final""",
     "v10_create" -> """
       WITH state3 AS (
         SELECT doc_id,

@@ -80,6 +80,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "v7_merge_composite", // composite-key merge pipeline at build (v2 shape)
     "v8_partitioned",   // partitioned commits + pruned reads at build
     "v9_sql_merge",     // SQL MERGE/DELETE pipeline at build (v2 shape)
+    "v10_create",       // CTAS + fresh-path saves + SQL merge at build
+    "v11_cdc_replicate", // commit/merge/CDC-apply replication at build
     "m10_logistic_det"  // fixed-point GD iterations at fit time
   )
 

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Versioned
+
+/** Child JVM for [[CrossProcessRaceSpec]]: a genuinely independent
+  * process (own SparkSession, own filesystem view, no shared JVM
+  * state with the parent or its sibling) racing appends into one
+  * graftv table. Each append goes through the public
+  * [[Versioned.commit]] — the same optimistic-publish/rebase loop
+  * every writer uses — so contention is arbitrated purely by the
+  * storage primitive (atomic create-exclusive manifest link), exactly
+  * the cross-process boundary Delta documents per storage backend.
+  *
+  * stdout protocol (one line per event, parsed by the parent spec):
+  *   COMMITTED writer=<w> seq=<i> version=<v>
+  *   CHILD_OK writer=<w> commits=<n>
+  */
+object RaceChildMain {
+  def main(args: Array[String]): Unit = {
+    val Array(table, writerIdS, nCommitsS, rowsPerS) = args
+    val writerId = writerIdS.toInt
+    val nCommits = nCommitsS.toInt
+    val rowsPer = rowsPerS.toInt
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-race-child-$writerId")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    try {
+      (0 until nCommits).foreach { i =>
+        val base = writerId * 1000000L + i * 1000L
+        val df = (0 until rowsPer)
+          .map(j => (base + j, writerId, i, 0L))
+          .toDF("id", "writer", "commit_seq", "v")
+        val ver = Versioned.commit(df, table)
+        println(s"COMMITTED writer=$writerId seq=$i version=$ver")
+      }
+      println(s"CHILD_OK writer=$writerId commits=$nCommits")
+    } finally spark.stop()
+  }
+}
