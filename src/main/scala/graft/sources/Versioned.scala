@@ -580,6 +580,97 @@ object Versioned {
       .getOrElse(
         sys.error(s"versioned: plain commit cannot be skipped ($path)"))
 
+  /** CONVERT an existing parquet directory into a graftv table IN
+    * PLACE (round 13; Delta's `CONVERT TO DELTA` shape): NO data is
+    * rewritten — the published v1 `convert` manifest references the
+    * directory's part files where they lie, with footer stats (and,
+    * for hive-layout `k=v` subdirs, partition point stats) recorded
+    * exactly as a fresh commit would. The adoption door for data that
+    * already exists: `spark.read.parquet(dir)` users switch to the
+    * lake without paying a rewrite of the corpus.
+    *
+    * Constraints, all loud:
+    *  - the directory must not already be a graftv table;
+    *  - partitioned layouts are adopted ONLY when the partition
+    *    columns are physically present in the part files (graftv's
+    *    Iceberg-style full-row discipline — the library read path and
+    *    every COW op read values from the files, not the paths).
+    *    Spark's default `partitionBy` output STRIPS those columns;
+    *    such directories must re-ingest via
+    *    `commit(df, path, partitionBy = …)` instead;
+    *  - every file must agree on the partition key set.
+    *
+    * Converted originals live OUTSIDE `data/` — [[vacuum]] sweeps
+    * only `data/` and `_changes/`, so even after later COW rewrites
+    * de-reference them the original files are never deleted by the
+    * lake (conservative by design: the user's pre-existing files stay
+    * the user's). Subsequent commits/merges/deletes behave exactly as
+    * on a born-graftv table. */
+  def convertParquet(spark: SparkSession, path: String): Int = {
+    require(versions(path).isEmpty,
+      s"versioned: $path is already a graftv table (convert adopts " +
+        "plain parquet directories only)")
+    val root = Paths.get(norm(path))
+    require(Files.isDirectory(root),
+      s"versioned: convert target $path is not a directory")
+    def walk(p: Path, prefix: String): Vector[String] =
+      listDir(p).flatMap { c =>
+        val n = c.getFileName.toString
+        if (Files.isDirectory(c)) {
+          // the lake's own areas colliding at the top level would be
+          // silently part-adopted (their files skipped) — refuse
+          // loudly instead; `data`/`_changes` holding parquet means
+          // this is a half-built graftv dir or a name collision the
+          // user must resolve, not something to guess about
+          if (prefix.isEmpty && (n == "_log" || n == "data" ||
+            n == "_changes")) {
+            require(listParquet(c).isEmpty,
+              s"versioned: convert target $path has a top-level '$n' " +
+                "directory holding parquet — that name is reserved " +
+                "for the lake's own layout and its files would not " +
+                "be adopted; move or rename it first")
+            Vector.empty
+          } else walk(c, s"$prefix$n/")
+        } else if (n.endsWith(".parquet") && !n.startsWith(".") &&
+          !n.startsWith("_")) {
+          // partition values parse from `k=v` PATH segments everywhere
+          // (manifest stats, DSv2 constants) — a '=' in a FILE name
+          // would masquerade as one; Spark never writes such names,
+          // so refuse rather than misparse
+          require(!n.contains('='),
+            s"versioned: cannot adopt $prefix$n — '=' in a file name " +
+              "would parse as a partition segment; rename it first")
+          Vector(s"$prefix$n")
+        } else Vector.empty
+      }
+    val files = walk(root, "").sorted
+    require(files.nonEmpty,
+      s"versioned: no parquet files to convert at $path")
+    val keySets = files.map(f => partitionValuesOf(f).keySet)
+    require(keySets.forall(_ == keySets.head),
+      s"versioned: inconsistent partition layout at $path " +
+        s"(key sets ${keySets.distinct.mkString(" vs ")})")
+    val pcols = keySets.head.toSeq.sorted
+    // physical schema from the files themselves (explicit file list =
+    // no path-based partition-column inference)
+    val physical = spark.read
+      .parquet(files.map(f => s"${norm(path)}/$f"): _*).schema
+    pcols.foreach(c => require(physical.fieldNames.contains(c),
+      s"versioned: partition column $c is not in the data files at " +
+        s"$path — graftv keeps partition columns in the rows " +
+        "(full-row files); Spark's column-stripping partitionBy " +
+        "layout cannot be adopted in place, re-ingest via " +
+        "commit(df, path, partitionBy = ...)"))
+    val schema = StructType(physical.fields.map(_.copy(nullable = true)))
+    val stats = statsForFiles(spark, path, files, pcols, schema)
+    val ok = publish(path, Manifest(1, "convert", full = true, files,
+      schema.toDDL, stats = stats, partitionCols = pcols))
+    require(ok,
+      s"versioned: a concurrent writer created a table at $path " +
+        "during convert")
+    1
+  }
+
   /** Exactly-once commit: append `df` tagged (appId, batchId); if a
     * manifest already records a batch id ≥ `batchId` for `appId` the
     * commit is a no-op returning None — safe under foreachBatch's
@@ -1893,7 +1984,9 @@ object Versioned {
   private def addedAt(path: String, v: Int, fromVersion: Int,
       toVersion: Int): (Seq[String], String) = {
     val m = parseManifest(manifestPath(path, v))
-    require(m.op == "append",
+    // a CONVERT v1 is the table's initial insert of every adopted
+    // file — semantically the first append (round 13)
+    require(m.op == "append" || (m.op == "convert" && v == 1),
       s"versioned: CDC range ($fromVersion, $toVersion] crosses a " +
         s"'${m.op}' commit at v$v — change feed is append-only")
     val added =
@@ -1921,7 +2014,10 @@ object Versioned {
         // rows — always skippable, never a stream-killing "change"
         range.filter(v =>
           parseManifest(manifestPath(path, v)).op != "metadata")
-      else range.filter(v => parseManifest(manifestPath(path, v)).op == "append")
+      else range.filter { v =>
+        val op = parseManifest(manifestPath(path, v)).op
+        op == "append" || (op == "convert" && v == 1)
+      }
     kept.flatMap(v => addedAt(path, v, fromVersion, toVersion)._1)
   }
 
@@ -1957,7 +2053,7 @@ object Versioned {
     range.map { v =>
       val m = parseManifest(manifestPath(path, v))
       m.op match {
-        case "append" =>
+        case "append" | "convert" =>
           val (addedFiles, ddl) = addedAt(path, v, fromVersion, toVersion)
           (v, addedFiles, ddl, false)
         case "merge" | "delete" | "update" =>
@@ -2312,6 +2408,48 @@ object Versioned {
     } finally deleteRecursively(Paths.get(tmp))
   }
 
+  /** v12_convert (round 13): CONVERT-in-place, oracled. The
+    * documents table's part files are copied (bytes, driver-side) to
+    * a fresh directory, adopted via [[convertParquet]] (v1 `convert`
+    * manifest — no data rewrite), and the adopted table is then
+    * DRIVEN like any other: a full aggregate at v1, a COW
+    * `deleteWhere` (v2 — proves copy-on-write composes with adopted
+    * files), and a time-travel read back to v1 (proves the adopted
+    * snapshot is immutable). The oracle replays the three states
+    * relationally over the same documents table. */
+  def convertAdopt(spark: SparkSession, dir: String): DataFrame = {
+    val src = Paths.get(s"$dir/documents.parquet")
+    val tmp = Files.createTempDirectory("graft-convert-")
+    try {
+      // fixtures ship as a single file at small SFs and a part-file
+      // directory at larger ones — adopt either shape
+      if (Files.isRegularFile(src))
+        Files.copy(src, tmp.resolve("part-00000.parquet"))
+      else listDir(src).foreach { f =>
+        if (Files.isRegularFile(f))
+          Files.copy(f, tmp.resolve(f.getFileName.toString))
+      }
+      val t = tmp.toString
+      val v1 = convertParquet(spark, t)
+      require(v1 == 1)
+      def aggOf(df: DataFrame) = df
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"),
+          sum(col("n_chars")).as("sc")).head()
+      val s1 = aggOf(read(spark, t))
+      deleteWhere(spark, t, col("doc_id") % 7 === 0) // v2: COW over adopted
+      val s2 = aggOf(read(spark, t))
+      val s3 = aggOf(read(spark, t, Some(1))) // time travel to the adoption
+      val rows = Seq(s1, s2, s3).zipWithIndex.map { case (r, i) =>
+        Row(i + 1, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType.fromDDL(
+          "step INT, n_rows BIGINT, sum_doc_id BIGINT, sum_chars BIGINT"))
+        .orderBy(col("step"))
+    } finally deleteRecursively(tmp)
+  }
+
   /** v11_cdc_replicate (round 13): the REPLICATION operator
     * [[applyChanges]], oracled end-to-end. Table A is driven through
     * every row-bearing commit kind — two appends, an upsert MERGE, a
@@ -2588,6 +2726,7 @@ object Versioned {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v12_convert" -> (convertAdopt _),
     "v11_cdc_replicate" -> (cdcReplicate _),
     "v10_create" -> (createTableAsSelect _),
     "v9_sql_merge" -> (sqlMerge _),
@@ -2601,6 +2740,21 @@ object Versioned {
     "v6_cdf_apply" -> (cdfApply _))
 
   val oracle: Map[String, String] = Map(
+    "v12_convert" -> """
+      WITH agg AS (
+        SELECT 1 AS step, count(*) AS n_rows, sum(doc_id) AS sum_doc_id,
+               sum(n_chars) AS sum_chars
+        FROM documents
+        UNION ALL
+        SELECT 2, count(*), sum(doc_id), sum(n_chars) FROM documents
+        WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT 3, count(*), sum(doc_id), sum(n_chars) FROM documents)
+      SELECT CAST(step AS INT) AS step,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_doc_id AS BIGINT) AS sum_doc_id,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM agg ORDER BY step""",
     "v11_cdc_replicate" -> """
       WITH base AS (
         SELECT doc_id, n_chars FROM documents WHERE doc_id % 4 IN (0, 1)),

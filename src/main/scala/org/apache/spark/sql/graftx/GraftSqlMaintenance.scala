@@ -47,12 +47,17 @@ private[graftx] object GraftMaintenanceSql {
     s"""^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Tbl\\s*;?\\s*$$""")
   private val Detail = p(
     s"""^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Tbl\\s*;?\\s*$$""")
+  // CONVERT TO GRAFTV parquet.`/dir` (round 13, Delta's CONVERT TO
+  // DELTA shape): the target is a parquet DIRECTORY, not a graftv
+  // table — the statement CREATES the table in place.
+  private val Convert = p(
+    s"""^\\s*CONVERT\\s+TO\\s+GRAFTV\\s+$Tbl\\s*;?\\s*$$""")
 
   /** Cheap pre-gate: does the statement LEAD with one of our
     * keywords? (Only then is the full match attempted — everything
     * else goes straight to the delegate parser.) */
   private val Lead = p(
-    """^\s*(OPTIMIZE|VACUUM|RESTORE)\b.*|^\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\b.*""")
+    """^\s*(OPTIMIZE|VACUUM|RESTORE|CONVERT)\b.*|^\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\b.*""")
   def leads(sqlText: String): Boolean = Lead.matcher(sqlText).matches()
 
   /** Split a (possibly backticked) multipart identifier on its
@@ -93,6 +98,9 @@ private[graftx] object GraftMaintenanceSql {
     val dm = Detail.matcher(sqlText)
     if (dm.matches())
       return Some(GraftDetailCommand(parts(dm.group(1))))
+    val cm = Convert.matcher(sqlText)
+    if (cm.matches())
+      return Some(GraftConvertCommand(parts(cm.group(1))))
     None
   }
 
@@ -181,6 +189,29 @@ case class GraftDetailCommand(tParts: Seq[String])
     val path = GraftMaintenanceSql.graftPathOf(spark, tParts,
       "DESCRIBE DETAIL")
     graft.sources.Versioned.describeDetail(spark, path).collect().toSeq
+  }
+}
+
+/** `CONVERT TO GRAFTV parquet.`/dir`` (round 13) →
+  * [[graft.sources.Versioned.convertParquet]]: adopt an existing
+  * parquet directory as a graftv table IN PLACE — no data rewrite,
+  * the v1 `convert` manifest references the part files where they
+  * lie. The target must be the `parquet.`/dir`` form (the directory
+  * is not a table yet, so there is nothing to resolve in the
+  * catalog). Returns the created version and adopted file count. */
+case class GraftConvertCommand(tParts: Seq[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf("version INT, num_files INT")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = tParts match {
+      case Seq(fmt, p) if fmt.equalsIgnoreCase("parquet") => p
+      case other => throw new IllegalArgumentException(
+        "CONVERT TO GRAFTV takes a parquet directory as " +
+          "parquet.`/path`, got " + other.mkString("."))
+    }
+    val v = graft.sources.Versioned.convertParquet(spark, path)
+    Seq(Row(v, graft.sources.Versioned.snapshot(path).files.size))
   }
 }
 

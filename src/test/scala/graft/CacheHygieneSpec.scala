@@ -82,6 +82,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "v9_sql_merge",     // SQL MERGE/DELETE pipeline at build (v2 shape)
     "v10_create",       // CTAS + fresh-path saves + SQL merge at build
     "v11_cdc_replicate", // commit/merge/CDC-apply replication at build
+    "v12_convert",      // in-place adoption + COW delete at build
     "m10_logistic_det"  // fixed-point GD iterations at fit time
   )
 
