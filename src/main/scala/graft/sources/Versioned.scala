@@ -2158,9 +2158,11 @@ object Versioned {
     * errors at scan. Files whose mtime is within `graceMs` of now are
     * NEVER reclaimed (see [[DefaultVacuumGraceMs]]); pass 0 only when
     * the caller guarantees no concurrent writer exists.
-    * Returns the deleted relative paths. */
+    * Returns the deleted relative paths — or, with `dryRun = true`,
+    * the paths that WOULD be deleted, touching nothing. */
   def vacuum(path: String, retainVersions: Int = CheckpointInterval,
-      graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
+      graceMs: Long = DefaultVacuumGraceMs,
+      dryRun: Boolean = false): Seq[String] = {
     // retain < 1 would keep NO snapshot and reclaim every live data
     // file while the manifests still reference them — irrecoverable
     // corruption from a typo (ADVICE-style guard, Delta's own vacuum
@@ -2199,7 +2201,11 @@ object Versioned {
           .toMillis <= horizon
         catch { case _: java.nio.file.NoSuchFileException => false }
       }
-    dead.sorted.map { f =>
+    // DRY RUN (round 13, Delta's form): report what WOULD be
+    // reclaimed without touching anything — the operator's preflight
+    // before waiving time travel past the horizon
+    if (dryRun) dead.sorted
+    else dead.sorted.map { f =>
       Files.deleteIfExists(Paths.get(norm(path), f)); f
     }
   }

@@ -40,9 +40,9 @@ private[graftx] object GraftMaintenanceSql {
   private val Optimize = p(
     s"""^\\s*OPTIMIZE\\s+$Tbl(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?(?:\\s+INTO\\s+(\\d+)\\s+FILES)?\\s*;?\\s*$$""")
   private val Vacuum = p(
-    s"""^\\s*VACUUM\\s+$Tbl(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$$""")
+    s"""^\\s*VACUUM\\s+$Tbl(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val Restore = p(
-    s"""^\\s*RESTORE\\s+$Tbl\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
+    s"""^\\s*RESTORE\\s+$Tbl\\s+TO\\s+(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')\\s*;?\\s*$$""")
   private val History = p(
     s"""^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Tbl\\s*;?\\s*$$""")
   private val Detail = p(
@@ -87,11 +87,13 @@ private[graftx] object GraftMaintenanceSql {
     val vm = Vacuum.matcher(sqlText)
     if (vm.matches())
       return Some(GraftVacuumCommand(parts(vm.group(1)),
-        Option(vm.group(2)).map(_.toInt)))
+        Option(vm.group(2)).map(_.toInt),
+        dryRun = vm.group(3) != null))
     val rm = Restore.matcher(sqlText)
     if (rm.matches())
       return Some(GraftRestoreCommand(parts(rm.group(1)),
-        rm.group(2).toInt))
+        Option(rm.group(2)).map(_.toInt),
+        Option(rm.group(3))))
     val hm = History.matcher(sqlText)
     if (hm.matches())
       return Some(GraftHistoryCommand(parts(hm.group(1))))
@@ -114,6 +116,31 @@ private[graftx] object GraftMaintenanceSql {
   private[graftx] def attrsOf(ddl: String): Seq[Attribute] =
     StructType.fromDDL(ddl).fields.toSeq.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())
+
+  /** Timestamp STRING → epoch millis for maintenance statements,
+    * mirroring the read-side time-travel rules: epoch-millis digits
+    * pass through; `T`-form ISO parses as a zoned instant first, then
+    * zone-less in the SESSION zone; `yyyy-MM-dd[ HH:mm:ss]` resolves
+    * in the SESSION zone (never the JVM default — ADVICE r12). */
+  private[graftx] def tsStringToMillis(spark: SparkSession,
+      t: String): Long = {
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else if (t.contains("T"))
+      try java.time.Instant.parse(t).toEpochMilli
+      catch {
+        case _: Exception =>
+          java.time.LocalDateTime.parse(t).atZone(zone)
+            .toInstant.toEpochMilli
+      }
+    else if (t.contains(" "))
+      java.time.LocalDateTime.parse(t.replace(' ', 'T')).atZone(zone)
+        .toInstant.toEpochMilli
+    else
+      java.time.LocalDate.parse(t).atStartOfDay(zone)
+        .toInstant.toEpochMilli
+  }
 }
 
 /** `OPTIMIZE t [ZORDER BY (…)] [INTO n FILES]` →
@@ -132,31 +159,44 @@ case class GraftOptimizeCommand(tParts: Seq[String], zorder: Seq[String],
   }
 }
 
-/** `VACUUM t [RETAIN n VERSIONS]` →
+/** `VACUUM t [RETAIN n VERSIONS] [DRY RUN]` →
   * [[graft.sources.Versioned.vacuum]] with the library's default
-  * in-flight-writer grace. Returns the reclaimed file count. */
-case class GraftVacuumCommand(tParts: Seq[String], retain: Option[Int])
+  * in-flight-writer grace. Returns the reclaimed (or, DRY RUN, the
+  * would-be-reclaimed) file count — the operator's preflight before
+  * waiving time travel past the horizon (Delta's form). */
+case class GraftVacuumCommand(tParts: Seq[String], retain: Option[Int],
+    dryRun: Boolean = false)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override val output: Seq[Attribute] =
-    GraftMaintenanceSql.attrsOf("removed_files INT")
+    GraftMaintenanceSql.attrsOf("removed_files INT, dry_run BOOLEAN")
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenanceSql.graftPathOf(spark, tParts, "VACUUM")
     Seq(Row(graft.sources.Versioned.vacuum(path,
       retainVersions = retain.getOrElse(
-        graft.sources.Versioned.CheckpointInterval)).size))
+        graft.sources.Versioned.CheckpointInterval),
+      dryRun = dryRun).size, dryRun))
   }
 }
 
-/** `RESTORE t TO VERSION AS OF v` →
+/** `RESTORE t TO VERSION AS OF v` / `… TO TIMESTAMP AS OF 'ts'` →
   * [[graft.sources.Versioned.restore]] (non-destructive: the rollback
-  * is a NEW version, history stays intact). */
-case class GraftRestoreCommand(tParts: Seq[String], toVersion: Int)
+  * is a NEW version, history stays intact). A timestamp resolves
+  * through the same monotone-stamp lookup as read-side time travel,
+  * zone-less literals in the SESSION zone. */
+case class GraftRestoreCommand(tParts: Seq[String],
+    toVersion: Option[Int], toTimestamp: Option[String] = None)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override val output: Seq[Attribute] =
     GraftMaintenanceSql.attrsOf("version INT")
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenanceSql.graftPathOf(spark, tParts, "RESTORE")
-    Seq(Row(graft.sources.Versioned.restore(path, toVersion)))
+    val v = toVersion.getOrElse {
+      val ts = toTimestamp.getOrElse(throw new IllegalArgumentException(
+        "RESTORE needs TO VERSION AS OF <v> or TO TIMESTAMP AS OF '<ts>'"))
+      graft.sources.Versioned.timestampToVersion(path,
+        GraftMaintenanceSql.tsStringToMillis(spark, ts))
+    }
+    Seq(Row(graft.sources.Versioned.restore(path, v)))
   }
 }
 
