@@ -119,7 +119,8 @@ object Versioned {
       txns: Map[String, Long] = Map.empty, tsMs: Long = 0L,
       changes: Option[Seq[String]] = None,
       stats: FileStats = Map.empty,
-      partitionCols: Seq[String] = Nil)
+      partitionCols: Seq[String] = Nil,
+      constraints: Map[String, String] = Map.empty)
 
   // -------------------------------------------------------- log I/O
 
@@ -220,9 +221,16 @@ object Versioned {
       if (m.partitionCols.isEmpty) ""
       else s""""partition": ${m.partitionCols.map(jstr)
         .mkString("[", ", ", "]")}, """
+    // written only when present — pre-constraint manifests stay
+    // byte-identical and absent parses as empty
+    val constraints =
+      if (m.constraints.isEmpty) ""
+      else s""""constraints": ${m.constraints.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+        .mkString("{", ", ", "}")}, """
     s"""{"version": ${m.version}, "op": ${jstr(m.op)}, """ +
       s""""full": ${m.full}, "ts": ${m.tsMs}, """ +
-      s""""schema": ${jstr(m.schemaDdl)}, $partition""" +
+      s""""schema": ${jstr(m.schemaDdl)}, $partition$constraints""" +
       s""""txns": $txns, $changes"stats": $stats, "files": $files}"""
   }
 
@@ -292,6 +300,15 @@ object Versioned {
         }.toMap
         case JNothing => Map.empty // pre-stats manifests
         case other => sys.error(s"versioned: manifest $p stats: $other")
+      },
+      constraints = (j \ "constraints") match {
+        case JObject(fields) => fields.map {
+          case (k, JString(v)) => k -> v
+          case (k, other) =>
+            sys.error(s"versioned: manifest $p constraint $k: $other")
+        }.toMap
+        case JNothing => Map.empty // pre-constraint manifests
+        case other => sys.error(s"versioned: manifest $p constraints: $other")
       })
   }
 
@@ -320,6 +337,48 @@ object Versioned {
           "write's write-to-publish duration; re-run the write and " +
           "size vacuum graceMs above the longest expected write")
     }
+
+  /** CHECK-constraint gate over a DataFrame: a row VIOLATES a
+    * constraint iff its expression evaluates FALSE — NULL passes (the
+    * SQL-standard rule, Delta's too). ONE aggregation pass counts
+    * violations of every constraint simultaneously; any nonzero count
+    * is a loud error naming each violated constraint. */
+  private def enforceOnDf(df: DataFrame,
+      constraints: Map[String, String], path: String, op: String): Unit = {
+    if (constraints.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, expr => fnExpr, not => fnNot, sum => fnSum, lit => fnLit}
+    val named = constraints.toSeq.sortBy(_._1)
+    val viol = named.map { case (n, e) =>
+      n -> fnNot(fnCoalesce(fnExpr(e), fnLit(true)))
+    }
+    val row = df.agg(
+      fnSum(viol.head._2.cast("long")).as(viol.head._1),
+      viol.tail.map { case (n, c) =>
+        fnSum(c.cast("long")).as(n) }: _*).head()
+    val bad = named.indices.flatMap { i =>
+      val c = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (c > 0) Some(s"${named(i)._1} (${named(i)._2}): $c row(s)")
+      else None
+    }
+    require(bad.isEmpty,
+      s"versioned: $op at $path violates CHECK constraint(s): " +
+        bad.mkString("; "))
+  }
+
+  /** [[enforceOnDf]] over freshly-staged data files — the single
+    * enforcement seam both publish paths share, so library commits,
+    * DSv2 batch/streaming writes, merges and updates are all gated
+    * identically (one validation scan of the fresh files per commit;
+    * a failed check aborts BEFORE publish and the staged files stay
+    * unreferenced for vacuum). */
+  private def enforceOnFiles(path: String, files: Seq[String],
+      ddl: String, constraints: Map[String, String], op: String): Unit = {
+    if (constraints.isEmpty || files.isEmpty) return
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.read.schema(StructType.fromDDL(ddl))
+      .parquet(files.map(f => s"${norm(path)}/$f"): _*)
+    enforceOnDf(df, constraints, path, op)
+  }
 
   /** Publish `m` as version `m.version` atomically. True on success,
     * false if that version number was taken by a racing writer. The
@@ -886,14 +945,32 @@ object Versioned {
     // window is milliseconds vs the minutes-scale grace contract —
     // SCALING.md §cross-process writers.)
     requireStaged(path, added, "commit")
+    // CHECK constraints gate the fresh files ONCE before the publish
+    // loop (one validation scan); the loop re-validates only if a
+    // racing metadata commit changed the constraint set meanwhile
+    var enforced: Map[String, String] = {
+      val vs0 = versions(path)
+      if (vs0.isEmpty) Map.empty
+      else parseManifest(manifestPath(path, vs0.max)).constraints
+    }
+    enforceOnFiles(path, added, ddl, enforced, s"$mode commit")
     var attempt = 0
     while (attempt < 64) {
       val vs = versions(path)
       val cur = if (vs.isEmpty) 0 else vs.max
       val v = cur + 1
-      val prevTxns =
-        if (cur == 0) Map.empty[String, Long]
-        else parseManifest(manifestPath(path, cur)).txns
+      val prevM =
+        if (cur == 0) None else Some(parseManifest(manifestPath(path, cur)))
+      val prevTxns = prevM.map(_.txns).getOrElse(Map.empty[String, Long])
+      val prevConstraints =
+        prevM.map(_.constraints).getOrElse(Map.empty[String, String])
+      if (prevConstraints != enforced) {
+        // a concurrent ADD/DROP CONSTRAINT landed after our gate —
+        // re-validate under the new set before publishing against it
+        enforceOnFiles(path, added, ddl, prevConstraints,
+          s"$mode commit")
+        enforced = prevConstraints
+      }
       txn.foreach { case (app, b) =>
         // re-check under the current log head: a racing replay of the
         // same batch may have won while we were writing data files
@@ -921,7 +998,8 @@ object Versioned {
           else (false, added, committed, addedStats)
         }
       if (publish(path, Manifest(v, mode, full, files, outDdl,
-        prevTxns ++ txn, stats = stats, partitionCols = pcols)))
+        prevTxns ++ txn, stats = stats, partitionCols = pcols,
+        constraints = prevConstraints)))
         return Some(v)
       attempt += 1 // lost the race: re-resolve on top of the winner
     }
@@ -959,13 +1037,86 @@ object Versioned {
       val outDdl =
         StructType(prevS.fields ++ newCols.fields.map(_.copy(nullable = true)))
           .toDDL
-      val txns = parseManifest(manifestPath(path, cur)).txns
+      val headM = parseManifest(manifestPath(path, cur))
       if (publish(path, Manifest(cur + 1, "metadata", full = false,
-        Nil, outDdl, txns, partitionCols = snap.partitionCols)))
+        Nil, outDdl, headM.txns, partitionCols = snap.partitionCols,
+        constraints = headM.constraints)))
         return cur + 1
       attempt += 1
     }
     sys.error(s"versioned: gave up altering $path after $attempt attempts")
+  }
+
+  /** The table's CHECK constraints (name → boolean SQL expression),
+    * from the latest manifest. Constraints are a TABLE PROPERTY: they
+    * carry forward through every commit kind (append, COW, metadata,
+    * restore) until dropped. */
+  def constraintsOf(path: String): Map[String, String] = {
+    val vs = versions(path)
+    if (vs.isEmpty) Map.empty
+    else parseManifest(manifestPath(path, vs.max)).constraints
+  }
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)` (round 13,
+    * Delta's constraint shape): validates that EVERY existing row
+    * satisfies `exprSql` (one scan; violations are a loud error with
+    * the count — Delta refuses the same way), then publishes a
+    * metadata-only commit carrying the new constraint. From then on
+    * every write door — library commits, DSv2 batch/streaming writes,
+    * merges, updates — validates its fresh files against the set
+    * before publishing (the shared [[enforceOnFiles]] seam); a NULL
+    * evaluation PASSES (the SQL-standard CHECK rule). */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      exprSql: String): Int = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_'),
+      s"versioned: constraint name must be [A-Za-z0-9_]+, got '$name'")
+    var attempt = 0
+    while (attempt < 64) {
+      val vs = versions(path)
+      require(vs.nonEmpty,
+        s"versioned: no committed versions under $path — create the " +
+          "table before constraining it")
+      val cur = vs.max
+      val headM = parseManifest(manifestPath(path, cur))
+      require(!headM.constraints.keys.exists(_.equalsIgnoreCase(name)),
+        s"versioned: constraint $name already exists at $path")
+      // existing rows must conform BEFORE the constraint can exist
+      enforceOnDf(read(spark, path, Some(cur)), Map(name -> exprSql),
+        path, s"ADD CONSTRAINT $name")
+      if (publish(path, Manifest(cur + 1, "metadata", full = false,
+        Nil, headM.schemaDdl, headM.txns,
+        partitionCols = headM.partitionCols,
+        constraints = headM.constraints + (name -> exprSql))))
+        return cur + 1
+      attempt += 1
+    }
+    sys.error(s"versioned: gave up constraining $path after $attempt " +
+      "attempts")
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT name` — metadata-only commit
+    * without it; unknown names are a loud error. */
+  def dropConstraint(path: String, name: String): Int = {
+    var attempt = 0
+    while (attempt < 64) {
+      val vs = versions(path)
+      require(vs.nonEmpty, s"versioned: no committed versions at $path")
+      val cur = vs.max
+      val headM = parseManifest(manifestPath(path, cur))
+      val key = headM.constraints.keys
+        .find(_.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"versioned: no constraint named $name at $path (have " +
+              s"${headM.constraints.keys.mkString(", ")})"))
+      if (publish(path, Manifest(cur + 1, "metadata", full = false,
+        Nil, headM.schemaDdl, headM.txns,
+        partitionCols = headM.partitionCols,
+        constraints = headM.constraints - key)))
+        return cur + 1
+      attempt += 1
+    }
+    sys.error(s"versioned: gave up dropping $name at $path")
   }
 
   /** DESCRIBE DETAIL (round 13, Delta's statement of the same name):
@@ -998,12 +1149,15 @@ object Versioned {
     while (attempt < 64) {
       val cur = versions(path).max
       val v = cur + 1
-      // txns roll FORWARD across a restore (the data rolls back, the
-      // exactly-once ledger must not — a replayed batch is still dup)
-      val txns = parseManifest(manifestPath(path, cur)).txns
+      // txns AND constraints roll FORWARD across a restore (the data
+      // rolls back; the exactly-once ledger must not — a replayed
+      // batch is still dup — and constraints are a table property,
+      // not table state)
+      val headM = parseManifest(manifestPath(path, cur))
       if (publish(path, Manifest(v, "restore", full = true, snap.files,
-        snap.schemaDdl, txns, stats = snap.stats,
-        partitionCols = snap.partitionCols))) return v
+        snap.schemaDdl, headM.txns, stats = snap.stats,
+        partitionCols = snap.partitionCols,
+        constraints = headM.constraints))) return v
       attempt += 1
     }
     sys.error(s"versioned: gave up restoring $path to v$toVersion")
@@ -1662,6 +1816,15 @@ object Versioned {
     // simulates exactly this write-to-publish interloper window.
     requireStaged(path,
       files.filterNot(base.files.toSet) ++ changes.getOrElse(Nil), op)
+    // CHECK constraints gate the FRESH rewrite files (one validation
+    // scan; kept-by-reference files conformed when they were written).
+    // The base version's constraint set IS the publish-time set: a
+    // concurrent ADD/DROP CONSTRAINT is a metadata commit, and any
+    // non-append interloper aborts this COW below.
+    val cowConstraints =
+      parseManifest(manifestPath(path, base.version)).constraints
+    enforceOnFiles(path, files.filterNot(base.files.toSet), outDdl,
+      cowConstraints, op)
     var seen = base.version
     var extraFiles = Vector.empty[String]
     var extraStats: FileStats = Map.empty
@@ -1697,11 +1860,12 @@ object Versioned {
         }
         seen = cur
       }
-      val txns = parseManifest(manifestPath(path, cur)).txns
+      val headM = parseManifest(manifestPath(path, cur))
       if (publish(path, Manifest(cur + 1, op, full = true,
-        files ++ extraFiles, outDdl, txns, changes = changes,
+        files ++ extraFiles, outDdl, headM.txns, changes = changes,
         stats = stats ++ extraStats,
-        partitionCols = base.partitionCols)))
+        partitionCols = base.partitionCols,
+        constraints = headM.constraints)))
         return cur + 1
       attempt += 1 // lost the publish race: re-examine the new head
     }

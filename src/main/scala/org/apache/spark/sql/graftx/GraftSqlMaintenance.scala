@@ -52,6 +52,9 @@ private[graftx] object GraftMaintenanceSql {
   // table — the statement CREATES the table in place.
   private val Convert = p(
     s"""^\\s*CONVERT\\s+TO\\s+GRAFTV\\s+$Tbl\\s*;?\\s*$$""")
+  // (ALTER TABLE ADD/DROP CONSTRAINT rides the PLAN-rewrite hook like
+  // ADD COLUMNS — Spark 4 parses the statements natively into
+  // AddConstraint/DropConstraint plans; see GraftAddConstraintCommand.)
 
   /** Cheap pre-gate: does the statement LEAD with one of our
     * keywords? (Only then is the full match attempted — everything
@@ -252,6 +255,87 @@ case class GraftConvertCommand(tParts: Seq[String])
     }
     val v = graft.sources.Versioned.convertParquet(spark, path)
     Seq(Row(v, graft.sources.Versioned.snapshot(path).files.size))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT n CHECK (expr)` for graftv tables
+  * (round 13, Delta's constraint statement — Spark 4 parses it
+  * natively into `AddConstraint`, intercepted by the same plan-
+  * rewrite hook as ADD COLUMNS): existing rows are validated first
+  * (one scan, loud error with the violation count), then a
+  * metadata-only commit carries the constraint; every subsequent
+  * write door validates its fresh files against the set before
+  * publishing. Non-graftv targets re-enter Spark's native constraint
+  * machinery untouched. Only CHECK constraints are supported
+  * (PRIMARY KEY / FOREIGN KEY / UNIQUE are loud errors — there is no
+  * index to back them). */
+case class GraftAddConstraintCommand(
+    native: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    table: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    // the CHECK (name, condition SQL) extracted as STRINGS at parse
+    // time — an Expression-typed field here would be collected into
+    // this command's `expressions` and the analyzer would try (and
+    // fail) to resolve its columns against a leaf command; None =
+    // a non-CHECK constraint family (rejected for graftv targets)
+    check: Option[(String, String)])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val spark = sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // the parser wraps the target in its own validation shape
+    // (Filter(condition, UnresolvedTable) for CHECK) — find the
+    // table node wherever it sits
+    val tParts = table.collectFirst {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        ut.multipartIdentifier
+      case ur: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        ur.multipartIdentifier
+    }.getOrElse(throw new IllegalArgumentException(
+      s"ALTER TABLE: unexpected target ${table.nodeName}"))
+    GraftSqlTarget.pathOf(spark, tParts) match {
+      case None => // not ours: Spark's native constraint path
+        org.apache.spark.sql.classic.Dataset.ofRows(spark, native)
+          .collect().toSeq
+      case Some(path) =>
+        val (name, condition) = check.getOrElse(
+          throw new IllegalArgumentException(
+            "graftv supports CHECK constraints only (PRIMARY KEY / " +
+              "FOREIGN KEY / UNIQUE have no index to back them)"))
+        graft.sources.Versioned.addConstraint(spark, path, name,
+          condition)
+        Seq.empty
+    }
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT [IF EXISTS] n` for graftv tables —
+  * a metadata-only commit without the constraint; IF EXISTS makes an
+  * unknown name a no-op instead of a loud error. */
+case class GraftDropConstraintCommand(
+    alter: org.apache.spark.sql.catalyst.plans.logical.DropConstraint)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val spark = sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val tParts = alter.table match {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        ut.multipartIdentifier
+      case other => throw new IllegalArgumentException(
+        s"ALTER TABLE: unexpected target ${other.nodeName}")
+    }
+    GraftSqlTarget.pathOf(spark, tParts) match {
+      case None =>
+        org.apache.spark.sql.classic.Dataset.ofRows(spark, alter)
+          .collect().toSeq
+      case Some(path) =>
+        val known = graft.sources.Versioned.constraintsOf(path)
+          .keys.exists(_.equalsIgnoreCase(alter.name))
+        if (!known && alter.ifExists) Seq.empty
+        else {
+          graft.sources.Versioned.dropConstraint(path, alter.name)
+          Seq.empty
+        }
+    }
   }
 }
 

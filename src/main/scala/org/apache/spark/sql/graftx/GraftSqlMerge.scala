@@ -63,6 +63,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case m: MergeIntoTable => GraftMergeIntoCommand(m)
       case u: UpdateTable => GraftUpdateCommand(u)
       case a: AddColumns => GraftAddColumnsCommand(a)
+      // Spark's parser emits AddCheckConstraint for CHECK and
+      // AddConstraint for the other families (PK/FK/UNIQUE — which
+      // the command rejects for graftv targets)
+      case a: org.apache.spark.sql.catalyst.plans.logical
+          .AddCheckConstraint =>
+        GraftAddConstraintCommand(a, a.child, Some(
+          (a.checkConstraint.userProvidedName, a.checkConstraint.condition)))
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddConstraint =>
+        GraftAddConstraintCommand(a, a.table, None)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropConstraint =>
+        GraftDropConstraintCommand(d)
       case other => other
     }
   override def parsePlan(sqlText: String): LogicalPlan =
