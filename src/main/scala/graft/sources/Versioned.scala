@@ -1131,14 +1131,16 @@ object Versioned {
     val row = Row("graftv", norm(path), snap.schemaDdl,
       snap.partitionCols.mkString(","), snap.version,
       snap.files.size, commitTimestamp(path, vs.min),
-      commitTimestamp(path, vs.max), vs.size)
+      commitTimestamp(path, vs.max), vs.size,
+      constraintsOf(path).toSeq.sortBy(_._1)
+        .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; "))
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row), 1),
       StructType.fromDDL(
         "format STRING, location STRING, schema_ddl STRING, " +
           "partition_columns STRING, version INT, num_files INT, " +
           "created_ts_ms BIGINT, last_modified_ts_ms BIGINT, " +
-          "num_versions INT"))
+          "num_versions INT, constraints STRING"))
   }
 
   /** Non-destructive rollback (Delta RESTORE): commit a checkpoint

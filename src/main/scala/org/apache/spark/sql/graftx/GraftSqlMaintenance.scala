@@ -227,7 +227,7 @@ case class GraftDetailCommand(tParts: Seq[String])
     "format STRING, location STRING, schema_ddl STRING, " +
       "partition_columns STRING, version INT, num_files INT, " +
       "created_ts_ms BIGINT, last_modified_ts_ms BIGINT, " +
-      "num_versions INT")
+      "num_versions INT, constraints STRING")
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenanceSql.graftPathOf(spark, tParts,
       "DESCRIBE DETAIL")

@@ -125,6 +125,9 @@ class ConstraintSpec extends AnyFunSuite {
       spark.sql("INSERT INTO g_constraints VALUES (3, 50)")
       assert(spark.sql("SELECT count(*) FROM g_constraints")
         .head().getLong(0) === 3L)
+      // DESCRIBE DETAIL surfaces the constraint set
+      assert(spark.sql("DESCRIBE DETAIL g_constraints")
+        .head().getAs[String]("constraints") === "v_small CHECK (v < 100)")
       // IF EXISTS makes an unknown drop a no-op; plain drop lifts it
       spark.sql(
         "ALTER TABLE g_constraints DROP CONSTRAINT IF EXISTS nope")
