@@ -895,9 +895,26 @@ private[sources] class VersionedMicroBatchStream(path: String,
     skipChangeCommits: Boolean, changeFeed: Boolean,
     maxVersionsPerTrigger: Option[Int] = None)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = VersionedOffset(startingVersion)
+
+  /** Trigger.AvailableNow (round 13, Delta's batch-mode streaming):
+    * Spark calls this once at query start; the log head AT THAT
+    * INSTANT becomes a fixed end bound, so the query drains exactly
+    * the backlog — in `maxVersionsPerTrigger`-bounded batches — and
+    * stops, ignoring commits that land mid-drain (they are the NEXT
+    * scheduled run's backlog). The scheduled-replication pattern:
+    * a cron'd `readChangeFeed → replicationSink` job with
+    * exactly-once progress via the checkpoint, no always-on
+    * cluster. */
+  private var availableNowBound: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val vs = Versioned.versions(path)
+    availableNowBound = Some(if (vs.isEmpty) startingVersion else vs.max)
+  }
   /** Admission-controlled sources never serve the no-arg form: Spark
     * dispatches the two-arg overload below for SupportsAdmissionControl
     * streams, and a silent fallback here would plan an UNBOUNDED
@@ -917,7 +934,10 @@ private[sources] class VersionedMicroBatchStream(path: String,
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : Offset = {
-    val latest = Versioned.versions(path).max
+    // under Trigger.AvailableNow the end bound is the log head at
+    // prepare time, never the moving head
+    val latest = availableNowBound
+      .getOrElse(Versioned.versions(path).max)
     val s = start.asInstanceOf[VersionedOffset].version
     VersionedOffset(maxVersionsPerTrigger
       .map(n => math.min(latest, s + math.max(n, 1)))

@@ -107,6 +107,50 @@ class CdcReplicationSpec extends AnyFunSuite {
     assert(stateOf(Versioned.read(spark, b)) === before)
   }
 
+  test("Trigger.AvailableNow drains exactly the prepare-time backlog " +
+    "and stops; mid-drain commits wait for the next scheduled run") {
+    import spark.implicits._
+    val a = Files.createTempDirectory("graft-cdcan-a-").toString
+    val b = Files.createTempDirectory("graft-cdcan-b-").toString
+    val ckpt = Files.createTempDirectory("graft-cdcan-ck-").toString
+    def rows(xs: (Long, Long, String)*) = xs.toDF("id", "v", "note")
+    (1 to 4).foreach(i =>
+      Versioned.commit(rows((i.toLong, i * 10L, s"r$i")), a))
+
+    // scheduled-replication run #1: drains v1..v4 in 1-version
+    // batches and SELF-TERMINATES; a commit landing mid-drain (v5,
+    // planted from inside the first batch) is outside the prepare-
+    // time bound and must NOT be drained by this run
+    @volatile var planted = false
+    def run(): Unit = {
+      val q = spark.readStream.format("graftv")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(a)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (mb: DataFrame, batchId: Long) =>
+          if (!planted) {
+            planted = true
+            Versioned.commit(rows((5L, 50L, "mid-drain")), a); ()
+          }
+          Versioned.replicationSink(b, Seq("id"))(mb, batchId)
+        }.start()
+      assert(q.awaitTermination(120000), "AvailableNow did not stop")
+    }
+    run()
+    assert(stateOf(Versioned.read(spark, b)) ===
+      stateOf(Versioned.read(spark, a, Some(4))))
+    assert(Versioned.versions(a).max === 5) // the plant landed on A
+
+    // run #2 (the next cron tick): resumes from the checkpoint and
+    // drains exactly the v5 backlog
+    run()
+    assert(stateOf(Versioned.read(spark, b)) ===
+      stateOf(Versioned.read(spark, a)))
+  }
+
   test("a replica is BORN from the first batch when the target does " +
     "not exist yet") {
     import spark.implicits._
