@@ -2107,11 +2107,42 @@ object Versioned {
     * operation for readers since time travel still sees the old
     * layout. Same conflict detection as [[merge]]. */
   def optimize(spark: SparkSession, path: String, numFiles: Int = 1,
-      clusterBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil,
+      where: Option[org.apache.spark.sql.Column] = None): Int = {
     val base = snapshot(path)
+    // SCOPED compaction (round 13, Delta's `OPTIMIZE … WHERE` —
+    // generalized): `where` selects the files whose stats MAY hold a
+    // matching row (the deleteWhere pruning machinery); only those
+    // rewrite, everything else carries by reference. OPTIMIZE is a
+    // whole-file layout op — touched files re-lay-out ALL their rows,
+    // none are filtered — so any stats-analyzable predicate is safe,
+    // not just partition predicates: at 100 TB you compact the
+    // partition (or key range) that just ingested, never the table.
+    // No file intersects → no-op, no phantom commit.
+    val (touchedFiles, carried): (Seq[String], Seq[String]) =
+      where match {
+        case None => (base.files, Nil)
+        case Some(pred) =>
+          val bounds = predBounds(
+            org.apache.spark.sql.graftx.ColumnExpr.nodeOf(pred))
+          require(bounds.nonEmpty,
+            s"versioned: OPTIMIZE WHERE needs a stats-analyzable " +
+              "predicate (equality/range/IN over stats-bearing " +
+              s"columns), got $pred")
+          val ranges = fileKeyStats(spark, path, base)
+          val (t, u) = ranges.partition { case (_, st) =>
+            bounds.forall { case (c, b) => statIntersects(st.get(c), b) }
+          }
+          (t.map(_._1), u.map(_._1))
+      }
+    if (touchedFiles.isEmpty) return base.version
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
-    val rows = read(spark, path, Some(base.version))
+    val schemaT = StructType.fromDDL(base.schemaDdl)
+    val rows =
+      if (carried.isEmpty) read(spark, path, Some(base.version))
+      else spark.read.schema(schemaT)
+        .parquet(touchedFiles.map(f => s"$path/$f"): _*)
     val laidOut =
       if (clusterBy.isEmpty) rows.repartition(numFiles)
       else {
@@ -2137,9 +2168,9 @@ object Versioned {
     // append rebases cleanly (the appended files simply stay in their
     // original layout); a steady append stream can no longer starve a
     // long compaction. sourceBounds = None encodes "no row footprint".
-    publishCow(path, "optimize", base, added,
-      statsForFiles(spark, path, added, base.partitionCols,
-        StructType.fromDDL(base.schemaDdl)),
+    publishCow(path, "optimize", base, carried ++ added,
+      base.stats.view.filterKeys(carried.toSet).toMap ++
+        statsForFiles(spark, path, added, base.partitionCols, schemaT),
       changes = None, sourceBounds = None)
   }
 

@@ -38,7 +38,7 @@ private[graftx] object GraftMaintenanceSql {
   // <t>: `graftv`.`/path` | graftv.`/path` | `db`.`t` | db.t | t
   private val Tbl = """((?:[\w$]+|`[^`]*`)(?:\s*\.\s*(?:[\w$]+|`[^`]*`))?)"""
   private val Optimize = p(
-    s"""^\\s*OPTIMIZE\\s+$Tbl(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?(?:\\s+INTO\\s+(\\d+)\\s+FILES)?\\s*;?\\s*$$""")
+    s"""^\\s*OPTIMIZE\\s+$Tbl(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?(?:\\s+INTO\\s+(\\d+)\\s+FILES)?\\s*;?\\s*$$""")
   private val Vacuum = p(
     s"""^\\s*VACUUM\\s+$Tbl(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val Restore = p(
@@ -82,10 +82,11 @@ private[graftx] object GraftMaintenanceSql {
   def parse(sqlText: String): Option[LogicalPlan] = {
     val om = Optimize.matcher(sqlText)
     if (om.matches()) {
-      val zorder = Option(om.group(2)).map(_.split(',').map(_.trim)
+      val zorder = Option(om.group(3)).map(_.split(',').map(_.trim)
         .filter(_.nonEmpty).map(c => parts(c).last).toSeq).getOrElse(Nil)
       return Some(GraftOptimizeCommand(parts(om.group(1)), zorder,
-        Option(om.group(3)).map(_.toInt)))
+        Option(om.group(4)).map(_.toInt),
+        Option(om.group(2)).map(_.trim)))
     }
     val vm = Vacuum.matcher(sqlText)
     if (vm.matches())
@@ -146,19 +147,30 @@ private[graftx] object GraftMaintenanceSql {
   }
 }
 
-/** `OPTIMIZE t [ZORDER BY (…)] [INTO n FILES]` →
+/** `OPTIMIZE t [WHERE pred] [ZORDER BY (…)] [INTO n FILES]` →
   * [[graft.sources.Versioned.optimize]] (compaction is an ONLINE op:
-  * it rebases over any interloping append). Returns the new
-  * version. */
+  * it rebases over any interloping append; WHERE scopes the rewrite
+  * to the files whose stats may hold a matching row — compact
+  * today's partition, never the table). Returns the new version (the
+  * CURRENT version when WHERE touches no file — a no-op publishes
+  * nothing). */
 case class GraftOptimizeCommand(tParts: Seq[String], zorder: Seq[String],
-    files: Option[Int])
+    files: Option[Int], whereSql: Option[String] = None)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override val output: Seq[Attribute] =
     GraftMaintenanceSql.attrsOf("version INT")
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenanceSql.graftPathOf(spark, tParts, "OPTIMIZE")
+    // parse the WHERE text into a CATALYST expression and wrap it
+    // (ExpressionUtils.column) — functions.expr() wraps a lazy
+    // SqlExpression node the stats-pruning analyzer cannot see
+    // through
+    val whereCol = whereSql.map(s =>
+      org.apache.spark.sql.classic.ExpressionUtils.column(
+        spark.sessionState.sqlParser.parseExpression(s)))
     Seq(Row(graft.sources.Versioned.optimize(spark, path,
-      numFiles = files.getOrElse(1), clusterBy = zorder)))
+      numFiles = files.getOrElse(1), clusterBy = zorder,
+      where = whereCol)))
   }
 }
 

@@ -47,6 +47,48 @@ class MaintenanceExtrasSpec extends AnyFunSuite {
     assert(row.getBoolean(1))
   }
 
+  test("OPTIMIZE WHERE compacts only the files the predicate can " +
+    "touch; the rest carry by reference; no match is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft-optwhere-").toString
+    // four key-disjoint files: ids 0-9 / 10-19 / 20-29 / 30-39
+    (0 until 4).foreach { b =>
+      Versioned.commit((b * 10L until b * 10L + 10L).map(i => (i, i))
+        .toDF("id", "v").coalesce(1), t)
+    }
+    assert(Versioned.snapshot(t).files.size === 4)
+    // scope to the 0-19 range: 2 files rewrite into 1, 2 carry
+    val v = Versioned.optimize(spark, t, numFiles = 1,
+      where = Some(col("id") < 20L))
+    assert(v === 5)
+    val snap = Versioned.snapshot(t)
+    assert(snap.files.size === 3) // 1 compacted + 2 carried
+    assert(Versioned.read(spark, t).count() === 40L) // rows intact
+    // the carried files are the SAME physical files (by reference)
+    val before = Versioned.snapshot(t, Some(4)).files.toSet
+    assert(snap.files.count(before.contains) === 2)
+    // no file intersects -> no-op, no phantom version
+    assert(Versioned.optimize(spark, t,
+      where = Some(col("id") > 1000L)) === 5)
+    assert(Versioned.versions(t).max === 5)
+    // an unanalyzable predicate is a loud error, not a silent full
+    // compaction
+    val e = intercept[IllegalArgumentException] {
+      Versioned.optimize(spark, t,
+        where = Some(org.apache.spark.sql.functions
+          .length(col("id").cast("string")) > 1))
+    }
+    assert(e.getMessage.contains("stats-analyzable"))
+    // SQL form
+    val v2 = spark.sql(
+      s"OPTIMIZE graftv.`$t` WHERE id >= 20 INTO 1 FILES")
+      .head().getInt(0)
+    assert(v2 === 6)
+    assert(Versioned.snapshot(t).files.size === 2)
+    assert(Versioned.read(spark, t).count() === 40L)
+  }
+
   test("RESTORE TO TIMESTAMP AS OF rolls back through the monotone " +
     "stamp lookup") {
     import spark.implicits._
