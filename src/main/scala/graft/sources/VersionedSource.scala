@@ -697,6 +697,17 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
           endingVersion.getOrElse(Versioned.versions(path).max))
       override def createReaderFactory(): PartitionReaderFactory =
         new VersionedReaderFactory(required.toDDL)
+    } else if (Versioned.versions(path).isEmpty) {
+      // a CREATE TABLE'd-but-never-written table (round 13): Delta
+      // reads it as EMPTY under its declared schema — a catalog
+      // table must be selectable the moment it exists, not only
+      // after its first insert
+      new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          Array.empty
+        override def createReaderFactory(): PartitionReaderFactory =
+          new VersionedReaderFactory(required.toDDL)
+      }
     } else {
       val spark = org.apache.spark.sql.SparkSession.active
       val snap = Versioned.snapshot(path, asOf)

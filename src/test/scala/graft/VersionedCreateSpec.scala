@@ -32,6 +32,27 @@ class VersionedCreateSpec extends AnyFunSuite {
     d.toString
   }
 
+  test("CREATE TABLE without AS SELECT reads as EMPTY until its " +
+    "first insert (Delta's rule)") {
+    import spark.implicits._
+    val t = fresh()
+    spark.sql("DROP TABLE IF EXISTS g_create_empty")
+    try {
+      spark.sql(
+        s"CREATE TABLE g_create_empty (id BIGINT, s STRING) " +
+          s"USING graftv LOCATION '$t'")
+      // selectable the moment it exists — zero rows, declared schema
+      val df = spark.sql("SELECT id, s FROM g_create_empty")
+      assert(df.schema.fieldNames.toSeq == Seq("id", "s"))
+      assert(df.count() == 0L)
+      // the first insert births v1 through the write path
+      spark.sql("INSERT INTO g_create_empty VALUES (1, 'a')")
+      assert(Versioned.versions(t) == Seq(1))
+      assert(spark.sql("SELECT count(*) FROM g_create_empty")
+        .head().getLong(0) == 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS g_create_empty")
+  }
+
   test("fresh-path save(append) creates the table from the write schema") {
     import spark.implicits._
     val t = fresh()
