@@ -947,13 +947,26 @@ object Versioned {
     requireStaged(path, added, "commit")
     // CHECK constraints gate the fresh files ONCE before the publish
     // loop (one validation scan); the loop re-validates only if a
-    // racing metadata commit changed the constraint set meanwhile
-    var enforced: Map[String, String] = {
+    // racing metadata commit changed the constraint set meanwhile.
+    // Enforcement reads the staged files under the TABLE's DDL, not
+    // the append's: constraints were validated against the table
+    // schema, and a mergeSchema append omitting a constrained column
+    // must evaluate it over the null-fill (NULL passes; `c IS NOT
+    // NULL` counts a violation) instead of dying unresolved.
+    // (an OVERWRITE may change the schema, so its staged files read
+    // under the NEW ddl — a constraint referencing a column the
+    // overwrite dropped then fails loudly: drop the constraint first)
+    var enforced: Map[String, String] = Map.empty
+    var enforcedDdl: String = ddl
+    locally {
       val vs0 = versions(path)
-      if (vs0.isEmpty) Map.empty
-      else parseManifest(manifestPath(path, vs0.max)).constraints
+      if (vs0.nonEmpty) {
+        val m0 = parseManifest(manifestPath(path, vs0.max))
+        enforced = m0.constraints
+        if (mode != "overwrite") enforcedDdl = m0.schemaDdl
+      }
     }
-    enforceOnFiles(path, added, ddl, enforced, s"$mode commit")
+    enforceOnFiles(path, added, enforcedDdl, enforced, s"$mode commit")
     var attempt = 0
     while (attempt < 64) {
       val vs = versions(path)
@@ -967,8 +980,10 @@ object Versioned {
       if (prevConstraints != enforced) {
         // a concurrent ADD/DROP CONSTRAINT landed after our gate —
         // re-validate under the new set before publishing against it
-        enforceOnFiles(path, added, ddl, prevConstraints,
-          s"$mode commit")
+        enforceOnFiles(path, added,
+          if (mode == "overwrite") ddl
+          else prevM.map(_.schemaDdl).getOrElse(ddl),
+          prevConstraints, s"$mode commit")
         enforced = prevConstraints
       }
       txn.foreach { case (app, b) =>

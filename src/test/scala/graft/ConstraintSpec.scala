@@ -69,6 +69,29 @@ class ConstraintSpec extends AnyFunSuite {
     }
   }
 
+  test("enforcement reads staged files under the TABLE's DDL: a " +
+    "mergeSchema append omitting a constrained column evaluates over " +
+    "the null-fill (NULL passes; IS NOT NULL violates)") {
+    import spark.implicits._
+    val t = tmpTable()
+    Versioned.commit(Seq((1L, 10L)).toDF("id", "v"), t) // v1
+    Versioned.addConstraint(spark, t, "v_pos", "v IS NULL OR v > 0")
+    // an append WITHOUT the v column (mergeDdl keeps it; files
+    // null-fill): v IS NULL → passes, no unresolved-column crash
+    Versioned.commit(Seq((2L, "x")).toDF("id", "s"), t,
+      mergeSchema = true)
+    assert(Versioned.read(spark, t).count() === 2L)
+    // the strict form counts the null-fill as a violation
+    Versioned.dropConstraint(t, "v_pos")
+    Versioned.addConstraint(spark, t, "v_req",
+      "v IS NOT NULL OR s IS NOT NULL")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commit(Seq(Tuple1(3L)).toDF("id"), t,
+        mergeSchema = true) // neither v nor s: both null-fill
+    }
+    assert(e.getMessage.contains("v_req"))
+  }
+
   test("COW doors are gated too: updateWhere and merge cannot write " +
     "violating rows; deletes still work; restore carries the " +
     "constraint forward") {
