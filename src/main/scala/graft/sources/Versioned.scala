@@ -806,11 +806,13 @@ object Versioned {
       .collect().map(_.getInt(0)) // O(versions per trigger)
     vs.foreach { v =>
       val chg = batch.where(col("_commit_version") === v)
-      // a key appears in at most ONE change kind per commit (first-
-      // match-wins clause semantics upstream), so the delete-merge
-      // and the upsert-merge never touch the same key and their
-      // relative order is immaterial — the source keeps the TABLE's
-      // exact schema (no marker column to evolve into the replica)
+      // deletes apply BEFORE upserts: merge/update/delete commits put
+      // a key in at most one change kind (first-match-wins), but a
+      // REPLACE commit can delete and re-insert the SAME key — the
+      // delete-then-upsert order makes the replayed state the
+      // re-inserted row, matching the source. The source keeps the
+      // TABLE's exact schema (no marker column to evolve into the
+      // replica).
       val dels = chg.where(col("_change_type") === "delete")
         .select(dataCols.map(col).toIndexedSeq: _*)
       val ups = chg
@@ -2012,6 +2014,80 @@ object Versioned {
     * is REBASED over; an overlapping or stats-less append, any
     * non-append commit, or an unanalyzable predicate (empty bounds
     * prove nothing) still aborts loudly. */
+  /** Selective overwrite (round 13, Delta's `replaceWhere`): in ONE
+    * commit, delete every row matching `pred` and insert `df`'s rows
+    * — the backfill idiom (replace one day/partition/key-range with
+    * a recomputed slice, atomically). Delta's validation rule: every
+    * inserted row must itself MATCH `pred` (a replaceWhere must not
+    * smuggle rows outside its window) — violations are a loud error
+    * before anything publishes. File-granular COW: only files whose
+    * stats intersect the predicate's bounds rewrite (an unanalyzable
+    * predicate conservatively touches every file); CDF records the
+    * removed rows as `delete` and the new rows as `insert`; the
+    * publish rebases over provably predicate-disjoint concurrent
+    * appends (their rows could not have matched the window) and
+    * aborts against anything else. The inserted schema must equal
+    * the table's. */
+  def replaceWhere(df: DataFrame, path: String,
+      pred: org.apache.spark.sql.Column): Int = {
+    val spark = df.sparkSession
+    val base = snapshot(path)
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val insDdl =
+      StructType(df.schema.fields.map(_.copy(nullable = true))).toDDL
+    require(insDdl == base.schemaDdl,
+      s"versioned: replaceWhere schema mismatch at $path:\n  table: " +
+        s"${base.schemaDdl}\n  insert: $insDdl")
+    // single evaluation of a possibly nondeterministic source (the
+    // merge discipline), then Delta's window validation
+    val ins = df.localCheckpoint()
+    val smuggled = ins.where(!coalesce(pred, lit(false))).count()
+    require(smuggled == 0L,
+      s"versioned: replaceWhere at $path: $smuggled inserted row(s) " +
+        s"do not match the replace predicate $pred — a selective " +
+        "overwrite only writes inside its own window")
+    val bounds = predBounds(
+      org.apache.spark.sql.graftx.ColumnExpr.nodeOf(pred))
+    val ranges = fileKeyStats(spark, path, base)
+    val (touched, untouched) = ranges.partition { case (_, st) =>
+      bounds.forall { case (c, b) => statIntersects(st.get(c), b) }
+    }
+    val live =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(touched.map { case (f, _) => s"$path/$f" }: _*)
+    val RepFlag = "__graft_replace"
+    val tagged = live.withColumn(RepFlag, pred).localCheckpoint()
+    val kept = tagged
+      .where(!col(RepFlag) || col(RepFlag).isNull).drop(RepFlag)
+    val removed = tagged.where(col(RepFlag)).drop(RepFlag)
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"data/c-$commitId"
+    // output files scale with the INSERT volume (the merge
+    // discipline), floored at the touched set's granularity
+    val targetFileRows = spark.conf
+      .getOption("spark.graft.versioned.targetFileRows")
+      .map(_.toLong).getOrElse(1L << 20)
+    val nIns = ins.count()
+    val outFiles = math.max(math.max(1, touched.size),
+      math.min(4096L, (nIns + targetFileRows - 1) / targetFileRows).toInt)
+    writeData(kept.unionByName(ins).coalesce(outFiles),
+      s"$path/$dataRel", base.partitionCols)
+    val added = listParquet(dataPath(path, commitId))
+      .map(f => s"$dataRel/$f")
+    val files = untouched.map(_._1) ++ added
+    val newStats = base.stats.view
+      .filterKeys(untouched.map(_._1).toSet).toMap ++
+      statsForFiles(spark, path, added, base.partitionCols, schema)
+    val changeRel = writeChanges(
+      removed.withColumn("_change_type", lit("delete"))
+        .unionByName(ins.withColumn("_change_type", lit("insert"))),
+      path, commitId)
+    publishCow(path, "replace", base, files, newStats,
+      changes = Some(changeRel), sourceBounds = Some(bounds))
+  }
+
   def deleteWhere(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column): Int = {
     val base = snapshot(path)
@@ -2268,7 +2344,7 @@ object Versioned {
         case "append" | "convert" =>
           val (addedFiles, ddl) = addedAt(path, v, fromVersion, toVersion)
           (v, addedFiles, ddl, false)
-        case "merge" | "delete" | "update" =>
+        case "merge" | "delete" | "update" | "replace" =>
           val chg = m.changes.getOrElse(sys.error(
             s"versioned: v$v is a pre-CDF '${m.op}' commit with no " +
               "persisted change set — re-baseline past it"))
