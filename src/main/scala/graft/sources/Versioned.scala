@@ -1055,13 +1055,34 @@ object Versioned {
         StructType(prevS.fields ++ newCols.fields.map(_.copy(nullable = true)))
           .toDDL
       val headM = parseManifest(manifestPath(path, cur))
-      if (publish(path, Manifest(cur + 1, "metadata", full = false,
-        Nil, outDdl, headM.txns, partitionCols = snap.partitionCols,
-        constraints = headM.constraints)))
+      if (publishMetadata(path, cur, outDdl, snap.partitionCols,
+        headM.txns, headM.constraints))
         return cur + 1
       attempt += 1
     }
     sys.error(s"versioned: gave up altering $path after $attempt attempts")
+  }
+
+  /** Publish a METADATA-ONLY commit (schema/constraint change, zero
+    * row effect) as version `cur + 1`. On a CHECKPOINT boundary
+    * (v % CheckpointInterval == 0) the commit publishes FULL —
+    * carrying the live file set forward like an append checkpoint
+    * would — so a run of consecutive metadata commits can never
+    * stretch snapshot replay past CheckpointInterval (the
+    * O(checkpoint)-reads law holds for EVERY commit mix, not just
+    * append-heavy histories; SnapshotReplaySpec pins it). */
+  private def publishMetadata(path: String, cur: Int, outDdl: String,
+      pcols: Seq[String], txns: Map[String, Long],
+      constraints: Map[String, String]): Boolean = {
+    val v = cur + 1
+    if (v % CheckpointInterval == 0) {
+      val snap = snapshot(path, Some(cur))
+      publish(path, Manifest(v, "metadata", full = true, snap.files,
+        outDdl, txns, stats = snap.stats, partitionCols = pcols,
+        constraints = constraints))
+    } else
+      publish(path, Manifest(v, "metadata", full = false, Nil, outDdl,
+        txns, partitionCols = pcols, constraints = constraints))
   }
 
   /** The table's CHECK constraints (name → boolean SQL expression),
@@ -1101,10 +1122,9 @@ object Versioned {
       // existing rows must conform BEFORE the constraint can exist
       enforceOnDf(read(spark, path, Some(cur)), Map(name -> exprSql),
         path, s"ADD CONSTRAINT $name")
-      if (publish(path, Manifest(cur + 1, "metadata", full = false,
-        Nil, headM.schemaDdl, headM.txns,
-        partitionCols = headM.partitionCols,
-        constraints = headM.constraints + (name -> exprSql))))
+      if (publishMetadata(path, cur, headM.schemaDdl,
+        headM.partitionCols, headM.txns,
+        headM.constraints + (name -> exprSql)))
         return cur + 1
       attempt += 1
     }
@@ -1126,10 +1146,8 @@ object Versioned {
           throw new IllegalArgumentException(
             s"versioned: no constraint named $name at $path (have " +
               s"${headM.constraints.keys.mkString(", ")})"))
-      if (publish(path, Manifest(cur + 1, "metadata", full = false,
-        Nil, headM.schemaDdl, headM.txns,
-        partitionCols = headM.partitionCols,
-        constraints = headM.constraints - key)))
+      if (publishMetadata(path, cur, headM.schemaDdl,
+        headM.partitionCols, headM.txns, headM.constraints - key))
         return cur + 1
       attempt += 1
     }

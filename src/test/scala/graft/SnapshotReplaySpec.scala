@@ -53,4 +53,36 @@ class SnapshotReplaySpec extends AnyFunSuite {
     assert(Versioned.snapshot(t).replayedManifests <= Versioned.CheckpointInterval)
     assert(Versioned.read(spark, t).count() === 204L) // 102 appends x 2
   }
+
+  test("a metadata-heavy history keeps the law: metadata commits on " +
+    "a checkpoint boundary publish FULL") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-replay-md-").toString
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t) // v1
+    // 25 consecutive metadata commits (constraints + columns) cross
+    // two checkpoint boundaries with ZERO appends in between — the
+    // delta-only form would stretch replay to the table's whole
+    // metadata run
+    (1 to 10).foreach(i =>
+      Versioned.addColumns(t, s"x$i INT")) // v2..v11
+    (1 to 10).foreach(i => Versioned.addConstraint(spark, t,
+      s"c$i", s"id > ${-i}")) // v12..v21
+    (1 to 5).foreach(i => Versioned.dropConstraint(t, s"c$i")) // v22..v26
+    val vs = Versioned.versions(t)
+    assert(vs.max === 26)
+    val worst = vs.map(v =>
+      v -> Versioned.snapshot(t, Some(v)).replayedManifests).maxBy(_._2)
+    assert(worst._2 <= Versioned.CheckpointInterval,
+      s"version ${worst._1} replayed ${worst._2} manifests")
+    // and the state is right through the checkpointed metadata: data
+    // intact, evolved schema serves, surviving constraints enforce
+    assert(Versioned.read(spark, t).count() === 2L)
+    assert(Versioned.read(spark, t).columns.length === 12) // id,s,x1..x10
+    assert(Versioned.constraintsOf(t).keySet ===
+      (6 to 10).map(i => s"c$i").toSet)
+    intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((-100L, "z")).toDF("id", "s"), t,
+        mergeSchema = true) // violates c6..c10 (id > -6..-10)
+    }
+  }
 }
