@@ -964,6 +964,17 @@ object Versioned {
       val vs0 = versions(path)
       if (vs0.nonEmpty) {
         val m0 = parseManifest(manifestPath(path, vs0.max))
+        // Exactly-once replay check BEFORE constraint enforcement
+        // (round 14, ADVICE): a foreachBatch replay of an already-
+        // committed batch must no-op with None even if a constraint
+        // added AFTER the original commit would reject the replayed
+        // rows — otherwise a restarted stream is permanently stuck in
+        // recovery. The loop below re-checks under the then-current
+        // head, so a race that commits the same batch between here
+        // and publish still dedups.
+        txn.foreach { case (app, b) =>
+          if (m0.txns.get(app).exists(_ >= b)) return None
+        }
         enforced = m0.constraints
         if (mode != "overwrite") enforcedDdl = m0.schemaDdl
       }
@@ -1191,6 +1202,16 @@ object Versioned {
       // batch is still dup — and constraints are a table property,
       // not table state)
       val headM = parseManifest(manifestPath(path, cur))
+      // The restored rows may PREDATE a constraint added after
+      // toVersion — re-validate the whole restored snapshot against
+      // the carried set (round 14, ADVICE; the addConstraint
+      // discipline: a constraint in the manifest must HOLD over the
+      // live set it describes). Loud error → drop the constraint
+      // first, then restore. Cost: one column-pruned agg over the
+      // snapshot's constrained columns, paid only when constraints
+      // exist on an explicit admin op.
+      enforceOnFiles(path, snap.files, snap.schemaDdl, headM.constraints,
+        s"RESTORE to v$toVersion")
       if (publish(path, Manifest(v, "restore", full = true, snap.files,
         snap.schemaDdl, headM.txns, stats = snap.stats,
         partitionCols = snap.partitionCols,

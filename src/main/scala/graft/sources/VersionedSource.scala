@@ -65,6 +65,15 @@ object VersionedSource {
       .add("_change_type", "string").add("_commit_version", "int")
     new VersionedTable(path, None, schema, changeFeed = true)
   }
+
+  /** The EMPTY change feed of a created-but-never-written table
+    * (round 14, ADVICE): the caller supplies the declared CDF schema
+    * (catalog schema + `_change_type`/`_commit_version`) since an
+    * empty log has none; the scan's empty-log branch plans zero
+    * partitions. */
+  def emptyChanges(path: String, cdfSchema: StructType)
+      : org.apache.spark.sql.connector.catalog.Table =
+    new VersionedTable(path, None, cdfSchema, changeFeed = true)
 }
 
 class VersionedSource extends TableProvider with DataSourceRegister {
@@ -136,10 +145,17 @@ class VersionedSource extends TableProvider with DataSourceRegister {
       new VersionedTable(path, asOf(properties), tblSchema,
         changeFeed(properties))
     } else {
-      require(!changeFeed(properties),
-        s"graftv: no committed versions to read changes from at $path")
+      // change feed on a created-but-never-written table is an EMPTY
+      // feed under the declared schema + CDF columns (round 14,
+      // ADVICE; Delta's rule) — the scan's empty-log branch plans
+      // zero partitions and a stream's latestOffset never advances
       require(asOf(properties).isEmpty,
         s"graftv: no committed versions to time-travel to at $path")
+      if (changeFeed(properties)) {
+        val cdf = schema.add("_change_type", "string")
+          .add("_commit_version", "int")
+        return new VersionedTable(path, None, cdf, changeFeed = true)
+      }
       val pcols = partitioning.toSeq.map {
         case t if t.name == "identity" && t.references.length == 1 =>
           t.references.head.fieldNames.mkString(".")
@@ -691,23 +707,25 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
     * vectorized delegate reads at native spark.read.parquet speed —
     * measured in bench/versioned_scale.json. */
   override def toBatch: Batch =
-    if (changeFeed) new Batch {
-      override def planInputPartitions(): Array[InputPartition] =
-        changePartitions(path, startingVersion,
-          endingVersion.getOrElse(Versioned.versions(path).max))
-      override def createReaderFactory(): PartitionReaderFactory =
-        new VersionedReaderFactory(required.toDDL)
-    } else if (Versioned.versions(path).isEmpty) {
+    if (Versioned.versions(path).isEmpty) {
       // a CREATE TABLE'd-but-never-written table (round 13): Delta
-      // reads it as EMPTY under its declared schema — a catalog
-      // table must be selectable the moment it exists, not only
-      // after its first insert
+      // reads it as EMPTY under its declared schema — and that holds
+      // for the CHANGE FEED too (round 14, ADVICE): a change-feed
+      // batch read over an empty log is an empty feed, not an
+      // `empty.max` crash, so the empty check runs BEFORE the
+      // changeFeed branch below.
       new Batch {
         override def planInputPartitions(): Array[InputPartition] =
           Array.empty
         override def createReaderFactory(): PartitionReaderFactory =
           new VersionedReaderFactory(required.toDDL)
       }
+    } else if (changeFeed) new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        changePartitions(path, startingVersion,
+          endingVersion.getOrElse(Versioned.versions(path).max))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new VersionedReaderFactory(required.toDDL)
     } else {
       val spark = org.apache.spark.sql.SparkSession.active
       val snap = Versioned.snapshot(path, asOf)
@@ -945,11 +963,13 @@ private[sources] class VersionedMicroBatchStream(path: String,
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : Offset = {
-    // under Trigger.AvailableNow the end bound is the log head at
-    // prepare time, never the moving head
-    val latest = availableNowBound
-      .getOrElse(Versioned.versions(path).max)
     val s = start.asInstanceOf[VersionedOffset].version
+    // under Trigger.AvailableNow the end bound is the log head at
+    // prepare time, never the moving head; an EMPTY log (a created-
+    // but-never-written table, round 14 ADVICE) means "no progress
+    // past the start offset", not an `empty.max` crash
+    val latest = availableNowBound
+      .getOrElse(Versioned.versions(path).maxOption.getOrElse(s))
     VersionedOffset(maxVersionsPerTrigger
       .map(n => math.min(latest, s + math.max(n, 1)))
       .getOrElse(latest))

@@ -527,8 +527,22 @@ object GraftTableChanges {
     val path = GraftMaintenanceSql.graftPathOf(spark, tParts,
       "table_changes")
     val allVersions = graft.sources.Versioned.versions(path)
-    require(allVersions.nonEmpty,
-      s"table_changes: $name has no committed versions yet")
+    if (allVersions.isEmpty) {
+      // a CREATE TABLE'd-but-never-written table has an EMPTY change
+      // feed (round 14, ADVICE; Delta's rule — a created table's CDF
+      // exists and is empty, it does not error). The declared schema
+      // lives in the CATALOG, so a raw-path target with no log stays
+      // a loud error (there is no schema to describe the feed with).
+      require(!name.contains('/'),
+        s"table_changes: $name has no committed versions yet")
+      litInt(args(1), "startVersion") // still validate literal shape
+      val cdf = spark.table(name).schema
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.IntegerType)
+      return DataSourceV2Relation.create(
+        graft.sources.VersionedSource.emptyChanges(path, cdf), None, None,
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), None)
+    }
     val start = litInt(args(1), "startVersion")
     require(start >= 1, s"table_changes: startVersion must be >= 1 " +
       s"(got $start); version 1 is the first commit")
