@@ -433,21 +433,33 @@ object IntKmeans {
     *
     * RECALL ENVELOPE (measured, bench/ann_recall.json): sign-LSH
     * recall is bounded by the corpus's angular structure. On the
-    * synthetic near-iid embeddings, radius-1 reads 0.24 recall@10 at
+    * synthetic near-iid embeddings, radius-1 read 0.24 recall@10 at
     * 1× and 0.52 at 25× — essentially the scanned fraction, because
     * iid vectors give hyperplanes nothing to exploit; radius 2 buys
     * recall linearly in extra candidates. For recall-critical
     * retrieval prefer `ivfTopK` (s3: recall 1.0 at 25× at every
     * nprobe) or brute force (s1); s2 exists for the banded-LSH plan
     * shape (O(N) bucket join, never all-pairs) that holds at 100 TB
-    * when the corpus HAS angular clusters. */
+    * when the corpus HAS angular clusters.
+    *
+    * SMALL-CORPUS REFINEMENT (round 14, VERDICT r13 #4 — the s4
+    * pattern ported): below N < [[TrainCap]] the bucketing saves
+    * nothing and only costs recall, so the probed pool becomes the
+    * WHOLE corpus — an exact broadcast scan (FAISS's IndexRefineFlat
+    * limit; the corpus side is < 8192 vectors, so the "cross" join
+    * is a broadcast of a few hundred KB). Recall@k is 1.0 by
+    * construction in that regime. Above the line the banded
+    * equi-join is unchanged. The small/large decision is an exact
+    * integer comparison, so the SQL twin can never disagree. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
       idCol: String, k: Int, dim: Int, seed: Long,
       probeHamming: Int = 1): DataFrame = {
     require(probeHamming == 1 || probeHamming == 2,
       s"lshTopK: probeHamming must be 1 or 2, got $probeHamming")
     val q = quantize(corpus, idCol, vCol)
-    val np = exactPlaneBits(q.count(), k)
+    val n = q.count()
+    val small = n < TrainCap
+    val np = exactPlaneBits(n, k)
     val pl = planesSign(np, dim, seed)
     def bucketOf(v: Column): Column =
       (0 until np).map { p =>
@@ -467,19 +479,25 @@ object IntKmeans {
         for { a <- 0 until np; b <- (a + 1) until np }
           yield (1L << a) | (1L << b)
       else Nil))
-    val qs = assignNone(quantize(queries, idCol, vCol), idCol)
+    val qsBase = assignNone(quantize(queries, idCol, vCol), idCol)
       .withColumn("bucket", bucketOf(col("qvd")))
       .withColumn("qn", doti(col("qvd"), col("qvd")))
       .select(col(idCol).as("query_id"), col("qvd"), col("bucket"), col("qn"))
-      .withColumn("bucket", explode(array(
-        masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
     val cos = when(col("na") === 0.0 || col("qn") === 0.0, lit(0.0))
       .otherwise(round(doti(col("qvd"), col("v"))
         / (sqrt(col("qn")) * sqrt(col("na"))), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    qs.join(c, "bucket")
+    val cand =
+      if (small)
+        // sub-cap corpus: probe EVERYTHING — a broadcast of < TrainCap
+        // quantized vectors against each query partition, no shuffle
+        qsBase.crossJoin(broadcast(c.drop("bucket")))
+      else qsBase.withColumn("bucket", explode(array(
+        masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+        .join(c, "bucket")
+    cand
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cos.as("cos_sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -679,6 +697,7 @@ object IntKmeans {
        |qs AS MATERIALIZED (
        | SELECT vec_id AS query_id, qv, bucket, na AS qn
        | FROM nn WHERE $queryPred),
+       |small AS (SELECT COUNT(*) < $TrainCap AS small FROM e),
        |qprobe AS (
        | SELECT q.query_id, q.qv, q.qn,
        |  CASE WHEN f.p < 0 THEN q.bucket
@@ -688,12 +707,22 @@ object IntKmeans {
        |  UNION ALL
        |  SELECT b FROM range(0, 24) t(b) WHERE b < (SELECT np FROM np)) f),
        |scored AS (
+       | -- two DISJOINT regimes (round 14): sub-cap corpus probes the
+       | -- whole pool exactly; at/above the cap the banded equi-join
+       | -- is unchanged — mirrors lshTopK's small/large branch
        | SELECT q.query_id, f.vec_id,
        |  CASE WHEN f.na = 0 OR q.qn = 0 THEN 0.0
        |   ELSE ROUND(list_sum([q.qv[j] * f.qv[j] FOR j IN range(1, $r)])::DOUBLE /
        |        (SQRT(q.qn::DOUBLE) * SQRT(f.na::DOUBLE)), 6) END AS cos_sim
        | FROM qprobe q JOIN nn f ON f.bucket = q.bucket
-       | WHERE f.vec_id <> q.query_id),
+       | WHERE f.vec_id <> q.query_id AND NOT (SELECT small FROM small)
+       | UNION ALL
+       | SELECT q.query_id, f.vec_id,
+       |  CASE WHEN f.na = 0 OR q.qn = 0 THEN 0.0
+       |   ELSE ROUND(list_sum([q.qv[j] * f.qv[j] FOR j IN range(1, $r)])::DOUBLE /
+       |        (SQRT(q.qn::DOUBLE) * SQRT(f.na::DOUBLE)), 6) END AS cos_sim
+       | FROM qs q CROSS JOIN nn f
+       | WHERE f.vec_id <> q.query_id AND (SELECT small FROM small)),
        |ranked AS (
        | SELECT query_id, vec_id, cos_sim,
        |  ROW_NUMBER() OVER (PARTITION BY query_id

@@ -579,15 +579,17 @@ object Similarity {
     * OperatorsSpec. The Gaussian-plane kernel (`annTopK`) remains the
     * general-dim library surface.
     *
-    * RETRIEVAL-QUALITY NOTE (round 12; `bench/ann_recall.json`): on
-    * the synthetic near-iid embeddings this reads recall@10 ≈ 0.24 at
-    * 1× / 0.52 at 25× — sign-LSH has no angular clusters to exploit
-    * there, so recall tracks the scanned fraction. Recall-critical
-    * callers should use s3 ([[s3AnnIvf]], measured 1.0 at 25× at
-    * every nprobe) or s1 brute force; `probeHamming = 2` on
-    * [[IntKmeans.lshTopK]] is the in-family recall dial. s2's value
-    * is the PLAN SHAPE: a banded equi-join that never goes all-pairs
-    * at 100 TB. */
+    * RETRIEVAL-QUALITY NOTE (round 14; `bench/ann_recall.json`):
+    * below [[IntKmeans.TrainCap]] vectors the kernel probes the WHOLE
+    * pool exactly (recall 1.0 by construction — the s4 small-corpus
+    * pattern, VERDICT r13 #4); at scale, recall on synthetic near-iid
+    * embeddings tracks the scanned fraction (0.52 at 25× radius-1 —
+    * sign-LSH has no angular clusters to exploit there).
+    * Recall-critical large-corpus callers should use s3
+    * ([[s3AnnIvf]], measured 1.0 at 25× at every nprobe) or s1 brute
+    * force; `probeHamming = 2` on [[IntKmeans.lshTopK]] is the
+    * in-family recall dial. s2's value is the PLAN SHAPE: a banded
+    * equi-join that never goes all-pairs at 100 TB. */
   def s2AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables(spark, dir, "embeddings")
       .repartition(col("vec_id"))

@@ -759,20 +759,33 @@ object Versioned {
   /** Apply a CHANGE-FEED batch (rows carrying `_change_type` +
     * `_commit_version`, as produced by `readChangeFeed` in batch or
     * streaming form) to the graftv table at `target` — the v6
-    * cdf-apply law as an executable operator (round 13). Versions in
-    * the batch are applied IN ORDER; per version the net row effect
-    * reduces to at most TWO COW merges over the table's exact schema
-    * (no marker column ever evolves into the replica):
+    * cdf-apply law as an executable operator (round 13). The WHOLE
+    * version range in the batch coalesces to its NET effect per key
+    * FIRST (round 14; Delta's batch CDC-apply discipline): only a
+    * key's LAST event — ordered by `_commit_version`, deletes ranking
+    * below same-version re-inserts (a REPLACE commit deletes and
+    * re-inserts the same key; deletes apply first, so the re-inserted
+    * row is the survivor) — reaches the table, so a replica catching
+    * up over N versions pays at most TWO COW merges, not 2N. Net
+    * effect over the table's exact schema (no marker column ever
+    * evolves into the replica):
     *
-    *  - `delete` rows tombstone-delete their keys (a whenMatched-
-    *    Delete merge with no insert chain),
-    *  - `insert` / `update_postimage` rows upsert (a plain upsert
-    *    merge) — a key appears in at most one change kind per commit,
-    *    so the two merges never touch the same key,
+    *  - keys whose last event is `delete` tombstone-delete (a
+    *    whenMatchedDelete merge with no insert chain),
+    *  - keys whose last event is `insert` / `update_postimage` upsert
+    *    (a plain upsert merge) — the two key sets are disjoint by
+    *    construction (one last event per key), so merge order between
+    *    them is immaterial,
     *  - `update_preimage` rows are dropped (the postimage carries the
     *    state),
     *  - an empty batch (OPTIMIZE / metadata commits are layout- or
     *    schema-only) is a no-op.
+    *
+    * The coalescing window = the TRIGGER batch: with
+    * `maxVersionsPerTrigger = n` the replica still surfaces every
+    * n-th intermediate state (rate-limited convergence, the same law
+    * the admission control enforces); without it a catch-up drain
+    * converges straight to the source head.
     *
     * A nonexistent / empty `target` is BORN from the first batch's
     * inserts (table birth is a write), with tombstones for
@@ -784,12 +797,13 @@ object Versioned {
     * state — at the cost of an extra (empty-effect) version on
     * `target`.
     *
-    * Scale shape: one COW merge per SOURCE COMMIT, each touching only
-    * the files its keys hit (file-granular COW + stats pruning), so a
-    * replica of a 100 TB table pays per-commit for the commit's
-    * footprint, never the table's size. The per-trigger driver work
-    * is O(versions in the batch) — one `distinct` collect of the
-    * tiny `_commit_version` column. */
+    * Scale shape: at most TWO COW merges per TRIGGER regardless of
+    * how many source commits it drains, each touching only the files
+    * the net keys hit (file-granular COW + stats pruning), so a
+    * replica of a 100 TB table pays per-trigger for the trigger's net
+    * key footprint — never the table's size, and never N× for an
+    * N-version catch-up. The coalescing shuffle is ONE exchange on
+    * `keys` sized by the change batch itself. */
   def applyChanges(batch: DataFrame, target: String,
       keys: Seq[String]): Unit = {
     require(batch.columns.contains("_change_type") &&
@@ -801,35 +815,39 @@ object Versioned {
       .filterNot(c => c == "_change_type" || c == "_commit_version")
     keys.foreach(k => require(dataCols.contains(k),
       s"versioned: replication key $k not in the change batch"))
-    val vs = batch.select("_commit_version").distinct()
-      .orderBy("_commit_version")
-      .collect().map(_.getInt(0)) // O(versions per trigger)
-    vs.foreach { v =>
-      val chg = batch.where(col("_commit_version") === v)
-      // deletes apply BEFORE upserts: merge/update/delete commits put
-      // a key in at most one change kind (first-match-wins), but a
-      // REPLACE commit can delete and re-insert the SAME key — the
-      // delete-then-upsert order makes the replayed state the
-      // re-inserted row, matching the source. The source keeps the
-      // TABLE's exact schema (no marker column to evolve into the
-      // replica).
-      val dels = chg.where(col("_change_type") === "delete")
-        .select(dataCols.map(col).toIndexedSeq: _*)
-      val ups = chg
-        .where(col("_change_type").isin("insert", "update_postimage"))
-        .select(dataCols.map(col).toIndexedSeq: _*)
-      if (versions(target).isEmpty) {
-        // table birth: commit the inserts; tombstones have nothing to
-        // delete on an empty replica
-        if (!ups.isEmpty) { commit(ups, target, "append"); () }
-      } else {
-        if (!dels.isEmpty) {
-          mergeClauses(dels, target, keys,
-            matched = Seq(WhenMatched.Delete(None)), notMatched = Nil)
-          ()
-        }
-        if (!ups.isEmpty) { merge(ups, target, keys); () }
+    // NET effect per key over the whole drained range (round 14):
+    // keep each key's LAST event — version ascending; within a
+    // version a key appears in at most one change kind EXCEPT a
+    // replace commit's delete+re-insert, where deletes apply first,
+    // so the re-insert outranks the delete. One row_number window =
+    // one keyed exchange sized by the change batch.
+    val events = batch.where(col("_change_type") =!= "update_preimage")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "delete", 0).otherwise(1).desc)
+    val last = events
+      .withColumn("__g_rn", org.apache.spark.sql.functions
+        .row_number().over(w))
+      .where(col("__g_rn") === 1)
+    val dels = last.where(col("_change_type") === "delete")
+      .select(dataCols.map(col).toIndexedSeq: _*)
+    val ups = last
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .select(dataCols.map(col).toIndexedSeq: _*)
+    if (versions(target).isEmpty) {
+      // table birth: commit the net inserts; tombstones have nothing
+      // to delete on an empty replica
+      if (!ups.isEmpty) { commit(ups, target, "append"); () }
+    } else {
+      // the two key sets are disjoint (one last event per key), so
+      // delete-merge vs upsert-merge order is immaterial
+      if (!dels.isEmpty) {
+        mergeClauses(dels, target, keys,
+          matched = Seq(WhenMatched.Delete(None)), notMatched = Nil)
+        ()
       }
+      if (!ups.isEmpty) { merge(ups, target, keys); () }
     }
   }
 
@@ -889,26 +907,58 @@ object Versioned {
       addedStats)
   }
 
+  /** Safe WIDENING lattice (round 14, VERDICT r13 #6; the Delta
+    * type-widening discipline, and the reference's coerce-to-
+    * int64/float64 persist posture, atoms.py:37–65): integral types
+    * widen along byte < short < int < long, and float widens to
+    * double. Spark 4's parquet readers (vectorized and parquet-mr)
+    * promote the narrower PHYSICAL type at scan time, so old files
+    * written before a widening read back widened with no rewrite. */
+  private val widenChain: Map[org.apache.spark.sql.types.DataType, Int] =
+    Map(org.apache.spark.sql.types.ByteType -> 0,
+      org.apache.spark.sql.types.ShortType -> 1,
+      org.apache.spark.sql.types.IntegerType -> 2,
+      org.apache.spark.sql.types.LongType -> 3)
+  private[sources] def widened(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] =
+    if (a == b) Some(a)
+    else (widenChain.get(a), widenChain.get(b)) match {
+      case (Some(x), Some(y)) => Some(if (x >= y) a else b)
+      case _ =>
+        import org.apache.spark.sql.types.{DoubleType, FloatType}
+        if (Set[org.apache.spark.sql.types.DataType](a, b) ==
+          Set[org.apache.spark.sql.types.DataType](FloatType, DoubleType))
+          Some(DoubleType)
+        else None
+    }
+
   /** ADDITIVE schema merge (mergeSchema appends and schema-evolution
-    * merges share it): `prev` columns keep their position and type —
-    * type changes are a loud error — and genuinely new `next` columns
-    * append as nullable. Old files read back under the merged DDL
-    * with the new columns null-filled (parquet fills absent
-    * columns). */
+    * merges share it): `prev` columns keep their position — a shared
+    * column resolves to the WIDER of the two types along the safe
+    * [[widened]] lattice (round 14; any other type change is a loud
+    * error) — and genuinely new `next` columns append as nullable.
+    * Old files read back under the merged DDL with the new columns
+    * null-filled (parquet fills absent columns) and narrower
+    * physical types promoted at scan time. */
   private def mergeDdl(prevDdl: String, nextDdl: String, path: String,
       what: String): String = {
     val prevS = StructType.fromDDL(prevDdl)
     val newS = StructType.fromDDL(nextDdl)
-    prevS.fields.foreach { pf =>
-      newS.fields.find(_.name == pf.name).foreach { nf =>
-        require(nf.dataType == pf.dataType,
-          s"versioned: $what cannot change ${pf.name}: " +
-            s"${pf.dataType} -> ${nf.dataType} at $path")
+    val kept = prevS.fields.map { pf =>
+      newS.fields.find(_.name == pf.name).fold(pf) { nf =>
+        val w = widened(pf.dataType, nf.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"versioned: $what cannot change ${pf.name}: " +
+              s"${pf.dataType} -> ${nf.dataType} at $path (only " +
+              "byte<short<int<long and float<double widen)"))
+        pf.copy(dataType = w)
       }
     }
     val extra = newS.fields.filterNot(f =>
       prevS.fieldNames.contains(f.name))
-    StructType(prevS.fields ++ extra).toDDL
+    StructType(kept ++ extra).toDDL
   }
 
   /** Publish ALREADY-WRITTEN data files as an append/overwrite commit
@@ -1065,6 +1115,48 @@ object Versioned {
       val outDdl =
         StructType(prevS.fields ++ newCols.fields.map(_.copy(nullable = true)))
           .toDDL
+      val headM = parseManifest(manifestPath(path, cur))
+      if (publishMetadata(path, cur, outDdl, snap.partitionCols,
+        headM.txns, headM.constraints))
+        return cur + 1
+      attempt += 1
+    }
+    sys.error(s"versioned: gave up altering $path after $attempt attempts")
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE t` (round 14, VERDICT r13
+    * #6): a METADATA-ONLY commit whose DDL carries the column at the
+    * WIDER type — allowed strictly along the safe [[widened]] lattice
+    * (byte<short<int<long, float<double; Delta's type-widening
+    * feature). Existing files keep their narrower physical type and
+    * read back promoted at scan time; NARROWING (or any other type
+    * change) is a loud error naming the lattice. Time travel keeps
+    * per-version DDL, so pre-widening versions still read narrow.
+    * Partition columns widen like any other (the manifest's point
+    * stats are LongStat either way). */
+  def alterColumnType(path: String, colName: String,
+      newTypeDdl: String): Int = {
+    val newType = StructType.fromDDL(s"`c` $newTypeDdl").head.dataType
+    var attempt = 0
+    while (attempt < 64) {
+      val vs = versions(path)
+      require(vs.nonEmpty,
+        s"versioned: no committed versions under $path — create the " +
+          "table before altering it")
+      val cur = vs.max
+      val snap = snapshot(path, Some(cur))
+      val prevS = StructType.fromDDL(snap.schemaDdl)
+      val f = prevS.fields.find(_.name.equalsIgnoreCase(colName))
+        .getOrElse(throw new IllegalArgumentException(
+          s"versioned: no column $colName at $path (have " +
+            s"${prevS.fieldNames.mkString(", ")})"))
+      require(widened(f.dataType, newType).contains(newType) &&
+        f.dataType != newType,
+        s"versioned: ALTER COLUMN ${f.name} ${f.dataType.sql} -> " +
+          s"${newType.sql} at $path is not a widening (only " +
+          "byte<short<int<long and float<double widen)")
+      val outDdl = StructType(prevS.fields.map(p =>
+        if (p.name == f.name) p.copy(dataType = newType) else p)).toDDL
       val headM = parseManifest(manifestPath(path, cur))
       if (publishMetadata(path, cur, outDdl, snap.partitionCols,
         headM.txns, headM.constraints))

@@ -861,6 +861,11 @@ private[sources] class VersionedPartitionReader(file: String,
   // when the projection hits ONLY post-evolution columns, this file
   // contributes row-count all-null rows straight from the footer
   private var allNullRemaining: Long = 0L
+  // physical primitive per present column (set by the reader init):
+  // a file written before a type WIDENING (round 14) carries the
+  // narrower physical type and must promote at extraction
+  private var physType: Map[String,
+    org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = Map.empty
 
   private val reader: Option[ParquetReader[Group]] = {
     val conf = new Configuration() // local paths; a cluster threads the session's hadoopConf
@@ -874,6 +879,13 @@ private[sources] class VersionedPartitionReader(file: String,
     val pruned = new MessageType(fileSchema.getName,
       fileSchema.getFields.asScala.filter(f => wanted(f.getName)).asJava)
     present = pruned.getFields.asScala.map(_.getName).toSet
+    // physical primitive per present column — a file written before a
+    // type WIDENING (round 14) carries the narrower physical type and
+    // must promote at extraction, like Spark's own parquet readers do
+    physType = pruned.getFields.asScala.collect {
+      case f if f.isPrimitive =>
+        f.getName -> f.asPrimitiveType().getPrimitiveTypeName
+    }.toMap
     if (pruned.getFieldCount == 0) { allNullRemaining = rowCount; None }
     else {
       conf.set(ReadSupport.PARQUET_READ_SCHEMA, pruned.toString)
@@ -889,10 +901,17 @@ private[sources] class VersionedPartitionReader(file: String,
   }
   override def get(): InternalRow = InternalRow.fromSeq(
     required.fields.map { f =>
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       if (consts.contains(f.name)) consts(f.name)
       else if (!present(f.name)) null
       else if (cur.getFieldRepetitionCount(f.name) == 0) null
       else f.dataType match {
+        // widened columns (round 14): promote the narrower PHYSICAL
+        // value the old file carries to the read schema's type
+        case LongType if physType.get(f.name).contains(INT32) =>
+          cur.getInteger(f.name, 0).toLong
+        case DoubleType if physType.get(f.name).contains(FLOAT) =>
+          cur.getFloat(f.name, 0).toDouble
         case LongType => cur.getLong(f.name, 0)
         case IntegerType => cur.getInteger(f.name, 0)
         case DoubleType => cur.getDouble(f.name, 0)

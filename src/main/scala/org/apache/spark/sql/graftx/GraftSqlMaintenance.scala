@@ -398,6 +398,58 @@ case class GraftAddColumnsCommand(
   }
 }
 
+/** `ALTER TABLE t ALTER COLUMN c TYPE t2` for graftv tables (round
+  * 14, VERDICT r13 #6): routed through the metadata-only
+  * [[graft.sources.Versioned.alterColumnType]] commit — allowed
+  * strictly along the safe widening lattice (byte<short<int<long,
+  * float<double); old files keep their narrower physical type and
+  * promote at scan time; time travel keeps per-version DDL.
+  * Non-graftv targets re-enter Spark's native ALTER machinery
+  * untouched. Comment/nullability/position/default changes on graftv
+  * targets are loud errors (nothing in the manifest stores them). */
+case class GraftAlterColumnsCommand(
+    alter: org.apache.spark.sql.catalyst.plans.logical.AlterColumns)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val spark = sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val tParts = alter.table match {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        ut.multipartIdentifier
+      case other => throw new IllegalArgumentException(
+        s"ALTER TABLE: unexpected target ${other.nodeName}")
+    }
+    GraftSqlTarget.pathOf(spark, tParts) match {
+      case None => // not ours: Spark's native ALTER path
+        org.apache.spark.sql.classic.Dataset.ofRows(spark, alter)
+          .collect().toSeq
+      case Some(path) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(
+            s"graftv ALTER TABLE ALTER COLUMN: $msg")
+        alter.specs.foreach { s =>
+          if (s.column.name.length != 1) fail(
+            s"nested field ${s.column.name.mkString(".")} — only " +
+              "top-level columns can be widened")
+          if (s.newDataType.isEmpty) fail(
+            s"${s.column.name.mkString(".")}: only TYPE changes are " +
+              "supported (comment/nullability/position/default are " +
+              "not graftv table properties)")
+          if (s.newNullability.nonEmpty || s.newComment.nonEmpty ||
+            s.newPosition.nonEmpty || s.newDefaultExpression.nonEmpty ||
+            s.dropDefault) fail(
+            s"${s.column.name.mkString(".")}: only TYPE changes are " +
+              "supported")
+        }
+        alter.specs.foreach { s =>
+          graft.sources.Versioned.alterColumnType(path,
+            s.column.name.head, s.newDataType.get.sql)
+        }
+        Seq.empty
+    }
+  }
+}
+
 /** SQL time travel for graftv tables (round 12):
   * `SELECT … FROM t VERSION AS OF v` /
   * `… TIMESTAMP AS OF '2026-08-15 12:00:00'`. Spark resolves

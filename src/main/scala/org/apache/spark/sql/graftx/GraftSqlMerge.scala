@@ -63,6 +63,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case m: MergeIntoTable => GraftMergeIntoCommand(m)
       case u: UpdateTable => GraftUpdateCommand(u)
       case a: AddColumns => GraftAddColumnsCommand(a)
+      case a: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
+        GraftAlterColumnsCommand(a)
       // Spark's parser emits AddCheckConstraint for CHECK and
       // AddConstraint for the other families (PK/FK/UNIQUE — which
       // the command rejects for graftv targets)

