@@ -92,6 +92,53 @@ object Bench {
   private[graft] def benchBaseline(sfName: String): Map[String, Double] =
     benchBaselineBoth(sfName).map { case (k, (_, w)) => k -> w }
 
+  /** Stable hash of a query's PHYSICAL plan SHAPE (round 14, VERDICT
+    * r13 #9): the operator tree's node names only — no expression
+    * ids, no literals, no paths — so the hash moves exactly when the
+    * plan's operator structure moves. Drift adjudication reads it to
+    * separate "the plan changed" (code/optimizer regression) from
+    * "the same plan ran slower" (machine). AQE note: this is the
+    * INITIAL physical plan (runtime re-plans depend on runtime stats
+    * and would make the hash nondeterministic). */
+  private[graft] def planShapeHash(df: org.apache.spark.sql.DataFrame)
+      : String = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): StringBuilder = {
+      val sb = new StringBuilder(p.nodeName)
+      sb += '('
+      p.children.foreach { c => sb.append(walk(c)); sb += ',' }
+      // subqueries/broadcast exchanges hide under expressions in some
+      // nodes; the child tree is the shape signal, which is enough to
+      // catch join-strategy/exchange/codegen-boundary changes
+      sb += ')'
+      sb
+    }
+    // AQE wraps the whole query in a CHILDLESS AdaptiveSparkPlanExec
+    // (the inner plan is a field, not a child) — hash its initial
+    // plan, the deterministic pre-runtime shape
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val s = walk(root).toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** Per-query plan-shape hashes from the committed artifact (absent
+    * in pre-round-14 artifacts → empty). */
+  private[graft] def priorShapes(sfName: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(s"bench/bench_$sfName.json")
+    if (!java.nio.file.Files.isReadable(p)) return Map.empty
+    val line = """"([A-Za-z0-9_]+)":\s*\{"cold":[^}]*"plan_shape":\s*"([0-9a-f]+)"""".r
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      line.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -147,21 +194,31 @@ object Bench {
     val calibStart = calibrate()
 
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def time1(name: String): Double = {
+    val shapes = scala.collection.mutable.HashMap[String, String]()
+    def time1(name: String, captureShape: Boolean = false): Double = {
       val t0 = System.nanoTime()
+      var df: org.apache.spark.sql.DataFrame = null
       // noop sink materializes every output column (a bare count()
       // would let Catalyst prune projections and under-measure).
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         failed += name
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // plan-shape hash (round 14) OUTSIDE the timed window, on the
+      // warm pass only — planning cost only, the query is not re-run
+      if (captureShape && df != null && !failed(name))
+        try { shapes(name) = planShapeHash(df) }
+        catch { case _: Throwable => () }
+      sec
     }
-    def pass(): Seq[(String, Double)] = names.map(n => n -> time1(n))
+    def pass(captureShape: Boolean = false): Seq[(String, Double)] =
+      names.map(n => n -> time1(n, captureShape))
     val cold = pass()
-    val warm0 = pass()
+    val warm0 = pass(captureShape = true)
 
     // Spike re-run protocol (documented in COVERAGE.md §Scaling since
     // round 3, now automated): sandbox interference shows up as a warm
@@ -275,15 +332,26 @@ object Bench {
           adjustedDrift(prior, warmMapNow, common, pc, calibNow)
         case _ => Nil
       }
-    val driftJson = priorCalib match {
+    // Plan-shape adjudication (round 14, VERDICT r13 #9): a drift
+    // flag whose plan shape ALSO moved indicts the code/optimizer; an
+    // unchanged shape clears the code and indicts the machine/JIT.
+    // `plan_shape_changed` lists EVERY mover, time-flagged or not
+    // (a shape change that got faster still deserves a PLANS.md look).
+    val prevShapes = priorShapes(sfNameEarly)
+    def shapeChanged(n: String): Option[Boolean] =
+      for { p <- prevShapes.get(n); c <- shapes.get(n) } yield p != c
+    val shapeMoved = names.filter(n => shapeChanged(n).contains(true))
+    val driftJson = (priorCalib match {
       case Some(pc) =>
         s""""calibration_adjusted_drift": {"basis_calibration_sec": ${r3(pc)}, "run_calibration_sec": ${r3(calibNow)}, "calibration_unstable": $calibUnstable, "threshold": 1.5, "floor_sec": 0.5, "flagged": {""" +
           driftFlagged.map { case (n, pw, nw, r) =>
-            s""""$n": {"prev_warm": ${r3(pw)}, "warm": ${r3(nw)}, "adjusted_ratio": ${r3(r)}}"""
+            val sc = shapeChanged(n).map(_.toString).getOrElse("null")
+            s""""$n": {"prev_warm": ${r3(pw)}, "warm": ${r3(nw)}, "adjusted_ratio": ${r3(r)}, "shape_changed": $sc}"""
           }.mkString(", ") + "}}"
       case None =>
         """"calibration_adjusted_drift": null"""
-    }
+    }) + s""",\n  "plan_shape_changed": [""" +
+      shapeMoved.map(n => s""""$n"""").mkString(", ") + "]"
 
     // complete two-pass artifact (committed alongside the code)
     val sfName = new java.io.File(sfDir).getName
@@ -315,9 +383,11 @@ object Bench {
     // normalized per-query time the NEXT round's drift adjudication
     // divides against (and the unit a human should compare across
     // rounds — it moves only with code).
-    full ++= names.map(n =>
-      s"""    "$n": {"cold": ${r3(cold.toMap.apply(n))}, "warm": ${r3(warmMap(n))}, "warm_per_calib": ${r3(warmMap(n) / calibNow)}}""")
-      .mkString(",\n")
+    full ++= names.map { n =>
+      val shape = shapes.get(n)
+        .map(h => s""", "plan_shape": "$h"""").getOrElse("")
+      s"""    "$n": {"cold": ${r3(cold.toMap.apply(n))}, "warm": ${r3(warmMap(n))}, "warm_per_calib": ${r3(warmMap(n) / calibNow)}$shape}"""
+    }.mkString(",\n")
     full ++= "\n  }\n}\n"
     // a SPARK_GRAFT_ONLY-subset run must not clobber the committed
     // full-surface artifact unless the caller names an output
@@ -379,7 +449,7 @@ object Bench {
       if (failed.isEmpty) "[]" else failed.map(n => s""""$n"""").mkString("[", ",", "]")
     def lineFor(qnames: Seq[String]): String = {
       val qs = qnames.map(k => "\"" + k + "\":" + r3(warmMap2(k))).mkString("{", ",", "}")
-      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"calibration_sec":${r3(calibStart)},"calibration_end_sec":${r3(calibEnd)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","artifact":"${if (gateRejected) "kept_contended" else "refreshed"}","contended":${contended.map(_.toString).getOrElse("null")},"contended_cold":${contendedCold.map(_.toString).getOrElse("null")},"drift_flagged":${driftFlagged.map(f => s""""${f._1}"""").mkString("[", ",", "]")},"drift_calibration_unstable":$calibUnstable,"spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
+      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"calibration_sec":${r3(calibStart)},"calibration_end_sec":${r3(calibEnd)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","artifact":"${if (gateRejected) "kept_contended" else "refreshed"}","contended":${contended.map(_.toString).getOrElse("null")},"contended_cold":${contendedCold.map(_.toString).getOrElse("null")},"drift_flagged":${driftFlagged.map(f => s""""${f._1}"""").mkString("[", ",", "]")},"plan_shape_changed":${shapeMoved.map(n => s""""$n"""").mkString("[", ",", "]")},"drift_calibration_unstable":$calibUnstable,"spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
     }
     // headline priority: one representative per family, expensive first,
     // then everything else — trimmed from the back until the line fits.

@@ -82,4 +82,42 @@ class BenchDriftSpec extends AnyFunSuite {
       assert(Bench.priorCalibration("no_such_sf_name").isEmpty)
     } finally Files.deleteIfExists(p)
   }
+
+  test("plan-shape hash: stable per shape, moves with the operator " +
+    "tree, ignores literals/paths; priorShapes round-trips (r14 #9)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graftx.GraftExtensions")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    val base = spark.range(100).toDF("id")
+    val agg1 = base.groupBy((col("id") % 10).as("k")).count()
+    val agg2 = base.groupBy((col("id") % 7).as("k")).count()
+    // same operator tree, different literal → same shape
+    assert(Bench.planShapeHash(agg1) == Bench.planShapeHash(agg2))
+    // a different tree (extra sort) → different shape
+    assert(Bench.planShapeHash(agg1.orderBy("k")) !=
+      Bench.planShapeHash(agg1))
+    // artifact round-trip: the per-query regex reads the hash back
+    val p = Paths.get("bench/bench_shapetestsf.json")
+    Files.createDirectories(p.getParent)
+    val h = Bench.planShapeHash(agg1)
+    val artifact =
+      s"""{
+         |  "queries": {
+         |    "q_shaped": {"cold": 1.0, "warm": 0.9, "warm_per_calib": 4.5, "plan_shape": "$h"},
+         |    "q_pre14": {"cold": 1.0, "warm": 0.9, "warm_per_calib": 4.5}
+         |  }
+         |}""".stripMargin
+    try {
+      Files.write(p, artifact.getBytes("UTF-8"))
+      assert(Bench.priorShapes("shapetestsf") == Map("q_shaped" -> h))
+      // the warm regex still reads both entries
+      assert(Bench.benchBaselineBoth("shapetestsf").keySet ==
+        Set("q_shaped", "q_pre14"))
+    } finally Files.deleteIfExists(p)
+  }
 }
