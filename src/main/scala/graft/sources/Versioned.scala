@@ -2796,6 +2796,50 @@ object Versioned {
     } finally deleteRecursively(Paths.get(tmp))
   }
 
+  /** v13_widen (round 14, VERDICT r13 #6): TYPE WIDENING oracled.
+    * v1 commits (doc_id BIGINT, n INT, x FLOAT); v2/v3 widen n→BIGINT
+    * and x→DOUBLE via `alterColumnType` (metadata-only); v4 appends
+    * rows whose n values NEED 64 bits. Steps: (1) v1 under its own
+    * narrow DDL (time travel), (2) the head — old int32/float files
+    * promoted at scan time next to new int64/double files, (3) the
+    * head restricted to the PRE-WIDENING rows (proves the old
+    * physical files read widened). `n_is_long` pins the Spark-side
+    * schema so the oracle row fails if widening silently stops.
+    * FP parity: x = n_chars·0.25 is exact in float (n_chars < 2²⁴)
+    * and reported as the exact integer x·4. */
+  def widenEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("int").as("n"),
+        (col("n_chars").cast("float") * lit(0.25f)).as("x"))
+    val tmp = Files.createTempDirectory("graft-versioned-").toString
+    try {
+      commit(docs.where(col("doc_id") % 2 === 0), tmp, "append") // v1
+      alterColumnType(tmp, "n", "BIGINT") // v2 (metadata-only)
+      alterColumnType(tmp, "x", "DOUBLE") // v3 (metadata-only)
+      commit(docs.where(col("doc_id") % 2 === 1)
+        .withColumn("n", col("n").cast("long") + lit(3000000000L))
+        .withColumn("x", col("x").cast("double")), tmp, "append") // v4
+      def aggOf(df: DataFrame, step: Int): Row = {
+        val r = df.agg(count(lit(1)).as("n_rows"),
+          sum(col("n").cast("long")).as("sum_n"),
+          sum((col("x") * lit(4)).cast("long")).as("sum_x4")).head()
+        val isLong =
+          if (df.schema("n").dataType ==
+            org.apache.spark.sql.types.LongType) 1 else 0
+        Row(step, r.getLong(0), r.getLong(1), r.getLong(2), isLong)
+      }
+      val steps = Seq(
+        aggOf(read(spark, tmp, Some(1)), 1),
+        aggOf(read(spark, tmp), 2),
+        aggOf(read(spark, tmp).where(col("doc_id") % 2 === 0), 3))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(steps, 1),
+        StructType.fromDDL("step INT, n_rows BIGINT, sum_n BIGINT, " +
+          "sum_x4 BIGINT, n_is_long INT"))
+        .orderBy(col("step"))
+    } finally deleteRecursively(Paths.get(tmp))
+  }
+
   /** v6_cdf_apply: the CDF-apply LAW as an oracle gate — after an
     * append + COW merge + delete, the table's final state is
     * reconstructed purely FROM THE CHANGE FEED (adds = inserts +
@@ -3151,6 +3195,7 @@ object Versioned {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v13_widen" -> (widenEvolution _),
     "v12_convert" -> (convertAdopt _),
     "v11_cdc_replicate" -> (cdcReplicate _),
     "v10_create" -> (createTableAsSelect _),
@@ -3165,6 +3210,29 @@ object Versioned {
     "v6_cdf_apply" -> (cdfApply _))
 
   val oracle: Map[String, String] = Map(
+    "v13_widen" -> """
+      WITH evens AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n FROM documents
+        WHERE doc_id % 2 = 0),
+      odds AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) + 3000000000 AS n,
+               CAST(n_chars AS BIGINT) AS x4
+        FROM documents WHERE doc_id % 2 = 1),
+      agg AS (
+        SELECT 1 AS step, count(*) AS n_rows, sum(n) AS sum_n,
+               sum(n) AS sum_x4, 0 AS n_is_long FROM evens
+        UNION ALL
+        SELECT 2, (SELECT count(*) FROM evens) + (SELECT count(*) FROM odds),
+               (SELECT sum(n) FROM evens) + (SELECT sum(n) FROM odds),
+               (SELECT sum(n) FROM evens) + (SELECT sum(x4) FROM odds), 1
+        UNION ALL
+        SELECT 3, count(*), sum(n), sum(n), 1 FROM evens)
+      SELECT CAST(step AS INT) AS step,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_n AS BIGINT) AS sum_n,
+             CAST(sum_x4 AS BIGINT) AS sum_x4,
+             CAST(n_is_long AS INT) AS n_is_long
+      FROM agg ORDER BY step""",
     "v12_convert" -> """
       WITH agg AS (
         SELECT 1 AS step, count(*) AS n_rows, sum(doc_id) AS sum_doc_id,
