@@ -132,13 +132,24 @@ object DedupOps {
     *    (probe, member) PAIR, so no fixed per-bucket subset contains
     *    every probe's argmax. MinHashSpec encodes this contract
     *    against a planted mega-bucket. */
-  def incrementalProbeOf(batch: DataFrame, history: DataFrame): DataFrame = {
+  private def explodedBands(df: DataFrame, side: String): DataFrame = {
     val sigArr = array((0 until K).map(i => col(s"mh$i")): _*)
-    def exploded(df: DataFrame, side: String): DataFrame = df.select(
+    df.select(
       col("doc_id").as(s"${side}_id"), sigArr.as(s"sig_$side"),
       posexplode(array(col("band_0"), col("band_1")))
         .as(Seq("band_idx", "band_key")))
-    val b = exploded(batch, "b")
+  }
+
+  /** The PERSISTENT state-table form of a signature history (round
+    * 14, VERDICT r13 #5): exploded to one row per (doc, band) with
+    * the skew cap already applied, ready to be WRITTEN ONCE —
+    * ideally bucketed on `band_key` (operators.Bucketed) so every
+    * later increment's probe join plans ZERO state-side exchange —
+    * and probed by [[incrementalProbeAgainstState]] per increment.
+    * Recomputing history signatures per increment (what the scale
+    * probe used to measure) costs O(corpus) per batch; the state
+    * table makes each increment O(batch + matched buckets). */
+  def minhashBandState(history: DataFrame): DataFrame =
     // skew guard: cap the HISTORY side per band bucket — each batch
     // doc probes ~DefaultMaxBucket history members per bucket (the
     // bucket's min id + a deterministic hash subset; count-pass
@@ -147,8 +158,18 @@ object DedupOps {
     // semantics survive with bounded fan-out, and the guaranteed
     // min-id member keeps the rank-1 tiebreak stable. Gate-scale
     // buckets are far under the cap → bit-identical results there.
-    val h = graft.operators.MinHash.capBucketMembers(
-      exploded(history, "h"), Seq("band_idx", "band_key"), "h_id")
+    graft.operators.MinHash.capBucketMembers(
+      explodedBands(history, "h"), Seq("band_idx", "band_key"), "h_id")
+
+  def incrementalProbeOf(batch: DataFrame, history: DataFrame): DataFrame =
+    incrementalProbeAgainstState(batch, minhashBandState(history))
+
+  /** Probe a signature `batch` against an already-materialized band
+    * STATE table ([[minhashBandState]]'s shape). */
+  def incrementalProbeAgainstState(batch: DataFrame,
+      state: DataFrame): DataFrame = {
+    val b = explodedBands(batch, "b")
+    val h = state
     val estJ = org.apache.spark.sql.graftx.PositionalEqual
       .equalCount(col("sig_b"), col("sig_h"))
       .cast("double") / K

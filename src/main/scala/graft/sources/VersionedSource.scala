@@ -300,7 +300,8 @@ private[sources] class VersionedBatchWrite(path: String,
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    VersionedWriterFactory(s"$path/data/c-$commitId", schema.toDDL, pcols)
+    VersionedWriterFactory(s"$path/data/c-$commitId",
+      Versioned.physicalDdlOf(path, schema.toDDL), pcols)
 
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -354,7 +355,8 @@ private[sources] class VersionedStreamingWrite(path: String,
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    VersionedStreamingWriterFactory(path, schema.toDDL, pcols, qid)
+    VersionedStreamingWriterFactory(path,
+      Versioned.physicalDdlOf(path, schema.toDDL), pcols, qid)
 
   override def commit(epochId: Long, messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -725,7 +727,8 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
         changePartitions(path, startingVersion,
           endingVersion.getOrElse(Versioned.versions(path).max))
       override def createReaderFactory(): PartitionReaderFactory =
-        new VersionedReaderFactory(required.toDDL)
+        new VersionedReaderFactory(required.toDDL,
+          Versioned.snapshot(path).colMap)
     } else {
       val spark = org.apache.spark.sql.SparkSession.active
       val snap = Versioned.snapshot(path, asOf)
@@ -740,23 +743,70 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
       // run post-scan, so unsupported shapes simply don't prune.
       val bounds = FilterBounds.of(dataFilters.toSeq)
       val kept = bounds.foldLeft(snap.files) { case (fs, (c, b)) =>
-        Versioned.pruneFilesBy(snap.copy(files = fs), c, b)
+        // manifest stats are keyed by PHYSICAL names (column mapping)
+        Versioned.pruneFilesBy(snap.copy(files = fs), snap.physOf(c), b)
       }
       val files = kept.map(f => new org.apache.hadoop.fs.Path(s"$path/$f"))
       // every data file carries every column — partitioned layouts
       // included (the Iceberg discipline, Versioned.PartDirPrefix) —
-      // so one uniform vectorized delegate serves both
-      val dataSchema = StructType.fromDDL(snap.schemaDdl)
+      // so one uniform vectorized delegate serves both. Files carry
+      // PHYSICAL column names; the delegate scans the physical schema
+      // (same positions/types) and the rows come back positionally,
+      // so the logical readSchema above still describes them (r14).
+      def phys(st: StructType): StructType =
+        StructType(st.fields.map(f =>
+          f.copy(name = snap.physOf(f.name))))
+      val dataSchema = phys(StructType.fromDDL(snap.schemaDdl))
       val idx = new org.apache.spark.sql.execution.datasources
         .InMemoryFileIndex(spark, files, Map.empty, Some(dataSchema))
       val b = org.apache.spark.sql.execution.datasources.v2.parquet
         .ParquetScanBuilder(spark, idx, dataSchema, dataSchema,
           CaseInsensitiveStringMap.empty())
-      b.pruneColumns(required)
-      // forward for ROW-GROUP pruning inside the delegated scan
-      b.pushDataFilters(dataFilters)
+      b.pruneColumns(phys(required))
+      // forward for ROW-GROUP pruning inside the delegated scan,
+      // filter columns translated to their physical names
+      val physFilters =
+        if (snap.colMap.isEmpty) dataFilters
+        else dataFilters.flatMap(translateFilter(_, snap.physOf))
+      b.pushDataFilters(physFilters)
       b.build().toBatch
     }
+
+  /** Rewrite a source Filter's attribute names via `f` — used to
+    * push filters into the physical-named delegate scan. Unmappable
+    * shapes are dropped (filters still run post-scan, so dropping
+    * only loses row-group pruning, never correctness). */
+  private def translateFilter(
+      flt: org.apache.spark.sql.sources.Filter, f: String => String)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    flt match {
+      case EqualTo(a, v) => Some(EqualTo(f(a), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(f(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(f(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(f(a), v))
+      case LessThan(a, v) => Some(LessThan(f(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(f(a), v))
+      case In(a, vs) => Some(In(f(a), vs))
+      case IsNull(a) => Some(IsNull(f(a)))
+      case IsNotNull(a) => Some(IsNotNull(f(a)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(f(a), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(f(a), v))
+      case StringContains(a, v) => Some(StringContains(f(a), v))
+      case And(l, r) =>
+        (translateFilter(l, f), translateFilter(r, f)) match {
+          case (Some(a), Some(b)) => Some(And(a, b))
+          case _ => None
+        }
+      case Or(l, r) =>
+        (translateFilter(l, f), translateFilter(r, f)) match {
+          case (Some(a), Some(b)) => Some(Or(a, b))
+          case _ => None
+        }
+      case Not(c) => translateFilter(c, f).map(Not)
+      case _ => None
+    }
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
@@ -785,7 +835,8 @@ private[sources] case class VersionedInputPartition(filePath: String,
     tagInsert: Boolean = false)
     extends InputPartition
 
-private[sources] class VersionedReaderFactory(requiredDdl: String)
+private[sources] class VersionedReaderFactory(requiredDdl: String,
+    colMap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -828,7 +879,7 @@ private[sources] class VersionedReaderFactory(requiredDdl: String)
     // Catalyst prunes count(*)-style plans to ZERO columns: serve the
     // row count from the footer alone — no column chunk is opened.
     if (requiredDdl.isEmpty) new VersionedCountReader(p.filePath)
-    else new VersionedPartitionReader(p.filePath, schema, consts)
+    else new VersionedPartitionReader(p.filePath, schema, consts, colMap)
   }
 }
 
@@ -851,8 +902,13 @@ private[sources] class VersionedCountReader(file: String)
   * as `parquet.read.schema`, so parquet skips the column chunks of
   * everything else — I/O-level pruning, not post-hoc projection. */
 private[sources] class VersionedPartitionReader(file: String,
-    required: StructType, consts: Map[String, Any] = Map.empty)
+    required: StructType, consts: Map[String, Any] = Map.empty,
+    colMap: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
+  // files carry PHYSICAL column names (column mapping, round 14);
+  // physical names are stable, so the scan-time mapping reads every
+  // file in a version range correctly
+  private def physName(c: String): String = colMap.getOrElse(c, c)
 
   // columns the FILE actually has — a file written before an additive
   // schema evolution (commit mergeSchema = true) lacks the newer
@@ -875,7 +931,8 @@ private[sources] class VersionedPartitionReader(file: String,
       try (footer.getFooter.getFileMetaData.getSchema,
         footer.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
       finally footer.close()
-    val wanted = required.fieldNames.toSet -- consts.keySet
+    val wanted =
+      (required.fieldNames.toSet -- consts.keySet).map(physName)
     val pruned = new MessageType(fileSchema.getName,
       fileSchema.getFields.asScala.filter(f => wanted(f.getName)).asJava)
     present = pruned.getFields.asScala.map(_.getName).toSet
@@ -902,23 +959,24 @@ private[sources] class VersionedPartitionReader(file: String,
   override def get(): InternalRow = InternalRow.fromSeq(
     required.fields.map { f =>
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val n = physName(f.name)
       if (consts.contains(f.name)) consts(f.name)
-      else if (!present(f.name)) null
-      else if (cur.getFieldRepetitionCount(f.name) == 0) null
+      else if (!present(n)) null
+      else if (cur.getFieldRepetitionCount(n) == 0) null
       else f.dataType match {
         // widened columns (round 14): promote the narrower PHYSICAL
         // value the old file carries to the read schema's type
-        case LongType if physType.get(f.name).contains(INT32) =>
-          cur.getInteger(f.name, 0).toLong
-        case DoubleType if physType.get(f.name).contains(FLOAT) =>
-          cur.getFloat(f.name, 0).toDouble
-        case LongType => cur.getLong(f.name, 0)
-        case IntegerType => cur.getInteger(f.name, 0)
-        case DoubleType => cur.getDouble(f.name, 0)
-        case FloatType => cur.getFloat(f.name, 0)
-        case BooleanType => cur.getBoolean(f.name, 0)
-        case StringType => UTF8String.fromString(cur.getString(f.name, 0))
-        case BinaryType => cur.getBinary(f.name, 0).getBytes
+        case LongType if physType.get(n).contains(INT32) =>
+          cur.getInteger(n, 0).toLong
+        case DoubleType if physType.get(n).contains(FLOAT) =>
+          cur.getFloat(n, 0).toDouble
+        case LongType => cur.getLong(n, 0)
+        case IntegerType => cur.getInteger(n, 0)
+        case DoubleType => cur.getDouble(n, 0)
+        case FloatType => cur.getFloat(n, 0)
+        case BooleanType => cur.getBoolean(n, 0)
+        case StringType => UTF8String.fromString(cur.getString(n, 0))
+        case BinaryType => cur.getBinary(n, 0).getBytes
         case other => sys.error(
           s"graftv: unsupported column type $other (${f.name}) — " +
             "the example-reader tier covers primitive columns")
@@ -1016,6 +1074,10 @@ private[sources] class VersionedMicroBatchStream(path: String,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new VersionedReaderFactory(requiredDdl)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cmap =
+      if (Versioned.versions(path).isEmpty) Map.empty[String, String]
+      else Versioned.snapshot(path).colMap
+    new VersionedReaderFactory(requiredDdl, cmap)
+  }
 }

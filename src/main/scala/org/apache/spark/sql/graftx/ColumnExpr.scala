@@ -20,6 +20,14 @@ object ColumnExpr {
 
   def nodeOf(c: Column): Node = conv(c.node)
 
+  /** Parse a raw SQL expression string straight to the ADT (round
+    * 14): `functions.expr(sql)`'s Column wraps a SqlExpression node
+    * that [[conv]] cannot see through — the constraint-reference
+    * checks in rename/drop need the parsed tree, not Opaque. */
+  def nodeOfSql(sql: String): Node =
+    convCatalyst(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql))
+
   /** Does the predicate reference a `<qualifier>.…` attribute? (Used
     * by merge to detect clause conditions over the TARGET side.) */
   def referencesQualifier(c: Column, qualifier: String): Boolean = {

@@ -65,6 +65,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case a: AddColumns => GraftAddColumnsCommand(a)
       case a: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
         GraftAlterColumnsCommand(a)
+      case a: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+        GraftRenameColumnCommand(a)
+      case a: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
+        GraftDropColumnsCommand(a)
       // Spark's parser emits AddCheckConstraint for CHECK and
       // AddConstraint for the other families (PK/FK/UNIQUE — which
       // the command rejects for graftv targets)

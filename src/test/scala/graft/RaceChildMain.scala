@@ -19,7 +19,14 @@ import graft.sources.Versioned
   */
 object RaceChildMain {
   def main(args: Array[String]): Unit = {
-    val Array(table, writerIdS, nCommitsS, rowsPerS) = args
+    val (table, writerIdS, nCommitsS, rowsPerS, baseIdOpt) = args match {
+      case Array(t, w, n, r) => (t, w, n, r, None)
+      // optional 5th arg (round 14, the FORCED-abort arm): an explicit
+      // base id so the child's appended keys OVERLAP the parent's
+      // merge range — the parent's COW publish then cannot prove the
+      // interloper key-disjoint and must abort, cross-process
+      case Array(t, w, n, r, b) => (t, w, n, r, Some(b.toLong))
+    }
     val writerId = writerIdS.toInt
     val nCommits = nCommitsS.toInt
     val rowsPer = rowsPerS.toInt
@@ -33,7 +40,7 @@ object RaceChildMain {
     import spark.implicits._
     try {
       (0 until nCommits).foreach { i =>
-        val base = writerId * 1000000L + i * 1000L
+        val base = baseIdOpt.getOrElse(writerId * 1000000L) + i * 1000L
         val df = (0 until rowsPer)
           .map(j => (base + j, writerId, i, 0L))
           .toDF("id", "writer", "commit_seq", "v")
