@@ -40,6 +40,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 132-query surface saturated again at 150 queries (round-13 drift
   // adjudication flagged the whole t-family ~2x calibration-adjusted
   // with zero code changes to those paths) - 1g gives the same 2x
-  // headroom the original fix did.
-  "-XX:ReservedCodeCacheSize=1g",
+  // headroom the original fix did. Env-tunable (round 14) so the
+  // drift adjudication can A/B the flag on identical code.
+  s"-XX:ReservedCodeCacheSize=${
+    sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")}",
 )

