@@ -65,7 +65,8 @@ object Plans {
       "t15_zipf" -> "corpus collapses in the (source, token) count; ranking + regression on the vocabulary-bounded relation",
       "j9_nearest_join" -> "tolerance-bucketed equi-join candidates, per-probe argmin window on err_id — no cross join, no global sort",
       "sk4_theta_intersect" -> "one distinct shuffle + per-source fixed-size sketch build; pairwise set algebra on driver-side kilobytes",
-      "d14_incremental_minhash" -> "batch-only signature build band-joins the checkpointed history table; history never recomputes or reshuffles",
+      "d14_incremental_minhash" -> "batch-only signature build band-joins the checkpointed history table; history never recomputes or reshuffles — at scale the state persists as a band_key-bucketed table (minhashBandState; bench/versioned_scale_625x.json: build-once 117s, per-increment 13s vs 71s recompute) so the probe join plans ZERO state-side exchange",
+      "s2_ann_lsh" -> "dual regime (round 14): below IntKmeans.TrainCap the whole sub-8192-vector pool broadcasts for an exact scan (recall 1.0 — this fixture plan); at scale the banded equi-join on the bucket key, never all-pairs (PlanSpec asserts both shapes)",
       "t10_tfidf_capped" -> "df floor prunes the idf model side before the scoring join; totality left join against the pruned doc scan",
       "t11_lm_xent_capped" -> "bigram model capped at the count floor, marginals from the uncapped aggregate, scored stream joins the pruned model",
       "j10_skew_join" -> "hot keys salted: probe-side per-row pmod spread, build-side sequence-explode replication, join on (key, salt)",

@@ -735,6 +735,52 @@ object Versioned {
       .getOrElse(
         sys.error(s"versioned: plain commit cannot be skipped ($path)"))
 
+  /** SHALLOW CLONE (round 14; Delta's `CREATE TABLE … SHALLOW CLONE`
+    * shape): birth a NEW table at `dst` whose v1 references the
+    * SOURCE snapshot's data — zero rows rewritten. On a local
+    * filesystem each live file HARD-LINKS into `dst` (same inode,
+    * metadata-only; graftv data files are immutable/COW so shared
+    * inodes are safe), with a byte-copy fallback where links are
+    * unsupported. The clone is fully independent afterwards: its own
+    * log, its own txn ledger (fresh — a clone is a new table for
+    * exactly-once purposes), its own vacuum horizon (links are
+    * separate paths; reclaiming one side never touches the other),
+    * while schema, partitioning, column mapping, stats and CHECK
+    * constraints carry over. The 100 TB shape: cloning a table costs
+    * O(files) metadata operations, never bytes — the
+    * experiment-branch / backfill-sandbox idiom. On object stores a
+    * deployment would reference the source objects by absolute URI
+    * instead (Delta's actual shallow clone); the local tier links so
+    * the relative-path manifest invariant holds. */
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+      asOf: Option[Int] = None): Int = {
+    require(versions(dst).isEmpty,
+      s"versioned: clone target $dst already has committed versions")
+    val snap = snapshot(src, asOf)
+    val srcHeadM = parseManifest(manifestPath(src,
+      asOf.getOrElse(versions(src).max)))
+    val dstRoot = Paths.get(norm(dst))
+    Files.createDirectories(dstRoot)
+    snap.files.foreach { f =>
+      val from = Paths.get(norm(src), f)
+      val to = Paths.get(norm(dst), f)
+      Option(to.getParent).foreach(Files.createDirectories(_))
+      try { Files.createLink(to, from); () }
+      catch {
+        case _: UnsupportedOperationException |
+            _: java.nio.file.FileSystemException =>
+          Files.copy(from, to,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    }
+    val ok = publish(dst, Manifest(1, "clone", full = true, snap.files,
+      snap.schemaDdl, txns = Map.empty, stats = snap.stats,
+      partitionCols = snap.partitionCols,
+      constraints = srcHeadM.constraints, colMap = snap.colMap))
+    require(ok, s"versioned: clone target $dst was concurrently created")
+    1
+  }
+
   /** CONVERT an existing parquet directory into a graftv table IN
     * PLACE (round 13; Delta's `CONVERT TO DELTA` shape): NO data is
     * rewritten — the published v1 `convert` manifest references the
@@ -2672,9 +2718,10 @@ object Versioned {
   private def addedAt(path: String, v: Int, fromVersion: Int,
       toVersion: Int): (Seq[String], String) = {
     val m = parseManifest(manifestPath(path, v))
-    // a CONVERT v1 is the table's initial insert of every adopted
-    // file — semantically the first append (round 13)
-    require(m.op == "append" || (m.op == "convert" && v == 1),
+    // a CONVERT or CLONE v1 is the table's initial insert of every
+    // adopted/linked file — semantically the first append (r13/r14)
+    require(m.op == "append" ||
+      ((m.op == "convert" || m.op == "clone") && v == 1),
       s"versioned: CDC range ($fromVersion, $toVersion] crosses a " +
         s"'${m.op}' commit at v$v — change feed is append-only")
     val added =
@@ -2741,7 +2788,7 @@ object Versioned {
     range.map { v =>
       val m = parseManifest(manifestPath(path, v))
       m.op match {
-        case "append" | "convert" =>
+        case "append" | "convert" | "clone" =>
           val (addedFiles, ddl) = addedAt(path, v, fromVersion, toVersion)
           (v, addedFiles, ddl, false)
         case "merge" | "delete" | "update" | "replace" =>
@@ -3111,6 +3158,49 @@ object Versioned {
           "sum_x4 BIGINT, n_is_long INT"))
         .orderBy(col("step"))
     } finally deleteRecursively(Paths.get(tmp))
+  }
+
+  /** v15_clone (round 14): SHALLOW CLONE oracled. The source commits
+    * the even documents; a zero-copy clone births a second table on
+    * the SAME physical files; then both sides diverge — the clone
+    * deletes a slice, the source appends the odds. Steps: (1) the
+    * source after divergence (clone edits must not leak back through
+    * the shared inodes), (2) the clone after divergence, (3) the
+    * clone's own CDF from ITS v1 (the clone commit is an insert
+    * batch — the feed is complete from birth). */
+  def cloneDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val src = Files.createTempDirectory("graft-versioned-").toString
+    val dst = Files.createTempDirectory("graft-versioned-").toString
+    try {
+      commit(docs.where(col("doc_id") % 2 === 0), src, "append") // v1
+      deleteRecursively(Paths.get(dst)) // cloneTable births the dir
+      cloneTable(spark, src, dst)
+      deleteWhere(spark, dst, col("doc_id") % 10 === 0) // clone v2
+      commit(docs.where(col("doc_id") % 2 === 1), src, "append") // src v2
+      def aggOf(df: DataFrame, step: Int): Row = {
+        val r = df.agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_chars")).head()
+        Row(step, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val cdf = readChanges(spark, dst, 0, 1)
+        .where(col("_change_type") === "insert")
+        .select(col("doc_id"), col("n_chars"))
+      val steps = Seq(
+        aggOf(read(spark, src), 1),
+        aggOf(read(spark, dst), 2),
+        aggOf(cdf, 3))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(steps, 1),
+        StructType.fromDDL("step INT, n_rows BIGINT, " +
+          "sum_doc_id BIGINT, sum_chars BIGINT"))
+        .orderBy(col("step"))
+    } finally {
+      deleteRecursively(Paths.get(src))
+      deleteRecursively(Paths.get(dst))
+    }
   }
 
   /** v14_rename (round 14, VERDICT r13 #3): COLUMN MAPPING oracled.
@@ -3515,6 +3605,7 @@ object Versioned {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v15_clone" -> (cloneDivergence _),
     "v14_rename" -> (renameEvolution _),
     "v13_widen" -> (widenEvolution _),
     "v12_convert" -> (convertAdopt _),
@@ -3531,6 +3622,27 @@ object Versioned {
     "v6_cdf_apply" -> (cdfApply _))
 
   val oracle: Map[String, String] = Map(
+    "v15_clone" -> """
+      WITH evens AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+        WHERE doc_id % 2 = 0),
+      odds AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+        WHERE doc_id % 2 = 1),
+      agg AS (
+        SELECT 1 AS step, count(*) AS n_rows, sum(doc_id) AS sum_doc_id,
+               sum(n_chars) AS sum_chars
+        FROM (SELECT * FROM evens UNION ALL SELECT * FROM odds)
+        UNION ALL
+        SELECT 2, count(*), sum(doc_id), sum(n_chars) FROM evens
+        WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT 3, count(*), sum(doc_id), sum(n_chars) FROM evens)
+      SELECT CAST(step AS INT) AS step,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_doc_id AS BIGINT) AS sum_doc_id,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM agg ORDER BY step""",
     "v14_rename" -> """
       WITH all_docs AS (
         SELECT doc_id,

@@ -52,6 +52,11 @@ private[graftx] object GraftMaintenanceSql {
   // table — the statement CREATES the table in place.
   private val Convert = p(
     s"""^\\s*CONVERT\\s+TO\\s+GRAFTV\\s+$Tbl\\s*;?\\s*$$""")
+  // CREATE TABLE t SHALLOW CLONE s [VERSION AS OF v] [LOCATION '/p']
+  // (round 14, Delta's shallow-clone statement): zero-copy birth of a
+  // new independent table referencing the source snapshot's files.
+  private val Clone = p(
+    s"""^\\s*CREATE\\s+TABLE\\s+$Tbl\\s+SHALLOW\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*$$""")
   // (ALTER TABLE ADD/DROP CONSTRAINT rides the PLAN-rewrite hook like
   // ADD COLUMNS — Spark 4 parses the statements natively into
   // AddConstraint/DropConstraint plans; see GraftAddConstraintCommand.)
@@ -60,7 +65,7 @@ private[graftx] object GraftMaintenanceSql {
     * keywords? (Only then is the full match attempted — everything
     * else goes straight to the delegate parser.) */
   private val Lead = p(
-    """^\s*(OPTIMIZE|VACUUM|RESTORE|CONVERT)\b.*|^\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\b.*""")
+    """^\s*(OPTIMIZE|VACUUM|RESTORE|CONVERT)\b.*|^\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\b.*|^\s*CREATE\s+TABLE\b.*\bSHALLOW\s+CLONE\b.*""")
   def leads(sqlText: String): Boolean = Lead.matcher(sqlText).matches()
 
   /** Split a (possibly backticked) multipart identifier on its
@@ -107,6 +112,12 @@ private[graftx] object GraftMaintenanceSql {
     val cm = Convert.matcher(sqlText)
     if (cm.matches())
       return Some(GraftConvertCommand(parts(cm.group(1))))
+    val clm = Clone.matcher(sqlText)
+    if (clm.matches())
+      return Some(GraftCloneCommand(parts(clm.group(1)),
+        parts(clm.group(2)),
+        Option(clm.group(3)).map(_.toInt),
+        Option(clm.group(4))))
     None
   }
 
@@ -267,6 +278,48 @@ case class GraftConvertCommand(tParts: Seq[String])
     }
     val v = graft.sources.Versioned.convertParquet(spark, path)
     Seq(Row(v, graft.sources.Versioned.snapshot(path).files.size))
+  }
+}
+
+/** `CREATE TABLE t SHALLOW CLONE s [VERSION AS OF v] [LOCATION p]`
+  * (round 14; Delta's shallow clone): zero-copy birth of a NEW,
+  * fully independent graftv table whose v1 references the source
+  * snapshot's data files (hard links locally — metadata-only, no
+  * bytes move; see [[graft.sources.Versioned.cloneTable]]). The
+  * target location comes from LOCATION, or from the graftv.`/path`
+  * name form; a plain catalog NAME without LOCATION gets a managed
+  * path under the session warehouse and is REGISTERED in the
+  * catalog, so `SELECT … FROM t` works immediately. */
+case class GraftCloneCommand(tgtParts: Seq[String],
+    srcParts: Seq[String], versionAsOf: Option[Int],
+    location: Option[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf("version INT, num_files INT")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftMaintenanceSql.graftPathOf(spark, srcParts,
+      "SHALLOW CLONE")
+    val (dst, register) = location match {
+      case Some(p) => (p, tgtParts.length >= 1 &&
+        !tgtParts.head.equalsIgnoreCase("graftv"))
+      case None => tgtParts match {
+        case Seq(fmt, p) if fmt.equalsIgnoreCase("graftv") => (p, false)
+        case Seq(name) =>
+          val wh = spark.sessionState.conf.getConfString(
+            "spark.sql.warehouse.dir")
+          (s"${wh.stripSuffix("/")}/$name", true)
+        case other => throw new IllegalArgumentException(
+          "SHALLOW CLONE target must be a name, a graftv.`/path`, " +
+            s"or carry LOCATION — got ${other.mkString(".")}")
+      }
+    }
+    val v = graft.sources.Versioned.cloneTable(spark, src, dst,
+      versionAsOf)
+    if (register) {
+      val name = tgtParts.mkString(".")
+      spark.sql(s"CREATE TABLE $name USING graftv LOCATION '$dst'")
+    }
+    Seq(Row(v, graft.sources.Versioned.snapshot(dst).files.size))
   }
 }
 
