@@ -300,4 +300,123 @@ class VersionedPropertySpec extends AnyFunSuite {
         s"composite-key time travel to v$v diverged")
     }
   }
+
+  /** Round 14 (column mapping): the SCHEMA LIFECYCLE fuzzed — random
+    * interleavings of append / RENAME COLUMN / DROP COLUMN /
+    * ADD COLUMNS (including re-adding previously dropped names — the
+    * anti-resurrection law) / merge / restore, each op checked
+    * against a reference model that tracks BOTH the logical schema
+    * and the rows, with a full per-version history sweep at the end
+    * (every version reads under its own names with its own values —
+    * re-added columns all-NULL, never the dropped bytes). */
+  test("schema-lifecycle fuzz: rename/drop/re-add interleavings " +
+    "preserve the model and per-version schemas") {
+    val rnd = new scala.util.Random(20261414L)
+    val t = Files.createTempDirectory("versioned-fuzz-sch-").toString
+    // model: live value-column names (ordered, after id) and rows as
+    // id -> values aligned to that order (None = SQL NULL)
+    var cols: Vector[String] = Vector("c1", "c2")
+    var rows: Map[Long, Vector[Option[Long]]] = Map.empty
+    var history = Map.empty[Int, (Vector[String], Map[Long, Vector[Option[Long]]])]
+    var nextId = 0L
+    var nameSeq = 0
+    def freshName(): String = { nameSeq += 1; s"n$nameSeq" }
+    def ddlOf(cs: Vector[String]): String =
+      ("`id` BIGINT" +: cs.map(c => s"`$c` BIGINT")).mkString(", ")
+    def dfOf(cs: Vector[String],
+        rs: Seq[(Long, Vector[Option[Long]])]) = {
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL(ddlOf(cs))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rs.map { case (id, vs) =>
+          org.apache.spark.sql.Row.fromSeq(
+            id +: vs.map(_.map(java.lang.Long.valueOf).orNull))
+        }, 1), schema)
+    }
+    def freshRows(n: Int): Seq[(Long, Vector[Option[Long]])] =
+      (0 until n).map { _ =>
+        nextId += 1
+        nextId -> cols.map(_ => Some(rnd.nextInt(1000).toLong))
+      }
+    def readBackSch(asOf: Option[Int] = None)
+        : (Vector[String], Map[Long, Vector[Option[Long]]]) = {
+      val df = Versioned.read(spark, t, asOf)
+      val names = df.columns.toVector
+      assert(names.head == "id", s"id must lead, got $names")
+      val data = df.collect().map { r =>
+        r.getLong(0) -> names.tail.indices.map(i =>
+          if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1)))
+          .toVector
+      }.toMap
+      (names.tail, data)
+    }
+
+    val r0 = freshRows(3)
+    Versioned.commit(dfOf(cols, r0), t)
+    rows = r0.toMap; history += 1 -> ((cols, rows))
+
+    var renames, drops, readds = 0
+    (0 until 40).foreach { i =>
+      rnd.nextInt(6) match {
+        case 0 => // append
+          val rs = freshRows(1 + rnd.nextInt(2))
+          Versioned.commit(dfOf(cols, rs), t)
+          rows = rows ++ rs
+        case 1 if cols.nonEmpty => // rename a random live column
+          val from = cols(rnd.nextInt(cols.length))
+          val to = freshName()
+          Versioned.renameColumn(t, from, to)
+          cols = cols.map(c => if (c == from) to else c)
+          renames += 1
+        case 2 if cols.length >= 2 => // drop a random live column
+          val victimIdx = rnd.nextInt(cols.length)
+          Versioned.dropColumn(t, cols(victimIdx))
+          cols = cols.patch(victimIdx, Nil, 1)
+          rows = rows.map { case (id, vs) =>
+            id -> vs.patch(victimIdx, Nil, 1) }
+          drops += 1
+        case 3 => // add a column: sometimes a RETIRED name (the
+          // anti-resurrection law), sometimes fresh
+          val retired = history.values.flatMap(_._1).toSet -- cols.toSet
+          val name =
+            if (retired.nonEmpty && rnd.nextBoolean()) {
+              readds += 1; retired.toSeq.sorted.apply(
+                rnd.nextInt(retired.size))
+            } else freshName()
+          Versioned.addColumns(t, s"`$name` BIGINT")
+          cols = cols :+ name
+          rows = rows.map { case (id, vs) => id -> (vs :+ None) }
+        case 4 if rows.nonEmpty => // merge: update one key, insert one
+          val keys = rows.keys.toVector.sorted
+          val hit = keys(rnd.nextInt(keys.length))
+          val updVals = cols.map(_ => Some(rnd.nextInt(1000).toLong))
+          val ins = freshRows(1)
+          Versioned.merge(
+            dfOf(cols, Seq(hit -> updVals) ++ ins), t, Seq("id"))
+          rows = rows + (hit -> updVals) ++ ins
+        case 5 => // restore: rows AND schema roll back together
+          val vs = Versioned.versions(t)
+          val target = vs(rnd.nextInt(vs.length))
+          Versioned.restore(t, target)
+          val (hc, hr) = history(target)
+          cols = hc; rows = hr
+        case _ => () // guard fell through (e.g. single column): skip
+      }
+      val v = Versioned.versions(t).max
+      history += v -> ((cols, rows))
+      val (gotCols, gotRows) = readBackSch()
+      assert(gotCols === cols, s"schema diverged after op $i (v$v)")
+      assert(gotRows === rows, s"rows diverged after op $i (v$v)")
+    }
+    assert(renames >= 3 && drops >= 3 && readds >= 1,
+      s"fuzz must exercise the lifecycle (renames=$renames, " +
+        s"drops=$drops, re-adds=$readds)")
+
+    // every historical version reads under ITS OWN schema and values
+    history.foreach { case (v, (hc, hr)) =>
+      val (gotCols, gotRows) = readBackSch(Some(v))
+      assert(gotCols === hc, s"time travel to v$v schema diverged")
+      assert(gotRows === hr, s"time travel to v$v rows diverged")
+    }
+  }
 }
