@@ -968,10 +968,35 @@ object Versioned {
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_commit_version").desc,
         when(col("_change_type") === "delete", 0).otherwise(1).desc)
-    val last = events
+    val ranked = events
       .withColumn("__g_rn", org.apache.spark.sql.functions
         .row_number().over(w))
-      .where(col("__g_rn") === 1)
+      .withColumn("__g_rk", org.apache.spark.sql.functions
+        .rank().over(w))
+    // Replication requires KEY-UNIQUE sources (round 15, ADVICE r14):
+    // a single source commit carrying two non-delete rows with the
+    // same key ties on (version, kind), so row_number would pick one
+    // NONDETERMINISTICALLY and the replica would silently diverge —
+    // the same situation the per-version path surfaced through
+    // merge's "source has duplicate keys" error. Detect it in the
+    // SAME window (no extra exchange): a row with rank 1 but
+    // row_number 2 IS a tie with the winner; ties can only pair rows
+    // of the same change kind (the kind flag orders), and duplicate
+    // DELETES of one key are idempotent, so only non-delete ties are
+    // divergence. Fail loudly naming a culprit.
+    val tied = ranked.where(col("__g_rk") === 1 && col("__g_rn") === 2 &&
+      col("_change_type") =!= "delete")
+    val culprit = tied
+      .select((keys.map(col) :+ col("_commit_version")).toIndexedSeq: _*)
+      .limit(1).collect()
+    if (culprit.nonEmpty)
+      throw new IllegalArgumentException(
+        "versioned: applyChanges requires a key-unique source — " +
+          s"commit version ${culprit.head.get(keys.size)} carries " +
+          s"duplicate non-delete rows for key (${keys.mkString(",")}) = " +
+          s"(${keys.indices.map(culprit.head.get).mkString(",")}) at " +
+          s"$target; deduplicate the source or replicate on a unique key")
+    val last = ranked.where(col("__g_rn") === 1).drop("__g_rk")
     val dels = last.where(col("_change_type") === "delete")
       .select(dataCols.map(col).toIndexedSeq: _*)
     val ups = last

@@ -300,8 +300,18 @@ private[sources] class VersionedBatchWrite(path: String,
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
+    // Files carry PHYSICAL names on APPEND (translate through the
+    // table's column mapping), but an OVERWRITE re-establishes
+    // identity in its manifest (publishAdded's `outMap` rule), so its
+    // files must carry the LOGICAL names untranslated — mirroring
+    // commitInternal's `writeMap = Map.empty` for mode=overwrite
+    // (round 15, ADVICE r14: translating here made an INSERT
+    // OVERWRITE after RENAME COLUMN read back NULL for the renamed
+    // column, because the files said `v-old-phys` while the fresh
+    // manifest claimed identity).
     VersionedWriterFactory(s"$path/data/c-$commitId",
-      Versioned.physicalDdlOf(path, schema.toDDL), pcols)
+      if (overwrite) schema.toDDL
+      else Versioned.physicalDdlOf(path, schema.toDDL), pcols)
 
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -723,12 +733,19 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
           new VersionedReaderFactory(required.toDDL)
       }
     } else if (changeFeed) new Batch {
+      // colMap AS OF the range's END, not HEAD (round 15, ADVICE
+      // r14): the library readChanges resolves names under
+      // snapshot(path, Some(toVersion)).colMap, and a DROP+re-ADD
+      // landing beyond endingVersion mints a fresh physical name at
+      // HEAD that the in-range files don't carry — reading under it
+      // returned NULL where readChanges returned the values.
+      private val endV =
+        endingVersion.getOrElse(Versioned.versions(path).max)
       override def planInputPartitions(): Array[InputPartition] =
-        changePartitions(path, startingVersion,
-          endingVersion.getOrElse(Versioned.versions(path).max))
+        changePartitions(path, startingVersion, endV)
       override def createReaderFactory(): PartitionReaderFactory =
         new VersionedReaderFactory(required.toDDL,
-          Versioned.snapshot(path).colMap)
+          Versioned.snapshot(path, Some(endV)).colMap)
     } else {
       val spark = org.apache.spark.sql.SparkSession.active
       val snap = Versioned.snapshot(path, asOf)

@@ -300,8 +300,22 @@ case class GraftCloneCommand(tgtParts: Seq[String],
     val src = GraftMaintenanceSql.graftPathOf(spark, srcParts,
       "SHALLOW CLONE")
     val (dst, register) = location match {
-      case Some(p) => (p, tgtParts.length >= 1 &&
-        !tgtParts.head.equalsIgnoreCase("graftv"))
+      case Some(p) =>
+        // graftv.`/path` ALSO names a location — a LOCATION clause on
+        // top is ambiguous unless they agree (round 15, ADVICE r14:
+        // the embedded path was silently dropped in favor of LOCATION)
+        def n(s: String) =
+          s.stripPrefix("file:").replaceAll("/+$", "")
+        tgtParts match {
+          case Seq(fmt, tp) if fmt.equalsIgnoreCase("graftv") &&
+              n(tp) != n(p) =>
+            throw new IllegalArgumentException(
+              "SHALLOW CLONE target graftv.`" + tp + "` conflicts " +
+                s"with LOCATION '$p' — drop one or make them match")
+          case _ => ()
+        }
+        (p, tgtParts.length >= 1 &&
+          !tgtParts.head.equalsIgnoreCase("graftv"))
       case None => tgtParts match {
         case Seq(fmt, p) if fmt.equalsIgnoreCase("graftv") => (p, false)
         case Seq(name) =>
@@ -316,8 +330,13 @@ case class GraftCloneCommand(tgtParts: Seq[String],
     val v = graft.sources.Versioned.cloneTable(spark, src, dst,
       versionAsOf)
     if (register) {
-      val name = tgtParts.mkString(".")
-      spark.sql(s"CREATE TABLE $name USING graftv LOCATION '$dst'")
+      // quote every identifier part and escape the path literal — a
+      // name part or path containing ` or ' must not break (or worse,
+      // rewrite) the interpolated statement (round 15, ADVICE r14)
+      val name = tgtParts
+        .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+      val loc = dst.replace("'", "\\'")
+      spark.sql(s"CREATE TABLE $name USING graftv LOCATION '$loc'")
     }
     Seq(Row(v, graft.sources.Versioned.snapshot(dst).files.size))
   }
