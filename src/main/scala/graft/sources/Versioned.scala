@@ -91,7 +91,8 @@ object Versioned {
       schemaDdl: String, baseVersion: Int, replayedManifests: Int,
       stats: FileStats = Map.empty,
       partitionCols: Seq[String] = Nil,
-      colMap: Map[String, String] = Map.empty) {
+      colMap: Map[String, String] = Map.empty,
+      dvs: Map[String, String] = Map.empty) {
     /** Physical (file-side) name of logical column `c` — identity
       * unless a RENAME moved the logical name (round 14). */
     def physOf(c: String): String = colMap.getOrElse(c, c)
@@ -129,6 +130,14 @@ object Versioned {
     * of DROPPED columns, so a later ADD COLUMNS of the same logical
     * name gets a FRESH physical name instead of resurrecting the
     * dropped column's bytes from old files. */
+  /** `dvs` (round 15, deletion vectors): the COMPLETE data-file →
+    * DV-sidecar mapping of the version, or None = "this manifest does
+    * not speak about DVs, inherit the previous state" (how every
+    * pre-DV manifest parses, and how metadata-only commits stay
+    * untouched). Every FULL manifest the current code writes carries
+    * it explicitly — checkpoints are replay bases, so an inheriting
+    * checkpoint would silently drop the mask and resurrect deleted
+    * rows. */
   private final case class Manifest(version: Int, op: String,
       full: Boolean, files: Seq[String], schemaDdl: String,
       txns: Map[String, Long] = Map.empty, tsMs: Long = 0L,
@@ -136,7 +145,8 @@ object Versioned {
       stats: FileStats = Map.empty,
       partitionCols: Seq[String] = Nil,
       constraints: Map[String, String] = Map.empty,
-      colMap: Map[String, String] = Map.empty)
+      colMap: Map[String, String] = Map.empty,
+      dvs: Option[Map[String, String]] = None)
 
   // -------------------------------------------------------- log I/O
 
@@ -249,9 +259,15 @@ object Versioned {
       else s""""colmap": ${m.colMap.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
         .mkString("{", ", ", "}")}, """
+    // present-even-if-empty when defined: an empty map CLEARS dv
+    // state (overwrite), absence INHERITS it (metadata commits)
+    val dvs = m.dvs.map(d =>
+      s""""dvs": ${d.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+        .mkString("{", ", ", "}")}, """).getOrElse("")
     s"""{"version": ${m.version}, "op": ${jstr(m.op)}, """ +
       s""""full": ${m.full}, "ts": ${m.tsMs}, """ +
-      s""""schema": ${jstr(m.schemaDdl)}, $partition$constraints$colmap""" +
+      s""""schema": ${jstr(m.schemaDdl)}, $partition$constraints$colmap$dvs""" +
       s""""txns": $txns, $changes"stats": $stats, "files": $files}"""
   }
 
@@ -339,6 +355,15 @@ object Versioned {
         }.toMap
         case JNothing => Map.empty // identity (pre-mapping manifests)
         case other => sys.error(s"versioned: manifest $p colmap: $other")
+      },
+      dvs = (j \ "dvs") match {
+        case JObject(fields) => Some(fields.map {
+          case (k, JString(v)) => k -> v
+          case (k, other) =>
+            sys.error(s"versioned: manifest $p dv $k: $other")
+        }.toMap)
+        case JNothing => None // inherit (pre-DV / metadata manifests)
+        case other => sys.error(s"versioned: manifest $p dvs: $other")
       })
   }
 
@@ -424,13 +449,36 @@ object Versioned {
   /** Read table-relative data `files` under the LOGICAL `ddl`: files
     * carry physical names, so the scan reads the physical schema and
     * aliases back positionally. The single read seam every consumer
-    * (snapshot reads, COW rewrites, enforcement) shares. */
+    * (snapshot reads, COW rewrites, enforcement) shares.
+    *
+    * `dvs` (round 15, deletion vectors): files present in the map
+    * scan with `_metadata.row_index` and drop their masked ordinals;
+    * files absent keep the native vectorized multi-file scan — so a
+    * table with a handful of DV'd files pays the per-row mask only on
+    * those, and COW rewrites reading through this seam can never
+    * resurrect DV-deleted rows. */
   private def readFiles(spark: SparkSession, path: String,
       files: Seq[String], ddl: String,
-      colMap: Map[String, String]): DataFrame = {
+      colMap: Map[String, String],
+      dvs: Map[String, String] = Map.empty): DataFrame = {
     val logical = StructType.fromDDL(ddl)
-    val scan = spark.read.schema(physicalSchema(logical, colMap))
-      .parquet(files.map(f => s"${norm(path)}/$f"): _*)
+    val physSchema = physicalSchema(logical, colMap)
+    def abs(f: String) = s"${norm(path)}/$f"
+    val (masked, clean) = files.partition(dvs.contains)
+    val cleanScan =
+      if (clean.isEmpty) None
+      else Some(spark.read.schema(physSchema).parquet(clean.map(abs): _*))
+    val dvScan =
+      if (masked.isEmpty) None
+      else {
+        val mask = DeletionVectors.loadMask(norm(path),
+          dvs.view.filterKeys(masked.toSet).toMap)
+        Some(spark.read.schema(physSchema).parquet(masked.map(abs): _*)
+          .where(DeletionVectors.liveFilter(mask)(
+            col("_metadata.file_path"), col("_metadata.row_index")))
+          .select(physSchema.fieldNames.map(col).toIndexedSeq: _*))
+      }
+    val scan = DeletionVectors.maskedUnion(cleanScan, dvScan)
     if (colMap.isEmpty) scan
     else scan.toDF(logical.fieldNames.toIndexedSeq: _*)
   }
@@ -521,6 +569,7 @@ object Versioned {
     var stats: FileStats = Map.empty
     var pcols: Seq[String] = Nil
     var cmap: Map[String, String] = Map.empty
+    var dvm: Map[String, String] = Map.empty
     toApply.foreach { ver =>
       val m = parseManifest(manifestPath(path, ver))
       replayed += 1
@@ -529,8 +578,9 @@ object Versioned {
       ddl = m.schemaDdl
       pcols = m.partitionCols
       cmap = m.colMap // complete mapping per manifest: last wins
+      m.dvs.foreach(d => dvm = d) // present = complete; absent = inherit
     }
-    Snapshot(v, files, ddl, base, replayed, stats, pcols, cmap)
+    Snapshot(v, files, ddl, base, replayed, stats, pcols, cmap, dvm)
   }
 
   /** Resolve a wall-clock instant to a version — Delta's
@@ -761,7 +811,7 @@ object Versioned {
       asOf.getOrElse(versions(src).max)))
     val dstRoot = Paths.get(norm(dst))
     Files.createDirectories(dstRoot)
-    snap.files.foreach { f =>
+    (snap.files ++ snap.dvs.values).foreach { f =>
       val from = Paths.get(norm(src), f)
       val to = Paths.get(norm(dst), f)
       Option(to.getParent).foreach(Files.createDirectories(_))
@@ -776,7 +826,8 @@ object Versioned {
     val ok = publish(dst, Manifest(1, "clone", full = true, snap.files,
       snap.schemaDdl, txns = Map.empty, stats = snap.stats,
       partitionCols = snap.partitionCols,
-      constraints = srcHeadM.constraints, colMap = snap.colMap))
+      constraints = srcHeadM.constraints, colMap = snap.colMap,
+      dvs = Some(snap.dvs)))
     require(ok, s"versioned: clone target $dst was concurrently created")
     1
   }
@@ -1235,8 +1286,11 @@ object Versioned {
         // same batch may have won while we were writing data files
         if (prevTxns.get(app).exists(_ >= b)) return None
       }
-      val (full, files, outDdl, stats) =
-        if (mode == "overwrite" || cur == 0) (true, added, ddl, addedStats)
+      val (full, files, outDdl, stats, outDvs) =
+        if (mode == "overwrite" || cur == 0)
+          // fresh/replaced file set: explicit EMPTY dv map (clears)
+          (true, added, ddl, addedStats,
+            Some(Map.empty[String, String]))
         else {
           val prev = snapshot(path, Some(cur))
           require(prev.partitionCols == pcols,
@@ -1273,9 +1327,12 @@ object Versioned {
               merged
             }
           if (v % CheckpointInterval == 0)
+            // checkpoint carries stats AND the dv map forward — it is
+            // a replay base; inheriting here would drop the mask
             (true, prev.files ++ added, committed,
-              prev.stats ++ addedStats) // checkpoint carries stats forward
-          else (false, added, committed, addedStats)
+              prev.stats ++ addedStats, Some(prev.dvs))
+          else (false, added, committed, addedStats,
+            None) // delta append: absent = inherit dv state
         }
       // column mapping is a table property: appends carry it forward;
       // an overwrite re-establishes identity (every file is fresh)
@@ -1284,7 +1341,7 @@ object Versioned {
         else prevM.map(_.colMap).getOrElse(Map.empty)
       if (publish(path, Manifest(v, mode, full, files, outDdl,
         prevTxns ++ txn, stats = stats, partitionCols = pcols,
-        constraints = prevConstraints, colMap = outMap)))
+        constraints = prevConstraints, colMap = outMap, dvs = outDvs)))
         return Some(v)
       attempt += 1 // lost the race: re-resolve on top of the winner
     }
@@ -1514,7 +1571,8 @@ object Versioned {
       val snap = snapshot(path, Some(cur))
       publish(path, Manifest(v, "metadata", full = true, snap.files,
         outDdl, txns, stats = snap.stats, partitionCols = pcols,
-        constraints = constraints, colMap = colMap))
+        constraints = constraints, colMap = colMap,
+        dvs = Some(snap.dvs))) // checkpoint = replay base: explicit
     } else
       publish(path, Manifest(v, "metadata", full = false, Nil, outDdl,
         txns, partitionCols = pcols, constraints = constraints,
@@ -1642,7 +1700,7 @@ object Versioned {
         snap.schemaDdl, headM.txns, stats = snap.stats,
         partitionCols = snap.partitionCols,
         constraints = headM.constraints,
-        colMap = snap.colMap))) return v
+        colMap = snap.colMap, dvs = Some(snap.dvs)))) return v
       attempt += 1
     }
     sys.error(s"versioned: gave up restoring $path to v$toVersion")
@@ -2073,7 +2131,8 @@ object Versioned {
       else // files carry ALL columns (Iceberg discipline — partition
         // values are duplicated into the paths, never dropped from
         // the rows), under PHYSICAL names (column mapping, round 14)
-        readFiles(spark, path, touched.map(_._1), mergedDdl, base.colMap)
+        readFiles(spark, path, touched.map(_._1), mergedDdl, base.colMap,
+          base.dvs)
     val keyCols = keys.map(col)
     def condOf(c: Option[Column]): Column = c.getOrElse(lit(true))
     val none = src.limit(0)
@@ -2280,10 +2339,17 @@ object Versioned {
     * interleave into. Self-clearing. */
   private[graft] var beforeAppendPublish: () => Unit = () => ()
 
+  /** `dvUpdates` (round 15, deletion vectors): NEW data-file → DV
+    * sidecar entries this op created (a DV delete/update). The
+    * published dv map is `base.dvs` restricted to files that SURVIVE
+    * in the out set (a rewritten or dropped file takes its mask with
+    * it) plus these updates; rebased interloping appends carry no
+    * DVs by construction. */
   private def publishCow(path: String, op: String, base: Snapshot,
       files: Seq[String], stats: FileStats, changes: Option[Seq[String]],
       sourceBounds: Option[Map[String, ColStat]],
-      ddl: Option[String] = None): Int = {
+      ddl: Option[String] = None,
+      dvUpdates: Map[String, String] = Map.empty): Int = {
     // the published DDL: base's, unless the op evolved it (schema-
     // evolution merge). Interloping-append compatibility is still
     // judged against the BASE schema — that is what the op read, and
@@ -2300,7 +2366,8 @@ object Versioned {
     // undershooting concurrent vacuum. After the test hook, which
     // simulates exactly this write-to-publish interloper window.
     requireStaged(path,
-      files.filterNot(base.files.toSet) ++ changes.getOrElse(Nil), op)
+      files.filterNot(base.files.toSet) ++ changes.getOrElse(Nil) ++
+        dvUpdates.values.filterNot(base.dvs.values.toSet), op)
     // CHECK constraints gate the FRESH rewrite files (one validation
     // scan; kept-by-reference files conformed when they were written).
     // The base version's constraint set IS the publish-time set: a
@@ -2346,11 +2413,14 @@ object Versioned {
         seen = cur
       }
       val headM = parseManifest(manifestPath(path, cur))
+      val outDvs = base.dvs.view
+        .filterKeys((files ++ extraFiles).toSet).toMap ++ dvUpdates
       if (publish(path, Manifest(cur + 1, op, full = true,
         files ++ extraFiles, outDdl, headM.txns, changes = changes,
         stats = stats ++ extraStats,
         partitionCols = base.partitionCols,
-        constraints = headM.constraints, colMap = headM.colMap)))
+        constraints = headM.constraints, colMap = headM.colMap,
+        dvs = Some(outDvs))))
         return cur + 1
       attempt += 1 // lost the publish race: re-examine the new head
     }
@@ -2526,7 +2596,7 @@ object Versioned {
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else readFiles(spark, path, touched.map(_._1), base.schemaDdl,
-        base.colMap)
+        base.colMap, base.dvs)
     val RepFlag = "__graft_replace"
     val tagged = live.withColumn(RepFlag, pred).localCheckpoint()
     val kept = tagged
@@ -2567,12 +2637,15 @@ object Versioned {
     val (touched, untouched) = ranges.partition { case (_, st) =>
       bounds.forall { case (c, b) => statIntersects(st.get(base.physOf(c)), b) }
     }
+    if (dvEnabled(spark) && touched.nonEmpty)
+      return dvDelete(spark, path, base, pred, bounds,
+        touched.map(_._1), untouched.map(_._1))
     val schema = StructType.fromDDL(base.schemaDdl)
     val live =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else readFiles(spark, path, touched.map(_._1), base.schemaDdl,
-        base.colMap)
+        base.colMap, base.dvs)
     val DelFlag = "__graft_delete"
     val tagged = live.withColumn(DelFlag, pred).localCheckpoint()
     val kept = tagged
@@ -2596,6 +2669,237 @@ object Versioned {
       path, commitId, base.colMap)
     publishCow(path, "delete", base, files, keptStats,
       changes = Some(changeRel), sourceBounds = Some(bounds))
+  }
+
+  // ------------------------------- deletion vectors (round 15)
+
+  /** DV mode gate: `spark.graft.dv.enabled` (default FALSE — the
+    * Delta discipline gates DVs behind an explicit opt-in too, and
+    * the COW path stays the no-config behavior). */
+  private def dvEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.dv.enabled").exists(_.toBoolean)
+
+  /** Per-file COW crossover: a file whose matched fraction reaches
+    * this rewrites (COW) instead of carrying a DV — masking most of a
+    * file pays the mask on every scan forever while the rewrite pays
+    * once and shrinks the bytes; a file below it takes the O(matched
+    * rows) sidecar. 0.0 forces COW everywhere, 1.0 DVs everything
+    * short of a full-file delete (which always just DROPS the file —
+    * cheaper than either). */
+  private def dvRewriteFraction(spark: SparkSession): Double =
+    spark.conf.getOption("spark.graft.dv.rewriteFraction")
+      .map(_.toDouble).getOrElse(0.5)
+
+  /** Merge-on-read DELETE: commit per-file sidecars of matched row
+    * ordinals instead of rewriting file bytes. Write cost ∝ matched
+    * ROWS (sidecars + CDF parquet + one manifest), never touched-file
+    * bytes — the point-DML shape COW cannot give a 100 TB table.
+    * Per-file triage from ONE localCheckpoint'd scan:
+    *
+    *  - zero matches → file carried by reference, DV state unchanged;
+    *  - every live row matches → file DROPPED from the set (no
+    *    sidecar, no rewrite — strictly cheaper than both);
+    *  - matched fraction ≥ [[dvRewriteFraction]] → classic COW
+    *    rewrite of the kept rows (the crossover);
+    *  - else → sidecar with (existing ∪ new) ordinals.
+    *
+    * The scan reads ordinals RAW (`_metadata.row_index`) and
+    * re-applies the existing mask as a filter, so ordinals are always
+    * physical-file positions and an already-deleted row can never
+    * re-match (or re-emit CDF). CDF rows persist as plain change
+    * parquet like the COW path — the change FEED is identical either
+    * way, only the data layout differs. Conflict detection, CHECK
+    * enforcement (fresh rewrite files only — dropping rows cannot
+    * violate a CHECK) and the vacuum-race guard ride [[publishCow]]
+    * unchanged. */
+  private def dvDelete(spark: SparkSession, path: String,
+      base: Snapshot, pred: org.apache.spark.sql.Column,
+      bounds: Map[String, ColStat], touched: Seq[String],
+      untouched: Seq[String]): Int = {
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val physSchema = physicalSchema(schema, base.colMap)
+    val absOf: Map[String, String] =
+      touched.map(f => s"${norm(path)}/$f" -> f).toMap
+    val mask = DeletionVectors.loadMask(norm(path),
+      base.dvs.view.filterKeys(touched.toSet).toMap)
+    val FileC = "__g_file"
+    val PosC = "__g_pos"
+    val DelFlag = "__graft_delete"
+    val raw = spark.read.schema(physSchema)
+      .parquet(touched.map(f => s"${norm(path)}/$f"): _*)
+      .withColumn(FileC, col("_metadata.file_path"))
+      .withColumn(PosC, col("_metadata.row_index"))
+      .where(DeletionVectors.liveFilter(mask)(col(FileC), col(PosC)))
+    // physical → logical names for the predicate, positions riding
+    val logical = physSchema.fieldNames.zip(schema.fieldNames)
+    val tagged = raw.select(logical.map { case (p, l) =>
+      col(p).as(l) }.toIndexedSeq ++ Seq(col(FileC), col(PosC)): _*)
+      .withColumn(DelFlag, coalesce(pred, lit(false)))
+      .localCheckpoint() // evaluate a possibly nondeterministic pred ONCE
+    val counts = tagged.groupBy(col(FileC))
+      .agg(count(lit(1)).as("n"), sum(col(DelFlag).cast("long")).as("h"))
+      .collect()
+      .map(r => (DeletionVectors.normFilePath(r.getString(0)),
+        r.getLong(1), r.getLong(2)))
+    val frac = dvRewriteFraction(spark)
+    var dropped = Vector.empty[String] // fully-dead: leave the set
+    var cowRel = Vector.empty[String] // rewrite kept rows
+    var dvRel = Vector.empty[String] // sidecar
+    var zeroRel = Vector.empty[String] // carried, DV state unchanged
+    counts.foreach { case (absFile, n, h) =>
+      val rel = absOf(absFile)
+      if (h == 0L) zeroRel :+= rel
+      else if (h == n) dropped :+= rel
+      else if (h.toDouble / n >= frac) cowRel :+= rel
+      else dvRel :+= rel
+    }
+    // a pruned-in file ALL of whose rows were already DV-masked reads
+    // zero rows — it never appears in `counts`; carry it untouched
+    val counted = counts.map(c => absOf(c._1)).toSet
+    zeroRel ++= touched.filterNot(counted)
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    // sidecars: (existing ∪ new) ordinals per DV'd file, driver-side
+    // — O(matched rows on sub-crossover files) memory by construction
+    val dvAbs = dvRel.map(r => s"${norm(path)}/$r").toSet
+    val inDv = udf((f: String) =>
+      dvAbs.contains(DeletionVectors.normFilePath(f)))
+    val newPos = tagged.where(col(DelFlag) && inDv(col(FileC)))
+      .select(col(FileC), col(PosC)).collect()
+      .groupBy(r => DeletionVectors.normFilePath(r.getString(0)))
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)) }
+    val dvUpdates: Map[String, String] =
+      dvRel.zipWithIndex.map { case (rel, i) =>
+        val abs = s"${norm(path)}/$rel"
+        val merged = mask.getOrElse(abs, Array.empty[Long]) ++
+          newPos.getOrElse(abs, Array.empty[Long])
+        val dvPath = s"_dv/c-$commitId/$i.dv"
+        DeletionVectors.write(Paths.get(norm(path), dvPath), merged)
+        rel -> dvPath
+      }.toMap
+    // COW leg: kept rows of crossover files only
+    val cowAbsSet = cowRel.map(r => s"${norm(path)}/$r").toSet
+    val keepCow = tagged.where(!col(DelFlag) &&
+      udf((f: String) => cowAbsSet.contains(
+        DeletionVectors.normFilePath(f))).apply(col(FileC)))
+      .drop(FileC, PosC, DelFlag)
+    val added: Seq[String] =
+      if (cowRel.isEmpty) Nil
+      else {
+        val dataRel = s"data/c-$commitId"
+        writeData(keepCow.coalesce(math.max(1, cowRel.size)),
+          s"$path/$dataRel", base.partitionCols, base.colMap)
+        listParquet(dataPath(path, commitId)).map(f => s"$dataRel/$f")
+      }
+    val files = untouched ++ zeroRel ++ dvRel ++ added
+    val outStats = base.stats.view
+      .filterKeys((untouched ++ zeroRel ++ dvRel).toSet).toMap ++
+      statsForFiles(spark, path, added, base.partitionCols, schema)
+    val changeRel = writeChanges(
+      tagged.where(col(DelFlag)).drop(FileC, PosC, DelFlag)
+        .withColumn("_change_type", lit("delete")),
+      path, commitId, base.colMap)
+    publishCow(path, "delete", base, files, outStats,
+      changes = Some(changeRel), sourceBounds = Some(bounds),
+      dvUpdates = dvUpdates)
+  }
+
+  /** Merge-on-read UPDATE (round 15): matched rows are DV-masked on
+    * their origin files and their POSTIMAGES append as fresh files —
+    * write cost ∝ matched rows (postimage parquet + sidecars + CDF),
+    * never touched-file bytes. Per-file triage as [[dvDelete]]:
+    * zero-hit files carry; fully-hit files leave the set (every row
+    * reappears updated in the fresh write — no sidecar needed);
+    * crossover files COW their kept rows into the same fresh write.
+    * Postimage files are fresh appends, so CHECK constraints gate
+    * them in [[publishCow]] exactly like a COW update's rewrites. */
+  private def dvUpdate(spark: SparkSession, path: String,
+      base: Snapshot, pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      bounds: Map[String, ColStat], touched: Seq[String],
+      untouched: Seq[String]): Int = {
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val tableCols: Seq[String] = schema.fields.map(_.name).toSeq
+    val physSchema = physicalSchema(schema, base.colMap)
+    val absOf: Map[String, String] =
+      touched.map(f => s"${norm(path)}/$f" -> f).toMap
+    val mask = DeletionVectors.loadMask(norm(path),
+      base.dvs.view.filterKeys(touched.toSet).toMap)
+    val FileC = "__g_file"
+    val PosC = "__g_pos"
+    val UpdFlag = "__graft_update"
+    val raw = spark.read.schema(physSchema)
+      .parquet(touched.map(f => s"${norm(path)}/$f"): _*)
+      .withColumn(FileC, col("_metadata.file_path"))
+      .withColumn(PosC, col("_metadata.row_index"))
+      .where(DeletionVectors.liveFilter(mask)(col(FileC), col(PosC)))
+    val logical = physSchema.fieldNames.zip(schema.fieldNames)
+    val tagged = raw.select(logical.map { case (p, l) =>
+      col(p).as(l) }.toIndexedSeq ++ Seq(col(FileC), col(PosC)): _*)
+      .withColumn(UpdFlag, coalesce(pred, lit(false)))
+      .localCheckpoint()
+    val counts = tagged.groupBy(col(FileC))
+      .agg(count(lit(1)).as("n"), sum(col(UpdFlag).cast("long")).as("h"))
+      .collect()
+      .map(r => (DeletionVectors.normFilePath(r.getString(0)),
+        r.getLong(1), r.getLong(2)))
+    val frac = dvRewriteFraction(spark)
+    var gone = Vector.empty[String] // fully-hit: leaves the set
+    var cowRel = Vector.empty[String]
+    var dvRel = Vector.empty[String]
+    var zeroRel = Vector.empty[String]
+    counts.foreach { case (absFile, n, h) =>
+      val rel = absOf(absFile)
+      if (h == 0L) zeroRel :+= rel
+      else if (h == n) gone :+= rel
+      else if (h.toDouble / n >= frac) cowRel :+= rel
+      else dvRel :+= rel
+    }
+    val counted = counts.map(c => absOf(c._1)).toSet
+    zeroRel ++= touched.filterNot(counted)
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val dvAbs = dvRel.map(r => s"${norm(path)}/$r").toSet
+    val inDv = udf((f: String) =>
+      dvAbs.contains(DeletionVectors.normFilePath(f)))
+    val newPos = tagged.where(col(UpdFlag) && inDv(col(FileC)))
+      .select(col(FileC), col(PosC)).collect()
+      .groupBy(r => DeletionVectors.normFilePath(r.getString(0)))
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)) }
+    val dvUpdates: Map[String, String] =
+      dvRel.zipWithIndex.map { case (rel, i) =>
+        val abs = s"${norm(path)}/$rel"
+        val merged = mask.getOrElse(abs, Array.empty[Long]) ++
+          newPos.getOrElse(abs, Array.empty[Long])
+        val dvPath = s"_dv/c-$commitId/$i.dv"
+        DeletionVectors.write(Paths.get(norm(path), dvPath), merged)
+        rel -> dvPath
+      }.toMap
+    val hit = tagged.where(col(UpdFlag)).drop(FileC, PosC, UpdFlag)
+    // store-assignment casts, as the COW update path (ADVICE r12 high)
+    val updated = hit.select(tableCols.map(c =>
+      set.getOrElse(c, col(c)).cast(schema(c).dataType).as(c)): _*)
+    val cowAbsSet = cowRel.map(r => s"${norm(path)}/$r").toSet
+    val inCow = udf((f: String) =>
+      cowAbsSet.contains(DeletionVectors.normFilePath(f)))
+    val keepCow = tagged.where(!col(UpdFlag) && inCow(col(FileC)))
+      .drop(FileC, PosC, UpdFlag)
+    val dataRel = s"data/c-$commitId"
+    writeData(keepCow.unionByName(updated)
+      .coalesce(math.max(1, cowRel.size + gone.size)),
+      s"$path/$dataRel", base.partitionCols, base.colMap)
+    val added = listParquet(dataPath(path, commitId))
+      .map(f => s"$dataRel/$f")
+    val files = untouched ++ zeroRel ++ dvRel ++ added
+    val outStats = base.stats.view
+      .filterKeys((untouched ++ zeroRel ++ dvRel).toSet).toMap ++
+      statsForFiles(spark, path, added, base.partitionCols, schema)
+    val changeRel = writeChanges(
+      hit.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(updated
+          .withColumn("_change_type", lit("update_postimage"))),
+      path, commitId, base.colMap)
+    publishCow(path, "update", base, files, outStats,
+      changes = Some(changeRel), sourceBounds = Some(bounds),
+      dvUpdates = dvUpdates)
   }
 
   /** UPDATE rows matching `pred`, setting each `set` column to its
@@ -2625,11 +2929,14 @@ object Versioned {
     val (touched, untouched) = ranges.partition { case (_, st) =>
       bounds.forall { case (c, b) => statIntersects(st.get(base.physOf(c)), b) }
     }
+    if (dvEnabled(spark) && touched.nonEmpty)
+      return dvUpdate(spark, path, base, pred, set, bounds,
+        touched.map(_._1), untouched.map(_._1))
     val live =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else readFiles(spark, path, touched.map(_._1), base.schemaDdl,
-        base.colMap)
+        base.colMap, base.dvs)
     val UpdFlag = "__graft_update"
     val tagged = live.withColumn(UpdFlag, pred).localCheckpoint()
     val kept = tagged
@@ -2703,7 +3010,7 @@ object Versioned {
     val rows =
       if (carried.isEmpty) read(spark, path, Some(base.version))
       else readFiles(spark, path, touchedFiles, base.schemaDdl,
-        base.colMap)
+        base.colMap, base.dvs)
     val laidOut =
       if (clusterBy.isEmpty) rows.repartition(numFiles)
       else {
@@ -2899,7 +3206,7 @@ object Versioned {
       // partitioned reads that want FILE-level pruning go through
       // `format("graftv")`, where the manifest's partition point
       // stats prune before planning.
-      readFiles(spark, path, s.files, s.schemaDdl, s.colMap)
+      readFiles(spark, path, s.files, s.schemaDdl, s.colMap, s.dvs)
   }
 
   /** Files younger than this survive [[vacuum]] even when no retained
@@ -2938,8 +3245,9 @@ object Versioned {
     if (vs.isEmpty) return Seq.empty
     val keepVs = vs.takeRight(retainVersions)
     val keepManifests = keepVs.map(v => parseManifest(manifestPath(path, v)))
-    val keep = keepVs.flatMap(v => snapshot(path, Some(v)).files).toSet ++
-      keepManifests.flatMap(_.changes.getOrElse(Nil))
+    val keep = keepVs.flatMap { v =>
+      val sn = snapshot(path, Some(v)); sn.files ++ sn.dvs.values
+    }.toSet ++ keepManifests.flatMap(_.changes.getOrElse(Nil))
     val horizon = System.currentTimeMillis() - graceMs
     def sweep(dirName: String): Vector[String] = {
       val dir = Paths.get(norm(path), dirName)
@@ -2955,7 +3263,7 @@ object Versioned {
         walk(cdir, s"$dirName/${cdir.getFileName}/")
       }
     }
-    val dead = (sweep("data") ++ sweep("_changes"))
+    val dead = (sweep("data") ++ sweep("_changes") ++ sweep("_dv"))
       .filterNot(f => keep.contains(f) ||
         f.split('/').last.startsWith("_")) // keep parquet _SUCCESS markers
       .filter { f =>
@@ -3629,7 +3937,64 @@ object Versioned {
     }
   }
 
+  /** v16_dv (round 15, VERDICT r14 #1): DELETION VECTORS oracled.
+    * v1 commits every document across 4 files; v2 point-DELETES the
+    * %10=3 slice (sub-crossover per file → per-file ordinal sidecars,
+    * zero data-file rewrites); v3 point-UPDATES the %10=6 slice
+    * (+1e6 chars — preimages masked, postimages appended); v4
+    * OPTIMIZE purges the masks. Steps: (1) head after the DV delete,
+    * (2) head after the DV update, (3) time travel to v1 (the full
+    * corpus — masks are versioned state), (4) head after the purge
+    * (same rows as step 2, zero sidecars), (5) the delete's CDF rows.
+    * `dv_present` pins the MECHANISM cross-engine: the engine reports
+    * its sidecar count sign, the oracle hardcodes when one must (1,2)
+    * and must not (3,4,5) exist. */
+  def dvPointDml(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val tmp = Files.createTempDirectory("graft-versioned-").toString
+    val prior = spark.conf.getOption("spark.graft.dv.enabled")
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try {
+      commit(docs.repartition(4), tmp, "append") // v1: 4 files
+      deleteWhere(spark, tmp, col("doc_id") % 10 === 3) // v2: DV masks
+      val dvAfterDelete = if (snapshot(tmp).dvs.nonEmpty) 1L else 0L
+      updateWhere(spark, tmp, col("doc_id") % 10 === 6,
+        Map("n_chars" -> (col("n_chars") + lit(1000000L)))) // v3
+      val dvAfterUpdate = if (snapshot(tmp).dvs.nonEmpty) 1L else 0L
+      optimize(spark, tmp, numFiles = 2) // v4: purge
+      val dvAfterOptimize = if (snapshot(tmp).dvs.nonEmpty) 1L else 0L
+      def aggOf(df: DataFrame, step: Int, dv: Long): Row = {
+        val r = df.agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_chars")).head()
+        Row(step, r.getLong(0), r.getLong(1), r.getLong(2), dv)
+      }
+      val cdfDel = readChanges(spark, tmp, 1, 2)
+        .where(col("_change_type") === "delete")
+        .select(col("doc_id"), col("n_chars"))
+      val steps = Seq(
+        aggOf(read(spark, tmp, Some(2)), 1, dvAfterDelete),
+        aggOf(read(spark, tmp, Some(3)), 2, dvAfterUpdate),
+        aggOf(read(spark, tmp, Some(1)), 3, 0L),
+        aggOf(read(spark, tmp), 4, dvAfterOptimize),
+        aggOf(cdfDel, 5, 0L))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(steps, 1),
+        StructType.fromDDL("step INT, n_rows BIGINT, " +
+          "sum_doc_id BIGINT, sum_chars BIGINT, dv_present BIGINT"))
+        .orderBy(col("step"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.graft.dv.enabled", v)
+        case None => spark.conf.unset("spark.graft.dv.enabled")
+      }
+      deleteRecursively(Paths.get(tmp))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v16_dv" -> (dvPointDml _),
     "v15_clone" -> (cloneDivergence _),
     "v14_rename" -> (renameEvolution _),
     "v13_widen" -> (widenEvolution _),
@@ -3647,6 +4012,33 @@ object Versioned {
     "v6_cdf_apply" -> (cdfApply _))
 
   val oracle: Map[String, String] = Map(
+    "v16_dv" -> """
+      WITH d AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+      deleted AS (SELECT * FROM d WHERE doc_id % 10 = 3),
+      live2 AS (SELECT * FROM d WHERE doc_id % 10 <> 3),
+      live3 AS (
+        SELECT doc_id,
+               n_chars + CASE WHEN doc_id % 10 = 6 THEN 1000000
+                         ELSE 0 END AS n_chars
+        FROM live2),
+      agg AS (
+        SELECT 1 AS step, count(*) AS n_rows, sum(doc_id) AS sum_doc_id,
+               sum(n_chars) AS sum_chars, 1 AS dv_present FROM live2
+        UNION ALL
+        SELECT 2, count(*), sum(doc_id), sum(n_chars), 1 FROM live3
+        UNION ALL
+        SELECT 3, count(*), sum(doc_id), sum(n_chars), 0 FROM d
+        UNION ALL
+        SELECT 4, count(*), sum(doc_id), sum(n_chars), 0 FROM live3
+        UNION ALL
+        SELECT 5, count(*), sum(doc_id), sum(n_chars), 0 FROM deleted)
+      SELECT CAST(step AS INT) AS step,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_doc_id AS BIGINT) AS sum_doc_id,
+             CAST(sum_chars AS BIGINT) AS sum_chars,
+             CAST(dv_present AS BIGINT) AS dv_present
+      FROM agg ORDER BY step""",
     "v15_clone" -> """
       WITH evens AS (
         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents

@@ -763,7 +763,6 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
         // manifest stats are keyed by PHYSICAL names (column mapping)
         Versioned.pruneFilesBy(snap.copy(files = fs), snap.physOf(c), b)
       }
-      val files = kept.map(f => new org.apache.hadoop.fs.Path(s"$path/$f"))
       // every data file carries every column — partitioned layouts
       // included (the Iceberg discipline, Versioned.PartDirPrefix) —
       // so one uniform vectorized delegate serves both. Files carry
@@ -774,19 +773,51 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
         StructType(st.fields.map(f =>
           f.copy(name = snap.physOf(f.name))))
       val dataSchema = phys(StructType.fromDDL(snap.schemaDdl))
-      val idx = new org.apache.spark.sql.execution.datasources
-        .InMemoryFileIndex(spark, files, Map.empty, Some(dataSchema))
-      val b = org.apache.spark.sql.execution.datasources.v2.parquet
-        .ParquetScanBuilder(spark, idx, dataSchema, dataSchema,
-          CaseInsensitiveStringMap.empty())
-      b.pruneColumns(phys(required))
-      // forward for ROW-GROUP pruning inside the delegated scan,
-      // filter columns translated to their physical names
-      val physFilters =
-        if (snap.colMap.isEmpty) dataFilters
-        else dataFilters.flatMap(translateFilter(_, snap.physOf))
-      b.pushDataFilters(physFilters)
-      b.build().toBatch
+      // DELETION VECTORS (round 15): DV-carrying files read through
+      // the hand-rolled masked reader; clean files (the overwhelming
+      // majority — DVs are transient until OPTIMIZE purges) keep the
+      // delegate. Spark requires row/columnar uniformity across one
+      // scan's partitions, so ANY DV in the kept set drops the whole
+      // scan to row-based readers for this snapshot — the documented
+      // cost of merge-on-read until compaction.
+      val (dvd, clean) = kept.partition(snap.dvs.contains)
+      def delegateBatch(fs: Seq[String]): Batch = {
+        val files = fs.map(f => new org.apache.hadoop.fs.Path(s"$path/$f"))
+        val idx = new org.apache.spark.sql.execution.datasources
+          .InMemoryFileIndex(spark, files, Map.empty, Some(dataSchema))
+        val b = org.apache.spark.sql.execution.datasources.v2.parquet
+          .ParquetScanBuilder(spark, idx, dataSchema, dataSchema,
+            CaseInsensitiveStringMap.empty())
+        b.pruneColumns(phys(required))
+        // forward for ROW-GROUP pruning inside the delegated scan,
+        // filter columns translated to their physical names
+        val physFilters =
+          if (snap.colMap.isEmpty) dataFilters
+          else dataFilters.flatMap(translateFilter(_, snap.physOf))
+        b.pushDataFilters(physFilters)
+        b.build().toBatch
+      }
+      if (dvd.isEmpty) delegateBatch(kept)
+      else {
+        val root = Versioned.normPath(path)
+        val dvParts: Array[InputPartition] = dvd.map { f =>
+          VersionedInputPartition(s"$path/$f", relPath = f,
+            deletedPositions = DeletionVectors.read(
+              java.nio.file.Paths.get(root, snap.dvs(f))))
+            : InputPartition
+        }.toArray
+        val masked = new VersionedReaderFactory(required.toDDL,
+          snap.colMap)
+        val delegate = if (clean.isEmpty) None else Some(delegateBatch(clean))
+        new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            delegate.map(_.planInputPartitions())
+              .getOrElse(Array.empty[InputPartition]) ++ dvParts
+          override def createReaderFactory(): PartitionReaderFactory =
+            new DvDispatchReaderFactory(
+              delegate.map(_.createReaderFactory()), masked)
+        }
+      }
     }
 
   /** Rewrite a source Filter's attribute names via `f` — used to
@@ -831,6 +862,26 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
       skipChangeCommits, changeFeed, maxVersionsPerTrigger)
 }
 
+/** Dispatching reader factory for a DV-bearing snapshot scan
+  * (round 15): [[VersionedInputPartition]]s (the DV'd files) read
+  * through the hand-rolled masked reader; every other partition
+  * belongs to the vectorized parquet delegate. `supportColumnarReads`
+  * is uniformly false — Spark rejects mixed row/columnar partitions
+  * in one scan, and the delegate serves row-based reads natively. */
+private[sources] class DvDispatchReaderFactory(
+    delegate: Option[PartitionReaderFactory],
+    masked: VersionedReaderFactory) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = partition match {
+    case v: VersionedInputPartition => masked.createReader(v)
+    case other => delegate.getOrElse(sys.error(
+      "graftv: non-DV partition with no delegate factory"))
+      .createReader(other)
+  }
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+}
+
 /** One partition per changed file in (from, to]: append files are
   * tagged `insert`; merge/delete change parquet carries its own
   * `_change_type`. Shared by the batch and micro-batch change feeds. */
@@ -849,7 +900,8 @@ private[sources] object changePartitions {
   * itself (which may legitimately contain `=` in a directory name). */
 private[sources] case class VersionedInputPartition(filePath: String,
     relPath: String = "", commitVersion: Int = -1,
-    tagInsert: Boolean = false)
+    tagInsert: Boolean = false,
+    deletedPositions: Array[Long] = Array.empty)
     extends InputPartition
 
 private[sources] class VersionedReaderFactory(requiredDdl: String,
@@ -895,18 +947,24 @@ private[sources] class VersionedReaderFactory(requiredDdl: String,
     val consts = metaConsts ++ partConsts
     // Catalyst prunes count(*)-style plans to ZERO columns: serve the
     // row count from the footer alone — no column chunk is opened.
-    if (requiredDdl.isEmpty) new VersionedCountReader(p.filePath)
-    else new VersionedPartitionReader(p.filePath, schema, consts, colMap)
+    if (requiredDdl.isEmpty)
+      new VersionedCountReader(p.filePath, p.deletedPositions.length)
+    else new VersionedPartitionReader(p.filePath, schema, consts, colMap,
+      p.deletedPositions)
   }
 }
 
-/** Zero-column read: emit one empty row per footer-counted row. */
-private[sources] class VersionedCountReader(file: String)
+/** Zero-column read: emit one empty row per footer-counted row —
+  * minus the file's DV-masked ordinals (round 15), which exist but
+  * are not live. */
+private[sources] class VersionedCountReader(file: String,
+    deletedCount: Int = 0)
     extends PartitionReader[InternalRow] {
   private var remaining: Long = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file), new Configuration()))
-    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum -
+      deletedCount
     finally reader.close()
   }
   override def next(): Boolean = { remaining -= 1; remaining >= 0 }
@@ -920,7 +978,8 @@ private[sources] class VersionedCountReader(file: String)
   * everything else — I/O-level pruning, not post-hoc projection. */
 private[sources] class VersionedPartitionReader(file: String,
     required: StructType, consts: Map[String, Any] = Map.empty,
-    colMap: Map[String, String] = Map.empty)
+    colMap: Map[String, String] = Map.empty,
+    deleted: Array[Long] = Array.empty)
     extends PartitionReader[InternalRow] {
   // files carry PHYSICAL column names (column mapping, round 14);
   // physical names are stable, so the scan-time mapping reads every
@@ -960,7 +1019,11 @@ private[sources] class VersionedPartitionReader(file: String,
       case f if f.isPrimitive =>
         f.getName -> f.asPrimitiveType().getPrimitiveTypeName
     }.toMap
-    if (pruned.getFieldCount == 0) { allNullRemaining = rowCount; None }
+    if (pruned.getFieldCount == 0) {
+      // all-null rows are indistinguishable — the DV mask reduces the
+      // emitted COUNT (ordinal identity is irrelevant here)
+      allNullRemaining = rowCount - deleted.length; None
+    }
     else {
       conf.set(ReadSupport.PARQUET_READ_SCHEMA, pruned.toString)
       Some(ParquetReader.builder(new GroupReadSupport(), hPath)
@@ -969,8 +1032,17 @@ private[sources] class VersionedPartitionReader(file: String,
   }
 
   private var cur: Group = _
+  // DV mask (round 15): `deleted` is SORTED ascending and the
+  // sequential read visits ordinals in order, so one pointer walks
+  // both — O(1) amortized per row, no lookups
+  private var ordinal: Long = -1L
+  private var delIdx: Int = 0
   override def next(): Boolean = reader match {
-    case Some(r) => cur = r.read(); cur != null
+    case Some(r) =>
+      while ({ cur = r.read(); ordinal += 1; cur != null &&
+        delIdx < deleted.length && deleted(delIdx) == ordinal })
+        delIdx += 1
+      cur != null
     case None => allNullRemaining -= 1; allNullRemaining >= 0
   }
   override def get(): InternalRow = InternalRow.fromSeq(

@@ -419,4 +419,96 @@ class VersionedPropertySpec extends AnyFunSuite {
       assert(gotRows === hr, s"time travel to v$v rows diverged")
     }
   }
+
+  /** Round 15 (deletion vectors): the POINT-DML lifecycle fuzzed —
+    * random interleavings of append / DV delete / DV update / merge /
+    * OPTIMIZE (purges the mask) / restore, each op checked against a
+    * row model, with a full per-version history sweep (every version
+    * reads its own row multiset — a masked row never resurrects, a
+    * purge never loses a live row). COW and DV paths interleave in
+    * one history: the fuzz flips `spark.graft.dv.enabled` per op. */
+  test("deletion-vector fuzz: dv/cow delete, update, optimize and " +
+    "restore interleavings preserve the row model per version") {
+    val rnd = new scala.util.Random(20261501L)
+    val t = Files.createTempDirectory("versioned-fuzz-dv-").toString
+    var rows: Map[Long, Long] = Map.empty // id -> v
+    var history = Map.empty[Int, Map[Long, Long]]
+    var nextId = 0L
+    def dfOf(rs: Seq[(Long, Long)]) = {
+      import spark.implicits._
+      rs.toDF("id", "v").repartition(1 + rnd.nextInt(2))
+    }
+    def fresh(n: Int): Seq[(Long, Long)] =
+      (0 until n).map { _ =>
+        nextId += 1; nextId -> rnd.nextInt(1000).toLong
+      }
+    def readBack(asOf: Option[Int] = None): Map[Long, Long] =
+      Versioned.read(spark, t, asOf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def withMode[A](dv: Boolean)(f: => A): A = {
+      spark.conf.set("spark.graft.dv.enabled", dv.toString)
+      try f finally spark.conf.unset("spark.graft.dv.enabled")
+    }
+    val r0 = fresh(8)
+    Versioned.commit(dfOf(r0), t)
+    rows = r0.toMap; history += 1 -> rows
+
+    var dvDeletes, cowDeletes, dvUpdates, purges = 0
+    (0 until 40).foreach { i =>
+      val useDv = rnd.nextBoolean()
+      rnd.nextInt(6) match {
+        case 0 => // append
+          val rs = fresh(1 + rnd.nextInt(3))
+          Versioned.commit(dfOf(rs), t)
+          rows = rows ++ rs
+        case 1 if rows.nonEmpty => // point delete (dv or cow)
+          val ids = rows.keys.toVector.sorted
+          val victims = (0 until 1 + rnd.nextInt(2))
+            .map(_ => ids(rnd.nextInt(ids.length))).distinct
+          withMode(useDv) {
+            Versioned.deleteWhere(spark, t,
+              col("id").isInCollection(victims))
+          }
+          if (useDv) dvDeletes += 1 else cowDeletes += 1
+          rows = rows -- victims
+        case 2 if rows.nonEmpty => // point update (dv or cow)
+          val ids = rows.keys.toVector.sorted
+          val hit = ids(rnd.nextInt(ids.length))
+          val nv = rnd.nextInt(1000).toLong
+          withMode(useDv) {
+            Versioned.updateWhere(spark, t, col("id") === hit,
+              Map("v" -> lit(nv)))
+          }
+          if (useDv) dvUpdates += 1
+          rows = rows + (hit -> nv)
+        case 3 if rows.nonEmpty => // merge upsert
+          val ids = rows.keys.toVector.sorted
+          val hit = ids(rnd.nextInt(ids.length))
+          val nv = rnd.nextInt(1000).toLong
+          val ins = fresh(1)
+          Versioned.merge(dfOf(Seq(hit -> nv) ++ ins), t, Seq("id"))
+          rows = rows + (hit -> nv) ++ ins
+        case 4 => // OPTIMIZE: purge masks, same rows
+          Versioned.optimize(spark, t, numFiles = 1 + rnd.nextInt(2))
+          if (Versioned.versions(t).nonEmpty) purges += 1
+        case 5 => // restore
+          val vs = Versioned.versions(t)
+          val target = vs(rnd.nextInt(vs.length))
+          Versioned.restore(t, target)
+          rows = history(target)
+        case _ => ()
+      }
+      val v = Versioned.versions(t).max
+      history += v -> rows
+      assert(readBack() === rows, s"rows diverged after op $i (v$v)")
+    }
+    assert(dvDeletes >= 3 && cowDeletes >= 2 && dvUpdates >= 2 &&
+      purges >= 2, s"fuzz must exercise the DV lifecycle " +
+      s"(dvDel=$dvDeletes cowDel=$cowDeletes dvUpd=$dvUpdates " +
+      s"purges=$purges)")
+    // every historical version reads its own row multiset
+    history.foreach { case (v, hr) =>
+      assert(readBack(Some(v)) === hr, s"time travel to v$v diverged")
+    }
+  }
 }
