@@ -145,7 +145,8 @@ object AnnRecall {
       sb ++= s"""    "bruteforce": {"sec": ${r4(tBrute)}, "recall_at_$K": 1.0},\n"""
       println(f"[ann-recall] $label n=$n kth=$meanKth%.4f brute: ${tBrute}%.2fs")
 
-      // sign-LSH: single point
+      // sign-LSH on the DEFAULT (round 15: AUTO — capped planes,
+      // derived radius; the ≥0.8-at-every-rung contract)
       val (lsh, tLsh) = timed {
         graft.operators.IntKmeans.lshTopK(
           e.select(col("vec_id"), col("embedding")), q, "embedding",
@@ -154,7 +155,19 @@ object AnnRecall {
       val rLsh = recallOf(lsh, truth, thresh)
       lsh.unpersist()
       sb ++= s"""    "lsh": {"sec": ${r4(tLsh)}, "recall_at_$K": ${r4(rLsh)}},\n"""
-      println(f"[ann-recall] $label lsh: recall=$rLsh%.4f ${tLsh}%.2fs")
+      println(f"[ann-recall] $label lsh(auto): recall=$rLsh%.4f ${tLsh}%.2fs")
+      // explicit radius 1 (uncapped planes): the pre-r15 default,
+      // kept as the speed end of the dial
+      val (lsh1, tLsh1) = timed {
+        graft.operators.IntKmeans.lshTopK(
+          e.select(col("vec_id"), col("embedding")), q, "embedding",
+          "vec_id", k = K, dim = 64, seed = 42L, probeHamming = 1)
+          .persist()
+      }
+      val rLsh1 = recallOf(lsh1, truth, thresh)
+      lsh1.unpersist()
+      sb ++= s"""    "lsh_probe1": {"sec": ${r4(tLsh1)}, "recall_at_$K": ${r4(rLsh1)}},\n"""
+      println(f"[ann-recall] $label lsh_probe1: recall=$rLsh1%.4f ${tLsh1}%.2fs")
 
       // sign-LSH at probe radius 2 (round 12): the recall dial — the
       // pair-flip probes multiply candidates ~np/2× over radius 1

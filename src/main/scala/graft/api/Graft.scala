@@ -175,7 +175,7 @@ object Graft {
       * `ivfTopK` (the cosine rerank squares quantized values). */
     def lshTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
         idCol: String, k: Int, dim: Int, seed: Long = 42L,
-        probeHamming: Int = 1): DataFrame =
+        probeHamming: Int = 0): DataFrame =
       graft.operators.IntKmeans.lshTopK(corpus, queries, vCol, idCol, k,
         dim, seed, probeHamming)
 

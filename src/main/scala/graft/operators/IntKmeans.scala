@@ -423,13 +423,36 @@ object IntKmeans {
     math.min(24, math.max(4, b))
   }
 
+  /** AUTO-PROBE band config (round 15, VERDICT r14 #6): in the
+    * banded regime the DEFAULT must meet recall ≥ 0.8 at every
+    * measured rung without a caller-supplied probe count. Two exact
+    * integer rules, mirrored in the SQL twin:
+    *
+    *  - plane count caps at [[MaxAutoPlanes]] = 10: the probed
+    *    fraction at radius 2 is (1 + b + b(b-1)/2) / 2^b, which
+    *    crosses below ~5 % — the measured 0.8-recall floor on
+    *    structureless embeddings (bench/ann_recall.json, 25× rung:
+    *    5.5 % probed → 0.80) — exactly past b = 10, so deeper
+    *    bucketing would silently trade recall for speed;
+    *  - probe radius is 1 while b ≤ 7 (radius-1 fraction (1+b)/2^b ≥
+    *    6 % there) and 2 above.
+    *
+    * Callers can still pin `probeHamming` explicitly (uncapped
+    * planes, their radius) — the recall/speed dial is theirs; 0 (the
+    * default) selects AUTO. Sub-cap corpora bypass both (exact scan,
+    * recall 1.0). */
+  val MaxAutoPlanes = 10
+  private def autoRadius(np: Int): Int = if (np <= 7) 1 else 2
+
   /** LSH top-k on the deterministic sign planes — the s2 shape
     * (bucket corpus + queries, hamming-≤`probeHamming` multiprobe,
     * exact cosine rerank) with every decision exact: projections are
     * ±1·integer dots, the sign threshold is ≥ 0, rerank cosines round
     * to 6 before ranking. `probeHamming = 1` replays bit-for-bit in
-    * DuckDB (oracleS2); `probeHamming = 2` adds the pair-flip probes —
-    * the recall dial, measured in `bench/ann_recall.json`.
+    * DuckDB (oracleS2); `probeHamming = 2` adds the pair-flip probes;
+    * `probeHamming = 0` (the DEFAULT) is AUTO — capped planes +
+    * derived radius, recall ≥ 0.8 at every measured rung
+    * (`bench/ann_recall.json`).
     *
     * RECALL ENVELOPE (measured, bench/ann_recall.json): sign-LSH
     * recall is bounded by the corpus's angular structure. On the
@@ -453,13 +476,17 @@ object IntKmeans {
     * integer comparison, so the SQL twin can never disagree. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
       idCol: String, k: Int, dim: Int, seed: Long,
-      probeHamming: Int = 1): DataFrame = {
-    require(probeHamming == 1 || probeHamming == 2,
-      s"lshTopK: probeHamming must be 1 or 2, got $probeHamming")
+      probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2,
+      s"lshTopK: probeHamming must be 0 (auto), 1 or 2, got $probeHamming")
     val q = quantize(corpus, idCol, vCol)
     val n = q.count()
     val small = n < TrainCap
-    val np = exactPlaneBits(n, k)
+    val auto = probeHamming == 0
+    val np =
+      if (auto && !small) math.min(exactPlaneBits(n, k), MaxAutoPlanes)
+      else exactPlaneBits(n, k)
+    val radius = if (auto) autoRadius(np) else probeHamming
     val pl = planesSign(np, dim, seed)
     def bucketOf(v: Column): Column =
       (0 until np).map { p =>
@@ -475,7 +502,7 @@ object IntKmeans {
     // at radius 2) — all masks distinct, and a corpus vector lives in
     // exactly one bucket, so no candidate dedup
     val masks: Seq[Long] = 0L +: ((0 until np).map(p => 1L << p) ++
-      (if (probeHamming >= 2)
+      (if (radius >= 2)
         for { a <- 0 until np; b <- (a + 1) until np }
           yield (1L << a) | (1L << b)
       else Nil))
@@ -664,8 +691,10 @@ object IntKmeans {
 
   /** Complete s2 sign-projection LSH top-k oracle: hash-derived ±1
     * planes, exact-integer plane count (minimal b with 2^b·8k ≥ N,
-    * clamped to [4, 24]), bucketing on integer projections, 1-bit
-    * multiprobe, exact cosine rerank. */
+    * clamped to [4, 24]; AUTO-capped at [[MaxAutoPlanes]] in the
+    * banded regime, round 15), bucketing on integer projections,
+    * AUTO multiprobe (1-bit at np ≤ 7, +pair flips above), exact
+    * cosine rerank — lockstep with [[lshTopK]]'s default. */
   def oracleS2(k: Int, seed: Long, dim: Int, queryPred: String): String = {
     val r = dim + 1
     val target = math.max(1L, 8L * k)
@@ -673,9 +702,12 @@ object IntKmeans {
        | SELECT vec_id, [ROUND(x::DOUBLE * 1e4)::BIGINT FOR x IN embedding] AS qv
        | FROM embeddings),
        |np AS (
-       | SELECT LEAST(24, GREATEST(4, COALESCE(MIN(b), 24))) AS np
-       | FROM range(0, 25) t(b)
-       | WHERE (1::BIGINT << b) * $target >= (SELECT COUNT(*) FROM e)),
+       | SELECT CASE WHEN (SELECT COUNT(*) FROM e) >= $TrainCap
+       |   THEN LEAST($MaxAutoPlanes, raw) ELSE raw END AS np
+       | FROM (
+       |  SELECT LEAST(24, GREATEST(4, COALESCE(MIN(b), 24))) AS raw
+       |  FROM range(0, 25) t(b)
+       |  WHERE (1::BIGINT << b) * $target >= (SELECT COUNT(*) FROM e))),
        |pls AS MATERIALIZED (
        | SELECT p, list(s ORDER BY j) AS sv FROM (
        |  SELECT p, j,
@@ -699,13 +731,18 @@ object IntKmeans {
        | FROM nn WHERE $queryPred),
        |small AS (SELECT COUNT(*) < $TrainCap AS small FROM e),
        |qprobe AS (
-       | SELECT q.query_id, q.qv, q.qn,
-       |  CASE WHEN f.p < 0 THEN q.bucket
-       |       ELSE xor(q.bucket, (1::BIGINT << f.p)) END AS bucket
+       | SELECT q.query_id, q.qv, q.qn, xor(q.bucket, f.m) AS bucket
        | FROM qs q CROSS JOIN (
-       |  SELECT -1 AS p
+       |  SELECT 0::BIGINT AS m
        |  UNION ALL
-       |  SELECT b FROM range(0, 24) t(b) WHERE b < (SELECT np FROM np)) f),
+       |  SELECT (1::BIGINT << b) FROM range(0, 24) t(b)
+       |  WHERE b < (SELECT np FROM np)
+       |  UNION ALL
+       |  -- AUTO radius 2 (round 15): pair flips, only past np = 7
+       |  SELECT (1::BIGINT << a) | (1::BIGINT << b)
+       |  FROM range(0, 24) t1(a) CROSS JOIN range(0, 24) t2(b)
+       |  WHERE a < b AND b < (SELECT np FROM np)
+       |   AND (SELECT np FROM np) > 7) f),
        |scored AS (
        | -- two DISJOINT regimes (round 14): sub-cap corpus probes the
        | -- whole pool exactly; at/above the cap the banded equi-join

@@ -367,6 +367,15 @@ object Versioned {
       })
   }
 
+  /** (schemaDdl, colMap) as committed at version `v` — every manifest
+    * carries both completely. One driver-side JSON parse; the
+    * streaming schema-change gate's probe (round 15). */
+  private[sources] def schemaStateAt(path: String, v: Int)
+      : (String, Map[String, String]) = {
+    val m = parseManifest(manifestPath(path, v))
+    (m.schemaDdl, m.colMap)
+  }
+
   /** All committed versions, ascending (empty for a fresh/absent table). */
   def versions(path: String): Seq[Int] = {
     val dir = logDir(path)
