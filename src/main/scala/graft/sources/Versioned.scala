@@ -446,14 +446,63 @@ object Versioned {
 
   // -------------------------------------- column mapping (round 14)
 
+  /** DEEPLY-nullable form of a schema (round 15): parquet round-trips
+    * lose NOT NULL at every depth, and struct-to-struct CASTS (the
+    * nested-mapping alias seam) refuse nullable-to-NOT-NULL fields —
+    * so every DDL derived from a DataFrame normalizes nested struct
+    * fields nullable too, not just the top level. */
+  private[sources] def deepNullable(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = deepNullable(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = deepNullable(m.keyType),
+        valueType = deepNullable(m.valueType))
+    case other => other
+  }
+  private[sources] def asNullableSchema(st: StructType): StructType =
+    deepNullable(st).asInstanceOf[StructType]
+
+  /** NESTED column mapping (round 15, VERDICT r14 #4): mapping keys
+    * are DOTTED LOGICAL paths (`prov.source`); values are the DOTTED
+    * PHYSICAL path for nested fields and the plain physical name for
+    * top-level columns (how every pre-r15 manifest already parses).
+    * Physical leaf of a path = last segment of its mapped value. */
+  private def physLeafOf(colMap: Map[String, String],
+      logicalPath: String, leaf: String): String =
+    colMap.get(logicalPath).map(_.split('.').last).getOrElse(leaf)
+
+  /** Dotted PHYSICAL path of a dotted logical path: each ancestor
+    * segment resolves through the mapping cumulatively. */
+  private def physPathOf(colMap: Map[String, String],
+      logicalPath: String): String = {
+    val segs = logicalPath.split('.')
+    segs.indices.map { i =>
+      physLeafOf(colMap, segs.take(i + 1).mkString("."), segs(i))
+    }.mkString(".")
+  }
+
   /** Physical schema of a logical one: field names translated
-    * through `colMap` (identity when absent). Positions and types
-    * never move — mapping renames, it does not reorder. */
+    * through `colMap` (identity when absent), recursively through
+    * struct fields (round 15). Positions and types never move —
+    * mapping renames, it does not reorder. */
   private def physicalSchema(logical: StructType,
-      colMap: Map[String, String]): StructType =
-    if (colMap.isEmpty) logical
-    else StructType(logical.fields.map(f =>
-      f.copy(name = colMap.getOrElse(f.name, f.name))))
+      colMap: Map[String, String]): StructType = {
+    if (colMap.isEmpty) return logical
+    def walk(st: StructType, prefix: String): StructType =
+      StructType(st.fields.map { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val pn = physLeafOf(colMap, path, f.name)
+        f.dataType match {
+          case s: StructType => f.copy(name = pn, dataType = walk(s, path))
+          case _ => f.copy(name = pn)
+        }
+      })
+    walk(logical, "")
+  }
 
   /** Read table-relative data `files` under the LOGICAL `ddl`: files
     * carry physical names, so the scan reads the physical schema and
@@ -470,7 +519,9 @@ object Versioned {
       files: Seq[String], ddl: String,
       colMap: Map[String, String],
       dvs: Map[String, String] = Map.empty): DataFrame = {
-    val logical = StructType.fromDDL(ddl)
+    // deep-nullable: pre-r15 manifests may carry nested NOT NULL the
+    // alias-back struct CAST would refuse
+    val logical = asNullableSchema(StructType.fromDDL(ddl))
     val physSchema = physicalSchema(logical, colMap)
     def abs(f: String) = s"${norm(path)}/$f"
     val (masked, clean) = files.partition(dvs.contains)
@@ -489,8 +540,20 @@ object Versioned {
       }
     val scan = DeletionVectors.maskedUnion(cleanScan, dvScan)
     if (colMap.isEmpty) scan
-    else scan.toDF(logical.fieldNames.toIndexedSeq: _*)
+    else
+      // alias back to LOGICAL names — struct casts are positional, so
+      // a nested mapping (round 15) renames interior fields too
+      scan.select(logical.fields.zip(physSchema.fields).map {
+        case (lf, pf) =>
+          col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+      }.toIndexedSeq: _*)
   }
+
+  /** [[physicalSchema]] for the DSv2 connector (round 15: recursive
+    * through structs, shared with the scan's delegate). */
+  private[sources] def physicalSchemaOf(logical: StructType,
+      colMap: Map[String, String]): StructType =
+    physicalSchema(logical, colMap)
 
   /** Physical DDL of a logical one — the DSv2 writers hand their
     * task-side parquet writers this form so files carry physical
@@ -506,12 +569,64 @@ object Versioned {
   /** Logical-named DataFrame → physical column names for a file
     * write (identity when the table has no mapping). Columns outside
     * the mapping — CDF markers, partition-dir staging columns — pass
-    * through untouched. */
+    * through untouched (their paths miss the map → identity). Struct
+    * casts are positional, so nested mappings rename interior fields
+    * (round 15). */
   private def toPhysical(df: DataFrame,
       colMap: Map[String, String]): DataFrame =
     if (colMap.isEmpty) df
-    else df.select(df.columns.map(c =>
-      col(c).as(colMap.getOrElse(c, c))).toIndexedSeq: _*)
+    else {
+      val phys = physicalSchema(df.schema, colMap)
+      df.select(df.schema.fields.zip(phys.fields).map {
+        case (lf, pf) =>
+          col(s"`${lf.name}`").cast(pf.dataType).as(pf.name)
+      }.toIndexedSeq: _*)
+    }
+
+  /** Resolve a dotted path's segments to their ACTUAL field case,
+    * walking structs (case-insensitive match, loud errors on missing
+    * fields / non-struct parents). Returns (canonical segments, the
+    * resolved leaf field). */
+  private def resolvePath(st: StructType, dotted: String,
+      path: String): (Seq[String], org.apache.spark.sql.types.StructField) = {
+    val segs = dotted.split('.').toSeq
+    require(segs.nonEmpty && segs.forall(_.nonEmpty),
+      s"versioned: bad column path '$dotted' at $path")
+    var cur = st
+    val canonical = scala.collection.mutable.ArrayBuffer.empty[String]
+    segs.init.foreach { seg =>
+      val f = cur.fields.find(_.name.equalsIgnoreCase(seg)).getOrElse(
+        throw new IllegalArgumentException(
+          s"versioned: no column $seg (of $dotted) at $path (have " +
+            s"${cur.fieldNames.mkString(", ")})"))
+      canonical += f.name
+      cur = f.dataType match {
+        case s: StructType => s
+        case other => throw new IllegalArgumentException(
+          s"versioned: ${canonical.mkString(".")} is $other, not a " +
+            s"struct, at $path")
+      }
+    }
+    val leaf = cur.fields.find(_.name.equalsIgnoreCase(segs.last))
+      .getOrElse(throw new IllegalArgumentException(
+        s"versioned: no column ${segs.last} (of $dotted) at $path " +
+          s"(have ${cur.fieldNames.mkString(", ")})"))
+    canonical += leaf.name
+    (canonical.toSeq, leaf)
+  }
+
+  /** Rebuild `st` with the struct at `parentSegs` edited. */
+  private def rebuildStruct(st: StructType, parentSegs: Seq[String],
+      edit: StructType => StructType): StructType =
+    if (parentSegs.isEmpty) edit(st)
+    else StructType(st.fields.map { f =>
+      if (f.name == parentSegs.head) f.dataType match {
+        case inner: StructType =>
+          f.copy(dataType = rebuildStruct(inner, parentSegs.tail, edit))
+        case other => sys.error(
+          s"versioned: ${parentSegs.head} is $other, not a struct")
+      } else f
+    })
 
   /** Physical names RETIRED by DROP COLUMN — a later ADD COLUMNS of
     * the same logical name must mint a fresh physical name instead
@@ -922,7 +1037,7 @@ object Versioned {
         "(full-row files); Spark's column-stripping partitionBy " +
         "layout cannot be adopted in place, re-ingest via " +
         "commit(df, path, partitionBy = ...)"))
-    val schema = StructType(physical.fields.map(_.copy(nullable = true)))
+    val schema = asNullableSchema(physical)
     val stats = statsForFiles(spark, path, files, pcols, schema)
     val ok = publish(path, Manifest(1, "convert", full = true, files,
       schema.toDDL, stats = stats, partitionCols = pcols))
@@ -1131,7 +1246,7 @@ object Versioned {
     // asNullable: parquet round-trips lose NOT NULL anyway; storing the
     // nullable form keeps a Seq-derived first commit (non-null encoders)
     // append-compatible with later parquet-derived commits.
-    val ddl = StructType(df.schema.fields.map(_.copy(nullable = true))).toDDL
+    val ddl = asNullableSchema(df.schema).toDDL
     // footer + partition-value stats of the just-written files, once,
     // outside the retry loop (the files don't change across publish
     // retries)
@@ -1363,14 +1478,18 @@ object Versioned {
     * `mergeSchema` appends and `WITH SCHEMA EVOLUTION` merges already
     * perform (the reference's open params/properties schema,
     * atoms.py:218–236). Existing files read back with the new columns
-    * null-filled (parquet fills absent columns); time travel keeps
-    * each version under its own DDL, so pre-ALTER versions still read
-    * WITHOUT the columns (the v5 law through DDL). Duplicate names
-    * and nested positions are loud errors — evolution only APPENDS
-    * top-level columns. Concurrency: the publish retries like any
-    * append; a concurrent COW op that read the pre-ALTER schema
-    * aborts against this commit (schema changed), as it must. */
-  def addColumns(path: String, colsDdl: String): Int = {
+    * null-filled (parquet fills absent columns — NESTED fields too,
+    * round 15: a struct field absent from an old file's group reads
+    * null); time travel keeps each version under its own DDL, so
+    * pre-ALTER versions still read WITHOUT the columns (the v5 law
+    * through DDL). `parent` (round 15, VERDICT r14 #4) appends the
+    * fields to that dotted STRUCT path instead of the top level — the
+    * §1.2 nested-provenance evolution. Duplicate names are loud
+    * errors. Concurrency: the publish retries like any append; a
+    * concurrent COW op that read the pre-ALTER schema aborts against
+    * this commit (schema changed), as it must. */
+  def addColumns(path: String, colsDdl: String,
+      parent: String = ""): Int = {
     val newCols = StructType.fromDDL(colsDdl)
     require(newCols.nonEmpty, s"versioned: ADD COLUMNS needs columns")
     var attempt = 0
@@ -1382,20 +1501,41 @@ object Versioned {
       val cur = vs.max
       val snap = snapshot(path, Some(cur))
       val prevS = StructType.fromDDL(snap.schemaDdl)
-      newCols.fields.foreach(f => require(
-        !prevS.fieldNames.exists(_.equalsIgnoreCase(f.name)),
-        s"versioned: column ${f.name} already exists at $path"))
-      val outDdl =
-        StructType(prevS.fields ++ newCols.fields.map(_.copy(nullable = true)))
-          .toDDL
       val headM = parseManifest(manifestPath(path, cur))
-      // a new logical name whose PHYSICAL name is already taken by a
+      // canonical parent segments (loud on missing / non-struct)
+      val parentSegs: Seq[String] =
+        if (parent.isEmpty) Nil
+        else {
+          val (segs, leaf) = resolvePath(prevS, parent, path)
+          require(leaf.dataType.isInstanceOf[StructType],
+            s"versioned: ADD COLUMNS parent $parent is " +
+              s"${leaf.dataType}, not a struct, at $path")
+          segs
+        }
+      val target =
+        if (parentSegs.isEmpty) prevS
+        else parentSegs.foldLeft(prevS)((s, n) =>
+          s(n).dataType.asInstanceOf[StructType])
+      newCols.fields.foreach(f => require(
+        !target.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"versioned: column ${f.name} already exists " +
+          (if (parentSegs.isEmpty) s"at $path"
+           else s"in ${parentSegs.mkString(".")} at $path")))
+      val outDdl = rebuildStruct(prevS, parentSegs, p =>
+        StructType(p.fields ++ newCols.fields.map(_.copy(nullable = true))))
+        .toDDL
+      // a new logical path whose PHYSICAL path is already taken by a
       // dropped (or renamed-away) column must mint a fresh physical
-      // name, or old files would resurrect the retired bytes (r14)
+      // name, or old files would resurrect the retired bytes (r14;
+      // r15 extends the check to dotted physical paths)
       val taken = headM.colMap.values.toSet
+      val physParent =
+        if (parentSegs.isEmpty) ""
+        else physPathOf(headM.colMap, parentSegs.mkString(".")) + "."
       val minted = newCols.fields.collect {
-        case f if taken.contains(f.name) =>
-          f.name -> s"${f.name}__p${cur + 1}"
+        case f if taken.contains(s"$physParent${f.name}") =>
+          (parentSegs :+ f.name).mkString(".") ->
+            s"$physParent${f.name}__p${cur + 1}"
       }.toMap
       if (publishMetadata(path, cur, outDdl, snap.partitionCols,
         headM.txns, headM.constraints, headM.colMap ++ minted))
@@ -1472,8 +1612,16 @@ object Versioned {
     * unknown/duplicate names, partition columns (their names are
     * baked into file paths), and columns referenced by a CHECK
     * constraint (drop the constraint first — Delta's rule). */
+  /** `oldName` may be a DOTTED PATH into struct columns (round 15,
+    * VERDICT r14 #4 — nested column mapping): `renameColumn(t,
+    * "prov.source", "origin")` renames the struct FIELD metadata-only
+    * over its stable physical name, exactly like a top-level rename.
+    * `newName` is always the new LEAF name. Child mapping keys under
+    * a renamed struct re-prefix to the new logical path (their
+    * physical-path values are stable and stay). */
   def renameColumn(path: String, oldName: String, newName: String): Int = {
-    require(newName.nonEmpty && !newName.startsWith("__graft_"),
+    require(newName.nonEmpty && !newName.contains('.') &&
+      !newName.startsWith("__graft_"),
       s"versioned: invalid target column name '$newName'")
     var attempt = 0
     while (attempt < 64) {
@@ -1484,31 +1632,46 @@ object Versioned {
       val cur = vs.max
       val snap = snapshot(path, Some(cur))
       val prevS = StructType.fromDDL(snap.schemaDdl)
-      val f = prevS.fields.find(_.name.equalsIgnoreCase(oldName))
-        .getOrElse(throw new IllegalArgumentException(
-          s"versioned: no column $oldName at $path (have " +
-            s"${prevS.fieldNames.mkString(", ")})"))
-      require(!prevS.fieldNames.exists(_.equalsIgnoreCase(newName)),
-        s"versioned: column $newName already exists at $path")
-      require(!snap.partitionCols.exists(_.equalsIgnoreCase(f.name)),
+      val (segs, f) = resolvePath(prevS, oldName, path)
+      val oldPath = segs.mkString(".")
+      val parentSegs = segs.init
+      val parentStruct =
+        if (parentSegs.isEmpty) prevS
+        else parentSegs.foldLeft(prevS)((s, n) =>
+          s(n).dataType.asInstanceOf[StructType])
+      require(!parentStruct.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"versioned: column $newName already exists " +
+          (if (parentSegs.isEmpty) s"at $path"
+           else s"in ${parentSegs.mkString(".")} at $path"))
+      require(!(parentSegs.isEmpty &&
+        snap.partitionCols.exists(_.equalsIgnoreCase(f.name))),
         s"versioned: cannot rename partition column ${f.name} at " +
           s"$path — partition names are baked into file paths; " +
           "re-layout via an overwrite instead")
       val headM = parseManifest(manifestPath(path, cur))
       headM.constraints.foreach { case (n, e) =>
-        require(!constraintRefs(e).contains(f.name.toLowerCase),
-          s"versioned: cannot rename ${f.name} at $path — CHECK " +
-            s"constraint $n ($e) references it; drop the constraint " +
-            "first")
+        // conservative for nested: a constraint referencing the TOP
+        // column may reach into the renamed field
+        require(!constraintRefs(e).contains(segs.head.toLowerCase),
+          s"versioned: cannot rename $oldPath at $path — CHECK " +
+            s"constraint $n ($e) references ${segs.head}; drop the " +
+            "constraint first")
       }
-      val outDdl = StructType(prevS.fields.map(p =>
-        if (p.name == f.name) p.copy(name = newName) else p)).toDDL
-      // the new logical name takes over the OLD stable physical name
-      val phys = headM.colMap.getOrElse(f.name, f.name)
-      val outMap = (headM.colMap - f.name) ++
-        (if (phys == newName) Map.empty[String, String]
-        else Map(newName -> phys))
-      if (publishMetadata(path, cur, outDdl, snap.partitionCols,
+      val outS = rebuildStruct(prevS, parentSegs, p =>
+        StructType(p.fields.map(x =>
+          if (x.name == f.name) x.copy(name = newName) else x)))
+      val newPath = (parentSegs :+ newName).mkString(".")
+      // the new logical path takes over the OLD stable physical path
+      val phys = physPathOf(headM.colMap, oldPath)
+      val childPrefix = oldPath + "."
+      val outMap = headM.colMap.view.filterKeys(_ != oldPath).map {
+        case (k, v) if k.startsWith(childPrefix) =>
+          (newPath + "." + k.stripPrefix(childPrefix)) -> v
+        case kv => kv
+      }.toMap ++
+        (if (phys == newPath) Map.empty[String, String]
+        else Map(newPath -> phys))
+      if (publishMetadata(path, cur, outS.toDDL, snap.partitionCols,
         headM.txns, headM.constraints, outMap))
         return cur + 1
       attempt += 1
@@ -1524,6 +1687,11 @@ object Versioned {
     * instead of resurrecting old values. Loud errors: unknown names,
     * the last column, partition columns, and columns referenced by a
     * CHECK constraint. */
+  /** `colName` may be a DOTTED PATH (round 15): dropping a struct
+    * FIELD is metadata-only too — the bytes stay in old files,
+    * unmapped, and the field's PHYSICAL PATH is tombstoned so a
+    * re-add under the same parent mints fresh. A struct must keep at
+    * least one field (parquet has no empty groups). */
   def dropColumn(path: String, colName: String): Int = {
     var attempt = 0
     while (attempt < 64) {
@@ -1534,27 +1702,36 @@ object Versioned {
       val cur = vs.max
       val snap = snapshot(path, Some(cur))
       val prevS = StructType.fromDDL(snap.schemaDdl)
-      val f = prevS.fields.find(_.name.equalsIgnoreCase(colName))
-        .getOrElse(throw new IllegalArgumentException(
-          s"versioned: no column $colName at $path (have " +
-            s"${prevS.fieldNames.mkString(", ")})"))
-      require(prevS.fields.length > 1,
-        s"versioned: cannot drop the last column ${f.name} at $path")
-      require(!snap.partitionCols.exists(_.equalsIgnoreCase(f.name)),
+      val (segs, f) = resolvePath(prevS, colName, path)
+      val oldPath = segs.mkString(".")
+      val parentSegs = segs.init
+      val parentStruct =
+        if (parentSegs.isEmpty) prevS
+        else parentSegs.foldLeft(prevS)((s, n) =>
+          s(n).dataType.asInstanceOf[StructType])
+      require(parentStruct.fields.length > 1,
+        if (parentSegs.isEmpty)
+          s"versioned: cannot drop the last column ${f.name} at $path"
+        else s"versioned: cannot drop the last field of struct " +
+          s"${parentSegs.mkString(".")} at $path")
+      require(!(parentSegs.isEmpty &&
+        snap.partitionCols.exists(_.equalsIgnoreCase(f.name))),
         s"versioned: cannot drop partition column ${f.name} at $path " +
           "— re-layout via an overwrite instead")
       val headM = parseManifest(manifestPath(path, cur))
       headM.constraints.foreach { case (n, e) =>
-        require(!constraintRefs(e).contains(f.name.toLowerCase),
-          s"versioned: cannot drop ${f.name} at $path — CHECK " +
-            s"constraint $n ($e) references it; drop the constraint " +
-            "first")
+        require(!constraintRefs(e).contains(segs.head.toLowerCase),
+          s"versioned: cannot drop $oldPath at $path — CHECK " +
+            s"constraint $n ($e) references ${segs.head}; drop the " +
+            "constraint first")
       }
-      val outDdl =
-        StructType(prevS.fields.filterNot(_.name == f.name)).toDDL
-      val phys = headM.colMap.getOrElse(f.name, f.name)
-      val outMap = (headM.colMap - f.name) +
-        (s"$RetiredKeyPrefix${cur + 1}" -> phys)
+      val outDdl = rebuildStruct(prevS, parentSegs, p =>
+        StructType(p.fields.filterNot(_.name == f.name))).toDDL
+      val phys = physPathOf(headM.colMap, oldPath)
+      val childPrefix = oldPath + "."
+      val outMap = headM.colMap.view
+        .filterKeys(k => k != oldPath && !k.startsWith(childPrefix))
+        .toMap + (s"$RetiredKeyPrefix${cur + 1}" -> phys)
       if (publishMetadata(path, cur, outDdl, snap.partitionCols,
         headM.txns, headM.constraints, outMap))
         return cur + 1
@@ -2032,7 +2209,7 @@ object Versioned {
     }
     val base = snapshot(path)
     val srcDdl =
-      StructType(updates.schema.fields.map(_.copy(nullable = true))).toDDL
+      asNullableSchema(updates.schema).toDDL
     // SCHEMA EVOLUTION (round 12, Delta's WITH SCHEMA EVOLUTION):
     // with mergeSchema, source-only columns join the table as
     // nullable (table columns keep position and type) — untouched
@@ -2583,7 +2760,7 @@ object Versioned {
     val base = snapshot(path)
     val schema = StructType.fromDDL(base.schemaDdl)
     val insDdl =
-      StructType(df.schema.fields.map(_.copy(nullable = true))).toDDL
+      asNullableSchema(df.schema).toDDL
     require(insDdl == base.schemaDdl,
       s"versioned: replaceWhere schema mismatch at $path:\n  table: " +
         s"${base.schemaDdl}\n  insert: $insDdl")
@@ -3579,16 +3756,43 @@ object Versioned {
           count(col("tag")).as("tag_count")).head()
         Row(step, r.getLong(0), r.getLong(1), r.getLong(2))
       }
-      val steps = Seq(
-        aggOf(read(spark, tmp, Some(1)), 1, "cnt"),
-        aggOf(read(spark, tmp), 2, "chars"),
-        aggOf(read(spark, tmp).where(col("doc_id") % 2 === 0), 3,
-          "chars"))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(steps, 1),
-        StructType.fromDDL("step INT, n_rows BIGINT, sum_c BIGINT, " +
-          "tag_count BIGINT"))
-        .orderBy(col("step"))
+      // NESTED leg (round 15, VERDICT r14 #4): a second table with a
+      // provenance STRUCT — rename prov.c → chars (metadata-only over
+      // the stable physical), drop prov.src and re-ADD it (fresh
+      // physical path: reads NULL, never the dropped bytes). Step 4 =
+      // the head through the renamed path (tag_count pins the
+      // anti-resurrection 0); step 5 = time travel to v1 under the
+      // ORIGINAL nested names.
+      val tmp2 = Files.createTempDirectory("graft-versioned-").toString
+      try {
+        commit(docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            struct((col("doc_id") % 7).as("src"),
+              col("n_chars").as("c")).as("prov")), tmp2) // v1
+        renameColumn(tmp2, "prov.c", "chars") // v2
+        dropColumn(tmp2, "prov.src") // v3
+        addColumns(tmp2, "`src` BIGINT", parent = "prov") // v4
+        def aggNested(df: DataFrame, step: Int, cPath: String,
+            srcPath: String): Row = {
+          val r = df.agg(count(lit(1)).as("n_rows"),
+            sum(col(cPath)).as("sum_c"),
+            count(col(srcPath)).as("tag_count")).head()
+          Row(step, r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        val steps = Seq(
+          aggOf(read(spark, tmp, Some(1)), 1, "cnt"),
+          aggOf(read(spark, tmp), 2, "chars"),
+          aggOf(read(spark, tmp).where(col("doc_id") % 2 === 0), 3,
+            "chars"),
+          aggNested(read(spark, tmp2), 4, "prov.chars", "prov.src"),
+          aggNested(read(spark, tmp2, Some(1)), 5, "prov.c",
+            "prov.src"))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(steps, 1),
+          StructType.fromDDL("step INT, n_rows BIGINT, sum_c BIGINT, " +
+            "tag_count BIGINT"))
+          .orderBy(col("step"))
+      } finally deleteRecursively(Paths.get(tmp2))
     } finally deleteRecursively(Paths.get(tmp))
   }
 
@@ -4085,7 +4289,14 @@ object Versioned {
         SELECT 2, count(*), sum(chars), 0 FROM all_docs
         UNION ALL
         SELECT 3, count(*), sum(chars), 0 FROM all_docs
-        WHERE doc_id % 2 = 0)
+        WHERE doc_id % 2 = 0
+        UNION ALL
+        -- nested leg (round 15): head through the renamed struct
+        -- field; re-added prov.src reads NULL (tag_count 0)
+        SELECT 4, count(*), sum(cnt), 0 FROM evens
+        UNION ALL
+        -- time travel to the nested v1: original names, src non-null
+        SELECT 5, count(*), sum(cnt), count(*) FROM evens)
       SELECT CAST(step AS INT) AS step,
              CAST(n_rows AS BIGINT) AS n_rows,
              CAST(sum_c AS BIGINT) AS sum_c,

@@ -319,7 +319,7 @@ private[sources] class VersionedBatchWrite(path: String,
     val added = messages.collect {
       case VersionedCommitMsg(rels) => rels.map(r => s"data/c-$commitId/$r")
     }.toSeq.flatten.sorted
-    val ddl = StructType(schema.fields.map(_.copy(nullable = true))).toDDL
+    val ddl = Versioned.asNullableSchema(schema).toDDL
     val mode = if (overwrite) "overwrite" else "append"
     // an all-empty append still publishes a (fileless) commit — the
     // same contract as committing an empty DataFrame
@@ -375,7 +375,7 @@ private[sources] class VersionedStreamingWrite(path: String,
     val added = messages.collect {
       case VersionedCommitMsg(rels) => rels.map(r => s"$rel/$r")
     }.toSeq.flatten.sorted
-    val ddl = StructType(schema.fields.map(_.copy(nullable = true))).toDDL
+    val ddl = Versioned.asNullableSchema(schema).toDDL
     Versioned.publishAdded(path, added, ddl, mode = "append",
       txn = Some(s"graftv-stream-$queryId" -> epochId),
       mergeSchema = false, pcols = pcols,
@@ -770,8 +770,7 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
       // (same positions/types) and the rows come back positionally,
       // so the logical readSchema above still describes them (r14).
       def phys(st: StructType): StructType =
-        StructType(st.fields.map(f =>
-          f.copy(name = snap.physOf(f.name))))
+        Versioned.physicalSchemaOf(st, snap.colMap)
       val dataSchema = phys(StructType.fromDDL(snap.schemaDdl))
       // DELETION VECTORS (round 15): DV-carrying files read through
       // the hand-rolled masked reader; clean files (the overwhelming

@@ -452,19 +452,23 @@ case class GraftAddColumnsCommand(
         def fail(msg: String): Nothing =
           throw new IllegalArgumentException(
             s"graftv ALTER TABLE ADD COLUMNS: $msg")
-        val fields = alter.columnsToAdd.map { c =>
-          if (c.path.nonEmpty) fail(
-            s"nested field ${c.name.mkString(".")} — only top-level " +
-              "columns can be added")
+        // nested fields add to their dotted parent path (round 15,
+        // Versioned.addColumns' `parent`); group by parent so one
+        // statement can mix targets
+        alter.columnsToAdd.foreach { c =>
           if (c.position.nonEmpty) fail(
             s"FIRST/AFTER on ${c.colName} — added columns append at " +
               "the end")
           if (c.default.nonEmpty) fail(
             s"DEFAULT on ${c.colName} — added columns are null-filled")
-          StructField(c.colName, c.dataType, nullable = true)
         }
-        graft.sources.Versioned.addColumns(path,
-          StructType(fields).toDDL)
+        alter.columnsToAdd.groupBy(_.path.map(_.name.mkString("."))
+            .getOrElse("")).foreach { case (parent, cols) =>
+          val fields = cols.map(c =>
+            StructField(c.colName, c.dataType, nullable = true))
+          graft.sources.Versioned.addColumns(path,
+            StructType(fields).toDDL, parent)
+        }
         Seq.empty
     }
   }
@@ -544,12 +548,10 @@ case class GraftRenameColumnCommand(
         org.apache.spark.sql.classic.Dataset.ofRows(spark, alter)
           .collect().toSeq
       case Some(path) =>
-        require(alter.column.name.length == 1,
-          s"graftv ALTER TABLE RENAME COLUMN: nested field " +
-            s"${alter.column.name.mkString(".")} — only top-level " +
-            "columns can be renamed")
+        // nested paths rename the struct FIELD (round 15) — the same
+        // metadata-only stable-physical-name discipline
         graft.sources.Versioned.renameColumn(path,
-          alter.column.name.head, alter.newName)
+          alter.column.name.mkString("."), alter.newName)
         Seq.empty
     }
   }
@@ -577,18 +579,14 @@ case class GraftDropColumnsCommand(
           .collect().toSeq
       case Some(path) =>
         alter.columnsToDrop.foreach { c =>
-          require(c.name.length == 1,
-            s"graftv ALTER TABLE DROP COLUMN: nested field " +
-              s"${c.name.mkString(".")} — only top-level columns can " +
-              "be dropped")
-          val known = org.apache.spark.sql.types.StructType
-            .fromDDL(graft.sources.Versioned
-              .snapshot(path).schemaDdl).fieldNames
-          if (!known.exists(_.equalsIgnoreCase(c.name.head))) {
-            if (!alter.ifExists) throw new IllegalArgumentException(
-              s"graftv ALTER TABLE DROP COLUMN: no column " +
-                s"${c.name.head} (have ${known.mkString(", ")})")
-          } else graft.sources.Versioned.dropColumn(path, c.name.head)
+          val dotted = c.name.mkString(".")
+          // IF EXISTS: a missing path (any segment) is a silent no-op
+          try graft.sources.Versioned.dropColumn(path, dotted)
+          catch {
+            case e: IllegalArgumentException
+                if alter.ifExists &&
+                  e.getMessage.contains("no column") => ()
+          }
         }
         Seq.empty
     }
