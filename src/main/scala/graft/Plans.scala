@@ -193,16 +193,18 @@ object Plans {
       }
       rm(Paths.get(vTmp))
     }
-    // round 13 (VERDICT r12 #7): the v-family entries (v1–v12) have no
+    // round 13 (VERDICT r12 #7): the v-family entries (v1–v16) have no
     // single data-plane plan to dump — each is an eager driver loop
     // performing multiple REAL commits (appends, COW merges, deletes,
     // updates, optimize, restore, CDC reads) against a throwaway
     // graftv table, so their bench time is COMMIT-LATENCY-BOUND
     // (manifest publishes + small parquet writes), not scan-bound.
-    sb.append("\n## v-family (v1–v12) — commit-latency-bound by design\n\n")
+    sb.append("\n## v-family (v1–v16) — commit-latency-bound by design\n\n")
     sb.append("The versioned-table queries are micro-benchmarks of the " +
       "COMMIT path: each run stages several real commits (appends, " +
-      "clause-chain merges, deleteWhere/updateWhere, OPTIMIZE, RESTORE, " +
+      "clause-chain merges, deleteWhere/updateWhere — COW or " +
+      "deletion-vector, OPTIMIZE, RESTORE, SHALLOW CLONE, " +
+      "RENAME/DROP/widen metadata commits, " +
       "CDC reads/replication) on a throwaway table and aggregates the " +
       "per-version states. Their wall-clock measures manifest-publish " +
       "latency and small-file write overhead, not scan throughput — " +
