@@ -3229,6 +3229,35 @@ object Versioned {
       changes = None, sourceBounds = None)
   }
 
+  /** PURGE deletion vectors (round 15; Delta's `REORG TABLE … APPLY
+    * (PURGE)`): rewrite ONLY the DV-carrying files — each one's LIVE
+    * rows land in fresh files, the sidecars drop from the manifest —
+    * and carry every clean file by reference. OPTIMIZE also purges,
+    * but it re-lays-out whatever its scope touches; purge cost is
+    * ∝ masked-file bytes alone, the right maintenance op when a 100 TB
+    * table has a handful of DV'd files. No DVs → no-op, no phantom
+    * commit. Same conflict/rebase rules as OPTIMIZE (pure layout op:
+    * rows are the base snapshot's verbatim, sourceBounds = None). */
+  def purgeDeletionVectors(spark: SparkSession, path: String): Int = {
+    val base = snapshot(path)
+    if (base.dvs.isEmpty) return base.version
+    val masked = base.files.filter(base.dvs.contains)
+    val carried = base.files.filterNot(base.dvs.contains)
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"data/c-$commitId"
+    val schemaT = StructType.fromDDL(base.schemaDdl)
+    val rows = readFiles(spark, path, masked, base.schemaDdl,
+      base.colMap, base.dvs) // the mask applies: live rows only
+    writeData(rows.coalesce(math.max(1, masked.size)),
+      s"$path/$dataRel", base.partitionCols, base.colMap)
+    val added = listParquet(dataPath(path, commitId))
+      .map(f => s"$dataRel/$f")
+    publishCow(path, "optimize", base, carried ++ added,
+      base.stats.view.filterKeys(carried.toSet).toMap ++
+        statsForFiles(spark, path, added, base.partitionCols, schemaT),
+      changes = None, sourceBounds = None)
+  }
+
   /** The files version `v` ADDED (append commits only — loud error
     * otherwise): a delta manifest lists them directly; an append
     * CHECKPOINT carries the full live set, so its additions are the

@@ -52,6 +52,12 @@ private[graftx] object GraftMaintenanceSql {
   // table — the statement CREATES the table in place.
   private val Convert = p(
     s"""^\\s*CONVERT\\s+TO\\s+GRAFTV\\s+$Tbl\\s*;?\\s*$$""")
+  // REORG TABLE t APPLY (PURGE) (round 15, Delta's statement):
+  // rewrite ONLY the deletion-vector-carrying files (live rows) and
+  // drop their sidecars — cost proportional to masked bytes, the
+  // targeted alternative to a whole-scope OPTIMIZE.
+  private val Reorg = p(
+    s"""^\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""")
   // CREATE TABLE t SHALLOW CLONE s [VERSION AS OF v] [LOCATION '/p']
   // (round 14, Delta's shallow-clone statement): zero-copy birth of a
   // new independent table referencing the source snapshot's files.
@@ -65,7 +71,7 @@ private[graftx] object GraftMaintenanceSql {
     * keywords? (Only then is the full match attempted — everything
     * else goes straight to the delegate parser.) */
   private val Lead = p(
-    """^\s*(OPTIMIZE|VACUUM|RESTORE|CONVERT)\b.*|^\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\b.*|^\s*CREATE\s+TABLE\b.*\bSHALLOW\s+CLONE\b.*""")
+    """^\s*(OPTIMIZE|VACUUM|RESTORE|CONVERT|REORG)\b.*|^\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\b.*|^\s*CREATE\s+TABLE\b.*\bSHALLOW\s+CLONE\b.*""")
   def leads(sqlText: String): Boolean = Lead.matcher(sqlText).matches()
 
   /** Split a (possibly backticked) multipart identifier on its
@@ -112,6 +118,9 @@ private[graftx] object GraftMaintenanceSql {
     val cm = Convert.matcher(sqlText)
     if (cm.matches())
       return Some(GraftConvertCommand(parts(cm.group(1))))
+    val rg = Reorg.matcher(sqlText)
+    if (rg.matches())
+      return Some(GraftReorgCommand(parts(rg.group(1))))
     val clm = Clone.matcher(sqlText)
     if (clm.matches())
       return Some(GraftCloneCommand(parts(clm.group(1)),
@@ -278,6 +287,24 @@ case class GraftConvertCommand(tParts: Seq[String])
     }
     val v = graft.sources.Versioned.convertParquet(spark, path)
     Seq(Row(v, graft.sources.Versioned.snapshot(path).files.size))
+  }
+}
+
+/** `REORG TABLE t APPLY (PURGE)` (round 15) →
+  * [[graft.sources.Versioned.purgeDeletionVectors]]: rewrite only the
+  * DV-carrying files (their live rows), dropping the sidecars; clean
+  * files carry by reference. Returns the new version and how many
+  * masked files were purged (0 purged = no-op, version unchanged). */
+case class GraftReorgCommand(tParts: Seq[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf("version INT, purged_files INT")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceSql.graftPathOf(spark, tParts,
+      "REORG TABLE")
+    val nDv = graft.sources.Versioned.snapshot(path).dvs.size
+    val v = graft.sources.Versioned.purgeDeletionVectors(spark, path)
+    Seq(Row(v, nDv))
   }
 }
 

@@ -223,4 +223,75 @@ class VersionedDvSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t).where(col("id") === 1L).count() === 0L)
     assert(Versioned.read(spark, t).count() === 19L + 10L)
   }
+
+  test("REORG TABLE APPLY (PURGE) rewrites ONLY the masked files; " +
+    "clean files carry by reference") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((1L to 50L).map(i => (i, s"a$i")).toDF("id", "s")
+      .repartition(1), t) // v1: file A
+    Versioned.commit((51L to 100L).map(i => (i, s"b$i")).toDF("id", "s")
+      .repartition(1), t) // v2: file B (clean forever)
+    withDv { Versioned.deleteWhere(spark, t, col("id") === 7L) } // v3
+    val before = Versioned.snapshot(t)
+    assert(before.dvs.size === 1)
+    val cleanFiles = before.files.filterNot(before.dvs.contains)
+    val out = spark.sql(s"REORG TABLE graftv.`$t` APPLY (PURGE)").head()
+    assert(out.getInt(1) === 1, "one masked file should purge")
+    val after = Versioned.snapshot(t)
+    assert(after.dvs.isEmpty)
+    assert(cleanFiles.forall(after.files.contains),
+      "purge rewrote a clean file")
+    assert(Versioned.read(spark, t).count() === 99L)
+    // idempotent: a second purge is a no-op at the same version
+    val again = spark.sql(s"REORG TABLE graftv.`$t` APPLY (PURGE)").head()
+    assert(again.getInt(1) === 0)
+    assert(Versioned.snapshot(t).version === after.version)
+  }
+
+  test("DV delete composes with column mapping: delete via the " +
+    "RENAMED name, CDF and time travel stay per-version") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((1L to 30L).map(i => (i, i * 2L)).toDF("id", "v"),
+      t) // v1
+    Versioned.renameColumn(t, "v", "score") // v2 (physical stays v)
+    withDv { Versioned.deleteWhere(spark, t, col("score") === 10L) } // v3
+    val out = Versioned.read(spark, t)
+    assert(out.count() === 29L)
+    assert(out.where(col("id") === 5L).count() === 0L)
+    assert(Versioned.snapshot(t).dvs.nonEmpty)
+    // CDF emits the deleted row under the CURRENT logical name
+    val chg = Versioned.readChanges(spark, t, 2, 3)
+    assert(chg.where(col("_change_type") === "delete")
+      .select("score").as[Long].head() === 10L)
+    // v1 reads all rows under the OLD name
+    assert(Versioned.read(spark, t, Some(1))
+      .where(col("v") === 10L).count() === 1L)
+    // purge under mapping: values intact
+    Versioned.purgeDeletionVectors(spark, t)
+    assert(Versioned.snapshot(t).dvs.isEmpty)
+    assert(Versioned.read(spark, t).agg(sum("score")).as[Long]
+      .head() === (1L to 30L).map(_ * 2).sum - 10L)
+  }
+
+  test("a DV update whose postimages violate a CHECK constraint " +
+    "aborts before publish; the mask does not advance") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((1L to 20L).map(i => (i, i)).toDF("id", "v"), t)
+    spark.sql(s"ALTER TABLE graftv.`$t` ADD CONSTRAINT vpos " +
+      "CHECK (v > 0)")
+    val vBefore = Versioned.versions(t).max
+    val e = intercept[Exception] {
+      withDv { Versioned.updateWhere(spark, t, col("id") <= 2L,
+        Map("v" -> lit(-5L))) }
+    }
+    assert(e.getMessage.contains("vpos"), s"wrong error: $e")
+    assert(Versioned.versions(t).max === vBefore, "a failed DV " +
+      "update published a commit")
+    assert(Versioned.snapshot(t).dvs.isEmpty, "a failed DV update " +
+      "left a mask")
+    assert(Versioned.read(spark, t).count() === 20L)
+  }
 }
