@@ -294,4 +294,38 @@ class VersionedDvSpec extends AnyFunSuite {
       "left a mask")
     assert(Versioned.read(spark, t).count() === 20L)
   }
+
+  test("DV deletes flow through the streaming CDF: a live replication " +
+    "stream applies them and the replica converges") {
+    import spark.implicits._
+    val src = tmp()
+    val dst = tmp()
+    val ckpt = tmp() + "/ck"
+    Versioned.commit((1L to 40L).map(i => (i, i * 3L)).toDF("id", "v"),
+      src) // v1
+    val q = spark.readStream.format("graftv")
+      .option("readChangeFeed", "true").load(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Versioned.applyChanges(b, dst, Seq("id")); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(Versioned.read(spark, dst).count() === 40L)
+      // a DV point delete + a DV update land while the stream runs
+      withDv {
+        Versioned.deleteWhere(spark, src, col("id").isin(4L, 17L)) // v2
+        Versioned.updateWhere(spark, src, col("id") === 9L,
+          Map("v" -> lit(999L))) // v3
+      }
+      q.processAllAvailable()
+      val a = Versioned.read(spark, src).orderBy("id")
+        .as[(Long, Long)].collect().toSeq
+      val b = Versioned.read(spark, dst).orderBy("id")
+        .as[(Long, Long)].collect().toSeq
+      assert(a === b, "replica diverged after DV point DML")
+      assert(b.size === 38 && b.find(_._1 == 9L).map(_._2)
+        .contains(999L))
+    } finally q.stop()
+  }
 }
