@@ -328,4 +328,49 @@ class VersionedDvSpec extends AnyFunSuite {
         .contains(999L))
     } finally q.stop()
   }
+
+  test("SQL DELETE FROM routes through the DV path when enabled: " +
+    "sidecars, no data-file rewrite") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((1L to 60L).map(i => (i, i)).toDF("id", "v"), t)
+    val before = Versioned.snapshot(t).files.toSet
+    spark.sql("DROP TABLE IF EXISTS dv_sql_tbl")
+    try {
+      spark.sql(s"CREATE TABLE dv_sql_tbl USING graftv LOCATION '$t'")
+      withDv {
+        spark.sql("DELETE FROM dv_sql_tbl WHERE id = 13 OR id = 31")
+      }
+      val snap = Versioned.snapshot(t)
+      assert(snap.files.toSet === before, "SQL DV delete rewrote files")
+      assert(snap.dvs.nonEmpty)
+      assert(spark.sql("SELECT count(*) FROM dv_sql_tbl")
+        .as[Long].head() === 58L)
+      assert(spark.sql(
+        "SELECT count(*) FROM dv_sql_tbl WHERE id IN (13, 31)")
+        .as[Long].head() === 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS dv_sql_tbl")
+  }
+
+  test("a DV delete rebases over an interloping key-disjoint append; " +
+    "the mask survives the rebase") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((1L to 50L).map(i => (i, i)).toDF("id", "v"), t)
+    // an append with ids far outside the delete's bounds lands inside
+    // the delete's read-to-publish window
+    Versioned.beforeCowPublish = () => {
+      Versioned.commit(Seq((1000L, 1L), (1001L, 2L)).toDF("id", "v"), t)
+      ()
+    }
+    try withDv {
+      Versioned.deleteWhere(spark, t, col("id").between(10L, 12L))
+    } finally Versioned.beforeCowPublish = () => ()
+    val out = Versioned.read(spark, t)
+    assert(out.count() === 49L, "rebase lost rows") // 50 - 3 + 2
+    assert(out.where(col("id").between(10L, 12L)).count() === 0L)
+    assert(out.where(col("id") >= 1000L).count() === 2L)
+    assert(Versioned.snapshot(t).dvs.nonEmpty,
+      "the mask was dropped during the append rebase")
+  }
 }
