@@ -992,12 +992,6 @@ private[sources] class VersionedPartitionReader(file: String,
   // when the projection hits ONLY post-evolution columns, this file
   // contributes row-count all-null rows straight from the footer
   private var allNullRemaining: Long = 0L
-  // physical primitive per present column (set by the reader init):
-  // a file written before a type WIDENING (round 14) carries the
-  // narrower physical type and must promote at extraction
-  private var physType: Map[String,
-    org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = Map.empty
-
   private val reader: Option[ParquetReader[Group]] = {
     val conf = new Configuration() // local paths; a cluster threads the session's hadoopConf
     val hPath = new org.apache.hadoop.fs.Path(file)
@@ -1011,13 +1005,8 @@ private[sources] class VersionedPartitionReader(file: String,
     val pruned = new MessageType(fileSchema.getName,
       fileSchema.getFields.asScala.filter(f => wanted(f.getName)).asJava)
     present = pruned.getFields.asScala.map(_.getName).toSet
-    // physical primitive per present column — a file written before a
-    // type WIDENING (round 14) carries the narrower physical type and
-    // must promote at extraction, like Spark's own parquet readers do
-    physType = pruned.getFields.asScala.collect {
-      case f if f.isPrimitive =>
-        f.getName -> f.asPrimitiveType().getPrimitiveTypeName
-    }.toMap
+    // (type-widening promotion now resolves per field inside
+    // extractField — nested fields promote too, round 15)
     if (pruned.getFieldCount == 0) {
       // all-null rows are indistinguishable — the DV mask reduces the
       // emitted COUNT (ordinal identity is irrelevant here)
@@ -1046,30 +1035,55 @@ private[sources] class VersionedPartitionReader(file: String,
   }
   override def get(): InternalRow = InternalRow.fromSeq(
     required.fields.map { f =>
-      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       val n = physName(f.name)
       if (consts.contains(f.name)) consts(f.name)
       else if (!present(n)) null
-      else if (cur.getFieldRepetitionCount(n) == 0) null
-      else f.dataType match {
-        // widened columns (round 14): promote the narrower PHYSICAL
-        // value the old file carries to the read schema's type
-        case LongType if physType.get(n).contains(INT32) =>
-          cur.getInteger(n, 0).toLong
-        case DoubleType if physType.get(n).contains(FLOAT) =>
-          cur.getFloat(n, 0).toDouble
-        case LongType => cur.getLong(n, 0)
-        case IntegerType => cur.getInteger(n, 0)
-        case DoubleType => cur.getDouble(n, 0)
-        case FloatType => cur.getFloat(n, 0)
-        case BooleanType => cur.getBoolean(n, 0)
-        case StringType => UTF8String.fromString(cur.getString(n, 0))
-        case BinaryType => cur.getBinary(n, 0).getBytes
-        case other => sys.error(
-          s"graftv: unsupported column type $other (${f.name}) — " +
-            "the example-reader tier covers primitive columns")
-      }
+      else extractField(cur, n, f.dataType, f.name)
     }.toIndexedSeq)
+
+  /** Recursive field extraction (round 15: STRUCT columns — the CDC
+    * stream over a nested-provenance table). Nested names resolve
+    * through the dotted-path column mapping; a field absent from the
+    * file's group (nested ADD COLUMNS) reads null; narrower physical
+    * primitives (type widening) promote at extraction, nested too. */
+  private def extractField(g: Group, n: String,
+      dt: org.apache.spark.sql.types.DataType,
+      logicalPath: String): Any = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (g.getFieldRepetitionCount(n) == 0) return null
+    dt match {
+      case st: StructType =>
+        val sub = g.getGroup(n, 0)
+        InternalRow.fromSeq(st.fields.map { sf =>
+          val childPath = s"$logicalPath.${sf.name}"
+          val cn = colMap.get(childPath).map(_.split('.').last)
+            .getOrElse(sf.name)
+          if (!sub.getType.containsField(cn)) null
+          else extractField(sub, cn, sf.dataType, childPath)
+        }.toIndexedSeq)
+      case _ =>
+        val pt = g.getType.getType(n).asPrimitiveType()
+          .getPrimitiveTypeName
+        dt match {
+          // widened columns (round 14): promote the narrower PHYSICAL
+          // value the old file carries to the read schema's type
+          case LongType if pt == INT32 => g.getInteger(n, 0).toLong
+          case DoubleType if pt == FLOAT => g.getFloat(n, 0).toDouble
+          case LongType => g.getLong(n, 0)
+          case IntegerType => g.getInteger(n, 0)
+          case DoubleType => g.getDouble(n, 0)
+          case FloatType => g.getFloat(n, 0)
+          case BooleanType => g.getBoolean(n, 0)
+          case StringType => UTF8String.fromString(g.getString(n, 0))
+          case BinaryType => g.getBinary(n, 0).getBytes
+          case other => sys.error(
+            s"graftv: unsupported column type $other ($logicalPath) — " +
+              "the example-reader tier covers primitive and struct " +
+              "columns")
+        }
+    }
+  }
   override def close(): Unit = reader.foreach(_.close())
 }
 

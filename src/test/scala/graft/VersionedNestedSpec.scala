@@ -153,4 +153,32 @@ class VersionedNestedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t, Some(2))
       .select(col("prov.origin")).head().getString(0) === "vasp")
   }
+
+  test("the streaming CDF serves STRUCT columns: a nested-provenance " +
+    "table replicates live (hand-rolled reader, round 15)") {
+    import spark.implicits._
+    val src = tmp()
+    val dst = tmp()
+    val ckpt = tmp() + "/ck"
+    Versioned.commit(provDf(Seq((1L, "vasp", 10L), (2L, "qe", 20L))),
+      src) // v1
+    val q = spark.readStream.format("graftv")
+      .option("readChangeFeed", "true").load(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Versioned.applyChanges(b, dst, Seq("id")); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(Versioned.read(spark, dst).count() === 2L)
+      Versioned.commit(provDf(Seq((3L, "aflow", 30L))), src) // v2
+      Versioned.merge(provDf(Seq((2L, "qe-run2", 21L))), src, "id") // v3
+      q.processAllAvailable()
+      val rows = Versioned.read(spark, dst).orderBy("id")
+        .select(col("id"), col("prov.source"), col("prov.run_id"))
+        .as[(Long, String, Long)].collect().toSeq
+      assert(rows === Seq((1L, "vasp", 10L), (2L, "qe-run2", 21L),
+        (3L, "aflow", 30L)))
+    } finally q.stop()
+  }
 }
