@@ -1062,6 +1062,25 @@ private[sources] class VersionedPartitionReader(file: String,
           if (!sub.getType.containsField(cn)) null
           else extractField(sub, cn, sf.dataType, childPath)
         }.toIndexedSeq)
+      case at: ArrayType =>
+        // parquet 3-level list: group n (LIST) { repeated group list
+        // { <element> el }} — Spark's writer names the inner pair
+        // list/element; read whatever single child names the file uses
+        val lst = g.getGroup(n, 0)
+        val repName = lst.getType.getFieldName(0)
+        val m = lst.getFieldRepetitionCount(repName)
+        val out = new Array[Any](m)
+        var i = 0
+        while (i < m) {
+          val el = lst.getGroup(repName, i)
+          val elName = el.getType.getFieldName(0)
+          out(i) =
+            if (el.getFieldRepetitionCount(elName) == 0) null
+            else extractField(el, elName, at.elementType,
+              s"$logicalPath.element")
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
       case _ =>
         val pt = g.getType.getType(n).asPrimitiveType()
           .getPrimitiveTypeName
@@ -1079,8 +1098,8 @@ private[sources] class VersionedPartitionReader(file: String,
           case BinaryType => g.getBinary(n, 0).getBytes
           case other => sys.error(
             s"graftv: unsupported column type $other ($logicalPath) — " +
-              "the example-reader tier covers primitive and struct " +
-              "columns")
+              "the example-reader tier covers primitive, struct and " +
+              "array columns")
         }
     }
   }

@@ -181,4 +181,32 @@ class VersionedNestedSpec extends AnyFunSuite {
         (3L, "aflow", 30L)))
     } finally q.stop()
   }
+
+  test("the streaming CDF serves ARRAY columns: an embeddings table " +
+    "tails live through the hand-rolled reader") {
+    import spark.implicits._
+    val src = tmp()
+    val ckpt = tmp() + "/ck"
+    def vecs(ids: Seq[Long]) = ids.map(i =>
+      (i, Seq.tabulate(4)(j => (i * 10 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    Versioned.commit(vecs(Seq(1L, 2L)), src) // v1
+    val q = spark.readStream.format("graftv")
+      .option("readChangeFeed", "true").load(src)
+      .writeStream.format("memory").queryName("nested_arr_tail")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      Versioned.commit(vecs(Seq(3L)), src) // v2
+      q.processAllAvailable()
+      val rows = spark.table("nested_arr_tail")
+        .orderBy("vec_id")
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      assert(rows === Seq(
+        (1L, Seq(10f, 11f, 12f, 13f)),
+        (2L, Seq(20f, 21f, 22f, 23f)),
+        (3L, Seq(30f, 31f, 32f, 33f))))
+    } finally q.stop()
+  }
 }
