@@ -373,4 +373,58 @@ class VersionedDvSpec extends AnyFunSuite {
     assert(Versioned.snapshot(t).dvs.nonEmpty,
       "the mask was dropped during the append rebase")
   }
+
+  test("replaceWhere over a DV'd window cannot resurrect masked " +
+    "rows; masks outside the window survive") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((1L to 40L).map(i => (i, i % 10L, s"r$i"))
+      .toDF("id", "bucket", "s").repartition(col("bucket")), t) // v1
+    withDv {
+      Versioned.deleteWhere(spark, t, col("id") === 5L) // bucket 5
+      Versioned.deleteWhere(spark, t, col("id") === 12L) // bucket 2
+    }
+    assert(Versioned.read(spark, t).count() === 38L)
+    // replace the bucket-5 window: its masked row must NOT reappear
+    // in the CDF preimages, and bucket 2's mask must survive
+    Versioned.replaceWhere(
+      Seq((105L, 5L, "fresh")).toDF("id", "bucket", "s"),
+      t, col("bucket") === 5L)
+    val out = Versioned.read(spark, t)
+    assert(out.where(col("id") === 5L).count() === 0L)
+    assert(out.where(col("id") === 12L).count() === 0L,
+      "bucket-2 mask lost across replaceWhere")
+    assert(out.where(col("id") === 105L).count() === 1L)
+    // the replace window removed 3 live rows (15,25,35 — id 5 was
+    // already dead) and inserted one
+    assert(out.count() === 38L - 3L + 1L)
+    val chg = Versioned.readChanges(spark, t,
+      Versioned.versions(t).max - 1, Versioned.versions(t).max)
+    assert(chg.where(col("_change_type") === "delete")
+      .where(col("id") === 5L).count() === 0L,
+      "replaceWhere re-emitted an already-masked row as deleted")
+  }
+
+  test("scoped OPTIMIZE WHERE purges only the masks in its scope") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((1L to 30L).map(i => (i, s"a$i")).toDF("id", "s")
+      .repartition(1), t) // v1: file A (ids 1-30)
+    Versioned.commit((31L to 60L).map(i => (i, s"b$i")).toDF("id", "s")
+      .repartition(1), t) // v2: file B (ids 31-60)
+    withDv {
+      Versioned.deleteWhere(spark, t, col("id") === 3L) // mask on A
+      Versioned.deleteWhere(spark, t, col("id") === 33L) // mask on B
+    }
+    assert(Versioned.snapshot(t).dvs.size === 2)
+    // compact only the id<=30 range: A rewrites (mask applied and
+    // dropped), B carries with its mask intact
+    Versioned.optimize(spark, t, numFiles = 1,
+      where = Some(col("id") <= 30L))
+    val snap = Versioned.snapshot(t)
+    assert(snap.dvs.size === 1, s"scoped optimize: ${snap.dvs}")
+    val out = Versioned.read(spark, t)
+    assert(out.count() === 58L)
+    assert(out.where(col("id").isin(3L, 33L)).count() === 0L)
+  }
 }
