@@ -170,9 +170,17 @@ object Graft {
         nlist, m, ksub, nprobe, iters, seed)
 
     /** qid: s2_ann_lsh — deterministic sign-projection LSH top-k
-      * (hash-derived ±1 planes, exact integer projections, 1-bit
-      * multiprobe). Same ~unit-scale input precondition as
-      * `ivfTopK` (the cosine rerank squares quantized values). */
+      * (hash-derived ±1 planes, exact integer projections). Same
+      * ~unit-scale input precondition as `ivfTopK` (the cosine rerank
+      * squares quantized values).
+      *
+      * `probeHamming = 0` (the default since round 15) means AUTO:
+      * the plane count is capped and the multiprobe radius derived
+      * from corpus size so DEFAULT calls hold recall across scales —
+      * BEHAVIOR CHANGE from the pre-r15 default of fixed 1-bit
+      * multiprobe; callers wanting the old behavior pin
+      * `probeHamming = 1`. Any value ≥ 1 is an explicit fixed
+      * Hamming-ball radius. */
     def lshTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
         idCol: String, k: Int, dim: Int, seed: Long = 42L,
         probeHamming: Int = 0): DataFrame =

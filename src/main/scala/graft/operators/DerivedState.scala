@@ -53,8 +53,24 @@ object DerivedState {
       .partitionBy(col(key))
       .orderBy(col("_commit_version").desc,
         when(col("_change_type") === "delete", 0).otherwise(1).desc)
-    val last = chg.withColumn("__g_rn", row_number().over(w))
-      .where(col("__g_rn") === 1)
+    val ranked = chg.withColumn("__g_rn", row_number().over(w))
+      .withColumn("__g_rk", rank().over(w))
+    // Key-unique sources only (round 16, ADVICE r15): a commit with
+    // two non-delete rows for one key ties on (version, kind), so
+    // row_number would pick the net insert NONDETERMINISTICALLY and
+    // the derived state would silently diverge across runs/replays —
+    // the exact applyChanges situation. Same-window tie detection
+    // (rank 1 + row_number 2, non-delete), no extra exchange.
+    val tied = ranked.where(col("__g_rk") === 1 && col("__g_rn") === 2 &&
+      col("_change_type") =!= "delete")
+      .select(col(key), col("_commit_version")).limit(1).collect()
+    if (tied.nonEmpty)
+      throw new IllegalArgumentException(
+        "versioned: derived-state maintenance requires a key-unique " +
+          s"source — commit version ${tied.head.get(1)} carries " +
+          s"duplicate non-delete rows for key $key = ${tied.head.get(0)} " +
+          s"at $src; deduplicate the source or key the state differently")
+    val last = ranked.where(col("__g_rn") === 1).drop("__g_rk")
     val dataCols = chg.columns.filterNot(c =>
       c == "_change_type" || c == "_commit_version" || c == "__g_rn")
     // keys whose PRIOR state rows must go: any key that saw events —

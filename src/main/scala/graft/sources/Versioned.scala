@@ -160,7 +160,14 @@ object Versioned {
     * the object store's put-if-absent instead (see the class doc). */
   private def norm(path: String): String = {
     val uri = try new java.net.URI(path) catch {
-      case _: java.net.URISyntaxException => return path // plain path
+      case _: java.net.URISyntaxException =>
+        // unparseable as a URI (e.g. the catalog hands back an
+        // UNENCODED `file:/a/b c` location for a space-bearing root,
+        // round 16): strip a file scheme by hand, else plain path
+        return if (path.startsWith("file:")) {
+          val rest = path.stripPrefix("file:")
+          "/" + rest.dropWhile(_ == '/')
+        } else path
     }
     uri.getScheme match {
       case null => path // scheme-less: already a filesystem path
@@ -531,10 +538,14 @@ object Versioned {
     val dvScan =
       if (masked.isEmpty) None
       else {
-        val mask = DeletionVectors.loadMask(norm(path),
+        // closure carries only the file→sidecar PATH map (round 16):
+        // executors read exactly the sidecars their tasks scan.
+        // strict — every file on this leg carries a DV, so a key miss
+        // is a normalization divergence, not a clean file
+        val dvPaths = DeletionVectors.dvPathsOf(norm(path),
           dvs.view.filterKeys(masked.toSet).toMap)
         Some(spark.read.schema(physSchema).parquet(masked.map(abs): _*)
-          .where(DeletionVectors.liveFilter(mask)(
+          .where(DeletionVectors.liveFilter(dvPaths, strict = true)(
             col("_metadata.file_path"), col("_metadata.row_index")))
           .select(physSchema.fieldNames.map(col).toIndexedSeq: _*))
       }
@@ -2903,11 +2914,11 @@ object Versioned {
       bounds: Map[String, ColStat], touched: Seq[String],
       untouched: Seq[String]): Int = {
     val schema = StructType.fromDDL(base.schemaDdl)
-    val physSchema = physicalSchema(schema, base.colMap)
+    val logical = asNullableSchema(schema)
+    val physSchema = physicalSchema(logical, base.colMap)
     val absOf: Map[String, String] =
       touched.map(f => s"${norm(path)}/$f" -> f).toMap
-    val mask = DeletionVectors.loadMask(norm(path),
-      base.dvs.view.filterKeys(touched.toSet).toMap)
+    val priorDvs = base.dvs.view.filterKeys(touched.toSet).toMap
     val FileC = "__g_file"
     val PosC = "__g_pos"
     val DelFlag = "__graft_delete"
@@ -2915,11 +2926,16 @@ object Versioned {
       .parquet(touched.map(f => s"${norm(path)}/$f"): _*)
       .withColumn(FileC, col("_metadata.file_path"))
       .withColumn(PosC, col("_metadata.row_index"))
-      .where(DeletionVectors.liveFilter(mask)(col(FileC), col(PosC)))
-    // physical → logical names for the predicate, positions riding
-    val logical = physSchema.fieldNames.zip(schema.fieldNames)
-    val tagged = raw.select(logical.map { case (p, l) =>
-      col(p).as(l) }.toIndexedSeq ++ Seq(col(FileC), col(PosC)): _*)
+      .where(DeletionVectors.liveFilter(
+        DeletionVectors.dvPathsOf(norm(path), priorDvs),
+        strict = false)(col(FileC), col(PosC)))
+    // physical → logical via the readFiles positional struct-cast
+    // seam (round 16, ADVICE r15): a top-level `col(p).as(l)` alias
+    // leaves nested physical names in place, so a predicate over a
+    // renamed NESTED field would fail here where COW succeeds
+    val tagged = raw.select(logical.fields.zip(physSchema.fields).map {
+      case (lf, pf) => col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+    }.toIndexedSeq ++ Seq(col(FileC), col(PosC)): _*)
       .withColumn(DelFlag, coalesce(pred, lit(false)))
       .localCheckpoint() // evaluate a possibly nondeterministic pred ONCE
     val counts = tagged.groupBy(col(FileC))
@@ -2944,24 +2960,15 @@ object Versioned {
     val counted = counts.map(c => absOf(c._1)).toSet
     zeroRel ++= touched.filterNot(counted)
     val commitId = java.util.UUID.randomUUID().toString.take(12)
-    // sidecars: (existing ∪ new) ordinals per DV'd file, driver-side
-    // — O(matched rows on sub-crossover files) memory by construction
+    // sidecars: (existing ∪ new) ordinals per DV'd file, written FROM
+    // TASKS (round 16) — the driver receives only the file→sidecar
+    // rename map, O(DV'd files), never the matched ordinals
     val dvAbs = dvRel.map(r => s"${norm(path)}/$r").toSet
     val inDv = udf((f: String) =>
       dvAbs.contains(DeletionVectors.normFilePath(f)))
-    val newPos = tagged.where(col(DelFlag) && inDv(col(FileC)))
-      .select(col(FileC), col(PosC)).collect()
-      .groupBy(r => DeletionVectors.normFilePath(r.getString(0)))
-      .map { case (f, rows) => f -> rows.map(_.getLong(1)) }
-    val dvUpdates: Map[String, String] =
-      dvRel.zipWithIndex.map { case (rel, i) =>
-        val abs = s"${norm(path)}/$rel"
-        val merged = mask.getOrElse(abs, Array.empty[Long]) ++
-          newPos.getOrElse(abs, Array.empty[Long])
-        val dvPath = s"_dv/c-$commitId/$i.dv"
-        DeletionVectors.write(Paths.get(norm(path), dvPath), merged)
-        rel -> dvPath
-      }.toMap
+    val dvUpdates: Map[String, String] = DeletionVectors.writeSidecars(
+      tagged.where(col(DelFlag) && inDv(col(FileC))), FileC, PosC,
+      norm(path), dvRel, priorDvs, commitId)
     // COW leg: kept rows of crossover files only
     val cowAbsSet = cowRel.map(r => s"${norm(path)}/$r").toSet
     val keepCow = tagged.where(!col(DelFlag) &&
@@ -3005,11 +3012,11 @@ object Versioned {
       untouched: Seq[String]): Int = {
     val schema = StructType.fromDDL(base.schemaDdl)
     val tableCols: Seq[String] = schema.fields.map(_.name).toSeq
-    val physSchema = physicalSchema(schema, base.colMap)
+    val logical = asNullableSchema(schema)
+    val physSchema = physicalSchema(logical, base.colMap)
     val absOf: Map[String, String] =
       touched.map(f => s"${norm(path)}/$f" -> f).toMap
-    val mask = DeletionVectors.loadMask(norm(path),
-      base.dvs.view.filterKeys(touched.toSet).toMap)
+    val priorDvs = base.dvs.view.filterKeys(touched.toSet).toMap
     val FileC = "__g_file"
     val PosC = "__g_pos"
     val UpdFlag = "__graft_update"
@@ -3017,10 +3024,15 @@ object Versioned {
       .parquet(touched.map(f => s"${norm(path)}/$f"): _*)
       .withColumn(FileC, col("_metadata.file_path"))
       .withColumn(PosC, col("_metadata.row_index"))
-      .where(DeletionVectors.liveFilter(mask)(col(FileC), col(PosC)))
-    val logical = physSchema.fieldNames.zip(schema.fieldNames)
-    val tagged = raw.select(logical.map { case (p, l) =>
-      col(p).as(l) }.toIndexedSeq ++ Seq(col(FileC), col(PosC)): _*)
+      .where(DeletionVectors.liveFilter(
+        DeletionVectors.dvPathsOf(norm(path), priorDvs),
+        strict = false)(col(FileC), col(PosC)))
+    // readFiles positional struct-cast seam (round 16, ADVICE r15):
+    // nested physical names alias back too, so SET/predicates over
+    // renamed nested fields match the COW path
+    val tagged = raw.select(logical.fields.zip(physSchema.fields).map {
+      case (lf, pf) => col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+    }.toIndexedSeq ++ Seq(col(FileC), col(PosC)): _*)
       .withColumn(UpdFlag, coalesce(pred, lit(false)))
       .localCheckpoint()
     val counts = tagged.groupBy(col(FileC))
@@ -3046,19 +3058,11 @@ object Versioned {
     val dvAbs = dvRel.map(r => s"${norm(path)}/$r").toSet
     val inDv = udf((f: String) =>
       dvAbs.contains(DeletionVectors.normFilePath(f)))
-    val newPos = tagged.where(col(UpdFlag) && inDv(col(FileC)))
-      .select(col(FileC), col(PosC)).collect()
-      .groupBy(r => DeletionVectors.normFilePath(r.getString(0)))
-      .map { case (f, rows) => f -> rows.map(_.getLong(1)) }
-    val dvUpdates: Map[String, String] =
-      dvRel.zipWithIndex.map { case (rel, i) =>
-        val abs = s"${norm(path)}/$rel"
-        val merged = mask.getOrElse(abs, Array.empty[Long]) ++
-          newPos.getOrElse(abs, Array.empty[Long])
-        val dvPath = s"_dv/c-$commitId/$i.dv"
-        DeletionVectors.write(Paths.get(norm(path), dvPath), merged)
-        rel -> dvPath
-      }.toMap
+    // task-side sidecar writes (round 16): driver sees only the
+    // file→sidecar rename map, O(DV'd files)
+    val dvUpdates: Map[String, String] = DeletionVectors.writeSidecars(
+      tagged.where(col(UpdFlag) && inDv(col(FileC))), FileC, PosC,
+      norm(path), dvRel, priorDvs, commitId)
     val hit = tagged.where(col(UpdFlag)).drop(FileC, PosC, UpdFlag)
     // store-assignment casts, as the COW update path (ADVICE r12 high)
     val updated = hit.select(tableCols.map(c =>

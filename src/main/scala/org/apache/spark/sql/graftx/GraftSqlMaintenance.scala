@@ -61,8 +61,10 @@ private[graftx] object GraftMaintenanceSql {
   // CREATE TABLE t SHALLOW CLONE s [VERSION AS OF v] [LOCATION '/p']
   // (round 14, Delta's shallow-clone statement): zero-copy birth of a
   // new independent table referencing the source snapshot's files.
+  // LOCATION accepts single- OR double-quoted literals (round 16:
+  // only a double-quoted form can carry a path containing ')
   private val Clone = p(
-    s"""^\\s*CREATE\\s+TABLE\\s+$Tbl\\s+SHALLOW\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*$$""")
+    s"""^\\s*CREATE\\s+TABLE\\s+$Tbl\\s+SHALLOW\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?(?:\\s+LOCATION\\s+(?:'([^']+)'|"([^"]+)"))?\\s*;?\\s*$$""")
   // (ALTER TABLE ADD/DROP CONSTRAINT rides the PLAN-rewrite hook like
   // ADD COLUMNS — Spark 4 parses the statements natively into
   // AddConstraint/DropConstraint plans; see GraftAddConstraintCommand.)
@@ -126,7 +128,7 @@ private[graftx] object GraftMaintenanceSql {
       return Some(GraftCloneCommand(parts(clm.group(1)),
         parts(clm.group(2)),
         Option(clm.group(3)).map(_.toInt),
-        Option(clm.group(4))))
+        Option(clm.group(4)).orElse(Option(clm.group(5)))))
     None
   }
 
@@ -357,13 +359,15 @@ case class GraftCloneCommand(tgtParts: Seq[String],
     val v = graft.sources.Versioned.cloneTable(spark, src, dst,
       versionAsOf)
     if (register) {
-      // quote every identifier part and escape the path literal — a
-      // name part or path containing ` or ' must not break (or worse,
-      // rewrite) the interpolated statement (round 15, ADVICE r14)
+      // quote every identifier part; the LOCATION goes through the
+      // catalog API's options map, NOT an interpolated string literal
+      // — backslash escapes are inert under
+      // spark.sql.parser.escapedStringLiterals=true and quote-doubling
+      // trips adjacent-literal concatenation, so no SQL-side escaping
+      // of a path is parser-mode independent (round 16, ADVICE r15)
       val name = tgtParts
         .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
-      val loc = dst.replace("'", "\\'")
-      spark.sql(s"CREATE TABLE $name USING graftv LOCATION '$loc'")
+      spark.catalog.createTable(name, "graftv", Map("path" -> dst))
     }
     Seq(Row(v, graft.sources.Versioned.snapshot(dst).files.size))
   }
