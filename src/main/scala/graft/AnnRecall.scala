@@ -182,7 +182,26 @@ object AnnRecall {
       sb ++= s"""    "lsh_probe2": {"sec": ${r4(tLsh2)}, "recall_at_$K": ${r4(rLsh2)}},\n"""
       println(f"[ann-recall] $label lsh_probe2: recall=$rLsh2%.4f ${tLsh2}%.2fs")
 
-      // IVF-Flat + IVF-PQ nprobe sweep (production default nlist/16)
+      // IVF-Flat + IVF-PQ on DEFAULTS (round 16: nprobe = 0 is AUTO —
+      // GREATEST(4, nlist/16), widened to ≥ nlist/4 under the small-
+      // corpus line) — the headline rungs the VERDICT gate reads
+      def autoJson(name: String, run: () => DataFrame): String = {
+        val (df, t) = timed(run().persist())
+        val r = recallOf(df, truth, thresh)
+        df.unpersist()
+        println(f"[ann-recall] $label $name(auto): recall=$r%.4f ${t}%.2fs")
+        s"""    "$name": {"sec": ${r4(t)}, "recall_at_$K": ${r4(r)}},\n"""
+      }
+      sb ++= autoJson("ivf_flat_auto", () =>
+        graft.operators.IntKmeans.topK(
+          e.select(col("vec_id"), col("embedding")), q, "embedding",
+          "vec_id", k = K, nlist = nlist))
+      sb ++= autoJson("ivf_pq_auto", () =>
+        graft.operators.IntKmeans.pqTopK(
+          e.select(col("vec_id"), col("embedding")), q, "embedding",
+          "vec_id", k = K, nlist = nlist, m = 8, ksub = 16))
+
+      // IVF-Flat + IVF-PQ explicit-nprobe sweep (the caller's dial)
       val sweeps = Seq(32, 16, 8, 4, 2).map(d => d -> math.max(4, nlist / d))
       def sweepJson(name: String,
           run: Int => DataFrame): String = {

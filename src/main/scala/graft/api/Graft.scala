@@ -153,10 +153,18 @@ object Graft {
       * guarantee needs every quantized product/partial sum below
       * 2^52 (|x| ≤ maxExactQ(dim)/1e4, ≈ 26 for 64-dim); the kernel
       * validates the training sample and fails loudly on violation
-      * (IntKmeans.sampleTrain). */
+      * (IntKmeans.sampleTrain).
+      *
+      * `nprobe = 0` (the default since round 16) is AUTO: probe
+      * GREATEST(4, nlist/16) cells, widened to ≥ nlist/4 below the
+      * small-corpus line (N < 8192) where narrow probes only cost
+      * recall — DEFAULT calls hold recall@10 ≥ 0.8 at every measured
+      * rung (bench/ann_recall.json). Explicit nprobe ≥ 1 keeps the
+      * caller's count (still small-corpus-widened, the pqTopK rule
+      * since round 13). */
     def ivfTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
-        idCol: String, k: Int, nlist: Int, nprobe: Int, iters: Int = 2,
-        seed: Long = 42L): DataFrame =
+        idCol: String, k: Int, nlist: Int, nprobe: Int = 0,
+        iters: Int = 2, seed: Long = 42L): DataFrame =
       graft.operators.IntKmeans.topK(corpus, queries, vCol, idCol, k,
         nlist, nprobe, iters, seed)
 
@@ -165,7 +173,7 @@ object Graft {
       * Same ~unit-scale input precondition as `ivfTopK`. */
     def pqTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
         idCol: String, k: Int, nlist: Int, m: Int = 8, ksub: Int = 16,
-        nprobe: Int = 4, iters: Int = 2, seed: Long = 42L): DataFrame =
+        nprobe: Int = 0, iters: Int = 2, seed: Long = 42L): DataFrame =
       graft.operators.IntKmeans.pqTopK(corpus, queries, vCol, idCol, k,
         nlist, m, ksub, nprobe, iters, seed)
 

@@ -188,13 +188,30 @@ object IntKmeans {
     * approximate by design, but the approximation itself is now
     * deterministic, which is what makes an ANN index auditable across
     * engine versions. Scale shape identical to Ivf.topK: one corpus
-    * assignment pass, per-query work bounded by nprobe·N/nlist. */
+    * assignment pass, per-query work bounded by nprobe·N/nlist.
+    *
+    * AUTO-NPROBE (round 16, VERDICT r15 #3 — the LSH treatment,
+    * mirrored in oracleS3): `nprobe = 0` (the DEFAULT) derives the
+    * probe count instead of trusting the caller — GREATEST(4,
+    * nlist/16) in the banded regime (~6 % of cells, the measured
+    * recall/latency point: 1.0 recall@10 at 25×,
+    * bench/ann_recall.json), and below the small-corpus line
+    * (N < [[TrainCap]], where bucketing saves nothing and only costs
+    * recall — 1× at nprobe=5 measured 0.24) the probe WIDENS to
+    * ≥ nlist/4 — the same IndexRefineFlat-limit rule pqTopK adopted
+    * in round 13 (measured 0.82 at the hard 1× regime). The widening
+    * applies to explicit nprobe too, exactly as pqTopK's does; both
+    * decisions are exact integer comparisons, so the SQL twin can
+    * never disagree. */
   def topK(corpus: DataFrame, queries: DataFrame, vCol: String,
-      idCol: String, k: Int, nlist: Int, nprobe: Int, iters: Int,
-      seed: Long): DataFrame = {
+      idCol: String, k: Int, nlist: Int, nprobe: Int = 0, iters: Int = 2,
+      seed: Long = 42L): DataFrame = {
     val q = quantize(corpus, idCol, vCol)
-    val cents = lloyd(sampleTrain(q, idCol, seed, cap = 8192),
-      nlist, iters, farthest = false)
+    val train = sampleTrain(q, idCol, seed, cap = TrainCap)
+    val small = train.length < TrainCap
+    val base = if (nprobe == 0) math.max(4, nlist / 16) else nprobe
+    val effNprobe = if (small) math.max(base, nlist / 4) else base
+    val cents = lloyd(train, nlist, iters, farthest = false)
     val c = assign(q, idCol, cents)
       .select(col(idCol).as("vec_id"), col("qvd").as("v"), col("cell"))
       .withColumn("na", doti(col("v"), col("v")))
@@ -204,7 +221,7 @@ object IntKmeans {
         var s = 0L; var i = 0
         while (i < qv.length) { val t = qv(i) - cc(i); s += t * t; i += 1 }
         (s, ci)
-      }.sorted.take(nprobe).map(_._2)
+      }.sorted.take(effNprobe).map(_._2)
     }
     val qq = quantize(queries, idCol, vCol)
       .select(col(idCol).as("query_id"), col("qv"))
@@ -299,15 +316,19 @@ object IntKmeans {
     * The small/large decision is an exact integer comparison (sample
     * length vs cap), so the SQL twin can never disagree. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, vCol: String,
-      idCol: String, k: Int, nlist: Int, m: Int, ksub: Int, nprobe: Int,
-      iters: Int, seed: Long, rerankMult: Int = 4): DataFrame = {
+      idCol: String, k: Int, nlist: Int, m: Int, ksub: Int,
+      nprobe: Int = 0, iters: Int = 2, seed: Long = 42L,
+      rerankMult: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     val q = quantize(corpus, idCol, vCol)
     val train = sampleTrain(q, idCol, seed, cap = TrainCap)
     // the sample hits the cap iff N >= cap, so its LENGTH decides the
     // regime without a second corpus count
     val small = train.length < TrainCap
-    val effNprobe = if (small) math.max(nprobe, nlist / 4) else nprobe
+    // nprobe = 0 is AUTO (round 16): GREATEST(4, nlist/16), the same
+    // derivation [[topK]] documents, mirrored in oracleS4
+    val base = if (nprobe == 0) math.max(4, nlist / 16) else nprobe
+    val effNprobe = if (small) math.max(base, nlist / 4) else base
     val model = trainPq(train, nlist, m, ksub, iters)
     val bc = spark.sparkContext.broadcast(model)
     // corpus: coarse cell (exact GEMM), then per-subspace code —
@@ -643,16 +664,19 @@ object IntKmeans {
   }
 
   /** Complete s3 IVF-Flat top-k oracle: adaptive-nlist take-k
-    * quantizer, `iters` Lloyd rounds, full-corpus assignment, per-
-    * query probe of the GREATEST(4, nlist//16) nearest cells, exact
-    * cosine rerank (round 6, ties to the lowest id), top `k`. */
+    * quantizer, `iters` Lloyd rounds, full-corpus assignment, AUTO
+    * probe of the GREATEST(4, nlist//16) nearest cells — widened to
+    * ≥ nlist//4 below the small-corpus line, lockstep with [[topK]]'s
+    * round-16 default — exact cosine rerank (round 6, ties to the
+    * lowest id), top `k`. */
   def oracleS3(k: Int, seed: Long, cap: Int, iters: Int,
       dim: Int, queryPred: String): String = {
     val r = dim + 1
     s"""WITH ${preludeSql(seed, cap)},
        |params AS (
        | SELECT LEAST(65536, GREATEST(16,
-       |  4 * CAST(CEIL(SQRT(COUNT(*)::DOUBLE)) AS BIGINT))) AS nlist FROM e),
+       |  4 * CAST(CEIL(SQRT(COUNT(*)::DOUBLE)) AS BIGINT))) AS nlist,
+       |  COUNT(*) < $cap AS small FROM e),
        |c0 AS MATERIALIZED (
        | SELECT rn - 1 AS cell, qv AS cv FROM train
        | WHERE rn <= (SELECT nlist FROM params)),
@@ -670,7 +694,9 @@ object IntKmeans {
        |   ROW_NUMBER() OVER (PARTITION BY q.query_id
        |    ORDER BY ${d2Sql("q", "c", dim)} ASC, c.cell ASC) AS rk
        |  FROM qs q CROSS JOIN c$iters c)
-       | WHERE rk <= (SELECT GREATEST(4, nlist // 16) FROM params)),
+       | WHERE rk <= (SELECT CASE WHEN small
+       |   THEN GREATEST(GREATEST(4, nlist // 16), nlist // 4)
+       |   ELSE GREATEST(4, nlist // 16) END FROM params)),
        |scored AS (
        | SELECT q.query_id, f.vec_id,
        |  CASE WHEN f.na = 0 OR q.qn = 0 THEN 0.0

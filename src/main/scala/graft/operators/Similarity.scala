@@ -460,8 +460,10 @@ object Similarity {
     // ~6% of the cells (the FAISS-ish recall/latency point), so
     // per-query work is ~N/16 dot products against a probed subset.
     val nlist = adaptiveNlist(e.count())
+    // nprobe = 0 is AUTO (round 16): GREATEST(4, nlist/16), widened
+    // to ≥ nlist/4 below the small-corpus line — oracleS3 in lockstep
     IntKmeans.topK(e, q, "embedding", "vec_id", k = 10, nlist = nlist,
-      nprobe = math.max(4, nlist / 16), iters = 2, seed = 42L)
+      nprobe = 0, iters = 2, seed = 42L)
   }
 
   /** Query-surface entry: IVF-PQ ANN over the embeddings table.
@@ -484,9 +486,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     val q = e.where(col("vec_id") < 5)
     val nlist = adaptiveNlist(e.count())
+    // nprobe = 0 is AUTO (round 16) — same derivation as the old
+    // explicit value in the banded regime, oracleS4 in lockstep
     IntKmeans.pqTopK(e, q, "embedding", "vec_id", k = 10, nlist = nlist,
-      m = 8, ksub = 16, nprobe = math.max(4, nlist / 16),
-      iters = 2, seed = 42L)
+      m = 8, ksub = 16, nprobe = 0, iters = 2, seed = 42L)
   }
 
   /** Plane count scaled to the corpus: enough sign bits that the

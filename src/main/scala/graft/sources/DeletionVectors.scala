@@ -42,7 +42,7 @@ import org.apache.spark.sql.functions._
   *  - A scattered 1000-row delete on a 100 TB table therefore writes
   *    ~KBs of sidecars + one manifest, with driver memory and filter
   *    closure size FLAT in the number of DV'd rows. */
-private[sources] object DeletionVectors {
+private[graft] object DeletionVectors {
 
   private val Magic = 0x47445631 // "GDV1"
 

@@ -114,9 +114,20 @@ class VersionedSource extends TableProvider with DataSourceRegister {
       .orElse(Option(options.get("readChangeFeed")))
       .exists(_.toBoolean)
 
+  /** A change-feed read presents the LOGICAL schema AS OF the range
+    * end — the library readChanges contract (its DDL is
+    * `parts.last._3`, the last in-range version's) — not HEAD's: a
+    * rename landing beyond endingVersion must not rename the feed's
+    * columns (round 16, caught by VersionedDifferentialSpec). */
+  private def cdfEndVersion(options: JMap[String, String]): Option[Int] =
+    Option(options.get("endingversion"))
+      .orElse(Option(options.get("endingVersion"))).map(_.toInt)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val effAsOf =
+      if (changeFeed(options)) cdfEndVersion(options) else asOf(options)
     val base = StructType.fromDDL(
-      Versioned.snapshot(pathOf(options), asOf(options)).schemaDdl)
+      Versioned.snapshot(pathOf(options), effAsOf).schemaDdl)
     if (changeFeed(options))
       base.add("_change_type", "string").add("_commit_version", "int")
     else base
@@ -136,8 +147,11 @@ class VersionedSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = {
     val path = pathOf(properties)
     if (Versioned.versions(path).nonEmpty) {
+      val effAsOf =
+        if (changeFeed(properties)) cdfEndVersion(properties)
+        else asOf(properties)
       val base = StructType.fromDDL(
-        Versioned.snapshot(path, asOf(properties)).schemaDdl)
+        Versioned.snapshot(path, effAsOf).schemaDdl)
       val tblSchema =
         if (changeFeed(properties))
           base.add("_change_type", "string").add("_commit_version", "int")
