@@ -41,9 +41,8 @@ class CrossProcessRaceSpec extends AnyFunSuite {
   private val NCommits = 6
   private val RowsPer = 50
 
-  private def spawnChild(table: String, writerId: Int, cwd: File,
-      out: File, baseId: Option[Long] = None,
-      commits: Int = NCommits): Process = {
+  private def spawnRaw(cwd: File, out: File,
+      childArgs: Seq[String]): Process = {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin",
       "java").toString
     // pass through the running JVM's --add-opens pairs (Spark on
@@ -56,15 +55,20 @@ class CrossProcessRaceSpec extends AnyFunSuite {
     }.flatten
     val cmd = Vector(javaBin) ++ addOpens ++ Vector(
       "-Xmx1g", "-cp", System.getProperty("java.class.path"),
-      "graft.RaceChildMain", table, writerId.toString,
-      commits.toString, RowsPer.toString) ++
-      baseId.map(_.toString).toVector
+      "graft.RaceChildMain") ++ childArgs
     new ProcessBuilder(cmd.asJava)
       .directory(cwd)
       .redirectErrorStream(true)
       .redirectOutput(out)
       .start()
   }
+
+  private def spawnChild(table: String, writerId: Int, cwd: File,
+      out: File, baseId: Option[Long] = None,
+      commits: Int = NCommits): Process =
+    spawnRaw(cwd, out, Vector(table, writerId.toString,
+      commits.toString, RowsPer.toString) ++
+      baseId.map(_.toString).toVector)
 
   test("two independent JVMs race appends while this JVM races " +
     "merges: one linear history, no torn manifest, no lost commit") {
@@ -244,6 +248,87 @@ class CrossProcessRaceSpec extends AnyFunSuite {
       val withBlock = bumped.stripSuffix("\n").stripSuffix("}") +
         """, "forced_abort": {"staged": true, "child_overlap_append_version": 2, "abort_error_names_key_disjointness": true, "retry_succeeded_version": 3, "post_state_clean": true}}""" + "\n"
       Files.write(art, withBlock.getBytes("UTF-8"))
+    }
+  }
+
+  test("DV-vs-DV cross-process race (round 16, VERDICT r15 #5): two " +
+    "JVMs point-delete the SAME file — the loser aborts, the retry " +
+    "re-reads the winner's mask, no lost ordinals, no double CDF") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-xproc-dv-").toString
+    val scratch = Files.createTempDirectory("graft-xproc-dv-cwd-").toFile
+    Versioned.commit((0L until 100L).map(i => (i, i * 10L))
+      .toDF("id", "v").repartition(1), t) // v1: ONE data file
+    val fileRel = Versioned.snapshot(t).files match {
+      case Seq(one) => one
+      case more => fail(s"expected one data file, got $more")
+    }
+    // ordinal ground truth straight from the file
+    val posOf: Map[Long, Long] = spark.read
+      .parquet(s"$t/$fileRel")
+      .select(col("id"), col("_metadata.row_index").as("pos"))
+      .as[(Long, Long)].collect().toMap
+
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    val out = new File(scratch, "dv-child.log")
+    try {
+      // the child's DV delete (id % 10 == 7) lands INSIDE this JVM's
+      // DV delete window (after its scan + sidecar staging, before
+      // its publish) — a real second process on the same file
+      Versioned.beforeCowPublish = () => {
+        val p = spawnRaw(scratch, out, Seq(t, "dvdelete", "7"))
+        assert(p.waitFor(240, TimeUnit.SECONDS), "dv child hung")
+        assert(p.exitValue() === 0, s"dv child failed:\n${
+          new String(Files.readAllBytes(out.toPath))}")
+      }
+      val e = intercept[java.util.ConcurrentModificationException] {
+        Versioned.deleteWhere(spark, t, col("id") % 10 === 3L)
+      }
+      assert(e.getMessage.contains("concurrent"), e.getMessage)
+      // the child's delete IS v2; the aborted parent left no trace
+      assert(Versioned.versions(t) === Seq(1, 2))
+      assert(Versioned.read(spark, t).count() === 90L)
+      // the RETRY re-reads the winner's mask and merges its own
+      Versioned.deleteWhere(spark, t, col("id") % 10 === 3L) // v3
+    } finally spark.conf.unset("spark.graft.dv.enabled")
+
+    val fin = Versioned.read(spark, t)
+    assert(fin.count() === 80L)
+    assert(fin.where(col("id") % 10 === 3L || col("id") % 10 === 7L)
+      .count() === 0L)
+    // MASK-UNION EQUALITY: the surviving sidecar's ordinals are
+    // exactly {positions of id%10==7} ∪ {positions of id%10==3} —
+    // the winner's ordinals were never lost to the loser's retry
+    val snap = Versioned.snapshot(t)
+    assert(snap.files === Seq(fileRel), "race rewrote the data file")
+    val dvRel = snap.dvs.getOrElse(fileRel,
+      fail(s"no sidecar on $fileRel: ${snap.dvs}"))
+    val maskGot = graft.sources.DeletionVectors
+      .read(Paths.get(t, dvRel)).toSet
+    val maskWant = posOf.collect {
+      case (id, pos) if id % 10 == 3 || id % 10 == 7 => pos
+    }.toSet
+    assert(maskGot === maskWant, "mask union diverged")
+    // CDF: each delete emits its OWN rows exactly once
+    val ch2 = Versioned.readChanges(spark, t, 1, 2)
+      .where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet
+    val ch3 = Versioned.readChanges(spark, t, 2, 3)
+      .where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet
+    assert(ch2 === (0L until 100L).filter(_ % 10 == 7).toSet)
+    assert(ch3 === (0L until 100L).filter(_ % 10 == 3).toSet)
+
+    // fold the DV-race evidence into the committed artifact
+    val art = Paths.get("bench/crossproc_race.json")
+    if (Files.exists(art)) {
+      val txt = new String(Files.readAllBytes(art), "UTF-8")
+        .stripSuffix("\n").stripSuffix("}")
+      Files.write(art, (txt +
+        """, "dv_race": {"dv_aborts_retried": 1, "winner_mask_rows": """ +
+        s"""${ch2.size}, "retry_mask_rows": ${ch3.size}, """ +
+        """"mask_union_equal": true, "double_delete_cdf_rows": 0}}""" +
+        "\n").getBytes("UTF-8"))
     }
   }
 }

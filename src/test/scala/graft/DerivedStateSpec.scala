@@ -136,4 +136,96 @@ class DerivedStateSpec extends AnyFunSuite {
       sortedRows(rebuildPostings()))
     assert(drain().isEmpty) // current
   }
+
+  test("recapBandState (round 16, VERDICT r15 #4): accumulated cap " +
+    "drift is measured, recapped ∝ drifted rows under the global cap " +
+    "law, and the ledger survives — drains resume afterwards") {
+    val src = tmp("g-ds-recap-src-")
+    val st = tmp("g-ds-recap-st-")
+    val cap = 4
+    def drain(): Option[(Int, Int)] =
+      DerivedState.maintainMinhashBandState(spark, src, st)
+    // three increments of 4 near-identical docs each: every increment
+    // alone is under the test cap, the ACCUMULATED band buckets (12
+    // members sharing bands) are far over it — exactly the documented
+    // per-increment-cap caveat
+    (0 until 3).foreach { b =>
+      Versioned.commit(docsDf((0 until 4).map { j =>
+        (b * 10L + j, "the quick brown fox jumps over the lazy dog")
+      }), src)
+      assert(drain().nonEmpty)
+    }
+    val stateBefore = Versioned.read(spark, st)
+    val bigBefore = stateBefore.groupBy("band_idx", "band_key")
+      .count().where(col("count") > cap).count()
+    assert(bigBefore > 0L, "fixture must actually drift")
+    // measurement-only when nothing trips at the default 4096 cap
+    assert(DerivedState.recapBandState(spark, st) === ((0L, 0L)))
+    val (buckets, removed) = DerivedState.recapBandState(spark, st, cap)
+    assert(buckets === bigBefore && removed > 0L)
+    // the recapped state equals the GLOBAL cap law applied to the
+    // accumulated state (no increment dropped members -> exact)
+    val want = MinHash.capBucketMembers(stateBefore,
+      Seq("band_idx", "band_key"), "h_id", maxBucket = cap)
+    assert(sortedRows(Versioned.read(spark, st)) === sortedRows(want))
+    // idempotent: a second recap at the same cap finds nothing
+    assert(DerivedState.recapBandState(spark, st, cap) === ((0L, 0L)))
+    // the ledger survived the recap merge: a fresh source commit
+    // still drains from where it left off
+    Versioned.commit(docsDf(Seq(
+      (99L, "an entirely different document about ledgers"))), src)
+    assert(drain().contains((3, 4)))
+    assert(Versioned.read(spark, st).where(col("h_id") === 99L)
+      .count() > 0L)
+  }
+
+  test("retrainIvfIfDrifted (round 16): stale centroids measured from " +
+    "the state, retrain only past the threshold, ledger stamped — " +
+    "drains resume after the rebuild") {
+    import spark.implicits._
+    val src = tmp("g-ds-drift-src-")
+    val cents = tmp("g-ds-drift-c-")
+    val posts = tmp("g-ds-drift-p-")
+    def vec(seed: Long, shift: Double): Seq[Float] =
+      (0 until 8).map(d =>
+        (math.sin(seed * 31 + d).toFloat * 0.1f +
+          (if (d == (seed % 8).toInt) 1.0f else 0.0f) +
+          shift.toFloat))
+    // v1: a tight corpus around the unshifted layout
+    Versioned.commit((1L to 60L).map(i => (i, vec(i, 0.0)))
+      .toDF("vec_id", "embedding"), src)
+    DerivedState.buildIvfCentroids(spark, src, cents, "embedding",
+      "vec_id", nlist = 4, iters = 4, seed = 7L)
+    assert(DerivedState.maintainIvfPostings(spark, src, cents, posts,
+      "embedding", "vec_id").nonEmpty)
+    val f0 = DerivedState.ivfDriftFraction(spark, cents, posts)
+    // fresh build: ~10% of rows sit past the train p90 by definition
+    assert(f0 <= 0.2, s"fresh postings must not read drifted: $f0")
+    val (g0, r0) = DerivedState.retrainIvfIfDrifted(spark, src, cents,
+      posts, "embedding", "vec_id", nlist = 4, iters = 4, seed = 7L)
+    assert(!r0 && g0 <= 0.2, s"healthy state must not retrain ($g0)")
+    // v2: a large SHIFTED append drained under the stale centroids
+    Versioned.commit((101L to 220L).map(i => (i, vec(i, 3.0)))
+      .toDF("vec_id", "embedding"), src)
+    assert(DerivedState.maintainIvfPostings(spark, src, cents, posts,
+      "embedding", "vec_id").nonEmpty)
+    val (f1, retrained) = DerivedState.retrainIvfIfDrifted(spark, src,
+      cents, posts, "embedding", "vec_id", nlist = 4, iters = 4,
+      seed = 7L, threshold = 0.1)
+    assert(retrained, s"shifted corpus must trip the gate (f=$f1)")
+    assert(f1 > 0.1)
+    // after the rebuild: drift back under the healthy band, postings
+    // cover the whole corpus, ledger at head so the next drain no-ops
+    assert(DerivedState.ivfDriftFraction(spark, cents, posts) <= 0.2)
+    assert(Versioned.read(spark, posts).count() === 180L)
+    assert(DerivedState.maintainIvfPostings(spark, src, cents, posts,
+      "embedding", "vec_id").isEmpty)
+    // v3: drains RESUME against the retrained state
+    Versioned.commit(Seq((300L, vec(300L, 3.0))).toDF(
+      "vec_id", "embedding"), src)
+    assert(DerivedState.maintainIvfPostings(spark, src, cents, posts,
+      "embedding", "vec_id").nonEmpty)
+    assert(Versioned.read(spark, posts)
+      .where(col("vec_id") === 300L).count() === 1L)
+  }
 }

@@ -19,6 +19,29 @@ import graft.sources.Versioned
   */
 object RaceChildMain {
   def main(args: Array[String]): Unit = {
+    // DV-delete mode (round 16, VERDICT r15 #5): one merge-on-read
+    // point delete of an id residue class — landed from a REAL second
+    // JVM inside the parent's read-to-publish window, so the parent's
+    // own DV delete must abort and the retry must merge THIS mask
+    args match {
+      case Array(t, "dvdelete", residue) =>
+        val spark0 = SparkSession.builder()
+          .master("local[2]")
+          .appName("graft-race-child-dv")
+          .config("spark.sql.shuffle.partitions", "2")
+          .config("spark.ui.enabled", "false")
+          .config("spark.graft.dv.enabled", "true")
+          .getOrCreate()
+        spark0.sparkContext.setLogLevel("ERROR")
+        try {
+          val v = Versioned.deleteWhere(spark0, t,
+            org.apache.spark.sql.functions.col("id") % 10 ===
+              residue.toLong)
+          println(s"DV_OK residue=$residue version=$v")
+        } finally spark0.stop()
+        return
+      case _ => ()
+    }
     val (table, writerIdS, nCommitsS, rowsPerS, baseIdOpt) = args match {
       case Array(t, w, n, r) => (t, w, n, r, None)
       // optional 5th arg (round 14, the FORCED-abort arm): an explicit
