@@ -42,9 +42,30 @@ object CurationScale {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    // defaultYaml + the t13 quality gate FED FORWARD (round 16,
+    // VERDICT r15 #6: MakeScale now preserves stopwords, so the gate
+    // passes a realistic fraction instead of rejecting the corpus —
+    // its survivors feed the sample and the split like m7 documents)
+    val scaleYaml =
+      """title: corpus curation at scale
+        |ran_seed: 42
+        |splits:
+        |  train: 0.8
+        |curation:
+        |  - type: normalize
+        |  - type: redact
+        |  - type: dedup_exact
+        |  - type: dedup_simhash
+        |  - type: decontaminate
+        |    ngram: 8
+        |  - type: quality_filter
+        |  - type: stratified_sample
+        |    by: lang
+        |    frac: 0.5
+        |""".stripMargin
+
     def runRung(dir: String, label: String): String = {
-      val plan = graft.pipeline.TextPipeline.parse(
-        graft.pipeline.TextPipeline.defaultYaml)
+      val plan = graft.pipeline.TextPipeline.parse(scaleYaml)
       var docs = Tables(spark, dir, "documents").localCheckpoint(true)
       val n0 = docs.count()
       System.err.println(s"[curation-scale] $label: $n0 docs")
@@ -66,18 +87,6 @@ object CurationScale {
         System.err.println(f"[curation-scale] $label ${st.stepType}: " +
           f"$sec%.2fs -> $n rows")
       }
-      // quality_filter measured as a SIDE stage: MakeScale's
-      // disjoint-token re-keying removes natural-language stopwords,
-      // so the Gopher stop-hit rule rejects the whole synthetic
-      // corpus — the timing and plan are real, the 0 survivors are a
-      // corpus artifact, so the pipeline continues from the sample
-      val qf = graft.pipeline.TextPipeline.applyStage(docs,
-        graft.pipeline.SpecPipeline.Step("quality_filter",
-          graft.pipeline.Yaml.YMap(Vector.empty)), plan.ranSeed)
-      val (nQf, qfSec) = timed(qf.count())
-      sb ++= s""",\n    {"stage": "quality_filter", "sec": ${r3(qfSec)}, "rows_out": $nQf, "side_stage": true, "note": "synthetic re-keyed tokens have no stopwords; output not fed forward", "plan": [${planOps(qf).map(o => s""""$o"""").mkString(", ")}]}"""
-      System.err.println(f"[curation-scale] $label quality_filter " +
-        f"(side): $qfSec%.2fs -> $nQf rows")
       // split assignment (o5)
       val (buckets, splitSec) = timed {
         graft.operators.Splits.assign(docs, "doc_id", "main",

@@ -109,11 +109,20 @@ object MakeScale {
         (_, p) => tokenAt(p)), " ")
     }
 
+    // Disjoint-token mode preserves the t13 STOPWORD set verbatim
+    // (round 16, VERDICT r15 #6): suffixing every token erased the
+    // Gopher stop-hit signal, so quality gates rejected the entire
+    // synthetic corpus — a fixture artifact, not an operator result.
+    // Stopwords are shared across documents in any real corpus, and a
+    // shingle is cross-copy-shared only when ALL its tokens are
+    // stopwords (negligible), so dedup-work linearity survives.
+    val stopKeep = graft.queries.TextOps.t13Stopwords
     val scaledDocs = (0 until copies).map { i =>
       val text =
         if (zipfMode) zipfText(i)
         else array_join(transform(split(col("text"), " "),
-          t => concat(t, lit(alphaSuffix(i)))), " ")
+          t => when(t.isin(stopKeep: _*), t)
+            .otherwise(concat(t, lit(alphaSuffix(i))))), " ")
       docs.select(
         (col("doc_id") + lit(i * idOff)).as("doc_id"),
         text.as("text"),

@@ -379,7 +379,18 @@ object Multimodal {
     * [[phash64Int]] verbatim. Sourced by TWO oracles: the
     * synthesis-law BMP twin ([[oracleMm2Bmp]]) and the golden-pixel
     * JPEG twin ([[oracleMm2JpegGolden]]). */
-  private def phashSqlTail: String = {
+  private def phashSqlTail: String =
+    s"""$phashSqlCtes
+       |SELECT doc_id AS media_id, phash,
+       | (phash >> 0) & 65535 AS band0, (phash >> 16) & 65535 AS band1,
+       | (phash >> 32) & 65535 AS band2, (phash >> 48) & 65535 AS band3
+       |FROM ph ORDER BY media_id""".stripMargin
+
+  /** The pool/DCT/median pHash law as CTEs from a `px` relation
+    * (doc_id, w, y, x, lum3) up to `ph` (doc_id, phash) — shared by
+    * the per-media twins ([[phashSqlTail]]) and the full pairing
+    * oracle ([[oracleMm2Full]]). */
+  private def phashSqlCtes: String = {
     val cmat = (for { u <- 0 until 8; k <- 0 until 8 }
       yield s"($u, $k, ${DctQ(u)(k)})").mkString(", ")
     s"""cells AS (
@@ -409,11 +420,61 @@ object Multimodal {
        |  SUM(CASE WHEN c.s > m.m THEN (1::BIGINT << c.i) ELSE 0 END)::BIGINT
        |   AS phash
        | FROM coefs c JOIN med m ON m.doc_id = c.doc_id
-       | GROUP BY 1)
-       |SELECT doc_id AS media_id, phash,
-       | (phash >> 0) & 65535 AS band0, (phash >> 16) & 65535 AS band1,
-       | (phash >> 32) & 65535 AS band2, (phash >> 48) & 65535 AS band3
-       |FROM ph ORDER BY media_id""".stripMargin
+       | GROUP BY 1)""".stripMargin
+  }
+
+  /** FULL mm2 pairing oracle (round 16, VERDICT r15 #8): every
+    * variant [[imagePhashPairs]] hashes has pixels DuckDB can reach —
+    * BMP originals via the synthesis law ([[oracleMm2Bmp]]'s px leg),
+    * JPEG originals AND their lossless-BMP twins via the committed
+    * golden decode, and the BMP half's JPEG-95 twins via the new
+    * twin-golden fixture ([[graft.sources.GoldenPixels.twinPath]]).
+    * The pairing law replays exactly: the banded ≤2-flip probe join
+    * matches a pair iff SOME 16-bit band differs in ≤ 2 bits
+    * (multi-index hashing's pigeonhole), then hamming ≤ 10 verifies —
+    * all-pairs in the oracle (corpus-sized SQL is fine at oracle
+    * scale; the Spark side stays the banded equi-join). The unoracled
+    * surface is the codec pair alone, drift-pinned by
+    * GoldenPixelsSpec. */
+  def oracleMm2Full(maxHamming: Int = 10): String = {
+    def tb(expr: String) =
+      s"ascii(substr(g.text, CAST(($expr) % g.len AS INT) + 1, 1))"
+    val lum3 = s"(${tb("3 * i.r")} + ${tb("3 * i.r + 1")} + ${tb("3 * i.r + 2")})"
+    s"""WITH bimgs AS (
+       | SELECT doc_id, text, length(text) AS len,
+       |  CAST((n_chars % 24) + 8 AS INT) AS w, 8 AS h
+       | FROM documents WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1),
+       |px AS (
+       | SELECT g.doc_id * 2 AS doc_id, g.w, i.r // g.w AS y,
+       |  i.r % g.w AS x, $lum3 AS lum3
+       | FROM bimgs g JOIN range(0, 248) i(r) ON i.r < g.w * 8
+       | UNION ALL
+       | SELECT media_id * 2 AS doc_id, w, px_idx // w AS y,
+       |  px_idx % w AS x, lum3
+       | FROM read_parquet('${graft.sources.GoldenPixels.path}/*.parquet')
+       | UNION ALL
+       | SELECT media_id * 2 + 1 AS doc_id, w, px_idx // w AS y,
+       |  px_idx % w AS x, lum3
+       | FROM read_parquet('${graft.sources.GoldenPixels.path}/*.parquet')
+       | UNION ALL
+       | SELECT media_id * 2 + 1 AS doc_id, w, px_idx // w AS y,
+       |  px_idx % w AS x, lum3
+       | FROM read_parquet('${graft.sources.GoldenPixels.twinPath}/*.parquet')),
+       |$phashSqlCtes,
+       |phv AS (
+       | SELECT doc_id AS media_id, phash,
+       |  (phash >> 0) & 65535 AS band0, (phash >> 16) & 65535 AS band1,
+       |  (phash >> 32) & 65535 AS band2, (phash >> 48) & 65535 AS band3
+       | FROM ph)
+       |SELECT a.media_id AS media_a, b.media_id AS media_b,
+       | bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+       |FROM phv a JOIN phv b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming
+       | AND (bit_count(xor(a.band0, b.band0)) <= 2
+       |  OR bit_count(xor(a.band1, b.band1)) <= 2
+       |  OR bit_count(xor(a.band2, b.band2)) <= 2
+       |  OR bit_count(xor(a.band3, b.band3)) <= 2)
+       |ORDER BY media_a, media_b""".stripMargin
   }
 
   /** DuckDB twin of imagePhashBmp via the synthesis law (see

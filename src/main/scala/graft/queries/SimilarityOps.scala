@@ -229,8 +229,11 @@ object SimilarityOps {
     "s8_hybrid_rrf" -> (s8HybridRrf _),
     "d10_semdedup" -> (graft.operators.Similarity.d10SemDedup _),
     "mm1_multimodal_features" -> (graft.operators.Multimodal.featureSummary _),
-    // rows-only: decode + pHash are engine-side kernels with no SQL
-    // twin; completeness vs the planted cross-codec twins is spec'd
+    // oracle since r16 (was rows-only): every variant's decoded
+    // pixels reach DuckDB via the synthesis law + the two golden
+    // fixtures, so the full banded pairing hash-checks
+    // (Multimodal.oracleMm2Full); completeness vs the planted
+    // cross-codec twins stays spec'd
     "mm2_image_phash" ->
       ((s: SparkSession, d: String) =>
         graft.operators.Multimodal.imagePhashPairs(s, d)),
@@ -348,6 +351,13 @@ object SimilarityOps {
     "mm2_phash_bmp" -> graft.operators.Multimodal.oracleMm2Bmp,
     "mm2_phash_jpeg_golden" ->
       graft.operators.Multimodal.oracleMm2JpegGolden,
+    // oracle (r16, VERDICT r15 #8): the FULL cross-codec pairing —
+    // every variant's pixels reach DuckDB (synthesis law + golden +
+    // twin-golden), the banded pigeonhole pairing law replays as
+    // all-pairs SQL; only the codec pair itself stays engine-side
+    // (drift-pinned by GoldenPixelsSpec)
+    "mm2_image_phash" ->
+      graft.operators.Multimodal.oracleMm2Full(),
     "mm1_hist_jpeg_golden" -> graft.operators.Multimodal.oracleMm1Golden,
     // r7 conversions (VERDICT r6 task #4): the clustering step is the
     // cross-engine-deterministic integer Lloyd, so the full unrolled

@@ -56,6 +56,11 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** The t2/t13 stopword set, exposed for fixture builders (round 16:
+    * MakeScale preserves these verbatim so quality gates see a real
+    * stop-hit signal on scaled corpora). */
+  private[graft] def t13Stopwords: Seq[String] = stopwords
+
   /** The t2 quality heuristic over a `text` column — (stop_ratio,
     * quality) as unrounded expressions. Single source of truth:
     * `fit.QualityModel`'s weak labels are DOCUMENTED as "the t2

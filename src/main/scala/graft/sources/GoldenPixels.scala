@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
 object GoldenPixels {
   val path = "/root/repo/fixtures/golden_jpeg_pixels.parquet"
 
+  /** Round 16 (VERDICT r15 #8): the decoded pixels of mm2's
+    * BMP-original TWIN variants — each BMP image re-encoded as
+    * quality-95 JPEG (imageVariants' exact recipe) and decoded back.
+    * With this, EVERY variant mm2_image_phash hashes has committed or
+    * law-derivable pixels: JPEG originals (and their lossless-BMP
+    * twins) in [[path]], BMP originals via the synthesis law, and
+    * these twins here — so the FULL pairing query gets a hash-matched
+    * DuckDB oracle, leaving only the codec pair itself unoracled
+    * (and drift-pinned by GoldenPixelsSpec). */
+  val twinPath = "/root/repo/fixtures/golden_twinjpeg_pixels.parquet"
+
   /** Fresh decode of the JPEG image half at `dir` as
     * (media_id, w, px_idx, lum3) rows. */
   def fresh(spark: SparkSession, dir: String) = {
@@ -40,6 +51,26 @@ object GoldenPixels {
         val img = graft.operators.Multimodal.decodeImage(m.payload)
         img.rgb.zipWithIndex.map { case (px, i) =>
           (m.media_id, img.width,
+            i, ((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF))
+        }
+      }
+      .toDF("media_id", "w", "px_idx", "lum3")
+  }
+
+  /** Fresh decode of the BMP half's JPEG-95 twins at `dir`, keyed by
+    * the ORIGINAL media id (the twin variant is 2·media_id + 1). */
+  def freshTwin(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    graft.operators.Multimodal.mediaFromDocuments(spark, dir)
+      .filter(m => m.kind == "image" && (m.media_id / 3) % 2 == 1)
+      .flatMap { m =>
+        val img = graft.operators.Multimodal.decodeImage(m.payload)
+        val twin = graft.sources.Jpeg.encode(
+          graft.sources.Jpeg.Image(img.width, img.height, img.rgb),
+          quality = 95)
+        val dec = graft.operators.Multimodal.decodeImage(twin)
+        dec.rgb.zipWithIndex.map { case (px, i) =>
+          (m.media_id, dec.width,
             i, ((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF))
         }
       }
@@ -60,6 +91,11 @@ object GoldenPixels {
       .orderBy(col("media_id"), col("px_idx"))
       .write.mode("overwrite").parquet(path)
     println(s"[golden-pixels] wrote $path")
+    freshTwin(spark, "/root/testdata/sf0.01")
+      .coalesce(1)
+      .orderBy(col("media_id"), col("px_idx"))
+      .write.mode("overwrite").parquet(twinPath)
+    println(s"[golden-pixels] wrote $twinPath")
     spark.stop()
   }
 }

@@ -41,6 +41,31 @@ class GoldenPixelsSpec extends AnyFunSuite {
     assert(committed.count() > 1000L) // a real pixel population
   }
 
+  test("committed twin golden pixels equal a fresh JPEG-95 re-encode+decode of the BMP half") {
+    // round 16 (VERDICT r15 #8): the twin fixture feeds the FULL mm2
+    // pairing oracle — pin it against a live re-encode the same way
+    // the main fixture is pinned against a live decode.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val fresh = graft.sources.GoldenPixels.freshTwin(spark, dir)
+    val committed =
+      spark.read.parquet(graft.sources.GoldenPixels.twinPath)
+    val key = Seq("media_id", "px_idx")
+    val onlyFresh = fresh.join(committed, key, "left_anti").count()
+    val changed = fresh.join(committed
+        .withColumnRenamed("lum3", "lum3_c").withColumnRenamed("w", "w_c"),
+        key)
+      .where(col("lum3") =!= col("lum3_c") || col("w") =!= col("w_c"))
+      .count()
+    val onlyCommitted = committed.join(fresh, key, "left_anti").count()
+    assert(onlyFresh === 0L && onlyCommitted === 0L && changed === 0L,
+      s"twin golden pixels drifted (fresh-only=$onlyFresh " +
+        s"committed-only=$onlyCommitted changed=$changed): if the " +
+        "codec change is INTENDED, review and regenerate with " +
+        "sbt \"runMain graft.sources.GoldenPixels\"")
+    assert(committed.count() > 1000L)
+  }
+
   test("golden pHash query equals the BMP-oracle law applied to the committed pixels") {
     // cross-check INSIDE the engine too: the query's phash64Int over
     // the live decode must equal pHashing the committed pixel rows —
