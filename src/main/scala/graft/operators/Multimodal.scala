@@ -651,14 +651,126 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
-  /** Query-surface entry: decode features summary per kind. */
+  /** Query-surface entry: decode features summary per kind, from the
+    * REAL decodes (JPEG/BMP/WAV/Y4M kernels). ORACLED in full since
+    * r16 (was rows-only): the per-media statistic is INTEGER-quantized
+    * BEFORE the cross-row aggregate (the deterministic-twin rule) —
+    * bin-3 occupancy as floor-ppm of the media's sample basis, decoded
+    * bytes as exact integers — and each kind-level average is ONE IEEE
+    * divide of a long sum by the count, so DuckDB reproduces it
+    * bit-for-bit from the synthesis laws (audio/video/BMP legs) and
+    * the two golden-pixel fixtures (the JPEG leg), see
+    * [[oracleMm1Full]]. Per-row fractional histograms remain on the
+    * [[decodeFeatures]] API surface. */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
-    decodeFeatures(mediaFromDocuments(spark, dir)).toDF()
+    val media = mediaFromDocuments(spark, dir)
+    import media.sparkSession.implicits._
+    media.map { m =>
+      var bin3 = 0L; var basis = 0L; var decoded = 0L
+      if (m.kind == "image") {
+        val img = decodeImage(m.payload)
+        img.rgb.foreach { px =>
+          val lum = (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)) / 3
+          if (lum / 32 == 3) bin3 += 1L
+        }
+        basis = img.rgb.length.toLong
+        decoded = 3L * img.rgb.length
+      } else if (m.kind == "audio") {
+        val a = graft.sources.Wav.decode(m.payload)
+        a.samples.foreach(s => if ((((s & 0xFFFF) >> 13) & 7) == 3) bin3 += 1L)
+        basis = a.samples.length.toLong
+        decoded = 2L * a.samples.length
+      } else {
+        val v = graft.sources.Y4m.decode(m.payload)
+        v.frames.foreach { f =>
+          f.y.foreach(b => if ((b & 0xFF) / 32 == 3) bin3 += 1L)
+          basis += f.y.length
+          decoded += f.y.length + f.u.length + f.v.length
+        }
+      }
+      (m.kind, 1000000L * bin3 / math.max(basis, 1L), decoded)
+    }.toDF("kind", "bin3_ppm", "decoded_bytes")
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("decoded_bytes")), 4).as("avg_bytes"),
-        round(avg(element_at(col("feature"), 4)), 6).as("avg_bin3"))
+        (sum(col("decoded_bytes")).cast("double") / count(lit(1)))
+          .as("avg_bytes"),
+        (sum(col("bin3_ppm")).cast("double") / count(lit(1)))
+          .as("avg_bin3_ppm"))
       .orderBy(col("kind"))
+  }
+
+  /** FULL mm1 oracle (round 16): every modality's decode statistic is
+    * DuckDB-reachable — audio via the WAV sample synthesis law (the
+    * mm3 leg), video via the Y4M luma law (the mm4 leg, all frames),
+    * BMP-half images via the pixel synthesis law, JPEG-half images via
+    * the committed golden decode — and the quantized-ppm / single-
+    * divide discipline makes the kind-level averages bit-exact. */
+  def oracleMm1Full: String = {
+    def tb(expr: String) =
+      s"ascii(substr(g.text, CAST(($expr) % g.len AS INT) + 1, 1))"
+    val lum3 = s"(${tb("3 * i.r")} + ${tb("3 * i.r + 1")} + ${tb("3 * i.r + 2")})"
+    s"""WITH auds AS (
+       | SELECT doc_id, text, length(text) AS len,
+       |  CAST((n_chars % 256) + 64 AS INT) AS n
+       | FROM documents WHERE doc_id % 3 = 1),
+       |smp AS (
+       | SELECT a.doc_id, a.n,
+       |  (ascii(substr(a.text, CAST(i.r % a.len AS INT) + 1, 1)) - 128) * 256
+       |   AS s
+       | FROM auds a JOIN range(0, 320) i(r) ON i.r < a.n),
+       |aagg AS (
+       | SELECT doc_id, MAX(n)::BIGINT AS basis,
+       |  SUM(CASE WHEN ((s & 65535) >> 13) & 7 = 3 THEN 1 ELSE 0 END)::BIGINT
+       |   AS b3,
+       |  MAX(2 * n)::BIGINT AS decoded
+       | FROM smp GROUP BY doc_id),
+       |vids AS (
+       | SELECT doc_id, text, length(text) AS len,
+       |  CAST((n_chars % 16) * 2 + 16 AS INT) AS w,
+       |  CAST((n_chars % 7) + 1 AS INT) AS nf
+       | FROM documents WHERE doc_id % 3 = 2),
+       |vgrid AS (
+       | SELECT v.doc_id, v.w, v.nf,
+       |  ascii(substr(v.text,
+       |   CAST((f.r * (v.w * 16) + i.r) % v.len AS INT) + 1, 1)) AS y
+       | FROM vids v
+       | JOIN range(0, 7) f(r) ON f.r < v.nf
+       | JOIN range(0, 736) i(r) ON i.r < v.w * 16),
+       |vagg AS (
+       | SELECT doc_id, MAX(nf * w * 16)::BIGINT AS basis,
+       |  SUM(CASE WHEN y // 32 = 3 THEN 1 ELSE 0 END)::BIGINT AS b3,
+       |  MAX(nf * w * 24)::BIGINT AS decoded
+       | FROM vgrid GROUP BY doc_id),
+       |bimgs AS (
+       | SELECT doc_id, text, length(text) AS len,
+       |  CAST((n_chars % 24) + 8 AS INT) AS w
+       | FROM documents WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1),
+       |bpx AS (
+       | SELECT g.doc_id, g.w, $lum3 AS lum3
+       | FROM bimgs g JOIN range(0, 248) i(r) ON i.r < g.w * 8),
+       |bagg AS (
+       | SELECT doc_id, MAX(w * 8)::BIGINT AS basis,
+       |  SUM(CASE WHEN (lum3 // 3) // 32 = 3 THEN 1 ELSE 0 END)::BIGINT
+       |   AS b3,
+       |  MAX(3 * w * 8)::BIGINT AS decoded
+       | FROM bpx GROUP BY doc_id),
+       |jagg AS (
+       | SELECT media_id AS doc_id, COUNT(*)::BIGINT AS basis,
+       |  SUM(CASE WHEN (lum3 // 3) // 32 = 3 THEN 1 ELSE 0 END)::BIGINT
+       |   AS b3,
+       |  (3 * COUNT(*))::BIGINT AS decoded
+       | FROM read_parquet('${graft.sources.GoldenPixels.path}/*.parquet')
+       | GROUP BY media_id),
+       |permedia AS (
+       | SELECT 'audio' AS kind, b3, basis, decoded FROM aagg
+       | UNION ALL SELECT 'video', b3, basis, decoded FROM vagg
+       | UNION ALL SELECT 'image', b3, basis, decoded FROM bagg
+       | UNION ALL SELECT 'image', b3, basis, decoded FROM jagg)
+       |SELECT kind, COUNT(*)::BIGINT AS n,
+       | CAST(SUM(decoded) AS DOUBLE) / COUNT(*) AS avg_bytes,
+       | CAST(SUM((1000000 * b3) // GREATEST(basis, 1)) AS DOUBLE) / COUNT(*)
+       |  AS avg_bin3_ppm
+       |FROM permedia GROUP BY kind ORDER BY kind""".stripMargin
   }
 
   // ------------------------------------------------------------------

@@ -358,6 +358,12 @@ object SimilarityOps {
     // (drift-pinned by GoldenPixelsSpec)
     "mm2_image_phash" ->
       graft.operators.Multimodal.oracleMm2Full(),
+    // oracle (r16): mm1's kind-level summary is integer-quantized
+    // (floor-ppm bin occupancy, exact byte counts, one IEEE divide
+    // per average), so the synthesis laws + the golden JPEG decode
+    // replay it bit-exactly across all three modalities
+    "mm1_multimodal_features" ->
+      graft.operators.Multimodal.oracleMm1Full,
     "mm1_hist_jpeg_golden" -> graft.operators.Multimodal.oracleMm1Golden,
     // r7 conversions (VERDICT r6 task #4): the clustering step is the
     // cross-engine-deterministic integer Lloyd, so the full unrolled
