@@ -185,8 +185,9 @@ object Versioned {
       files: Seq[String]): FileStats = fileStatsOf(spark, path, files)
   private[sources] def statsOfPartitioned(spark: SparkSession,
       path: String, files: Seq[String], pcols: Seq[String],
-      schema: StructType): FileStats =
-    statsForFiles(spark, path, files, pcols, schema)
+      schema: StructType, colMap: Map[String, String] = Map.empty)
+      : FileStats =
+    statsForFiles(spark, path, files, pcols, schema, colMap)
 
   /** Hive-style path escaping of a partition VALUE (the inverse of
     * [[unescapePathName]]): the chars Spark's partitioned writer
@@ -895,8 +896,15 @@ object Versioned {
   /** Footer stats + (for partitioned tables) partition-value point
     * stats, per file — what every commit records in its manifest. */
   private def statsForFiles(spark: SparkSession, path: String,
-      files: Seq[String], pcols: Seq[String], schema: StructType)
-      : FileStats = {
+      files: Seq[String], pcols: Seq[String], schema: StructType,
+      colMap: Map[String, String] = Map.empty): FileStats = {
+    // bloom sidecar seam (round 16): every commit path funnels its
+    // FRESH files through here for footer stats, so this is the one
+    // place point-lookup blooms get built too (opt-in via
+    // spark.graft.bloom.columns; content-addressed, see BloomFilters)
+    val bloomCols = BloomFilters.configuredPhysCols(spark, colMap)
+    if (bloomCols.nonEmpty && files.nonEmpty)
+      BloomFilters.buildFor(spark, norm(path), files, bloomCols)
     val footer = fileStatsOf(spark, path, files)
     if (pcols.isEmpty) footer
     else files.map(f => f -> (footer.getOrElse(f, Map.empty) ++
@@ -946,7 +954,13 @@ object Versioned {
       asOf.getOrElse(versions(src).max)))
     val dstRoot = Paths.get(norm(dst))
     Files.createDirectories(dstRoot)
-    (snap.files ++ snap.dvs.values).foreach { f =>
+    // bloom sidecars travel with their data files (round 16): same
+    // rel in the clone → same content address, so the clone's point
+    // DML prunes from day one; a missing sidecar is simply weaker
+    // pruning there
+    val bloomRels = snap.files.map(BloomFilters.sidecarRel)
+      .filter(r => Files.exists(Paths.get(norm(src), r)))
+    (snap.files ++ snap.dvs.values ++ bloomRels).foreach { f =>
       val from = Paths.get(norm(src), f)
       val to = Paths.get(norm(dst), f)
       Option(to.getParent).foreach(Files.createDirectories(_))
@@ -1262,7 +1276,7 @@ object Versioned {
     // outside the retry loop (the files don't change across publish
     // retries)
     val addedStats = statsForFiles(df.sparkSession, path, added, pcols,
-      df.schema)
+      df.schema, writeMap)
     publishAdded(path, added, ddl, mode, txn, mergeSchema, pcols,
       addedStats)
   }
@@ -2315,11 +2329,34 @@ object Versioned {
     val ranges = fileKeyStats(spark, path, base)
     // notMatchedBySource touches every unmatched target row — which
     // can live in ANY file — so pruning is off and every file rewrites
-    val (touched, untouched) =
+    val (rangedT, untouchedT) =
       if (notMatchedBySource.nonEmpty) (ranges, Nil)
       else ranges.partition { case (_, st) =>
         bounds.forall { case (k, b) => statIntersects(st.get(base.physOf(k)), b) }
       }
+    // bloom tier (round 16): a SMALL source (the CDC-upsert regime,
+    // ≤ MergeKeyCap distinct key tuples) probes candidate sidecars
+    // with its exact key sets — the pruning min/max can't give on
+    // uuid-like keys. Collected only when a candidate actually has a
+    // sidecar; per-column membership is a NECESSARY condition for a
+    // match, so skipped files carry by reference exactly like
+    // range-disjoint ones.
+    val bloomKeys: Map[String, Seq[Any]] =
+      if (notMatchedBySource.nonEmpty || nTotal == 0 ||
+        nTotal > BloomFilters.MergeKeyCap ||
+        !rangedT.exists(r => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(norm(path),
+            BloomFilters.sidecarRel(r._1))))) Map.empty
+      else {
+        val rows = src.select(keys.map(col(_)): _*).distinct().collect()
+        keys.zipWithIndex.map { case (k, i) =>
+          k -> rows.map(_.get(i)).toSeq.distinct
+        }.toMap
+      }
+    val bloomKeep = bloomPrune(spark, path, base, rangedT.map(_._1),
+      bloomKeys).toSet
+    val (touched, bloomSkipped) = rangedT.partition(r => bloomKeep(r._1))
+    val untouched = untouchedT ++ bloomSkipped
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/c-$commitId"
     val existing =
@@ -2474,7 +2511,7 @@ object Versioned {
     val files = untouched.map(_._1) ++ added
     val mergedStats = base.stats.view
       .filterKeys(untouched.map(_._1).toSet).toMap ++
-      statsForFiles(spark, path, added, base.partitionCols, schema)
+      statsForFiles(spark, path, added, base.partitionCols, schema, base.colMap)
     // row-level CDF: persist this commit's change set beside the
     // rewritten files — update clauses emit pre/post images, delete
     // clauses emit deletes, inserts emit inserts. Touched files are
@@ -2727,6 +2764,71 @@ object Versioned {
     }
   }
 
+  /** FINITE key sets a predicate forces per column — the bloom tier's
+    * input, where [[predBounds]] is the range tier's: a returned
+    * `col -> values` entry means every matching row has `col` IN
+    * `values` (a NECESSARY condition, like the bounds). Equality and
+    * all-literal IN produce sets; AND merges (same column:
+    * intersect); OR keeps a column only when BOTH sides bound it
+    * (union) — `k = 1 OR other = 2` bounds neither. Anything else
+    * contributes nothing, so callers fall back to range pruning. */
+  private def pointKeySets(e: org.apache.spark.sql.graftx.ColumnExpr.Node)
+      : Map[String, Seq[Any]] = {
+    import org.apache.spark.sql.graftx.ColumnExpr._
+    def norm(v: Any): Option[Any] = v match {
+      case l: Long => Some(l); case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    // TOP-LEVEL attrs only: a nested `a.b` would alias its leaf name
+    // onto an unrelated top-level bloom column — wrong skipping
+    def ofEq(a: Node, v: Any): Map[String, Seq[Any]] = (a, norm(v)) match {
+      case (at: Attr, Some(nv)) if at.parts.size == 1 =>
+        Map(at.name -> Seq(nv))
+      case _ => Map.empty
+    }
+    e match {
+      case Fn("and", Seq(l, r)) =>
+        val (a, b) = (pointKeySets(l), pointKeySets(r))
+        (a.keySet ++ b.keySet).map { c =>
+          c -> ((a.get(c), b.get(c)) match {
+            case (Some(x), Some(y)) => x.intersect(y)
+            case (x, y) => x.orElse(y).get
+          })
+        }.toMap
+      case Fn("or", Seq(l, r)) =>
+        val (a, b) = (pointKeySets(l), pointKeySets(r))
+        a.keySet.intersect(b.keySet)
+          .map(c => c -> (a(c) ++ b(c)).distinct).toMap
+      case Fn("=" | "==" | "<=>", Seq(a @ Attr(_), Lit(v))) => ofEq(a, v)
+      case Fn("=" | "==" | "<=>", Seq(Lit(v), a @ Attr(_))) => ofEq(a, v)
+      case Fn("in", (a @ Attr(parts)) +: vs)
+          if parts.size == 1 && vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[Lit]) =>
+        val lits = vs.map(v => norm(v.asInstanceOf[Lit].value))
+        if (lits.forall(_.isDefined)) Map(a.name -> lits.map(_.get))
+        else Map.empty
+      case _ => Map.empty
+    }
+  }
+
+  /** Bloom-tier file skipping (round 16, see [[BloomFilters]]):
+    * shrink `candidates` to the files whose sidecars may contain the
+    * predicate's finite key sets, translated to physical names. A
+    * no-sidecar file, a non-finite predicate, or an empty key-set map
+    * keeps everything — the tier only ever REMOVES provably-clean
+    * files on top of the range tier's verdict. */
+  private def bloomPrune(spark: SparkSession, path: String,
+      base: Snapshot, candidates: Seq[String],
+      keySets: Map[String, Seq[Any]]): Seq[String] = {
+    if (keySets.isEmpty || candidates.isEmpty) return candidates
+    val phys = keySets.map { case (c, vs) => base.physOf(c) -> vs }
+    val keep = BloomFilters.survivors(spark, norm(path), candidates, phys)
+    candidates.filter(keep)
+  }
+
   /** DELETE rows matching `pred`, file-granular copy-on-write (round
     * 11, the [[merge]] discipline applied to deletes): files whose
     * stats are DISJOINT from the predicate's necessary bounds
@@ -2816,7 +2918,7 @@ object Versioned {
     val files = untouched.map(_._1) ++ added
     val newStats = base.stats.view
       .filterKeys(untouched.map(_._1).toSet).toMap ++
-      statsForFiles(spark, path, added, base.partitionCols, schema)
+      statsForFiles(spark, path, added, base.partitionCols, schema, base.colMap)
     val changeRel = writeChanges(
       removed.withColumn("_change_type", lit("delete"))
         .unionByName(ins.withColumn("_change_type", lit("insert"))),
@@ -2828,12 +2930,19 @@ object Versioned {
   def deleteWhere(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column): Int = {
     val base = snapshot(path)
-    val bounds = predBounds(
-      org.apache.spark.sql.graftx.ColumnExpr.nodeOf(pred))
+    val node = org.apache.spark.sql.graftx.ColumnExpr.nodeOf(pred)
+    val bounds = predBounds(node)
     val ranges = fileKeyStats(spark, path, base)
-    val (touched, untouched) = ranges.partition { case (_, st) =>
+    val (ranged, untouchedR) = ranges.partition { case (_, st) =>
       bounds.forall { case (c, b) => statIntersects(st.get(base.physOf(c)), b) }
     }
+    // bloom tier on top of the range tier (round 16): an equality/IN
+    // predicate on a high-cardinality key — where [min,max] prunes
+    // nothing — shrinks to the files whose sidecars may hold the keys
+    val bloomKeep = bloomPrune(spark, path, base, ranged.map(_._1),
+      pointKeySets(node)).toSet
+    val (touched, bloomSkipped) = ranged.partition(r => bloomKeep(r._1))
+    val untouched = untouchedR ++ bloomSkipped
     if (dvEnabled(spark) && touched.nonEmpty)
       return dvDelete(spark, path, base, pred, bounds,
         touched.map(_._1), untouched.map(_._1))
@@ -2857,7 +2966,7 @@ object Versioned {
     val files = untouched.map(_._1) ++ added
     val keptStats = base.stats.view
       .filterKeys(untouched.map(_._1).toSet).toMap ++
-      statsForFiles(spark, path, added, base.partitionCols, schema)
+      statsForFiles(spark, path, added, base.partitionCols, schema, base.colMap)
     // row-level CDF: the deleted rows (complete from the touched
     // files alone — untouched files provably hold none), persisted
     // before publish
@@ -2986,7 +3095,7 @@ object Versioned {
     val files = untouched ++ zeroRel ++ dvRel ++ added
     val outStats = base.stats.view
       .filterKeys((untouched ++ zeroRel ++ dvRel).toSet).toMap ++
-      statsForFiles(spark, path, added, base.partitionCols, schema)
+      statsForFiles(spark, path, added, base.partitionCols, schema, base.colMap)
     val changeRel = writeChanges(
       tagged.where(col(DelFlag)).drop(FileC, PosC, DelFlag)
         .withColumn("_change_type", lit("delete")),
@@ -3081,7 +3190,7 @@ object Versioned {
     val files = untouched ++ zeroRel ++ dvRel ++ added
     val outStats = base.stats.view
       .filterKeys((untouched ++ zeroRel ++ dvRel).toSet).toMap ++
-      statsForFiles(spark, path, added, base.partitionCols, schema)
+      statsForFiles(spark, path, added, base.partitionCols, schema, base.colMap)
     val changeRel = writeChanges(
       hit.withColumn("_change_type", lit("update_preimage"))
         .unionByName(updated
@@ -3113,12 +3222,17 @@ object Versioned {
     set.keys.foreach(k => require(tableCols.contains(k),
       s"versioned: SET column $k is not a table column at $path " +
         s"(table: ${tableCols.mkString(", ")})"))
-    val bounds = predBounds(
-      org.apache.spark.sql.graftx.ColumnExpr.nodeOf(pred))
+    val node = org.apache.spark.sql.graftx.ColumnExpr.nodeOf(pred)
+    val bounds = predBounds(node)
     val ranges = fileKeyStats(spark, path, base)
-    val (touched, untouched) = ranges.partition { case (_, st) =>
+    val (ranged, untouchedR) = ranges.partition { case (_, st) =>
       bounds.forall { case (c, b) => statIntersects(st.get(base.physOf(c)), b) }
     }
+    // bloom tier (round 16) — the deleteWhere discipline
+    val bloomKeep = bloomPrune(spark, path, base, ranged.map(_._1),
+      pointKeySets(node)).toSet
+    val (touched, bloomSkipped) = ranged.partition(r => bloomKeep(r._1))
+    val untouched = untouchedR ++ bloomSkipped
     if (dvEnabled(spark) && touched.nonEmpty)
       return dvUpdate(spark, path, base, pred, set, bounds,
         touched.map(_._1), untouched.map(_._1))
@@ -3147,7 +3261,7 @@ object Versioned {
     val files = untouched.map(_._1) ++ added
     val newStats = base.stats.view
       .filterKeys(untouched.map(_._1).toSet).toMap ++
-      statsForFiles(spark, path, added, base.partitionCols, schema)
+      statsForFiles(spark, path, added, base.partitionCols, schema, base.colMap)
     val changeRel = writeChanges(
       hit.withColumn("_change_type", lit("update_preimage"))
         .unionByName(updated
@@ -3229,7 +3343,7 @@ object Versioned {
     // long compaction. sourceBounds = None encodes "no row footprint".
     publishCow(path, "optimize", base, carried ++ added,
       base.stats.view.filterKeys(carried.toSet).toMap ++
-        statsForFiles(spark, path, added, base.partitionCols, schemaT),
+        statsForFiles(spark, path, added, base.partitionCols, schemaT, base.colMap),
       changes = None, sourceBounds = None)
   }
 
@@ -3258,7 +3372,7 @@ object Versioned {
       .map(f => s"$dataRel/$f")
     publishCow(path, "optimize", base, carried ++ added,
       base.stats.view.filterKeys(carried.toSet).toMap ++
-        statsForFiles(spark, path, added, base.partitionCols, schemaT),
+        statsForFiles(spark, path, added, base.partitionCols, schemaT, base.colMap),
       changes = None, sourceBounds = None)
   }
 
@@ -3482,7 +3596,18 @@ object Versioned {
         walk(cdir, s"$dirName/${cdir.getFileName}/")
       }
     }
-    val dead = (sweep("data") ++ sweep("_changes") ++ sweep("_dv"))
+    // bloom sidecars (round 16): content-addressed by data rel, so a
+    // sidecar is live iff its data file is kept — sweep the flat
+    // _bloom dir against the kept rels' addresses
+    val keepBlooms: Set[String] = keep.map(BloomFilters.sidecarRel)
+    val bloomDir = Paths.get(norm(path), "_bloom")
+    val bloomDead: Vector[String] =
+      if (!Files.isDirectory(bloomDir)) Vector.empty
+      else listDir(bloomDir).filterNot(Files.isDirectory(_))
+        .map(p => s"_bloom/${p.getFileName}")
+        .filterNot(keepBlooms)
+    val dead = (sweep("data") ++ sweep("_changes") ++ sweep("_dv") ++
+      bloomDead)
       .filterNot(f => keep.contains(f) ||
         f.split('/').last.startsWith("_")) // keep parquet _SUCCESS markers
       .filter { f =>

@@ -340,7 +340,12 @@ private[sources] class VersionedBatchWrite(path: String,
     Versioned.publishAdded(path, added, ddl, mode, txn = None,
       mergeSchema = false, pcols = pcols,
       addedStats = Versioned.statsOfPartitioned(spark, path, added,
-        pcols, schema))
+        pcols, schema,
+        // append files carry PHYSICAL names (factory above) → bloom
+        // sidecars key physically; an overwrite writes LOGICAL names
+        // and re-establishes identity — empty map matches its files
+        if (overwrite || Versioned.versions(path).isEmpty) Map.empty
+        else Versioned.snapshot(path).colMap))
     ()
   }
 
@@ -394,7 +399,9 @@ private[sources] class VersionedStreamingWrite(path: String,
       txn = Some(s"graftv-stream-$queryId" -> epochId),
       mergeSchema = false, pcols = pcols,
       addedStats = Versioned.statsOfPartitioned(spark, path, added,
-        pcols, schema))
+        pcols, schema,
+        if (Versioned.versions(path).isEmpty) Map.empty
+        else Versioned.snapshot(path).colMap))
     ()
   }
 
