@@ -116,13 +116,20 @@ object BloomScale {
       }
       val (missTouched, missSec) = filesTouched(
         Versioned.deleteWhere(spark, t, col("k") === lit(missKey)))
+      // the DSv2 read path (round 16): a point SELECT rides the
+      // pushed-filter bloom tier — with the tier on, only the files
+      // whose sidecars may hold the key are planned at all
+      val (selRows, selSec) = timed(
+        spark.read.format("graftv").load(t)
+          .where(col("k") === lit(keyOf(13L))).count())
 
       sb ++= s""",\n  "${if (bloom) "bloom_on" else "bloom_off"}": {"""
       sb ++= s""""commit_sec_total": ${r3(buildSec)}, """
       sb ++= s""""sidecar_bytes": $sidecarBytes, """
       sb ++= s""""point_delete": {"files_touched": $delTouched, "sec": ${r3(delSec)}}, """
       sb ++= s""""point_merge_16keys": {"files_touched": $mrgTouched, "sec": ${r3(mrgSec)}}, """
-      sb ++= s""""miss_delete": {"files_touched": $missTouched, "sec": ${r3(missSec)}}}"""
+      sb ++= s""""miss_delete": {"files_touched": $missTouched, "sec": ${r3(missSec)}}, """
+      sb ++= s""""point_select_dsv2": {"rows": $selRows, "sec": ${r3(selSec)}}}"""
       System.err.println(s"[bloom-scale] $label bloom=$bloom: " +
         f"delete touched $delTouched/$nFiles files in $delSec%.2fs, " +
         f"merge $mrgTouched, miss $missTouched")

@@ -4364,7 +4364,98 @@ object Versioned {
     }
   }
 
+  /** v17_bloom (round 16): BLOOM SIDECARS oracled. Four single-file
+    * appends keyed by `k = md5('k' || doc_id)` — every file's [min,
+    * max] on `k` spans the whole hex space, so the RANGE tier can
+    * prune nothing and any skipping is the bloom tier's. v5
+    * point-DELETEs one key (bloom: the three key-less files carry by
+    * reference); v6 MERGE-upserts four key tuples (2 updates + 2
+    * fresh inserts, the CDC regime); the DSv2 read then point-SELECTs
+    * a key through the pushed-filter bloom tier. `bloom_pin` pins the
+    * MECHANISM cross-engine, the `dv_present` discipline: the engine
+    * reports (1) sidecars exist for every v1 file, (2) the delete
+    * carried ≥1 file by reference — impossible under range-only
+    * pruning here, (3) the head SELECT's survivor set is a strict
+    * subset of the files, (4) the merge carried ≥1 file; the oracle
+    * hardcodes each. Results themselves never depend on pruning. */
+  def bloomPointOps(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(md5(concat(lit("k"), col("doc_id"))).as("k"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+    def keyOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"k$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    val tmp = Files.createTempDirectory("graft-versioned-").toString
+    val priorCols = spark.conf.getOption(BloomFilters.ColumnsConf)
+    val priorDv = spark.conf.getOption("spark.graft.dv.enabled")
+    spark.conf.set(BloomFilters.ColumnsConf, "k")
+    spark.conf.set("spark.graft.dv.enabled", "false") // pin COW carry
+    try {
+      (0L until 4L).foreach { i => // v1–v4: one file per residue class
+        commit(docs.where(pmod(col("doc_id"), lit(4)) === i).coalesce(1),
+          tmp, "append")
+      }
+      val v4Files = snapshot(tmp).files.toSet
+      val sidecarsComplete = v4Files.forall(f => java.nio.file.Files
+        .exists(java.nio.file.Paths.get(norm(tmp),
+          BloomFilters.sidecarRel(f))))
+      deleteWhere(spark, tmp, col("k") === lit(keyOf(7))) // v5
+      val v5Files = snapshot(tmp).files.toSet
+      val delCarried = (v4Files & v5Files).nonEmpty
+      val updates = docs.where(col("doc_id").isin(3L, 22L))
+        .withColumn("n_chars", -col("n_chars"))
+      val inserts = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(keyOf(-3L), -3L, 1111L), Row(keyOf(-7L), -7L, 2222L)), 1),
+        StructType.fromDDL("k STRING, doc_id BIGINT, n_chars BIGINT"))
+      merge(updates.unionByName(inserts), tmp, "k") // v6
+      val v6Files = snapshot(tmp).files.toSet
+      val mrgCarried = (v5Files & v6Files).nonEmpty
+      val selSurvivors = BloomFilters.survivors(spark, norm(tmp),
+        snapshot(tmp).files, Map("k" -> Seq(keyOf(13L))))
+      val selPruned = selSurvivors.size < v6Files.size
+      def pin(b: Boolean): Long = if (b) 1L else 0L
+      def aggOf(df: DataFrame, step: Int, p: Long): Row = {
+        val r = df.agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_chars")).head()
+        Row(step, r.getLong(0), r.getLong(1), r.getLong(2), p)
+      }
+      val cdfDel = readChanges(spark, tmp, 4, 5)
+        .where(col("_change_type") === "delete")
+        .select(col("doc_id"), col("n_chars"))
+      val dsv2Sel = spark.read.format("graftv").load(tmp)
+        .where(col("k") === lit(keyOf(13L)))
+        .select(col("doc_id"), col("n_chars"))
+      val steps = Seq(
+        aggOf(read(spark, tmp, Some(5)), 1, pin(sidecarsComplete)),
+        aggOf(read(spark, tmp), 2, pin(delCarried)),
+        aggOf(dsv2Sel, 3, pin(selPruned)),
+        aggOf(read(spark, tmp, Some(4)), 4, pin(mrgCarried)),
+        aggOf(cdfDel, 5, 0L))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(steps, 1),
+        StructType.fromDDL("step INT, n_rows BIGINT, " +
+          "sum_doc_id BIGINT, sum_chars BIGINT, bloom_pin BIGINT"))
+        .orderBy(col("step"))
+    } finally {
+      priorCols match {
+        case Some(v) => spark.conf.set(BloomFilters.ColumnsConf, v)
+        case None => spark.conf.unset(BloomFilters.ColumnsConf)
+      }
+      priorDv match {
+        case Some(v) => spark.conf.set("spark.graft.dv.enabled", v)
+        case None => spark.conf.unset("spark.graft.dv.enabled")
+      }
+      deleteRecursively(Paths.get(tmp))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v17_bloom" -> (bloomPointOps _),
     "v16_dv" -> (dvPointDml _),
     "v15_clone" -> (cloneDivergence _),
     "v14_rename" -> (renameEvolution _),
@@ -4383,6 +4474,42 @@ object Versioned {
     "v6_cdf_apply" -> (cdfApply _))
 
   val oracle: Map[String, String] = Map(
+    "v17_bloom" -> """
+      WITH d AS (
+        SELECT md5('k' || CAST(doc_id AS VARCHAR)) AS k,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents),
+      live5 AS (SELECT * FROM d WHERE doc_id <> 7),
+      live6 AS (
+        SELECT k, doc_id,
+               CASE WHEN doc_id IN (3, 22) THEN -n_chars
+                    ELSE n_chars END AS n_chars
+        FROM live5
+        UNION ALL
+        SELECT md5('k' || CAST(doc_id AS VARCHAR)) AS k, doc_id, n_chars
+        FROM (VALUES (CAST(-3 AS BIGINT), CAST(1111 AS BIGINT)),
+                     (CAST(-7 AS BIGINT), CAST(2222 AS BIGINT)))
+             AS t(doc_id, n_chars)),
+      sel AS (SELECT * FROM live6 WHERE k = md5('k13')),
+      agg AS (
+        SELECT 1 AS step, count(*) AS n_rows, sum(doc_id) AS sum_doc_id,
+               sum(n_chars) AS sum_chars, 1 AS bloom_pin FROM live5
+        UNION ALL
+        SELECT 2, count(*), sum(doc_id), sum(n_chars), 1 FROM live6
+        UNION ALL
+        SELECT 3, count(*), sum(doc_id), sum(n_chars), 1 FROM sel
+        UNION ALL
+        SELECT 4, count(*), sum(doc_id), sum(n_chars), 1 FROM d
+        UNION ALL
+        SELECT 5, count(*), sum(doc_id), sum(n_chars), 0
+        FROM (SELECT * FROM d WHERE doc_id = 7) del)
+      SELECT CAST(step AS INT) AS step,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_doc_id AS BIGINT) AS sum_doc_id,
+             CAST(sum_chars AS BIGINT) AS sum_chars,
+             CAST(bloom_pin AS BIGINT) AS bloom_pin
+      FROM agg ORDER BY step""",
     "v16_dv" -> """
       WITH d AS (
         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents),

@@ -717,6 +717,60 @@ private[sources] object FilterBounds {
   }
 }
 
+/** FINITE per-column key sets a pushed-filter conjunction forces —
+  * the bloom tier's input on the DSv2 SELECT path, mirroring the
+  * library DML's `Versioned.pointKeySets` over `ColumnExpr` nodes:
+  * a returned `col -> values` entry is a NECESSARY condition (every
+  * matching row has `col` IN `values`), so dropping a file whose
+  * bloom excludes all values can never drop a qualifying row.
+  * Equality and all-literal IN produce sets; AND intersects per
+  * column (missing side = no constraint, keep the other); OR keeps a
+  * column only when BOTH sides bound it (union). Top-level attrs
+  * only — a pushed `a.b` leaf would alias onto an unrelated bloom
+  * column. Sets past [[BloomFilters.MergeKeyCap]] are discarded (the
+  * driver ships keys to executors; an unbounded IN-list must not
+  * become unbounded task closure). */
+private[sources] object FilterKeySets {
+  import org.apache.spark.sql.sources._
+  private def norm(v: Any): Option[Any] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case s: String => Some(s)
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case _ => None
+  }
+  private def merge(a: Map[String, Seq[Any]], b: Map[String, Seq[Any]])
+      : Map[String, Seq[Any]] =
+    (a.keySet ++ b.keySet).map { c =>
+      c -> ((a.get(c), b.get(c)) match {
+        case (Some(x), Some(y)) => x.intersect(y)
+        case (x, y) => x.orElse(y).get
+      })
+    }.toMap
+  private def one(f: Filter): Map[String, Seq[Any]] = f match {
+    case And(l, r) => merge(one(l), one(r))
+    case Or(l, r) =>
+      val (a, b) = (one(l), one(r))
+      a.keySet.intersect(b.keySet)
+        .map(c => c -> (a(c) ++ b(c)).distinct).toMap
+    case EqualTo(a, v) if !a.contains('.') =>
+      norm(v).map(x => Map(a -> Seq(x))).getOrElse(Map.empty)
+    case EqualNullSafe(a, v) if v != null && !a.contains('.') =>
+      norm(v).map(x => Map(a -> Seq(x))).getOrElse(Map.empty)
+    case In(a, vs) if !a.contains('.') && vs.nonEmpty =>
+      val ns = vs.toSeq.map(norm)
+      if (ns.forall(_.isDefined)) Map(a -> ns.map(_.get).distinct)
+      else Map.empty
+    case _ => Map.empty
+  }
+  def of(filters: Seq[Filter]): Map[String, Seq[Any]] =
+    filters.map(one).foldLeft(Map.empty[String, Seq[Any]])(merge)
+      .filter { case (_, vs) =>
+        vs.nonEmpty && vs.size <= BloomFilters.MergeKeyCap }
+}
+
 private[sources] class VersionedScan(path: String, asOf: Option[Int],
     required: StructType, startingVersion: Int, endingVersion: Option[Int],
     skipChangeCommits: Boolean, changeFeed: Boolean,
@@ -780,10 +834,29 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
       // before any footer or directory is touched. The filters still
       // run post-scan, so unsupported shapes simply don't prune.
       val bounds = FilterBounds.of(dataFilters.toSeq)
-      val kept = bounds.foldLeft(snap.files) { case (fs, (c, b)) =>
+      val ranged = bounds.foldLeft(snap.files) { case (fs, (c, b)) =>
         // manifest stats are keyed by PHYSICAL names (column mapping)
         Versioned.pruneFilesBy(snap.copy(files = fs), snap.physOf(c), b)
       }
+      // BLOOM tier on top of the range tier (round 16): an
+      // equality/IN predicate on a high-cardinality unordered key —
+      // where every file's [min,max] spans the whole key space and
+      // the fold above prunes nothing — shrinks to the files whose
+      // sidecars may hold the keys. Same survivors seam as the DML
+      // paths: candidates are probed EXECUTOR-side (one task per
+      // sidecar-bearing file, per-JVM cache), the driver ships only
+      // the finite key sets; files without a sidecar are kept, so
+      // absence degrades to the range verdict and correctness never
+      // depends on the tier (the filters still run post-scan).
+      val keySets = FilterKeySets.of(dataFilters.toSeq)
+      val kept =
+        if (keySets.isEmpty) ranged
+        else {
+          val phys = keySets.map { case (c, vs) => snap.physOf(c) -> vs }
+          val keep = BloomFilters.survivors(spark,
+            Versioned.normPath(path), ranged, phys)
+          ranged.filter(keep)
+        }
       // every data file carries every column — partitioned layouts
       // included (the Iceberg discipline, Versioned.PartDirPrefix) —
       // so one uniform vectorized delegate serves both. Files carry

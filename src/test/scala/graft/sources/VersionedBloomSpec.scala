@@ -194,6 +194,65 @@ class VersionedBloomSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 point SELECT skips files whose blooms exclude the key") {
+    val t = tmp()
+    withBloom("id") {
+      evensOdds(t)
+      val files = Versioned.snapshot(t).files
+      // CORRUPT the ODDS data file in place (its sidecar stays — a
+      // sidecar is a pure function of the original immutable file). A
+      // scan for an EVEN key must never touch it — the read
+      // SUCCEEDING at all proves the pushed-filter bloom tier dropped
+      // the file before the parquet reader saw it. (Deleting instead
+      // would prove nothing: Spark's listing silently skips missing
+      // paths.)
+      val odds = files.find { f =>
+        spark.read.parquet(s"$t/$f").where(col("id") === 1L).count() > 0
+      }.get
+      Files.write(Paths.get(t, odds),
+        "not a parquet file".getBytes("UTF-8"))
+      val got = spark.read.format("graftv").load(t)
+        .where(col("id") === 2L).select(col("id"), col("v")).collect()
+      assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((2L, "v2")))
+      // an IN-list of even keys also plans past the missing file
+      val in = spark.read.format("graftv").load(t)
+        .where(col("id").isin(2L, 4L)).select(col("id")).collect()
+      assert(in.map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L))
+      // a RANGE predicate derives no finite key set, so the missing
+      // file stays planned and the read fails — the skip above was
+      // the bloom tier's, not some lenient listing
+      intercept[Throwable] {
+        spark.read.format("graftv").load(t)
+          .where(col("id") <= 2L).collect()
+      }
+    }
+  }
+
+  test("FilterKeySets: equality/IN/AND/OR; dotted attrs, ranges and " +
+      "over-cap IN-lists contribute nothing") {
+    import org.apache.spark.sql.sources._
+    assert(FilterKeySets.of(Seq(EqualTo("k", 5))) === Map("k" -> Seq(5L)))
+    assert(FilterKeySets.of(Seq(In("k", Array[Any](1, 2, 2)))) ===
+      Map("k" -> Seq(1L, 2L)))
+    assert(FilterKeySets.of(Seq(EqualTo("k", 1), EqualTo("j", "x"))) ===
+      Map("k" -> Seq(1L), "j" -> Seq("x")))
+    // conjunction on the same column intersects
+    assert(FilterKeySets.of(Seq(In("k", Array[Any](1, 2)),
+      In("k", Array[Any](2, 3)))) === Map("k" -> Seq(2L)))
+    // OR bounds a column only when BOTH sides bound it
+    assert(FilterKeySets.of(Seq(Or(EqualTo("k", 1), EqualTo("k", 2)))) ===
+      Map("k" -> Seq(1L, 2L)))
+    assert(FilterKeySets.of(Seq(Or(EqualTo("k", 1), EqualTo("j", 2)))) ===
+      Map.empty)
+    assert(FilterKeySets.of(Seq(EqualTo("a.b", 1))) === Map.empty)
+    assert(FilterKeySets.of(Seq(GreaterThan("k", 1))) === Map.empty)
+    assert(FilterKeySets.of(Seq(EqualNullSafe("k", null))) === Map.empty)
+    val big = In("k",
+      (0 to BloomFilters.MergeKeyCap).map(_.asInstanceOf[Any]).toArray)
+    assert(FilterKeySets.of(Seq(big)) === Map.empty)
+  }
+
   test("clone carries sidecars; the clone prunes from day one") {
     val t = tmp()
     val c = tmp() + "/clone"
