@@ -84,6 +84,22 @@ object Versioned {
   /** Stored string-stat endpoints are truncated to this many chars. */
   val StrStatMaxLen = 64
 
+  /** Reserved per-file pseudo-stat keys (round 16): the file's
+    * on-disk byte size and row count, recorded as point [[LongStat]]s
+    * in the SAME per-file stats map as the min/max tier — they ride
+    * every manifest serialization, replay, checkpoint-inheritance and
+    * CONVERT path with zero format surgery, and pre-size manifests
+    * simply lack the keys (readers fall back). `__graft_` names are
+    * rename-protected (see [[renameColumn]]), so a data column can
+    * never be renamed onto them; a column BORN with the name merely
+    * suppresses the pseudo entry for its files (size unknown —
+    * conservative). Consumed by the DSv2 scan's
+    * `SupportsReportStatistics`: a post-pruning size estimate is what
+    * lets Catalyst auto-broadcast a small (or well-pruned) graftv
+    * side instead of defaulting to sort-merge. */
+  private[sources] val SizeStatKey = "__graft_bytes"
+  private[sources] val RowsStatKey = "__graft_rows"
+
   /** Per-file stats of every recordable top-level column. */
   type FileStats = Map[String, Map[String, ColStat]]
 
@@ -2012,7 +2028,15 @@ object Versioned {
             }
           }
         }
-        f -> acc.toSeq.collect { case (c, Some(s)) => c -> s }.toMap
+        val cols = acc.toSeq.collect { case (c, Some(s)) => c -> s }.toMap
+        // size/row-count pseudo-stats (round 16): zero extra I/O —
+        // the footer is already open and the length is the input's
+        val pseudo = Seq(
+          SizeStatKey -> (LongStat(in.getLength, in.getLength): ColStat),
+          RowsStatKey -> (LongStat(reader.getRecordCount,
+            reader.getRecordCount): ColStat))
+          .filterNot { case (k, _) => cols.contains(k) }
+        f -> (cols ++ pseudo)
       } finally reader.close()
     }.toMap
   }

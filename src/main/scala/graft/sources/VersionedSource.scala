@@ -776,11 +776,70 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
     skipChangeCommits: Boolean, changeFeed: Boolean,
     maxVersionsPerTrigger: Option[Int] = None,
     dataFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends Scan {
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graftv $path asOf=${asOf.getOrElse(-1)} changeFeed=$changeFeed " +
       s"ReadSchema: ${required.toDDL}"
+
+  /** POST-PRUNING size/row estimate from the manifest's per-file
+    * pseudo-stats (round 16, [[Versioned.SizeStatKey]]): without it a
+    * DSv2 relation carries `defaultSizeInBytes` (effectively ∞), so a
+    * JOIN against a graftv table could NEVER auto-broadcast — every
+    * star-schema join over the lake paid a sort-merge shuffle no
+    * matter how small the dimension side. Sizes come from the log
+    * alone (zero I/O, the Delta log-stats discipline) and reflect the
+    * pushed-filter RANGE prune, so a well-pruned big table can
+    * broadcast too. Files from pre-size manifests fall back to one
+    * local metadata probe each (bounded; unknowable → empty estimate,
+    * Spark keeps its conservative default). The bloom tier is NOT
+    * consulted here — estimation must not launch jobs at planning. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    import java.util.OptionalLong
+    def stats(sz: OptionalLong, nr: OptionalLong) =
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): OptionalLong = sz
+        override def numRows(): OptionalLong = nr
+      }
+    val unknown = stats(OptionalLong.empty(), OptionalLong.empty())
+    if (changeFeed) return unknown
+    try {
+      if (Versioned.versions(path).isEmpty)
+        return stats(OptionalLong.of(0L), OptionalLong.of(0L))
+      val snap = Versioned.snapshot(path, asOf)
+      val bounds = FilterBounds.of(dataFilters.toSeq)
+      val kept = bounds.foldLeft(snap.files) { case (fs, (c, b)) =>
+        Versioned.pruneFilesBy(snap.copy(files = fs), snap.physOf(c), b)
+      }
+      def point(f: String, k: String): Option[Long] =
+        snap.stats.get(f).flatMap(_.get(k))
+          .collect { case Versioned.LongStat(lo, _) => lo }
+      val sized = kept.map(f => f -> point(f, Versioned.SizeStatKey))
+      val missing = sized.collect { case (f, None) => f }
+      // legacy-file fallback: one local size probe per file, but only
+      // for a bounded set — a 10⁵-file pre-size table must not turn
+      // planning into a filesystem sweep
+      val fallback: Map[String, Long] =
+        if (missing.isEmpty || missing.size > 1024) Map.empty
+        else try missing.map { f =>
+          f -> java.nio.file.Files.size(
+            java.nio.file.Paths.get(Versioned.normPath(path), f))
+        }.toMap catch { case _: Exception => Map.empty }
+      val sz =
+        if (missing.nonEmpty && fallback.isEmpty) OptionalLong.empty()
+        else OptionalLong.of(sized.map {
+          case (_, Some(n)) => n
+          case (f, None) => fallback(f)
+        }.sum)
+      val rows = kept.map(f => point(f, Versioned.RowsStatKey))
+      val nr =
+        if (rows.exists(_.isEmpty)) OptionalLong.empty()
+        else OptionalLong.of(rows.flatten.sum)
+      stats(sz, nr)
+    } catch { case _: Exception => unknown }
+  }
 
   /** BATCH snapshot reads delegate to Spark's own vectorized
     * ParquetScan over the manifest's file list (round 10) — the same

@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scan-reported statistics (round 16): the manifest records
+  * per-file byte size and row count as reserved pseudo-stats
+  * (`__graft_bytes`/`__graft_rows`) and the DSv2 scan reports a
+  * POST-PRUNING estimate via `SupportsReportStatistics` — without it
+  * a DSv2 relation carries `defaultSizeInBytes` (effectively ∞) and
+  * a join against a graftv table can never auto-broadcast. */
+class VersionedStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftx.GraftExtensions")
+    .getOrCreate()
+
+  private def tmp(): String =
+    Files.createTempDirectory("r16-stats-").toString
+
+  test("commits record size/row pseudo-stats per file") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((0 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(2), t)
+    val snap = Versioned.snapshot(t)
+    assert(snap.files.nonEmpty)
+    snap.files.foreach { f =>
+      val st = snap.stats(f)
+      val sz = st(Versioned.SizeStatKey)
+        .asInstanceOf[Versioned.LongStat]
+      val rw = st(Versioned.RowsStatKey)
+        .asInstanceOf[Versioned.LongStat]
+      assert(sz.lo === sz.hi && sz.lo ===
+        java.nio.file.Files.size(java.nio.file.Paths.get(t, f)))
+      assert(rw.lo === rw.hi && rw.lo > 0)
+    }
+    assert(snap.files.map(f => snap.stats(f)(Versioned.RowsStatKey)
+      .asInstanceOf[Versioned.LongStat].lo).sum === 100L)
+  }
+
+  test("DSv2 relation reports log sizes: logical stats are real, " +
+      "not the ∞ default") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((0 until 1000).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(2), t)
+    val df = spark.read.format("graftv").load(t)
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val onDisk = Versioned.snapshot(t).files.map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(t, f))).sum
+    assert(size === BigInt(onDisk),
+      s"expected $onDisk from the log, got $size")
+  }
+
+  test("pushed range filters shrink the estimate (file pruning " +
+      "reflected before execution)") {
+    import spark.implicits._
+    val t = tmp()
+    // two files with DISJOINT id ranges — a range predicate prunes one
+    Versioned.commit((0 until 500).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(1), t)
+    Versioned.commit((1000 until 1500).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(1), t)
+    val full = spark.read.format("graftv").load(t)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val pruned = spark.read.format("graftv").load(t)
+      .where(col("id") < 100L)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(pruned < full, s"pruned $pruned !< full $full")
+  }
+
+  test("a small graftv dimension auto-broadcasts in a join") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((0 until 100).map(i => (i.toLong, s"name$i"))
+      .toDF("id", "name").repartition(1), t)
+    val dim = spark.read.format("graftv").load(t)
+    val fact = spark.range(0, 100000)
+      .select(pmod(col("id"), lit(100L)).as("id"),
+        (col("id") * 2).as("m"))
+    val joined = fact.join(dim, "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected auto-broadcast of the graftv side, plan:\n$plan")
+    assert(joined.count() === 100000L)
+  }
+
+  test("empty table estimates zero; a time-travel read estimates " +
+      "that version's bytes") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((0 until 10).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(1), t)
+    Versioned.commit((10 until 2000).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(1), t)
+    val v1 = spark.read.format("graftv").option("versionAsOf", 1)
+      .load(t).queryExecution.optimizedPlan.stats.sizeInBytes
+    val v2 = spark.read.format("graftv").load(t)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(v1 < v2, s"v1 $v1 !< head $v2")
+  }
+}
