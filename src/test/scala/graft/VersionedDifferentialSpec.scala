@@ -187,4 +187,64 @@ class VersionedDifferentialSpec extends AnyFunSuite {
       s"fuzz must exercise both CDF agreement ($cdfAgreed) and " +
         s"matched refusals ($bothRefused)")
   }
+
+  test("bloom-armed differential: point lookups agree through both " +
+    "doors across a seeded DV/COW/merge/optimize/restore history") {
+    val rnd = new scala.util.Random(20261603L)
+    val t = Files.createTempDirectory("versioned-diff-bloom-").toString
+    var nextId = 0L
+    val schema = StructType.fromDDL("id BIGINT, v BIGINT")
+    def freshDf(n: Int): DataFrame = {
+      val rows = (0 until n).map { _ =>
+        nextId += 1
+        Row(nextId, nextId * 10)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1 + rnd.nextInt(2)), schema)
+    }
+    def withMode[A](dv: Boolean)(f: => A): A = {
+      spark.conf.set("spark.graft.dv.enabled", dv.toString)
+      try f finally spark.conf.unset("spark.graft.dv.enabled")
+    }
+    spark.conf.set("spark.graft.bloom.columns", "id")
+    try {
+      Versioned.commit(freshDf(12), t)
+      (0 until 25).foreach { i =>
+        rnd.nextInt(7) match {
+          case 0 | 1 => Versioned.commit(freshDf(2 + rnd.nextInt(4)), t)
+          case 2 => // DV point delete of one EXACT id (the bloom door)
+            withMode(true) {
+              Versioned.deleteWhere(spark, t,
+                col("id") === (1L + rnd.nextLong(nextId)))
+            }
+          case 3 => // COW point delete
+            withMode(false) {
+              Versioned.deleteWhere(spark, t,
+                col("id") === (1L + rnd.nextLong(nextId)))
+            }
+          case 4 => // small merge (the exact-key probe regime)
+            Versioned.merge(freshDf(1 + rnd.nextInt(2)), t, Seq("id"))
+          case 5 => Versioned.optimize(spark, t,
+            numFiles = 1 + rnd.nextInt(3))
+          case 6 =>
+            val vs = Versioned.versions(t)
+            Versioned.restore(t, vs(rnd.nextInt(vs.length)))
+        }
+        assertAgree(Versioned.read(spark, t),
+          spark.read.format("graftv").load(t), s"bloom op $i snapshot")
+        // point lookups: one likely-present id, one absent, one
+        // IN-list mixing both — the DSv2 door rides the bloom tier
+        // (with its false positives), the library door filters
+        // post-scan; they must agree anyway
+        val present = 1L + rnd.nextLong(nextId)
+        val absent = nextId + 1000 + rnd.nextInt(1000)
+        Seq(col("id") === present, col("id") === absent,
+          col("id").isin(present, absent, 1L)).foreach { pred =>
+          assertAgree(Versioned.read(spark, t).where(pred),
+            spark.read.format("graftv").load(t).where(pred),
+            s"bloom op $i point lookup $pred")
+        }
+      }
+    } finally spark.conf.unset("spark.graft.bloom.columns")
+  }
 }
