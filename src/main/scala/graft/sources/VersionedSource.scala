@@ -582,10 +582,61 @@ private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
     skipChangeCommits: Boolean, changeFeed: Boolean,
     maxVersionsPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var dataFilters: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
+  private var pushedCount: Option[Long] = None
+
+  /** METADATA-ONLY COUNT (round 16): an unfiltered, ungrouped
+    * `COUNT(*)` over a batch snapshot is answered from the log alone
+    * — every live file's exact row count is a manifest pseudo-stat
+    * ([[Versioned.RowsStatKey]], footer-read once at commit) and a
+    * DV-masked file subtracts its sidecar's ordinal count. On a
+    * 100 TB table this is the difference between a full data scan
+    * and a handful of local metadata reads. Declined (→ the normal
+    * scan, exact either way) for: change feeds, ANY pushed filter
+    * (pruning keeps files that may not match — a filtered count must
+    * evaluate rows), and tables with any pre-size file (legacy
+    * manifests lack the pseudo-stat). */
+  private lazy val metadataCount: Option[Long] = {
+    if (changeFeed || dataFilters.nonEmpty) None
+    else try {
+      if (Versioned.versions(path).isEmpty) Some(0L)
+      else {
+        val snap = Versioned.snapshot(path, asOf)
+        val per = snap.files.map(f => snap.stats.get(f)
+          .flatMap(_.get(Versioned.RowsStatKey))
+          .collect { case Versioned.LongStat(lo, _) => lo })
+        if (per.exists(_.isEmpty)) None
+        else {
+          val masked = snap.dvs.valuesIterator.map { dvRel =>
+            DeletionVectors.read(java.nio.file.Paths.get(
+              Versioned.normPath(path), dvRel)).length.toLong
+          }.sum
+          Some(per.flatten.sum - masked)
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      metadataCount.isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    pushedCount = metadataCount
+    true
+  }
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands us the projection; we push it into the parquet
     // read schema so pruned columns are never decoded.
@@ -603,9 +654,48 @@ private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
-  override def build(): Scan =
-    new VersionedScan(path, asOf, required, startingVersion, endingVersion,
-      skipChangeCommits, changeFeed, maxVersionsPerTrigger, dataFilters)
+  override def build(): Scan = pushedCount match {
+    case Some(n) => new VersionedCountScan(path, n)
+    case None =>
+      new VersionedScan(path, asOf, required, startingVersion,
+        endingVersion, skipChangeCommits, changeFeed,
+        maxVersionsPerTrigger, dataFilters)
+  }
+}
+
+/** The completely-pushed-down COUNT(*) scan: one partition, one row,
+  * zero data files opened (see `metadataCount` above). */
+private[sources] class VersionedCountScan(path: String, value: Long)
+    extends Scan {
+  private val schema =
+    new StructType().add("count(*)", LongType, nullable = false)
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"graftv $path metadata-only count = $value"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(VersionedCountPartition(value))
+    override def createReaderFactory(): PartitionReaderFactory =
+      VersionedCountReaderFactory
+  }
+}
+
+private[sources] case class VersionedCountPartition(value: Long)
+    extends InputPartition
+
+private[sources] object VersionedCountReaderFactory
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val value = p.asInstanceOf[VersionedCountPartition].value
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](value))
+      override def close(): Unit = ()
+    }
 }
 
 /** Conjunctive per-column bounds from pushed source filters, as

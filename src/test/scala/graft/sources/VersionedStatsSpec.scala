@@ -93,6 +93,51 @@ class VersionedStatsSpec extends AnyFunSuite {
     assert(joined.count() === 100000L)
   }
 
+  test("metadata-only COUNT(*): answered from the log, no data file " +
+      "opened") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((0 until 300).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(3), t)
+    // DV-delete a slice: the count must subtract mask ordinals
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try Versioned.deleteWhere(spark, t, col("id") % 10 === 3L)
+    finally spark.conf.unset("spark.graft.dv.enabled")
+    // corrupt EVERY data file in place: an unfiltered count still
+    // answers (log-only), proving zero data files were opened; a
+    // filtered count must decline the pushdown and fail loudly
+    val snap = Versioned.snapshot(t)
+    snap.files.foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(t, f),
+        "garbage".getBytes("UTF-8"))
+    }
+    val df = spark.read.format("graftv").load(t)
+    assert(df.count() === 270L)
+    assert(df.agg(count(lit(1))).head().getLong(0) === 270L)
+    intercept[Throwable] { df.where(col("id") > 100L).count() }
+    intercept[Throwable] { df.agg(count(col("v"))).head() }
+  }
+
+  test("COUNT(*) time travel counts that version; SQL door too") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((0 until 40).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(1), t)
+    Versioned.commit((40 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(1), t)
+    Versioned.deleteWhere(spark, t, col("id") < 10L)
+    assert(spark.read.format("graftv").option("versionAsOf", 1)
+      .load(t).count() === 40L)
+    assert(spark.read.format("graftv").option("versionAsOf", 2)
+      .load(t).count() === 100L)
+    assert(spark.read.format("graftv").load(t).count() === 90L)
+    spark.sql("DROP TABLE IF EXISTS r16_count_tbl")
+    spark.sql(s"CREATE TABLE r16_count_tbl USING graftv LOCATION '$t'")
+    try assert(spark.sql("SELECT count(*) AS n FROM r16_count_tbl")
+      .head().getLong(0) === 90L)
+    finally spark.sql("DROP TABLE IF EXISTS r16_count_tbl")
+  }
+
   test("empty table estimates zero; a time-travel read estimates " +
       "that version's bytes") {
     import spark.implicits._
