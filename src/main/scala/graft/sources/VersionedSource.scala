@@ -587,25 +587,38 @@ private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
   private var required: StructType = full
   private var dataFilters: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
-  private var pushedCount: Option[Long] = None
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
 
-  /** METADATA-ONLY COUNT (round 16): an unfiltered, ungrouped
-    * `COUNT(*)` over a batch snapshot is answered from the log alone
-    * — every live file's exact row count is a manifest pseudo-stat
-    * ([[Versioned.RowsStatKey]], footer-read once at commit) and a
-    * DV-masked file subtracts its sidecar's ordinal count. On a
-    * 100 TB table this is the difference between a full data scan
-    * and a handful of local metadata reads. Declined (→ the normal
-    * scan, exact either way) for: change feeds, ANY pushed filter
-    * (pruning keeps files that may not match — a filtered count must
-    * evaluate rows), and tables with any pre-size file (legacy
-    * manifests lack the pseudo-stat). */
-  private lazy val metadataCount: Option[Long] = {
-    if (changeFeed || dataFilters.nonEmpty) None
+  /** METADATA-ONLY AGGREGATES (round 16): an unfiltered, ungrouped
+    * `COUNT(*)` / `MIN(int col)` / `MAX(int col)` over a batch
+    * snapshot is answered from the log alone — every live file's
+    * exact row count is a manifest pseudo-stat
+    * ([[Versioned.RowsStatKey]], footer-read once at commit; a
+    * DV-masked file subtracts its sidecar's ordinal count), and
+    * integral min/max fold the per-file [[Versioned.LongStat]]s
+    * (footer-exact — parquet stats exclude nulls exactly like SQL
+    * MIN/MAX; strings stay scan-side, their stats are TRUNCATED). On
+    * a 100 TB table this is the difference between a full data scan
+    * and a handful of local metadata reads — `SELECT max(ts)` is the
+    * "how fresh is this table?" query. Declined (→ the normal scan,
+    * exact either way) for: change feeds, ANY pushed filter (pruning
+    * keeps files that may not match — a filtered aggregate must
+    * evaluate rows), grouping, pre-size files (legacy manifests),
+    * MIN/MAX under ANY deletion vector (a masked row could be the
+    * extremum), all-null/empty extrema (SQL null — not provable from
+    * absent stats), and non-integral or nested columns. */
+  private lazy val snapForAgg: Option[Versioned.Snapshot] =
+    if (changeFeed) None
     else try {
-      if (Versioned.versions(path).isEmpty) Some(0L)
-      else {
-        val snap = Versioned.snapshot(path, asOf)
+      if (Versioned.versions(path).isEmpty) None
+      else Some(Versioned.snapshot(path, asOf))
+    } catch { case _: Exception => None }
+
+  private lazy val metadataCount: Option[Long] =
+    if (changeFeed) None
+    else if (Versioned.versions(path).isEmpty) Some(0L)
+    else snapForAgg.flatMap { snap =>
+      try {
         val per = snap.files.map(f => snap.stats.get(f)
           .flatMap(_.get(Versioned.RowsStatKey))
           .collect { case Versioned.LongStat(lo, _) => lo })
@@ -617,25 +630,88 @@ private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
           }.sum
           Some(per.flatten.sum - masked)
         }
-      }
-    } catch { case _: Exception => None }
+      } catch { case _: Exception => None }
+    }
+
+  /** Exact (lo, hi, sparkType) of an integral column across the live
+    * set, or None = not provable from the log. */
+  private def colExtrema(logical: String)
+      : Option[(Long, Long, org.apache.spark.sql.types.DataType)] =
+    snapForAgg.flatMap { snap =>
+      try {
+        if (snap.dvs.nonEmpty) return None
+        val field = StructType.fromDDL(snap.schemaDdl).fields
+          .find(_.name == logical).getOrElse(return None)
+        import org.apache.spark.sql.types._
+        field.dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+              DateType | TimestampType | TimestampNTZType => ()
+          case _ => return None
+        }
+        val phys = snap.physOf(logical)
+        val per = snap.files.map(f =>
+          snap.stats.get(f).map(_.get(phys)).getOrElse(return None))
+        // NullStat files contribute nothing (SQL MIN/MAX ignores
+        // nulls); a file with NO entry proves nothing → decline
+        val ranges = per.map {
+          case Some(Versioned.LongStat(lo, hi)) => Some((lo, hi))
+          case Some(Versioned.NullStat) => None
+          case _ => return None
+        }.flatten
+        if (ranges.isEmpty) None // all-null/empty → SQL null: scan
+        else Some((ranges.map(_._1).min, ranges.map(_._2).max,
+          field.dataType))
+      } catch { case _: Exception => None }
+    }
+
+  private def resolveAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types._
+    if (changeFeed || dataFilters.nonEmpty ||
+      agg.groupByExpressions.nonEmpty ||
+      agg.aggregateExpressions.isEmpty) return None
+    def nameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def internal(v: Long, dt: DataType): Any = dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType | DateType => v.toInt
+      case _ => v
+    }
+    val cols = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        metadataCount.map(n =>
+          (StructField("count(*)", LongType, nullable = false), n: Any))
+      case m: Min => nameOf(m.column).flatMap(c => colExtrema(c).map {
+        case (lo, _, dt) =>
+          (StructField(s"min($c)", dt, nullable = true), internal(lo, dt))
+      })
+      case m: Max => nameOf(m.column).flatMap(c => colExtrema(c).map {
+        case (_, hi, dt) =>
+          (StructField(s"max($c)", dt, nullable = true), internal(hi, dt))
+      })
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) None
+    else Some((StructType(cols.map(_.get._1).toIndexedSeq),
+      cols.map(_.get._2).toArray))
   }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[
-        org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      metadataCount.isDefined
+        .Aggregation): Boolean = resolveAgg(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
-    if (!supportCompletePushDown(agg)) return false
-    pushedCount = metadataCount
-    true
+    pushedAgg = resolveAgg(agg)
+    pushedAgg.isDefined
   }
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands us the projection; we push it into the parquet
@@ -654,8 +730,9 @@ private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
-  override def build(): Scan = pushedCount match {
-    case Some(n) => new VersionedCountScan(path, n)
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, values)) =>
+      new VersionedMetaAggScan(path, schema, values)
     case None =>
       new VersionedScan(path, asOf, required, startingVersion,
         endingVersion, skipChangeCommits, changeFeed,
@@ -663,37 +740,36 @@ private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
   }
 }
 
-/** The completely-pushed-down COUNT(*) scan: one partition, one row,
-  * zero data files opened (see `metadataCount` above). */
-private[sources] class VersionedCountScan(path: String, value: Long)
-    extends Scan {
-  private val schema =
-    new StructType().add("count(*)", LongType, nullable = false)
+/** The completely-pushed-down metadata aggregate: one partition, one
+  * row, zero data files opened (see `resolveAgg` above). */
+private[sources] class VersionedMetaAggScan(path: String,
+    schema: StructType, values: Array[Any]) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"graftv $path metadata-only count = $value"
+    s"graftv $path metadata-only aggregate ${schema.fieldNames
+      .mkString(", ")}"
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      Array(VersionedCountPartition(value))
+      Array(VersionedMetaAggPartition(values))
     override def createReaderFactory(): PartitionReaderFactory =
-      VersionedCountReaderFactory
+      VersionedMetaAggReaderFactory
   }
 }
 
-private[sources] case class VersionedCountPartition(value: Long)
+private[sources] case class VersionedMetaAggPartition(values: Array[Any])
     extends InputPartition
 
-private[sources] object VersionedCountReaderFactory
+private[sources] object VersionedMetaAggReaderFactory
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val value = p.asInstanceOf[VersionedCountPartition].value
+      private val values = p.asInstanceOf[VersionedMetaAggPartition].values
       private var emitted = false
       override def next(): Boolean =
         if (emitted) false else { emitted = true; true }
       override def get(): InternalRow =
         new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(Array[Any](value))
+          .GenericInternalRow(values.clone())
       override def close(): Unit = ()
     }
 }

@@ -118,6 +118,38 @@ class VersionedStatsSpec extends AnyFunSuite {
     intercept[Throwable] { df.agg(count(col("v"))).head() }
   }
 
+  test("metadata MIN/MAX on integral columns; strings and DV'd " +
+      "tables stay scan-side") {
+    import spark.implicits._
+    val t = tmp()
+    Versioned.commit((0 until 200).map(i => (i.toLong + 7, s"v$i"))
+      .toDF("id", "v").repartition(2), t)
+    val df = spark.read.format("graftv").load(t)
+    // corrupt the data: the integral extrema still answer from the log
+    Versioned.snapshot(t).files.foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(t, f),
+        "garbage".getBytes("UTF-8"))
+    }
+    val r = df.agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
+      max(col("id")).as("hi")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((200L, 7L, 206L)))
+    // a STRING extremum must decline (truncated stats) → scan → fails
+    intercept[Throwable] { df.agg(max(col("v"))).head() }
+    // a DV'd table must decline MIN/MAX (a masked row could be the
+    // extremum) — fresh table, DV-delete the current max, then ask
+    val t2 = tmp()
+    Versioned.commit((0 until 50).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(1), t2)
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try Versioned.deleteWhere(spark, t2, col("id") === 49L)
+    finally spark.conf.unset("spark.graft.dv.enabled")
+    assert(Versioned.snapshot(t2).dvs.nonEmpty, "test needs a DV")
+    val r2 = spark.read.format("graftv").load(t2)
+      .agg(max(col("id")).as("hi"), count(lit(1)).as("n")).head()
+    assert((r2.getLong(0), r2.getLong(1)) === ((48L, 49L)))
+  }
+
   test("COUNT(*) time travel counts that version; SQL door too") {
     import spark.implicits._
     val t = tmp()
