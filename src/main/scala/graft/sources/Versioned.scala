@@ -3371,6 +3371,56 @@ object Versioned {
       changes = None, sourceBounds = None)
   }
 
+  /** Stats-driven small-file COMPACTION (round 16; Delta's default
+    * OPTIMIZE binpack semantic, which [[optimize]]'s whole-scope
+    * re-layout is not): rewrite ONLY the files smaller than
+    * `target/2` — plus DV-carrying files, whose masks drop for free —
+    * into ~`target`-byte outputs, and carry every right-sized file BY
+    * REFERENCE. Selection reads the log alone (the
+    * [[SizeStatKey]] pseudo-stats; a pre-size legacy file counts as
+    * small, so it gains a size on the way through), so the op costs
+    * O(small-file bytes), never O(table bytes) — the steady-state
+    * maintenance loop of a streamed-into 100 TB table where each
+    * micro-batch lands a small file. `target` defaults to
+    * `spark.graft.versioned.targetFileBytes` (128 MB). Nothing small
+    * enough → no-op, no phantom commit (one lone small clean file is
+    * also a no-op — compaction needs something to merge it WITH).
+    * Same conflict/rebase rules as OPTIMIZE (pure layout op). */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 0L): Int = {
+    val base = snapshot(path)
+    val target =
+      if (targetBytes > 0) targetBytes
+      else spark.conf.getOption("spark.graft.versioned.targetFileBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    require(target >= 2, s"versioned: compact target $target too small")
+    def sizeOf(f: String): Option[Long] = base.stats.get(f)
+      .flatMap(_.get(SizeStatKey)).collect { case LongStat(lo, _) => lo }
+    val touched = base.files.filter(f => base.dvs.contains(f) ||
+      sizeOf(f).forall(_ < target / 2))
+    if (touched.isEmpty ||
+      (touched.size == 1 && !base.dvs.contains(touched.head)))
+      return base.version
+    val carried = base.files.filterNot(touched.toSet)
+    val totalBytes = touched.map(f => sizeOf(f).getOrElse(0L)).sum
+    val outFiles = math.max(1L,
+      math.min(4096L, (totalBytes + target - 1) / target)).toInt
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"data/c-$commitId"
+    val schemaT = StructType.fromDDL(base.schemaDdl)
+    val rows = readFiles(spark, path, touched, base.schemaDdl,
+      base.colMap, base.dvs) // masks apply: live rows only
+    writeData(rows.coalesce(outFiles), s"$path/$dataRel",
+      base.partitionCols, base.colMap)
+    val added = listParquet(dataPath(path, commitId))
+      .map(f => s"$dataRel/$f")
+    publishCow(path, "optimize", base, carried ++ added,
+      base.stats.view.filterKeys(carried.toSet).toMap ++
+        statsForFiles(spark, path, added, base.partitionCols, schemaT,
+          base.colMap),
+      changes = None, sourceBounds = None)
+  }
+
   /** PURGE deletion vectors (round 15; Delta's `REORG TABLE … APPLY
     * (PURGE)`): rewrite ONLY the DV-carrying files — each one's LIVE
     * rows land in fresh files, the sidecars drop from the manifest —

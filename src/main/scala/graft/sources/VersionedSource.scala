@@ -219,7 +219,8 @@ private[sources] class VersionedTable(path: String, asOf: Option[Int],
       Option(options.get("startingversion")).map(_.toInt).getOrElse(0),
       Option(options.get("endingversion")).map(_.toInt),
       options.getBoolean("skipchangecommits", false), changeFeed,
-      Option(options.get("maxversionspertrigger")).map(_.toInt))
+      Option(options.get("maxversionspertrigger")).map(_.toInt),
+      Option(options.get("maxbytespertrigger")).map(_.toLong))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -580,7 +581,8 @@ private[sources] class VersionedDataWriter(dataDir: String, ddl: String,
 private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
     full: StructType, startingVersion: Int, endingVersion: Option[Int],
     skipChangeCommits: Boolean, changeFeed: Boolean,
-    maxVersionsPerTrigger: Option[Int])
+    maxVersionsPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -736,7 +738,7 @@ private[sources] class VersionedScanBuilder(path: String, asOf: Option[Int],
     case None =>
       new VersionedScan(path, asOf, required, startingVersion,
         endingVersion, skipChangeCommits, changeFeed,
-        maxVersionsPerTrigger, dataFilters)
+        maxVersionsPerTrigger, dataFilters, maxBytesPerTrigger)
   }
 }
 
@@ -941,7 +943,8 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
     required: StructType, startingVersion: Int, endingVersion: Option[Int],
     skipChangeCommits: Boolean, changeFeed: Boolean,
     maxVersionsPerTrigger: Option[Int] = None,
-    dataFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    dataFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -1177,7 +1180,8 @@ private[sources] class VersionedScan(path: String, asOf: Option[Int],
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new VersionedMicroBatchStream(path, required.toDDL, startingVersion,
-      skipChangeCommits, changeFeed, maxVersionsPerTrigger)
+      skipChangeCommits, changeFeed, maxVersionsPerTrigger,
+      maxBytesPerTrigger)
 }
 
 /** Dispatching reader factory for a DV-bearing snapshot scan
@@ -1439,7 +1443,8 @@ private[sources] case class VersionedOffset(version: Int) extends Offset {
 private[sources] class VersionedMicroBatchStream(path: String,
     requiredDdl: String, startingVersion: Int,
     skipChangeCommits: Boolean, changeFeed: Boolean,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming
@@ -1543,9 +1548,43 @@ private[sources] class VersionedMicroBatchStream(path: String,
     // past the start offset", not an `empty.max` crash
     val latest = availableNowBound
       .getOrElse(Versioned.versions(path).maxOption.getOrElse(s))
-    VersionedOffset(maxVersionsPerTrigger
+    val verCapped = maxVersionsPerTrigger
       .map(n => math.min(latest, s + math.max(n, 1)))
-      .getOrElse(latest))
+      .getOrElse(latest)
+    // `maxBytesPerTrigger` (round 16, Delta's knob of the same name):
+    // admit versions until their ADDED data bytes — read from the
+    // log's per-file size pseudo-stats, zero data I/O — exceed the
+    // cap, always at least one version (a single over-cap commit must
+    // still drain). Versions, not files, stay the offset unit, so
+    // the checkpoint format is untouched; pre-size files count 0
+    // (conservative toward progress, exact on current-format logs).
+    val end = maxBytesPerTrigger match {
+      case None => verCapped
+      case Some(cap) =>
+        val vs = Versioned.versions(path)
+          .filter(v => v > s && v <= verCapped).sorted
+        var prev: Set[String] =
+          if (Versioned.versions(path).contains(s))
+            Versioned.snapshot(path, Some(s)).files.toSet
+          else Set.empty
+        var acc = 0L
+        var endV = s
+        var done = false
+        vs.foreach { v =>
+          if (!done) {
+            val snapV = Versioned.snapshot(path, Some(v))
+            val cur = snapV.files.toSet
+            val bytes = (cur -- prev).toSeq.flatMap(f =>
+              snapV.stats.get(f)
+                .flatMap(_.get(Versioned.SizeStatKey))
+                .collect { case Versioned.LongStat(lo, _) => lo }).sum
+            if (endV > s && acc + bytes > cap) done = true
+            else { acc += bytes; endV = v; prev = cur }
+          }
+        }
+        if (endV == s) verCapped else endV // no in-range versions
+    }
+    VersionedOffset(end)
   }
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =

@@ -39,6 +39,11 @@ private[graftx] object GraftMaintenanceSql {
   private val Tbl = """((?:[\w$]+|`[^`]*`)(?:\s*\.\s*(?:[\w$]+|`[^`]*`))?)"""
   private val Optimize = p(
     s"""^\\s*OPTIMIZE\\s+$Tbl(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?(?:\\s+INTO\\s+(\\d+)\\s+FILES)?\\s*;?\\s*$$""")
+  // OPTIMIZE t COMPACT [TARGET n MB] (round 16): stats-driven
+  // small-file binpack — only files under target/2 (plus DV'd ones)
+  // rewrite; right-sized files carry by reference.
+  private val Compact = p(
+    s"""^\\s*OPTIMIZE\\s+$Tbl\\s+COMPACT(?:\\s+TARGET\\s+(\\d+)\\s*MB)?\\s*;?\\s*$$""")
   private val Vacuum = p(
     s"""^\\s*VACUUM\\s+$Tbl(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val Restore = p(
@@ -93,6 +98,10 @@ private[graftx] object GraftMaintenanceSql {
   }
 
   def parse(sqlText: String): Option[LogicalPlan] = {
+    val cpm = Compact.matcher(sqlText)
+    if (cpm.matches())
+      return Some(GraftCompactCommand(parts(cpm.group(1)),
+        Option(cpm.group(2)).map(_.toInt)))
     val om = Optimize.matcher(sqlText)
     if (om.matches()) {
       val zorder = Option(om.group(3)).map(_.split(',').map(_.trim)
@@ -193,6 +202,22 @@ case class GraftOptimizeCommand(tParts: Seq[String], zorder: Seq[String],
     Seq(Row(graft.sources.Versioned.optimize(spark, path,
       numFiles = files.getOrElse(1), clusterBy = zorder,
       where = whereCol)))
+  }
+}
+
+/** `OPTIMIZE t COMPACT [TARGET n MB]` →
+  * [[graft.sources.Versioned.compact]]: stats-driven small-file
+  * binpack reading selection from the log's size pseudo-stats —
+  * cost ∝ small-file bytes, never table bytes. Returns the new
+  * version (the current one when nothing is small enough). */
+case class GraftCompactCommand(tParts: Seq[String], targetMb: Option[Int])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf("version INT")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceSql.graftPathOf(spark, tParts, "OPTIMIZE")
+    Seq(Row(graft.sources.Versioned.compact(spark, path,
+      targetBytes = targetMb.map(_.toLong * 1024 * 1024).getOrElse(0L))))
   }
 }
 
