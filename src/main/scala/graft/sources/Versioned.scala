@@ -4528,7 +4528,54 @@ object Versioned {
     }
   }
 
+  /** v18_compact (round 16): stats-driven COMPACTION + metadata
+    * aggregates oracled. v1–v4 land four small single-file appends;
+    * v5 `compact`s them (huge target → all four binpack into ONE
+    * file, layout-only: rows must be untouched); a second compact
+    * must be a NO-OP (a lone small file has nothing to merge with —
+    * convergence, not churn). Step 2's count comes through the DSv2
+    * door with no filter — the completely-pushed-down metadata
+    * aggregate (log rows, zero data files opened). `pin` is the
+    * mechanism column the oracle hardcodes: files before (4), files
+    * after (1), time-travel files at v4 (4), no-op version held (1). */
+  def compactLayout(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+    val tmp = Files.createTempDirectory("graft-versioned-").toString
+    try {
+      (0L until 4L).foreach { i => // v1–v4: one small file each
+        commit(docs.where(pmod(col("doc_id"), lit(4)) === i).coalesce(1),
+          tmp, "append")
+      }
+      val filesBefore = snapshot(tmp).files.size.toLong
+      val v5 = compact(spark, tmp, targetBytes = 1L << 30) // v5: binpack
+      val filesAfter = snapshot(tmp).files.size.toLong
+      val noopHeld =
+        if (compact(spark, tmp, targetBytes = 1L << 30) == v5) 1L else 0L
+      val dsv2Count = spark.read.format("graftv").load(tmp).count()
+      def aggOf(df: DataFrame, step: Int, p: Long): Row = {
+        val r = df.agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_chars")).head()
+        Row(step, r.getLong(0), r.getLong(1), r.getLong(2), p)
+      }
+      val tt = read(spark, tmp, Some(4))
+      val steps = Seq(
+        aggOf(read(spark, tmp), 1, filesBefore),
+        Row(2, dsv2Count, 0L, 0L, filesAfter),
+        aggOf(tt, 3, snapshot(tmp, Some(4)).files.size.toLong),
+        Row(4, 1L, 0L, 0L, noopHeld))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(steps, 1),
+        StructType.fromDDL("step INT, n_rows BIGINT, " +
+          "sum_doc_id BIGINT, sum_chars BIGINT, pin BIGINT"))
+        .orderBy(col("step"))
+    } finally deleteRecursively(Paths.get(tmp))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v18_compact" -> (compactLayout _),
     "v17_bloom" -> (bloomPointOps _),
     "v16_dv" -> (dvPointDml _),
     "v15_clone" -> (cloneDivergence _),
@@ -4548,6 +4595,25 @@ object Versioned {
     "v6_cdf_apply" -> (cdfApply _))
 
   val oracle: Map[String, String] = Map(
+    "v18_compact" -> """
+      WITH d AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+      agg AS (
+        SELECT 1 AS step, count(*) AS n_rows, sum(doc_id) AS sum_doc_id,
+               sum(n_chars) AS sum_chars, 4 AS pin FROM d
+        UNION ALL
+        SELECT 2, count(*), 0, 0, 1 FROM d
+        UNION ALL
+        SELECT 3, count(*), sum(doc_id), sum(n_chars), 4 FROM d
+        UNION ALL
+        SELECT 4, 1, 0, 0, 1)
+      SELECT CAST(step AS INT) AS step,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_doc_id AS BIGINT) AS sum_doc_id,
+             CAST(sum_chars AS BIGINT) AS sum_chars,
+             CAST(pin AS BIGINT) AS pin
+      FROM agg ORDER BY step""",
     "v17_bloom" -> """
       WITH d AS (
         SELECT md5('k' || CAST(doc_id AS VARCHAR)) AS k,

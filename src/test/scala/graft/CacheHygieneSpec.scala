@@ -71,6 +71,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "p4_shard_manifest", // composes p3's bucket-count prefix sum
     "sk3_heavy_hitters", // per-source CMS blobs collected + merged at build
     "sk4_theta_intersect", // per-source theta sketches collected at build
+    "v18_compact",      // commits + binpack compaction at build
     "v17_bloom",        // commits + bloom-probed DML/select at build
     "v16_dv",           // commits + DV delete/update + OPTIMIZE at build
     "v15_clone",        // commits + zero-copy clone + divergence at build
