@@ -148,6 +148,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions",
       "org.apache.spark.sql.graftx.GraftExtensions")
+      // AQE's post-shuffle coalescing sizes partitions by BYTES; this
+      // engine's hot stages (explode fan-outs, per-token md5/log,
+      // decode kernels) are CPU-dense at tiny byte volumes, so the
+      // default 1 MB floor collapsed them to 1–2 tasks and serialized
+      // whole stages on an idle machine (round 16, measured: s5's
+      // (query,doc) aggregate ran 3.0 s of CPU in 2 tasks; at 64k the
+      // same stage spread to 29 tasks, 0.43 s wall). 64k only changes
+      // how SMALL shuffles spread — byte-bound stages past the
+      // advisory size are untouched at any scale. Env-overridable for
+      // A/B and for deployments whose work-per-byte is flat.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR") // nothing may print after the JSON line
 

@@ -15,6 +15,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Schema cache per (dir, table): fixture parquet is immutable for
+    * the life of a run, so the footer-inference pass (driver I/O at
+    * PLANNING time, re-paid by every one of the 150+ queries that
+    * reads the table) runs once per table per directory. Metadata
+    * only — the production equivalent is a catalog entry; row data is
+    * always read fresh from parquet. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), org.apache.spark.sql.types.StructType]
+
+  private def readCached(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val schema = schemaCache.getOrElseUpdate((dir, name),
+      spark.read.parquet(s"$dir/$name.parquet").schema)
+    spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // The engine-facing contract: events.ts is epoch-NANOS LongType,
@@ -32,12 +49,12 @@ object Tables {
       //    the session timezone (NTZ + cast would re-interpret the wall
       //    clock in local time).
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val df = readCached(spark, dir, name)
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => df
         case _ => df.withColumn("ts", expr("unix_micros(ts) * 1000"))
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else readCached(spark, dir, name)
   }
 
   /** Register every table as a temp view (for spark.sql surface parity

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions",
       "org.apache.spark.sql.graftx.GraftExtensions")
+      // CPU-dense small shuffles spread instead of coalescing to 1–2
+      // tasks (see Bench.scala; results are partitioning-independent)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -603,9 +603,16 @@ object Multimodal {
   def imagePhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 10): DataFrame = {
     import spark.implicits._
+    // ONE decode pass (round 16): the (id, pHash) table feeds the
+    // index side, the probe side AND the skew-cap count pass — without
+    // pinning, each consumer re-ran the JPEG decode of the whole
+    // corpus (no exchange below it, so ReuseExchange can't dedupe an
+    // opaque mapPartitions). 16 bytes/image — the persisted signature
+    // table a production pipeline stores; decode cost is paid once.
     val hashed = imageVariants(spark, dir)
       .mapPartitions(_.map { case (id, payload) =>
         (id, phash64(decodeImage(payload))) })
+      .localCheckpoint()
     val nBands = 4
     def bandVal(ph: Long, b: Int): Int = ((ph >>> (16 * b)) & 0xFFFF).toInt
     // index side: the four exact band values

@@ -80,7 +80,6 @@ object DedupOps {
         k = K, bands = 2, threshold = 0.75)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** D14 incremental near-dup probe against a MATERIALIZED signature
@@ -190,7 +189,6 @@ object DedupOps {
         coalesce(col("match_id"), lit(-1L)).as("match_id"),
         coalesce(col("est_jaccard"), lit(0.0)).as("est_jaccard"),
         (coalesce(col("est_jaccard"), lit(0.0)) >= 0.5).as("is_dup"))
-      .orderBy(col("doc_id"))
   }
 
   /** D3 SimHash core: 64-bit signature — bit j = majority, across the
@@ -304,7 +302,6 @@ object DedupOps {
     cand.join(ta, "doc_a").join(tb, "doc_b")
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** D4-prod: the d2→d4 COMPOSITION — minhash-band candidate
@@ -390,7 +387,6 @@ object DedupOps {
         lit(tMicro) * greatest(col("na"), col("nb")).cast("long"))
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** D5 embedding near-dup: cosine ≥ threshold within label blocks
@@ -416,7 +412,6 @@ object DedupOps {
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), cos.as("cos_sim"))
       .where(col("cos_sim") >= 0.3)
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** D3c: graded near-dup pairs by simhash hamming distance ≤ 3, via
@@ -455,7 +450,6 @@ object DedupOps {
         hamming.as("hamming"))
       .where(col("hamming") <= 3)
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** D3b: exact-duplicate groups by simhash collision (hamming-0
@@ -556,7 +550,6 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("cluster_id")).as("n_clusters"))
       .crossJoin(broadcast(leaks))
-      .orderBy(col("split"))
   }
 
   /** D13 duplicate-cluster survivorship — the curation step AFTER
@@ -588,7 +581,6 @@ object DedupOps {
       .withColumn("keep", row_number().over(ranked) === 1)
       .select(col("doc_id"), col("cluster_id"), col("quality"),
         col("n_members"), col("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** D8 decontamination — benchmark n-gram overlap removal (the
@@ -617,7 +609,6 @@ object DedupOps {
       .join(hits, Seq("doc_id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("contaminated", col("n_hits") > 0)
-      .orderBy(col("doc_id"))
   }
 
   /** D9 FUZZY decontamination — the paraphrase-robust cousin of d8's
@@ -657,7 +648,6 @@ object DedupOps {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("b_id")).as("n_bench_hits"),
         max(col("est_j")).as("max_est_jaccard"))
-      .orderBy(col("doc_id"))
   }
 
   /** D11 exact-substring window dedup (Lee et al., "Deduplicating
@@ -680,9 +670,16 @@ object DedupOps {
   /** The d11 kernel over an arbitrary (doc_id, text) relation —
     * spec-testable with constructed overlap/disjoint/short docs. */
   def windowDedupOf(docs: DataFrame, k: Int): DataFrame = {
-    val wins = docs.select(col("doc_id"), explode(array_distinct(
+    // repartition(h): one full-row shuffle both consumers (first-owner
+    // agg + the probe join) read — without it the agg's partial-agg
+    // exchange and the join's row exchange differ and the explode+md5
+    // window pass executes twice (round 16; the d4/d15 discipline)
+    val wins = docs
+      .repartition(col("doc_id")) // spread the explode (single-split file)
+      .select(col("doc_id"), explode(array_distinct(
         graft.operators.MinHash.shingleCol(col("text"), k))).as("win"))
       .select(col("doc_id"), md5(col("win")).as("h"))
+      .repartition(col("h"))
     val firsts = wins.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     val perDoc = wins.join(firsts, "h")
       .groupBy(col("doc_id"))
@@ -695,7 +692,6 @@ object DedupOps {
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).as("is_dup"))
-      .orderBy(col("doc_id"))
   }
 
   /** D12 Bloom-gated INCREMENTAL dedup — the shape dedup takes once a
@@ -788,7 +784,6 @@ object DedupOps {
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_hit_windows"), lit(0L)).as("n_hit_windows"),
         (coalesce(col("n_hit_windows"), lit(0L)) > 0).as("is_dup"))
-      .orderBy(col("doc_id"))
   }
 
   /** Sketch-based distinct counting — oracle-green since r7 via the
@@ -808,7 +803,6 @@ object DedupOps {
     est.join(cnt, "l_returnflag")
       .select(col("l_returnflag"), col("approx_parts"), col("n"),
         col("hll_empty"), col("hll_sum_q40"))
-      .orderBy(col("l_returnflag"))
   }
 
   /** D15: exact-substring REMOVAL — the deletion step of Lee-et-al
@@ -839,13 +833,24 @@ object DedupOps {
     * instead (spec-exercised with a small maxTok). */
   def substringStripOf(docs: DataFrame, k: Int,
       maxTok: Long = 1000000L): DataFrame = {
+    // repartition(doc_id): spreads the window explode+md5 across cores
+    // (the fixture is a single scan split) AND is the one exchange the
+    // final rebuild join reuses for its probe side
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .repartition(col("doc_id"))
+    // repartition(h): the window table feeds TWO consumers (the
+    // first-owner agg and the dup-probe join) whose exchanges differ,
+    // so without it the explode+md5 pass ran twice (the d4 shared-
+    // exchange discipline; round 16). One full-row shuffle on h
+    // replaces the partial-agg exchange + the join exchange, and both
+    // consumers are already h-clustered afterwards.
     val wins = base.where(size(col("t")) >= k)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("t")) - (k - 1)), i =>
           struct(i.as("i"),
             md5(array_join(slice(col("t"), i, lit(k)), " ")).as("h")))).as("w"))
       .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
+      .repartition(col("h"))
     val guardedI = when(col("i") < maxTok, col("i")).otherwise(raise_error(
       concat(lit(s"d15: document of >= $maxTok tokens — position key "
         + "would collide; raise maxTok (doc_id "),
@@ -885,7 +890,6 @@ object DedupOps {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         md5(array_join(kept, " ")).as("cleaned_md5"))
-      .orderBy(col("doc_id"))
   }
 
   /** SK2: mergeable-sketch set operations — the pattern that makes
@@ -925,7 +929,6 @@ object DedupOps {
         col("hll_empty"), col("hll_sum_q40"))
       .unionByName(union.select(col("source"), col("est_distinct"),
         col("exact_distinct"), col("hll_empty"), col("hll_sum_q40")))
-      .orderBy(col("source"))
   }
 
   /** SK3: heavy hitters (frequent tokens) via Count-Min sketch — the
@@ -1000,7 +1003,6 @@ object DedupOps {
     candidates
       .withColumn("est_count", est(col("token")))
       .where(col("est_count") * lit(1000000L) >= lit(phiMicro * nMass))
-      .orderBy(col("est_count").desc, col("token"))
   }
 
   /** SK4: theta-sketch set INTERSECTIONS — the operation HLL (sk2)
@@ -1056,7 +1058,6 @@ object DedupOps {
     }
     rows.toDF("source_a", "source_b", "est_a", "est_b",
         "est_intersect", "est_union")
-      .orderBy(col("source_a"), col("source_b"))
   }
 
   /** D16 edit-distance near-dup join (operators.EditDistance,
@@ -1074,7 +1075,6 @@ object DedupOps {
       .select(col("doc_id"), substring(col("text"), 101, 48).as("pre"))
     graft.operators.EditDistance
       .selfJoin(docs, "doc_id", "pre", k = 3, minLen = 24, maxLen = 48)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

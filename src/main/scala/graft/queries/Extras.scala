@@ -21,7 +21,6 @@ object Extras {
       .groupBy(col("l_returnflag"))
       .agg(round(wm(col("l_extendedprice"), col("l_quantity")), 4)
         .as("wavg_price"))
-      .orderBy(col("l_returnflag"))
   }
 
   /** K1 vegard: concentration-weighted lattice parameter from a
@@ -40,7 +39,6 @@ object Extras {
     alloys.join(broadcast(latpars), "el")
       .groupBy(col("alloy"))
       .agg(round(sum(col("conc") * col("latpar")), 6).as("a0"))
-      .orderBy(col("alloy"))
   }
 
   /** Semi-structured extraction: events.props is a JSON string —
@@ -67,7 +65,6 @@ object Extras {
       .withColumn("delta", col("value") - col("prev"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(avg(col("delta")), 6).as("avg_delta"))
-      .orderBy(col("event_type"))
   }
 
   /** W9 event-type transition matrix: first-order Markov transition
@@ -97,7 +94,6 @@ object Extras {
       .select(col("prev_type"), col("event_type").as("next_type"), col("n"),
         round(col("n") * lit(1e6) / col("row_tot"), 0).cast("long")
           .as("p_ppm"))
-      .orderBy(col("prev_type"), col("next_type"))
   }
 
   /** W10 gap-based sessionization via the BUILT-IN `session_window`
@@ -163,7 +159,6 @@ object Extras {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_intervals"),
         (sum(col("e") - col("s")) / lit(1000L)).cast("long").as("engaged_us"))
-      .orderBy(col("user_id"))
   }
 
   /** O6/O7 deterministic "random" sample: rank by a keyed digest —
@@ -209,7 +204,6 @@ object Extras {
         count(lit(1)).over(Window.partitionBy(col("lang"))))
       .where(col("rn") <= ceil(col("n_stratum") * 0.2))
       .select(col("lang"), col("doc_id"), col("rn"))
-      .orderBy(col("lang"), col("rn"))
   }
 
   /** J7 as-of join — the classic time-series operator Spark has no
@@ -256,7 +250,6 @@ object Extras {
       .select(col("event_id"), col("user_id"), col("ts"),
         col("prior")("ts").as("prior_ts"),
         col("prior")("p_value").as("prior_value"))
-      .orderBy(col("event_id"))
   }
 
   /** J8 range join — interval predicates (|ts_a − ts_b| ≤ W) that a
@@ -283,7 +276,6 @@ object Extras {
       .select(col("err_id"), col("p_id"),
         (col("p_ts") - col("err_ts")).as("delta_us"))
       .distinct()
-      .orderBy(col("err_id"), col("p_id"))
   }
 
   /** J9 nearest-event join — `merge_asof(direction='nearest')`, the
@@ -328,7 +320,6 @@ object Extras {
       .where(col("rn") === 1)
       .select(col("err_id"), col("user_id"), col("p_id"),
         (col("p_ts") - col("err_ts")).as("delta_us"))
-      .orderBy(col("err_id"))
   }
 
   /** Gap-based sessionization (30-min inactivity), fully relational —
@@ -346,7 +337,6 @@ object Extras {
       .withColumn("session_id", sum(col("new_s")).over(w))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** W4 funnel analysis — ordered-sequence conversion over the event
@@ -380,7 +370,6 @@ object Extras {
     n(v, "1_view").unionByName(n(c, "2_click"))
       .unionByName(n(p, "3_purchase"))
       .select(col("stage"), col("n_users"))
-      .orderBy(col("stage"))
   }
 
   /** W5 cohort retention — the growth-analytics rollup beside w4's
@@ -414,7 +403,6 @@ object Extras {
       .withColumn("retention", round(
         col("n_users").cast("double") / first(col("n_users")).over(byCohort),
         6))
-      .orderBy(col("cohort_day"), col("day_offset"))
   }
 
   /** W6 rate-spike anomaly detection — the ops-analytics layer above
@@ -484,7 +472,6 @@ object Extras {
         round(col("std_24"), 6).as("std_24"),
         round(z, 6).as("z"),
         coalesce(z >= 3, lit(false)).as("is_spike"))
-      .orderBy(col("event_type"), col("hour_id"))
   }
 
   /** Exact interpolated quantiles (A-family; Spark `percentile` and
@@ -538,7 +525,6 @@ object Extras {
         sum((col("l_extendedprice") > col("hi")).cast("long")).as("n_hi"),
         sum(col("clipped").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double").as("sum_clipped"))
-      .orderBy(col("l_returnflag"))
   }
 
   /** Production-scale quantiles tier: `approx_percentile` keeps a
@@ -595,7 +581,6 @@ object Extras {
         count(lit(1)).as("n_intervals"),
         round(sum(col("value") * col("dt")) / sum(col("dt")), 4).as("twa_value"))
       .where(col("twa_value").isNotNull)
-      .orderBy(col("user_id"))
   }
 
   /** Z1 Z-order (Morton) layout audit (operators.ZOrder): normalize
@@ -628,7 +613,6 @@ object Extras {
       .agg(count(lit(1)).as("n"),
         min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
         min(col("day")).as("min_day"), max(col("day")).as("max_day"))
-      .orderBy(col("bucket"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -72,7 +72,6 @@ object MaterialsOps {
         col("n").cast("long").as("n"),
         lit("sub").as("config_type"),
         col("assignment"))
-      .orderBy(col("uuid"))
   }
 
   /** G3 vacancy, oracle-green since r8 — the deterministic md5-keyed
@@ -152,7 +151,6 @@ object MaterialsOps {
       (col("n") - expr("(n + 3) div 4")).cast("long").as("n"),
       lit("vac").as("config_type"),
       col("removed"))
-      .orderBy(col("uuid"))
   }
 
   /** Number of strain draws per seed (mirrors the kernel's
@@ -242,7 +240,6 @@ object MaterialsOps {
         col("element"),
         pos(0).as("x"), pos(1).as("y"), pos(2).as("z"),
         col("det"))
-      .orderBy(col("group_uuid"), col("draw"), col("atom_idx"))
   }
 
   /** G13 supercell, oracle-green since r8, ATOM-LEVEL — the
@@ -292,7 +289,6 @@ object MaterialsOps {
         (col("x") + (col("i") * col("ax") + col("j") * col("bx"))).as("x"),
         (col("y") + (col("i") * col("ay") + col("j") * col("by"))).as("y"),
         (col("z") + (col("i") * col("az") + col("j") * col("bz"))).as("z"))
-      .orderBy(col("group_uuid"), col("atom_idx"))
   }
 
   /** G1 enumeration, oracle-green since r8 — the relational form of
@@ -357,7 +353,6 @@ object MaterialsOps {
         col("hnf_index"), col("canonical"))).as("uuid"),
       concat(part("Ag", col("n") - col("pd")), part("Pd", col("pd")))
         .as("symbols"))
-      .orderBy(col("size"), col("hnf_index"), col("labeling"))
   }
 
   /** G1 nconfigs sampling (enumerated.py:354–448): keyed-digest rank
@@ -374,7 +369,6 @@ object MaterialsOps {
       .orderBy(col("__r"))
       .limit(nconfigs)
       .drop("__r")
-      .orderBy(col("size"), col("hnf_index"), col("labeling"))
   }
 
   /** G9 prototype decoration, oracle-green since r8 — the relational
@@ -423,7 +417,6 @@ object MaterialsOps {
         col("nsites").cast("long").as("n"),
         col("proto_name").as("prototype"),
         col("perm"))
-      .orderBy(col("prototype"), col("perm"))
   }
 
   /** Position quantization for the m6 twin: 2¹⁷ micro-units per Å.
@@ -609,7 +602,6 @@ object MaterialsOps {
           count(lit(1)).cast("double")).as("avg_energy"),
         (sum(col("f_micro")).cast("double") / lit(1000000.0) /
           count(lit(1)).cast("double")).as("avg_fnorm"))
-      .orderBy(col("config_type"), col("bucket"))
   }
 
   /** G8 hessian eigen-explode, oracle-green since r8 — the

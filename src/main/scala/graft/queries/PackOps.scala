@@ -67,7 +67,6 @@ object PackOps {
           greatest(col("off"), col("chunk_id") * ChunkCap)).as("n_tokens"),
         sum(when(col("off") < col("chunk_id") * ChunkCap, 1L)
           .otherwise(0L)).as("n_carry_in"))
-      .orderBy(col("chunk_id"))
   }
 
   /** M9 training-mix planner — the source-weighting step a pretraining
@@ -109,7 +108,6 @@ object PackOps {
         least(col("n_tokens"), col("target_tokens")))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
         col("target_tokens"), col("sample_rate"), col("expected_tokens"))
-      .orderBy(col("source"))
   }
 
   /** M13 mix-gap report: observed token share per source vs a uniform
@@ -141,7 +139,6 @@ object PackOps {
         (sharePpm - targetPpm).as("gap_ppm"),
         round(col("tot").cast("double") / col("n_sources")
           / col("n_tokens") * 1e6, 0).cast("long").as("upweight_micro"))
-      .orderBy(col("source"))
   }
 
   /** M11 training-mix EXECUTION — the sampling pass that applies the
@@ -176,7 +173,6 @@ object PackOps {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
         sum(when(col("keep"), col("n_tok")).otherwise(0L))
           .as("n_tokens_sampled"))
-      .orderBy(col("source"))
   }
 
   /** P2 retrieval chunking: overlapping token windows (the RAG
@@ -260,7 +256,6 @@ object PackOps {
       .withColumn("pos",
         col("__off") + row_number().over(wLocal).cast("long") - 1L)
       .select(col("doc_id"), col("n_tok"), col("tier"), col("pos"))
-      .orderBy(col("doc_id"))
   }
 
   /** P4 shard manifest — the write-side bookkeeping step after

@@ -42,7 +42,6 @@ object Relational {
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   /** F1 attribute projection with null-skip (atoms.py:508–528). */
@@ -69,7 +68,6 @@ object Relational {
       Cmp("p_brand", "<", "3"))
     t(s, dir, "part").where(AflowDsl.compile(pred))
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
-      .orderBy(col("p_partkey"))
   }
 
   /** F4 dbfilter with object-reference scalar (fitting/basic.py:164–204):
@@ -80,7 +78,6 @@ object Relational {
     DbFilter(c, Seq(DbFilter.Filter("c_acctbal", ">",
         DbFilter.ScalarRef(c, avg(col("c_acctbal"))))))
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      .orderBy(col("c_custkey"))
   }
 
   /** F4b dbfilter general object-reference chain, string form
@@ -94,7 +91,6 @@ object Relational {
       Map("euro" -> euro))
     DbFilter(nation, Seq(f))
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-      .orderBy(col("n_nationkey"))
   }
 
   /** A3 DOS-convergence compare (database/hessian.py:341–380): each
@@ -132,7 +128,6 @@ object Relational {
     metric.join(broadcast(best))
       .withColumn("best", coalesce(col("cand") === col("__best"), lit(false)))
       .select(col("cand"), col("metric"), col("passes"), col("best"))
-      .orderBy(col("cand"))
   }
 
   /** F5 fnmatch catalog find (database/__init__.py:1710–1786). */
@@ -168,7 +163,6 @@ object Relational {
         sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("r_name"))
   }
 
   /** J4 semi join — orders having a max-quantity lineitem (EXISTS). */
@@ -177,7 +171,6 @@ object Relational {
     val big = t(s, dir, "lineitem").where(col("l_quantity") >= 50)
     o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .select(col("o_orderkey"), col("o_totalprice"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** J5 best-of-grid select (hessian.py:341–412): top supplier per
@@ -191,7 +184,6 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("n_name"), col("s_name"), col("s_acctbal"))
-      .orderBy(col("n_name"))
   }
 
   /** U2 difference / anti join (substitution.py:235; active.py:186–189):
@@ -202,7 +194,6 @@ object Relational {
     val o = t(s, dir, "orders").where(col("o_totalprice") < 20000)
     c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
   }
 
   /** A1 hierarchical status roll-up (database/__init__.py:930–982) as
@@ -215,7 +206,6 @@ object Relational {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
-      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
   /** A4 band-error-style stats (hessian.py:319–339): per event type. */
@@ -293,7 +283,6 @@ object Relational {
     a.unionByName(b).distinct()
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("c_mktsegment"))
   }
 
   /** U4/K11/K13 parameter-grid cross product with suffix naming
@@ -304,7 +293,6 @@ object Relational {
     val sizes = Seq(1, 2, 3, 4).toDF("size")
     lattices.crossJoin(sizes)
       .withColumn("name", concat_ws("-", col("lattice"), col("size")))
-      .orderBy(col("lattice"), col("size"))
   }
 
   /** J10 salted skew join (operators.SkewJoin): revenue by order
@@ -330,7 +318,6 @@ object Relational {
         count(lit(1)).as("n_items"),
         sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
           .cast("double").as("revenue"))
-      .orderBy(col("o_orderpriority"))
   }
 
   /** D7 canonical content hash of a relation (database/__init__.py:
@@ -365,7 +352,6 @@ object Relational {
       .where(col("rn") <= 3)
       .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
         col("l_linenumber"), col("l_quantity"), col("running_qty"))
-      .orderBy(col("l_suppkey"), col("rn"))
   }
 
   /** S10-style time-bucketed scan over the events stream table
@@ -421,7 +407,6 @@ object Relational {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
         date_format(col("valid_to_ts"), "yyyy-MM-dd").as("valid_to"),
         col("valid_to_ts").isNull.as("is_current"))
-      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderstatus"))
   }
 
   // ---------------------------------------------------------------- registry

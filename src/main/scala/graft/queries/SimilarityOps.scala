@@ -36,7 +36,6 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), cos.as("cos_sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 10)
-      .orderBy(col("query_id"), col("rk"))
   }
 
   /** S5 BM25 top-k retrieval — the lexical side of similarity search
@@ -69,35 +68,55 @@ object SimilarityOps {
     val docs = Tables(s, dir, "documents")
     val toks = split(col("text"), " ")
     val isQ = pmod(col("doc_id"), lit(101)) === 0 && col("doc_id") < 5050
-    val tf = docs.select(col("doc_id"), explode(toks).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dlen = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
-    val corpusIds = docs.where(!isQ).select(col("doc_id"))
+    // ROUND-16 SHAPE (same values, fewer passes/shuffles; guide §2.3–
+    // 2.4): (a) the query/corpus split is a doc_id PREDICATE, so the
+    // old corpusIds broadcast join is a plain pushed filter; (b) `dl`
+    // rides the postings aggregate (first(dl) — one value per doc) so
+    // the per-doc-length join and its corpus scan disappear; (c) df is
+    // only consumed for QUERY tokens (the scoring join is inner on the
+    // broadcast query terms), so dfreq semi-restricts to the tiny
+    // query vocabulary FIRST and then always BROADCASTS — the old plan
+    // sort-merge-joined the full postings against an all-vocab df
+    // table (full postings sort + exchange, a second corpus explode
+    // feeding an all-vocab shuffle). The corpus now crosses the wire
+    // once: the (doc,token) partial-agg shuffle.
+    val tf = docs
+      .repartition(col("doc_id")) // spread the explode (single-split file)
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val tfCorpus = tf.where(!isQ)
     val stats = docs.where(!isQ)
       .agg(count(lit(1)).as("n_docs"), avg(size(toks)).as("avgdl"))
-    val dfreq = tf.join(corpusIds, "doc_id")
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val qterms = tf
-      .where(pmod(col("doc_id"), lit(101)) === 0 && col("doc_id") < 5050)
+    val qterms = tf.where(isQ)
       .select(col("doc_id").as("query_id"), col("token"))
+    val qtok = qterms.select(col("token")).distinct()
+    val dfreq = tfCorpus.join(broadcast(qtok), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val sat = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
-    tf.join(corpusIds, "doc_id")
-      .join(broadcast(qterms), "token")
-      .join(dfreq, "token") // vocab-sized; AQE broadcasts
-      .join(dlen, "doc_id")
+    // ts is per-(token, doc) — it does NOT depend on the query — so it
+    // is computed on the postings BEFORE the query-terms join (round
+    // 16): the join fans each posting out once per query sharing the
+    // token (measured ~40× on this worst-case shared-vocab corpus, and
+    // Q× in general), and evaluating log/divide/round after the
+    // fan-out multiplied the scoring arithmetic by exactly that factor.
+    val scored = tfCorpus
+      .join(broadcast(dfreq), "token") // ≤ |query vocab| rows
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"),
+      .select(col("token"), col("doc_id"),
         round(idf * sat * lit(1e6), 0).cast("long").as("ts"))
+    scored
+      .join(broadcast(qterms), "token")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("ts")).as("score_micro"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 10)
-      .orderBy(col("query_id"), col("rk"))
   }
 
   /** S8 hybrid retrieval — reciprocal-rank fusion (Cormack, Clarke &
@@ -146,7 +165,6 @@ object SimilarityOps {
       .select(col("query_id"), col("doc_id"), rrf.as("rrf_micro"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 10)
-      .orderBy(col("query_id"), col("rk"))
   }
 
   /** C1 k-means clustering summary over the embedding corpus — the
@@ -204,7 +222,6 @@ object SimilarityOps {
         col("inertia_q8"),
         round(col("inertia_q8").cast("double") / col("n"), 0)
           .cast("long").as("mean_d2_q8"))
-      .orderBy(col("cluster_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

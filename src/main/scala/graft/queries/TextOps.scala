@@ -115,7 +115,6 @@ object TextOps {
         col("n_tokens"),
         round(col("n_tokens") * lit(1e6) / col("tot"), 0).cast("long")
           .as("share_ppm"))
-      .orderBy(col("source"), col("quality_bin"))
   }
 
   /** O10 quality-weighted Bernoulli sampling — the curation move
@@ -172,7 +171,6 @@ object TextOps {
         round(max(when(col("rank") === 1, col("n"))).cast("double")
           / sum(col("n")), 6).as("top1_share"),
         round(expr("regr_slope(ln(n), ln(rank))"), 6).as("zipf_slope"))
-      .orderBy(col("source"))
   }
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -197,7 +195,6 @@ object TextOps {
       .withColumn("pred_lang", pred)
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("lang"), col("pred_lang"))
   }
 
   /** Document fingerprints: raw, normalized, and order-invariant
@@ -321,7 +318,6 @@ object TextOps {
           .cast("long"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("idf_q")).as("score_micro"))
-      .orderBy(col("doc_id"))
   }
 
   /** T10 with the min-df MODEL CAP (opt-in scale path): tokens seen
@@ -359,7 +355,6 @@ object TextOps {
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("score_micro"), lit(0L)).as("score_micro"))
-      .orderBy(col("doc_id"))
   }
 
   /** T11 bigram-LM quality score — the CCNet-style perplexity filter
@@ -400,7 +395,6 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"),
         round(-col("lp_sum").cast("double") / col("n_bigrams") / 1e6, 6)
           .as("xent_nats"))
-      .orderBy(col("doc_id"))
   }
 
   /** T11 with the min-count MODEL CAP (opt-in scale path, the t10
@@ -441,7 +435,6 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_scored"), lit(0L)).as("n_scored"),
         coalesce(col("xent_nats"), lit(0.0)).as("xent_nats"))
-      .orderBy(col("doc_id"))
   }
 
   /** T16 per-document keyword extraction: top-3 tokens by tf·idf with
@@ -475,7 +468,6 @@ object TextOps {
     scored.withColumn("kw_rank", row_number().over(w).cast("long"))
       .where(col("kw_rank") <= topK)
       .select(col("doc_id"), col("kw_rank"), col("token"), col("w_micro"))
-      .orderBy(col("doc_id"), col("kw_rank"))
   }
 
   /** T17 DSIR importance weights (Xie et al., "Data Selection for
@@ -538,7 +530,6 @@ object TextOps {
         round(coalesce(col("logw_micro"), lit(0L)).cast("double")
           / greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)) / 1e6, 6)
           .as("avg_logw"))
-      .orderBy(col("doc_id"))
   }
 
   /** T18 n-gram novelty score: per document, the fraction of its
@@ -576,7 +567,6 @@ object TextOps {
         round(coalesce(col("n_novel"), lit(0L)) * lit(1e6)
           / greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 0)
           .cast("long").as("novelty_ppm"))
-      .orderBy(col("doc_id"))
   }
 
   /** T12 collocation mining: top-50 bigrams by pointwise mutual

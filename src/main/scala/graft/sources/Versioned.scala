@@ -1200,9 +1200,18 @@ object Versioned {
     // of the same change kind (the kind flag orders), and duplicate
     // DELETES of one key are idempotent, so only non-delete ties are
     // divergence. Fail loudly naming a culprit.
-    val tied = ranked.where(col("__g_rk") === 1 && col("__g_rn") === 2 &&
-      col("_change_type") =!= "delete")
-    val culprit = tied
+    // ONE execution of the change-feed read + window (round 16): the
+    // ranked batch used to be re-executed up to five times (tie probe,
+    // two isEmpty probes, both merges). Pin the net events PLUS the
+    // tie markers in one localCheckpoint — everything downstream reads
+    // the pinned blocks. Pinned volume is O(net change keys), the same
+    // bound the netChanges drain carries.
+    val pinned = ranked
+      .where(col("__g_rn") === 1 ||
+        (col("__g_rk") === 1 && col("__g_rn") === 2 &&
+          col("_change_type") =!= "delete"))
+      .localCheckpoint()
+    val culprit = pinned.where(col("__g_rn") === 2)
       .select((keys.map(col) :+ col("_commit_version")).toIndexedSeq: _*)
       .limit(1).collect()
     if (culprit.nonEmpty)
@@ -1212,25 +1221,32 @@ object Versioned {
           s"duplicate non-delete rows for key (${keys.mkString(",")}) = " +
           s"(${keys.indices.map(culprit.head.get).mkString(",")}) at " +
           s"$target; deduplicate the source or replicate on a unique key")
-    val last = ranked.where(col("__g_rn") === 1).drop("__g_rk")
+    val last = pinned.where(col("__g_rn") === 1).drop("__g_rk")
     val dels = last.where(col("_change_type") === "delete")
       .select(dataCols.map(col).toIndexedSeq: _*)
     val ups = last
       .where(col("_change_type").isin("insert", "update_postimage"))
       .select(dataCols.map(col).toIndexedSeq: _*)
+    // one tiny job over the pinned blocks replaces the two isEmpty
+    // probes (each of which re-ran the window before round 16)
+    val nRow = last.agg(
+      count(when(col("_change_type") === "delete", lit(1))).as("nd"),
+      count(when(col("_change_type").isin("insert", "update_postimage"),
+        lit(1))).as("nu")).head()
+    val (nDels, nUps) = (nRow.getLong(0), nRow.getLong(1))
     if (versions(target).isEmpty) {
       // table birth: commit the net inserts; tombstones have nothing
       // to delete on an empty replica
-      if (!ups.isEmpty) { commit(ups, target, "append"); () }
+      if (nUps > 0) { commit(ups, target, "append"); () }
     } else {
       // the two key sets are disjoint (one last event per key), so
       // delete-merge vs upsert-merge order is immaterial
-      if (!dels.isEmpty) {
+      if (nDels > 0) {
         mergeClauses(dels, target, keys,
           matched = Seq(WhenMatched.Delete(None)), notMatched = Nil)
         ()
       }
-      if (!ups.isEmpty) { merge(ups, target, keys); () }
+      if (nUps > 0) { merge(ups, target, keys); () }
     }
   }
 
@@ -3739,7 +3755,6 @@ object Versioned {
         spark.sparkContext.parallelize(rows, 1),
         StructType.fromDDL(
           "version INT, n_rows BIGINT, sum_doc_id BIGINT, sum_chars BIGINT"))
-        .orderBy(col("version"))
     } finally deleteRecursively(Paths.get(tmp))
   }
 
@@ -3774,7 +3789,6 @@ object Versioned {
         spark.sparkContext.parallelize(rows, 1),
         StructType.fromDDL(
           "version INT, n_rows BIGINT, sum_doc_id BIGINT, sum_chars BIGINT"))
-        .orderBy(col("version"))
     } finally deleteRecursively(Paths.get(tmp))
   }
 
@@ -3802,7 +3816,6 @@ object Versioned {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         StructType.fromDDL("version INT, n_rows BIGINT, sum_chars BIGINT"))
-        .orderBy(col("version"))
     } finally deleteRecursively(Paths.get(tmp))
   }
 
@@ -3836,7 +3849,6 @@ object Versioned {
         StructType.fromDDL(
           "commit_version INT, change_type STRING, n_rows BIGINT, " +
             "sum_doc_id BIGINT, sum_chars BIGINT"))
-        .orderBy(col("commit_version"), col("change_type"))
     } finally deleteRecursively(Paths.get(tmp))
   }
 
@@ -3907,7 +3919,6 @@ object Versioned {
         spark.sparkContext.parallelize(steps, 1),
         StructType.fromDDL("step INT, n_rows BIGINT, sum_n BIGINT, " +
           "sum_x4 BIGINT, n_is_long INT"))
-        .orderBy(col("step"))
     } finally deleteRecursively(Paths.get(tmp))
   }
 
@@ -3947,7 +3958,6 @@ object Versioned {
         spark.sparkContext.parallelize(steps, 1),
         StructType.fromDDL("step INT, n_rows BIGINT, " +
           "sum_doc_id BIGINT, sum_chars BIGINT"))
-        .orderBy(col("step"))
     } finally {
       deleteRecursively(Paths.get(src))
       deleteRecursively(Paths.get(dst))
@@ -4023,7 +4033,6 @@ object Versioned {
           spark.sparkContext.parallelize(steps, 1),
           StructType.fromDDL("step INT, n_rows BIGINT, sum_c BIGINT, " +
             "tag_count BIGINT"))
-          .orderBy(col("step"))
       } finally deleteRecursively(Paths.get(tmp2))
     } finally deleteRecursively(Paths.get(tmp))
   }
@@ -4103,7 +4112,6 @@ object Versioned {
         spark.sparkContext.parallelize(rows, 1),
         StructType.fromDDL(
           "step INT, n_rows BIGINT, sum_doc_id BIGINT, sum_chars BIGINT"))
-        .orderBy(col("step"))
     } finally deleteRecursively(tmp)
   }
 
@@ -4216,7 +4224,6 @@ object Versioned {
         spark.sparkContext.parallelize(states ++ cdf, 1),
         StructType.fromDDL("step INT, kind STRING, n_rows BIGINT, " +
           "sum_bucket BIGINT, sum_chars BIGINT"))
-        .orderBy(col("step"), col("kind"))
     } finally deleteRecursively(Paths.get(tmp))
   }
 
@@ -4255,7 +4262,6 @@ object Versioned {
         spark.sparkContext.parallelize(rows, 1),
         StructType.fromDDL(
           "step INT, n_rows BIGINT, sum_doc_id BIGINT, sum_chars BIGINT"))
-        .orderBy(col("step"))
     } finally deleteRecursively(Paths.get(tmp))
   }
 
@@ -4311,7 +4317,6 @@ object Versioned {
           spark.sparkContext.parallelize(states ++ cdf, 1),
           StructType.fromDDL("step INT, kind STRING, n_rows BIGINT, " +
             "sum_doc_id BIGINT, sum_chars BIGINT"))
-          .orderBy(col("step"), col("kind"))
       } finally spark.sql("DROP TABLE IF EXISTS v9_sql_merge_tbl")
     } finally deleteRecursively(Paths.get(tmp))
   }
@@ -4374,7 +4379,6 @@ object Versioned {
           spark.sparkContext.parallelize(states, 1),
           StructType.fromDDL(
             "step INT, n_rows BIGINT, sum_doc_id BIGINT, sum_chars BIGINT"))
-          .orderBy(col("step"))
       } finally spark.sql("DROP TABLE IF EXISTS v10_create_tbl")
     } finally {
       deleteRecursively(Paths.get(tmp))
@@ -4428,7 +4432,6 @@ object Versioned {
         spark.sparkContext.parallelize(steps, 1),
         StructType.fromDDL("step INT, n_rows BIGINT, " +
           "sum_doc_id BIGINT, sum_chars BIGINT, dv_present BIGINT"))
-        .orderBy(col("step"))
     } finally {
       prior match {
         case Some(v) => spark.conf.set("spark.graft.dv.enabled", v)
@@ -4514,7 +4517,6 @@ object Versioned {
         spark.sparkContext.parallelize(steps, 1),
         StructType.fromDDL("step INT, n_rows BIGINT, " +
           "sum_doc_id BIGINT, sum_chars BIGINT, bloom_pin BIGINT"))
-        .orderBy(col("step"))
     } finally {
       priorCols match {
         case Some(v) => spark.conf.set(BloomFilters.ColumnsConf, v)
@@ -4570,7 +4572,6 @@ object Versioned {
         spark.sparkContext.parallelize(steps, 1),
         StructType.fromDDL("step INT, n_rows BIGINT, " +
           "sum_doc_id BIGINT, sum_chars BIGINT, pin BIGINT"))
-        .orderBy(col("step"))
     } finally deleteRecursively(Paths.get(tmp))
   }
 

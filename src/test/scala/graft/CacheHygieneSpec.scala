@@ -57,6 +57,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "c1_kmeans_summary", // Lloyd iterations for the cluster centroids
     "d10_semdedup",     // Lloyd iterations for the SemDeDup quantizer
     "d12_bloom_dedup",  // Bloom filter build over the corpus windows
+    "mm2_image_phash",  // (id, pHash) signature table pinned at build
+                        // so the JPEG decode pass runs once (r16)
     "d14_incremental_minhash", // history signature table materialized at build
     "j10_skew_join",    // bounded top-k hot-key detection pass at build
     "m7_curation",      // staged curation runner (per-stage counts)

@@ -307,7 +307,7 @@ class MinHashSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     graft.operators.SessionTable.invalidate()
     val viaStore = queries.DedupOps.d14IncrementalMinhash(spark, sf)
-      .collect().toSeq
+      .collect().toSeq.sortBy(_.getLong(0)) // query output is unordered (r16)
 
     // fresh history signatures, bypassing the store entirely
     val docs = Tables(spark, sf, "documents")

@@ -427,6 +427,7 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val out = queries.TextOps.lmXentOf(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(_._1) // query output is unordered (r16)
     def q(p: Double) = math.rint(math.log(p) * 1e6) / 1e6 // micro-nat quantized
     assert(out === Seq(
       (1L, 1L, math.rint(-q(2.0 / 3) * 1e6) / 1e6),
@@ -526,6 +527,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("sequence packing: contiguous full chunks, token conservation, single carry-in (p1)") {
     val out = queries.PackOps.p1PackSequences(spark, sf).collect()
+      .sortBy(_.getLong(0)) // query output is unordered (r16)
     assert(out.nonEmpty)
     // chunk ids are contiguous from 0
     assert(out.map(_.getLong(0)).toSeq === (0L until out.length).toSeq)
@@ -1192,10 +1194,10 @@ class OperatorsSpec extends AnyFunSuite {
     }.zipWithIndex.map { case ((s, t), id) => (id.toLong, s, t) }
       .toDF("doc_id", "source", "text")
     val multi = DedupOps.heavyHittersOf(docs, 10000L).collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val single = DedupOps.heavyHittersOf(
       docs.withColumn("source", lit("all")), 10000L).collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     assert(multi.toSeq === single.toSeq)
     // N=360, φN=3.6 → w_i (count 3i) is a hitter iff i ≥ 2
     assert(multi.map(_._1).toSet === (2 to 15).map(i => s"w$i").toSet)
