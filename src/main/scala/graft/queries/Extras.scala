@@ -508,7 +508,17 @@ object Extras {
     * engines (one correctly-rounded double op), clipped sums ride
     * the decimal-cast discipline. */
   def a10Winsorize(s: SparkSession, dir: String): DataFrame = {
+    // ONE corpus pass for both aggregates (round 16): the fences
+    // percentile and the clip/audit aggregate each re-scanned lineitem
+    // before; projecting the two needed columns and repartitioning on
+    // the high-cardinality order key gives both consumers the SAME
+    // exchange (runtime-reused), spreads the percentile partials and
+    // the decimal sums across cores (the fixture scan is 3 splits),
+    // and shuffles 17 bytes/row instead of re-reading the table.
     val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
+      .repartition(col("l_orderkey"))
+      .select(col("l_returnflag"), col("l_extendedprice"))
     val fences = li.groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_extendedprice, 0.01)"), 6).as("lo"),
