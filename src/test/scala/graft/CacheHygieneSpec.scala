@@ -59,6 +59,10 @@ class CacheHygieneSpec extends AnyFunSuite {
     "d12_bloom_dedup",  // Bloom filter build over the corpus windows
     "mm2_image_phash",  // (id, pHash) signature table pinned at build
                         // so the JPEG decode pass runs once (r16)
+    "d3_hamming_pairs", // simhash signature table pinned at build so
+                        // the md5-per-token pass runs once (r16)
+    "d4_neardup_pairs", // k=72 minhash signature table pinned at
+                        // build — same discipline (r16)
     "d14_incremental_minhash", // history signature table materialized at build
     "j10_skew_join",    // bounded top-k hot-key detection pass at build
     "m7_curation",      // staged curation runner (per-stage counts)
