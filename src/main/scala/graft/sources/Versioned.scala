@@ -2472,8 +2472,6 @@ object Versioned {
     val updateOuts: Map[Int, DataFrame] = matched.zipWithIndex.collect {
       case (WhenMatched.Update(_, set), i) => i -> updateOut(i, set)
     }.toMap
-    val updatedRows = updateOuts.values
-      .reduceOption(_.unionByName(_)).getOrElse(none)
     val keptFired = existing.join(firedUnion, keys, "left_anti")
     // notMatchedBySource chain: over target rows with NO source match
     // (conditions/SETs are target-row-local → ONE projection); rows no
@@ -2503,8 +2501,10 @@ object Versioned {
                   .as(c)): _*)
           }.toMap
         val unchanged = withIdx.where(col(NmbsIdx) === -1).drop(NmbsIdx)
-        val kept = (Seq(matchedKept, unchanged) ++ outs.values)
-          .reduce(_.unionByName(_))
+        // outs (the NMBS post-images) are NOT unioned here any more:
+        // they are change-set rows, which the pinned changeSet below
+        // evaluates once and the data write reads back by tag
+        val kept = Seq(matchedKept, unchanged).reduce(_.unionByName(_))
         (kept, outs, claimed _)
       }
     // notMatched chain: conditions are source-row-local, so the
@@ -2542,22 +2542,20 @@ object Versioned {
       .map(_.toLong).getOrElse(1L << 20)
     val outFiles = math.max(math.max(1, touched.size),
       math.min(4096L, (nTotal + targetFileRows - 1) / targetFileRows).toInt)
-    writeData(keptExisting.unionByName(updatedRows)
-      .unionByName(insertedRows)
-      .coalesce(outFiles), s"$path/$dataRel",
-      base.partitionCols, base.colMap)
-    val added = listParquet(dataPath(path, commitId))
-      .map(f => s"$dataRel/$f")
-    val files = untouched.map(_._1) ++ added
-    val mergedStats = base.stats.view
-      .filterKeys(untouched.map(_._1).toSet).toMap ++
-      statsForFiles(spark, path, added, base.partitionCols, schema, base.colMap)
-    // row-level CDF: persist this commit's change set beside the
-    // rewritten files — update clauses emit pre/post images, delete
-    // clauses emit deletes, inserts emit inserts. Touched files are
-    // COMPLETE for matched detection (see the class doc). Like the
-    // data files, the change parquet is invisible until the manifest
-    // publishes.
+    // row-level CDF: this commit's change set — update clauses emit
+    // pre/post images, delete clauses emit deletes, inserts emit
+    // inserts. Touched files are COMPLETE for matched detection (see
+    // the class doc). Evaluated ONCE (round 16): the CDF write
+    // previously re-executed every pair/semi join and RE-READ the
+    // touched files a second full time after the data rewrite — at
+    // scale that is a whole extra pass over the touched bytes per
+    // merge, and at bench scale it was ~6 redundant broadcast-build
+    // jobs per commit. The change set is source-bounded (≤ matched +
+    // inserted rows, never kept rows), so an eager localCheckpoint
+    // pins it cheaply; the data write reads the post-images/inserts
+    // back out of the pin by tag and the CDF write persists the pin
+    // as-is. Like the data files, the change parquet is invisible
+    // until the manifest publishes.
     val chgPieces: Seq[DataFrame] = matched.zipWithIndex.map {
       case (WhenMatched.Update(_, _), i) =>
         preimages(i).withColumn("_change_type", lit("update_preimage"))
@@ -2577,8 +2575,19 @@ object Versioned {
       case (WhenMatched.Ignore, _) =>
         none.withColumn("_change_type", lit("insert"))
     } :+ insertedRows.withColumn("_change_type", lit("insert"))
-    val changeRel = writeChanges(
-      chgPieces.reduce(_.unionByName(_)), path, commitId, base.colMap)
+    val changeSet = chgPieces.reduce(_.unionByName(_)).localCheckpoint()
+    writeData(keptExisting
+      .unionByName(changeSet.where(col("_change_type")
+        .isin("update_postimage", "insert")).drop("_change_type"))
+      .coalesce(outFiles), s"$path/$dataRel",
+      base.partitionCols, base.colMap)
+    val added = listParquet(dataPath(path, commitId))
+      .map(f => s"$dataRel/$f")
+    val files = untouched.map(_._1) ++ added
+    val mergedStats = base.stats.view
+      .filterKeys(untouched.map(_._1).toSet).toMap ++
+      statsForFiles(spark, path, added, base.partitionCols, schema, base.colMap)
+    val changeRel = writeChanges(changeSet, path, commitId, base.colMap)
     // a notMatchedBySource merge's footprint is the whole table —
     // empty bounds prove nothing, so ANY interloping append aborts
     publishCow(path, "merge", base, files, mergedStats,
