@@ -489,16 +489,24 @@ object MaterialsOps {
     val firsts = asg.groupBy(col("seed_uuid"), col("n"), col("assignment"))
       .agg(min(col("draw")).as("first_draw"))
     val w2 = Window.partitionBy(col("seed_uuid")).orderBy(col("first_draw"))
+    // cfgs/cfgAtoms are PINNED once (round 16): the four downstream
+    // branches (sub, vacancy sites+pairs, strain grid) each re-ran
+    // the substitution window/agg chain — ReuseExchange misses across
+    // the branches' differing projections. Both pins are tiny
+    // (8 configs per seed × atoms). Eager-by-nature in
+    // CacheHygieneSpec.
     val cfgs = firsts.withColumn("pick", row_number().over(w2))
       .where(col("pick") <= 8)
       .select(md5(concat_ws(":", lit("sub"), col("seed_uuid"),
         col("assignment"))).as("cfg_uuid"),
         col("seed_uuid"), col("assignment"))
+      .localCheckpoint()
     val cfgAtoms = cfgs.join(atoms, "seed_uuid")
       .select(col("cfg_uuid"), col("atom_idx"),
         element_at(split(col("assignment"), ","),
           (col("atom_idx") + 1).cast("int")).as("element"),
         col("x"), col("y"), col("z"), col("n"))
+      .localCheckpoint()
     // stage 2a: the config itself
     val subBranch = cfgAtoms.select(col("cfg_uuid").as("uuid"),
       lit("sub").as("config_type"), col("n").as("n_at"),

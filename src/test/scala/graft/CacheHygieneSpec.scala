@@ -63,6 +63,8 @@ class CacheHygieneSpec extends AnyFunSuite {
                         // the md5-per-token pass runs once (r16)
     "d4_neardup_pairs", // k=72 minhash signature table pinned at
                         // build — same discipline (r16)
+    "m6_materials_e2e", // cfgs/cfgAtoms pinned at build — four
+                        // branches re-ran the substitution chain (r16)
     "d14_incremental_minhash", // history signature table materialized at build
     "j10_skew_join",    // bounded top-k hot-key detection pass at build
     "m7_curation",      // staged curation runner (per-stage counts)
