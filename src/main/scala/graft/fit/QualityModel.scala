@@ -241,7 +241,14 @@ object QualityModel {
     * a9_quantiles/a9_quantiles_gk. */
   def logisticDetOf(docs: DataFrame, iters: Int = LogisticIters,
       k: Long = LogisticK): DataFrame = {
-    val binned = binnedFeatures(docs).persist()
+    // eager localCheckpoint, not persist (round 16): the old
+    // persist/unpersist pair released the cache BEFORE the returned
+    // scoring plan executed, so the caller's action recomputed the
+    // whole binned-features pass (tokenize + four bin columns) from
+    // parquet after 12 GD iterations had already paid to cache it.
+    // A checkpoint pins the 5-long-per-doc table for the iterations
+    // AND the final scan; blocks are GC-managed (cache-hygiene rule 3).
+    val binned = binnedFeatures(docs).localCheckpoint()
     val train = binned.where(pmod(col("doc_id"), lit(5)) =!= 0)
     val feats = Seq("b_ntok", "b_avg_len", "b_stop", "b_distinct")
     def zOf(w: Array[Long]): org.apache.spark.sql.Column =
@@ -268,13 +275,11 @@ object QualityModel {
       }
     }
     val z = zOf(w)
-    val out = binned.select(col("doc_id"), col("label"),
+    binned.select(col("doc_id"), col("label"),
       when(z > 0L, lit(1L)).otherwise(lit(0L)).as("prediction"),
       z.as("margin_micro"))
       .withColumn("correct", col("label") === col("prediction"))
       .orderBy(col("doc_id"))
-    binned.unpersist()
-    out
   }
 
   def m10LogisticDet(s: SparkSession, dir: String): DataFrame =
