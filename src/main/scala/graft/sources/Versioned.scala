@@ -2411,68 +2411,112 @@ object Versioned {
     def condOf(c: Option[Column]): Column = c.getOrElse(lit(true))
     val none = src.limit(0)
     val existingKeys = existing.select(keyCols: _*)
-    /** Keys of matched (target, source) pairs whose matched-clause
-      * condition FIRES. A condition referencing `target.…` evaluates
-      * on the aliased pair join; a source-only condition evaluates on
-      * the aliased source alone (cheaper — no pair join) and then
-      * restricts to matched keys. */
-    def firedMatchedKeys(c: Option[Column]): DataFrame =
-      if (c.exists(cond => org.apache.spark.sql.graftx.ColumnExpr
-          .referencesQualifier(cond, "target"))) {
-        val joinCond = keys.map(k =>
-          col(s"target.$k") === col(s"source.$k")).reduce(_ && _)
-        existing.alias("target").join(src.alias("source"), joinCond)
-          .where(condOf(c))
-          .select(keys.map(k => col(s"source.$k").as(k)): _*)
-      } else src.alias("source").where(condOf(c))
-        .select(keyCols: _*).join(existingKeys, keys, "left_semi")
-    // first-match-wins: clause i exclusively claims the fired keys no
-    // EARLIER clause fired on (source keys are unique, so the fired
-    // frames are key-sets)
-    val firedAll: Seq[DataFrame] = matched.map(c => firedMatchedKeys(mCondOf(c)))
-    val firedExcl: Seq[DataFrame] = firedAll.zipWithIndex.map { case (f, i) =>
-      firedAll.take(i).foldLeft(f)((d, e) => d.join(e, keys, "left_anti"))
+    /** ONE pair join for the whole matched side (round 16). The old
+      * shape ran a join per clause per consumer — k firedMatchedKeys
+      * joins, k exclusion anti-joins, a pair join per update clause,
+      * a semi join per preimage, and the kept anti-join — each a full
+      * pass over the touched files (~2k+4 passes for a k-clause
+      * merge, and a broadcast-build job per join). Now: (1) `claims`
+      * evaluates EVERY clause condition in one inner pair join and
+      * reduces to the key-level first-match-wins winner; (2) `paired`
+      * is one left-outer join of the touched rows against the source
+      * and the (source-bounded) claims table, from which the change
+      * set, the kept rows and the NMBS chain all project. Two passes
+      * over touched bytes per action instead of ~2k+4.
+      *
+      * First-match-wins is KEY-level (source keys are unique): clause
+      * i claims key k iff SOME (target-copy, source) pair of k fires
+      * cond_i and no earlier clause fires on any pair of k. Per-pair
+      * `rowFirst` = first clause that pair fires; min over the key's
+      * pairs = first clause ANY pair fires — exactly the old
+      * firedExcl semantics (duplicate-key target copies all follow
+      * the key's winning clause, round-13 discipline). */
+    val pairCond = keys.map(k =>
+      col(s"target.$k") === col(s"source.$k")).reduce(_ && _)
+    // bare attribute refs in a matched condition resolved against the
+    // SOURCE side (the old single-sided firedMatchedKeys contract);
+    // target.x / source.x qualified refs pass through
+    val rowFirst = matched.zipWithIndex.foldRight(lit(-1)) {
+      case ((c, i), acc) => when(condOf(mCondOf(c).map(
+        org.apache.spark.sql.graftx.ColumnExpr.qualifyBare(_, "source"))),
+        lit(i)).otherwise(acc)
     }
-    val firedUnion = firedAll.reduceOption(_.unionByName(_))
-      .getOrElse(none.select(keyCols: _*))
-    // matched target rows clause i touches (its CDF pre-images)
-    def preimages(i: Int): DataFrame =
-      existing.join(firedExcl(i), keys, "left_semi")
-    /** Post-image rows of update clause i, evaluated over the
-      * `target`/`source` pair join: the whole source row when `set` is
-      * empty, else the TARGET row with the set columns replaced. BOTH
-      * forms rewrite EACH matched target copy (round 13, ADVICE r12:
-      * the whole-row form previously semi-joined the source, which
-      * COLLAPSED duplicate-key target copies into one output row —
-      * Delta updates every matched copy and preserves row count, and
-      * the CDF preimage/postimage counts must agree). Every output
-      * column is CAST to its table type (round 13, ADVICE r12 high:
-      * an uncast `SET v = v / 2` on a BIGINT column published
-      * DOUBLE-typed parquet under a manifest DDL still saying BIGINT
-      * — every later `spark.read.schema` of the live version failed
-      * with a parquet type-convert error until RESTORE; Delta applies
-      * store-assignment casts at exactly this seam). */
-    def updateOut(i: Int, set: Map[String, Column]): DataFrame = {
-      val joinCond = keys.map(k =>
-        col(s"target.$k") === col(s"source.$k")).reduce(_ && _)
-      val firedK = firedExcl(i)
-        .select(keys.map(k => col(k).as(s"__graft_fk_$k")): _*)
-      val proj = tableCols.map { c =>
-        val e =
-          if (set.isEmpty) col(s"source.$c")
-          else set.getOrElse(c, col(s"target.$c"))
-        e.cast(schema(c).dataType).as(c)
+    val Claim = "__graft_claim"
+    val claims: DataFrame =
+      if (matched.isEmpty)
+        none.select(keyCols: _*).withColumn(Claim, lit(-1))
+      else existing.alias("target").join(src.alias("source"), pairCond)
+        .select(keys.map(k => col(s"source.$k").as(k))
+          :+ rowFirst.as("__graft_rf"): _*)
+        .where(col("__graft_rf") >= 0)
+        .groupBy(keyCols: _*)
+        .agg(min(col("__graft_rf")).as(Claim))
+    val claimsR = claims.select(
+      keys.map(k => col(k).as(s"__graft_ck_$k")) :+ col(Claim): _*)
+    val SrcP = "__graft_src_present"
+    /** Touched rows × their matched source row × the key's claim:
+      * matched rows carry [[SrcP]] = 1; rows of unclaimed keys (and
+      * unmatched target rows) carry a null [[Claim]]. */
+    val paired = existing.alias("target")
+      .join(src.withColumn(SrcP, lit(1)).alias("source"), pairCond,
+        "left_outer")
+      .join(claimsR, keys.map(k =>
+        col(s"target.$k") === col(s"__graft_ck_$k")).reduce(_ && _),
+        "left_outer")
+    /** Post-image projection of an update clause: the whole source
+      * row when `set` is empty, else the TARGET row with the set
+      * columns replaced. BOTH forms rewrite EACH matched target copy
+      * (round 13, ADVICE r12: the whole-row form previously
+      * semi-joined the source, which COLLAPSED duplicate-key target
+      * copies into one output row — Delta updates every matched copy
+      * and preserves row count, and the CDF preimage/postimage counts
+      * must agree). Every output column is CAST to its table type
+      * (round 13, ADVICE r12 high: an uncast `SET v = v / 2` on a
+      * BIGINT column published DOUBLE-typed parquet under a manifest
+      * DDL still saying BIGINT — every later `spark.read.schema` of
+      * the live version failed with a parquet type-convert error
+      * until RESTORE; Delta applies store-assignment casts at exactly
+      * this seam). */
+    def postProj(set: Map[String, Column]): Seq[Column] = tableCols.map { c =>
+      val e =
+        if (set.isEmpty) col(s"source.$c")
+        else set.getOrElse(c, col(s"target.$c"))
+      e.cast(schema(c).dataType).as(c)
+    }
+    val preProj: Seq[Column] = tableCols.map(c =>
+      col(s"target.$c").cast(schema(c).dataType).as(c))
+    val CT = "_change_type"
+    def ev(proj: Seq[Column], ct: String): Column =
+      struct(proj :+ lit(ct).as(CT): _*)
+    /** Matched-side change rows in ONE pass over [[paired]]: each
+      * claimed row emits its pre-image (and, for update clauses, its
+      * post-image) through an array-explode — no per-clause join, no
+      * second evaluation for the post-image. */
+    val matchedChanges: DataFrame = {
+      val branches: Seq[(Column, Column)] = matched.zipWithIndex.collect {
+        case (WhenMatched.Update(_, set), i) =>
+          (col(Claim) === i, array(ev(preProj, "update_preimage"),
+            ev(postProj(set), "update_postimage")))
+        case (WhenMatched.Delete(_), i) =>
+          (col(Claim) === i, array(ev(preProj, "delete")))
       }
-      existing.alias("target").join(src.alias("source"), joinCond)
-        .join(firedK, keys.map(k =>
-          col(s"source.$k") === col(s"__graft_fk_$k")).reduce(_ && _),
-          "left_semi")
-        .select(proj: _*)
+      if (branches.isEmpty) none.withColumn(CT, lit("insert")).limit(0)
+      else {
+        val emit = branches.tail.foldLeft(
+          when(branches.head._1, branches.head._2)) {
+          case (acc, (c, v)) => acc.when(c, v)
+        } // no otherwise: a claim-less row yields null, explode drops it
+        paired.where(col(Claim).isNotNull)
+          .select(explode(emit).as("__graft_e"))
+          .select(col("__graft_e.*"))
+      }
     }
-    val updateOuts: Map[Int, DataFrame] = matched.zipWithIndex.collect {
-      case (WhenMatched.Update(_, set), i) => i -> updateOut(i, set)
-    }.toMap
-    val keptFired = existing.join(firedUnion, keys, "left_anti")
+    /** Target rows no matched clause claimed, projected back to table
+      * columns — the old `keptFired` (matched-but-unclaimed rows AND
+      * source-unmatched rows), read off [[paired]] instead of a
+      * separate anti-join pass. Carries [[SrcP]] for the NMBS split. */
+    val keptFired = paired.where(col(Claim).isNull)
+      .select(tableCols.map(c => col(s"target.$c").as(c)) :+ col(SrcP): _*)
     // notMatchedBySource chain: over target rows with NO source match
     // (conditions/SETs are target-row-local → ONE projection); rows no
     // clause claims stay unchanged
@@ -2480,11 +2524,10 @@ object Versioned {
     val (keptExisting, nmbsUpdateOuts, nmbsPre):
         (DataFrame, Map[Int, DataFrame], Int => DataFrame) =
       if (notMatchedBySource.isEmpty)
-        (keptFired, Map.empty, _ => none)
+        (keptFired.drop(SrcP), Map.empty, _ => none)
       else {
-        val srcKeysDf = src.select(keyCols: _*)
-        val matchedKept = keptFired.join(srcKeysDf, keys, "left_semi")
-        val unmatchedTgt = keptFired.join(srcKeysDf, keys, "left_anti")
+        val matchedKept = keptFired.where(col(SrcP) === 1).drop(SrcP)
+        val unmatchedTgt = keptFired.where(col(SrcP).isNull).drop(SrcP)
         val idxCol = notMatchedBySource.zipWithIndex.foldRight(lit(-1)) {
           case ((c, i), acc) => when(condOf(mCondOf(c)), lit(i))
             .otherwise(acc)
@@ -2556,25 +2599,17 @@ object Versioned {
     // back out of the pin by tag and the CDF write persists the pin
     // as-is. Like the data files, the change parquet is invisible
     // until the manifest publishes.
-    val chgPieces: Seq[DataFrame] = matched.zipWithIndex.map {
-      case (WhenMatched.Update(_, _), i) =>
-        preimages(i).withColumn("_change_type", lit("update_preimage"))
-          .unionByName(updateOuts(i)
-            .withColumn("_change_type", lit("update_postimage")))
-      case (WhenMatched.Delete(_), i) =>
-        preimages(i).withColumn("_change_type", lit("delete"))
-      case (WhenMatched.Ignore, _) =>
-        none.withColumn("_change_type", lit("insert"))
-    } ++ notMatchedBySource.zipWithIndex.map {
-      case (WhenMatched.Update(_, _), i) =>
-        nmbsPre(i).withColumn("_change_type", lit("update_preimage"))
-          .unionByName(nmbsUpdateOuts(i)
-            .withColumn("_change_type", lit("update_postimage")))
-      case (WhenMatched.Delete(_), i) =>
-        nmbsPre(i).withColumn("_change_type", lit("delete"))
-      case (WhenMatched.Ignore, _) =>
-        none.withColumn("_change_type", lit("insert"))
-    } :+ insertedRows.withColumn("_change_type", lit("insert"))
+    val chgPieces: Seq[DataFrame] = matchedChanges +:
+      (notMatchedBySource.zipWithIndex.map {
+        case (WhenMatched.Update(_, _), i) =>
+          nmbsPre(i).withColumn(CT, lit("update_preimage"))
+            .unionByName(nmbsUpdateOuts(i)
+              .withColumn(CT, lit("update_postimage")))
+        case (WhenMatched.Delete(_), i) =>
+          nmbsPre(i).withColumn(CT, lit("delete"))
+        case (WhenMatched.Ignore, _) =>
+          none.withColumn(CT, lit("insert"))
+      } :+ insertedRows.withColumn(CT, lit("insert")))
     val changeSet = chgPieces.reduce(_.unionByName(_)).localCheckpoint()
     writeData(keptExisting
       .unionByName(changeSet.where(col("_change_type")

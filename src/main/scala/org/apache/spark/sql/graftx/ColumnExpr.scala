@@ -40,6 +40,29 @@ object ColumnExpr {
     walk(nodeOf(c))
   }
 
+  /** Qualify every BARE attribute reference with `qualifier` (round
+    * 16, one-join merge): a clause condition written against plain
+    * source column names must evaluate over the two-sided
+    * target/source pair join exactly as it evaluated over the aliased
+    * single-sided source frame in the per-clause-join design —
+    * without the rewrite, plain names are AMBIGUOUS over the join.
+    * Already-qualified references (`target.x`, `source.x`) pass
+    * through untouched. */
+  def qualifyBare(c: Column, qualifier: String): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    // ExpressionUtils.expression wraps the ColumnNode LAZILY
+    // (ColumnNodeExpression is a leaf to transformUp) — convert
+    // eagerly through the classic converter so the catalyst tree is
+    // walkable, then rewrite the bare references.
+    val in = org.apache.spark.sql.classic.ColumnNodeToExpressionConverter
+      .apply(c.node)
+    val out = in.transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+          UnresolvedAttribute(qualifier +: a.nameParts)
+      }
+    org.apache.spark.sql.classic.ExpressionUtils.column(out)
+  }
+
   private def conv(n: org.apache.spark.sql.internal.ColumnNode): Node =
     n match {
       case f: org.apache.spark.sql.internal.UnresolvedFunction =>
