@@ -92,6 +92,21 @@ object Bench {
   private[graft] def benchBaseline(sfName: String): Map[String, Double] =
     benchBaselineBoth(sfName).map { case (k, (_, w)) => k -> w }
 
+  /** Core count the committed artifact was measured at (round 17,
+    * VERDICT r16 #1: the driver's 8-core scaling leg refreshed the
+    * default artifact, so round-17 drift/contention gates would have
+    * adjudicated 32-core runs against an 8-core basis). None when the
+    * artifact predates the field or is unreadable. */
+  private[graft] def priorCpus(sfName: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(s"bench/bench_$sfName.json")
+    if (!java.nio.file.Files.isReadable(p)) return None
+    val re = """"cpus":\s*([0-9]+)""".r
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      re.findFirstMatchIn(text).map(_.group(1).toInt)
+    } catch { case _: Throwable => None }
+  }
+
   /** Stable hash of a query's PHYSICAL plan SHAPE (round 14, VERDICT
     * r13 #9): the operator tree's node names only — no expression
     * ids, no literals, no paths — so the hash moves exactly when the
@@ -148,18 +163,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions",
       "org.apache.spark.sql.graftx.GraftExtensions")
-      // AQE's post-shuffle coalescing sizes partitions by BYTES; this
-      // engine's hot stages (explode fan-outs, per-token md5/log,
-      // decode kernels) are CPU-dense at tiny byte volumes, so the
-      // default 1 MB floor collapsed them to 1–2 tasks and serialized
-      // whole stages on an idle machine (round 16, measured: s5's
-      // (query,doc) aggregate ran 3.0 s of CPU in 2 tasks; at 64k the
-      // same stage spread to 29 tasks, 0.43 s wall). 64k only changes
-      // how SMALL shuffles spread — byte-bound stages past the
-      // advisory size are untouched at any scale. Env-overridable for
-      // A/B and for deployments whose work-per-byte is flat.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // The 64k AQE coalesce floor moved into the engine's session
+      // defaults (GraftExtensions.applySessionDefaults, round 17) so
+      // the library ships what the bench measures; still
+      // SPARK_GRAFT_MIN_PARTITION_SIZE-overridable there.
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR") // nothing may print after the JSON line
 
@@ -229,6 +236,16 @@ object Bench {
     }
     def pass(captureShape: Boolean = false): Seq[(String, Double)] =
       names.map(n => n -> time1(n, captureShape))
+    // Cross-cpus guard (round 17, VERDICT r16 #1): every committed-
+    // artifact comparison below (spike guard, contention verdict,
+    // drift adjudication, refresh gate) is meaningless across core
+    // counts — the r16 driver's 8-core scaling leg refreshed the
+    // committed artifact and would have adjudicated this round's
+    // 32-core runs against an 8-core basis. On mismatch the basis
+    // disarms (as on a first run) and the artifact write is keyed
+    // by core count instead of clobbering the committed one.
+    val sfNameEarly = new java.io.File(sfDir).getName
+    val cpusMismatch = priorCpus(sfNameEarly).exists(_ != cpus.toInt)
     val cold = pass()
     val warm0 = pass(captureShape = true)
 
@@ -248,7 +265,7 @@ object Bench {
     // silently become the new baseline.
     val coldMap = cold.toMap
     val baselineWarm: Map[String, Double] =
-      benchBaseline(new java.io.File(sfDir).getName)
+      if (cpusMismatch) Map.empty else benchBaseline(sfNameEarly)
     val spikedVsCold = warm0.collect {
       case (n, w) if !failed(n) && w > math.max(1.5, 2.5 * coldMap(n)) => n
     }
@@ -284,8 +301,9 @@ object Bench {
     // where heavy queries crash would otherwise report deflated totals
     // that both pass the keep-gate and read as uncontended — a crashing
     // run must never adjudicate performance or become the baseline.
-    val sfNameEarly = new java.io.File(sfDir).getName
-    val prior = benchBaselineBoth(sfNameEarly)
+    val prior =
+      if (cpusMismatch) Map.empty[String, (Double, Double)]
+      else benchBaselineBoth(sfNameEarly)
     val common = names.filter(n => prior.contains(n) && !failed(n))
     val basisOk = failed.isEmpty && prior.nonEmpty &&
       common.size >= (0.9 * prior.size)
@@ -326,7 +344,8 @@ object Bench {
     // automatically: their raw deltas were inside 1.5× once divided
     // by the calibration shift). Sub-0.5 s queries are exempt — at
     // that size scheduler jitter dominates and the flag would flood.
-    val priorCalib = priorCalibration(sfNameEarly)
+    val priorCalib =
+      if (cpusMismatch) None else priorCalibration(sfNameEarly)
     // mean of start/end, matching priorCalibration's basis: per-query
     // times are spread across the run, so neither endpoint alone is
     // the right divisor when the canary drifted mid-run
@@ -349,7 +368,9 @@ object Bench {
     // unchanged shape clears the code and indicts the machine/JIT.
     // `plan_shape_changed` lists EVERY mover, time-flagged or not
     // (a shape change that got faster still deserves a PLANS.md look).
-    val prevShapes = priorShapes(sfNameEarly)
+    val prevShapes =
+      if (cpusMismatch) Map.empty[String, String]
+      else priorShapes(sfNameEarly)
     def shapeChanged(n: String): Option[Boolean] =
       for { p <- prevShapes.get(n); c <- shapes.get(n) } yield p != c
     val shapeMoved = names.filter(n => shapeChanged(n).contains(true))
@@ -405,8 +426,21 @@ object Bench {
     // full-surface artifact unless the caller names an output
     // explicitly (the sf0.5x artifact IS a named subset: its dir
     // carries only the documents/embeddings tables)
-    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(if (only.isEmpty) Some(s"bench/bench_$sfName.json") else None)
+    val defaultPath = s"bench/bench_$sfName.json"
+    val benchOut0 = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some(defaultPath) else None)
+    // cpus-mismatch keying (round 17, VERDICT r16 #1): a run at a
+    // different core count than the committed artifact writes
+    // bench_<sf>_c<cpus>.json instead of clobbering the committed
+    // basis (the r16 8-core scaling leg poisoned it).
+    // SPARK_GRAFT_FORCE_REFRESH=1 rebases the default artifact
+    // deliberately (and records the new cpus).
+    val keyedByCpus = cpusMismatch &&
+      !sys.env.get("SPARK_GRAFT_FORCE_REFRESH").contains("1") &&
+      benchOut0.contains(defaultPath)
+    val benchOut =
+      if (keyedByCpus) Some(s"bench/bench_${sfName}_c$cpus.json")
+      else benchOut0
     // Whole-run contention gate (round-8 lesson: the per-query guard's
     // 1.5 s floor let an end-of-round refresh with the double-
     // contention signature — cold_total 302 s vs the committed 175 s —
@@ -417,7 +451,7 @@ object Bench {
     // environment contention, not a regression: keep the committed
     // artifact. Override with SPARK_GRAFT_FORCE_REFRESH=1 (for a real
     // surface-neutral slowdown you intend to record).
-    val isDefaultPath = benchOut.contains(s"bench/bench_$sfName.json")
+    val isDefaultPath = benchOut.contains(defaultPath)
     val gateRejected: Boolean = isDefaultPath && (
       // a run with ANY failed query never replaces the committed
       // artifact — its totals are deflated by elapsed-to-failure
@@ -459,9 +493,24 @@ object Bench {
       if (spiked.isEmpty) "[]" else spiked.map(n => s""""$n"""").mkString("[", ",", "]")
     val failedNote =
       if (failed.isEmpty) "[]" else failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    def lineFor(qnames: Seq[String]): String = {
+    // Flag-list budget (round 17, VERDICT r16 #1b): the stdout line
+    // caps drift_flagged / plan_shape_changed to a count + the worst
+    // 5 names so the per-query map gets the line budget — r16's
+    // 45-entry drift list squeezed the map to 9 of 157 entries and
+    // PERF reported 35 phantom "dropped_from_bench". The complete
+    // lists live in bench/driver_line.json and the full artifact.
+    val artifactNote =
+      if (gateRejected) "kept_contended"
+      else if (keyedByCpus) s"keyed_c$cpus" else "refreshed"
+    def lineFor(qnames: Seq[String], capFlags: Boolean): String = {
       val qs = qnames.map(k => "\"" + k + "\":" + r3(warmMap2(k))).mkString("{", ",", "}")
-      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"calibration_sec":${r3(calibStart)},"calibration_end_sec":${r3(calibEnd)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","artifact":"${if (gateRejected) "kept_contended" else "refreshed"}","contended":${contended.map(_.toString).getOrElse("null")},"contended_cold":${contendedCold.map(_.toString).getOrElse("null")},"drift_flagged":${driftFlagged.map(f => s""""${f._1}"""").mkString("[", ",", "]")},"plan_shape_changed":${shapeMoved.map(n => s""""$n"""").mkString("[", ",", "]")},"drift_calibration_unstable":$calibUnstable,"spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
+      val driftNames =
+        if (capFlags)
+          driftFlagged.sortBy(f => -math.max(f._4, 1.0 / math.max(f._4, 1e-9)))
+            .take(5).map(_._1)
+        else driftFlagged.map(_._1)
+      val shapeNames = if (capFlags) shapeMoved.take(5) else shapeMoved
+      s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"calibration_sec":${r3(calibStart)},"calibration_end_sec":${r3(calibEnd)},"sf":"$sfName","n_queries":${names.size},"full":"bench/driver_line.json","artifact":"$artifactNote","contended":${contended.map(_.toString).getOrElse("null")},"contended_cold":${contendedCold.map(_.toString).getOrElse("null")},"drift_flagged_n":${driftFlagged.size},"drift_flagged":${driftNames.map(n => s""""$n"""").mkString("[", ",", "]")},"plan_shape_changed_n":${shapeMoved.size},"plan_shape_changed":${shapeNames.map(n => s""""$n"""").mkString("[", ",", "]")},"drift_calibration_unstable":$calibUnstable,"spikes_rerun":$spikesNote,"failed":$failedNote,"queries":$qs}"""
     }
     // headline priority: one representative per family, expensive first,
     // then everything else — trimmed from the back until the line fits.
@@ -478,10 +527,11 @@ object Bench {
     val budget = 1600 // 2000-char tail minus sbt's epilogue, with margin
     val keep = (headlinePriority.length to 1 by -1).view
       .map(headlinePriority.take)
-      .find(qn => lineFor(qn).length <= budget)
+      .find(qn => lineFor(qn, capFlags = true).length <= budget)
       .getOrElse(Seq.empty)
-    val line = lineFor(keep)
-    val fullLine = lineFor(names) // complete map for the on-disk mirror
+    val line = lineFor(keep, capFlags = true)
+    // complete map + uncapped flag lists for the on-disk mirror
+    val fullLine = lineFor(names, capFlags = false)
     try {
       val lp = java.nio.file.Paths.get("bench/driver_line.json")
       Option(lp.getParent).foreach(java.nio.file.Files.createDirectories(_))

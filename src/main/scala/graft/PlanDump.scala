@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
 /** Dumps `.explain("formatted")` for every declared query (or a
-  * comma-separated subset in args(1)) to `plans/r16/<name>_<tag>.txt`
+  * comma-separated subset in args(1)) to
+  * `$SPARK_GRAFT_PLAN_DIR/<name>_<tag>.txt` (default `plans/r17`)
   * — the before/after evidence for the optimization round. Usage:
   *   sbt "runMain graft.PlanDump <tag> [q1,q2,...] [sfDir]"
   * Plans only (no execution); session configured exactly like Bench so
@@ -27,7 +28,8 @@ object PlanDump {
         "org.apache.spark.sql.graftx.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val outDir = Paths.get("plans/r16")
+    val outDir = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r17"))
     Files.createDirectories(outDir)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))

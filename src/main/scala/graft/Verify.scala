@@ -14,10 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions",
       "org.apache.spark.sql.graftx.GraftExtensions")
-      // CPU-dense small shuffles spread instead of coalescing to 1–2
-      // tasks (see Bench.scala; results are partitioning-independent)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // the 64k AQE coalesce floor is an engine session default now
+      // (GraftExtensions.applySessionDefaults) — correctness runs
+      // under the same config the bench measures
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -168,8 +168,7 @@ object AbBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions",
         "org.apache.spark.sql.graftx.GraftExtensions")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // 64k AQE floor: engine session default (GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -18,8 +18,10 @@ object ProfileQ {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions",
         "org.apache.spark.sql.graftx.GraftExtensions")
+      // 64k AQE floor: engine session default (GraftExtensions);
+      // GRAFT_MIN_PART kept as this tool's explicit override knob
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("GRAFT_MIN_PART", "1m"))
+        sys.env.getOrElse("GRAFT_MIN_PART", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).selectExpr("sum(id)").collect()

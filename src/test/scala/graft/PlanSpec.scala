@@ -27,6 +27,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("engine session default: 64k AQE coalesce floor ships with GraftExtensions") {
+    // round 17 (VERDICT r16 #2): the floor must come from the ENGINE
+    // (GraftExtensions.applySessionDefaults), not the harness session
+    // builders — library users get what the bench measures.
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val s2 = spark.newSession() // same extensions, fresh session conf
+    s2.range(10).selectExpr("sum(id)").collect() // builds the optimizer
+    assert(s2.conf.get(key) == "64k")
+    // an explicitly-set session conf always wins over the default
+    val s3 = spark.newSession()
+    s3.conf.set(key, "2m")
+    s3.range(10).selectExpr("sum(id)").collect()
+    assert(s3.conf.get(key) == "2m")
+  }
+
   test("projection query prunes columns and pushes the IsNotNull filter") {
     val plan = formatted(queries.Relational.f1Projection(spark, sf))
     assert(plan.contains("PushedFilters: [IsNotNull(l_extendedprice)]"))
