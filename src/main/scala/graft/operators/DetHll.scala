@@ -81,15 +81,46 @@ object DetHll {
       .agg(max(col("rho")).as("mx"))
   }
 
+  /** [[registers]] + per-bucket input-row counts (`__bn`) — the fused
+    * sk1 shape (round 17): every input row lands in exactly one
+    * (key, bucket) group, so `sum(__bn)` at the key level IS the
+    * exact per-key row count and the exact-count twin stops being a
+    * second full scan of the input (guide §1.2: one pass serves both
+    * sides). The extra count rides the SAME partial aggregation —
+    * shuffle volume is unchanged (≤ m rows per key either way). */
+  def registersWithCount(df: DataFrame, keys: Seq[String],
+      tok: Column): DataFrame = {
+    val h = md5(concat(lit("hll:"), tok))
+    df.select(keys.map(col) :+ h.as("hx"): _*)
+      .select(keys.map(col) :+ substring(col("hx"), 1, 3).as("bucket")
+        :+ rhoCol(substring(col("hx"), 4, 13)).as("rho"): _*)
+      .groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("mx"), count(lit(1)).as("__bn"))
+  }
+
   /** Fold a register table to per-key sketch statistics + the
     * deterministic estimate: (keys..., approx long, hll_empty long,
     * hll_sum_q40 long). */
   def estimate(regs: DataFrame, keys: Seq[String],
-      approxName: String): DataFrame = {
+      approxName: String): DataFrame =
+    estimateAgg(regs, keys, approxName, Nil, Nil)
+
+  /** [[estimate]] over a [[registersWithCount]] table, carrying the
+    * exact input-row count as `nName` — sketch and exact count fold
+    * in ONE key-level aggregation over one register pass. */
+  def estimateWithCount(regs: DataFrame, keys: Seq[String],
+      approxName: String, nName: String): DataFrame =
+    estimateAgg(regs, keys, approxName,
+      Seq(sum(col("__bn")).as(nName)), Seq(col(nName)))
+
+  private def estimateAgg(regs: DataFrame, keys: Seq[String],
+      approxName: String, extraAggs: Seq[Column],
+      extraOut: Seq[Column]): DataFrame = {
     val term = expr("shiftleft(1L, int(40 - least(mx, 40)))")
     val st = regs
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("present"), sum(term).as("s_present"))
+      .agg(count(lit(1)).as("present"),
+        (sum(term).as("s_present") +: extraAggs): _*)
       .withColumn("hll_empty", lit(M.toLong) - col("present"))
       .withColumn("hll_sum_q40",
         col("s_present") + col("hll_empty") * lit(Two40))
@@ -104,8 +135,8 @@ object DetHll {
       .cast("long")
     val corrected = when(col("hll_empty") > 0 &&
       raw * 2 <= lit(5L * M), lc).otherwise(raw)
-    st.select(keys.map(col) :+ corrected.as(approxName)
-      :+ col("hll_empty") :+ col("hll_sum_q40"): _*)
+    st.select(keys.map(col) ++ (corrected.as(approxName)
+      +: col("hll_empty") +: col("hll_sum_q40") +: extraOut): _*)
   }
 
   // ------------------------------------------------------------------

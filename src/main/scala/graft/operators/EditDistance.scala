@@ -98,9 +98,22 @@ object EditDistance {
   def selfJoin(docs: DataFrame, idCol: String, sCol: String, k: Int,
       minLen: Int, maxLen: Int,
       maxBucket: Int = graft.operators.MinHash.DefaultMaxBucket): DataFrame = {
+    // (round 17) `bounded` feeds FOUR consumers — the segment index,
+    // the probe fan-out, and both verify sides — so the source scan
+    // (and its full `text` column read upstream of the substring)
+    // re-ran per consumer; the eager localCheckpoint pins the narrow
+    // (id, s) relation once (the d3/d4 signature-table discipline —
+    // a lazy pin still materializes its AQE stages at build, so
+    // eager is honest; d16 joins CacheHygieneSpec's eagerByNature).
+    // The repartition spreads the constant-but-CPU-dense key
+    // explodes (~200 keys/doc) across cores instead of the scan's
+    // split count (the d7 single-split hazard) and is what the pin
+    // snapshots.
     val bounded = docs
       .where(length(col(sCol)).between(minLen, maxLen))
       .select(col(idCol).cast("long").as("id"), col(sCol).as("s"))
+      .repartition(col("id"))
+      .localCheckpoint()
     // segment-bucket skew guard (the d2/d3/d4 band discipline, r9): a
     // corpus of identical strings shares every segment key, making the
     // idx×prb join n² in that bucket — the INDEX side caps at

@@ -137,13 +137,35 @@ object TextPipeline {
     val plan = parse(yaml)
     var docs = Tables(spark, dir, "documents").localCheckpoint(true)
     val counts = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
-    counts += ((0L, "ingest", docs.count()))
+    var lastCount = docs.count()
+    counts += ((0L, "ingest", lastCount))
+    // ROW-PRESERVING projection stages (normalize/redact: per-row
+    // `withColumn("text", …)` rewrites) fuse (round 17, guide §1.2):
+    // their audit count equals the predecessor's by construction, so
+    // they never need a count job, and a RUN of consecutive
+    // projection stages materializes ONCE at its end instead of
+    // paying a full checkpoint of the text column per stage. Shuffle
+    // stages keep the eager per-stage materialization (the
+    // ActiveLoop shape — plans don't nest, each computed once).
+    val rowPreserving = Set("normalize", "redact")
     plan.stages.zipWithIndex.foreach { case (st, i) =>
-      // eager per-stage materialization: the same iterative-pipeline
-      // shape as ActiveLoop — plans don't nest across stages, and a
-      // stage is computed exactly once for its count + its consumer
-      docs = applyStage(docs, st, plan.ranSeed).localCheckpoint(true)
-      counts += (((i + 1).toLong, st.stepType, docs.count()))
+      docs = applyStage(docs, st, plan.ranSeed)
+      val preserving = rowPreserving(st.stepType)
+      val nextPreserving = plan.stages.lift(i + 1)
+        .exists(n => rowPreserving(n.stepType))
+      if (preserving && nextPreserving) {
+        // mid-run projection: stay lazy, count carried forward
+        counts += (((i + 1).toLong, st.stepType, lastCount))
+      } else if (preserving) {
+        // end of a projection run: one pin for the whole run; the
+        // count is the predecessor's (row-preserving)
+        docs = docs.localCheckpoint(true)
+        counts += (((i + 1).toLong, st.stepType, lastCount))
+      } else {
+        docs = docs.localCheckpoint(true)
+        lastCount = docs.count()
+        counts += (((i + 1).toLong, st.stepType, lastCount))
+      }
     }
     val assign = Splits.assign(docs, "doc_id", "main",
       plan.trainFrac, plan.ranSeed)

@@ -754,8 +754,16 @@ object DedupOps {
       : (DataFrame, Option[org.apache.spark.util.sketch.BloomFilter]) = {
     val winCol = explode(array_distinct(
       graft.operators.MinHash.shingleCol(col("text"), k)))
+    // ONE corpus pass (round 17): the window explode+md5 fed three
+    // actions — the sizing count, the stat.bloomFilter aggregation,
+    // and the exact-verify semi join in bloomProbeOf — so the corpus
+    // text was tokenized three times. Pin the window-hash relation
+    // once (the d3/d4 signature-table discipline; the streaming twin
+    // BloomDedupStream.prepare already pinned exactly this frame);
+    // the count and the filter build read pinned blocks.
     val corWins = corpus.select(winCol.as("win"))
       .select(md5(col("win")).as("h"))
+      .localCheckpoint()
     val nWins = corWins.count()
     // stat.bloomFilter NPEs on an empty relation (null agg buffer in
     // 4.x); an empty history flags nothing by definition
@@ -772,9 +780,16 @@ object DedupOps {
       incoming: DataFrame, k: Int): DataFrame = {
     val winCol = explode(array_distinct(
       graft.operators.MinHash.shingleCol(col("text"), k)))
+    // lazy pin (round 17): the incoming window table feeds the bloom
+    // probe (twice — the matched-hash broadcast build and the hits
+    // join) and the per-doc count, so the slice was tokenized three
+    // times; localCheckpoint(false) materializes on the first
+    // consuming job and adds no build-time action (micro-batch-safe:
+    // foreachBatch hands over plain batch frames).
     val incWins = incoming
       .select(col("doc_id"), winCol.as("win"))
       .select(col("doc_id"), md5(col("win")).as("h"))
+      .localCheckpoint(false)
     val flagged = bloom match {
       case None => incWins.where(lit(false))
       case Some(b) =>
@@ -810,11 +825,15 @@ object DedupOps {
   def sk1ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_partkey").cast("string").as("tok"))
-    val est = graft.operators.DetHll.estimate(
-      graft.operators.DetHll.registers(li, Seq("l_returnflag"), col("tok")),
-      Seq("l_returnflag"), "approx_parts")
-    val cnt = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-    est.join(cnt, "l_returnflag")
+    // ONE lineitem pass (round 17): the exact-count twin was a second
+    // full scan joined back onto the estimate — the per-bucket counts
+    // now ride the register aggregation (every row lands in exactly
+    // one (flag, bucket) group, so sum(__bn) IS count(*) per flag)
+    // and the est×cnt join disappears (guide §1.2, §2.4).
+    graft.operators.DetHll.estimateWithCount(
+      graft.operators.DetHll.registersWithCount(
+        li, Seq("l_returnflag"), col("tok")),
+      Seq("l_returnflag"), "approx_parts", "n")
       .select(col("l_returnflag"), col("approx_parts"), col("n"),
         col("hll_empty"), col("hll_sum_q40"))
   }

@@ -188,7 +188,8 @@ private[sources] object BloomFilters {
     * absent from the files or outside the long/string domain are
     * skipped. Returns the rels a sidecar was written for. */
   def buildFor(spark: SparkSession, tableRoot: String, rels: Seq[String],
-      physCols: Seq[String]): Seq[String] = {
+      physCols: Seq[String], rowCounts: Map[String, Long] = Map.empty)
+      : Seq[String] = {
     if (rels.isEmpty || physCols.isEmpty) return Nil
     val absRoot = Paths.get(tableRoot).toAbsolutePath.toString
     val abs = rels.map(r => s"$absRoot/$r")
@@ -201,11 +202,18 @@ private[sources] object BloomFilters {
     if (present.isEmpty) return Nil
     val types: Map[String, DataType] =
       present.map(c => c -> raw.schema(c).dataType).toMap
-    // pass 1: footer-served per-file row counts size each filter
-    val counts = raw
-      .groupBy(col("_metadata.file_path").as("__f")).count()
-      .collect().map(r => DeletionVectors.normFilePath(r.getString(0)) ->
-        r.getLong(1)).toMap
+    // per-file row counts size each filter. The commit seam passes
+    // them in from the footer stats it just read driver-side (round
+    // 17 — the former pass 1 here was a distributed
+    // groupBy(file).count()+collect per commit); the scan job below
+    // only survives as a fallback for callers without counts.
+    val counts: Map[String, Long] =
+      if (rels.forall(rowCounts.contains))
+        rels.map(r => s"$absRoot/$r" -> rowCounts(r)).toMap
+      else raw
+        .groupBy(col("_metadata.file_path").as("__f")).count()
+        .collect().map(r => DeletionVectors.normFilePath(r.getString(0)) ->
+          r.getLong(1)).toMap
     val fpp = spark.conf.getOption(FppConf).map(_.toDouble).getOrElse(0.01)
     val plan: Map[String, (String, Long, Int)] = rels.map { r =>
       val n = math.max(counts.getOrElse(s"$absRoot/$r", 1L), 1L)

@@ -914,14 +914,25 @@ object Versioned {
   private def statsForFiles(spark: SparkSession, path: String,
       files: Seq[String], pcols: Seq[String], schema: StructType,
       colMap: Map[String, String] = Map.empty): FileStats = {
+    val footer = fileStatsOf(spark, path, files)
     // bloom sidecar seam (round 16): every commit path funnels its
     // FRESH files through here for footer stats, so this is the one
     // place point-lookup blooms get built too (opt-in via
-    // spark.graft.bloom.columns; content-addressed, see BloomFilters)
+    // spark.graft.bloom.columns; content-addressed, see BloomFilters).
+    // Round 17 (VERDICT r16 #4): the filter-sizing row counts come
+    // from the footer stats just read driver-side (RowsStatKey) —
+    // the build's former pass 1, a distributed
+    // groupBy(file).count()+collect per commit, is gone; one scan of
+    // the fresh files remains (the bit-set OR pass).
     val bloomCols = BloomFilters.configuredPhysCols(spark, colMap)
-    if (bloomCols.nonEmpty && files.nonEmpty)
-      BloomFilters.buildFor(spark, norm(path), files, bloomCols)
-    val footer = fileStatsOf(spark, path, files)
+    if (bloomCols.nonEmpty && files.nonEmpty) {
+      val rowCounts: Map[String, Long] = files.flatMap { f =>
+        footer.get(f).flatMap(_.get(RowsStatKey)).collect {
+          case LongStat(n, _) => f -> n
+        }
+      }.toMap
+      BloomFilters.buildFor(spark, norm(path), files, bloomCols, rowCounts)
+    }
     if (pcols.isEmpty) footer
     else files.map(f => f -> (footer.getOrElse(f, Map.empty) ++
       partitionStatsOf(f, pcols, schema))).toMap
@@ -1211,16 +1222,6 @@ object Versioned {
         (col("__g_rk") === 1 && col("__g_rn") === 2 &&
           col("_change_type") =!= "delete"))
       .localCheckpoint()
-    val culprit = pinned.where(col("__g_rn") === 2)
-      .select((keys.map(col) :+ col("_commit_version")).toIndexedSeq: _*)
-      .limit(1).collect()
-    if (culprit.nonEmpty)
-      throw new IllegalArgumentException(
-        "versioned: applyChanges requires a key-unique source — " +
-          s"commit version ${culprit.head.get(keys.size)} carries " +
-          s"duplicate non-delete rows for key (${keys.mkString(",")}) = " +
-          s"(${keys.indices.map(culprit.head.get).mkString(",")}) at " +
-          s"$target; deduplicate the source or replicate on a unique key")
     val last = pinned.where(col("__g_rn") === 1).drop("__g_rk")
     val dels = last.where(col("_change_type") === "delete")
       .select(dataCols.map(col).toIndexedSeq: _*)
@@ -1228,11 +1229,28 @@ object Versioned {
       .where(col("_change_type").isin("insert", "update_postimage"))
       .select(dataCols.map(col).toIndexedSeq: _*)
     // one tiny job over the pinned blocks replaces the two isEmpty
-    // probes (each of which re-ran the window before round 16)
-    val nRow = last.agg(
-      count(when(col("_change_type") === "delete", lit(1))).as("nd"),
-      count(when(col("_change_type").isin("insert", "update_postimage"),
-        lit(1))).as("nu")).head()
+    // probes (round 16) AND the tie probe (round 17: the culprit
+    // lookup was an unconditional extra job per drained batch — the
+    // tie COUNT folds into this aggregate for free, and the culprit's
+    // key is only fetched on the error path)
+    val nRow = pinned.agg(
+      count(when(col("__g_rn") === 1 &&
+        col("_change_type") === "delete", lit(1))).as("nd"),
+      count(when(col("__g_rn") === 1 &&
+        col("_change_type").isin("insert", "update_postimage"),
+        lit(1))).as("nu"),
+      count(when(col("__g_rn") === 2, lit(1))).as("nties")).head()
+    if (nRow.getLong(2) > 0) {
+      val culprit = pinned.where(col("__g_rn") === 2)
+        .select((keys.map(col) :+ col("_commit_version")).toIndexedSeq: _*)
+        .limit(1).collect()
+      throw new IllegalArgumentException(
+        "versioned: applyChanges requires a key-unique source — " +
+          s"commit version ${culprit.head.get(keys.size)} carries " +
+          s"duplicate non-delete rows for key (${keys.mkString(",")}) = " +
+          s"(${keys.indices.map(culprit.head.get).mkString(",")}) at " +
+          s"$target; deduplicate the source or replicate on a unique key")
+    }
     val (nDels, nUps) = (nRow.getLong(0), nRow.getLong(1))
     if (versions(target).isEmpty) {
       // table birth: commit the net inserts; tombstones have nothing
@@ -4185,12 +4203,33 @@ object Versioned {
       updateWhere(spark, a, col("doc_id") % 9 === 1, // v5
         Map("n_chars" -> -col("n_chars")))
       optimize(spark, a) // v6: layout-only, empty change batch
-      (1 to versions(a).max).foreach { v =>
-        applyChanges(readChanges(spark, a, v - 1, v), b, Seq("doc_id"))
+      // ONE read of the whole CDF range (round 17, VERDICT r16 #3):
+      // the per-version drain re-opened and re-planned A's change
+      // files once per version; the pinned full-range frame feeds
+      // each drain through a _commit_version filter over pinned
+      // blocks. The batches applyChanges sees per version — and so
+      // the replica's state at every step — are identical.
+      val vmax = versions(a).max
+      val feed = readChanges(spark, a, 0, vmax).localCheckpoint()
+      (1 to vmax).foreach { v =>
+        applyChanges(feed.where(col("_commit_version") === v), b,
+          Seq("doc_id"))
       }
       val fa = read(spark, a)
       val fb = read(spark, b)
-      val diff = fb.exceptAll(fa).count() + fa.exceptAll(fb).count()
+      // symmetric multiset difference in ONE action (round 17): the
+      // two exceptAll counts each re-scanned both sides; with cnt_X =
+      // per-full-row multiplicities, exceptAll(B,A).count +
+      // exceptAll(A,B).count = Σ max(cb−ca,0) + Σ max(ca−cb,0)
+      // = Σ |ca − cb| — the same number from one pass per side.
+      val diffRow = fa.groupBy(col("doc_id"), col("n_chars"))
+        .agg(count(lit(1)).as("__ca"))
+        .join(fb.groupBy(col("doc_id"), col("n_chars"))
+          .agg(count(lit(1)).as("__cb")),
+          Seq("doc_id", "n_chars"), "full_outer")
+        .agg(sum(abs(coalesce(col("__ca"), lit(0L)) -
+          coalesce(col("__cb"), lit(0L))))).head()
+      val diff = if (diffRow.isNullAt(0)) 0L else diffRow.getLong(0)
       val r = fb
         .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"),
           sum(col("n_chars")).as("sum_chars"))

@@ -38,8 +38,9 @@ object BloomDedupStream {
     * corpus snapshot). */
   def prepare(corpus: DataFrame, k: Int, fpp: Double)
       : (DataFrame, Option[org.apache.spark.util.sketch.BloomFilter]) = {
-    val (corWins, bloom) = graft.queries.DedupOps.bloomStateOf(corpus, k, fpp)
-    (corWins.localCheckpoint(true), bloom)
+    // bloomStateOf pins the window relation itself since round 17 —
+    // re-checkpointing here would double-persist the same blocks
+    graft.queries.DedupOps.bloomStateOf(corpus, k, fpp)
   }
 
   /** File-source stream over `srcDir`; each micro-batch's verdicts

@@ -63,6 +63,8 @@ class CacheHygieneSpec extends AnyFunSuite {
                         // the md5-per-token pass runs once (r16)
     "d4_neardup_pairs", // k=72 minhash signature table pinned at
                         // build — same discipline (r16)
+    "d16_editdist_join", // bounded (id, s) relation pinned at build —
+                        // four consumers re-ran the text scan (r17)
     "m6_materials_e2e", // cfgs/cfgAtoms pinned at build — four
                         // branches re-ran the substitution chain (r16)
     "d14_incremental_minhash", // history signature table materialized at build
