@@ -1221,7 +1221,7 @@ object Versioned {
       .where(col("__g_rn") === 1 ||
         (col("__g_rk") === 1 && col("__g_rn") === 2 &&
           col("_change_type") =!= "delete"))
-      .localCheckpoint()
+      .localCheckpoint(false) // materializes in the count job below
     val last = pinned.where(col("__g_rn") === 1).drop("__g_rk")
     val dels = last.where(col("_change_type") === "delete")
       .select(dataCols.map(col).toIndexedSeq: _*)
@@ -2334,8 +2334,13 @@ object Versioned {
     // SINGLE EVALUATION: pin the source rows before anything reads
     // them — the class doc's discipline. localCheckpoint (not cache)
     // so the plan TRUNCATES: downstream joins re-reading the source
-    // cannot recompute a nondeterministic lineage.
-    val src = updates.localCheckpoint()
+    // cannot recompute a nondeterministic lineage. LAZY (round 17):
+    // the eager pin was a separate full pass per merge; the lazy pin
+    // materializes inside the precondition aggregate's job (block
+    // locks make the first computation the only one, so the
+    // single-evaluation guarantee is unchanged) and every later
+    // consumer reads the pinned blocks.
+    val src = updates.localCheckpoint(false)
     // ONE pass over the materialized source: per-key bounds for file
     // pruning, plus two Delta-MERGE preconditions checked BEFORE any
     // file write — (a) no null keys (a null key matches nothing and
@@ -2628,7 +2633,11 @@ object Versioned {
         case (WhenMatched.Ignore, _) =>
           none.withColumn(CT, lit("insert"))
       } :+ insertedRows.withColumn(CT, lit("insert")))
-    val changeSet = chgPieces.reduce(_.unionByName(_)).localCheckpoint()
+    // lazy (round 17): materializes inside the data write's job — the
+    // write's filter still persists WHOLE partitions of the change
+    // set, so the CDF write below reads complete pinned blocks
+    val changeSet = chgPieces.reduce(_.unionByName(_))
+      .localCheckpoint(false)
     writeData(keptExisting
       .unionByName(changeSet.where(col("_change_type")
         .isin("update_postimage", "insert")).drop("_change_type"))
@@ -3055,7 +3064,11 @@ object Versioned {
       else readFiles(spark, path, touched.map(_._1), base.schemaDdl,
         base.colMap, base.dvs)
     val DelFlag = "__graft_delete"
-    val tagged = live.withColumn(DelFlag, pred).localCheckpoint()
+    // lazy pin (round 17): the eager pin was a separate full read of
+    // the touched files; now the kept-rows write materializes (and
+    // persists) the tagged scan in its own job and the CDF write
+    // reads the pinned blocks
+    val tagged = live.withColumn(DelFlag, pred).localCheckpoint(false)
     val kept = tagged
       .where(!col(DelFlag) || col(DelFlag).isNull).drop(DelFlag)
     val deleted = tagged.where(col(DelFlag)).drop(DelFlag)
@@ -3344,7 +3357,8 @@ object Versioned {
       else readFiles(spark, path, touched.map(_._1), base.schemaDdl,
         base.colMap, base.dvs)
     val UpdFlag = "__graft_update"
-    val tagged = live.withColumn(UpdFlag, pred).localCheckpoint()
+    // lazy pin (round 17) — the deleteWhere rationale
+    val tagged = live.withColumn(UpdFlag, pred).localCheckpoint(false)
     val kept = tagged
       .where(!col(UpdFlag) || col(UpdFlag).isNull).drop(UpdFlag)
     val hit = tagged.where(col(UpdFlag)).drop(UpdFlag)
@@ -3792,6 +3806,17 @@ object Versioned {
     * collects; the oracle replays the predicates relationally (a
     * versioned read at version v IS the union of the commits live at
     * v). */
+  /** ONE driver action for a family of per-step single-row aggregate
+    * branches (round 17, guide §1.2): union the step-tagged branches
+    * and collect once. The v-family's per-step `.agg(...).head()`
+    * loops each paid a full action's planning + scheduling latency
+    * (~0.1 s apiece at sf0.1) and ran serially; the union runs the
+    * branches inside one job and the branch plans — and the values
+    * they compute — are unchanged. Rows return sorted by the leading
+    * integer step tag. */
+  private def collectSteps(steps: Seq[DataFrame]): Seq[Row] =
+    steps.reduce(_ unionByName _).collect().toSeq.sortBy(_.getInt(0))
+
   def timeTravel(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
@@ -3801,18 +3826,15 @@ object Versioned {
       commit(docs.where(col("doc_id") % 3 === 1), tmp, "append") // v2
       commit(docs.where(col("doc_id") % 2 === 0), tmp, "overwrite") // v3
       restore(tmp, 2) // v4 == v2's live set
-      def aggOf(df: DataFrame) = df
+      def aggOf(df: DataFrame, v: Int) = df
         .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"),
           sum(col("n_chars")).as("sum_chars"))
-        .head()
-      val rows = (1 to 4).map { v =>
-        val r = aggOf(read(spark, tmp, Some(v)))
-        Row(v, r.getLong(0), r.getLong(1), r.getLong(2))
-      } :+ {
-        val r = aggOf(
-          readAsOfTimestamp(spark, tmp, commitTimestamp(tmp, 4)))
-        Row(5, r.getLong(0), r.getLong(1), r.getLong(2))
-      }
+        .select(lit(v).as("step"), col("n_rows"), col("sum_doc_id"),
+          col("sum_chars"))
+      val rows = collectSteps(
+        (1 to 4).map(v => aggOf(read(spark, tmp, Some(v)), v)) :+
+          aggOf(readAsOfTimestamp(spark, tmp, commitTimestamp(tmp, 4)), 5))
+        .map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         StructType.fromDDL(
@@ -3840,13 +3862,13 @@ object Versioned {
       merge(docs.where(col("doc_id") % 3 === 0)
         .withColumn("n_chars", -col("n_chars")), tmp, "doc_id") // v2
       deleteWhere(spark, tmp, col("doc_id") % 5 === 0) // v3
-      val rows = (1 to 3).map { v =>
-        val r = read(spark, tmp, Some(v))
+      val rows = collectSteps((1 to 3).map { v =>
+        read(spark, tmp, Some(v))
           .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"),
             sum(col("n_chars")).as("sum_chars"))
-          .head()
-        Row(v, r.getLong(0), r.getLong(1), r.getLong(2))
-      }
+          .select(lit(v).as("step"), col("n_rows"), col("sum_doc_id"),
+            col("sum_chars"))
+      }).map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         StructType.fromDDL(
@@ -3867,14 +3889,14 @@ object Versioned {
     try {
       commit(docs.where(col("doc_id") % 4 === 0), tmp, "append") // v1
       commit(docs.where(col("doc_id") % 4 === 2), tmp, "append") // v2
-      val rows = Seq(
+      val rows = collectSteps(Seq(
         spark.read.format("graftv").option("versionAsOf", 1).load(tmp)
-          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc")).head(),
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+          .select(lit(1).as("step"), col("n"), col("sc")),
         spark.read.format("graftv").load(tmp)
-          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc")).head())
-        .zipWithIndex.map { case (r, i) =>
-          Row(i + 1, r.getLong(0), r.getLong(1))
-        }
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+          .select(lit(2).as("step"), col("n"), col("sc"))))
+        .map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2)))
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         StructType.fromDDL("version INT, n_rows BIGINT, sum_chars BIGINT"))
@@ -3964,19 +3986,22 @@ object Versioned {
       commit(docs.where(col("doc_id") % 2 === 1)
         .withColumn("n", col("n").cast("long") + lit(3000000000L))
         .withColumn("x", col("x").cast("double")), tmp, "append") // v4
-      def aggOf(df: DataFrame, step: Int): Row = {
-        val r = df.agg(count(lit(1)).as("n_rows"),
-          sum(col("n").cast("long")).as("sum_n"),
-          sum((col("x") * lit(4)).cast("long")).as("sum_x4")).head()
+      def aggOf(df: DataFrame, step: Int): DataFrame = {
         val isLong =
           if (df.schema("n").dataType ==
             org.apache.spark.sql.types.LongType) 1 else 0
-        Row(step, r.getLong(0), r.getLong(1), r.getLong(2), isLong)
+        df.agg(count(lit(1)).as("n_rows"),
+          sum(col("n").cast("long")).as("sum_n"),
+          sum((col("x") * lit(4)).cast("long")).as("sum_x4"))
+          .select(lit(step).as("step"), col("n_rows"), col("sum_n"),
+            col("sum_x4"), lit(isLong).as("n_is_long"))
       }
-      val steps = Seq(
+      val steps = collectSteps(Seq(
         aggOf(read(spark, tmp, Some(1)), 1),
         aggOf(read(spark, tmp), 2),
-        aggOf(read(spark, tmp).where(col("doc_id") % 2 === 0), 3))
+        aggOf(read(spark, tmp).where(col("doc_id") % 2 === 0), 3)))
+        .map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getInt(4)))
       spark.createDataFrame(
         spark.sparkContext.parallelize(steps, 1),
         StructType.fromDDL("step INT, n_rows BIGINT, sum_n BIGINT, " +
@@ -4003,19 +4028,20 @@ object Versioned {
       cloneTable(spark, src, dst)
       deleteWhere(spark, dst, col("doc_id") % 10 === 0) // clone v2
       commit(docs.where(col("doc_id") % 2 === 1), src, "append") // src v2
-      def aggOf(df: DataFrame, step: Int): Row = {
-        val r = df.agg(count(lit(1)).as("n_rows"),
+      def aggOf(df: DataFrame, step: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
           sum(col("doc_id")).as("sum_doc_id"),
-          sum(col("n_chars")).as("sum_chars")).head()
-        Row(step, r.getLong(0), r.getLong(1), r.getLong(2))
-      }
+          sum(col("n_chars")).as("sum_chars"))
+          .select(lit(step).as("step"), col("n_rows"), col("sum_doc_id"),
+            col("sum_chars"))
       val cdf = readChanges(spark, dst, 0, 1)
         .where(col("_change_type") === "insert")
         .select(col("doc_id"), col("n_chars"))
-      val steps = Seq(
+      val steps = collectSteps(Seq(
         aggOf(read(spark, src), 1),
         aggOf(read(spark, dst), 2),
-        aggOf(cdf, 3))
+        aggOf(cdf, 3)))
+        .map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       spark.createDataFrame(
         spark.sparkContext.parallelize(steps, 1),
         StructType.fromDDL("step INT, n_rows BIGINT, " +
@@ -4054,12 +4080,12 @@ object Versioned {
           (col("doc_id") % 7).as("tag")), tmp, "doc_id") // v4
       dropColumn(tmp, "tag") // v5
       addColumns(tmp, "`tag` BIGINT") // v6: fresh physical, all-null
-      def aggOf(df: DataFrame, step: Int, cCol: String): Row = {
-        val r = df.agg(count(lit(1)).as("n_rows"),
+      def aggOf(df: DataFrame, step: Int, cCol: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
           sum(col(cCol)).as("sum_c"),
-          count(col("tag")).as("tag_count")).head()
-        Row(step, r.getLong(0), r.getLong(1), r.getLong(2))
-      }
+          count(col("tag")).as("tag_count"))
+          .select(lit(step).as("step"), col("n_rows"), col("sum_c"),
+            col("tag_count"))
       // NESTED leg (round 15, VERDICT r14 #4): a second table with a
       // provenance STRUCT — rename prov.c → chars (metadata-only over
       // the stable physical), drop prov.src and re-ADD it (fresh
@@ -4077,20 +4103,22 @@ object Versioned {
         dropColumn(tmp2, "prov.src") // v3
         addColumns(tmp2, "`src` BIGINT", parent = "prov") // v4
         def aggNested(df: DataFrame, step: Int, cPath: String,
-            srcPath: String): Row = {
-          val r = df.agg(count(lit(1)).as("n_rows"),
+            srcPath: String): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
             sum(col(cPath)).as("sum_c"),
-            count(col(srcPath)).as("tag_count")).head()
-          Row(step, r.getLong(0), r.getLong(1), r.getLong(2))
-        }
-        val steps = Seq(
+            count(col(srcPath)).as("tag_count"))
+            .select(lit(step).as("step"), col("n_rows"), col("sum_c"),
+              col("tag_count"))
+        val steps = collectSteps(Seq(
           aggOf(read(spark, tmp, Some(1)), 1, "cnt"),
           aggOf(read(spark, tmp), 2, "chars"),
           aggOf(read(spark, tmp).where(col("doc_id") % 2 === 0), 3,
             "chars"),
           aggNested(read(spark, tmp2), 4, "prov.chars", "prov.src"),
           aggNested(read(spark, tmp2, Some(1)), 5, "prov.c",
-            "prov.src"))
+            "prov.src")))
+          .map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
         spark.createDataFrame(
           spark.sparkContext.parallelize(steps, 1),
           StructType.fromDDL("step INT, n_rows BIGINT, sum_c BIGINT, " +
@@ -4160,16 +4188,19 @@ object Versioned {
       val t = tmp.toString
       val v1 = convertParquet(spark, t)
       require(v1 == 1)
-      def aggOf(df: DataFrame) = df
+      def aggOf(df: DataFrame, step: Int) = df
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"),
-          sum(col("n_chars")).as("sc")).head()
-      val s1 = aggOf(read(spark, t))
+          sum(col("n_chars")).as("sc"))
+        .select(lit(step).as("step"), col("n"), col("sd"), col("sc"))
+      // s1's plan resolves v1's file set at BUILD time and those files
+      // are immutable (COW), so collecting it after the delete reads
+      // the same bytes the pre-delete head() did
+      val s1 = aggOf(read(spark, t), 1)
       deleteWhere(spark, t, col("doc_id") % 7 === 0) // v2: COW over adopted
-      val s2 = aggOf(read(spark, t))
-      val s3 = aggOf(read(spark, t, Some(1))) // time travel to the adoption
-      val rows = Seq(s1, s2, s3).zipWithIndex.map { case (r, i) =>
-        Row(i + 1, r.getLong(0), r.getLong(1), r.getLong(2))
-      }
+      val rows = collectSteps(Seq(s1,
+        aggOf(read(spark, t), 2),
+        aggOf(read(spark, t, Some(1)), 3))) // time travel to the adoption
+        .map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         StructType.fromDDL(
@@ -4210,33 +4241,36 @@ object Versioned {
       // blocks. The batches applyChanges sees per version — and so
       // the replica's state at every step — are identical.
       val vmax = versions(a).max
-      val feed = readChanges(spark, a, 0, vmax).localCheckpoint()
+      val feed = readChanges(spark, a, 0, vmax).localCheckpoint(false)
       (1 to vmax).foreach { v =>
         applyChanges(feed.where(col("_commit_version") === v), b,
           Seq("doc_id"))
       }
       val fa = read(spark, a)
       val fb = read(spark, b)
-      // symmetric multiset difference in ONE action (round 17): the
-      // two exceptAll counts each re-scanned both sides; with cnt_X =
-      // per-full-row multiplicities, exceptAll(B,A).count +
-      // exceptAll(A,B).count = Σ max(cb−ca,0) + Σ max(ca−cb,0)
-      // = Σ |ca − cb| — the same number from one pass per side.
-      val diffRow = fa.groupBy(col("doc_id"), col("n_chars"))
+      // symmetric multiset difference + B's final aggregates in ONE
+      // action (round 17): the two exceptAll counts each re-scanned
+      // both sides, and the final aggregate was a third pass over B.
+      // With cnt_X = per-full-row multiplicities,
+      // exceptAll(B,A).count + exceptAll(A,B).count =
+      // Σ max(cb−ca,0) + Σ max(ca−cb,0) = Σ |ca − cb| — the same
+      // number from one pass per side — and B's n_rows/sums are
+      // Σ cb / Σ col·cb over the same joined frame.
+      val cb0 = coalesce(col("__cb"), lit(0L))
+      val r = fa.groupBy(col("doc_id"), col("n_chars"))
         .agg(count(lit(1)).as("__ca"))
         .join(fb.groupBy(col("doc_id"), col("n_chars"))
           .agg(count(lit(1)).as("__cb")),
           Seq("doc_id", "n_chars"), "full_outer")
-        .agg(sum(abs(coalesce(col("__ca"), lit(0L)) -
-          coalesce(col("__cb"), lit(0L))))).head()
-      val diff = if (diffRow.isNullAt(0)) 0L else diffRow.getLong(0)
-      val r = fb
-        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"),
-          sum(col("n_chars")).as("sum_chars"))
+        .agg(
+          sum(abs(coalesce(col("__ca"), lit(0L)) - cb0)).as("diff"),
+          sum(cb0).as("n_rows"),
+          sum(col("doc_id") * cb0).as("sum_doc_id"),
+          sum(col("n_chars").cast("long") * cb0).as("sum_chars"))
         .head()
       spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(Row(
-          r.getLong(0), r.getLong(1), r.getLong(2), diff)), 1),
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(0))), 1),
         StructType.fromDDL("n_rows BIGINT, sum_doc_id BIGINT, " +
           "sum_chars BIGINT, diff_rows BIGINT"))
     } finally {
@@ -4290,12 +4324,13 @@ object Versioned {
               (col("source.n_chars") * 2 + col("target.n_chars"))))),
         notMatched = Seq(
           WhenNotMatched.Insert(Some(col("bucket") =!= 2)))) // v4
-      val states = (1 to 4).map { v =>
-        val r = read(spark, tmp, Some(v))
+      val states = collectSteps((1 to 4).map { v =>
+        read(spark, tmp, Some(v))
           .agg(count(lit(1)).as("n"), sum(col("bucket")).as("sb"),
-            sum(col("n_chars")).as("sc")).head()
-        Row(v, "state", r.getLong(0), r.getLong(1), r.getLong(2))
-      }
+            sum(col("n_chars")).as("sc"))
+          .select(lit(v).as("step"), col("n"), col("sb"), col("sc"))
+      }).map(r =>
+        Row(r.getInt(0), "state", r.getLong(1), r.getLong(2), r.getLong(3)))
       val cdf = readChanges(spark, tmp, fromVersion = 1, toVersion = 4)
         .groupBy(col("_commit_version"), col("_change_type"))
         .agg(count(lit(1)).as("n"), sum(col("bucket")).as("sb"),
@@ -4330,17 +4365,16 @@ object Versioned {
       commit(docs.where(col("doc_id") % 2 === 1), tmp, "append") // v2 inherits
       merge(docs.where(col("doc_id") % 3 === 0)
         .withColumn("n_chars", -col("n_chars")), tmp, Seq("doc_id")) // v3
-      def aggOf(df: DataFrame) = df
+      def aggOf(df: DataFrame, step: Int) = df
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"),
-          sum(col("n_chars")).as("sc")).head()
-      val viaConnectorPruned = aggOf(
-        spark.read.format("graftv").load(tmp).where(col("pb") === 2))
-      val viaConnectorFull = aggOf(spark.read.format("graftv").load(tmp))
-      val viaLibraryV1 = aggOf(read(spark, tmp, Some(1)))
-      val rows = Seq(viaConnectorPruned, viaConnectorFull, viaLibraryV1)
-        .zipWithIndex.map { case (r, i) =>
-          Row(i + 1, r.getLong(0), r.getLong(1), r.getLong(2))
-        }
+          sum(col("n_chars")).as("sc"))
+        .select(lit(step).as("step"), col("n"), col("sd"), col("sc"))
+      val rows = collectSteps(Seq(
+        aggOf(spark.read.format("graftv").load(tmp)
+          .where(col("pb") === 2), 1),
+        aggOf(spark.read.format("graftv").load(tmp), 2),
+        aggOf(read(spark, tmp, Some(1)), 3)))
+        .map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         StructType.fromDDL(
@@ -4383,12 +4417,13 @@ object Versioned {
         spark.sql(
           "UPDATE v9_sql_merge_tbl SET n_chars = n_chars * 3 " +
             "WHERE doc_id >= 40 AND doc_id < 48") // v4 (same-range rule)
-        val states = (1 to 4).map { v =>
-          val r = read(spark, tmp, Some(v))
+        val states = collectSteps((1 to 4).map { v =>
+          read(spark, tmp, Some(v))
             .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"),
-              sum(col("n_chars")).as("sc")).head()
-          Row(v, "state", r.getLong(0), r.getLong(1), r.getLong(2))
-        }
+              sum(col("n_chars")).as("sc"))
+            .select(lit(v).as("step"), col("n"), col("sd"), col("sc"))
+        }).map(r =>
+          Row(r.getInt(0), "state", r.getLong(1), r.getLong(2), r.getLong(3)))
         val cdf = readChanges(spark, tmp, fromVersion = 1, toVersion = 4)
           .groupBy(col("_commit_version"), col("_change_type"))
           .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"),
@@ -4447,17 +4482,15 @@ object Versioned {
           WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
           WHEN NOT MATCHED THEN INSERT *
         """) // v3 (pure update: every %5 key exists at v2)
-        def aggOf(df: DataFrame) = df
+        def aggOf(df: DataFrame, step: Int) = df
           .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"),
-            sum(col("n_chars")).as("sc")).head()
-        val states = (1 to 3).map { v =>
-          val r = aggOf(read(spark, tmp, Some(v)))
-          Row(v, r.getLong(0), r.getLong(1), r.getLong(2))
-        } :+ {
-          val r = aggOf(spark.read.format("graftv").load(tmp)
-            .where(col("pb") === 1))
-          Row(4, r.getLong(0), r.getLong(1), r.getLong(2))
-        }
+            sum(col("n_chars")).as("sc"))
+          .select(lit(step).as("step"), col("n"), col("sd"), col("sc"))
+        val states = collectSteps(
+          (1 to 3).map(v => aggOf(read(spark, tmp, Some(v)), v)) :+
+            aggOf(spark.read.format("graftv").load(tmp)
+              .where(col("pb") === 1), 4))
+          .map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         spark.createDataFrame(
           spark.sparkContext.parallelize(states, 1),
           StructType.fromDDL(
@@ -4496,21 +4529,23 @@ object Versioned {
       val dvAfterUpdate = if (snapshot(tmp).dvs.nonEmpty) 1L else 0L
       optimize(spark, tmp, numFiles = 2) // v4: purge
       val dvAfterOptimize = if (snapshot(tmp).dvs.nonEmpty) 1L else 0L
-      def aggOf(df: DataFrame, step: Int, dv: Long): Row = {
-        val r = df.agg(count(lit(1)).as("n_rows"),
+      def aggOf(df: DataFrame, step: Int, dv: Long): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
           sum(col("doc_id")).as("sum_doc_id"),
-          sum(col("n_chars")).as("sum_chars")).head()
-        Row(step, r.getLong(0), r.getLong(1), r.getLong(2), dv)
-      }
+          sum(col("n_chars")).as("sum_chars"))
+          .select(lit(step).as("step"), col("n_rows"), col("sum_doc_id"),
+            col("sum_chars"), lit(dv).as("dv_present"))
       val cdfDel = readChanges(spark, tmp, 1, 2)
         .where(col("_change_type") === "delete")
         .select(col("doc_id"), col("n_chars"))
-      val steps = Seq(
+      val steps = collectSteps(Seq(
         aggOf(read(spark, tmp, Some(2)), 1, dvAfterDelete),
         aggOf(read(spark, tmp, Some(3)), 2, dvAfterUpdate),
         aggOf(read(spark, tmp, Some(1)), 3, 0L),
         aggOf(read(spark, tmp), 4, dvAfterOptimize),
-        aggOf(cdfDel, 5, 0L))
+        aggOf(cdfDel, 5, 0L)))
+        .map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
       spark.createDataFrame(
         spark.sparkContext.parallelize(steps, 1),
         StructType.fromDDL("step INT, n_rows BIGINT, " +
@@ -4578,24 +4613,26 @@ object Versioned {
         snapshot(tmp).files, Map("k" -> Seq(keyOf(13L))))
       val selPruned = selSurvivors.size < v6Files.size
       def pin(b: Boolean): Long = if (b) 1L else 0L
-      def aggOf(df: DataFrame, step: Int, p: Long): Row = {
-        val r = df.agg(count(lit(1)).as("n_rows"),
+      def aggOf(df: DataFrame, step: Int, p: Long): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
           sum(col("doc_id")).as("sum_doc_id"),
-          sum(col("n_chars")).as("sum_chars")).head()
-        Row(step, r.getLong(0), r.getLong(1), r.getLong(2), p)
-      }
+          sum(col("n_chars")).as("sum_chars"))
+          .select(lit(step).as("step"), col("n_rows"), col("sum_doc_id"),
+            col("sum_chars"), lit(p).as("bloom_pin"))
       val cdfDel = readChanges(spark, tmp, 4, 5)
         .where(col("_change_type") === "delete")
         .select(col("doc_id"), col("n_chars"))
       val dsv2Sel = spark.read.format("graftv").load(tmp)
         .where(col("k") === lit(keyOf(13L)))
         .select(col("doc_id"), col("n_chars"))
-      val steps = Seq(
+      val steps = collectSteps(Seq(
         aggOf(read(spark, tmp, Some(5)), 1, pin(sidecarsComplete)),
         aggOf(read(spark, tmp), 2, pin(delCarried)),
         aggOf(dsv2Sel, 3, pin(selPruned)),
         aggOf(read(spark, tmp, Some(4)), 4, pin(mrgCarried)),
-        aggOf(cdfDel, 5, 0L))
+        aggOf(cdfDel, 5, 0L)))
+        .map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
       spark.createDataFrame(
         spark.sparkContext.parallelize(steps, 1),
         StructType.fromDDL("step INT, n_rows BIGINT, " +
@@ -4639,17 +4676,22 @@ object Versioned {
       val noopHeld =
         if (compact(spark, tmp, targetBytes = 1L << 30) == v5) 1L else 0L
       val dsv2Count = spark.read.format("graftv").load(tmp).count()
-      def aggOf(df: DataFrame, step: Int, p: Long): Row = {
-        val r = df.agg(count(lit(1)).as("n_rows"),
+      def aggOf(df: DataFrame, step: Int, p: Long): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
           sum(col("doc_id")).as("sum_doc_id"),
-          sum(col("n_chars")).as("sum_chars")).head()
-        Row(step, r.getLong(0), r.getLong(1), r.getLong(2), p)
-      }
+          sum(col("n_chars")).as("sum_chars"))
+          .select(lit(step).as("step"), col("n_rows"), col("sum_doc_id"),
+            col("sum_chars"), lit(p).as("pin"))
       val tt = read(spark, tmp, Some(4))
-      val steps = Seq(
+      val agged = collectSteps(Seq(
         aggOf(read(spark, tmp), 1, filesBefore),
+        aggOf(tt, 3, snapshot(tmp, Some(4)).files.size.toLong)))
+        .map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val steps = Seq(
+        agged(0),
         Row(2, dsv2Count, 0L, 0L, filesAfter),
-        aggOf(tt, 3, snapshot(tmp, Some(4)).files.size.toLong),
+        agged(1),
         Row(4, 1L, 0L, 0L, noopHeld))
       spark.createDataFrame(
         spark.sparkContext.parallelize(steps, 1),

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Per-stage wall/CPU profile of one declared query (round-16
@@ -28,7 +28,11 @@ object ProfileQ {
 
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[
       (Int, Long, Long, Int, String)]()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val wall = (for { s <- si.submissionTime; c <- si.completionTime }
@@ -55,7 +59,7 @@ object ProfileQ {
     ss.foreach { case (id, wall, cpu, nt, nm) =>
       println(f"[profq] stage $id%4d wall ${wall}%6d ms cpu ${cpu}%6d ms tasks $nt%3d  $nm")
     }
-    println(f"[profq] stage wall sum ${ss.map(_._2).sum} ms, n stages ${ss.size}")
+    println(f"[profq] stage wall sum ${ss.map(_._2).sum} ms, n stages ${ss.size}, n jobs ${jobs.get}")
     spark.stop()
   }
 }
