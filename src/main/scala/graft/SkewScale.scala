@@ -66,7 +66,11 @@ object SkewScale {
 
   def main(args: Array[String]): Unit = {
     val outJson = args.lift(0).getOrElse("bench/skew_salt_25x.json")
-    val n = args.lift(1).map(_.toLong).getOrElse(8000000L)
+    // default sized so the mega-key's shuffle partition (~30% of n at
+    // ~20 B/row) clears AQE's skewedPartitionThresholdInBytes (256 MB)
+    // — below it the AQE arm would trivially never split and the
+    // comparison would be vacuous
+    val n = args.lift(1).map(_.toLong).getOrElse(64000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
